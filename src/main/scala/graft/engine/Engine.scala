@@ -1,0 +1,66 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session bootstrap + table registry + SQL facade.
+  *
+  * The reference outsources all query processing to BigQuery
+  * (`core/utils/db_core.py:119-135`); here Spark itself is the engine:
+  * tables register as temp views and `Engine.sql` runs Catalyst end-to-end.
+  *
+  * Scale posture (100 TB): AQE on (runtime partition coalescing + skew-join
+  * splitting), shuffle partitions sized for the local harness via config,
+  * UTC session timezone pinned for oracle parity.
+  */
+object Engine {
+
+  /** Build a session configured for this engine. In local mode `cores`
+    * controls both parallelism and shuffle partitions; on a real cluster
+    * leave master/shuffle-partitions to spark-submit + AQE.
+    */
+  def session(appName: String = "graft", master: Option[String] = None,
+              shufflePartitions: Int = 32): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      .config("spark.ui.enabled", "false")
+    master.foreach(b.master)
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** The fixture tables (TESTDATA.md). */
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one fixture table from a scale-factor directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every fixture table under `dir` as a temp view so that
+    * arbitrary SQL (the reference's S6 passthrough surface) runs natively.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    TableNames.foreach { n =>
+      table(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** S6 replacement: arbitrary SQL over the registered views. Mirrors the
+    * reference's query-path error contract (log + None) vs the load path
+    * which throws — SURVEY §7.4.7.
+    */
+  def sql(spark: SparkSession, query: String): Option[DataFrame] =
+    try Some(spark.sql(query))
+    catch {
+      case e: Exception =>
+        System.err.println(s"[engine.sql] query failed: ${e.getMessage}")
+        None
+    }
+}
