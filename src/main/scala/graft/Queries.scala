@@ -91,4 +91,479 @@ object Queries {
       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       |  AND l_discount BETWEEN 0.03 AND 0.07
       |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q3 — shipping priority: 3-way join + agg + top-k. The per-order
+  // top-10 is TakeOrderedAndProject (no global sort); tie-break on
+  // l_orderkey makes the limit deterministic.
+  // ---------------------------------------------------------------------
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = ts("1999-01-01 00:00:00")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q4 — order priority: EXISTS as a left-semi join with a non-equi
+  // conjunct (l_shipdate > o_orderdate).
+  // ---------------------------------------------------------------------
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-07-01 00:00:00")
+        && col("o_orderdate") < ts("1998-07-01 00:00:00"))
+    val li = t(s, dir, "lineitem")
+    o.join(li, col("o_orderkey") === col("l_orderkey")
+        && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q5 — local supplier volume: 6-table join. region/nation are
+  // broadcast explicitly (tiny at any scale: ≤ 25 rows); customer/
+  // supplier/orders joins are left to Catalyst + AQE, which picks
+  // broadcast vs shuffled-hash from runtime sizes.
+  // ---------------------------------------------------------------------
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val asiaNations = broadcast(nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name")))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00")
+        && col("o_orderdate") < ts("1999-01-01 00:00:00"))
+    t(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q7 — window top-N: top-3 customers per nation by balance.
+  // row_number over (partition, order with unique tie-break).
+  // ---------------------------------------------------------------------
+  def q7WindowTopN(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rank_in_nation", row_number().over(w))
+      .filter(col("rank_in_nation") <= 3)
+      .select(col("n_name"), col("rank_in_nation"), col("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+  }
+
+  val q7Sql: String =
+    """SELECT n_name, rank_in_nation, c_custkey, c_name, c_acctbal
+      |FROM (
+      |  SELECT n_name, c_custkey, c_name, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name
+      |                       ORDER BY c_acctbal DESC, c_custkey ASC)
+      |      AS rank_in_nation
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey) x
+      |WHERE rank_in_nation <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q8 — ROLLUP with grouping flags (A8 grouping-sets surface).
+  // ---------------------------------------------------------------------
+  def q8Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+
+  val q8Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q9 — set operations: nations partitioned by whether they have
+  // customers, suppliers, or both (INTERSECT / EXCEPT / UNION ALL).
+  // ---------------------------------------------------------------------
+  def q9SetOps(s: SparkSession, dir: String): DataFrame = {
+    val nation = broadcast(t(s, dir, "nation"))
+    val cn = t(s, dir, "customer")
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name")).distinct()
+    val sn = t(s, dir, "supplier")
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name")).distinct()
+    cn.intersect(sn).withColumn("membership", lit("both"))
+      .unionAll(cn.except(sn).withColumn("membership", lit("customers_only")))
+      .unionAll(sn.except(cn).withColumn("membership", lit("suppliers_only")))
+  }
+
+  val q9Sql: String =
+    """WITH cn AS (SELECT DISTINCT n_name FROM customer
+      |            JOIN nation ON c_nationkey = n_nationkey),
+      |     sn AS (SELECT DISTINCT n_name FROM supplier
+      |            JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT n_name, 'both' AS membership FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+      |UNION ALL
+      |SELECT n_name, 'customers_only' FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+      |UNION ALL
+      |SELECT n_name, 'suppliers_only' FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q10 — distinct-count aggregation per segment (A3/A8).
+  // ---------------------------------------------------------------------
+  def q10DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        count_distinct(col("c_nationkey")).as("n_nations"),
+        dsum(col("c_acctbal")).as("sum_acctbal"),
+        min(col("c_acctbal")).as("min_acctbal"),
+        max(col("c_acctbal")).as("max_acctbal"))
+
+  val q10Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  COUNT(DISTINCT c_nationkey) AS n_nations,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal,
+      |  MIN(c_acctbal) AS min_acctbal, MAX(c_acctbal) AS max_acctbal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q11 — anti join: customers that never placed an order.
+  // ---------------------------------------------------------------------
+  def q11AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  val q11Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q13 — customer order-count distribution: left outer join + two-level
+  // aggregation.
+  // ---------------------------------------------------------------------
+  def q13CustDist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) x
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q14 — promo revenue share: conditional aggregation; share is a
+  // double/double division of two decimal-exact sums.
+  // ---------------------------------------------------------------------
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00")
+        && col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        dsum(rev).as("total_revenue"))
+      .select(
+        (col("promo_revenue") / col("total_revenue") * 100).as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  val q14Sql: String =
+    """SELECT promo_revenue / total_revenue * 100 AS promo_pct,
+      |       promo_revenue, total_revenue
+      |FROM (SELECT
+      |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+      |       AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') x""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q15 — top suppliers by revenue: agg + deterministic top-k.
+  // ---------------------------------------------------------------------
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00")
+        && col("l_shipdate") < ts("1997-07-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_revenue"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(desc("total_revenue"), asc("s_suppkey"))
+      .limit(3)
+
+  val q15Sql: String =
+    """SELECT s_suppkey, s_name, total_revenue
+      |FROM (SELECT l_suppkey,
+      |        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+      |      FROM lineitem
+      |      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+      |      GROUP BY l_suppkey) r
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY total_revenue DESC, s_suppkey ASC
+      |LIMIT 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q17 — small-quantity orders: self-aggregation join (the per-part
+  // average is computed once, decimal-exact, so the comparison threshold
+  // is bit-identical across engines).
+  // ---------------------------------------------------------------------
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === "Brand#1")
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.7) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN (SELECT l_partkey AS ap_partkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |      FROM lineitem GROUP BY l_partkey) a
+      |  ON l_partkey = ap_partkey
+      |WHERE p_brand = 'Brand#1' AND l_quantity < 0.7 * avg_qty""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q18 — large orders: HAVING over a grouped sum, then joins back to
+  // orders/customer; deterministic top-20.
+  // ---------------------------------------------------------------------
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150.0)
+    big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_totalprice, sum_qty
+      |FROM (SELECT l_orderkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 150.0) b
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Window frames: running total + lag per customer. The window sum
+  // accumulates in decimal (exact, order-defined by the unique sort key)
+  // and casts to double at the end — bit-identical across engines.
+  // ---------------------------------------------------------------------
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("prev_totalprice", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(DecimalType(30, 6)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("order_seq"), col("prev_totalprice"),
+        col("running_spend"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+      |  ROW_NUMBER() OVER w AS order_seq,
+      |  LAG(o_totalprice, 1) OVER w AS prev_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // CUBE over order status × priority (grouping-sets surface).
+  // ---------------------------------------------------------------------
+  def qCubeCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_totalprice"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+
+  val qCubeCountsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_totalprice,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Events: hourly tumbling aggregation (the batch twin of the streaming
+  // pipeline in graft.streaming). Hour emitted as a formatted string so
+  // both engines hash the same value regardless of timestamp-tz rendering.
+  // ---------------------------------------------------------------------
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+
+  val qEventsHourlySql: String =
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Events: JSON extraction from the props payload (F6 surface) +
+  // bucketed aggregation.
+  // ---------------------------------------------------------------------
+  def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+
+  val qEventsJsonSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Events: sessionization in batch — a session break is a >30-minute gap
+  // per user. Gap math on integer microseconds (exact in both engines).
+  // ---------------------------------------------------------------------
+  def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("ts"), asc("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new", when(col("prev_us").isNull
+        || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+        .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  val qEventsSessionsSql: String =
+    """SELECT user_id,
+      |  CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT user_id, value,
+      |    CASE WHEN prev_us IS NULL
+      |              OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM (SELECT user_id, ts, value,
+      |          LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+      |            (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |        FROM events) a) b
+      |GROUP BY user_id""".stripMargin
 }

@@ -28,6 +28,10 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
+      // for; read as long and convert in `table` (values are µs-resolution,
+      // so the conversion is lossless — see FIXTURES.md).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     master.foreach(b.master)
     val spark = b.getOrCreate()
@@ -40,9 +44,20 @@ object Engine {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one fixture table from a scale-factor directory. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read one fixture table from a scale-factor directory. Nanosecond
+    * parquet timestamps (read as long via `nanosAsLong`) are normalized to
+    * Spark microsecond timestamps with integer division — no double
+    * round-trip, matching DuckDB's `CAST(ts AS TIMESTAMP)` truncation.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 
   /** Register every fixture table under `dir` as a temp view so that
     * arbitrary SQL (the reference's S6 passthrough surface) runs natively.

@@ -1,0 +1,71 @@
+package graft.transform
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Functions
+
+/** Schema/value sanitizers (SURVEY §2.7 W3-W6).
+  *
+  * Name sanitization is a driver-side rename (schema operation, zero data
+  * movement); null-filling compiles to a single projection that Catalyst
+  * fuses with neighbors — both are scale-free.
+  */
+object Sanitize {
+
+  /** W4 — warehouse-safe column-name normalization
+    * (`core/utils/db_core.py:55-72`): trim, non-alnum → `_`, collapse
+    * runs of `_`, strip edge `_`, prefix `col_` when starting with a digit.
+    * Idempotent (property-tested).
+    */
+  def sanitizeName(name: String): String = {
+    val cleaned = name.trim
+      .replaceAll("[^a-zA-Z0-9_]", "_")
+      .replaceAll("_+", "_")
+      .replaceAll("^_+|_+$", "")
+    val base = if (cleaned.isEmpty) "col" else cleaned
+    if (base.head.isDigit) s"col_$base" else base
+  }
+
+  /** W4 applied to a frame — pure rename, no shuffle, no scan. */
+  def sanitizeColumnNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(sanitizeName).toIndexedSeq: _*)
+
+  /** W3 — type-class null fill (`core/utils/db_core.py:41-53`):
+    * numeric → 0, string → "". Timestamp coercion (errors → null) happens
+    * at parse time via [[Functions.coercingTimestamp]], so nothing to do
+    * for datetime columns here.
+    */
+  def sanitizeNulls(df: DataFrame): DataFrame = {
+    val numericCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }
+    df.na.fill(0, numericCols.toIndexedSeq).na.fill("", stringCols.toIndexedSeq)
+  }
+
+  /** W5 — format every timestamp column as an ISO-8601 string
+    * (`core/utils/sheets_core.py:80-84`). */
+  def isoFormatTimestamps(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.dataType == TimestampType =>
+        acc.withColumn(f.name, Functions.isoFormat(col(f.name)))
+      case (acc, _) => acc
+    }
+
+  /** W6 — stringify every cell for export: timestamps → ISO, null → "",
+    * everything else → `cast(string)` (`core/utils/sheets_core.py:194-209`).
+    */
+  def stringifyForExport(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      val c = f.dataType match {
+        case TimestampType => Functions.isoFormat(col(f.name))
+        case _ => col(f.name).cast("string")
+      }
+      coalesce(c, lit("")).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+}
