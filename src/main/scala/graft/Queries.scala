@@ -288,17 +288,21 @@ object Queries {
       |FROM customer GROUP BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Q11 — anti join: customers that never placed an order.
+  // Q11 — anti join: customers with no RECENT order. The date filter is
+  // applied to the build side before the anti join (and keeps the result
+  // non-empty at fixture scale — every customer has *some* order).
   // ---------------------------------------------------------------------
   def q11AntiJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"),
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1998-06-01 00:00:00")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
 
   val q11Sql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')""".stripMargin
 
   // ---------------------------------------------------------------------
   // Q13 — customer order-count distribution: left outer join + two-level

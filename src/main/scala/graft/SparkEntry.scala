@@ -2,7 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared operator has BOTH a `queries` entry (the Spark plan) and,
+  * where SQL-expressible, an `oracleSql` entry (equivalent DuckDB SQL) so
+  * the driver's hash-compare verifies it end-to-end.
+  */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -12,13 +17,49 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
+    "q3_shipping_priority" -> (Queries.q3ShippingPriority _),
+    "q4_order_priority" -> (Queries.q4OrderPriority _),
+    "q5_local_supplier" -> (Queries.q5LocalSupplier _),
     "q6_forecast_revenue" -> (Queries.q6ForecastRevenue _),
+    "q7_window_topn" -> (Queries.q7WindowTopN _),
+    "q8_rollup" -> (Queries.q8Rollup _),
+    "q9_set_ops" -> (Queries.q9SetOps _),
+    "q10_distinct_agg" -> (Queries.q10DistinctAgg _),
+    "q11_anti_join" -> (Queries.q11AntiJoin _),
+    "q13_cust_dist" -> (Queries.q13CustDist _),
+    "q14_promo_share" -> (Queries.q14PromoShare _),
+    "q15_top_supplier" -> (Queries.q15TopSupplier _),
+    "q17_small_qty" -> (Queries.q17SmallQty _),
+    "q18_large_orders" -> (Queries.q18LargeOrders _),
+    "q_window_running" -> (Queries.qWindowRunning _),
+    "q_cube_counts" -> (Queries.qCubeCounts _),
+    "q_events_hourly" -> (Queries.qEventsHourly _),
+    "q_events_json" -> (Queries.qEventsJson _),
+    "q_events_sessions" -> (Queries.qEventsSessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> Queries.q1Sql,
+    "q3_shipping_priority" -> Queries.q3Sql,
+    "q4_order_priority" -> Queries.q4Sql,
+    "q5_local_supplier" -> Queries.q5Sql,
     "q6_forecast_revenue" -> Queries.q6Sql,
+    "q7_window_topn" -> Queries.q7Sql,
+    "q8_rollup" -> Queries.q8Sql,
+    "q9_set_ops" -> Queries.q9Sql,
+    "q10_distinct_agg" -> Queries.q10Sql,
+    "q11_anti_join" -> Queries.q11Sql,
+    "q13_cust_dist" -> Queries.q13Sql,
+    "q14_promo_share" -> Queries.q14Sql,
+    "q15_top_supplier" -> Queries.q15Sql,
+    "q17_small_qty" -> Queries.q17Sql,
+    "q18_large_orders" -> Queries.q18Sql,
+    "q_window_running" -> Queries.qWindowRunningSql,
+    "q_cube_counts" -> Queries.qCubeCountsSql,
+    "q_events_hourly" -> Queries.qEventsHourlySql,
+    "q_events_json" -> Queries.qEventsJsonSql,
+    "q_events_sessions" -> Queries.qEventsSessionsSql,
   )
 }
