@@ -14,16 +14,16 @@ import graft.functions.Functions
   */
 object Dedupe {
 
-  /** J1 — dedupe-before-append. Ids are compared after trim+lower
-    * normalization and empty ids never match, both reference semantics
-    * (`sheets_core.py:171-176`). */
+  /** J1 — dedupe-before-append. Ids are stringified and compared after
+    * TRIM-only normalization (the reference does `str(x).strip()`, no
+    * lowercasing — `sheets_core.py:176`), and empty ids never match. */
   def dedupeAppend(newDf: DataFrame, existing: DataFrame,
                    idCol: String): DataFrame = {
     val existingIds = existing
-      .select(Functions.lowerTrim(col(idCol)).as("_id"))
-      .filter(col("_id") =!= "").distinct()
+      .select(trim(col(idCol).cast("string")).as("_id"))
+      .filter(col("_id") =!= "" && col("_id").isNotNull).distinct()
     newDf
-      .withColumn("_id", Functions.lowerTrim(col(idCol)))
+      .withColumn("_id", trim(col(idCol).cast("string")))
       .join(broadcast(existingIds), Seq("_id"), "left_anti")
       .drop("_id")
   }

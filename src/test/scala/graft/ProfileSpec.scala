@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.transform.Profile
+
+/** W2 profile invariants + values vs `core/utils/data_core.py:178-299`. */
+class ProfileSpec extends SparkSpec {
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq[(Option[String], Option[Int])](
+      (Some("a"), Some(1)), (Some("a"), Some(2)), (Some("b"), None),
+      (None, Some(2)), (Some("a"), Some(3))).toDF("s", "n")
+  }
+
+  test("profile invariants: null_count + non_null == rows; unique <= rows") {
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("s", "n"))
+    assert(p("s").getAs[Long]("null_count") == 1L)
+    assert(p("n").getAs[Long]("null_count") == 1L)
+    // unique_count counts non-null distinct values (pandas nunique dropna).
+    assert(p("s").getAs[Long]("unique_count") == 2L)
+    assert(p("n").getAs[Long]("unique_count") == 3L)
+    assert(p("s").getAs[Double]("null_pct") == 0.2)
+  }
+
+  test("profile top_10 ranks by count desc with __NULL__ sentinel") {
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sTop = p("s").getAs[scala.collection.Seq[Row]]("top_10")
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sTop.head == ("a", 3L))
+    assert(sTop.toSet == Set(("a", 3L), ("b", 1L), ("__NULL__", 1L)))
+    // total counted occurrences == rows
+    assert(sTop.map(_._2).sum == 5L)
+  }
+
+  test("profile sample_values holds up to N non-null values") {
+    val p = Profile.profile(df, sampleN = 3).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val samples = p("s").getAs[scala.collection.Seq[String]]("sample_values")
+    assert(samples.size == 3)
+    assert(samples.forall(Set("a", "b").contains))
+  }
+
+  test("profile on a fixture table: dtypes and row-math hold") {
+    val cust = graft.engine.Engine.table(spark, fixtureDir, "customer")
+    val rows = cust.count()
+    val p = Profile.profile(cust, exact = true).collect()
+    assert(p.length == cust.columns.length)
+    p.foreach { r =>
+      assert(r.getAs[Long]("null_count") >= 0L)
+      assert(r.getAs[Long]("unique_count") <= rows)
+      val pct = r.getAs[Double]("null_pct")
+      assert(pct >= 0.0 && pct <= 1.0)
+    }
+  }
+
+  test("topKValues is deterministic under ties (count desc, value asc)") {
+    import spark.implicits._
+    val t = Seq("x", "y", "x", "y", "z").toDF("c")
+    val top = Profile.topKValues(t, "c", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("x", 2L), ("y", 2L)))
+  }
+}

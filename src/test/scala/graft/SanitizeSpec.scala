@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.transform.Sanitize
+
+/** W3-W6 sanitizer semantics vs `core/utils/db_core.py:41-72` and
+  * `core/utils/sheets_core.py:80-84,194-209`. */
+class SanitizeSpec extends SparkSpec {
+
+  test("sanitizeName matches reference rules (db_core.py:55-72)") {
+    assert(Sanitize.sanitizeName("  My Col!  ") == "My_Col")
+    assert(Sanitize.sanitizeName("a  b--c") == "a_b_c")
+    assert(Sanitize.sanitizeName("__x__") == "x")
+    assert(Sanitize.sanitizeName("9lives") == "col_9lives")
+    assert(Sanitize.sanitizeName("col") == "col")
+    assert(Sanitize.sanitizeName("!!!") == "col")
+    assert(Sanitize.sanitizeName("preço médio") == "pre_o_m_dio")
+  }
+
+  test("sanitizeName is idempotent and warehouse-safe (property, 2000 cases)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abZ09 _-!é.çõ\t中%"
+    (1 to 2000).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      val once = Sanitize.sanitizeName(s)
+      assert(Sanitize.sanitizeName(once) == once, s"not idempotent on ${s.inspect}")
+      assert(once.matches("[A-Za-z][A-Za-z0-9_]*"), s"unsafe name $once from ${s.inspect}")
+      assert(!once.endsWith("_"), s"edge underscore in $once")
+    }
+  }
+
+  private implicit class Inspect(s: String) {
+    def inspect: String = s.map(c => f"\\u${c.toInt}%04x").mkString("\"", "", "\"")
+  }
+
+  test("sanitizeColumnNames renames without touching data") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("Bad Name!", "9col")
+    val out = Sanitize.sanitizeColumnNames(df)
+    assert(out.columns.toSeq == Seq("Bad_Name", "col_9col"))
+    assert(out.collect()(0).getInt(0) == 1)
+  }
+
+  test("sanitizeNulls fills numeric→0 and string→'' (db_core.py:41-53)") {
+    import spark.implicits._
+    val df = Seq[(Option[Int], Option[String], Option[Double])](
+      (Some(1), Some("x"), Some(1.5)), (None, None, None))
+      .toDF("i", "s", "d")
+    val rows = Sanitize.sanitizeNulls(df).orderBy(desc("i")).collect()
+    assert(rows(1).getInt(0) == 0)
+    assert(rows(1).getString(1) == "")
+    assert(rows(1).getDouble(2) == 0.0)
+  }
+
+  test("stringifyForExport: ISO timestamps, null→empty, rest cast to string") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(java.sql.Timestamp.valueOf("2024-01-02 03:04:05")), Some(42), Some("x")),
+      (None, None, None))
+      .toDF("ts", "n", "s")
+    val rows = Sanitize.stringifyForExport(df).orderBy(desc("n")).collect()
+    assert(rows(0).getString(0) == "2024-01-02T03:04:05")
+    assert(rows(0).getString(1) == "42")
+    assert(rows(1).toSeq == Seq("", "", ""))
+  }
+
+  test("isoFormatTimestamps converts only timestamp columns") {
+    import spark.implicits._
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-02 03:04:05"), 7))
+      .toDF("ts", "n")
+    val out = Sanitize.isoFormatTimestamps(df)
+    assert(out.schema("ts").dataType.typeName == "string")
+    assert(out.schema("n").dataType.typeName == "integer")
+    assert(out.collect()(0).getString(0) == "2024-01-02T03:04:05")
+  }
+}
