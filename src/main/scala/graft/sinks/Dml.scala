@@ -1,0 +1,61 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K10 — native UPDATE/DELETE surface over parquet table paths, replacing
+  * the reference's DML passthrough (`core/utils/db_core.py:187-200`, which
+  * shipped UPDATE/DELETE strings to BigQuery).
+  *
+  * Vanilla parquet has no ACID DML, so this implements copy-on-write at
+  * table-path granularity: plan the mutated frame, write it to a temp
+  * sibling, then atomically swap directories. Same shape a lakehouse
+  * format (Delta/Iceberg) uses, minus per-file-group granularity — at
+  * 100 TB you would adopt one of those formats; the API surface here stays
+  * identical, so callers don't change.
+  *
+  * Each op costs one counting scan (affected rows, computed before the
+  * swap) plus one rewrite pass (scan → project/filter → write).
+  */
+object Dml {
+
+  /** UPDATE t SET assignments WHERE cond. Returns affected-row count. */
+  def update(spark: SparkSession, tablePath: String,
+             assignments: Map[String, Column], cond: Column): Long = {
+    val df = spark.read.parquet(tablePath)
+    val updated = assignments.foldLeft(df) { case (acc, (name, value)) =>
+      acc.withColumn(name, when(cond, value).otherwise(col(name)))
+    }
+    rewrite(spark, tablePath, updated,
+      affected = df.filter(cond).count())
+  }
+
+  /** DELETE FROM t WHERE cond. Returns deleted-row count. */
+  def delete(spark: SparkSession, tablePath: String, cond: Column): Long = {
+    val df = spark.read.parquet(tablePath)
+    rewrite(spark, tablePath, df.filter(!coalesce(cond, lit(false))),
+      affected = df.filter(cond).count())
+  }
+
+  /** Write `out` to a temp sibling of `tablePath`, then swap. The rename
+    * pair is the narrow non-atomic window — acceptable for a single-writer
+    * batch engine (the reference's Airflow jobs are single-writer too). */
+  private def rewrite(spark: SparkSession, tablePath: String,
+                      out: DataFrame, affected: Long): Long = {
+    val table = new Path(tablePath)
+    val tmp = new Path(tablePath + "._dml_tmp")
+    val old = new Path(tablePath + "._dml_old")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true); fs.delete(old, true)
+    out.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(table, old))
+      throw new java.io.IOException(s"DML swap failed: cannot move $table")
+    if (!fs.rename(tmp, table)) {
+      fs.rename(old, table) // roll back
+      throw new java.io.IOException(s"DML swap failed: cannot move $tmp")
+    }
+    fs.delete(old, true)
+    affected
+  }
+}
