@@ -1,0 +1,270 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+import graft.ext.{DedupOps, Multimodal, SimilarityOps, TextOps}
+
+/** Query surface for the LLM-pipeline extension operators (SURVEY §2.10)
+  * over the `documents` and `embeddings` fixtures. Each SQL-expressible op
+  * carries a DuckDB oracle; the hash-seeded ops (MinHash/SimHash/LSH —
+  * xxhash64 has no DuckDB twin) are registered rows-only and covered by
+  * unit tests on constructed near-duplicates instead.
+  *
+  * Every query ends in a deterministic ORDER BY so result hashing is
+  * row-order-independent across engines.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  /** Shared tokenizer in DuckDB form (contract in [[TextOps.tokens]]). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** documents ∪ clones-of-first-50 (ids offset by 10000): a corpus with
+    * KNOWN duplicates, so dedup queries provably find something. */
+  private def clonedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  private val clonedDocsSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 50""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Exact dedup: hash-groupBy on the md5 text fingerprint, keep min id.
+  // One shuffle, partial agg; the 50 planted clones must all be dropped.
+  // ---------------------------------------------------------------------
+  def xDedupExact(s: SparkSession, dir: String): DataFrame =
+    DedupOps.exactByText(clonedDocs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val xDedupExactSql: String =
+    s"""WITH corpus AS ($clonedDocsSql)
+       |SELECT doc_id, fp FROM (
+       |  SELECT doc_id, md5(lower(trim(text))) AS fp,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+       |                       ORDER BY doc_id) AS rn
+       |  FROM corpus) x
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // N-gram (bigram) Jaccard near-dup pairs — the exact, O(n²) verification
+  // twin of the LSH path, bounded to doc_id < 100. Top-100 most similar
+  // pairs; the raw-double jaccard (same integer operands both engines) is
+  // bit-identical.
+  // ---------------------------------------------------------------------
+  def xDedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 100 && TextOps.tokenCount(col("text")) >= 2)
+    DedupOps.jaccardPairs(docs, "doc_id", "text", n = 2)
+      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+      .limit(100)
+  }
+
+  val xDedupJaccardSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks
+       |             FROM documents WHERE doc_id < 100),
+       |  t AS (SELECT doc_id,
+       |          list_distinct(list_transform(range(1, len(toks)),
+       |            i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |        FROM tok WHERE len(toks) >= 2)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MinHash-LSH near-dup pairs on the cloned corpus (rows-only: xxhash64
+  // signatures have no DuckDB twin). Every planted clone pair must surface
+  // with est_jaccard 1.0; unit tests assert that plus organic recall.
+  // ---------------------------------------------------------------------
+  def xDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    DedupOps.nearDupPairsMinhash(clonedDocs(s, dir), "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 16, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------------------------
+  // SimHash near-dup pairs, Hamming ≤ 3, pigeonhole block join (rows-only).
+  // ---------------------------------------------------------------------
+  def xDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    DedupOps.nearDupPairsSimhash(clonedDocs(s, dir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------------------------
+  // Brute-force cosine top-5 for the first 10 query vectors — the exact
+  // ANN baseline. Broadcast queries × one corpus scan; per-query top-k.
+  // ---------------------------------------------------------------------
+  def xSimTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val xSimTopkSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |  sc AS (SELECT query_id, vec_id AS neighbor_id,
+      |      round(list_dot_product(qv, v)
+      |        / (sqrt(list_dot_product(qv, qv))
+      |           * sqrt(list_dot_product(v, v))), 6) AS score
+      |    FROM q, e WHERE vec_id <> query_id),
+      |  r AS (SELECT query_id, neighbor_id, score,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |                         ORDER BY score DESC, neighbor_id) AS rnk
+      |    FROM sc)
+      |SELECT query_id, rnk, neighbor_id, score FROM r
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // LSH-bucketed approximate top-5 (rows-only; recall vs brute force is
+  // unit-tested). Same output shape as the exact baseline.
+  // ---------------------------------------------------------------------
+  def xSimAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.annTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, dim = 64, bits = 4, tables = 8)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Text quality metrics + token/subword counts — one narrow projection.
+  // ---------------------------------------------------------------------
+  def xTextStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityMetrics(t(s, dir, "documents"), "text")
+      .withColumn("n_subwords", TextOps.subwordCount(col("text")))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("n_subwords"), col("alnum_ratio"), col("avg_token_len"),
+        col("stopword_ratio"), col("quality_ok"))
+      .orderBy(col("doc_id"))
+
+  val xTextStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
+       |    length(text) AS n_chars,
+       |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(list_sum(list_transform(toks,
+       |    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT)
+       |    AS n_subwords,
+       |  CASE WHEN n_chars > 0
+       |       THEN CAST(n_alnum AS DOUBLE) / n_chars ELSE 0.0 END
+       |    AS alnum_ratio,
+       |  CASE WHEN len(toks) > 0
+       |       THEN CAST(n_alnum AS DOUBLE) / len(toks) ELSE 0.0 END
+       |    AS avg_token_len,
+       |  CASE WHEN len(toks) > 0
+       |       THEN CAST(len(list_filter(toks, x -> list_contains(
+       |         ['the','a','an','and','or','of','to','in','is','it'], x)))
+       |         AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
+       |  (len(toks) >= 5
+       |   AND (CASE WHEN n_chars > 0
+       |             THEN CAST(n_alnum AS DOUBLE) / n_chars ELSE 0.0 END) >= 0.5
+       |   AND (CASE WHEN len(toks) > 0
+       |             THEN CAST(n_alnum AS DOUBLE) / len(toks) ELSE 0.0 END)
+       |       BETWEEN 2 AND 12) AS quality_ok
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Language ID: marker-token scoring, alphabetical-first argmax.
+  // ---------------------------------------------------------------------
+  def xTextLangid(s: SparkSession, dir: String): DataFrame =
+    TextOps.languageId(t(s, dir, "documents"), "text")
+      .select(col("doc_id") +: col("pred_lang") +:
+        TextOps.LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+      .orderBy(col("doc_id"))
+
+  val xTextLangidSql: String = {
+    val scoreExprs = TextOps.LangMarkers.map { case (l, ms) =>
+      val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(toks, x -> list_contains($list, x))) AS BIGINT) AS score_$l"
+    }.mkString(",\n    ")
+    val langs = TextOps.LangMarkers.map(_._1)
+    val maxExpr = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val caseExpr = langs
+      .map(l => s"WHEN score_$l = m THEN '$l'")
+      .mkString("CASE ", " ", " END")
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  sc AS (SELECT doc_id,
+       |    $scoreExprs
+       |  FROM tok),
+       |  mx AS (SELECT *, $maxExpr AS m FROM sc)
+       |SELECT doc_id, $caseExpr AS pred_lang,
+       |  ${langs.map(l => s"score_$l").mkString(", ")}
+       |FROM mx ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Document fingerprinting (md5 of normalized text).
+  // ---------------------------------------------------------------------
+  def xTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val xTextFingerprintSql: String =
+    """SELECT doc_id, md5(lower(trim(text))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Multimodal: synthesize payload+meta, batched feature extraction
+  // (rows-only: the stub decoder is JVM-side). Meta fields + first feature
+  // component exposed; determinism is what's asserted.
+  // ---------------------------------------------------------------------
+  def xMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Multimodal.extractFeatures(
+        Multimodal.withSyntheticMedia(docs, "doc_id", "text"), "media")
+      .select(col("doc_id"), col("media_meta.mime").as("mime"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 2), 6).as("f1"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Multimodal frame sampling: every 4th 32-byte chunk; md5 + length per
+  // frame are byte-exact against the DuckDB string oracle (fixture text is
+  // pure ASCII so char offsets == byte offsets).
+  // ---------------------------------------------------------------------
+  def xFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Multimodal.sampleFrames(
+        Multimodal.withSyntheticMedia(docs, "doc_id", "text"),
+        "doc_id", "media", frameBytes = 32, stride = 4)
+      .select(col("doc_id"), col("frame_no"),
+        md5(col("frame")).as("frame_md5"),
+        length(col("frame")).cast("long").as("frame_len"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  val xFrameSampleSql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |    CAST(ceil(length(text) / 32.0) AS BIGINT) AS nf FROM documents),
+      |  u AS (SELECT doc_id, unnest(list_transform(
+      |      range(0, greatest(nf - 1, 0) + 1, 4),
+      |      i -> struct_pack(fn := i / 4,
+      |        fmd5 := md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)),
+      |        flen := length(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)))))
+      |      AS f
+      |    FROM t)
+      |SELECT doc_id, CAST(f.fn AS INTEGER) AS frame_no, f.fmd5 AS frame_md5,
+      |  CAST(f.flen AS BIGINT) AS frame_len
+      |FROM u ORDER BY doc_id, frame_no""".stripMargin
+}

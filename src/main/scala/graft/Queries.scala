@@ -210,6 +210,7 @@ object Queries {
       .filter(col("rank_in_nation") <= 3)
       .select(col("n_name"), col("rank_in_nation"), col("c_custkey"),
         col("c_name"), col("c_acctbal"))
+      .orderBy(col("n_name"), col("rank_in_nation"))
   }
 
   val q7Sql: String =
@@ -220,7 +221,8 @@ object Queries {
       |                       ORDER BY c_acctbal DESC, c_custkey ASC)
       |      AS rank_in_nation
       |  FROM customer JOIN nation ON c_nationkey = n_nationkey) x
-      |WHERE rank_in_nation <= 3""".stripMargin
+      |WHERE rank_in_nation <= 3
+      |ORDER BY n_name, rank_in_nation""".stripMargin
 
   // ---------------------------------------------------------------------
   // Q8 — ROLLUP with grouping flags (A8 grouping-sets surface).
@@ -231,6 +233,8 @@ object Queries {
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"),
         grouping(col("l_returnflag")).cast("int").as("g_flag"),
         grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   val q8Sql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
@@ -238,7 +242,9 @@ object Queries {
       |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
       |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
       |FROM lineitem
-      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST,
+      |  l_linestatus ASC NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
   // Q9 — set operations: nations partitioned by whether they have
@@ -255,6 +261,7 @@ object Queries {
     cn.intersect(sn).withColumn("membership", lit("both"))
       .unionAll(cn.except(sn).withColumn("membership", lit("customers_only")))
       .unionAll(sn.except(cn).withColumn("membership", lit("suppliers_only")))
+      .orderBy(col("membership"), col("n_name"))
   }
 
   val q9Sql: String =
@@ -266,7 +273,8 @@ object Queries {
       |UNION ALL
       |SELECT n_name, 'customers_only' FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
       |UNION ALL
-      |SELECT n_name, 'suppliers_only' FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)""".stripMargin
+      |SELECT n_name, 'suppliers_only' FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)
+      |ORDER BY membership, n_name""".stripMargin
 
   // ---------------------------------------------------------------------
   // Q10 — distinct-count aggregation per segment (A3/A8).
@@ -279,13 +287,15 @@ object Queries {
         dsum(col("c_acctbal")).as("sum_acctbal"),
         min(col("c_acctbal")).as("min_acctbal"),
         max(col("c_acctbal")).as("max_acctbal"))
+      .orderBy(col("c_mktsegment"))
 
   val q10Sql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_customers,
       |  COUNT(DISTINCT c_nationkey) AS n_nations,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal,
       |  MIN(c_acctbal) AS min_acctbal, MAX(c_acctbal) AS max_acctbal
-      |FROM customer GROUP BY c_mktsegment""".stripMargin
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------------
   // Q11 — anti join: customers with no RECENT order. The date filter is
@@ -298,11 +308,13 @@ object Queries {
           .filter(col("o_orderdate") >= ts("1998-06-01 00:00:00")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
 
   val q11Sql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-      |                  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')""".stripMargin
+      |                  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------------
   // Q13 — customer order-count distribution: left outer join + two-level
@@ -463,6 +475,7 @@ object Queries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_totalprice"), col("order_seq"), col("prev_totalprice"),
         col("running_spend"))
+      .orderBy(col("o_custkey"), col("order_seq"))
   }
 
   val qWindowRunningSql: String =
@@ -474,7 +487,8 @@ object Queries {
       |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |    AS DOUBLE) AS running_spend
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
 
   // ---------------------------------------------------------------------
   // CUBE over order status × priority (grouping-sets surface).
@@ -486,6 +500,8 @@ object Queries {
         dsum(col("o_totalprice")).as("sum_totalprice"),
         grouping(col("o_orderstatus")).cast("int").as("g_status"),
         grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   val qCubeCountsSql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
@@ -493,7 +509,9 @@ object Queries {
       |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
       |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
       |FROM orders
-      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
   // Events: hourly tumbling aggregation (the batch twin of the streaming
@@ -508,6 +526,7 @@ object Queries {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy(col("hour"), col("event_type"))
 
   val qEventsHourlySql: String =
     """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -515,7 +534,8 @@ object Queries {
       |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
       |  MIN(value) AS min_value, MAX(value) AS max_value
       |FROM events
-      |GROUP BY 1, 2""".stripMargin
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
 
   // ---------------------------------------------------------------------
   // Events: JSON extraction from the props payload (F6 surface) +
@@ -527,6 +547,7 @@ object Queries {
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
         count_distinct(col("user_id")).as("n_users"))
+      .orderBy(asc_nulls_first("k_bucket"))
 
   val qEventsJsonSql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
@@ -534,7 +555,8 @@ object Queries {
       |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events
-      |GROUP BY 1""".stripMargin
+      |GROUP BY 1
+      |ORDER BY k_bucket ASC NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
   // Events: sessionization in batch — a session break is a >30-minute gap
@@ -553,6 +575,7 @@ object Queries {
       .agg(sum(col("is_new")).as("n_sessions"),
         count(lit(1)).as("n_events"),
         dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"))
   }
 
   val qEventsSessionsSql: String =
@@ -569,5 +592,6 @@ object Queries {
       |          LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
       |            (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       |        FROM events) a) b
-      |GROUP BY user_id""".stripMargin
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 }

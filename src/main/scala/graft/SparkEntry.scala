@@ -36,6 +36,25 @@ object SparkEntry {
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_events_json" -> (Queries.qEventsJson _),
     "q_events_sessions" -> (Queries.qEventsSessions _),
+    // transform-layer wiring (W1/W2/A4/J1/W5-W6/F1)
+    "t_profile_counts" -> (TransformQueries.tProfileCounts _),
+    "t_topk_values" -> (TransformQueries.tTopkValues _),
+    "t_ids_contiguous" -> (TransformQueries.tIdsContiguous _),
+    "t_dedupe_append" -> (TransformQueries.tDedupeAppend _),
+    "t_stringify_export" -> (TransformQueries.tStringifyExport _),
+    "t_parse_flag" -> (TransformQueries.tParseFlag _),
+    // LLM-pipeline north-star ops (SURVEY §2.10)
+    "x_dedup_exact" -> (ExtQueries.xDedupExact _),
+    "x_dedup_jaccard" -> (ExtQueries.xDedupJaccard _),
+    "x_dedup_minhash" -> (ExtQueries.xDedupMinhash _),
+    "x_dedup_simhash" -> (ExtQueries.xDedupSimhash _),
+    "x_sim_topk" -> (ExtQueries.xSimTopk _),
+    "x_sim_ann" -> (ExtQueries.xSimAnn _),
+    "x_text_stats" -> (ExtQueries.xTextStats _),
+    "x_text_langid" -> (ExtQueries.xTextLangid _),
+    "x_text_fingerprint" -> (ExtQueries.xTextFingerprint _),
+    "x_media_features" -> (ExtQueries.xMediaFeatures _),
+    "x_frame_sample" -> (ExtQueries.xFrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,5 +80,20 @@ object SparkEntry {
     "q_events_hourly" -> Queries.qEventsHourlySql,
     "q_events_json" -> Queries.qEventsJsonSql,
     "q_events_sessions" -> Queries.qEventsSessionsSql,
+    "t_profile_counts" -> TransformQueries.tProfileCountsSql,
+    "t_topk_values" -> TransformQueries.tTopkValuesSql,
+    "t_ids_contiguous" -> TransformQueries.tIdsContiguousSql,
+    "t_dedupe_append" -> TransformQueries.tDedupeAppendSql,
+    "t_stringify_export" -> TransformQueries.tStringifyExportSql,
+    "t_parse_flag" -> TransformQueries.tParseFlagSql,
+    "x_dedup_exact" -> ExtQueries.xDedupExactSql,
+    "x_dedup_jaccard" -> ExtQueries.xDedupJaccardSql,
+    "x_sim_topk" -> ExtQueries.xSimTopkSql,
+    "x_text_stats" -> ExtQueries.xTextStatsSql,
+    "x_text_langid" -> ExtQueries.xTextLangidSql,
+    "x_text_fingerprint" -> ExtQueries.xTextFingerprintSql,
+    "x_frame_sample" -> ExtQueries.xFrameSampleSql,
+    // x_dedup_minhash / x_dedup_simhash / x_sim_ann / x_media_features are
+    // hash-seeded or JVM-stubbed (no DuckDB twin) → rows-only checks.
   )
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+import graft.functions.Functions
+import graft.transform.{Dedupe, Ids, Profile, Sanitize}
+
+/** Correctness-harness wiring for the transform layer (VERDICT r1 item 10):
+  * profile, top-k values, contiguous ids, dedupe-append, export
+  * stringification, and parse_flag each get a DuckDB-oracled query so the
+  * W/P/F operator rows stop being dark matter.
+  */
+object TransformQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // ---------------------------------------------------------------------
+  // W2 profile — the scalar half (null/unique counts) is SQL-expressible;
+  // the array half (samples/top-10) is covered by unit + golden tests.
+  // ---------------------------------------------------------------------
+  def tProfileCounts(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(t(s, dir, "customer"))
+      .select(col("column").as("col_name"), col("null_count"),
+        col("null_pct"), col("unique_count"))
+      .orderBy(col("col_name"))
+
+  val tProfileCountsSql: String = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  COUNT(*) - COUNT($c) AS null_count,
+         |  CAST(COUNT(*) - COUNT($c) AS DOUBLE) / COUNT(*) AS null_pct,
+         |  COUNT(DISTINCT $c) AS unique_count
+         |FROM customer""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // A4 top-K value counts (TakeOrderedAndProject — no global sort).
+  // ---------------------------------------------------------------------
+  def tTopkValues(s: SparkSession, dir: String): DataFrame =
+    Profile.topKValues(t(s, dir, "customer"), "c_mktsegment", k = 10)
+
+  val tTopkValuesSql: String =
+    """SELECT COALESCE(CAST(c_mktsegment AS VARCHAR), '__NULL__') AS value,
+      |  COUNT(*) AS count
+      |FROM customer GROUP BY 1
+      |ORDER BY count DESC, value ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W1 contiguous id assignment — two-pass partition-offset design; the
+  // oracle is the definition itself: row_number() - 1 in key order.
+  // ---------------------------------------------------------------------
+  def tIdsContiguous(s: SparkSession, dir: String): DataFrame =
+    Ids.assignContiguousIds(t(s, dir, "customer"), col("c_custkey"))
+      .select(col("c_custkey"), col("new_id"))
+      .orderBy(col("c_custkey"))
+
+  val tIdsContiguousSql: String =
+    """SELECT c_custkey,
+      |  ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS new_id
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J1 dedupe-before-append — broadcast anti join on trimmed string ids.
+  // ---------------------------------------------------------------------
+  def tDedupeAppend(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    Dedupe.dedupeAppend(c, c.filter(col("c_custkey") % 3 === 0), "c_custkey")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val tDedupeAppendSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey % 3 <> 0 ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W5/W6 export stringification — timestamps → ISO seconds, null → "",
+  // everything else cast(string). Ints/strings/dates only (double→string
+  // rendering is engine-specific, so o_totalprice stays out).
+  // ---------------------------------------------------------------------
+  def tStringifyExport(s: SparkSession, dir: String): DataFrame =
+    Sanitize.stringifyForExport(
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_orderpriority")))
+      .orderBy(col("o_orderkey"))
+
+  val tStringifyExportSql: String =
+    """SELECT COALESCE(CAST(o_orderkey AS VARCHAR), '') AS o_orderkey,
+      |  COALESCE(CAST(o_orderstatus AS VARCHAR), '') AS o_orderstatus,
+      |  COALESCE(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), '')
+      |    AS o_orderdate,
+      |  COALESCE(CAST(o_orderpriority AS VARCHAR), '') AS o_orderpriority
+      |FROM orders WHERE o_orderkey < 500
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // F1 parse_flag — the reference's permissive boolean parser
+  // (`core/utils/sheets_core.py:61-78`) over a synthesized literal column,
+  // including trim, comma-decimal, and null cases.
+  // ---------------------------------------------------------------------
+  private val flagInputs: Seq[String] =
+    Seq("1", "sim", "no", "1,0", "2", "0,9", " y ")
+
+  def tParseFlag(s: SparkSession, dir: String): DataFrame = {
+    val raw = flagInputs.zipWithIndex
+      .foldRight(lit(null).cast("string")) { case ((v, i), elseC) =>
+        when(col("c_custkey") % 8 === i, lit(v)).otherwise(elseC)
+      }
+    t(s, dir, "customer")
+      .withColumn("flag_raw", raw)
+      .select(col("c_custkey"), col("flag_raw"),
+        Functions.parseFlag(col("flag_raw")).as("flag"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val tParseFlagSql: String = {
+    val cases = flagInputs.zipWithIndex
+      .map { case (v, i) => s"WHEN c_custkey % 8 = $i THEN '$v'" }
+      .mkString(" ")
+    s"""WITH f AS (SELECT c_custkey, CASE $cases END AS flag_raw
+       |           FROM customer)
+       |SELECT c_custkey, flag_raw,
+       |  CASE WHEN flag_raw IS NULL THEN FALSE
+       |    WHEN lower(trim(flag_raw))
+       |      IN ('1','true','t','sim','s','yes','y') THEN TRUE
+       |    WHEN TRY_CAST(replace(lower(trim(flag_raw)), ',', '.')
+       |           AS DOUBLE) >= 1.0
+       |     AND TRY_CAST(replace(lower(trim(flag_raw)), ',', '.')
+       |           AS DOUBLE) < 2.0 THEN TRUE
+       |    ELSE FALSE END AS flag
+       |FROM f ORDER BY c_custkey""".stripMargin
+  }
+}

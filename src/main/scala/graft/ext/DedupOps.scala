@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY §2.10):
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * Scale shapes (the part that matters at 100 TB):
+  *  - exact dedup: one shuffle on the fingerprint, partial agg map-side;
+  *  - MinHash-LSH: signatures are a narrow projection; candidate generation
+  *    shuffles only (band_id, band_hash, doc_id) tuples — never text — and
+  *    joins within buckets, so the all-pairs O(n²) comparison is avoided
+  *    entirely; verification touches only bucket-collision pairs;
+  *  - SimHash: a 64-bit projection; pairing is again bucket-bounded.
+  * The only all-pairs op here is [[jaccardPairs]], kept as the small-input
+  * verification/oracle path (its input is meant to be a pre-bounded slice —
+  * the LSH path is the scale path).
+  */
+object DedupOps {
+
+  /** Exact near-layout dedup: keep the lowest-id row per normalized-text
+    * fingerprint. One shuffle; deterministic winner (min id), matching the
+    * reference's keep-first semantics (`core/utils/sheets_core.py:171-176`
+    * keeps existing rows and drops incoming duplicates). */
+  def exactByText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Distinct word-n-gram shingle set per document: (id, shingle set). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n))
+        .as("_sh"))
+
+  /** All-pairs n-gram Jaccard similarity (id_a < id_b). Exact — and
+    * deliberately O(n²): this is the verification/oracle twin of the LSH
+    * path. Bound the input (e.g. one LSH bucket, or a sampled slice) before
+    * calling at scale. Jaccard = |A∩B| / |A∪B| on distinct shingle sets. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 2): DataFrame = {
+    val s = shingleSets(df, idCol, textCol, n)
+    val a = s.select(col("_id").as("id_a"), col("_sh").as("sh_a"))
+    val b = s.select(col("_id").as("id_b"), col("_sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** MinHash signature of a shingle array: k permutations approximated by
+    * k seeded xxhash64 functions; component p = min over shingles of
+    * hash_p(shingle). Empty shingle sets yield null components (callers
+    * filter those docs out — nothing to near-dup match on). */
+  def minhashSignature(sh: Column, numPerm: Int): Column =
+    array((0 until numPerm).map { p =>
+      array_min(transform(sh, s => xxhash64(concat(lit(p + ":"), s))))
+    }: _*)
+
+  /** LSH band hashes of a signature: `bands` groups of `rowsPerBand`
+    * components, each group collapsed to one 64-bit bucket key. Two docs
+    * land in the same (band, hash) bucket iff that band of their signatures
+    * agrees exactly — the classic banding amplification. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      xxhash64(concat_ws(",",
+        transform(slice(sig, j * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string"))))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
+    *
+    * Pipeline: tokenize → shingle → signature (narrow projections) →
+    * explode band hashes → self-join per bucket (shuffles only
+    * (band, hash, id) triples) → distinct pairs → estimate Jaccard as the
+    * fraction of agreeing signature components → threshold.
+    *
+    * numPerm/bands defaults (64 perms, 16 bands × 4 rows) put the LSH
+    * S-curve threshold at (1/16)^(1/4) ≈ 0.5 — pairs above ~0.5 Jaccard
+    * are near-certain to surface, pairs far below almost never do.
+    */
+  def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 2, numPerm: Int = 64,
+                          bands: Int = 16,
+                          threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    val sigs = shingleSets(df, idCol, textCol, shingleN)
+      .filter(size(col("_sh")) > 0)
+      .select(col("_id"), minhashSignature(col("_sh"), numPerm).as("_sig"))
+    val banded = sigs.select(col("_id"), col("_sig"),
+        posexplode(bandHashes(col("_sig"), bands, r)))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bh"))
+    val left = banded.select(col("_band"), col("_bh"),
+      col("_id").as("id_a"), col("_sig").as("sig_a"))
+    val right = banded.select(col("_band"), col("_bh"),
+      col("_id").as("id_b"), col("_sig").as("sig_b"))
+    left.join(right, Seq("_band", "_bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / numPerm)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Apply MinHash-LSH dedup: drop the higher-id member of every near-dup
+    * pair (connected components collapse transitively to the min id via
+    * the anti-join on "appears as id_b"). */
+  def dedupeNearMinhash(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 2, numPerm: Int = 64,
+                        bands: Int = 16,
+                        threshold: Double = 0.5): DataFrame = {
+    val losers = nearDupPairsMinhash(df, idCol, textCol, shingleN, numPerm,
+      bands, threshold).select(col("id_b").as("_loser")).distinct()
+    df.join(losers, col(idCol) === col("_loser"), "left_anti")
+  }
+
+  /** SimHash: 64-bit locality-sensitive fingerprint of the token multiset.
+    * Per token, xxhash64 votes ±1 on each of 64 bit positions; the sign of
+    * each accumulated vote becomes that bit. Near-identical documents end
+    * up within a few bits of Hamming distance. Single projection, no
+    * shuffle. */
+  def simhash64(toks: Column): Column = {
+    val votes = aggregate(toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc,
+          sequence(lit(0), lit(63)),
+          (a, b) => a + when(call_function("shiftright", h, b)
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs under a Hamming-distance bound. Candidate
+    * blocking: split the 64-bit hash into 4 16-bit blocks — any pair within
+    * Hamming ≤ 3 must agree exactly on at least one block (pigeonhole), so
+    * joining per block finds all such pairs while shuffling only
+    * (block_id, block_value, id) triples. This keeps the op linear-ish at
+    * 100 TB, vs the all-pairs O(n²) naive form. */
+  def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("_id"),
+      simhash64(TextOps.tokens(col(textCol))).as("_sh"))
+    val blocks = hashed.select(col("_id"), col("_sh"),
+        posexplode(array((0 until 4).map { b =>
+          call_function("shiftright", col("_sh"), lit(b * 16))
+            .bitwiseAND(lit(0xFFFFL))
+        }: _*)))
+      .withColumnsRenamed(Map("pos" -> "_blk", "col" -> "_bv"))
+    val l = blocks.select(col("_blk"), col("_bv"), col("_id").as("id_a"),
+      col("_sh").as("sh_a"))
+    val rgt = blocks.select(col("_blk"), col("_bv"), col("_id").as("id_b"),
+      col("_sh").as("sh_b"))
+    l.join(rgt, Seq("_blk", "_bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

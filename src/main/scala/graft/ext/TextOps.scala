@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §2.10).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` — no UDFs
+  * — so each metric stays inside whole-stage codegen and runs as a single
+  * narrow projection over the scan (no shuffle, no driver traffic). At
+  * 100 TB these ops are scan-bound by design: Catalyst prunes to the text
+  * column, and every metric of a document is computed in one pass.
+  *
+  * Tokenization contract (shared with the DuckDB oracles): lowercase, split
+  * on runs of non-alphanumeric characters, drop empties. Kept to `[a-z0-9]`
+  * so Java-regex and RE2-based engines agree exactly.
+  */
+object TextOps {
+
+  /** Tokenize: lowercase → split on non-alphanumeric runs → drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Word n-gram shingles over a token array (building block for MinHash /
+    * Jaccard dedup). Documents shorter than n shingle to an empty array. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token count — whitespace/punct-delimited word count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish sub-word count: alphanumeric runs are split into chunks of
+    * at most 4 characters (a cheap stand-in for byte-pair tokenizers whose
+    * tokens average ~4 chars). Deterministic and oracle-expressible:
+    * ceil(len/4) summed over words. */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Stopword list used by quality scoring + language ID. Small on purpose:
+    * broadcast-free (it folds into the plan as a literal array). */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Per-document quality metrics (length / punctuation / stopword ratios
+    * — the standard cheap filters of LLM data pipelines). One projection,
+    * no shuffle. */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nAlnum = length(regexp_replace(lower(text), "[^a-z0-9]", ""))
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(EnglishStopwords: _*)))
+    df.withColumn("n_chars", nChars.cast("long"))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("alnum_ratio",
+        when(nChars > 0, nAlnum.cast("double") / nChars.cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("avg_token_len",
+        when(nTok > 0, nAlnum.cast("double") / nTok.cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(nTok > 0, stopHits.cast("double") / nTok.cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 && col("alnum_ratio") >= 0.5 &&
+          col("avg_token_len") >= 2 && col("avg_token_len") <= 12)
+  }
+
+  /** Language-marker word lists for the n-gram/stopword language-ID
+    * heuristic. Matching is done on token instances (not distinct tokens)
+    * so repeated markers count — the usual trigram-profile trick collapsed
+    * to its cheapest effective form. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "zai", "you"))
+
+  /** Language ID: score each language by marker-token hits; predict the
+    * alphabetically-first language achieving the max score (deterministic
+    * tie-break, mirrored exactly in the oracle SQL). */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = LangMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
+      acc.withColumn(s"score_$lang",
+        size(filter(toks, t => t.isin(markers: _*))).cast("long"))
+    }
+    val scores = LangMarkers.map { case (l, _) => col(s"score_$l") }
+    val maxScore = greatest(scores: _*)
+    // first (alphabetical) language whose score equals the max
+    val pred = LangMarkers.foldRight(lit(null).cast("string")) {
+      case ((lang, _), elseC) =>
+        when(col(s"score_$lang") === maxScore, lit(lang)).otherwise(elseC)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Document fingerprint for exact dedup: md5 of the
+    * lowercased/trimmed text. Identical in DuckDB (`md5(lower(trim(x)))`)
+    * so it is oracle-checkable end-to-end. */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** Rolling (chained) hash over the token stream: acc ← xxhash64(acc, t),
+    * an order-sensitive 64-bit fingerprint, unlike the order-insensitive
+    * md5-of-text. Chained hashing rather than Horner-polynomial so ANSI
+    * mode (Spark 4 default) can't overflow. No DuckDB twin (xxhash64 seeds
+    * differ across engines) → verified by unit test, not oracle. */
+  def rollingHash(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
+}

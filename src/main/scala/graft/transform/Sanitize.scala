@@ -50,10 +50,15 @@ object Sanitize {
     * (`core/utils/sheets_core.py:80-84`). */
   def isoFormatTimestamps(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) {
-      case (acc, f) if f.dataType == TimestampType =>
+      case (acc, f) if isTimestamp(f.dataType) =>
         acc.withColumn(f.name, Functions.isoFormat(col(f.name)))
       case (acc, _) => acc
     }
+
+  /** Parquet TIMESTAMP without timezone loads as TimestampNTZType (Spark
+    * infers NTZ by default) — treat both flavors as timestamps. */
+  private def isTimestamp(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
 
   /** W6 — stringify every cell for export: timestamps → ISO, null → "",
     * everything else → `cast(string)` (`core/utils/sheets_core.py:194-209`).
@@ -61,7 +66,7 @@ object Sanitize {
   def stringifyForExport(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
       val c = f.dataType match {
-        case TimestampType => Functions.isoFormat(col(f.name))
+        case dt if isTimestamp(dt) => Functions.isoFormat(col(f.name))
         case _ => col(f.name).cast("string")
       }
       coalesce(c, lit("")).as(f.name)

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{DedupOps, TextOps}
+
+/** §2.10 near-dup dedup: exact, Jaccard, MinHash-LSH, SimHash — on
+  * constructed corpora with KNOWN duplicate structure. */
+class DedupOpsSpec extends SparkSpec {
+
+  private def corpus() = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while the sly cat watches from the old wooden fence nearby"
+    val nearDup = base.replace("lazy", "sleepy") // one-token edit
+    val distinct1 = "completely different content about spark catalyst " +
+      "optimizer rules and whole stage code generation for queries"
+    val distinct2 = "yet another unrelated document mentioning minhash " +
+      "signatures locality sensitive hashing and banding tricks"
+    Seq((0L, base), (1L, nearDup), (2L, distinct1), (3L, distinct2),
+      (4L, base) // exact clone of 0
+    ).toDF("id", "text")
+  }
+
+  test("exactByText keeps lowest id per identical text") {
+    val kept = DedupOps.exactByText(corpus(), "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L)) // clone id=4 dropped, near-dup kept
+  }
+
+  test("jaccardPairs: clone pair at 1.0; near-dup high; distinct low") {
+    val pairs = DedupOps.jaccardPairs(corpus(), "id", "text", n = 2)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 4L)) == 1.0)
+    assert(pairs((0L, 1L)) > 0.7) // one-token edit on 20 tokens
+    assert(pairs((2L, 3L)) < 0.1)
+  }
+
+  test("minhash LSH finds clones and near-dups, not distinct pairs") {
+    val pairs = DedupOps.nearDupPairsMinhash(corpus(), "id", "text",
+        shingleN = 2, numPerm = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("minhash est_jaccard is exactly 1.0 for clones") {
+    val est = DedupOps.nearDupPairsMinhash(corpus(), "id", "text")
+      .filter(col("id_a") === 0 && col("id_b") === 4)
+      .collect()(0).getDouble(2)
+    assert(est == 1.0)
+  }
+
+  test("dedupeNearMinhash drops the higher-id member of each pair") {
+    val kept = DedupOps.dedupeNearMinhash(corpus(), "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && kept.contains(2L) && kept.contains(3L))
+    assert(!kept.contains(4L)) // clone of 0
+    assert(!kept.contains(1L)) // near-dup of 0
+  }
+
+  test("simhash: clones at hamming 0; near-dups within bound; blocking finds them") {
+    val pairs = DedupOps.nearDupPairsSimhash(corpus(), "id", "text",
+        maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 4L)) == 0)
+    assert(pairs.get((0L, 1L)).forall(_ <= 10))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("simhash64 is deterministic and order-insensitive for token multisets") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")
+    val h = df.select(DedupOps.simhash64(TextOps.tokens(col("text"))))
+      .collect().map(_.getLong(0))
+    assert(h(0) == h(1))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+
+/** §2.10 multimodal plumbing: binary payload + meta schema, batched
+  * feature extraction, frame sampling. The decode itself is a stub; what
+  * these tests pin is the distributed shape and determinism. */
+class MultimodalSpec extends SparkSpec {
+
+  private def docs() = {
+    import spark.implicits._
+    Seq((0L, "aaaa bbbb"), (1L, "zzzz"), (2L, ""))
+      .toDF("doc_id", "text")
+  }
+
+  test("withSyntheticMedia: binary payload + typed meta struct") {
+    val df = Multimodal.withSyntheticMedia(docs(), "doc_id", "text")
+    val mediaField = df.schema("media")
+    assert(mediaField.dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val metaType = df.schema("media_meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaType.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.MetaType.fields.map(f => (f.name, f.dataType)).toSeq)
+    val r = df.filter(col("doc_id") === 0).select("media_meta.n_bytes")
+      .collect()(0).getLong(0)
+    assert(r == 9L) // "aaaa bbbb".getBytes.length
+  }
+
+  test("decodeStub: deterministic L1-normalized histogram") {
+    val f1 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
+    val f2 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
+    assert(f1.toSeq == f2.toSeq)
+    assert(math.abs(f1.sum - 1.0f) < 1e-5)
+    assert(Multimodal.decodeStub(Array.emptyByteArray).forall(_ == 0f))
+  }
+
+  test("extractFeatures: appends array<float> features, row count preserved") {
+    val df = Multimodal.withSyntheticMedia(docs(), "doc_id", "text")
+    val out = Multimodal.extractFeatures(df, "media", batchSize = 2)
+    assert(out.count() == 3)
+    assert(out.schema("features").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val feats = out.filter(col("doc_id") === 0)
+      .select("features").collect()(0).getSeq[Float](0)
+    assert(feats.length == Multimodal.FeatureDim)
+    assert(math.abs(feats.sum - 1.0f) < 1e-5)
+  }
+
+  test("extractFeatures matches decodeStub row-for-row") {
+    val df = Multimodal.withSyntheticMedia(docs(), "doc_id", "text")
+    val out = Multimodal.extractFeatures(df, "media").collect()
+    out.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("media")
+      val expect = Multimodal.decodeStub(bytes).toSeq
+      assert(r.getSeq[Float](r.fieldIndex("features")).toSeq == expect)
+    }
+  }
+
+  test("sampleFrames: strided fixed-size chunks with sequential frame_no") {
+    import spark.implicits._
+    val one = Seq((7L, "abcdefgh" * 20)).toDF("doc_id", "text") // 160 chars
+    val df = Multimodal.withSyntheticMedia(one, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(df, "doc_id", "media",
+        frameBytes = 32, stride = 4)
+      .orderBy("frame_no").collect()
+    // 160 bytes → 5 chunks of 32 → strided by 4 → chunks 0 and 4 → 2 frames
+    assert(frames.length == 2)
+    assert(frames.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 1))
+    val f0 = new String(frames(0).getAs[Array[Byte]]("frame"), "UTF-8")
+    assert(f0 == ("abcdefgh" * 20).substring(0, 32))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.SimilarityOps
+
+/** §2.10 similarity search: exact brute-force baseline + LSH recall. */
+class SimilarityOpsSpec extends SparkSpec {
+
+  test("cosine on known vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f)), (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 1f), Seq(1f, 0f))).toDF("a", "b")
+    val out = df.select(SimilarityOps.cosine(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("bruteForceTopK: planted nearest neighbor ranks first, self excluded") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.99f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(0f, 0f, 1f))).toDF("id", "vec")
+    val top = SimilarityOps.bruteForceTopK(
+        corpus.filter(col("id") === 0), corpus, "id", "vec", 2)
+      .collect()
+    assert(top.length == 2)
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSet.contains(1L))
+    val first = top.find(_.getAs[Int]("rnk") == 1).get
+    assert(first.getAs[Long]("neighbor_id") == 1L)
+    assert(!top.exists(_.getAs[Long]("neighbor_id") == 0L))
+  }
+
+  test("annTopK recall vs brute force on the embeddings fixture") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val approx = SimilarityOps.annTopK(queries, emb,
+        "vec_id", "embedding", 5, dim = 64, bits = 4, tables = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random-uniform fixture vectors are a worst case for LSH; the planted
+    // structure still yields useful recall at these (bits, tables)
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+
+  test("annTopK output is deterministic across runs") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    def run() = SimilarityOps.annTopK(q, emb, "vec_id", "embedding", 3,
+      dim = 64).collect().map(_.toSeq).toSeq
+    assert(run() == run())
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+
+/** §2.10 text analysis: tokenization contract, shingles, quality metrics,
+  * language ID, fingerprints. */
+class TextOpsSpec extends SparkSpec {
+
+  test("tokens: lowercase, split on non-alnum runs, drop empties") {
+    import spark.implicits._
+    val out = Seq("Hello,  World! x2", "", "---").toDF("text")
+      .select(TextOps.tokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("hello", "world", "x2"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq.empty)
+  }
+
+  test("shingles: word n-grams; short docs yield empty") {
+    import spark.implicits._
+    val out = Seq("a b c d", "a b", "a").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq.empty)
+  }
+
+  test("subwordCount: ceil(len/4) per token") {
+    import spark.implicits._
+    val out = Seq("abcd abcde a", "").toDF("text")
+      .select(TextOps.subwordCount(col("text"))).collect()
+    assert(out(0).getLong(0) == 1 + 2 + 1)
+    assert(out(1).getLong(0) == 0)
+  }
+
+  test("qualityMetrics: ratios and flag") {
+    import spark.implicits._
+    val df = Seq(("the cat sat on the mat",  // 6 tokens, stopwords the,the
+        "good"), ("!!!", "bad")).toDF("text", "tag")
+    val m = TextOps.qualityMetrics(df, "text").collect()
+    val good = m(0)
+    assert(good.getAs[Long]("n_tokens") == 6)
+    assert(good.getAs[Double]("stopword_ratio") == 2.0 / 6.0)
+    assert(good.getAs[Boolean]("quality_ok"))
+    val bad = m(1)
+    assert(bad.getAs[Long]("n_tokens") == 0)
+    assert(!bad.getAs[Boolean]("quality_ok"))
+  }
+
+  test("languageId: marker votes with alphabetical-first tie-break") {
+    import spark.implicits._
+    val df = Seq("the cat and the dog", "el perro y la casa que es",
+      "der hund und die katze ist").toDF("text")
+    val out = TextOps.languageId(df, "text")
+      .select("pred_lang").collect().map(_.getString(0))
+    assert(out(0) == "en")
+    assert(out(1) == "es")
+    assert(out(2) == "de")
+  }
+
+  test("fingerprint is normalization-insensitive; rollingHash is order-sensitive") {
+    import spark.implicits._
+    val df = Seq(("  The Quick Fox ", "a b"), ("the quick fox", "b a"))
+      .toDF("t1", "t2")
+    val fp = df.select(TextOps.fingerprint(col("t1"))).collect()
+    assert(fp(0).getString(0) == fp(1).getString(0))
+    val rh = df.select(TextOps.rollingHash(TextOps.tokens(col("t2"))))
+      .collect()
+    assert(rh(0).getLong(0) != rh(1).getLong(0))
+  }
+
+  test("rollingHash equals for identical token streams") {
+    import spark.implicits._
+    val df = Seq("x y z", "x  y,z").toDF("t")
+    val rh = df.select(TextOps.rollingHash(TextOps.tokens(col("t"))))
+      .collect()
+    assert(rh(0).getLong(0) == rh(1).getLong(0))
+  }
+}
