@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured Streaming slice (SURVEY §2.9): the `events` pipeline as a
+  * stream — watermarked tumbling/sliding/session windows, stateful dedupe,
+  * and `foreachBatch` reuse of the batch sink layer.
+  *
+  * Every transform takes/returns DataFrame so the SAME code path serves a
+  * `readStream` source in production and a `MemoryStream` in tests; the
+  * batch twins in [[graft.Queries]] (qEventsHourly / qEventsSessions) pin
+  * the expected results.
+  *
+  * Scale notes: watermarks bound the state store (late data beyond the
+  * delay is dropped — the same coerce-and-tolerate posture the reference
+  * applies to malformed input, `db_core.py:86-95`); aggregation state is
+  * per (window, key) — partitioned by group key across executors;
+  * `dropDuplicatesWithinWatermark` keeps only ids newer than the watermark
+  * rather than all-time history, so dedupe state is bounded too.
+  */
+object Streaming {
+
+  /** Exact decimal-accumulated sum of a double expression → double
+    * (same oracle-parity accumulator as the batch queries). */
+  private def dsum(e: Column): Column =
+    sum(e.cast(DecimalType(30, 6))).cast(DoubleType)
+
+  /** Hourly tumbling aggregation — streaming twin of
+    * [[graft.Queries.qEventsHourly]] (same output schema, same decimal
+    * accumulation, hour rendered as a formatted string). */
+  def eventsHourly(events: DataFrame,
+                   watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"),
+        col("min_value"), col("max_value"))
+
+  /** Sliding-window event counts (window/slide e.g. "1 hour"/"15 minutes")
+    * — each event lands in window/slide overlapping windows. */
+  def eventsSliding(events: DataFrame, windowLen: String, slide: String,
+                    watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows per user: a session closes after `gap` of inactivity
+    * — the streaming twin of the batch gap-sessionization in
+    * [[graft.Queries.qEventsSessions]] (30-minute gap). */
+  def eventsSessions(events: DataFrame, gap: String = "30 minutes",
+                     watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Stateful exact dedupe on event id, with state BOUNDED by the
+    * watermark: an id is remembered only until the watermark passes its
+    * event time (vs `dropDuplicates` whose state grows forever). */
+  def dedupeEvents(events: DataFrame,
+                   watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** foreachBatch bridge into the batch sink layer (K-series): every
+    * micro-batch appends through [[graft.sinks.Sinks.loadDataFrame]] —
+    * empty-batch guard included (the reference's empty-input short-circuit,
+    * `db_core.py:99-101`). */
+  def startParquetSink(df: DataFrame, path: String, checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sinks.Sinks.loadDataFrame(batch, path, "append")
+        ()
+      }
+      .start()
+}

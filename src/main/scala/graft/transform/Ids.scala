@@ -3,6 +3,7 @@ package graft.transform
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** W1 — contiguous sequential id assignment
   * (`core/utils/data_core.py:169-171`): new ids must be dense
@@ -14,6 +15,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * first pass), prefix-sum the counts on the driver (#partitions longs),
   * then attach `offset(p) + local_index` per partition. Two passes over the
   * data, zero skew, no single-partition stage.
+  *
+  * The sorted RDD is persisted (MEMORY_AND_DISK_SER) across the two passes
+  * and unpersisted in a finally: range-partitioner boundaries come from a
+  * runtime sample, so recomputing the lineage between passes could shift
+  * rows across partitions and break contiguity — the persist is a
+  * correctness anchor, not a cache nicety. At extreme scale, swap for a
+  * checkpoint to cheap storage; the pass structure is unchanged.
   * `monotonically_increasing_id` is NOT used — it is non-contiguous by
   * design and would break reference parity.
   */
@@ -27,24 +35,34 @@ object Ids {
     val sorted = df.repartitionByRange(n, orderCol)
       .sortWithinPartitions(orderCol)
     val rdd = sorted.rdd
-    rdd.cache()
-    // Pass 1: per-partition counts → driver-side prefix sums (tiny).
-    val counts = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
-      .collect().sortBy(_._1).map(_._2.toLong)
-    val offsets = counts.scanLeft(start)(_ + _)
-    // Pass 2: attach offset + local index.
-    val withId = rdd.mapPartitionsWithIndex { (i, it) =>
-      var j = 0L
-      it.map { r =>
-        val id = offsets(i) + j; j += 1
-        Row.fromSeq(r.toSeq :+ id)
+    rdd.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // Pass 1: per-partition counts → driver-side prefix sums (tiny:
+      // #partitions longs; rows are only counted, never collected).
+      val counts = rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+          Iterator((i, c))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(start)(_ + _)
+      // Pass 2: attach offset + local index.
+      val withId = rdd.mapPartitionsWithIndex { (i, it) =>
+        var j = 0L
+        it.map { r =>
+          val id = offsets(i) + j; j += 1
+          Row.fromSeq(r.toSeq :+ id)
+        }
       }
-    }
-    val schema = StructType(sorted.schema.fields :+
-      StructField(idName, LongType, nullable = false))
-    val out = spark.createDataFrame(withId, schema)
-    out
+      val schema = StructType(sorted.schema.fields :+
+        StructField(idName, LongType, nullable = false))
+      val out = spark.createDataFrame(withId, schema)
+      // Materialization note: the result is computed before unpersist via
+      // the action below being the caller's — createDataFrame is lazy, so
+      // force the id attachment while the persisted parent is alive.
+      out.cache().count()
+      out
+    } finally rdd.unpersist(blocking = false)
   }
 
   /** Reference composition (`data_core.py:169`): continue ids after the

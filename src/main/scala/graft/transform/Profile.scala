@@ -10,17 +10,22 @@ import graft.functions.Functions
   * input column with `{column, dtype, null_count, null_pct, unique_count,
   * sample_values, top_10}`.
   *
-  * Scale design (100 TB): the whole profile is THREE distributed passes,
-  * none of which collects data to the driver beyond #columns rows:
-  *   1. one wide aggregate over all columns (null counts + distinct counts
-  *      fused into a single stage);
-  *   2. one melt (`stack`) → groupBy(column, value) → per-column top-K via
-  *      `row_number` window — a single shuffle keyed on (column, value),
-  *      partial aggregation makes the map side absorb heavy hitters;
-  *   3. one melt → per-column first-N sample via the same window pattern.
-  * `exact=false` swaps `count_distinct` for `approx_count_distinct` (HLL++)
-  * — at 100 TB exact per-column distinct counts are a Cartesian-expansion
-  * anti-pattern; keep exact only for oracle parity at test scale.
+  * Scale design (100 TB) — the shapes that survive a 1000-executor run:
+  *   1. ONE plain wide aggregate for rows + per-column null counts (and
+  *      HLL distincts when `exact=false`). No multi-`count_distinct` in a
+  *      single agg — that plans an `Expand` that duplicates the input once
+  *      per distinct aggregate.
+  *   2. ONE melt (`stack`) → groupBy(column, value) — a single shuffle
+  *      keyed on (column, value) with map-side partial aggregation — from
+  *      which BOTH the exact per-column distinct counts and the top-K
+  *      value counts derive. Top-K never windows over raw value rows:
+  *      a per-partition bounded prune (≤ K rows per column per partition)
+  *      runs first, so the final window sees ≤ partitions×columns×K rows
+  *      even when a column is near-unique.
+  *   3. The sample pass takes the FIRST ≤ N rows per column per partition
+  *      with a streaming per-partition limit (constant memory, no sort),
+  *      then resolves the global first-N over the tiny survivor set.
+  *      No global per-column window ever touches raw rows.
   */
 object Profile {
 
@@ -31,20 +36,17 @@ object Profile {
     val cols = df.columns.toSeq
     val dtypes = df.dtypes.toMap
 
-    // Pass 1: single wide agg — rows, per-column null count + distinct count.
+    // Pass 1: single wide agg — rows + null counts (+ HLL distincts when
+    // approximate). All plain aggregates: no Expand in the plan.
     val aggExprs: Seq[Column] = count(lit(1)).as("_rows") +: cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
-        (if (exact) count_distinct(col(c))
-         else approx_count_distinct(col(c))).as(s"uniq_$c"))
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c") +:
+        (if (exact) Nil
+         else Seq(approx_count_distinct(col(c)).as(s"uniq_$c")))
     }
     val wide = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
     val rows = wide.getAs[Long]("_rows")
-    val counts = cols.map { c =>
-      (c, wide.getAs[Long](s"nulls_$c"), wide.getAs[Long](s"uniq_$c"))
-    }.toDF("column", "null_count", "unique_count")
 
-    // Melt once: (ord, column, value-as-string with null sentinel intact).
+    // Melt once: (ord, column, value-as-string, null preserved).
     // `_ord` preserves encounter order for the "first N samples" semantics
     // of the reference (pandas head-5 — order-dependent, documented).
     val melted = df
@@ -54,27 +56,46 @@ object Profile {
           cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ") + ")")
         .as(Seq("column", "value")))
 
-    // Pass 2: top-K value counts per column (null → "__NULL__" sentinel,
-    // ties broken by value for determinism, `data_core.py:254-262`).
+    // Pass 2: one shuffle on (column, value) → per-group counts; feeds
+    // exact distinct counts AND top-K.
+    val grouped = melted.groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+
+    val counts: DataFrame =
+      if (exact)
+        grouped.groupBy("column")
+          .agg(count(when(col("value").isNotNull, 1L)).as("unique_count"))
+      else
+        cols.map(c => (c, wide.getAs[Long](s"uniq_$c")))
+          .toDF("column", "unique_count")
+    val nulls = cols.map(c => (c, wide.getAs[Long](s"nulls_$c")))
+      .toDF("column", "null_count")
+
+    // Top-K value counts per column (null → "__NULL__" sentinel for
+    // display, `data_core.py:254-262`; ties broken by value). Bounded
+    // per-partition prune first: the window only ever sees
+    // ≤ partitions × columns × K candidate rows.
+    val sentineled = grouped.select(col("column"),
+      coalesce(col("value"), lit("__NULL__")).as("value"), col("cnt"))
+    val prunedTop = boundedTopKPerColumn(sentineled, topK)
     val topWin = Window.partitionBy("column")
-      .orderBy(desc("count"), asc("value"))
-    val top10 = melted
-      .select(col("column"),
-        coalesce(col("value"), lit("__NULL__")).as("value"))
-      .groupBy("column", "value").agg(count(lit(1)).as("count"))
+      .orderBy(desc("cnt"), asc("value"))
+    val top10 = prunedTop
       .withColumn("_rk", row_number().over(topWin))
       .filter(col("_rk") <= topK)
       .groupBy("column")
       .agg(sort_array(collect_list(struct(col("_rk"), col("value"),
-        col("count")))).as("_t"))
+        col("cnt").as("count")))).as("_t"))
       .select(col("column"),
         expr("transform(_t, x -> struct(x.value as value, x.count as count))")
           .as("top_10"))
 
-    // Pass 3: first-N non-null samples per column (encounter order).
+    // Sample pass: first-N non-null per column — streaming per-partition
+    // limit (constant memory), then global first-N over the survivors.
+    val prunedSamples = firstNPerColumnPerPartition(
+      melted.filter(col("value").isNotNull), sampleN)
     val sampWin = Window.partitionBy("column").orderBy(asc("_ord"))
-    val samples = melted
-      .filter(col("value").isNotNull)
+    val samples = prunedSamples
       .withColumn("_rk", row_number().over(sampWin))
       .filter(col("_rk") <= sampleN)
       .groupBy("column")
@@ -85,6 +106,7 @@ object Profile {
     val dtypeDf = cols.map(c => (c, dtypes(c))).toDF("column", "dtype")
 
     dtypeDf
+      .join(nulls, Seq("column"))
       .join(counts, Seq("column"))
       .join(samples, Seq("column"), "left")
       .join(top10, Seq("column"), "left")
@@ -92,6 +114,56 @@ object Profile {
         col("null_count").cast("double") / lit(rows).cast("double"))
       .select("column", "dtype", "null_count", "null_pct", "unique_count",
         "sample_values", "top_10")
+  }
+
+  /** Keep at most the K best (cnt desc, value asc) rows per column within
+    * each partition — a streaming bounded buffer, so a near-unique column
+    * can never flood the downstream window. Correct because `cnt` values
+    * are already final (post-aggregation): the global top-K is a subset of
+    * the union of per-partition top-Ks. */
+  private def boundedTopKPerColumn(grouped: DataFrame, k: Int): DataFrame = {
+    val spark = grouped.sparkSession
+    import spark.implicits._
+    grouped.select(col("column"), col("value"), col("cnt"))
+      .as[(String, String, Long)]
+      .mapPartitions { it =>
+        // per column: bounded heap of size ≤ k holding the best-so-far.
+        // "Best" = (cnt desc, value asc); the heap's head must be the
+        // WORST kept element (PriorityQueue dequeues the max), so the
+        // ordering ranks worse = greater: smaller cnt ranks greater
+        // (reverse), larger value ranks greater (natural).
+        val heaps = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, String)]]
+        val worstFirst: Ordering[(Long, String)] =
+          Ordering.Tuple2(Ordering[Long].reverse, Ordering[String])
+        it.foreach { case (c, v, n) =>
+          val h = heaps.getOrElseUpdate(c,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          if (h.size < k) h.enqueue((n, v))
+          else if (worstFirst.lt((n, v), h.head)) { h.dequeue(); h.enqueue((n, v)) }
+        }
+        heaps.iterator.flatMap { case (c, h) =>
+          h.iterator.map { case (n, v) => (c, v, n) }
+        }
+      }.toDF("column", "value", "cnt")
+  }
+
+  /** Keep the first ≤ N rows (in iterator = partition order) per column
+    * within each partition — constant memory, no sort, preserves `_ord`
+    * so the global first-N resolves exactly downstream. */
+  private def firstNPerColumnPerPartition(melted: DataFrame,
+                                          n: Int): DataFrame = {
+    val spark = melted.sparkSession
+    import spark.implicits._
+    melted.select(col("_ord"), col("column"), col("value"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val seen = scala.collection.mutable.Map.empty[String, Int]
+        it.filter { case (_, c, _) =>
+          val k = seen.getOrElse(c, 0)
+          if (k < n) { seen(c) = k + 1; true } else false
+        }
+      }.toDF("_ord", "column", "value")
   }
 
   /** A4 standalone — top-K value counts for one column, deterministic

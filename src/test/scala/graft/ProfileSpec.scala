@@ -58,6 +58,23 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("top_10 exact on a near-unique column (bounded per-partition prune)") {
+    val wide = spark.range(1000).toDF("id")
+      .select(col("id").cast("string").as("u"),
+        (col("id") % 3).cast("string").as("m"))
+      .repartition(8)
+    val p = Profile.profile(wide).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("u").getAs[Long]("unique_count") == 1000L)
+    val uTop = p("u").getAs[scala.collection.Seq[Row]]("top_10")
+      .map(_.getString(0)).toSeq
+    // all counts are 1 → ranked by value asc (deterministic tie-break)
+    assert(uTop == (0 until 1000).map(_.toString).sorted.take(10))
+    val mTop = p("m").getAs[scala.collection.Seq[Row]]("top_10")
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(mTop == Set(("0", 334L), ("1", 333L), ("2", 333L)))
+  }
+
   test("topKValues is deterministic under ties (count desc, value asc)") {
     import spark.implicits._
     val t = Seq("x", "y", "x", "y", "z").toDF("c")

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** §2.9 Structured Streaming: windowed aggs vs their batch twins, bounded
+  * stateful dedupe, foreachBatch into the sink layer. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def fixtureEvents(): Seq[Ev] = {
+    // sf0.001 events (1k rows) pulled through the SAME reader the batch
+    // twin uses, so both sides see identical microsecond timestamps.
+    graft.engine.Engine.table(spark, fixtureDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().toIndexedSeq
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+  }
+
+  private def runComplete(stream: MemoryStream[Ev],
+                          transform: org.apache.spark.sql.DataFrame =>
+                            org.apache.spark.sql.DataFrame,
+                          name: String) = {
+    val q = transform(stream.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("streaming hourly agg matches the batch twin on fixture events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(fixtureEvents())
+    val streamed = runComplete(stream, Streaming.eventsHourly(_), "s_hourly")
+      .orderBy("hour", "event_type").collect().map(_.toSeq)
+    val batch = Queries.qEventsHourly(spark, fixtureDir)
+      .collect().map(_.toSeq)
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("session windows close after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(Seq(
+      Ev(1, ts("2026-01-01 10:00:00"), 7, "click", 1.0),
+      Ev(2, ts("2026-01-01 10:10:00"), 7, "click", 2.0),
+      // 40-minute gap > 30-minute session gap → new session
+      Ev(3, ts("2026-01-01 10:50:00"), 7, "click", 3.0),
+      Ev(4, ts("2026-01-01 10:05:00"), 8, "view", 4.0)))
+    val out = runComplete(stream,
+      Streaming.eventsSessions(_, gap = "30 minutes"), "s_sessions")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3) // user 7 → two sessions, user 8 → one
+    val u7 = out.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u7.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L))
+  }
+
+  test("dropDuplicatesWithinWatermark dedupes repeated event ids") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(Seq(
+      Ev(1, ts("2026-01-01 10:00:00"), 1, "a", 1.0),
+      Ev(1, ts("2026-01-01 10:00:05"), 1, "a", 1.0), // dup id
+      Ev(2, ts("2026-01-01 10:01:00"), 1, "b", 2.0)))
+    val q = Streaming.dedupeEvents(stream.toDF())
+      .writeStream.format("memory").queryName("s_dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("s_dedup").count() == 2)
+  }
+
+  test("foreachBatch appends micro-batches through the batch sink layer") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_stream_sink").toString
+    val stream = MemoryStream[Ev]
+    val q = Streaming.startParquetSink(stream.toDF(),
+      s"$dir/out", s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    stream.addData(Seq(Ev(1, ts("2026-01-01 10:00:00"), 1, "a", 1.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(Ev(2, ts("2026-01-01 10:01:00"), 2, "b", 2.0)))
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$dir/out")
+    assert(written.count() == 2)
+    assert(written.columns.contains("event_id"))
+  }
+
+  test("sliding windows overlap: each event appears in window/slide windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(Seq(Ev(1, ts("2026-01-01 10:07:00"), 1, "a", 1.0)))
+    val out = runComplete(stream,
+      Streaming.eventsSliding(_, "1 hour", "15 minutes"), "s_sliding")
+      .collect()
+    assert(out.length == 4) // 60/15 overlapping windows contain the event
+    assert(out.map(_.getAs[Long]("n_events")).forall(_ == 1L))
+  }
+}
