@@ -140,6 +140,38 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Embedding-cosine near-dup dedup: clones of the first 25 vectors are
+  // planted; the LSH-prefiltered exact-cosine path must drop exactly the
+  // clones (random fixture vectors never reach cosine 0.99 organically),
+  // which the brute-force DuckDB oracle verifies.
+  // ---------------------------------------------------------------------
+  def xDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(e.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    SimilarityOps.dedupeByEmbedding(corpus, "vec_id", "embedding",
+        threshold = 0.99, dim = 64)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val xDedupEmbedSql: String =
+    """WITH corpus AS (
+      |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |    FROM embeddings
+      |  UNION ALL
+      |    SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |    FROM embeddings WHERE vec_id < 25),
+      |  losers AS (SELECT DISTINCT b.vec_id FROM corpus a
+      |    JOIN corpus b ON a.vec_id < b.vec_id
+      |    WHERE list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v))
+      |         * sqrt(list_dot_product(b.v, b.v))) >= 0.99)
+      |SELECT vec_id FROM corpus
+      |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Text quality metrics + token/subword counts — one narrow projection.
   // ---------------------------------------------------------------------
   def xTextStats(s: SparkSession, dir: String): DataFrame =

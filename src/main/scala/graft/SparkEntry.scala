@@ -38,6 +38,8 @@ object SparkEntry {
     "q_events_sessions" -> (Queries.qEventsSessions _),
     // transform-layer wiring (W1/W2/A4/J1/W5-W6/F1)
     "t_profile_counts" -> (TransformQueries.tProfileCounts _),
+    "t_summary_stats" -> (TransformQueries.tSummaryStats _),
+    "t_derive_flags" -> (TransformQueries.tDeriveFlags _),
     "t_topk_values" -> (TransformQueries.tTopkValues _),
     "t_ids_contiguous" -> (TransformQueries.tIdsContiguous _),
     "t_dedupe_append" -> (TransformQueries.tDedupeAppend _),
@@ -47,6 +49,7 @@ object SparkEntry {
     "x_dedup_exact" -> (ExtQueries.xDedupExact _),
     "x_dedup_jaccard" -> (ExtQueries.xDedupJaccard _),
     "x_dedup_minhash" -> (ExtQueries.xDedupMinhash _),
+    "x_dedup_embed" -> (ExtQueries.xDedupEmbed _),
     "x_dedup_simhash" -> (ExtQueries.xDedupSimhash _),
     "x_sim_topk" -> (ExtQueries.xSimTopk _),
     "x_sim_ann" -> (ExtQueries.xSimAnn _),
@@ -81,6 +84,8 @@ object SparkEntry {
     "q_events_json" -> Queries.qEventsJsonSql,
     "q_events_sessions" -> Queries.qEventsSessionsSql,
     "t_profile_counts" -> TransformQueries.tProfileCountsSql,
+    "t_summary_stats" -> TransformQueries.tSummaryStatsSql,
+    "t_derive_flags" -> TransformQueries.tDeriveFlagsSql,
     "t_topk_values" -> TransformQueries.tTopkValuesSql,
     "t_ids_contiguous" -> TransformQueries.tIdsContiguousSql,
     "t_dedupe_append" -> TransformQueries.tDedupeAppendSql,
@@ -88,6 +93,7 @@ object SparkEntry {
     "t_parse_flag" -> TransformQueries.tParseFlagSql,
     "x_dedup_exact" -> ExtQueries.xDedupExactSql,
     "x_dedup_jaccard" -> ExtQueries.xDedupJaccardSql,
+    "x_dedup_embed" -> ExtQueries.xDedupEmbedSql,
     "x_sim_topk" -> ExtQueries.xSimTopkSql,
     "x_text_stats" -> ExtQueries.xTextStatsSql,
     "x_text_langid" -> ExtQueries.xTextLangidSql,

@@ -39,6 +39,51 @@ object TransformQueries {
   }
 
   // ---------------------------------------------------------------------
+  // A1 summary statistics (describe() twin with decimal-exact mean).
+  // ---------------------------------------------------------------------
+  def tSummaryStats(s: SparkSession, dir: String): DataFrame =
+    Profile.summaryStats(t(s, dir, "customer"))
+      .select(col("column").as("col_name"), col("count"), col("sum"),
+        col("mean"), col("min"), col("max"))
+      .orderBy(col("col_name"))
+
+  val tSummaryStatsSql: String = {
+    val cols = Seq("c_custkey", "c_nationkey", "c_acctbal")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT($c) AS count,
+         |  CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) AS sum,
+         |  CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / COUNT($c) AS mean,
+         |  CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max
+         |FROM customer""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // P2 derived flag columns over a synthesized control-column trio.
+  // ---------------------------------------------------------------------
+  def tDeriveFlags(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .withColumn("ctl_sanity",
+        when(col("c_custkey") % 2 === 0, lit("sim")).otherwise(lit("nao")))
+      .withColumn("ctl_dup",
+        when(col("c_custkey") % 3 === 0, lit("1")).otherwise(lit("0")))
+      .withColumn("ctl_quality",
+        when(col("c_custkey") % 5 === 0, lit("TRUE")).otherwise(lit("x")))
+    Functions.deriveFlags(base, "ctl_sanity", "ctl_dup", "ctl_quality")
+      .select(col("c_custkey"), col("_flag_sanity").as("flag_sanity"),
+        col("_flag_dup").as("flag_dup"),
+        col("_flag_quality").as("flag_quality"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val tDeriveFlagsSql: String =
+    """SELECT c_custkey,
+      |  c_custkey % 2 = 0 AS flag_sanity,
+      |  c_custkey % 3 = 0 AS flag_dup,
+      |  c_custkey % 5 = 0 AS flag_quality
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A4 top-K value counts (TakeOrderedAndProject — no global sort).
   // ---------------------------------------------------------------------
   def tTopkValues(s: SparkSession, dir: String): DataFrame =

@@ -71,6 +71,39 @@ object SimilarityOps {
         call_function("shiftleft", lit(1L), lit(i))).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Embedding-cosine near-duplicate pairs (the §2.10 "embedding-cosine
+    * near-dup" dedup variant): candidates from LSH bucket collisions
+    * (any of `tables` hash tables), then exact cosine ≥ threshold.
+    * Identical vectors always share every bucket, so true duplicates are
+    * found with certainty; the bucket join shuffles only
+    * (table, bucket, id, vector) — never the all-pairs cross product. */
+  def nearDupPairsEmbedding(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, dim: Int, bits: Int = 4,
+                            tables: Int = 8,
+                            seed: Long = 42L): DataFrame = {
+    val allPlanes = (0 until tables)
+      .map(t => hyperplanes(dim, bits, seed + t))
+    def bucketed(side: String): DataFrame =
+      df.select(col(idCol).as(s"id_$side"), col(vecCol).as(s"_${side}v"),
+        posexplode(array(allPlanes.map(p => lshBucket(col(vecCol), p)): _*)))
+        .withColumnsRenamed(Map("pos" -> "_tbl", "col" -> "_bkt"))
+    bucketed("a").join(bucketed("b"), Seq("_tbl", "_bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("_av"), col("_bv")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Apply embedding near-dup dedup: keep the lowest-id member of every
+    * duplicate cluster (higher ids anti-joined out). */
+  def dedupeByEmbedding(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, dim: Int): DataFrame = {
+    val losers = nearDupPairsEmbedding(df, idCol, vecCol, threshold, dim)
+      .select(col("id_b").as("_loser")).distinct()
+    df.join(losers, col(idCol) === col("_loser"), "left_anti")
+  }
+
   /** LSH-bucketed approximate top-k: `tables` independent hash tables of
     * `bits` hyperplanes each; candidates = corpus vectors sharing a bucket
     * with the query in ANY table; exact cosine re-ranks candidates.

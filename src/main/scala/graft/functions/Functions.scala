@@ -28,6 +28,17 @@ object Functions {
       .otherwise(lit(false))
   }
 
+  /** P2 — derived homologation flag columns
+    * (`core/utils/sheets_core.py:86-92`): parse the three control columns
+    * into `_flag_sanity`, `_flag_dup`, `_flag_quality`. Pure projection —
+    * three `when`-chains fused into the surrounding stage. */
+  def deriveFlags(df: org.apache.spark.sql.DataFrame, sanityCol: String,
+                  dupCol: String, qualityCol: String)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("_flag_sanity", parseFlag(col(sanityCol)))
+      .withColumn("_flag_dup", parseFlag(col(dupCol)))
+      .withColumn("_flag_quality", parseFlag(col(qualityCol)))
+
   /** F3 — normalization used for column/id comparison
     * (`core/utils/sheets_core.py:52-58`). */
   def lowerTrim(c: Column): Column = lower(trim(c.cast("string")))

@@ -166,6 +166,36 @@ object Profile {
       }.toDF("_ord", "column", "value")
   }
 
+  /** A1 — summary statistics per numeric column (`df.describe()` twin,
+    * `core/utils/data_core.py:107-108`) with oracle-parity numerics: the
+    * mean is a decimal-exact sum divided by the count, so it hash-matches
+    * across engines (describe()'s stringified stddev does not). One wide
+    * agg + a driver-side pivot of #cols rows. */
+  def summaryStats(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        => f.name
+    }.toSeq
+    val aggExprs: Seq[Column] = numCols.flatMap { c =>
+      Seq(count(col(c)).as(s"count_$c"),
+        sum(col(c).cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType).as(s"sum_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"))
+    }
+    val r = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    numCols.map { c =>
+      val n = r.getAs[Long](s"count_$c")
+      def opt(name: String): Option[Double] =
+        Option(r.getAs[java.lang.Double](name)).map(_.toDouble)
+      val s = opt(s"sum_$c")
+      (c, n, s, s.filter(_ => n > 0).map(_ / n),
+        opt(s"min_$c"), opt(s"max_$c"))
+    }.toDF("column", "count", "sum", "mean", "min", "max")
+  }
+
   /** A4 standalone — top-K value counts for one column, deterministic
     * tie-break (count desc, value asc). Catalyst plans the sort+limit as
     * TakeOrderedAndProject — no global sort at scale. */
