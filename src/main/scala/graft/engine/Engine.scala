@@ -22,6 +22,7 @@ object Engine {
               shufflePartitions: Int = 32): SparkSession = {
     val b = SparkSession.builder()
       .appName(appName)
+      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,363 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expressions (with `doGenCode`) for the §2.10 hot loops.
+  *
+  * Why: Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
+  * are evaluated INTERPRETED, one boxed lambda call per element — a 64-perm
+  * MinHash over ~50-shingle docs costs ~17M lambda invocations per 5k
+  * documents (measured ~12 s at sf0.1). These expressions compile the same
+  * arithmetic into whole-stage-codegen'd Java loops: fixed-width long ops,
+  * zero allocation per element. Preference order per SURVEY §7.3 — (b)
+  * custom `Expression` before (d) `mapPartitions` — because an Expression
+  * keeps the op inside Catalyst: usable in any projection, prunable,
+  * NULL-aware, and visible to the optimizer.
+  *
+  * Registered through [[GraftExtensions]] (SparkSessionExtensions →
+  * injectFunction), the blessed extension seam; [[graft.engine.Engine]]
+  * installs it on every session.
+  */
+object NativeExprs {
+
+  /** splitmix64/murmur3 avalanche finalizer — the permutation family's
+    * mixing function (public-domain constants). */
+  @inline final def mix(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33; z
+  }
+
+  def seeds(numPerm: Int): Array[Long] =
+    Array.tabulate(numPerm)(p => mix(0x9E3779B97F4A7C15L * (p + 1)))
+
+  /** Install all graft native functions on a session-extensions hook. */
+  def inject(ext: SparkSessionExtensions): Unit = {
+    def reg(name: String, builder: FunctionBuilder): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    reg("graft_minhash_sig", {
+      case Seq(c, Literal(k: Int, IntegerType)) => MinHashSig(c, k)
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash_sig(arr, intLiteral), got $other")
+    })
+    reg("graft_simhash", { case Seq(c) => SimHashBits(c) })
+    reg("graft_dot", { case Seq(a, b) => DotProduct(a, b) })
+    reg("graft_shingle_hashes", {
+      case Seq(c, Literal(n: Int, IntegerType)) => ShingleHashes(c, n)
+      case other => throw new IllegalArgumentException(
+        s"graft_shingle_hashes(arr, intLiteral), got $other")
+    })
+  }
+
+  /** Order-sensitive combine of one n-token window (Horner-style mixing —
+    * "ab c" and "a bc" collide only if the token hashes do). */
+  @inline final def combineWindow(hs: Array[Long], start: Int,
+                                  n: Int): Long = {
+    var acc = 0x2545F4914F6CDD1DL
+    var j = 0
+    while (j < n) { acc = mix(acc ^ (hs(start + j) * 0x9E3779B97F4A7C15L)); j += 1 }
+    acc
+  }
+}
+
+/** Distinct hashed word-n-gram shingles straight from token hashes
+  * (`array<long>` → sorted distinct `array<long>`): the MinHash pipeline
+  * never needs shingle STRINGS, so this skips the per-shingle
+  * `slice`+`concat_ws` string assembly (O(n²) interpreted work per doc)
+  * entirely. Output order is canonical (sorted), which set operations and
+  * MinHash are insensitive to. Fewer than n tokens → empty array. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_hashes expects array<bigint>, got $dt")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](len)
+    var i = 0
+    while (i < len) { hs(i) = if (arr.isNullAt(i)) 0L else arr.getLong(i); i += 1 }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) { out(i) = NativeExprs.combineWindow(hs, i, n); i += 1 }
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    i = 1
+    while (i < m) { if (out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }; i += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |int len = $c.numElements();
+         |int m = len - $n + 1;
+         |if (m <= 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util
+         |    .GenericArrayData(new long[0]);
+         |} else {
+         |  long[] hs = new long[len];
+         |  for (int i = 0; i < len; i++) {
+         |    hs[i] = $c.isNullAt(i) ? 0L : $c.getLong(i);
+         |  }
+         |  long[] out = new long[m];
+         |  for (int i = 0; i < m; i++) {
+         |    long acc = 0x2545F4914F6CDD1DL;
+         |    for (int j = 0; j < $n; j++) {
+         |      long z = acc ^ (hs[i + j] * 0x9E3779B97F4A7C15L);
+         |      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL;
+         |      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L;
+         |      z ^= z >>> 33;
+         |      acc = z;
+         |    }
+         |    out[i] = acc;
+         |  }
+         |  java.util.Arrays.sort(out);
+         |  int uniq = 1;
+         |  for (int i = 1; i < m; i++) {
+         |    if (out[i] != out[i - 1]) { out[uniq] = out[i]; uniq++; }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util
+         |    .GenericArrayData(java.util.Arrays.copyOf(out, uniq));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** MinHash signature over pre-hashed shingles (`array<long>` → k minima of
+  * k seeded permutations). Empty input → null (no shingles to match on). */
+case class MinHashSig(child: Expression, numPerm: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_sig expects array<bigint>, got $dt")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  private lazy val seedArr: Array[Long] = NativeExprs.seeds(numPerm)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var p = 0
+        while (p < numPerm) {
+          val z = NativeExprs.mix(h ^ seedArr(p))
+          if (z < sig(p)) sig(p) = z
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val seedsRef = ctx.addReferenceObj("seeds", seedArr, "long[]")
+      s"""
+         |int n = $c.numElements();
+         |if (n == 0) { ${ev.isNull} = true; } else {
+         |  long[] sig = new long[$numPerm];
+         |  java.util.Arrays.fill(sig, Long.MAX_VALUE);
+         |  for (int i = 0; i < n; i++) {
+         |    if ($c.isNullAt(i)) continue;
+         |    long h = $c.getLong(i);
+         |    for (int p = 0; p < $numPerm; p++) {
+         |      long z = h ^ $seedsRef[p];
+         |      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL;
+         |      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L;
+         |      z ^= z >>> 33;
+         |      if (z < sig[p]) sig[p] = z;
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** SimHash over pre-hashed tokens (`array<long>` → 64-bit fingerprint):
+  * bit b of the result is the majority vote of bit b across the token
+  * hashes. Empty input → 0L. */
+case class SimHashBits(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash expects array<bigint>, got $dt")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        total += 1
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) * 2 > total) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |int n = $c.numElements();
+         |int[] votes = new int[64];
+         |int total = 0;
+         |for (int i = 0; i < n; i++) {
+         |  if ($c.isNullAt(i)) continue;
+         |  long h = $c.getLong(i);
+         |  total++;
+         |  for (int b = 0; b < 64; b++) {
+         |    if (((h >>> b) & 1L) == 1L) votes[b]++;
+         |  }
+         |}
+         |long out = 0L;
+         |for (int b = 0; b < 64; b++) {
+         |  if (votes[b] * 2 > total) out |= (1L << b);
+         |}
+         |${ev.value} = out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Double-precision dot product of two `array<float|double>` columns
+  * (float elements are widened per element, exactly like
+  * `CAST(x AS DOUBLE)`). Sequential accumulation in array order — the
+  * exact summation order the DuckDB oracle uses, so scores stay
+  * bit-identical. Null if either array or any touched element is null, or
+  * lengths differ (strict, matching zip_with semantics). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects array<float|double>, got " +
+        s"${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def get(a: ArrayData, i: Int, t: DataType): Double =
+    if (t == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left).get, elemType(right).get)
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += get(a, i, ta) * get(b, i, tb)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def getter(v: String, t: DataType): String =
+        if (t == FloatType) s"(double) $v.getFloat(i)" else s"$v.getDouble(i)"
+      val ga = getter(a, elemType(left).get)
+      val gb = getter(b, elemType(right).get)
+      s"""
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double acc = 0.0;
+         |  boolean anyNull = false;
+         |  for (int i = 0; i < n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
+         |    acc += $ga * $gb;
+         |  }
+         |  if (anyNull) { ${ev.isNull} = true; } else { ${ev.value} = acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression)
+      : Expression = copy(left = newLeft, right = newRight)
+}
+
+/** SparkSessionExtensions hook installing the graft native functions —
+  * usable via `spark.sql.extensions=graft.expressions.GraftExtensions` or
+  * programmatically (Engine does the latter). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    NativeExprs.inject(ext)
+}

@@ -31,11 +31,26 @@ object DedupOps {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Distinct word-n-gram shingle set per document: (id, shingle set). */
+  /** Distinct word-n-gram shingle set per document: (id, shingle set).
+    * String shingles — the oracle-comparable form used by the exact
+    * [[jaccardPairs]] path. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame =
     df.select(col(idCol).as("_id"),
       array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n))
+        .as("_sh"))
+
+  /** Distinct HASHED shingle set per document (id, array<long>): tokens
+    * are hashed once, the n-gram windows are combined and deduped by the
+    * native [[graft.expressions.ShingleHashes]] — no shingle strings are
+    * ever materialized. This is the MinHash-pipeline form: ~10× cheaper
+    * than string shingling, and set-Jaccard over hashed shingles equals
+    * string-shingle Jaccard up to 64-bit hash collisions. */
+  private def hashedShingleSets(df: DataFrame, idCol: String,
+                                textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+      call_function("graft_shingle_hashes",
+        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)), lit(n))
         .as("_sh"))
 
   /** All-pairs n-gram Jaccard similarity (id_a < id_b). Exact — and
@@ -54,36 +69,39 @@ object DedupOps {
           .as("jaccard"))
   }
 
-  /** MinHash signature of a shingle array: k permutations approximated by
-    * k seeded xxhash64 functions; component p = min over shingles of
-    * hash_p(shingle). Empty shingle sets yield null components (callers
+  /** MinHash signature of a shingle array: each shingle is string-hashed
+    * once (`xxhash64`), then the k permutation minima are computed by the
+    * native codegen'd [[graft.expressions.MinHashSig]] expression — the
+    * k×n inner loop runs as compiled long arithmetic, not k interpreted
+    * higher-order lambdas. Empty shingle sets → null signature (callers
     * filter those docs out — nothing to near-dup match on). */
   def minhashSignature(sh: Column, numPerm: Int): Column =
-    array((0 until numPerm).map { p =>
-      array_min(transform(sh, s => xxhash64(concat(lit(p + ":"), s))))
-    }: _*)
+    call_function("graft_minhash_sig",
+      transform(sh, s => xxhash64(s)), lit(numPerm))
 
   /** LSH band hashes of a signature: `bands` groups of `rowsPerBand`
-    * components, each group collapsed to one 64-bit bucket key. Two docs
-    * land in the same (band, hash) bucket iff that band of their signatures
-    * agrees exactly — the classic banding amplification. */
+    * components, each group collapsed to one 64-bit bucket key by hashing
+    * the component longs directly (no string building). Two docs land in
+    * the same (band, hash) bucket iff that band of their signatures agrees
+    * exactly — the classic banding amplification. */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { j =>
-      xxhash64(concat_ws(",",
-        transform(slice(sig, j * rowsPerBand + 1, rowsPerBand),
-          x => x.cast("string"))))
+      xxhash64((0 until rowsPerBand)
+        .map(i => element_at(sig, j * rowsPerBand + i + 1)): _*)
     }: _*)
 
-  /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
+  /** MinHash-LSH near-duplicate pairs: banded candidate generation, exact
+    * shingle-Jaccard verification.
     *
     * Pipeline: tokenize → shingle → signature (narrow projections) →
     * explode band hashes → self-join per bucket (shuffles only
-    * (band, hash, id) triples) → distinct pairs → estimate Jaccard as the
-    * fraction of agreeing signature components → threshold.
+    * (band, hash, id) triples) → distinct pairs → verify with exact
+    * Jaccard on the candidates only → threshold.
     *
     * numPerm/bands defaults (64 perms, 16 bands × 4 rows) put the LSH
     * S-curve threshold at (1/16)^(1/4) ≈ 0.5 — pairs above ~0.5 Jaccard
-    * are near-certain to surface, pairs far below almost never do.
+    * are near-certain to become candidates, pairs far below almost never
+    * do; the exact verification then removes banding false positives.
     */
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 2, numPerm: Int = 64,
@@ -91,25 +109,36 @@ object DedupOps {
                           threshold: Double = 0.5): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
-    val sigs = shingleSets(df, idCol, textCol, shingleN)
+    val shing = hashedShingleSets(df, idCol, textCol, shingleN)
       .filter(size(col("_sh")) > 0)
-      .select(col("_id"), minhashSignature(col("_sh"), numPerm).as("_sig"))
-    val banded = sigs.select(col("_id"), col("_sig"),
+    // The signature projection runs exactly ONCE (candidate generation);
+    // the band self-join shuffles only (band, hash, id) triples, and the
+    // surviving candidate pairs are verified with EXACT shingle-set
+    // Jaccard (the standard LSH generate-then-verify pipeline) on the
+    // hashed sets. At persistent-pipeline scale, persist `shing` across
+    // the three references.
+    val sigs = shing.select(col("_id"),
+      call_function("graft_minhash_sig", col("_sh"), lit(numPerm))
+        .as("_sig"))
+    val banded = sigs.select(col("_id"),
         posexplode(bandHashes(col("_sig"), bands, r)))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bh"))
-    val left = banded.select(col("_band"), col("_bh"),
-      col("_id").as("id_a"), col("_sig").as("sig_a"))
-    val right = banded.select(col("_band"), col("_bh"),
-      col("_id").as("id_b"), col("_sig").as("sig_b"))
-    left.join(right, Seq("_band", "_bh"))
+    val left = banded.select(col("_band"), col("_bh"), col("_id").as("id_a"))
+    val right = banded.select(col("_band"), col("_bh"), col("_id").as("id_b"))
+    val pairs = left.join(right, Seq("_band", "_bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(shing.select(col("_id").as("id_a"), col("_sh").as("sh_a")),
+        Seq("id_a"))
+      .join(shing.select(col("_id").as("id_b"), col("_sh").as("sh_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)).cast("double") / numPerm)
-          .as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Apply MinHash-LSH dedup: drop the higher-id member of every near-dup
@@ -124,27 +153,21 @@ object DedupOps {
     df.join(losers, col(idCol) === col("_loser"), "left_anti")
   }
 
+  /** SimHash from pre-hashed tokens (`array<long>`): per bit position,
+    * the majority vote of the token hashes' bits becomes that bit.
+    * Delegates to the native codegen'd [[graft.expressions.SimHashBits]]
+    * (the `aggregate`+`zip_with` formulation allocates two 64-slot arrays
+    * per token per row, all interpreted). */
+  def simhashFromTokenHashes(hs: Column): Column =
+    call_function("graft_simhash", hs)
+
   /** SimHash: 64-bit locality-sensitive fingerprint of the token multiset.
-    * Per token, xxhash64 votes ±1 on each of 64 bit positions; the sign of
-    * each accumulated vote becomes that bit. Near-identical documents end
-    * up within a few bits of Hamming distance. Single projection, no
-    * shuffle. */
-  def simhash64(toks: Column): Column = {
-    val votes = aggregate(toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc,
-          sequence(lit(0), lit(63)),
-          (a, b) => a + when(call_function("shiftright", h, b)
-            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * Near-identical documents end up within a few bits of Hamming
+    * distance. Single projection, no shuffle. Callers doing bulk hashing
+    * should materialize `transform(toks, xxhash64)` as a column first and
+    * use [[simhashFromTokenHashes]] so the token hashing runs once. */
+  def simhash64(toks: Column): Column =
+    simhashFromTokenHashes(transform(toks, t => xxhash64(t)))
 
   /** SimHash near-dup pairs under a Hamming-distance bound. Candidate
     * blocking: split the 64-bit hash into 4 16-bit blocks — any pair within
@@ -154,8 +177,10 @@ object DedupOps {
     * 100 TB, vs the all-pairs O(n²) naive form. */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("_id"),
-      simhash64(TextOps.tokens(col(textCol))).as("_sh"))
+    val hashed = df
+      .select(col(idCol).as("_id"),
+        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("_th"))
+      .select(col("_id"), simhashFromTokenHashes(col("_th")).as("_sh"))
     val blocks = hashed.select(col("_id"), col("_sh"),
         posexplode(array((0 until 4).map { b =>
           call_function("shiftright", col("_sh"), lit(b * 16))

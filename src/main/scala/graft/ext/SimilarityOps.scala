@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Double-precision dot product of two float-array columns (element-wise
-    * cast first, so multiplication happens in double on both engines). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Double-precision dot product of two float-array columns (implicit
+    * element-wise cast to double, so multiplication happens in double on
+    * both engines). Native codegen'd expression
+    * ([[graft.expressions.DotProduct]]) — the `zip_with`+`aggregate`
+    * formulation pays one interpreted lambda call per element. Same
+    * sequential accumulation order as the DuckDB oracle. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -43,11 +45,17 @@ object SimilarityOps {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    // norms are computed ONCE per row on each side (a narrow projection
+    // before the join) instead of once per (query, neighbor) pair —
+    // identical arithmetic, |Q|+|C| instead of |Q|·|C| norm evaluations.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("_qv"), col("_cv")), 6).as("score"))
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6)
+          .as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), asc("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -71,25 +79,50 @@ object SimilarityOps {
         call_function("shiftleft", lit(1L), lit(i))).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Sign-pattern blocking buckets for near-identical vectors: table t's
+    * bucket is the sign bitmask of `bitsPerTable` consecutive components.
+    * Identical vectors share every bucket with certainty; a 0.99-cosine
+    * near-dup flips a sign only where a component sits within ε of zero,
+    * and disjoint component subsets give independent chances to collide.
+    * Unlike hyperplane projections this costs `dim` comparisons per row —
+    * no dot products — so bucketing 10⁹ vectors is a cheap projection. */
+  def signBuckets(vec: Column, dim: Int, bitsPerTable: Int = 16): Column =
+    array((0 until dim / bitsPerTable).map { t =>
+      (0 until bitsPerTable).map { i =>
+        when(element_at(vec, t * bitsPerTable + i + 1) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+
   /** Embedding-cosine near-duplicate pairs (the §2.10 "embedding-cosine
-    * near-dup" dedup variant): candidates from LSH bucket collisions
-    * (any of `tables` hash tables), then exact cosine ≥ threshold.
-    * Identical vectors always share every bucket, so true duplicates are
-    * found with certainty; the bucket join shuffles only
-    * (table, bucket, id, vector) — never the all-pairs cross product. */
+    * near-dup" dedup variant): candidates from sign-pattern bucket
+    * collisions (any of dim/bitsPerTable disjoint tables), then exact
+    * cosine ≥ threshold on the candidates only.
+    *
+    * Scale shape: the bucket join carries ONLY (table, bucket, id) — never
+    * vectors — and pairs are deduped before vectors are re-attached by two
+    * id joins, so the heavy payload crosses the network once per surviving
+    * candidate, and the all-pairs cross product never materializes. With
+    * 2^16 buckets per table, random buckets stay near-singleton even at
+    * millions of vectors. */
   def nearDupPairsEmbedding(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, dim: Int, bits: Int = 4,
-                            tables: Int = 8,
-                            seed: Long = 42L): DataFrame = {
-    val allPlanes = (0 until tables)
-      .map(t => hyperplanes(dim, bits, seed + t))
-    def bucketed(side: String): DataFrame =
-      df.select(col(idCol).as(s"id_$side"), col(vecCol).as(s"_${side}v"),
-        posexplode(array(allPlanes.map(p => lshBucket(col(vecCol), p)): _*)))
-        .withColumnsRenamed(Map("pos" -> "_tbl", "col" -> "_bkt"))
-    bucketed("a").join(bucketed("b"), Seq("_tbl", "_bkt"))
+                            threshold: Double, dim: Int,
+                            bitsPerTable: Int = 16): DataFrame = {
+    val vecs = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val blocks = vecs.select(col("_id"),
+        posexplode(signBuckets(col("_v"), dim, bitsPerTable)))
+      .withColumnsRenamed(Map("pos" -> "_tbl", "col" -> "_bkt"))
+    val l = blocks.select(col("_tbl"), col("_bkt"), col("_id").as("id_a"))
+    val r = blocks.select(col("_tbl"), col("_bkt"), col("_id").as("id_b"))
+    val pairs = l.join(r, Seq("_tbl", "_bkt"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(vecs.select(col("_id").as("id_a"), col("_v").as("_av")),
+        Seq("id_a"))
+      .join(vecs.select(col("_id").as("id_b"), col("_v").as("_bv")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("_av"), col("_bv")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
@@ -99,6 +132,8 @@ object SimilarityOps {
     * duplicate cluster (higher ids anti-joined out). */
   def dedupeByEmbedding(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, dim: Int): DataFrame = {
+    // anti join on the loser-id set; AQE picks broadcast vs shuffled hash
+    // from the runtime size (the dup fraction is data-dependent).
     val losers = nearDupPairsEmbedding(df, idCol, vecCol, threshold, dim)
       .select(col("id_b").as("_loser")).distinct()
     df.join(losers, col(idCol) === col("_loser"), "left_anti")

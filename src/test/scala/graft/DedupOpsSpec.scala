@@ -45,11 +45,11 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((2L, 3L)))
   }
 
-  test("minhash est_jaccard is exactly 1.0 for clones") {
-    val est = DedupOps.nearDupPairsMinhash(corpus(), "id", "text")
+  test("minhash pair jaccard is exactly 1.0 for clones") {
+    val j = DedupOps.nearDupPairsMinhash(corpus(), "id", "text")
       .filter(col("id_a") === 0 && col("id_b") === 4)
       .collect()(0).getDouble(2)
-    assert(est == 1.0)
+    assert(j == 1.0)
   }
 
   test("dedupeNearMinhash drops the higher-id member of each pair") {
