@@ -45,6 +45,8 @@ object SparkEntry {
     "t_dedupe_append" -> (TransformQueries.tDedupeAppend _),
     "t_stringify_export" -> (TransformQueries.tStringifyExport _),
     "t_parse_flag" -> (TransformQueries.tParseFlag _),
+    "t_sql_passthrough" -> (TransformQueries.tSqlPassthrough _),
+    "t_salted_agg" -> (TransformQueries.tSaltedAgg _),
     // LLM-pipeline north-star ops (SURVEY §2.10)
     "x_dedup_exact" -> (ExtQueries.xDedupExact _),
     "x_dedup_jaccard" -> (ExtQueries.xDedupJaccard _),
@@ -91,6 +93,8 @@ object SparkEntry {
     "t_dedupe_append" -> TransformQueries.tDedupeAppendSql,
     "t_stringify_export" -> TransformQueries.tStringifyExportSql,
     "t_parse_flag" -> TransformQueries.tParseFlagSql,
+    "t_sql_passthrough" -> TransformQueries.passthroughSql,
+    "t_salted_agg" -> TransformQueries.tSaltedAggSql,
     "x_dedup_exact" -> ExtQueries.xDedupExactSql,
     "x_dedup_jaccard" -> ExtQueries.xDedupJaccardSql,
     "x_dedup_embed" -> ExtQueries.xDedupEmbedSql,

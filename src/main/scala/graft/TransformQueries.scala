@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
 import graft.functions.Functions
-import graft.transform.{Dedupe, Ids, Profile, Sanitize}
+import graft.transform.{Dedupe, Ids, Profile, Sanitize, Skew}
 
 /** Correctness-harness wiring for the transform layer (VERDICT r1 item 10):
   * profile, top-k values, contiguous ids, dedupe-append, export
@@ -144,6 +144,41 @@ object TransformQueries {
       |  COALESCE(CAST(o_orderpriority AS VARCHAR), '') AS o_orderpriority
       |FROM orders WHERE o_orderkey < 500
       |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // S6 SQL passthrough — the SAME SQL string runs through Engine.sql
+  // (Catalyst over registered views) and through DuckDB: the facade that
+  // replaces the reference's BigQuery delegation, verified end-to-end.
+  // ---------------------------------------------------------------------
+  val passthroughSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  COUNT(DISTINCT c_nationkey) AS n_nations
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  def tSqlPassthrough(s: SparkSession, dir: String): DataFrame = {
+    graft.engine.Engine.registerAll(s, dir)
+    graft.engine.Engine.sql(s, passthroughSql)
+      .getOrElse(throw new IllegalStateException("passthrough SQL failed"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Skew-safe salted aggregation — must be bit-identical to the plain
+  // grouped sum (decimal partials are associative), which the oracle's
+  // UNSALTED sum verifies.
+  // ---------------------------------------------------------------------
+  def tSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSumCount(t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+        salts = 16)
+      .orderBy(col("l_returnflag"))
+
+  val tSaltedAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+      |    AS sum_l_quantity,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
   // F1 parse_flag — the reference's permissive boolean parser

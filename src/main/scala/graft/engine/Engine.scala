@@ -33,6 +33,9 @@ object Engine {
       // for; read as long and convert in `table` (values are µs-resolution,
       // so the conversion is lossless — see FIXTURES.md).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed-table warehouse (bucketed tables) under tmp, not the cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
     master.foreach(b.master)
     val spark = b.getOrCreate()

@@ -79,6 +79,29 @@ object Streaming {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Custom keyed state via `mapGroupsWithState`: running per-user totals
+    * that survive across micro-batches (the arbitrary-stateful-processing
+    * surface — what windowed aggs can't express). State is one (count,
+    * sum) pair per user — partitioned across executors by group key; pair
+    * with a state TTL/timeout in production to bound it. */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var c = c0; var s = s0
+          rows.foreach { case (_, v) => c += 1; s += v }
+          state.update((c, s))
+          (user, c, s)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   /** foreachBatch bridge into the batch sink layer (K-series): every
     * micro-batch appends through [[graft.sinks.Sinks.loadDataFrame]] —
     * empty-batch guard included (the reference's empty-input short-circuit,

@@ -101,6 +101,29 @@ class StreamingSpec extends SparkSpec {
     assert(written.columns.contains("event_id"))
   }
 
+  test("mapGroupsWithState carries per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = Streaming.runningUserTotals(stream.toDF())
+      .writeStream.format("memory").queryName("s_state")
+      .outputMode("update").start()
+    stream.addData(Seq(
+      Ev(1, ts("2026-01-01 10:00:00"), 7, "a", 1.0),
+      Ev(2, ts("2026-01-01 10:01:00"), 7, "a", 2.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(Ev(3, ts("2026-01-01 10:02:00"), 7, "a", 4.0)))
+    q.processAllAvailable()
+    q.stop()
+    // update mode appends one row per user per touched batch; the LAST row
+    // for user 7 must carry state accumulated across BOTH batches
+    val rows = spark.table("s_state").filter(col("user_id") === 7L)
+      .collect()
+    val last = rows.maxBy(_.getAs[Long]("n_events"))
+    assert(last.getAs[Long]("n_events") == 3L)
+    assert(last.getAs[Double]("sum_value") == 7.0)
+  }
+
   test("sliding windows overlap: each event appears in window/slide windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
