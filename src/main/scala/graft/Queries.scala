@@ -456,6 +456,93 @@ object Queries {
       |LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q19 — discounted revenue under an OR-of-ANDs predicate (the
+  // disjunctive-pushdown shape: each conjunct is sargable, the OR forces
+  // the optimizer to either push a disjunction or intersect row groups).
+  // ---------------------------------------------------------------------
+  def q19DisjunctivePredicates(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_rows"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q22 — inactive rich customers: scalar subquery (decimal-exact global
+  // average) + anti join + string ops, grouped by a derived code.
+  // ---------------------------------------------------------------------
+  def q22InactiveRich(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      .collect()(0).getDouble(0)
+    c.filter(col("c_acctbal") > avgBal)
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(substring(col("c_name"), 10, 1).as("code"))
+      .agg(count(lit(1)).as("n_custs"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("code"))
+  }
+
+  val q22Sql: String =
+    """SELECT substr(c_name, 10, 1) AS code, COUNT(*) AS n_custs,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+      |           / COUNT(*)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY code""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Correlated max: customers holding their nation's top balance
+  // (grouped max joined back on equality — the decorrelated form of a
+  // correlated scalar subquery).
+  // ---------------------------------------------------------------------
+  def qNationTopBalance(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val maxPerNation = c.groupBy(col("c_nationkey").as("mn_nationkey"))
+      .agg(max(col("c_acctbal")).as("max_bal"))
+    c.join(maxPerNation, col("c_nationkey") === col("mn_nationkey")
+        && col("c_acctbal") === col("max_bal"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+      .orderBy(col("n_name"), col("c_custkey"))
+  }
+
+  val qNationTopBalanceSql: String =
+    """SELECT n_name, c_custkey, c_name, c_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = customer.c_nationkey)
+      |ORDER BY n_name, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Window frames: running total + lag per customer. The window sum
   // accumulates in decimal (exact, order-defined by the unique sort key)
   // and casts to double at the end — bit-identical across engines.

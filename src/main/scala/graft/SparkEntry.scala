@@ -31,6 +31,9 @@ object SparkEntry {
     "q15_top_supplier" -> (Queries.q15TopSupplier _),
     "q17_small_qty" -> (Queries.q17SmallQty _),
     "q18_large_orders" -> (Queries.q18LargeOrders _),
+    "q19_disjunctive" -> (Queries.q19DisjunctivePredicates _),
+    "q22_inactive_rich" -> (Queries.q22InactiveRich _),
+    "q_nation_top_balance" -> (Queries.qNationTopBalance _),
     "q_window_running" -> (Queries.qWindowRunning _),
     "q_cube_counts" -> (Queries.qCubeCounts _),
     "q_events_hourly" -> (Queries.qEventsHourly _),
@@ -80,6 +83,9 @@ object SparkEntry {
     "q15_top_supplier" -> Queries.q15Sql,
     "q17_small_qty" -> Queries.q17Sql,
     "q18_large_orders" -> Queries.q18Sql,
+    "q19_disjunctive" -> Queries.q19Sql,
+    "q22_inactive_rich" -> Queries.q22Sql,
+    "q_nation_top_balance" -> Queries.qNationTopBalanceSql,
     "q_window_running" -> Queries.qWindowRunningSql,
     "q_cube_counts" -> Queries.qCubeCountsSql,
     "q_events_hourly" -> Queries.qEventsHourlySql,

@@ -139,6 +139,58 @@ object SimilarityOps {
     df.join(losers, col(idCol) === col("_loser"), "left_anti")
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means partitions the corpus
+    * into `nCentroids` cells; each query probes its `nProbe` nearest cells
+    * and ranks only those cells' vectors by exact cosine.
+    *
+    * The other classic ANN layout besides LSH ([[annTopK]]): better for
+    * clustered embedding spaces (cells adapt to the data), at the cost of
+    * a training pass. Scale shape: training samples the corpus; cell
+    * assignment is one projection; the probe join touches
+    * nProbe/nCentroids of the corpus per query instead of all of it.
+    * Distances use ||q−c||² = q·q − 2·q·c + c·c over the broadcast
+    * centroid table (tiny). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val fv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("_fv"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setMaxIter(maxIter).setFeaturesCol("_fv").setPredictionCol("_cell")
+      .fit(fv)
+    val cells = model.transform(fv).select(col("neighbor_id"), col("_cv"),
+      col("_cell"))
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toArray) })
+      .toDF("_cell", "_centroid")
+    // per query: nProbe nearest cells by L2 distance to the centroid
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val probeWin = Window.partitionBy(col("query_id"))
+      .orderBy(asc("_d2"), asc("_cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("_d2",
+        dot(col("_qv"), col("_qv"))
+          - lit(2.0) * dot(col("_qv"), col("_centroid"))
+          + dot(col("_centroid"), col("_centroid")))
+      .withColumn("_pr", row_number().over(probeWin))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("_cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("neighbor_id"))
+    cells.join(broadcast(probes), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_qv"), col("_cv")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+  }
+
   /** LSH-bucketed approximate top-k: `tables` independent hash tables of
     * `bits` hyperplanes each; candidates = corpus vectors sharing a bucket
     * with the query in ANY table; exact cosine re-ranks candidates.

@@ -49,6 +49,22 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low")
   }
 
+  test("ivfTopK recall vs brute force on the embeddings fixture") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = SimilarityOps.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf.size == exact.size) // full top-k emitted per query
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
   test("annTopK output is deterministic across runs") {
     val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
     val q = emb.filter(col("vec_id") < 3)
