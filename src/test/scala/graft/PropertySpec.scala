@@ -1,0 +1,63 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.transform.Sanitize
+
+/** Property-based tier (SURVEY §5.2.3) — raw ScalaCheck driven from
+  * ScalaTest (no scalatestplus bridge in the offline cache). Driver-side
+  * pure functions only; Spark-evaluated properties live in the dedicated
+  * suites where a session exists. */
+class PropertySpec extends AnyFunSuite {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(200)
+
+  private def check(name: String, prop: Prop): Unit = {
+    val r = SCTest.check(params, prop)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  test("sanitizeName is idempotent") {
+    check("idempotence", Prop.forAll { (s: String) =>
+      val once = Sanitize.sanitizeName(s)
+      Sanitize.sanitizeName(once) == once
+    })
+  }
+
+  test("sanitizeName always yields a warehouse-safe identifier") {
+    check("valid", Prop.forAll { (s: String) =>
+      val out = Sanitize.sanitizeName(s)
+      out.nonEmpty &&
+        out.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+        !out.startsWith("_") && !out.endsWith("_")
+    })
+  }
+
+  test("sanitizeName preserves already-clean names") {
+    val clean = for {
+      head <- Gen.alphaChar
+      tail <- Gen.listOf(Gen.frequency(
+        9 -> Gen.alphaNumChar, 1 -> Gen.const('x')))
+    } yield (head :: tail).mkString
+    check("preserves", Prop.forAll(clean) { s =>
+      Sanitize.sanitizeName(s) == s
+    })
+  }
+
+  test("mix is a bijection-grade mixer: no collisions on distinct inputs (sampled)") {
+    check("mix-distinct", Prop.forAll { (a: Long, b: Long) =>
+      (a == b) == (graft.expressions.NativeExprs.mix(a) ==
+        graft.expressions.NativeExprs.mix(b))
+    })
+  }
+
+  test("decodeStub is an L1-normalized histogram for any payload") {
+    check("histogram", Prop.forAll(Gen.listOf(Gen.choose(
+        Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val f = graft.ext.Multimodal.decodeStub(bytes.toArray)
+      f.length == graft.ext.Multimodal.FeatureDim &&
+        f.forall(_ >= 0f) &&
+        (bytes.isEmpty || math.abs(f.sum - 1f) < 1e-3)
+    })
+  }
+}

@@ -101,6 +101,33 @@ class StreamingSpec extends SparkSpec {
     assert(written.columns.contains("event_id"))
   }
 
+  test("watermark drops late data in append mode (bounded state contract)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = Streaming.eventsHourly(stream.toDF(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("s_late")
+      .outputMode("append").start()
+    // batch 1: events up to 12:05 → watermark advances to 11:55
+    stream.addData(Seq(
+      Ev(1, ts("2026-01-01 10:30:00"), 1, "a", 1.0),
+      Ev(2, ts("2026-01-01 12:05:00"), 1, "a", 2.0)))
+    q.processAllAvailable()
+    // batch 2: an event at 10:45 is behind the watermark → dropped; the
+    // 10:00 window was already finalized and emitted without it
+    stream.addData(Seq(Ev(3, ts("2026-01-01 10:45:00"), 1, "a", 8.0)))
+    q.processAllAvailable()
+    // advance watermark far enough to flush every window
+    stream.addData(Seq(Ev(4, ts("2026-01-01 15:00:00"), 1, "a", 4.0)))
+    q.processAllAvailable()
+    q.stop()
+    val tenAm = spark.table("s_late")
+      .filter(col("hour") === "2026-01-01 10:00:00").collect()
+    assert(tenAm.length == 1)
+    assert(tenAm(0).getAs[Long]("n_events") == 1L) // late event NOT counted
+    assert(tenAm(0).getAs[Double]("sum_value") == 1.0)
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
