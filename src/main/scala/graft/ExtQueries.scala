@@ -241,6 +241,36 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Text cleaning: planted URLs / emails / casing must wash out; the
+  // whole pipeline is one regex projection mirrored in DuckDB.
+  // ---------------------------------------------------------------------
+  def xTextClean(s: SparkSession, dir: String): DataFrame = {
+    val dirty = t(s, dir, "documents").withColumn("t",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" visit http://ex.com/page now"))
+          .when(col("doc_id") % 3 === 1,
+            lit(" mail Bob.Smith@example.com ok"))
+          .otherwise(lit(" PLAIN Tail"))))
+    dirty.select(col("doc_id"), TextOps.cleanText(col("t")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  val xTextCleanSql: String =
+    """WITH dirty AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' visit http://ex.com/page now'
+      |         WHEN doc_id % 3 = 1 THEN ' mail Bob.Smith@example.com ok'
+      |         ELSE ' PLAIN Tail' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  lower(trim(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(t,
+      |    'https?://[^ ]+', ' ', 'g'),
+      |    '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+', ' ', 'g'),
+      |    '[^ -~]', ' ', 'g'),
+      |    ' +', ' ', 'g'))) AS cleaned
+      |FROM dirty ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Document fingerprinting (md5 of normalized text).
   // ---------------------------------------------------------------------
   def xTextFingerprint(s: SparkSession, dir: String): DataFrame =

@@ -45,6 +45,20 @@ object Multimodal {
         (pmod(col(idCol), lit(48)) + 1).cast("int").as("height"),
         length(col("media")).cast("long").as("n_bytes")))
 
+  /** Real media ingestion path: a directory of encoded files → (path,
+    * modificationTime, length, content) via Spark's binaryFile source —
+    * the production twin of [[withSyntheticMedia]]. Payloads stream
+    * straight from the object store into executor memory per partition
+    * (use `pathGlobFilter` to pick formats; `maxBytesPerPartition` style
+    * limits come from `spark.sql.files.maxPartitionBytes`). */
+  def readBinaryFiles(spark: org.apache.spark.sql.SparkSession,
+                      path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(col("path"), col("length").as("n_bytes"),
+        col("content").as("media"))
+
   /** STUB decoder — deterministic fake features from raw bytes: a
     * 16-bucket byte-value histogram, L1-normalized. A real implementation
     * would decode pixels/samples here; the signature (bytes in, fixed-dim

@@ -101,6 +101,19 @@ object TextOps {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** Text cleaning for training-data prep: strip URLs and e-mail-ish
+    * tokens, drop non-printable-ASCII, collapse whitespace runs, trim,
+    * lowercase. Pure regex projection (patterns restricted to syntax that
+    * Java regex and RE2 interpret identically, so the DuckDB oracle can
+    * mirror it exactly). */
+  def cleanText(text: Column): Column =
+    lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      text,
+      "https?://[^ ]+", " "),            // URLs
+      "[a-zA-Z0-9.]+@[a-zA-Z0-9.]+", " "), // emails
+      "[^ -~]", " "),                     // non-printable-ASCII
+      " +", " ")))                        // collapse spaces
+
   /** Document fingerprint for exact dedup: md5 of the
     * lowercased/trimmed text. Identical in DuckDB (`md5(lower(trim(x)))`)
     * so it is oracle-checkable end-to-end. */

@@ -59,6 +59,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("readBinaryFiles ingests a media directory with real payloads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    java.nio.file.Files.write(dir.resolve("a.img"),
+      Array.tabulate[Byte](100)(_.toByte))
+    java.nio.file.Files.write(dir.resolve("b.img"),
+      Array.tabulate[Byte](40)((i: Int) => (i * 3).toByte))
+    java.nio.file.Files.write(dir.resolve("skip.txt"),
+      "not media".getBytes("UTF-8"))
+    val df = Multimodal.readBinaryFiles(spark, dir.toString, "*.img")
+    assert(df.count() == 2)
+    val out = Multimodal.extractFeatures(df, "media")
+      .select("n_bytes", "features").collect()
+    assert(out.map(_.getAs[Long]("n_bytes")).toSet == Set(100L, 40L))
+    out.foreach(r =>
+      assert(r.getSeq[Float](1).length == Multimodal.FeatureDim))
+  }
+
   test("sampleFrames: strided fixed-size chunks with sequential frame_no") {
     import spark.implicits._
     val one = Seq((7L, "abcdefgh" * 20)).toDF("doc_id", "text") // 160 chars

@@ -60,6 +60,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2) == "de")
   }
 
+  test("cleanText strips URLs/emails/control chars and normalizes") {
+    import spark.implicits._
+    val out = Seq(
+      "Go to https://x.io/a?b=1 NOW",
+      "ping Bob.Smith@example.com twice",
+      "tab\therectl",
+      "  spaced   out  ").toDF("t")
+      .select(TextOps.cleanText(col("t"))).collect().map(_.getString(0))
+    assert(out(0) == "go to now")
+    assert(out(1) == "ping twice")
+    assert(out(2) == "tab here ctl")
+    assert(out(3) == "spaced out")
+  }
+
   test("fingerprint is normalization-insensitive; rollingHash is order-sensitive") {
     import spark.implicits._
     val df = Seq(("  The Quick Fox ", "a b"), ("the quick fox", "b a"))
