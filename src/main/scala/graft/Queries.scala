@@ -489,8 +489,11 @@ object Queries {
       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Q22 — inactive rich customers: scalar subquery (decimal-exact global
-  // average) + anti join + string ops, grouped by a derived code.
+  // Q22 — DORMANT rich customers: scalar subquery (decimal-exact global
+  // average) + anti join on a dated order subset + string ops, grouped by
+  // a derived code. "No orders since 1998" rather than "no orders ever" —
+  // the latter is vacuously empty at fixture scale (every customer has
+  // some order), which would green-light a no-op query.
   // ---------------------------------------------------------------------
   def q22InactiveRich(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -498,7 +501,8 @@ object Queries {
       .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
       .collect()(0).getDouble(0)
     c.filter(col("c_acctbal") > avgBal)
-      .join(t(s, dir, "orders"),
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1998-01-01 00:00:00")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(substring(col("c_name"), 10, 1).as("code"))
       .agg(count(lit(1)).as("n_custs"), dsum(col("c_acctbal")).as("total_bal"))
@@ -513,7 +517,8 @@ object Queries {
       |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
       |           / COUNT(*)
       |    FROM customer WHERE c_acctbal > 0)
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
       |GROUP BY 1 ORDER BY code""".stripMargin
 
   // ---------------------------------------------------------------------

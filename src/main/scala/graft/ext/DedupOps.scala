@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for LLM training-data pipelines (SURVEY §2.10):
   * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash.
   *
+  * Algorithms are the published classics: MinHash resemblance (Broder,
+  * "On the resemblance and containment of documents", 1997), LSH banding
+  * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3), SimHash
+  * (Charikar, "Similarity estimation techniques from rounding algorithms",
+  * STOC 2002; Manku et al., "Detecting near-duplicates for web crawling",
+  * WWW 2007 for the Hamming block trick).
+  *
   * Scale shapes (the part that matters at 100 TB):
   *  - exact dedup: one shuffle on the fingerprint, partial agg map-side;
   *  - MinHash-LSH: signatures are a narrow projection; candidate generation

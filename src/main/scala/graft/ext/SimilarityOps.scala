@@ -5,8 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (SURVEY §2.10):
-  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
-  * LSH-bucketed variant as the scale path.
+  * brute-force cosine top-k as the exact baseline, plus the two classic
+  * ANN layouts — random-hyperplane LSH (Charikar, STOC 2002; the
+  * sign-random-projection family) and IVF inverted files (Jégou et al.,
+  * "Product quantization for nearest neighbor search", TPAMI 2011 — the
+  * coarse-quantizer half, without PQ codes).
   *
   * All arithmetic runs through `zip_with`/`aggregate` higher-order
   * functions on `array<float>` columns cast element-wise to double — same
