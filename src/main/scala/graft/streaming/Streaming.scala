@@ -79,6 +79,15 @@ object Streaming {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-static enrichment join: the event stream joined against a
+    * static dimension frame (re-read per micro-batch if the underlying
+    * source changes). The static side is broadcast when small — the
+    * standard dimension-enrichment shape; no watermark needed because the
+    * static side never ages. */
+  def enriched(events: DataFrame, dim: DataFrame,
+               joinKey: String): DataFrame =
+    events.join(broadcast(dim), joinKey)
+
   /** Custom keyed state via `mapGroupsWithState`: running per-user totals
     * that survive across micro-batches (the arbitrary-stateful-processing
     * surface — what windowed aggs can't express). State is one (count,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+
+/** S6 facade + session/table plumbing, incl. the reference's
+  * error-contract asymmetry (SURVEY §7.4.7): the QUERY path logs and
+  * returns None; load paths raise (SinksSpec) or swallow (SourcesSpec). */
+class EngineSpec extends SparkSpec {
+
+  test("registerAll exposes every fixture table as a view") {
+    Engine.registerAll(spark, fixtureDir)
+    Engine.TableNames.foreach { t =>
+      assert(spark.catalog.tableExists(t), t)
+    }
+    assert(Engine.sql(spark,
+      "SELECT COUNT(*) AS n FROM lineitem").get.collect()(0).getLong(0) > 0)
+  }
+
+  test("sql returns None (not an exception) on a broken query") {
+    assert(Engine.sql(spark, "SELECT FROM WHERE").isEmpty)
+    assert(Engine.sql(spark, "SELECT * FROM no_such_table_xyz").isEmpty)
+  }
+
+  test("events.ts loads as a usable microsecond timestamp") {
+    val events = Engine.table(spark, fixtureDir, "events")
+    val dt = events.schema("ts").dataType
+    assert(dt == org.apache.spark.sql.types.TimestampType
+      || dt == org.apache.spark.sql.types.TimestampNTZType, dt.toString)
+    val r = events.agg(min("ts"), max("ts")).collect()(0)
+    assert(!r.isNullAt(0) && !r.isNullAt(1))
+  }
+
+  test("native graft_* functions are registered on every Engine session") {
+    import spark.implicits._
+    val out = Seq(Seq(1L, 2L, 3L)).toDF("hs")
+      .selectExpr("graft_minhash_sig(hs, 8) AS sig",
+        "graft_simhash(hs) AS sh")
+      .collect()(0)
+    assert(out.getSeq[Long](0).length == 8)
+  }
+
+  test("stream-static enrichment joins events with a broadcast dimension") {
+    import spark.implicits._
+    val events = Engine.table(spark, fixtureDir, "events")
+      .withColumn("nationkey", pmod(col("user_id"), lit(25)).cast("int"))
+    val dim = Engine.table(spark, fixtureDir, "nation")
+      .withColumnRenamed("n_nationkey", "nationkey")
+    val out = graft.streaming.Streaming.enriched(events, dim, "nationkey")
+    assert(out.count() == events.count())
+    assert(out.columns.contains("n_name"))
+  }
+}
