@@ -160,6 +160,16 @@ object DedupOps {
     df.join(losers, col(idCol) === col("_loser"), "left_anti")
   }
 
+  /** The composed corpus-dedup pipeline a training-data run actually
+    * wants: exact dedup first (cheap hash-groupBy removes clones so the
+    * LSH stage never wastes candidates on them), then MinHash-LSH
+    * near-dup removal. Keeps the lowest id of every duplicate cluster. */
+  def dedupeCorpus(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 2, numPerm: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame =
+    dedupeNearMinhash(exactByText(df, idCol, textCol), idCol, textCol,
+      shingleN, numPerm, bands, threshold)
+
   /** SimHash from pre-hashed tokens (`array<long>`): per bit position,
     * the majority vote of the token hashes' bits becomes that bit.
     * Delegates to the native codegen'd [[graft.expressions.SimHashBits]]

@@ -60,6 +60,12 @@ class DedupOpsSpec extends SparkSpec {
     assert(!kept.contains(1L)) // near-dup of 0
   }
 
+  test("dedupeCorpus composes exact + near dedup, keeping min ids") {
+    val kept = DedupOps.dedupeCorpus(corpus(), "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L)) // 4 = clone, 1 = near-dup of 0
+  }
+
   test("simhash: clones at hamming 0; near-dups within bound; blocking finds them") {
     val pairs = DedupOps.nearDupPairsSimhash(corpus(), "id", "text",
         maxHamming = 10)
