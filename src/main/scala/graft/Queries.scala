@@ -456,6 +456,41 @@ object Queries {
       |LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q10 — returned-item losses: customers ranked by revenue on returned
+  // lineitems (flag filter + 3-way join + agg + deterministic top-20).
+  // ---------------------------------------------------------------------
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    li.join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00")
+            && col("o_orderdate") < ts("1997-07-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Q19 — discounted revenue under an OR-of-ANDs predicate (the
   // disjunctive-pushdown shape: each conjunct is sargable, the OR forces
   // the optimizer to either push a disjunction or intersect row groups).

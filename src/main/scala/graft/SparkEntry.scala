@@ -31,6 +31,7 @@ object SparkEntry {
     "q15_top_supplier" -> (Queries.q15TopSupplier _),
     "q17_small_qty" -> (Queries.q17SmallQty _),
     "q18_large_orders" -> (Queries.q18LargeOrders _),
+    "q10_returned_items" -> (Queries.q10ReturnedItems _),
     "q19_disjunctive" -> (Queries.q19DisjunctivePredicates _),
     "q22_inactive_rich" -> (Queries.q22InactiveRich _),
     "q_nation_top_balance" -> (Queries.qNationTopBalance _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "q15_top_supplier" -> Queries.q15Sql,
     "q17_small_qty" -> Queries.q17Sql,
     "q18_large_orders" -> Queries.q18Sql,
+    "q10_returned_items" -> Queries.q10ReturnedSql,
     "q19_disjunctive" -> Queries.q19Sql,
     "q22_inactive_rich" -> Queries.q22Sql,
     "q_nation_top_balance" -> Queries.qNationTopBalanceSql,

@@ -358,6 +358,8 @@ case class DotProduct(left: Expression, right: Expression)
   * usable via `spark.sql.extensions=graft.expressions.GraftExtensions` or
   * programmatically (Engine does the latter). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     NativeExprs.inject(ext)
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
 }
