@@ -101,6 +101,41 @@ object TextOps {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** Character-trigram language profiles (top distinctive trigrams per
+    * language, space-padded word boundaries — the Cavnar-Trenkle n-gram
+    * categorization idea reduced to a fixed profile set). Public-corpus
+    * commonplaces; weights are uniform (presence-scoring). */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" de", "der", "ie ", "ein", "sch", "ich", "nde", "die",
+      "che", "en "),
+    "en" -> Seq(" th", "the", "he ", "ing", "ng ", "and", " an", "ed ",
+      "ion", " of"),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "ión", "ent", "es ",
+      "ar ", "que"),
+    "fr" -> Seq(" de", "de ", "es ", "le ", " le", "ent", "ion", " pa",
+      "tio", "que"))
+
+  /** Trigram-based language ID: score = number of profile trigrams present
+    * in the (lowercased, space-padded) text; predict the
+    * alphabetically-first max scorer. More robust than marker words for
+    * running text; still a single narrow projection (each `contains` is a
+    * codegen'd substring scan). */
+  def languageIdTrigram(df: DataFrame, textCol: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val scored = TrigramProfiles.foldLeft(df) { case (acc, (lang, grams)) =>
+      acc.withColumn(s"tg_score_$lang",
+        grams.map(g => when(padded.contains(g), 1L).otherwise(0L))
+          .reduce(_ + _))
+    }
+    val scores = TrigramProfiles.map { case (l, _) => col(s"tg_score_$l") }
+    val maxScore = greatest(scores: _*)
+    val pred = TrigramProfiles.foldRight(lit(null).cast("string")) {
+      case ((lang, _), elseC) =>
+        when(col(s"tg_score_$lang") === maxScore, lit(lang)).otherwise(elseC)
+    }
+    scored.withColumn("pred_lang_trigram", pred)
+  }
+
   /** Text cleaning for training-data prep: strip URLs and e-mail-ish
     * tokens, drop non-printable-ASCII, collapse whitespace runs, trim,
     * lowercase. Pure regex projection (patterns restricted to syntax that

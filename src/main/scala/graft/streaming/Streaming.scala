@@ -79,6 +79,26 @@ object Streaming {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-stream inner join with an event-time interval: pair each left
+    * event with right events for the same user within `within` AFTER it.
+    * Both sides carry watermarks so the join state is bounded — Spark
+    * buffers only rows younger than watermark+interval, then evicts.
+    * Column prefixes disambiguate the two sides. */
+  def correlatedEvents(left: DataFrame, right: DataFrame,
+                       within: String = "10 minutes",
+                       watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Stream-static enrichment join: the event stream joined against a
     * static dimension frame (re-read per micro-batch if the underlying
     * source changes). The static side is broadcast when small — the

@@ -75,6 +75,19 @@ class ProfileSpec extends SparkSpec {
     assert(mTop == Set(("0", 334L), ("1", 333L), ("2", 333L)))
   }
 
+  test("exact=false swaps HLL approx distincts (within tolerance, no melt dependency)") {
+    val cust = graft.engine.Engine.table(spark, fixtureDir, "customer")
+    val exact = Profile.profile(cust, exact = true).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("unique_count")).toMap
+    val approx = Profile.profile(cust, exact = false).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("unique_count")).toMap
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      assert(math.abs(a - e).toDouble <= math.max(2.0, e * 0.1),
+        s"$c approx=$a exact=$e")
+    }
+  }
+
   test("topKValues is deterministic under ties (count desc, value asc)") {
     import spark.implicits._
     val t = Seq("x", "y", "x", "y", "z").toDF("c")

@@ -101,6 +101,27 @@ class StreamingSpec extends SparkSpec {
     assert(written.columns.contains("event_id"))
   }
 
+  test("stream-stream interval join pairs events within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = Streaming.correlatedEvents(clicks.toDF(), buys.toDF(),
+        within = "10 minutes")
+      .writeStream.format("memory").queryName("s_join")
+      .outputMode("append").start()
+    clicks.addData(Seq(Ev(1, ts("2026-01-01 10:00:00"), 7, "click", 1.0)))
+    buys.addData(Seq(
+      Ev(2, ts("2026-01-01 10:05:00"), 7, "buy", 9.0),   // within 10 min ✓
+      Ev(3, ts("2026-01-01 10:30:00"), 7, "buy", 5.0),   // too late ✗
+      Ev(4, ts("2026-01-01 10:04:00"), 8, "buy", 3.0)))  // other user ✗
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("s_join").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Double]("r_value") == 9.0)
+  }
+
   test("watermark drops late data in append mode (bounded state contract)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -60,6 +60,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2) == "de")
   }
 
+  test("languageIdTrigram classifies real-language snippets") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox is running through the woods and the fields",
+      "la casa de mis padres que está en los montes es muy grande",
+      "der schnelle braune fuchs springt über die faulen hunde im schnee",
+      "le chien de mon père est dans le jardin avec les enfants")
+      .toDF("text")
+    val out = TextOps.languageIdTrigram(df, "text")
+      .select("pred_lang_trigram").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "de", "fr"))
+  }
+
   test("cleanText strips URLs/emails/control chars and normalizes") {
     import spark.implicits._
     val out = Seq(
