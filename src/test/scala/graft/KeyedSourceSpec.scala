@@ -71,6 +71,32 @@ class KeyedSourceSpec extends SparkSpec {
     assert(q.count() == keyed().count())
   }
 
+  test("DSv2 write path: append and overwrite round-trip through the store") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_keyed_w").toString + "/s"
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    a.write.format("graft-keyed").mode("append").save(dir)
+    assert(spark.read.format("graft-keyed").load(dir).count() == 2)
+    Seq((3L, "z")).toDF("id", "v")
+      .write.format("graft-keyed").mode("append").save(dir)
+    val appended = spark.read.format("graft-keyed").load(dir)
+    assert(appended.count() == 3)
+    Seq((9L, "only")).toDF("id", "v")
+      .write.format("graft-keyed").mode("overwrite").save(dir)
+    val replaced = spark.read.format("graft-keyed").load(dir).collect()
+    assert(replaced.length == 1 && replaced(0).getLong(0) == 9L)
+  }
+
+  test("DSv2 write escapes JSON special characters losslessly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_keyed_e").toString + "/s"
+    val tricky = "quote\" slash\\ newline\n tab\t done"
+    Seq((1L, tricky)).toDF("id", "v")
+      .write.format("graft-keyed").mode("append").save(dir)
+    val back = spark.read.format("graft-keyed").load(dir).collect()(0)
+    assert(back.getString(1) == tricky)
+  }
+
   test("conjunctive equality filters compose (the reference's filter dict)") {
     val q = keyed().filter(col("c_mktsegment") === "BUILDING" &&
       col("c_nationkey") === 3L)
