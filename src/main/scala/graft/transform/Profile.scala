@@ -178,6 +178,10 @@ object Profile {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
         => f.name
     }.toSeq
+    if (numCols.isEmpty)
+      return Seq.empty[(String, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])]
+        .toDF("column", "count", "sum", "mean", "min", "max")
     val aggExprs: Seq[Column] = numCols.flatMap { c =>
       Seq(count(col(c)).as(s"count_$c"),
         sum(col(c).cast(org.apache.spark.sql.types.DecimalType(30, 6)))
