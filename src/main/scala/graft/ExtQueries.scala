@@ -283,6 +283,63 @@ object ExtQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Quality filtering: the composed keep/drop decision per language —
+  // the filter step of a training-data pipeline, verified end-to-end.
+  // ---------------------------------------------------------------------
+  def xTextFilter(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityMetrics(t(s, dir, "documents"), "text")
+      .filter(col("quality_ok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"))
+
+  val xTextFilterSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks,
+       |    length(text) AS n_chars,
+       |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum
+       |  FROM documents),
+       |  m AS (SELECT lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |      (len(toks) >= 5
+       |       AND (CASE WHEN n_chars > 0
+       |            THEN CAST(n_alnum AS DOUBLE) / n_chars ELSE 0.0 END) >= 0.5
+       |       AND (CASE WHEN len(toks) > 0
+       |            THEN CAST(n_alnum AS DOUBLE) / len(toks) ELSE 0.0 END)
+       |           BETWEEN 2 AND 12) AS ok
+       |    FROM t)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM m WHERE ok GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Sequence packing: 512-token concat-and-chunk bins per source; the
+  // per-bin doc/token totals are fully window-expressible on both sides.
+  // ---------------------------------------------------------------------
+  def xTextPack(s: SparkSession, dir: String): DataFrame = {
+    val withCounts = t(s, dir, "documents")
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+    TextOps.assignPackedBins(withCounts, "doc_id", "n_tokens", "source",
+        maxTokens = 512)
+      .groupBy(col("source"), col("pack_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("source"), col("pack_bin"))
+  }
+
+  val xTextPackSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |  b AS (SELECT source, n_tokens,
+       |      CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+       |        ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        / 512) AS BIGINT) AS pack_bin
+       |    FROM t)
+       |SELECT source, pack_bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM b GROUP BY source, pack_bin
+       |ORDER BY source, pack_bin""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Multimodal: synthesize payload+meta, batched feature extraction
   // (rows-only: the stub decoder is JVM-side). Meta fields + first feature
   // component exposed; determinism is what's asserted.

@@ -63,6 +63,8 @@ object SparkEntry {
     "x_text_langid" -> (ExtQueries.xTextLangid _),
     "x_text_fingerprint" -> (ExtQueries.xTextFingerprint _),
     "x_text_clean" -> (ExtQueries.xTextClean _),
+    "x_text_filter" -> (ExtQueries.xTextFilter _),
+    "x_text_pack" -> (ExtQueries.xTextPack _),
     "x_media_features" -> (ExtQueries.xMediaFeatures _),
     "x_frame_sample" -> (ExtQueries.xFrameSample _),
   )
@@ -112,6 +114,8 @@ object SparkEntry {
     "x_text_langid" -> ExtQueries.xTextLangidSql,
     "x_text_fingerprint" -> ExtQueries.xTextFingerprintSql,
     "x_text_clean" -> ExtQueries.xTextCleanSql,
+    "x_text_filter" -> ExtQueries.xTextFilterSql,
+    "x_text_pack" -> ExtQueries.xTextPackSql,
     "x_frame_sample" -> ExtQueries.xFrameSampleSql,
     // x_dedup_minhash / x_dedup_simhash / x_sim_ann / x_media_features are
     // hash-seeded or JVM-stubbed (no DuckDB twin) → rows-only checks.

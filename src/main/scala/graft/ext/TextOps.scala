@@ -101,6 +101,30 @@ object TextOps {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** Sequence packing (concat-and-chunk form): assign documents to
+    * fixed-token-budget bins in a deterministic order — the step that
+    * turns a filtered corpus into training-context-sized groups. Bin of a
+    * doc = floor(tokens-before-it / maxTokens) within its partition key,
+    * i.e. contiguous packing where a document may straddle a boundary
+    * (standard concat-then-chunk semantics).
+    *
+    * Scale shape: the running sum is windowed PER partitionCol (source,
+    * shard, …) — a global window would serialize 100 TB through one
+    * reducer; per-source windows parallelize across sources and that is
+    * how packing is sharded in practice. */
+  def assignPackedBins(df: DataFrame, idCol: String, tokenCountCol: String,
+                       partitionCol: String, maxTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partitionCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    df.withColumn("_tok_before",
+        coalesce(sum(col(tokenCountCol)).over(w), lit(0L)))
+      .withColumn("pack_bin",
+        floor(col("_tok_before") / maxTokens).cast("long"))
+      .drop("_tok_before")
+  }
+
   /** Character-trigram language profiles (top distinctive trigrams per
     * language, space-padded word boundaries — the Cavnar-Trenkle n-gram
     * categorization idea reduced to a fixed profile set). Public-corpus

@@ -60,6 +60,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2) == "de")
   }
 
+  test("assignPackedBins: contiguous bins per partition key, budget honored") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "s1", 300L), (1L, "s1", 300L), (2L, "s1", 300L),
+      (3L, "s2", 600L), (4L, "s2", 100L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = TextOps.assignPackedBins(df, "doc_id", "n_tokens", "source",
+        maxTokens = 512)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_bin")))
+    // s1: before = 0, 300, 600 → bins 0, 0, 1; s2: before = 0, 600 → 0, 1
+    assert(out.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L)))
+  }
+
   test("languageIdTrigram classifies real-language snippets") {
     import spark.implicits._
     val df = Seq(
