@@ -1,0 +1,26 @@
+package graft
+
+/** Driver-contract guards: entry() smoke, and oracleSql ⊆ queries with
+  * consistent naming (a dangling oracle key would silently skip a check). */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry() returns rows on the sf0.001 fixture (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle entries without queries: $dangling")
+  }
+
+  test("rows-only queries are the documented hash-seeded set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("x_dedup_minhash", "x_dedup_simhash",
+      "x_sim_ann", "x_media_features"), rowsOnly)
+  }
+
+  test("query names are unique and stable in count") {
+    assert(SparkEntry.queries.size == 49)
+    assert(SparkEntry.oracleSql.size == 45)
+  }
+}
