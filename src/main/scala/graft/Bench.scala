@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import java.util.concurrent.atomic.AtomicInteger
+
 /** Benchmark main — runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line (driver contract → BENCH_r{N}.json).
   *
@@ -13,8 +15,47 @@ import org.apache.spark.sql.functions._
   * driver-side long — every expression in the plan must actually evaluate,
   * while driver traffic stays one row. A shared warm-up query absorbs
   * one-time JVM/codegen/classloading costs.
+  *
+  * Degradation is LOUD, not silent (round-2 lesson: a codegen compile
+  * failure fell back to interpreted eval and only showed up as a 26×
+  * slowdown in the driver environment): a log4j2 appender on Spark's
+  * `CodeGenerator` logger counts compile failures per query, query errors
+  * are recorded per query instead of swallowed, and both surface in the
+  * output JSON (`codegen_failures`, `errors`) next to the timings. The
+  * `queries` map stays name→seconds for driver compatibility.
   */
 object Bench {
+
+  /** Counts ERROR events from Spark's codegen compiler (janino compile
+    * failures → silent interpreted fallback). Attached to the root logger
+    * config programmatically so no log4j2 config file is needed; filters
+    * by logger name in `append`. */
+  private object CodegenErrorCounter {
+    val count = new AtomicInteger(0)
+
+    def install(): Unit = {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.appender.AbstractAppender
+      import org.apache.logging.log4j.core.config.Property
+      val appender = new AbstractAppender(
+        "graft-codegen-counter", null, null, false, Property.EMPTY_ARRAY) {
+        override def append(event: org.apache.logging.log4j.core.LogEvent)
+            : Unit = {
+          val name = event.getLoggerName
+          if (event.getLevel.isMoreSpecificThan(Level.ERROR) &&
+              name != null && name.contains("CodeGenerator"))
+            count.incrementAndGet()
+        }
+      }
+      appender.start()
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      cfg.addAppender(appender)
+      cfg.getRootLogger.addAppender(appender, Level.ERROR, null)
+      ctx.updateLoggers()
+    }
+  }
 
   /** Evaluate every output column of every row; returns a checksum
     * (bit_xor fold — overflow-free under ANSI mode). */
@@ -25,23 +66,44 @@ object Bench {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("\\p{Cntrl}", " ") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    CodegenErrorCounter.install()
     val spark = graft.engine.Engine.session(
       "graft-bench", Some(s"local[$cpus]"), shufflePartitions = cpus)
     // Warm-up: one small end-to-end query (codegen, parquet footer reads).
     try force(Queries.q1PricingSummary(spark, sfDir))
     catch { case _: Throwable => () }
+    var errors = Map.empty[String, String]
+    var codegenFails = Map.empty[String, Int]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cg0 = CodegenErrorCounter.count.get()
       val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { force(fn(spark, sfDir)) } catch {
+        case e: Throwable =>
+          errors += name -> (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).take(200))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cg = CodegenErrorCounter.count.get() - cg0
+      if (cg > 0) codegenFails += name -> cg
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val cgJson = codegenFails.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"codegen_failures":$cgJson,""" +
+      s""""n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -105,39 +105,49 @@ case class ShingleHashes(child: Expression, n: Int)
     new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
   }
 
+  // Every local is ctx.freshName'd: two instances of this expression can
+  // land in ONE generated method with one nested inside the other's block
+  // (e.g. both sides of an AND) — fixed names there violate Java's
+  // no-shadowing rule and janino rejects the whole class ("Redefinition of
+  // local variable"), silently degrading the query to interpreted eval.
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val len = ctx.freshName("len"); val m = ctx.freshName("m")
+      val hs = ctx.freshName("hs"); val out = ctx.freshName("out")
+      val uniq = ctx.freshName("uniq"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
+      val z = ctx.freshName("z")
       s"""
-         |int len = $c.numElements();
-         |int m = len - $n + 1;
-         |if (m <= 0) {
+         |int $len = $c.numElements();
+         |int $m = $len - $n + 1;
+         |if ($m <= 0) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util
          |    .GenericArrayData(new long[0]);
          |} else {
-         |  long[] hs = new long[len];
-         |  for (int i = 0; i < len; i++) {
-         |    hs[i] = $c.isNullAt(i) ? 0L : $c.getLong(i);
+         |  long[] $hs = new long[$len];
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    $hs[$i] = $c.isNullAt($i) ? 0L : $c.getLong($i);
          |  }
-         |  long[] out = new long[m];
-         |  for (int i = 0; i < m; i++) {
-         |    long acc = 0x2545F4914F6CDD1DL;
-         |    for (int j = 0; j < $n; j++) {
-         |      long z = acc ^ (hs[i + j] * 0x9E3779B97F4A7C15L);
-         |      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL;
-         |      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L;
-         |      z ^= z >>> 33;
-         |      acc = z;
+         |  long[] $out = new long[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $acc = 0x2545F4914F6CDD1DL;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      long $z = $acc ^ ($hs[$i + $j] * 0x9E3779B97F4A7C15L);
+         |      $z ^= $z >>> 33; $z *= 0xff51afd7ed558ccdL;
+         |      $z ^= $z >>> 33; $z *= 0xc4ceb9fe1a85ec53L;
+         |      $z ^= $z >>> 33;
+         |      $acc = $z;
          |    }
-         |    out[i] = acc;
+         |    $out[$i] = $acc;
          |  }
-         |  java.util.Arrays.sort(out);
-         |  int uniq = 1;
-         |  for (int i = 1; i < m; i++) {
-         |    if (out[i] != out[i - 1]) { out[uniq] = out[i]; uniq++; }
+         |  java.util.Arrays.sort($out);
+         |  int $uniq = 1;
+         |  for (int $i = 1; $i < $m; $i++) {
+         |    if ($out[$i] != $out[$i - 1]) { $out[$uniq] = $out[$i]; $uniq++; }
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util
-         |    .GenericArrayData(java.util.Arrays.copyOf(out, uniq));
+         |    .GenericArrayData(java.util.Arrays.copyOf($out, $uniq));
          |}
        """.stripMargin
     })
@@ -188,24 +198,29 @@ case class MinHashSig(child: Expression, numPerm: Int)
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val seedsRef = ctx.addReferenceObj("seeds", seedArr, "long[]")
+      // freshName'd locals — see ShingleHashes.doGenCode for why.
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val p = ctx.freshName("p"); val z = ctx.freshName("z")
       s"""
-         |int n = $c.numElements();
-         |if (n == 0) { ${ev.isNull} = true; } else {
-         |  long[] sig = new long[$numPerm];
-         |  java.util.Arrays.fill(sig, Long.MAX_VALUE);
-         |  for (int i = 0; i < n; i++) {
-         |    if ($c.isNullAt(i)) continue;
-         |    long h = $c.getLong(i);
-         |    for (int p = 0; p < $numPerm; p++) {
-         |      long z = h ^ $seedsRef[p];
-         |      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL;
-         |      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L;
-         |      z ^= z >>> 33;
-         |      if (z < sig[p]) sig[p] = z;
+         |int $n = $c.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  long[] $sig = new long[$numPerm];
+         |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$c.isNullAt($i)) {
+         |      long $h = $c.getLong($i);
+         |      for (int $p = 0; $p < $numPerm; $p++) {
+         |        long $z = $h ^ $seedsRef[$p];
+         |        $z ^= $z >>> 33; $z *= 0xff51afd7ed558ccdL;
+         |        $z ^= $z >>> 33; $z *= 0xc4ceb9fe1a85ec53L;
+         |        $z ^= $z >>> 33;
+         |        if ($z < $sig[$p]) $sig[$p] = $z;
+         |      }
          |    }
          |  }
          |  ${ev.value} =
-         |    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig);
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
          |}
        """.stripMargin
     })
@@ -259,23 +274,29 @@ case class SimHashBits(child: Expression)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName'd locals — see ShingleHashes.doGenCode for why.
+      val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
+      val total = ctx.freshName("total"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val b = ctx.freshName("b")
+      val out = ctx.freshName("out")
       s"""
-         |int n = $c.numElements();
-         |int[] votes = new int[64];
-         |int total = 0;
-         |for (int i = 0; i < n; i++) {
-         |  if ($c.isNullAt(i)) continue;
-         |  long h = $c.getLong(i);
-         |  total++;
-         |  for (int b = 0; b < 64; b++) {
-         |    if (((h >>> b) & 1L) == 1L) votes[b]++;
+         |int $n = $c.numElements();
+         |int[] $votes = new int[64];
+         |int $total = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = $c.getLong($i);
+         |    $total++;
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++;
+         |    }
          |  }
          |}
-         |long out = 0L;
-         |for (int b = 0; b < 64; b++) {
-         |  if (votes[b] * 2 > total) out |= (1L << b);
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] * 2 > $total) $out |= (1L << $b);
          |}
-         |${ev.value} = out;
+         |${ev.value} = $out;
        """.stripMargin
     })
 
@@ -331,20 +352,23 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName'd locals — see ShingleHashes.doGenCode for why.
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull"); val i = ctx.freshName("i")
       def getter(v: String, t: DataType): String =
-        if (t == FloatType) s"(double) $v.getFloat(i)" else s"$v.getDouble(i)"
+        if (t == FloatType) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       val ga = getter(a, elemType(left).get)
       val gb = getter(b, elemType(right).get)
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) { ${ev.isNull} = true; } else {
-         |  double acc = 0.0;
-         |  boolean anyNull = false;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
-         |    acc += $ga * $gb;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $acc = 0.0;
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |    $acc += $ga * $gb;
          |  }
-         |  if (anyNull) { ${ev.isNull} = true; } else { ${ev.value} = acc; }
+         |  if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
