@@ -3,8 +3,6 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import java.util.concurrent.atomic.AtomicInteger
-
 /** Benchmark main — runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line (driver contract → BENCH_r{N}.json).
   *
@@ -26,36 +24,7 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object Bench {
 
-  /** Counts ERROR events from Spark's codegen compiler (janino compile
-    * failures → silent interpreted fallback). Attached to the root logger
-    * config programmatically so no log4j2 config file is needed; filters
-    * by logger name in `append`. */
-  private object CodegenErrorCounter {
-    val count = new AtomicInteger(0)
-
-    def install(): Unit = {
-      import org.apache.logging.log4j.{Level, LogManager}
-      import org.apache.logging.log4j.core.LoggerContext
-      import org.apache.logging.log4j.core.appender.AbstractAppender
-      import org.apache.logging.log4j.core.config.Property
-      val appender = new AbstractAppender(
-        "graft-codegen-counter", null, null, false, Property.EMPTY_ARRAY) {
-        override def append(event: org.apache.logging.log4j.core.LogEvent)
-            : Unit = {
-          val name = event.getLoggerName
-          if (event.getLevel.isMoreSpecificThan(Level.ERROR) &&
-              name != null && name.contains("CodeGenerator"))
-            count.incrementAndGet()
-        }
-      }
-      appender.start()
-      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
-      val cfg = ctx.getConfiguration
-      cfg.addAppender(appender)
-      cfg.getRootLogger.addAppender(appender, Level.ERROR, null)
-      ctx.updateLoggers()
-    }
-  }
+  private val CodegenErrorCounter = graft.tools.CodegenWatch
 
   /** Evaluate every output column of every row; returns a checksum
     * (bit_xor fold — overflow-free under ANSI mode). */

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Regression guard for the round-2 driver-bench outage: native
+  * expressions with fixed local names in generated Java compiled fine
+  * alone, but two instances fused into ONE generated method (one nested
+  * in the other's block — e.g. both operands of an AND predicate) hit
+  * Java's no-shadowing rule, janino rejected the class, and the query
+  * silently ran interpreted (26× slower in the driver env). These tests
+  * stack every native expression against itself in the shapes that fuse
+  * (AND predicate, multi-column projection) and assert via
+  * [[graft.tools.CodegenWatch]] that zero codegen compile errors fired. */
+class CodegenHealthSpec extends SparkSpec {
+
+  private def assertNoCodegenErrors(body: => Unit): Unit = {
+    graft.tools.CodegenWatch.install()
+    val before = graft.tools.CodegenWatch.count.get()
+    body
+    val after = graft.tools.CodegenWatch.count.get()
+    assert(after == before,
+      s"codegen compile failures fired (${after - before}) — generated " +
+        "Java was rejected and Spark fell back to interpreted eval")
+  }
+
+  test("stacked native exprs in one AND predicate compile cleanly") {
+    import spark.implicits._
+    // Token sets chosen so simhash has bit majorities (nonzero result).
+    val df = Seq(
+      (Array(1L, 3L, 7L, 15L), Array(0.5f, 0.5f), Array(1.0f, 2.0f)),
+      (Array(7L, 7L, 7L, 9L), Array(0.1f, 0.9f), Array(3.0f, 4.0f))
+    ).toDF("toks", "va", "vb")
+    df.createOrReplaceTempView("cg_probe")
+    assertNoCodegenErrors {
+      // Both operands of each AND nest one expression's generated code
+      // inside the other's block — the exact round-2 failure shape.
+      val filtered = spark.sql(
+        """SELECT * FROM cg_probe
+          |WHERE graft_dot(va, vb) > 0.0 AND graft_dot(vb, va) > 0.0
+          |  AND graft_simhash(toks) != 0 AND graft_simhash(toks) IS NOT NULL
+          |""".stripMargin)
+      assert(filtered.count() == 2)
+      val projected = spark.sql(
+        """SELECT graft_shingle_hashes(toks, 2) AS s1,
+          |       graft_shingle_hashes(toks, 3) AS s2,
+          |       graft_minhash_sig(toks, 8) AS m1,
+          |       graft_minhash_sig(toks, 16) AS m2,
+          |       graft_simhash(toks) AS sh,
+          |       graft_dot(va, vb) AS d
+          |FROM cg_probe
+          |WHERE size(graft_minhash_sig(toks, 8)) = 8
+          |   AND size(graft_shingle_hashes(toks, 2)) > 0
+          |""".stripMargin).collect()
+      assert(projected.length == 2)
+    }
+  }
+
+  test("codegen results match interpreted eval on the stacked shapes") {
+    import spark.implicits._
+    val df = Seq(Array(11L, 22L, 33L, 44L, 55L)).toDF("toks")
+    df.createOrReplaceTempView("cg_probe2")
+    val sql =
+      """SELECT graft_simhash(toks) AS sh,
+        |       graft_minhash_sig(toks, 4) AS mh,
+        |       graft_shingle_hashes(toks, 2) AS sg
+        |FROM cg_probe2""".stripMargin
+    val generated = spark.sql(sql).collect()
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = spark.sql(sql).collect()
+      assert(generated.toSeq == interpreted.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+}
