@@ -532,10 +532,13 @@ object Queries {
   // ---------------------------------------------------------------------
   def q22InactiveRich(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
+    // Scalar subquery as a broadcast crossJoin of the 1-row aggregate:
+    // keeps the whole query ONE plan/job (a driver-side collect would
+    // split it in two and re-scan customer).
     val avgBal = c.filter(col("c_acctbal") > 0)
       .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
-      .collect()(0).getDouble(0)
-    c.filter(col("c_acctbal") > avgBal)
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
       .join(t(s, dir, "orders")
           .filter(col("o_orderdate") >= ts("1998-01-01 00:00:00")),
         col("c_custkey") === col("o_custkey"), "left_anti")

@@ -14,17 +14,33 @@ import graft.functions.Functions
   */
 object Dedupe {
 
+  /** Ceiling for forcing the existing-ids side into a broadcast: the
+    * sheet contract tops out at 100k rows, far under this, but the
+    * function is the GENERIC J1 operator — an unconditional broadcast of
+    * an arbitrarily large existing side would OOM the driver. */
+  private val BroadcastCeilingBytes = BigInt(64L << 20)
+
   /** J1 — dedupe-before-append. Ids are stringified and compared after
     * TRIM-only normalization (the reference does `str(x).strip()`, no
-    * lowercasing — `sheets_core.py:176`), and empty ids never match. */
+    * lowercasing — `sheets_core.py:176`), and empty ids never match.
+    *
+    * The broadcast hint is size-gated on the optimizer's estimate: hinted
+    * only when the existing side is plausibly small (the sheet case —
+    * avoids shuffling the incoming data); above the ceiling the hint is
+    * dropped and the planner/AQE picks the join strategy from real sizes.
+    */
   def dedupeAppend(newDf: DataFrame, existing: DataFrame,
                    idCol: String): DataFrame = {
     val existingIds = existing
       .select(trim(col(idCol).cast("string")).as("_id"))
       .filter(col("_id") =!= "" && col("_id").isNotNull).distinct()
+    val sizeEst = existingIds.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dim =
+      if (sizeEst <= BroadcastCeilingBytes) broadcast(existingIds)
+      else existingIds
     newDf
       .withColumn("_id", trim(col(idCol).cast("string")))
-      .join(broadcast(existingIds), Seq("_id"), "left_anti")
+      .join(dim, Seq("_id"), "left_anti")
       .drop("_id")
   }
 

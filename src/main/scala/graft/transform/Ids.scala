@@ -56,12 +56,15 @@ object Ids {
       }
       val schema = StructType(sorted.schema.fields :+
         StructField(idName, LongType, nullable = false))
-      val out = spark.createDataFrame(withId, schema)
-      // Materialization note: the result is computed before unpersist via
-      // the action below being the caller's — createDataFrame is lazy, so
-      // force the id attachment while the persisted parent is alive.
-      out.cache().count()
-      out
+      // localCheckpoint (eager): materializes the ids while the persisted
+      // parent is alive AND truncates lineage, so a later action can never
+      // re-sample the range partitioner and shift ids. Unlike `.cache()`
+      // (which pins a full table copy in the CacheManager until explicitly
+      // unpersisted — a session-lifetime leak at 100 TB), checkpoint blocks
+      // are released by the ContextCleaner as soon as the returned frame is
+      // garbage-collected. At extreme scale swap for checkpoint-to-storage;
+      // the pass structure is unchanged.
+      spark.createDataFrame(withId, schema).localCheckpoint(eager = true)
     } finally rdd.unpersist(blocking = false)
   }
 

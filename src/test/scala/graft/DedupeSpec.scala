@@ -27,6 +27,25 @@ class DedupeSpec extends SparkSpec {
     assert(kept == Set(3L))
   }
 
+  test("dedupeAppend broadcast hint is size-gated: big existing side plans a non-broadcast anti join") {
+    import spark.implicits._
+    // spark.range carries exact size stats: 20M rows × 8B ≈ 160 MB — far
+    // above the 64 MB broadcast ceiling, so the hint must be dropped and
+    // the initial plan must not contain a broadcast exchange.
+    val big = spark.range(20L * 1000 * 1000).select(col("id"))
+    val incoming = Seq(1L, 2L, 3L).toDF("id")
+    val planBig = Dedupe.dedupeAppend(incoming, big, "id")
+      .queryExecution.sparkPlan.toString
+    assert(!planBig.contains("BroadcastHashJoin"),
+      s"large existing side must not be broadcast:\n$planBig")
+    // Small side keeps the broadcast (no shuffle of incoming data).
+    val small = Seq(1L, 2L).toDF("id")
+    val planSmall = Dedupe.dedupeAppend(incoming, small, "id")
+      .queryExecution.sparkPlan.toString
+    assert(planSmall.contains("BroadcastHashJoin"),
+      s"small existing side should broadcast:\n$planSmall")
+  }
+
   test("exact dedup keeps one row per key") {
     import spark.implicits._
     val df = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDF("k", "v")

@@ -24,6 +24,30 @@ class IdsSpec extends SparkSpec {
     assert(byId.zip(byId.tail).forall { case (a, b) => a <= b })
   }
 
+  test("no cached RDDs linger once results are unreachable (no cache pin)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // Two calls — the old `.cache().count()` materialization pinned one
+    // full table copy in the block store PER CALL for the session's
+    // lifetime; localCheckpoint blocks must drain once unreachable.
+    var out = Ids.assignContiguousIds(
+      spark.range(5000).select(col("id").as("k")), col("k"))
+    assert(out.count() == 5000)
+    out = Ids.assignContiguousIds(
+      spark.range(3000).select(col("id").as("k")), col("k"))
+    assert(out.count() == 3000)
+    out = null // drop the only reference → ContextCleaner may reclaim
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var extra = Set.empty[Int]
+    while ({
+      System.gc()
+      extra = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      extra.nonEmpty && System.nanoTime() < deadline
+    }) Thread.sleep(200)
+    assert(extra.isEmpty,
+      s"persistent RDDs leaked after results became unreachable: $extra")
+  }
+
   test("appendIdsAfterMax continues after the existing max") {
     import spark.implicits._
     val existing = Seq(3L, 9L, 7L).toDF("id")
