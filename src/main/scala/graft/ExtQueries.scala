@@ -139,6 +139,103 @@ object ExtQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Double literal pinned to DOUBLE in DuckDB: a bare decimal literal
+    * parses as DECIMAL (different rounding on the cast); an exponent
+    * suffix forces the DOUBLE parser, which round-trips `Double.toString`
+    * exactly — so both engines see bit-identical hyperplane components. */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  /** Full DuckDB twin of [[xSimAnn]]: the hyperplanes are seeded
+    * driver-side literals (`SimilarityOps.hyperplanes`), so the SQL is
+    * GENERATED with the same planes embedded as double literals — bucket
+    * assignment (sign of the dot product per plane), candidate bucket
+    * join, and exact-cosine rerank all reproduce bit-for-bit, making the
+    * ANN path end-to-end hash-checkable rather than rows-only. */
+  val xSimAnnSql: String = {
+    val (dim, bits, tables, seed) = (64, 4, 8, 42L)
+    val perTable = (0 until tables).map { tb =>
+      val planes = SimilarityOps.hyperplanes(dim, bits, seed + tb)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        val planeList = p.map(dlit).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $planeList) > 0 " +
+          s"THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $tb AS tbl, $bucket AS bkt FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  eb AS ($perTable),
+       |  cand AS (SELECT DISTINCT q.vec_id AS query_id,
+       |      c.vec_id AS neighbor_id
+       |    FROM eb q JOIN eb c ON q.tbl = c.tbl AND q.bkt = c.bkt
+       |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |  sc AS (SELECT query_id, neighbor_id,
+       |      round(list_dot_product(qv.v, cv.v)
+       |        / (sqrt(list_dot_product(qv.v, qv.v))
+       |           * sqrt(list_dot_product(cv.v, cv.v))), 6) AS score
+       |    FROM cand
+       |    JOIN e qv ON qv.vec_id = cand.query_id
+       |    JOIN e cv ON cv.vec_id = cand.neighbor_id),
+       |  r AS (SELECT query_id, neighbor_id, score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, neighbor_id) AS rnk
+       |    FROM sc)
+       |SELECT query_id, rnk, neighbor_id, score FROM r
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF approximate top-5 (rows-only: k-means centroid arithmetic has no
+  // bit-exact DuckDB twin — float reduce order varies; recall vs brute
+  // force is unit-tested in SimilarityOpsSpec). Same output shape as the
+  // exact baseline, so a user can swap ANN layouts without code changes.
+  // ---------------------------------------------------------------------
+  def xSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Composed corpus dedup (exact → MinHash-LSH) on the cloned corpus.
+  // Threshold 0.85: at 64 perms / 16 bands the banded-LSH miss
+  // probability for a true J ≥ 0.85 pair is (1−0.85⁴)¹⁶ ≈ 7e-6, so the
+  // LSH candidate set provably contains every pair the exact all-pairs
+  // Jaccard finds — making the DuckDB twin (exact dedup keep-min-id, then
+  // exact-Jaccard losers removed) a faithful oracle. At 0.5 the recall
+  // dips to ~0.65 and the approximate result has no exact twin (that
+  // regime stays covered by x_dedup_minhash's pair-level output + units).
+  // ---------------------------------------------------------------------
+  def xDedupCorpus(s: SparkSession, dir: String): DataFrame =
+    DedupOps.dedupeCorpus(clonedDocs(s, dir), "doc_id", "text",
+        threshold = 0.85)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+
+  val xDedupCorpusSql: String =
+    s"""WITH corpus AS ($clonedDocsSql),
+       |  surv AS (SELECT doc_id, text FROM (
+       |      SELECT doc_id, text,
+       |        ROW_NUMBER() OVER (PARTITION BY lower(trim(text))
+       |                           ORDER BY doc_id) AS rn
+       |      FROM corpus) WHERE rn = 1),
+       |  tok AS (SELECT doc_id, $toksSql AS toks FROM surv),
+       |  t AS (SELECT doc_id,
+       |      list_distinct(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |    FROM tok WHERE len(toks) >= 2),
+       |  losers AS (SELECT DISTINCT b.doc_id FROM t a
+       |    JOIN t b ON a.doc_id < b.doc_id
+       |    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.85)
+       |SELECT doc_id FROM surv
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Embedding-cosine near-dup dedup: clones of the first 25 vectors are
   // planted; the LSH-prefiltered exact-cosine path must drop exactly the

@@ -51,6 +51,9 @@ object SparkEntry {
     "t_parse_flag" -> (TransformQueries.tParseFlag _),
     "t_sql_passthrough" -> (TransformQueries.tSqlPassthrough _),
     "t_salted_agg" -> (TransformQueries.tSaltedAgg _),
+    // I/O round-trips (S1/S2/K3 + S7 DSv2 write/scan)
+    "t_csv_roundtrip" -> (TransformQueries.tCsvRoundtrip _),
+    "t_keyed_pushdown" -> (TransformQueries.tKeyedPushdown _),
     // LLM-pipeline north-star ops (SURVEY §2.10)
     "x_dedup_exact" -> (ExtQueries.xDedupExact _),
     "x_dedup_jaccard" -> (ExtQueries.xDedupJaccard _),
@@ -59,6 +62,8 @@ object SparkEntry {
     "x_dedup_simhash" -> (ExtQueries.xDedupSimhash _),
     "x_sim_topk" -> (ExtQueries.xSimTopk _),
     "x_sim_ann" -> (ExtQueries.xSimAnn _),
+    "x_sim_ivf" -> (ExtQueries.xSimIvf _),
+    "x_dedup_corpus" -> (ExtQueries.xDedupCorpus _),
     "x_text_stats" -> (ExtQueries.xTextStats _),
     "x_text_langid" -> (ExtQueries.xTextLangid _),
     "x_text_fingerprint" -> (ExtQueries.xTextFingerprint _),
@@ -106,10 +111,14 @@ object SparkEntry {
     "t_parse_flag" -> TransformQueries.tParseFlagSql,
     "t_sql_passthrough" -> TransformQueries.passthroughSql,
     "t_salted_agg" -> TransformQueries.tSaltedAggSql,
+    "t_csv_roundtrip" -> TransformQueries.tCsvRoundtripSql,
+    "t_keyed_pushdown" -> TransformQueries.tKeyedPushdownSql,
     "x_dedup_exact" -> ExtQueries.xDedupExactSql,
     "x_dedup_jaccard" -> ExtQueries.xDedupJaccardSql,
     "x_dedup_embed" -> ExtQueries.xDedupEmbedSql,
+    "x_dedup_corpus" -> ExtQueries.xDedupCorpusSql,
     "x_sim_topk" -> ExtQueries.xSimTopkSql,
+    "x_sim_ann" -> ExtQueries.xSimAnnSql,
     "x_text_stats" -> ExtQueries.xTextStatsSql,
     "x_text_langid" -> ExtQueries.xTextLangidSql,
     "x_text_fingerprint" -> ExtQueries.xTextFingerprintSql,

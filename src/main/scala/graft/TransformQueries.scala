@@ -217,4 +217,61 @@ object TransformQueries {
        |    ELSE FALSE END AS flag
        |FROM f ORDER BY c_custkey""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // I/O round-trips (VERDICT r2 item 3) — the S/K layer was oracle-dark:
+  // CSV write (K3) → delimiter-sniffed read (S2), and the keyed DSv2
+  // write path → pushdown scan (S7), each verified end-to-end by DuckDB
+  // reading the SAME on-disk artifact the Spark side produced. Artifacts
+  // land under /tmp keyed by the sf-dir basename; the oracle SQL pins the
+  // sf0.01 path because that is the driver's correctness gate scale.
+  // ---------------------------------------------------------------------
+  private def rtDir(dir: String): String =
+    "/tmp/graft_rt/" + new java.io.File(dir).getName
+
+  /** CSV round-trip: project 4 customer columns, write with ';' (K3),
+    * sniff the delimiter back (S2) and read (S1). Types are re-cast after
+    * the schema-inferred read so both engines land on (long, string,
+    * double, string). */
+  def tCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = rtDir(dir) + "/customer_csv"
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .coalesce(1) // single artifact shard → stable oracle glob
+    graft.sinks.Sinks.writeCsv(cust, out, "replace", delimiter = ";")
+    graft.sources.Sources.readCsvSniffed(s, out)
+      .select(col("c_custkey").cast("long"), col("c_name"),
+        col("c_acctbal").cast("double"), col("c_mktsegment"))
+  }
+
+  val tCsvRoundtripSql: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |  CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+      |FROM read_csv('/tmp/graft_rt/sf0.01/customer_csv/*.csv',
+      |              delim=';', header=true)""".stripMargin
+
+  /** Keyed-store round-trip: write orders through the DSv2 write path
+    * (shard-per-task JSON lines + schema sidecar), scan back through the
+    * `graft-keyed` connector with an equality filter + top-N — the
+    * pushdown contract the KeyedSourceSpec asserts on the plan, here
+    * value-checked against DuckDB reading the same shards. */
+  def tKeyedPushdown(s: SparkSession, dir: String): DataFrame = {
+    val store = rtDir(dir) + "/orders_keyed"
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .write.format("graft-keyed").mode("overwrite").save(store)
+    s.read.format("graft-keyed").load(store)
+      .filter(col("o_orderstatus") === "F")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  val tKeyedPushdownSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM read_json('/tmp/graft_rt/sf0.01/orders_keyed/shard-*.json',
+      |               format='newline_delimited')
+      |WHERE o_orderstatus = 'F'
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
 }
