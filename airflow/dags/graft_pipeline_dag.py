@@ -1,0 +1,95 @@
+"""Orchestration skeleton for the graft Spark engine.
+
+Mirrors the reference's DAG conventions (daily schedule, 1 retry with a
+5-minute delay, catchup off — core/airflow/dags/data_capture/
+wikipedia_dag.py:16-29) but each task is a spark-submit of one graft job
+main, and tasks hand off through parquet paths (W8): a stage's output
+path is the next stage's input argument. No XCom payloads — paths are
+deterministic per run via the logical date, so any stage can be re-run
+in isolation and a 100 TB intermediate never touches the scheduler.
+
+Deploy notes:
+  - GRAFT_JAR: the assembled graft jar (sbt package output).
+  - spark-submit master/executor sizing comes from the Spark connection
+    configured in Airflow (`conn_id="spark_default"`), not from code.
+  - The pipeline is the reference's extract -> profile -> load shape
+    (SURVEY §3.2) plus the corpus-dedupe stage a training-data pipeline
+    needs between extract and load.
+"""
+
+from datetime import datetime, timedelta
+import os
+
+from airflow import DAG
+from airflow.providers.apache.spark.operators.spark_submit import (
+    SparkSubmitOperator,
+)
+
+GRAFT_JAR = os.environ.get(
+    "GRAFT_JAR", "/opt/graft/neulix_datahubspark_2.13-0.1.0.jar")
+DATA_ROOT = os.environ.get("GRAFT_DATA_ROOT", "/data/graft")
+
+# Per-run workspace keyed by the logical date: stage N writes here, stage
+# N+1 reads — the parquet-path handoff (W8).
+RUN_DIR = DATA_ROOT + "/runs/{{ ds }}"
+
+default_args = {
+    "owner": "graft",
+    "retries": 1,
+    "retry_delay": timedelta(minutes=5),
+}
+
+
+def spark_task(task_id: str, klass: str, args: list) -> SparkSubmitOperator:
+    return SparkSubmitOperator(
+        task_id=task_id,
+        application=GRAFT_JAR,
+        java_class=klass,
+        application_args=args,
+        conn_id="spark_default",
+        conf={
+            # AQE owns runtime re-planning at cluster scale; shuffle
+            # partition count adapts per-stage from these starting points.
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+        },
+    )
+
+
+with DAG(
+    "graft_pipeline",
+    default_args=default_args,
+    description="graft extract -> profile -> dedupe -> load pipeline",
+    schedule=timedelta(days=1),
+    start_date=datetime(2023, 1, 1),
+    catchup=False,
+) as dag:
+    ingest = spark_task(
+        "ingest",
+        "graft.jobs.IngestJob",
+        [DATA_ROOT + "/incoming/documents.csv", RUN_DIR + "/documents",
+         "replace"],
+    )
+    profile = spark_task(
+        "profile",
+        "graft.jobs.ProfileJob",
+        [RUN_DIR + "/documents", RUN_DIR + "/profile"],
+    )
+    dedupe = spark_task(
+        "dedupe",
+        "graft.jobs.DedupeJob",
+        [RUN_DIR + "/documents", RUN_DIR + "/deduped", "doc_id", "text",
+         "0.85"],
+    )
+    load = spark_task(
+        "load",
+        "graft.jobs.LoadJob",
+        [RUN_DIR + "/deduped", DATA_ROOT + "/warehouse/documents",
+         "replace"],
+    )
+
+    # Profile is a quality gate on the raw ingest (runs in parallel with
+    # nothing downstream of it); dedupe -> load is the data path.
+    ingest >> [profile, dedupe]
+    dedupe >> load

@@ -1,0 +1,80 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.Engine
+import graft.ext.DedupOps
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.transform.Profile
+
+/** Job mains for orchestrated pipelines (the reference is DAG-first:
+  * `core/airflow/dags/data_capture/wikipedia_dag.py:16-29`). Each main is
+  * one `spark-submit`-able stage of the §3.2 extract → profile → dedupe →
+  * load pipeline; stages hand off via parquet paths (W8 — the durable,
+  * engine-neutral equivalent of the reference's XCom usage). Master and
+  * executor sizing come from spark-submit, NOT from code, so the same jar
+  * runs on local[*] and a 1000-executor cluster unchanged
+  * (`airflow/dags/graft_pipeline_dag.py` wires these into a DAG).
+  *
+  * Each job is `main` (session lifecycle) around a `run` (the logic), so
+  * tests drive `run` against a shared session without tearing it down.
+  */
+object Jobs {
+  private[jobs] def withSession(name: String)(body: SparkSession => Unit)
+      : Unit = {
+    val spark = Engine.session(name)
+    try body(spark) finally spark.stop()
+  }
+}
+
+/** Ingest: file (csv with delimiter sniffing | parquet) → sanitized
+  * parquet table. args: <inPath> <outTable> [behavior=replace] */
+object IngestJob {
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(in, out, rest @ _*) = args
+    val ok = Sources.loadFromFile(spark, in, out,
+      rest.headOption.getOrElse("replace"))
+    if (!ok) throw new RuntimeException(s"ingest produced no data: $in")
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-ingest")(run(_, args))
+}
+
+/** Profile: parquet table → per-column profile parquet (W2).
+  * args: <inTable> <outPath> */
+object ProfileJob {
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(in, out) = args
+    Sinks.writeParquet(Profile.profile(Sources.readParquet(spark, in)), out)
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-profile")(run(_, args))
+}
+
+/** Dedupe: composed exact → MinHash-LSH corpus dedup (§2.10).
+  * args: <inTable> <outPath> <idCol> <textCol> [threshold=0.85] */
+object DedupeJob {
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(in, out, idCol, textCol, rest @ _*) = args
+    val threshold = rest.headOption.map(_.toDouble).getOrElse(0.85)
+    Sinks.writeParquet(
+      DedupOps.dedupeCorpus(Sources.readParquet(spark, in), idCol, textCol,
+        threshold = threshold), out)
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-dedupe")(run(_, args))
+}
+
+/** Load: parquet → destination table path (K7 semantics: sanitize then
+  * fail|replace|append, raising on failure).
+  * args: <inPath> <destTable> [behavior=replace] */
+object LoadJob {
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(in, dest, rest @ _*) = args
+    Sinks.loadDataFrame(Sources.readParquet(spark, in), dest,
+      rest.headOption.getOrElse("replace"))
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-load")(run(_, args))
+}

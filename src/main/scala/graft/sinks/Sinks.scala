@@ -63,6 +63,23 @@ object Sinks {
     writeParquet(clean, tablePath, behavior)
   }
 
+  /** JDBC sink with the reference's `fail|replace|append` behaviors
+    * (`db_core.py:349,360` — its result store is PostgreSQL,
+    * `README.md:73`). Delegates to `df.write.jdbc`: executors write their
+    * partitions concurrently (no driver funnel); `replace` maps to
+    * SaveMode.Overwrite (drop + recreate, matching pandas `if_exists`).
+    * Batch size / isolation tune via `options`
+    * (`batchsize`, `isolationLevel`). Same empty-input guard as the file
+    * sinks. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                behavior: String = "replace",
+                options: Map[String, String] = Map.empty): Boolean =
+    guarded(df) {
+      val props = new java.util.Properties()
+      options.foreach { case (k, v) => props.setProperty(k, v) }
+      df.write.mode(saveMode(behavior)).jdbc(url, table, props)
+    }
+
   /** Empty-input guard (`db_core.py:99-101`): skip the action for an empty
     * frame. `isEmpty` plans a LocalLimit(1) scan — cheap relative to the
     * write it guards. */

@@ -96,6 +96,20 @@ object Sources {
         false
     }
 
+  /** JDBC source (the reference reads result tables back from its
+    * PostgreSQL store, `README.md:73`, and SQL Server via pyodbc,
+    * `pyproject.toml:10-28`): delegates to `spark.read.jdbc` so Catalyst
+    * keeps filter/column pushdown into the remote SQL. For large tables
+    * pass `partitionColumn`/`lowerBound`/`upperBound`/`numPartitions` in
+    * `options` — without them the read is a single partition (fine for
+    * dimension-sized tables only). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               options: Map[String, String] = Map.empty): DataFrame = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    spark.read.jdbc(url, table, props)
+  }
+
   /** K8 — batch directory load (`db_core.py:137-185`): a manifest of
     * file→table targets, each loaded with `replace`, missing files skipped
     * (logged), like the reference's fixed CSV→dataset maps. */
