@@ -441,6 +441,13 @@ object ExtQueries {
   // (rows-only: the stub decoder is JVM-side). Meta fields + first feature
   // component exposed; determinism is what's asserted.
   // ---------------------------------------------------------------------
+  /** Feature buckets 6/7 (byte values 96-127: lowercase ASCII) carry real
+    * signal on text-backed payloads — buckets 0/1 (control chars) are all
+    * zero and would make the value check vacuous. The float32 histogram is
+    * widened to double BEFORE rounding so the oracle (FLOAT division in
+    * DuckDB, then widen) sees bit-identical doubles. Fixture text is pure
+    * ASCII, so byte offsets == char offsets and the byte histogram is a
+    * character-class count DuckDB can reproduce with regexes. */
   def xMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Multimodal.extractFeatures(
@@ -449,10 +456,21 @@ object ExtQueries {
         col("media_meta.width").as("width"),
         col("media_meta.height").as("height"),
         col("media_meta.n_bytes").as("n_bytes"),
-        round(element_at(col("features"), 1), 6).as("f0"),
-        round(element_at(col("features"), 2), 6).as("f1"))
+        round(element_at(col("features"), 7).cast("double"), 6).as("f6"),
+        round(element_at(col("features"), 8).cast("double"), 6).as("f7"))
       .orderBy(col("doc_id"))
   }
+
+  val xMediaFeaturesSql: String =
+    """SELECT doc_id, 'image/fake' AS mime,
+      |  CAST(doc_id % 64 + 1 AS INT) AS width,
+      |  CAST(doc_id % 48 + 1 AS INT) AS height,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  round(CAST(CAST(length(regexp_replace(text, '[^\x60-\x6f]', '', 'g'))
+      |    AS FLOAT) / CAST(length(text) AS FLOAT) AS DOUBLE), 6) AS f6,
+      |  round(CAST(CAST(length(regexp_replace(text, '[^\x70-\x7f]', '', 'g'))
+      |    AS FLOAT) / CAST(length(text) AS FLOAT) AS DOUBLE), 6) AS f7
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Multimodal frame sampling: every 4th 32-byte chunk; md5 + length per

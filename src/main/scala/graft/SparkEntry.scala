@@ -125,6 +125,7 @@ object SparkEntry {
     "x_text_clean" -> ExtQueries.xTextCleanSql,
     "x_text_filter" -> ExtQueries.xTextFilterSql,
     "x_text_pack" -> ExtQueries.xTextPackSql,
+    "x_media_features" -> ExtQueries.xMediaFeaturesSql,
     "x_frame_sample" -> ExtQueries.xFrameSampleSql,
     // x_dedup_minhash / x_dedup_simhash / x_sim_ann / x_media_features are
     // hash-seeded or JVM-stubbed (no DuckDB twin) → rows-only checks.
