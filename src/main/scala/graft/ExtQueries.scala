@@ -441,6 +441,35 @@ object ExtQueries {
   // (rows-only: the stub decoder is JVM-side). Meta fields + first feature
   // component exposed; determinism is what's asserted.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // Dictionary sentiment (SURVEY §2.10): explode → broadcast lexicon join
+  // → re-agg. Integer weights make the score sum order-independent, so
+  // the DuckDB twin (the same lexicon rendered as a CASE) matches by hash.
+  // ---------------------------------------------------------------------
+  def xTextSentiment(s: SparkSession, dir: String): DataFrame =
+    TextOps.sentiment(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val xTextSentimentSql: String = {
+    val lex = TextOps.DefaultLexicon.toSeq.sortBy(_._1)
+    val cases = lex.map { case (w, v) => s"WHEN '$w' THEN $v" }.mkString(" ")
+    val words = lex.map { case (w, _) => s"'$w'" }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  sc AS (SELECT doc_id, len(toks) AS n_tokens,
+       |      coalesce(list_sum(list_transform(toks,
+       |        t -> CASE WHEN t IN ($words) THEN 1 ELSE 0 END)), 0) AS n_hits,
+       |      coalesce(list_sum(list_transform(toks,
+       |        t -> CASE t $cases ELSE 0 END)), 0) AS score
+       |    FROM tok)
+       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST(n_hits AS BIGINT) AS n_hits, CAST(score AS BIGINT) AS score,
+       |  CAST(CASE WHEN score > 0 THEN 1 WHEN score < 0 THEN -1
+       |       ELSE 0 END AS INT) AS polarity,
+       |  CASE WHEN n_tokens > 0 THEN CAST(score AS DOUBLE) / n_tokens
+       |       ELSE 0.0 END AS score_norm
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** Feature buckets 6/7 (byte values 96-127: lowercase ASCII) carry real
     * signal on text-backed payloads — buckets 0/1 (control chars) are all
     * zero and would make the value check vacuous. The float32 histogram is

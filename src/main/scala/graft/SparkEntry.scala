@@ -70,6 +70,7 @@ object SparkEntry {
     "x_text_clean" -> (ExtQueries.xTextClean _),
     "x_text_filter" -> (ExtQueries.xTextFilter _),
     "x_text_pack" -> (ExtQueries.xTextPack _),
+    "x_text_sentiment" -> (ExtQueries.xTextSentiment _),
     "x_media_features" -> (ExtQueries.xMediaFeatures _),
     "x_frame_sample" -> (ExtQueries.xFrameSample _),
   )
@@ -125,6 +126,7 @@ object SparkEntry {
     "x_text_clean" -> ExtQueries.xTextCleanSql,
     "x_text_filter" -> ExtQueries.xTextFilterSql,
     "x_text_pack" -> ExtQueries.xTextPackSql,
+    "x_text_sentiment" -> ExtQueries.xTextSentimentSql,
     "x_media_features" -> ExtQueries.xMediaFeaturesSql,
     "x_frame_sample" -> ExtQueries.xFrameSampleSql,
     // x_dedup_minhash / x_dedup_simhash / x_sim_ann / x_media_features are

@@ -155,16 +155,23 @@ object SimilarityOps {
     * centroid table (tiny). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+              seed: Long = 42L, maxIter: Int = 5,
+              trainSampleRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val fv = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"),
       array_to_vector(col(vecCol).cast("array<double>")).as("_fv"))
+    // Train on a bounded subset (classic IVF: centroids only need the
+    // distribution, not every vector) — at 10⁹ corpus rows a full-fit
+    // k-means would dominate the whole query. First-N via limit is
+    // deterministic and shuffle-light; callers with pathologically
+    // ordered corpora should pre-shuffle once upstream.
+    val trainSet = fv.select(col("_fv")).limit(trainSampleRows)
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setMaxIter(maxIter).setFeaturesCol("_fv").setPredictionCol("_cell")
-      .fit(fv)
+      .fit(trainSet)
     val cells = model.transform(fv).select(col("neighbor_id"), col("_cv"),
       col("_cell"))
     val centroids = spark.createDataFrame(

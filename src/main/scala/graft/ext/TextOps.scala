@@ -178,6 +178,47 @@ object TextOps {
     * so it is oracle-checkable end-to-end. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** Tiny built-in polarity lexicon (hand-written, integer-weighted so
+    * cross-engine sums are exact — float dictionary weights would make
+    * the aggregate order-dependent). Swap in a domain lexicon via the
+    * `lexicon` parameter of [[sentiment]]. */
+  val DefaultLexicon: Map[String, Int] = Map(
+    "good" -> 2, "great" -> 3, "excellent" -> 3, "love" -> 3, "like" -> 1,
+    "best" -> 3, "happy" -> 2, "nice" -> 2, "amazing" -> 3, "win" -> 2,
+    "better" -> 1, "success" -> 2, "fast" -> 1, "easy" -> 1, "right" -> 1,
+    "bad" -> -2, "terrible" -> -3, "awful" -> -3, "hate" -> -3,
+    "worst" -> -3, "sad" -> -2, "poor" -> -2, "wrong" -> -1, "slow" -> -1,
+    "hard" -> -1, "fail" -> -2, "failure" -> -2, "broken" -> -2,
+    "lose" -> -2, "problem" -> -1)
+
+  /** Dictionary sentiment (SURVEY §2.10 "sentiment as broadcast-dictionary
+    * UDF" — expressed WITHOUT a UDF: explode tokens → broadcast-join the
+    * lexicon → partial+final agg back to one row per document, so every
+    * step is codegen'd and the only shuffle carries one row per document).
+    * Unmatched tokens score 0. Output per doc: n_tokens, n_hits (matched
+    * tokens), score (sum of matched weights, exact integer), polarity
+    * (sign of score) and score_norm (score / n_tokens, one double
+    * division — deterministic). */
+  def sentiment(df: DataFrame, idCol: String, textCol: String,
+                lexicon: Map[String, Int] = DefaultLexicon): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = broadcast(
+      lexicon.toSeq.toDF("_word", "_weight"))
+    val toksDf = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("n_tokens"),
+        explode_outer(col("_toks")).as("_tok"))
+    toksDf.join(dict, toksDf("_tok") === dict("_word"), "left")
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(count(col("_weight")).as("n_hits"),
+        coalesce(sum(col("_weight")), lit(0L)).as("score"))
+      .select(col(idCol), col("n_tokens"), col("n_hits"), col("score"),
+        signum(col("score")).cast("int").as("polarity"),
+        when(col("n_tokens") > 0,
+          col("score").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("score_norm"))
+  }
+
   /** Rolling (chained) hash over the token stream: acc ← xxhash64(acc, t),
     * an order-sensitive 64-bit fingerprint, unlike the order-insensitive
     * md5-of-text. Chained hashing rather than Horner-polynomial so ANSI

@@ -20,7 +20,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 53)
-    assert(SparkEntry.oracleSql.size == 50)
+    assert(SparkEntry.queries.size == 54)
+    assert(SparkEntry.oracleSql.size == 51)
   }
 }

@@ -119,4 +119,31 @@ class TextOpsSpec extends SparkSpec {
       .collect()
     assert(rh(0).getLong(0) == rh(1).getLong(0))
   }
+
+  test("sentiment: lexicon hits sum, misses score 0, empty text is neutral") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "This is a GREAT day, really good!"), // great(3)+good(2)=5
+      (2L, "terrible and broken"),               // -3 + -2 = -5
+      (3L, "neutral words only here"),           // no hits
+      (4L, "")                                   // no tokens
+    ).toDF("doc_id", "text")
+    val out = TextOps.sentiment(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("score")).toSeq == Seq(5L, -5L, 0L, 0L))
+    assert(out.map(_.getAs[Int]("polarity")).toSeq == Seq(1, -1, 0, 0))
+    assert(out.map(_.getAs[Long]("n_hits")).toSeq == Seq(2L, 2L, 0L, 0L))
+    assert(out(3).getAs[Double]("score_norm") == 0.0) // no divide-by-zero
+    val r1 = out(0)
+    assert(r1.getAs[Double]("score_norm") ==
+      5.0 / r1.getAs[Int]("n_tokens"))
+  }
+
+  test("sentiment plan broadcasts the lexicon (no dictionary shuffle)") {
+    import spark.implicits._
+    val df = Seq((1L, "good bad")).toDF("doc_id", "text")
+    val plan = TextOps.sentiment(df, "doc_id", "text")
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
