@@ -113,6 +113,36 @@ object Streaming {
     * surface — what windowed aggs can't express). State is one (count,
     * sum) pair per user — partitioned across executors by group key; pair
     * with a state TTL/timeout in production to bound it. */
+  /** Incremental per-key top-k (SURVEY §2.10 "incremental top-k for
+    * sessions"): for each event_type, maintain the k highest-value events
+    * seen so far and emit the CURRENT top-k set on every update. State is
+    * a bounded k-element list per key (a few KB regardless of stream
+    * length); ties break on event_id for determinism. `flatMapGroups
+    * WithState` because one input batch can change several ranks — the
+    * whole refreshed top-k is emitted, not a delta. */
+  def topKPerKey(events: DataFrame, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.selectExpr("event_type", "event_id", "value")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Double)],
+        (String, Int, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map { case (_, id, v) => (id, v) })
+            .sortBy { case (id, v) => (-v, id) }
+            .take(k)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((id, v), i) =>
+            (key, i + 1, id, v)
+          }
+      }
+      .toDF("event_type", "rnk", "event_id", "value")
+  }
+
   def runningUserTotals(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -172,6 +172,35 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Double]("sum_value") == 7.0)
   }
 
+  test("incremental top-k per key: bounded state, refreshed ranks") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = Streaming.topKPerKey(stream.toDF(), k = 2)
+      .writeStream.format("memory").queryName("s_topk")
+      .outputMode("update").start()
+    // Batch 1: top-2 of {5.0, 3.0, 1.0} → (id 1, 5.0), (id 2, 3.0)
+    stream.addData(Seq(
+      Ev(1, ts("2026-01-01 10:00:00"), 1, "click", 5.0),
+      Ev(2, ts("2026-01-01 10:00:01"), 1, "click", 3.0),
+      Ev(3, ts("2026-01-01 10:00:02"), 1, "click", 1.0)))
+    q.processAllAvailable()
+    val b1 = spark.table("s_topk").orderBy("rnk").collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("event_id")))
+    assert(b1.toSeq == Seq((1, 1L), (2, 2L)))
+    // Batch 2: 4.0 displaces 3.0 from rank 2; update emits the refreshed
+    // top-k (memory sink in update mode appends the new rows).
+    stream.addData(Seq(Ev(4, ts("2026-01-01 10:00:03"), 1, "click", 4.0)))
+    q.processAllAvailable()
+    q.stop()
+    // After both batches the state-of-the-world is (5.0, id1), (4.0, id4).
+    val all = spark.table("s_topk").collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value")))
+    assert(all.contains((1, 1L, 5.0)) && all.contains((2, 4L, 4.0)))
+    assert(!all.exists { case (_, id, _) => id == 3L }) // never in top-2
+  }
+
   test("restart from checkpoint: state and source offsets survive") {
     import spark.implicits._
     // File source (fully replayable, unlike MemoryStream) + checkpointed
