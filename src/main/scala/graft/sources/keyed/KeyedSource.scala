@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * documents; [[KeyedStore.write]] materializes one from a DataFrame and
   * records the schema as DDL). What matters architecturally is the scan
   * contract: Catalyst hands the source its equality predicates, required
-  * columns, limit, and single-column top-N, and the source evaluates them
+  * columns, limit, and composite-key top-N, and the source evaluates them
   * during the shard scan — so at 100 TB the executors read and decode only
   * the surviving documents instead of materializing the collection and
   * filtering post-hoc. Unsupported predicates are returned to Spark and
@@ -114,7 +114,8 @@ private[keyed] class KeyedScanBuilder(tableSchema: StructType, path: String)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var limit: Option[Int] = None
-  private var topN: Option[(String, Boolean, Int)] = None // col, desc, n
+  // composite ordering: (field, descending) per sort level, and n
+  private var topN: Option[(Seq[(String, Boolean)], Int)] = None
 
   /** Conjunctive equality predicates are the store's native surface
     * (`db_core.py:253-255`); everything else goes back to Spark. */
@@ -131,23 +132,30 @@ private[keyed] class KeyedScanBuilder(tableSchema: StructType, path: String)
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
-  /** Single-key order-by with Spark's default null ordering
-    * (`db_core.py:257-259` — the store's order_by is one field asc/desc). */
-  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
-    orders match {
-      case Array(o) =>
-        o.expression() match {
-          case nr: NamedReference if nr.fieldNames().length == 1 =>
-            val desc = o.direction() == SortDirection.DESCENDING
-            val defaultNulls = // NULLS FIRST for asc, NULLS LAST for desc
-              if (desc) "NULLS LAST" else "NULLS FIRST"
-            if (o.nullOrdering().toString == defaultNulls) {
-              topN = Some((nr.fieldNames()(0), desc, n)); true
-            } else false
-          case _ => false
-        }
-      case _ => false
+  /** Composite order-by with Spark's default null ordering per level.
+    * The reference store's order_by is one field asc/desc
+    * (`db_core.py:257-259`); the scan generalizes to any prefix of plain
+    * column references so deterministic tie-broken top-N (the common
+    * `ORDER BY metric DESC, id` shape) also evaluates store-side. Any
+    * non-column or non-default-nulls level declines the whole push. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val levels = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            tableSchema.fieldNames.contains(nr.fieldNames()(0)) =>
+          val desc = o.direction() == SortDirection.DESCENDING
+          val defaultNulls = // NULLS FIRST for asc, NULLS LAST for desc
+            if (desc) "NULLS LAST" else "NULLS FIRST"
+          if (o.nullOrdering().toString == defaultNulls)
+            Some((nr.fieldNames()(0), desc))
+          else None
+        case _ => None
+      }
     }
+    if (levels.nonEmpty && levels.forall(_.isDefined)) {
+      topN = Some((levels.flatten, n)); true
+    } else false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -161,14 +169,19 @@ private[keyed] case class KeyedShard(file: String) extends InputPartition
 private[keyed] class KeyedScan(tableSchema: StructType, required: StructType,
                                path: String, filters: Array[Filter],
                                limit: Option[Int],
-                               topN: Option[(String, Boolean, Int)])
+                               topN: Option[(Seq[(String, Boolean)], Int)])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
+  override def description(): String = {
+    val topNDesc = topN.map { case (orders, n) =>
+      orders.map { case (c, d) => s"$c ${if (d) "DESC" else "ASC"}" }
+        .mkString("[", ", ", s"] LIMIT $n")
+    }.getOrElse("None")
     s"GraftKeyedScan pushedFilters=[${filters.mkString(", ")}] " +
-      s"pushedLimit=$limit pushedTopN=$topN required=[${
+      s"pushedLimit=$limit pushedTopN=$topNDesc required=[${
         required.fieldNames.mkString(",")}]"
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     KeyedStore.dataFiles(path).map(KeyedShard(_)).toArray
@@ -181,7 +194,7 @@ private[keyed] class KeyedReaderFactory(tableSchema: StructType,
                                         required: StructType,
                                         filters: Array[Filter],
                                         limit: Option[Int],
-                                        topN: Option[(String, Boolean, Int)])
+                                        topN: Option[(Seq[(String, Boolean)], Int)])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new KeyedShardReader(p.asInstanceOf[KeyedShard].file, tableSchema,
@@ -195,7 +208,7 @@ private[keyed] class KeyedShardReader(file: String, tableSchema: StructType,
                                       required: StructType,
                                       filters: Array[Filter],
                                       limit: Option[Int],
-                                      topN: Option[(String, Boolean, Int)])
+                                      topN: Option[(Seq[(String, Boolean)], Int)])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -241,37 +254,48 @@ private[keyed] class KeyedShardReader(file: String, tableSchema: StructType,
     val lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
       .filter(_.nonEmpty).map(mapper.readTree).filter(matches)
     topN match {
-      case Some((col, desc, n)) =>
-        val f = tableSchema(col)
+      case Some((orders, n)) =>
         // bounded heap of the n best per shard (partial top-N: Spark
-        // merges and re-sorts across shards). Nulls rank per Spark's
-        // default ordering for the direction.
-        val keyOrd: Ordering[Any] = {
-          val base: Ordering[Any] = f.dataType match {
-            case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
-            case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
-            case DoubleType => Ordering.Double.TotalOrdering
-              .on[Any](_.asInstanceOf[Double])
-            case FloatType => Ordering.Float.TotalOrdering
-              .on[Any](_.asInstanceOf[Float])
-            case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
-            case BooleanType => Ordering.Boolean.on[Any](_.asInstanceOf[Boolean])
-            case dt => throw new IllegalArgumentException(s"unorderable $dt")
+        // merges and re-sorts across shards). Composite lexicographic
+        // key; per level, nulls rank per Spark's default ordering for
+        // the direction.
+        val fields = orders.map { case (c, _) => tableSchema(c) }
+        val levelOrds: IndexedSeq[Ordering[Any]] =
+          orders.zip(fields).map { case ((_, desc), f) =>
+            val base: Ordering[Any] = f.dataType match {
+              case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+              case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+              case DoubleType => Ordering.Double.TotalOrdering
+                .on[Any](_.asInstanceOf[Double])
+              case FloatType => Ordering.Float.TotalOrdering
+                .on[Any](_.asInstanceOf[Float])
+              case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+              case BooleanType => Ordering.Boolean.on[Any](_.asInstanceOf[Boolean])
+              case dt => throw new IllegalArgumentException(s"unorderable $dt")
+            }
+            val nullsSmallest: Ordering[Any] = (a, b) => (a, b) match {
+              case (null, null) => 0
+              case (null, _) => -1
+              case (_, null) => 1
+              case _ => base.compare(a, b)
+            }
+            if (desc) nullsSmallest.reverse else nullsSmallest
+          }.toIndexedSeq
+        val keyOrd: Ordering[IndexedSeq[Any]] = (a, b) => {
+          var i = 0; var c = 0
+          while (i < levelOrds.length && c == 0) {
+            c = levelOrds(i).compare(a(i), b(i)); i += 1
           }
-          val nullsSmallest: Ordering[Any] = (a, b) => (a, b) match {
-            case (null, null) => 0
-            case (null, _) => -1
-            case (_, null) => 1
-            case _ => base.compare(a, b)
-          }
-          if (desc) nullsSmallest.reverse else nullsSmallest
+          c
         }
         // heap head = worst kept (max in keep-order)
-        val pairOrd: Ordering[(Any, InternalRow)] =
-          Ordering.by[(Any, InternalRow), Any](_._1)(keyOrd)
-        val heap = mutable.PriorityQueue.empty[(Any, InternalRow)](pairOrd)
+        val pairOrd: Ordering[(IndexedSeq[Any], InternalRow)] =
+          Ordering.by[(IndexedSeq[Any], InternalRow), IndexedSeq[Any]](
+            _._1)(keyOrd)
+        val heap =
+          mutable.PriorityQueue.empty[(IndexedSeq[Any], InternalRow)](pairOrd)
         lines.foreach { node =>
-          val key = extract(node, f)
+          val key: IndexedSeq[Any] = fields.map(extract(node, _)).toIndexedSeq
           if (heap.size < n) heap.enqueue((key, toRow(node)))
           else if (keyOrd.lt(key, heap.head._1)) {
             heap.dequeue(); heap.enqueue((key, toRow(node)))

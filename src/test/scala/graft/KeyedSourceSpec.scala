@@ -57,11 +57,35 @@ class KeyedSourceSpec extends SparkSpec {
   test("top-N pushdown: single-key order + limit, results match full sort") {
     val q = keyed().orderBy(desc("c_acctbal")).limit(5)
       .select("c_custkey", "c_acctbal")
-    assert(scanDesc(q).contains("pushedTopN=Some((c_acctbal,true,5))"))
+    assert(scanDesc(q).contains("pushedTopN=[c_acctbal DESC] LIMIT 5"))
     val baseline = graft.engine.Engine.table(spark, fixtureDir, "customer")
       .orderBy(desc("c_acctbal")).limit(5).select("c_custkey", "c_acctbal")
     assert(q.collect().map(_.getDouble(1)).toSeq ==
       baseline.collect().map(_.getDouble(1)).toSeq)
+  }
+
+  test("top-N pushdown: composite order (metric desc, id asc tie-break)") {
+    val q = keyed().orderBy(desc("c_mktsegment"), asc("c_custkey")).limit(6)
+      .select("c_custkey", "c_mktsegment")
+    assert(scanDesc(q).contains(
+      "pushedTopN=[c_mktsegment DESC, c_custkey ASC] LIMIT 6"), scanDesc(q))
+    val baseline = graft.engine.Engine.table(spark, fixtureDir, "customer")
+      .orderBy(desc("c_mktsegment"), asc("c_custkey")).limit(6)
+      .select("c_custkey", "c_mktsegment")
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      baseline.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
+  test("top-N with a non-column sort level is declined, results still right") {
+    val q = keyed().orderBy(desc("c_acctbal"),
+        (col("c_custkey") + 1).asc).limit(4)
+      .select("c_custkey", "c_acctbal")
+    assert(scanDesc(q).contains("pushedTopN=None"), scanDesc(q))
+    val baseline = graft.engine.Engine.table(spark, fixtureDir, "customer")
+      .orderBy(desc("c_acctbal"), (col("c_custkey") + 1).asc).limit(4)
+      .select("c_custkey", "c_acctbal")
+    assert(q.collect().map(_.getLong(0)).toSeq ==
+      baseline.collect().map(_.getLong(0)).toSeq)
   }
 
   test("column pruning reaches the scan") {
