@@ -118,10 +118,16 @@ private[keyed] class KeyedScanBuilder(tableSchema: StructType, path: String)
   private var topN: Option[(Seq[(String, Boolean)], Int)] = None
 
   /** Conjunctive equality predicates are the store's native surface
-    * (`db_core.py:253-255`); everything else goes back to Spark. */
+    * (`db_core.py:253-255`); IsNotNull is accepted too — Catalyst infers
+    * one next to every null-intolerant equality, and rejecting it would
+    * leave a residual post-scan Filter that blocks limit/top-N pushdown
+    * (the Sort must sit directly on the scan relation to push). Everything
+    * else goes back to Spark. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case EqualTo(attr, _) => tableSchema.fieldNames.contains(attr)
+      case org.apache.spark.sql.sources.IsNotNull(attr) =>
+        tableSchema.fieldNames.contains(attr)
       case _ => false
     }
     pushed = accepted
@@ -238,6 +244,8 @@ private[keyed] class KeyedShardReader(file: String, tableSchema: StructType,
       val f = tableSchema(attr)
       val v = extract(node, f)
       v != null && v == value
+    case org.apache.spark.sql.sources.IsNotNull(attr) =>
+      extract(node, tableSchema(attr)) != null
     case _ => true
   }
 

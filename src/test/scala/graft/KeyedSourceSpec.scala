@@ -76,6 +76,21 @@ class KeyedSourceSpec extends SparkSpec {
       baseline.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
   }
 
+  test("top-N pushdown composes with a pushed equality filter") {
+    val q = keyed().filter(col("c_mktsegment") === "BUILDING")
+      .orderBy(desc("c_acctbal"), asc("c_custkey")).limit(5)
+      .select("c_custkey", "c_acctbal")
+    assert(scanDesc(q).contains(
+      "pushedTopN=[c_acctbal DESC, c_custkey ASC] LIMIT 5"), scanDesc(q))
+    assert(scanDesc(q).contains("EqualTo(c_mktsegment,BUILDING)"))
+    val baseline = graft.engine.Engine.table(spark, fixtureDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .orderBy(desc("c_acctbal"), asc("c_custkey")).limit(5)
+      .select("c_custkey", "c_acctbal")
+    assert(q.collect().map(_.getLong(0)).toSeq ==
+      baseline.collect().map(_.getLong(0)).toSeq)
+  }
+
   test("top-N with a non-column sort level is declined, results still right") {
     val q = keyed().orderBy(desc("c_acctbal"),
         (col("c_custkey") + 1).asc).limit(4)
