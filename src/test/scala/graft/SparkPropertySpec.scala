@@ -63,4 +63,54 @@ class SparkPropertySpec extends SparkSpec {
       .collect().map(_.getDouble(2))
     assert(selfPairs.nonEmpty && selfPairs.forall(_ == 1.0))
   }
+
+  test("profile invariants: null accounting, unique bounds, top-k mass") {
+    import spark.implicits._
+    // Random (string|null, long, double|null) rows — one generated frame,
+    // one profile pass.
+    val gen = Gen.zip(
+      Gen.option(Gen.alphaStr.map(_.take(4))),
+      Gen.chooseNum(-50L, 50L),
+      Gen.option(Gen.chooseNum(-5.0, 5.0)))
+    val rows = samples(gen, 400)
+    val df = rows.map { case (s, l, d) =>
+      (s.orNull, l, d.map(java.lang.Double.valueOf).orNull)
+    }.toDF("s", "l", "d")
+    val n = rows.length.toLong
+    val prof = graft.transform.Profile.profile(df).collect()
+    assert(prof.length == 3)
+    prof.foreach { r =>
+      val colName = r.getAs[String]("column")
+      val nulls = r.getAs[Long]("null_count")
+      val uniques = r.getAs[Long]("unique_count")
+      val nonNull = n - nulls
+      assert(nulls >= 0 && nulls <= n, s"$colName nulls=$nulls")
+      assert(uniques <= nonNull, s"$colName uniques=$uniques > $nonNull")
+      val top =
+        r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top_10")
+      assert(top.length <= 10)
+      val counts = top.map(_.getAs[Long]("count"))
+      // top-k is sorted by count desc and its mass can't exceed non-nulls
+      // (null sentinel values count toward rows, not non-null — allow n)
+      assert(counts.sorted.reverse == counts, s"$colName top10 unsorted")
+      assert(counts.sum <= n, s"$colName top10 mass ${counts.sum} > $n")
+      val sample = r.getAs[scala.collection.Seq[String]]("sample_values")
+      assert(sample.length <= math.min(5, nonNull), s"$colName samples")
+    }
+  }
+
+  test("contiguous ids: dense from start for random sizes and starts") {
+    import spark.implicits._
+    val cases = Seq((1, 0L), (97, 1000L), (1024, -7L))
+    cases.foreach { case (size, start) =>
+      val df = spark.range(size).select(
+        (col("id") * 37 % 101).as("k"), col("id").as("payload"))
+        .repartition(5)
+      val ids = graft.transform.Ids
+        .assignContiguousIds(df, col("k"), "nid", start)
+        .select("nid").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (start until start + size).toSeq,
+        s"size=$size start=$start not dense")
+    }
+  }
 }
