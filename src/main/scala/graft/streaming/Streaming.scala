@@ -165,6 +165,29 @@ object Streaming {
     * micro-batch appends through [[graft.sinks.Sinks.loadDataFrame]] —
     * empty-batch guard included (the reference's empty-input short-circuit,
     * `db_core.py:99-101`). */
+  /** foreachBatch bridge into the K9 keyed upsert: each micro-batch
+    * merges insert-or-overwrite into the store (batched per partition,
+    * executors write directly). Because upserts are idempotent per key,
+    * a micro-batch replayed after a failure re-writes the same documents
+    * — the at-least-once foreachBatch contract becomes effectively
+    * exactly-once for the stored state (SURVEY §2.9: "K9 upsert maps
+    * naturally to foreachBatch merge"). */
+  def startUpsertSink(df: DataFrame, idColumn: String,
+                      store: graft.sinks.Upsert.KeyedStore,
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sinks.Upsert.keyedUpsert(batch, idColumn, store)
+        ()
+      }
+      .start()
+
   def startParquetSink(df: DataFrame, path: String, checkpointDir: String,
                        trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery =

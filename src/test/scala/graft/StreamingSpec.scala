@@ -172,6 +172,32 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Double]("sum_value") == 7.0)
   }
 
+  test("foreachBatch upsert sink merges micro-batches by key (K9 bridge)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft_upsert_stream")
+    val storeDir = s"$base/store"
+    val store = new graft.sinks.Upsert.FileStore(storeDir)
+    val stream = MemoryStream[Ev]
+    val q = Streaming.startUpsertSink(
+      Streaming.runningUserTotals(stream.toDF()), "user_id", store,
+      s"$base/cp", trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+    // Two micro-batches touching the same user: the second must
+    // OVERWRITE user 1's document, not append a second one.
+    stream.addData(Seq(Ev(1, ts("2026-01-01 10:00:00"), 1, "a", 2.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(Ev(2, ts("2026-01-01 10:00:01"), 1, "a", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val files = new java.io.File(storeDir).listFiles()
+    assert(files.length == 1, files.mkString(","))
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      files.head.toPath))
+    assert(doc.contains("\"n_events\":2") && doc.contains("\"sum_value\":5.0"),
+      doc)
+  }
+
   test("incremental top-k per key: bounded state, refreshed ranks") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
