@@ -30,10 +30,19 @@ object Sinks {
     * jar Spark doesn't ship, so it is rejected up front). Returns true when
     * the write happened, false when the empty-guard skipped it. */
   def writeParquet(df: DataFrame, path: String, behavior: String = "replace",
-                   compression: String = "snappy"): Boolean =
+                   compression: String = "snappy",
+                   partitionBy: Seq[String] = Nil): Boolean =
     guarded(df) {
-      df.write.mode(saveMode(behavior))
-        .option("compression", compression).parquet(path)
+      val w = df.write.mode(saveMode(behavior))
+        .option("compression", compression)
+      // Hive-style directory partitioning: the 100 TB layout primitive —
+      // a reader's filter on the partition column prunes whole
+      // directories at planning time (PartitionFilters in the scan)
+      // instead of scanning and discarding. Choose low-cardinality
+      // columns (date, source); high-cardinality keys → bucketing
+      // (sources/Bucketing) instead.
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(path)
     }
 
   /** K3 — CSV write with delimiter + header (`data_core.py:57-63`). */

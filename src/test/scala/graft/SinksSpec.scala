@@ -69,4 +69,26 @@ class SinksSpec extends SparkSpec {
     val r = back.orderBy("Bad_Col").collect()
     assert(r(0).getInt(0) == 0 && r(0).getString(1) == "")
   }
+
+  test("partitioned write: directory layout + planning-time pruning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part").toString + "/t"
+    val df = Seq(
+      ("2026-01-01", 1L, 10.0), ("2026-01-01", 2L, 20.0),
+      ("2026-01-02", 3L, 30.0), ("2026-01-03", 4L, 40.0)
+    ).toDF("day", "id", "v")
+    assert(Sinks.writeParquet(df, dir, partitionBy = Seq("day")))
+    // Hive-style directories per partition value
+    val days = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(days.toSeq == Seq("day=2026-01-01", "day=2026-01-02",
+      "day=2026-01-03"))
+    // A filter on the partition column prunes at planning time: the scan
+    // carries it as a PartitionFilter and reads one directory only.
+    val q = spark.read.parquet(dir).filter(col("day") === "2026-01-02")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day"),
+      scan)
+    assert(q.select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }
