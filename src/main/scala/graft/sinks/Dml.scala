@@ -38,6 +38,51 @@ object Dml {
       affected = df.filter(cond).count())
   }
 
+  /** Partition-bounded UPDATE over a Hive-partitioned table: one scan
+    * finds the touched partition values, then ONLY those partition
+    * directories are rewritten and swapped — untouched partitions are
+    * never read again nor written (at 100 TB rewriting the whole table
+    * for a one-day fix is the difference between minutes and a day).
+    * Returns affected-row count. */
+  def updatePartitioned(spark: SparkSession, tablePath: String,
+                        partitionCol: String,
+                        assignments: Map[String, Column],
+                        cond: Column): Long =
+    mutatePartitions(spark, tablePath, partitionCol, cond) { part =>
+      assignments.foldLeft(part) { case (acc, (name, value)) =>
+        acc.withColumn(name, when(cond, value).otherwise(col(name)))
+      }
+    }
+
+  /** Partition-bounded DELETE (see [[updatePartitioned]]). */
+  def deletePartitioned(spark: SparkSession, tablePath: String,
+                        partitionCol: String, cond: Column): Long =
+    mutatePartitions(spark, tablePath, partitionCol, cond) { part =>
+      part.filter(!coalesce(cond, lit(false)))
+    }
+
+  private def mutatePartitions(spark: SparkSession, tablePath: String,
+                               partitionCol: String, cond: Column)
+                              (mutate: DataFrame => DataFrame): Long = {
+    val df = spark.read.parquet(tablePath)
+    // One scan bounds the blast radius: the distinct partition values
+    // holding affected rows (partition cardinality ≪ row count). The
+    // planner prunes this scan too when cond constrains partitionCol.
+    val touched = df.filter(cond).groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("_n")).collect()
+    var affected = 0L
+    touched.foreach { r =>
+      val value = r.get(0)
+      affected += r.getLong(1)
+      val partDir = s"$tablePath/$partitionCol=$value"
+      // basePath keeps the partition column visible to `cond`; the
+      // rewritten files drop it again (it lives in the directory name).
+      val part = spark.read.option("basePath", tablePath).parquet(partDir)
+      rewrite(spark, partDir, mutate(part).drop(partitionCol), 0L)
+    }
+    affected
+  }
+
   /** Write `out` to a temp sibling of `tablePath`, then swap. The rename
     * pair is the narrow non-atomic window — acceptable for a single-writer
     * batch engine (the reference's Airflow jobs are single-writer too). */

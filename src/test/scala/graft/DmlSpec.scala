@@ -29,4 +29,43 @@ class DmlSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("k").collect()
       .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
   }
+
+  private def partFiles(dir: String, part: String): Map[String, Long] = {
+    val d = new java.io.File(s"$dir/$part")
+    d.listFiles().filter(_.isFile).filterNot(_.getName.startsWith("_"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("partition-bounded update rewrites only the touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml").toString + "/t"
+    graft.sinks.Sinks.writeParquet(
+      Seq(("d1", 1L, 10.0), ("d1", 2L, 20.0), ("d2", 3L, 30.0),
+        ("d3", 4L, 40.0)).toDF("day", "id", "v"),
+      dir, partitionBy = Seq("day"))
+    val before = partFiles(dir, "day=d3")
+    val n = Dml.updatePartitioned(spark, dir, "day",
+      Map("v" -> (col("v") + 1)), col("id") <= 3)
+    assert(n == 3)
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v")))
+    assert(back.toSeq == Seq((1L, 11.0), (2L, 21.0), (3L, 31.0),
+      (4L, 40.0)))
+    // d3 held no affected rows: its files must be byte-for-byte untouched.
+    assert(partFiles(dir, "day=d3") == before, "untouched partition rewritten")
+  }
+
+  test("partition-bounded delete drops rows only in touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml").toString + "/t"
+    graft.sinks.Sinks.writeParquet(
+      Seq(("d1", 1L), ("d1", 2L), ("d2", 3L)).toDF("day", "id"),
+      dir, partitionBy = Seq("day"))
+    val before = partFiles(dir, "day=d2")
+    val n = Dml.deletePartitioned(spark, dir, "day", col("id") === 1L)
+    assert(n == 1)
+    assert(spark.read.parquet(dir).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(partFiles(dir, "day=d2") == before)
+  }
 }
