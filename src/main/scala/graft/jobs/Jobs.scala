@@ -66,6 +66,29 @@ object DedupeJob {
     Jobs.withSession("graft-dedupe")(run(_, args))
 }
 
+/** Incremental ingest: each run processes ONLY files that landed since
+  * the last run (streaming file source + AvailableNow trigger + durable
+  * checkpoint — the offset log remembers committed files), appending to
+  * the destination through the sanitizing sink. Re-running after a crash
+  * resumes from the checkpoint; a daily DAG gets exactly-once ingestion
+  * of a landing directory without any bookkeeping of its own.
+  * args: <landingDir> <format csv|json|parquet> <schemaDDL> <outTable>
+  *       <checkpointDir> */
+object IncrementalIngestJob {
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(in, fmt, ddl, out, cp) = args
+    val reader = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .format(fmt)
+      .option("header", "true") // csv only; ignored by json/parquet
+    val q = graft.streaming.Streaming.startParquetSink(
+      reader.load(in), out, cp)
+    q.awaitTermination()
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-ingest-incremental")(run(_, args))
+}
+
 /** Load: parquet → destination table path (K7 semantics: sanitize then
   * fail|replace|append, raising on failure).
   * args: <inPath> <destTable> [behavior=replace] */

@@ -46,6 +46,58 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("incremental ingest processes only newly landed files per run") {
+    val base = s"$ws/incr"
+    val (landing, out, cp) = (s"$base/landing", s"$base/table", s"$base/cp")
+    new java.io.File(landing).mkdirs()
+    val ddl = "id LONG, name STRING"
+    Files.writeString(Paths.get(s"$landing/a.json"),
+      "{\"id\":1,\"name\":\"x\"}\n{\"id\":2,\"name\":\"y\"}\n")
+    graft.jobs.IncrementalIngestJob.run(spark,
+      Array(landing, "json", ddl, out, cp))
+    assert(spark.read.parquet(out).count() == 2)
+    Files.writeString(Paths.get(s"$landing/b.json"),
+      "{\"id\":3,\"name\":\"z\"}\n")
+    graft.jobs.IncrementalIngestJob.run(spark,
+      Array(landing, "json", ddl, out, cp))
+    // a.json NOT reprocessed: 3 rows total, not 5
+    val ids = spark.read.parquet(out).collect()
+      .map(_.getAs[Long]("id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("compaction merges small files idempotently; sorted write clusters") {
+    import spark.implicits._
+    val dir = s"$ws/compact/t"
+    // 64 tiny files
+    spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(64).write.parquet(dir)
+    val filesBefore = new java.io.File(dir)
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(filesBefore >= 32)
+    val n = graft.sinks.Maintenance.compact(spark, dir)
+    val filesAfter = new java.io.File(dir)
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(filesAfter == n && filesAfter < filesBefore)
+    assert(spark.read.parquet(dir).count() == 1000)
+    // idempotent: same target → same file count
+    assert(graft.sinks.Maintenance.compact(spark, dir) == n)
+    // sorted write: rows within each file are ordered by the sort key
+    val sdir = s"$ws/compact/sorted"
+    assert(graft.sinks.Maintenance.sortedWrite(
+      spark.read.parquet(dir), sdir, sortCols = Seq("id"),
+      repartitionBy = Seq("k")))
+    val perFileSorted = spark.read.parquet(sdir)
+      .select(col("id"), org.apache.spark.sql.functions
+        .input_file_name().as("f"))
+      .collect().groupBy(_.getString(1))
+      .values.forall { rows =>
+        val ids = rows.map(_.getLong(0)).toSeq
+        ids == ids.sorted
+      }
+    assert(perFileSorted, "rows not sorted within files")
+  }
+
   test("the DAG file is syntactically valid python") {
     val dag = "airflow/dags/graft_pipeline_dag.py"
     assert(Files.exists(Paths.get(dag)), s"missing $dag")
