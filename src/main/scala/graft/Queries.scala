@@ -621,6 +621,51 @@ object Queries {
       |ORDER BY o_custkey, order_seq""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Window-frame function coverage (§2.6): lead / ntile / first & last
+  // over explicit ROWS frames / percent_rank / cume_dist — the navigation
+  // and distribution families q7 (rank) and q_window_running (lag +
+  // running sum) don't touch. Ordering key (date, orderkey) is unique per
+  // partition, so every function is tie-deterministic; percent_rank and
+  // cume_dist are exact ratios of ints → bit-identical doubles.
+  // ---------------------------------------------------------------------
+  def qWindowFrames(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    val headFrame = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val fullFrame = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .withColumn("next_totalprice", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("first_order", first(col("o_orderkey")).over(headFrame))
+      .withColumn("last_order", last(col("o_orderkey")).over(fullFrame))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("next_totalprice"),
+        col("quartile"), col("first_order"), col("last_order"),
+        col("pct_rank"), col("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowFramesSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  LEAD(o_totalprice, 1) OVER w AS next_totalprice,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  FIRST_VALUE(o_orderkey) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS first_order,
+      |  LAST_VALUE(o_orderkey) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS last_order,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // CUBE over order status × priority (grouping-sets surface).
   // ---------------------------------------------------------------------
   def qCubeCounts(s: SparkSession, dir: String): DataFrame =

@@ -36,6 +36,7 @@ object SparkEntry {
     "q22_inactive_rich" -> (Queries.q22InactiveRich _),
     "q_nation_top_balance" -> (Queries.qNationTopBalance _),
     "q_window_running" -> (Queries.qWindowRunning _),
+    "q_window_frames" -> (Queries.qWindowFrames _),
     "q_cube_counts" -> (Queries.qCubeCounts _),
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_events_json" -> (Queries.qEventsJson _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q22_inactive_rich" -> Queries.q22Sql,
     "q_nation_top_balance" -> Queries.qNationTopBalanceSql,
     "q_window_running" -> Queries.qWindowRunningSql,
+    "q_window_frames" -> Queries.qWindowFramesSql,
     "q_cube_counts" -> Queries.qCubeCountsSql,
     "q_events_hourly" -> Queries.qEventsHourlySql,
     "q_events_json" -> Queries.qEventsJsonSql,

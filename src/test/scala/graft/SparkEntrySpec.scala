@@ -20,7 +20,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 54)
-    assert(SparkEntry.oracleSql.size == 51)
+    assert(SparkEntry.queries.size == 55)
+    assert(SparkEntry.oracleSql.size == 52)
   }
 }
