@@ -31,4 +31,24 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("_psum")).cast(DoubleType).as(s"sum_$valueCol"),
         sum(col("_pcnt")).as("n_rows"))
+
+  /** Salted equi-join for the case AQE can't fix: BOTH sides too large to
+    * broadcast and one join key pathologically hot (AQE's skew splitting
+    * works per sort-merge partition, but a single key's rows still land
+    * in one partition — it cannot split WITHIN a key; salting can).
+    *
+    * Left rows get a random salt in [0, salts); every right row is
+    * replicated `salts` times (one per salt value) so each (key, salt)
+    * reducer holds the full right side for its key. Cost: right side
+    * shuffled `salts`× — use a `salts` just big enough to break the hot
+    * key (8-32), and only when metrics show a single-key hot spot.
+    * Inner-join semantics; result equals the unsalted join exactly. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salts)))
+    val r = right.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
 }

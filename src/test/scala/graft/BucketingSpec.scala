@@ -48,4 +48,22 @@ class BucketingSpec extends SparkSpec {
       .orderBy("l_returnflag").collect().map(_.toSeq)
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("salted join equals the plain join on a hot-key distribution") {
+    import spark.implicits._
+    // 90% of left rows share one hot key — the within-key skew AQE's
+    // per-partition splitting cannot break.
+    val left = spark.range(2000).select(
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("lv"))
+    val right = Seq((7L, "hot"), (0L, "zero"), (10L, "ten"), (999L, "x"))
+      .toDF("k", "rv")
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8)
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val plain = left.join(right, Seq("k"))
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.length == plain.length && salted.toSeq == plain.toSeq)
+  }
 }
