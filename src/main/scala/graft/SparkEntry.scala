@@ -131,7 +131,7 @@ object SparkEntry {
     "x_text_sentiment" -> ExtQueries.xTextSentimentSql,
     "x_media_features" -> ExtQueries.xMediaFeaturesSql,
     "x_frame_sample" -> ExtQueries.xFrameSampleSql,
-    // x_dedup_minhash / x_dedup_simhash / x_sim_ann / x_media_features are
-    // hash-seeded or JVM-stubbed (no DuckDB twin) → rows-only checks.
+    // x_dedup_minhash / x_dedup_simhash / x_sim_ivf are hash- or
+    // kmeans-seeded (no bit-exact DuckDB twin) → rows-only checks.
   )
 }

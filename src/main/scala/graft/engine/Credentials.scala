@@ -59,9 +59,13 @@ class FileCredentialProvider(root: String) extends CredentialProvider {
 
   private def versions(id: String): Seq[Int] =
     if (!Files.isDirectory(dir(id))) Seq.empty
-    else Files.list(dir(id)).iterator().asScala
-      .flatMap(p => Try(p.getFileName.toString.toInt).toOption)
-      .toSeq.sorted
+    else {
+      val stream = Files.list(dir(id))
+      try stream.iterator().asScala
+        .flatMap(p => Try(p.getFileName.toString.toInt).toOption)
+        .toSeq.sorted
+      finally stream.close()
+    }
 
   override def access(secretId: String, version: String): Option[String] = {
     val v =

@@ -26,7 +26,6 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
@@ -37,7 +36,15 @@ object Engine {
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
-    master.foreach(b.master)
+    // Shuffle-partition count is set ONLY when this code also picks the
+    // master (the local harness): a spark-submit deployment must keep its
+    // own --conf spark.sql.shuffle.partitions (sized for the cluster),
+    // which a builder.config here would silently override and cap every
+    // shuffle at the harness value.
+    master.foreach { m =>
+      b.master(m)
+      b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -47,12 +47,20 @@ object Dml {
   def updatePartitioned(spark: SparkSession, tablePath: String,
                         partitionCol: String,
                         assignments: Map[String, Column],
-                        cond: Column): Long =
+                        cond: Column): Long = {
+    // Assigning the partition column would MOVE rows between directories
+    // — out of partition-bounded scope (the row would be dropped with the
+    // partition column on rewrite and silently stay put). Refuse loudly;
+    // use the whole-table update for repartitioning mutations.
+    require(!assignments.contains(partitionCol),
+      s"updatePartitioned cannot reassign partition column " +
+        s"'$partitionCol' (rows would change directory); use Dml.update")
     mutatePartitions(spark, tablePath, partitionCol, cond) { part =>
       assignments.foldLeft(part) { case (acc, (name, value)) =>
         acc.withColumn(name, when(cond, value).otherwise(col(name)))
       }
     }
+  }
 
   /** Partition-bounded DELETE (see [[updatePartitioned]]). */
   def deletePartitioned(spark: SparkSession, tablePath: String,
@@ -65,16 +73,23 @@ object Dml {
                                partitionCol: String, cond: Column)
                               (mutate: DataFrame => DataFrame): Long = {
     val df = spark.read.parquet(tablePath)
-    // One scan bounds the blast radius: the distinct partition values
-    // holding affected rows (partition cardinality ≪ row count). The
-    // planner prunes this scan too when cond constrains partitionCol.
-    val touched = df.filter(cond).groupBy(col(partitionCol))
+    // One scan bounds the blast radius: touched partition DIRECTORIES are
+    // derived from the actual file paths of affected rows
+    // (input_file_name), never reconstructed from values — so Hive path
+    // escaping (':' '%' '=') and null partitions (__HIVE_DEFAULT_
+    // PARTITION__) are handled by construction. The planner prunes this
+    // scan too when cond constrains partitionCol.
+    val touchedFiles = df.filter(cond)
+      .groupBy(input_file_name().as("_file"))
       .agg(count(lit(1)).as("_n")).collect()
+    val byDir = touchedFiles
+      .groupBy { r =>
+        val f = r.getString(0); f.substring(0, f.lastIndexOf('/'))
+      }
+      .view.mapValues(_.map(_.getLong(1)).sum).toMap
     var affected = 0L
-    touched.foreach { r =>
-      val value = r.get(0)
-      affected += r.getLong(1)
-      val partDir = s"$tablePath/$partitionCol=$value"
+    byDir.foreach { case (partDir, n) =>
+      affected += n
       // basePath keeps the partition column visible to `cond`; the
       // rewritten files drop it again (it lives in the directory name).
       val part = spark.read.option("basePath", tablePath).parquet(partDir)

@@ -27,11 +27,23 @@ object Maintenance {
               targetBytes: Long = 128L << 20): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(path)
-    rewriteSwap(spark, path, df.repartition(nFiles))
-    nFiles
+    // Hive-partitioned table: recurse into each name=value directory and
+    // compact it independently — a flat rewrite at the root would read
+    // the partition columns as data and write back WITHOUT the directory
+    // layout, silently destroying partition pruning. Per-partition
+    // compaction is also the right unit of work at scale (bounded,
+    // restartable, parallelizable across jobs).
+    val partDirs = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (partDirs.nonEmpty) {
+      partDirs.map(d => compact(spark, d.getPath.toString, targetBytes)).sum
+    } else {
+      val bytes = fs.getContentSummary(p).getLength
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val df = spark.read.parquet(path)
+      rewriteSwap(spark, path, df.repartition(nFiles))
+      nFiles
+    }
   }
 
   /** Write `df` with rows sorted by `sortCols` WITHIN each output file:

@@ -28,14 +28,16 @@ object Log {
   private[graft] def format(prefix: String, message: String): String =
     s"$prefix $message -> (${callerInfo()})"
 
+  // Level checks guard the stack walk: callerInfo() materializes the
+  // thread stack, and a suppressed deb() in a hot loop must cost nothing.
   def inf(message: String): Unit =
-    logger.info(format("[ oo INFO ]", message))
+    if (logger.isInfoEnabled) logger.info(format("[ oo INFO ]", message))
   def war(message: String): Unit =
-    logger.warn(format("[ <> WARNING ]", message))
+    if (logger.isWarnEnabled) logger.warn(format("[ <> WARNING ]", message))
   def err(message: String): Unit =
-    logger.error(format("[ ^^ ERROR ]", message))
+    if (logger.isErrorEnabled) logger.error(format("[ ^^ ERROR ]", message))
   def cri(message: String): Unit =
-    logger.fatal(format("[ xx CRITICAL ]", message))
+    if (logger.isFatalEnabled) logger.fatal(format("[ xx CRITICAL ]", message))
   def deb(message: String): Unit =
-    logger.debug(format("[ ++ DEBUG ]", message))
+    if (logger.isDebugEnabled) logger.debug(format("[ ++ DEBUG ]", message))
 }

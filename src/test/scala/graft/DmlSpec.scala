@@ -55,6 +55,28 @@ class DmlSpec extends SparkSpec {
     assert(partFiles(dir, "day=d3") == before, "untouched partition rewritten")
   }
 
+  test("partition-bounded DML handles null partition values and rejects partition-column assignment") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml").toString + "/t"
+    graft.sinks.Sinks.writeParquet(
+      Seq((Some("d1"), 1L, 1.0), (None, 2L, 2.0), (None, 3L, 3.0))
+        .toDF("day", "id", "v"),
+      dir, partitionBy = Seq("day"))
+    // rows in the null partition live under day=__HIVE_DEFAULT_PARTITION__
+    val n = Dml.updatePartitioned(spark, dir, "day",
+      Map("v" -> (col("v") * 10)), col("id") === 2L)
+    assert(n == 1)
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v")))
+    assert(back.toSeq == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    // reassigning the partition column must refuse loudly, not silently
+    // drop the assignment
+    intercept[IllegalArgumentException] {
+      Dml.updatePartitioned(spark, dir, "day",
+        Map("day" -> lit("d9")), col("id") === 1L)
+    }
+  }
+
   test("partition-bounded delete drops rows only in touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dml").toString + "/t"

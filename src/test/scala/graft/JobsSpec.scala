@@ -98,10 +98,29 @@ class JobsSpec extends SparkSpec {
     assert(perFileSorted, "rows not sorted within files")
   }
 
+  test("compaction preserves Hive partition layout (per-partition rewrite)") {
+    import spark.implicits._
+    val dir = s"$ws/compact/parted"
+    graft.sinks.Sinks.writeParquet(
+      spark.range(200).select((col("id") % 2).cast("string").as("day"),
+        col("id")).repartition(16),
+      dir, partitionBy = Seq("day"))
+    graft.sinks.Maintenance.compact(spark, dir)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("day=0", "day=1"), dirs.mkString(","))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200)
+    // pruning still works after compaction
+    val plan = back.filter(col("day") === "1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+
   test("the DAG file is syntactically valid python") {
     val dag = "airflow/dags/graft_pipeline_dag.py"
     assert(Files.exists(Paths.get(dag)), s"missing $dag")
-    val rc = new ProcessBuilder("python3", "-m", "py_compile", dag)
+    val rc = new ProcessBuilder("python3", "-B", "-m", "py_compile", dag)
       .inheritIO().start().waitFor()
     assert(rc == 0, s"py_compile failed for $dag")
   }
