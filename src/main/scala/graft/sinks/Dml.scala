@@ -90,10 +90,14 @@ object Dml {
     var affected = 0L
     byDir.foreach { case (partDir, n) =>
       affected += n
-      // basePath keeps the partition column visible to `cond`; the
-      // rewritten files drop it again (it lives in the directory name).
+      // basePath keeps partition columns visible to `cond`; the rewritten
+      // files drop them again (they live in the directory names). All
+      // name=value path segments are dropped, so multi-level partitioning
+      // (a=1/b=2/...) round-trips correctly too.
+      val dirCols = partDir.split('/')
+        .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
       val part = spark.read.option("basePath", tablePath).parquet(partDir)
-      rewrite(spark, partDir, mutate(part).drop(partitionCol), 0L)
+      rewrite(spark, partDir, mutate(part).drop(dirCols: _*), 0L)
     }
     affected
   }

@@ -77,6 +77,23 @@ class DmlSpec extends SparkSpec {
     }
   }
 
+  test("partition-bounded DML round-trips two-level partitioning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml").toString + "/t"
+    graft.sinks.Sinks.writeParquet(
+      Seq(("d1", "us", 1L, 1.0), ("d1", "eu", 2L, 2.0),
+        ("d2", "us", 3L, 3.0)).toDF("day", "region", "id", "v"),
+      dir, partitionBy = Seq("day", "region"))
+    val n = Dml.updatePartitioned(spark, dir, "day",
+      Map("v" -> (col("v") + 100)), col("id") === 2L)
+    assert(n == 1)
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"),
+        r.getAs[String]("day"), r.getAs[String]("region")))
+    assert(back.toSeq == Seq((1L, 1.0, "d1", "us"),
+      (2L, 102.0, "d1", "eu"), (3L, 3.0, "d2", "us")))
+  }
+
   test("partition-bounded delete drops rows only in touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dml").toString + "/t"
