@@ -56,6 +56,7 @@ object NativeExprs {
       case other => throw new IllegalArgumentException(
         s"graft_shingle_hashes(arr, intLiteral), got $other")
     })
+    reg("graft_hash_tokens", { case Seq(c) => TokenHashes(c) })
   }
 
   /** Order-sensitive combine of one n-token window (Horner-style mixing —
@@ -149,6 +150,62 @@ case class ShingleHashes(child: Expression, n: Int)
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util
          |    .GenericArrayData(java.util.Arrays.copyOf($out, $uniq));
          |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Per-element xxhash64 of a string array (`array<string>` →
+  * `array<long>`, seed 42 — bit-identical to Spark's `xxhash64(elem)`):
+  * the token-hashing step feeding MinHash/SimHash/shingling. The
+  * `transform(toks, t => xxhash64(t))` formulation evaluates the lambda
+  * INTERPRETED, one boxed call per token; this loops in generated Java.
+  * Null elements hash to the seed, matching `xxhash64(NULL)`. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_hash_tokens expects array<string>, got $dt")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hash_tokens"
+
+  private final val Seed = 42L
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) Seed
+        else XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName'd locals — see ShingleHashes.doGenCode for why.
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $c.isNullAt($i) ? ${Seed}L :
+         |    org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($c.getUTF8String($i), ${Seed}L);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

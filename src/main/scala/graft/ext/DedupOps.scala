@@ -57,7 +57,8 @@ object DedupOps {
                                 textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("_id"),
       call_function("graft_shingle_hashes",
-        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)), lit(n))
+        call_function("graft_hash_tokens", TextOps.tokens(col(textCol))),
+        lit(n))
         .as("_sh"))
 
   /** All-pairs n-gram Jaccard similarity (id_a < id_b). Exact — and
@@ -84,7 +85,7 @@ object DedupOps {
     * filter those docs out — nothing to near-dup match on). */
   def minhashSignature(sh: Column, numPerm: Int): Column =
     call_function("graft_minhash_sig",
-      transform(sh, s => xxhash64(s)), lit(numPerm))
+      call_function("graft_hash_tokens", sh), lit(numPerm))
 
   /** LSH band hashes of a signature: `bands` groups of `rowsPerBand`
     * components, each group collapsed to one 64-bit bucket key by hashing
@@ -181,10 +182,10 @@ object DedupOps {
   /** SimHash: 64-bit locality-sensitive fingerprint of the token multiset.
     * Near-identical documents end up within a few bits of Hamming
     * distance. Single projection, no shuffle. Callers doing bulk hashing
-    * should materialize `transform(toks, xxhash64)` as a column first and
+    * should materialize `graft_hash_tokens(toks)` as a column first and
     * use [[simhashFromTokenHashes]] so the token hashing runs once. */
   def simhash64(toks: Column): Column =
-    simhashFromTokenHashes(transform(toks, t => xxhash64(t)))
+    simhashFromTokenHashes(call_function("graft_hash_tokens", toks))
 
   /** SimHash near-dup pairs under a Hamming-distance bound. Candidate
     * blocking: split the 64-bit hash into 4 16-bit blocks — any pair within
@@ -196,7 +197,8 @@ object DedupOps {
                           maxHamming: Int = 3): DataFrame = {
     val hashed = df
       .select(col(idCol).as("_id"),
-        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("_th"))
+        call_function("graft_hash_tokens", TextOps.tokens(col(textCol)))
+          .as("_th"))
       .select(col("_id"), simhashFromTokenHashes(col("_th")).as("_sh"))
     val blocks = hashed.select(col("_id"), col("_sh"),
         posexplode(array((0 until 4).map { b =>

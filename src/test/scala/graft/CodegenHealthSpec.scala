@@ -55,14 +55,39 @@ class CodegenHealthSpec extends SparkSpec {
     }
   }
 
+  test("graft_hash_tokens is bit-identical to per-element xxhash64") {
+    import spark.implicits._
+    val df = Seq(
+      Seq("hello", "wörld", "", "日本語", "a" * 500),
+      Seq("x")
+    ).toDF("toks")
+    df.createOrReplaceTempView("cg_toks")
+    val rows = spark.sql(
+      """SELECT graft_hash_tokens(toks) AS fast,
+        |       transform(toks, t -> xxhash64(t)) AS slow
+        |FROM cg_toks""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    // null element hashes to the seed, matching xxhash64(NULL)
+    val withNull = spark.sql(
+      "SELECT graft_hash_tokens(array('a', NULL)) AS h").collect()(0)
+      .getSeq[Long](0)
+    val seedOnly = spark.sql(
+      "SELECT xxhash64(CAST(NULL AS STRING)) AS h").collect()(0).getLong(0)
+    assert(withNull(1) == seedOnly)
+  }
+
   test("codegen results match interpreted eval on the stacked shapes") {
     import spark.implicits._
-    val df = Seq(Array(11L, 22L, 33L, 44L, 55L)).toDF("toks")
+    val df = Seq((Array(11L, 22L, 33L, 44L, 55L), Array("a", "bb")))
+      .toDF("toks", "strs")
     df.createOrReplaceTempView("cg_probe2")
     val sql =
       """SELECT graft_simhash(toks) AS sh,
         |       graft_minhash_sig(toks, 4) AS mh,
-        |       graft_shingle_hashes(toks, 2) AS sg
+        |       graft_shingle_hashes(toks, 2) AS sg,
+        |       graft_hash_tokens(strs) AS th
         |FROM cg_probe2""".stripMargin
     val generated = spark.sql(sql).collect()
     val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
