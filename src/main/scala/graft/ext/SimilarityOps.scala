@@ -77,7 +77,7 @@ object SimilarityOps {
   /** Sign-bit LSH bucket of a vector under one table's hyperplanes. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, planeLit) > 0,
         call_function("shiftleft", lit(1L), lit(i))).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))

@@ -63,7 +63,7 @@ object Synth {
   private def numericGen(df: DataFrame, f: StructField, u: Column,
                          pre: Column => Column = identity): Column = {
     val q = df.select(pre(col(f.name)).cast("double").as("_v"))
-      .na.drop.stat.approxQuantile("_v", Deciles, 0.001)
+      .na.drop().stat.approxQuantile("_v", Deciles, 0.001)
     if (q.isEmpty) return lit(null).cast("double")
     val idx = least(floor(u * 10).cast("int"), lit(9))
     val frac = u * 10 - idx.cast("double")
