@@ -99,6 +99,29 @@ object Streaming {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
   }
 
+  /** Left-outer variant of [[correlatedEvents]]: left events with NO
+    * match within the window still emit (null right columns) — but only
+    * once the watermark passes the end of their join window, because
+    * until then a matching right event could still arrive. This is the
+    * "did the user convert within N minutes?" shape where the negative
+    * answer matters as much as the positive; the watermark bound is what
+    * keeps both join states AND the unmatched buffer finite. */
+  def correlatedEventsOuter(left: DataFrame, right: DataFrame,
+                            within: String = "10 minutes",
+                            watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+      "leftOuter")
+  }
+
   /** Stream-static enrichment join: the event stream joined against a
     * static dimension frame (re-read per micro-batch if the underlying
     * source changes). The static side is broadcast when small — the

@@ -172,6 +172,35 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Double]("sum_value") == 7.0)
   }
 
+  test("outer interval join emits unmatched rows after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = Streaming.correlatedEventsOuter(clicks.toDF(), buys.toDF(),
+        within = "10 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("s_outer")
+      .outputMode("append").start()
+    // user 1 converts within the window; user 2 never does.
+    clicks.addData(Seq(
+      Ev(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2026-01-01 10:00:00"), 2, "click", 1.0)))
+    buys.addData(Seq(Ev(3, ts("2026-01-01 10:05:00"), 1, "buy", 9.0)))
+    q.processAllAvailable()
+    // Push both watermarks well past every join window so the unmatched
+    // click can be finalized as a null-extended row.
+    clicks.addData(Seq(Ev(8, ts("2026-01-01 12:00:00"), 9, "click", 0.0)))
+    buys.addData(Seq(Ev(9, ts("2026-01-01 12:00:00"), 9, "buy", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("s_outer")
+      .filter(col("l_user").isin(1L, 2L)).collect()
+      .map(r => (r.getAs[Long]("l_user"),
+        Option(r.getAs[java.lang.Double]("r_value")))).toSet
+    assert(rows == Set((1L, Some(java.lang.Double.valueOf(9.0))),
+      (2L, None)), rows)
+  }
+
   test("foreachBatch upsert sink merges micro-batches by key (K9 bridge)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
