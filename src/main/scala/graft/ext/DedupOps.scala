@@ -77,12 +77,15 @@ object DedupOps {
           .as("jaccard"))
   }
 
-  /** MinHash signature of a shingle array: each shingle is string-hashed
-    * once (`xxhash64`), then the k permutation minima are computed by the
-    * native codegen'd [[graft.expressions.MinHashSig]] expression — the
-    * k×n inner loop runs as compiled long arithmetic, not k interpreted
-    * higher-order lambdas. Empty shingle sets → null signature (callers
-    * filter those docs out — nothing to near-dup match on). */
+  /** MinHash signature of an `array<string>` shingle column: each shingle
+    * is string-hashed once (native [[graft.expressions.TokenHashes]] —
+    * analysis REJECTS non-string arrays loudly; pre-hashed `array<long>`
+    * shingles go straight to `graft_minhash_sig`), then the k permutation
+    * minima are computed by the native codegen'd
+    * [[graft.expressions.MinHashSig]] expression — the k×n inner loop
+    * runs as compiled long arithmetic, not k interpreted higher-order
+    * lambdas. Empty shingle sets → null signature (callers filter those
+    * docs out — nothing to near-dup match on). */
   def minhashSignature(sh: Column, numPerm: Int): Column =
     call_function("graft_minhash_sig",
       call_function("graft_hash_tokens", sh), lit(numPerm))

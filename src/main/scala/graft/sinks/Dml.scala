@@ -55,7 +55,8 @@ object Dml {
     require(!assignments.contains(partitionCol),
       s"updatePartitioned cannot reassign partition column " +
         s"'$partitionCol' (rows would change directory); use Dml.update")
-    mutatePartitions(spark, tablePath, partitionCol, cond) { part =>
+    mutatePartitions(spark, tablePath, cond,
+      assignedCols = assignments.keySet) { part =>
       assignments.foldLeft(part) { case (acc, (name, value)) =>
         acc.withColumn(name, when(cond, value).otherwise(col(name)))
       }
@@ -65,20 +66,29 @@ object Dml {
   /** Partition-bounded DELETE (see [[updatePartitioned]]). */
   def deletePartitioned(spark: SparkSession, tablePath: String,
                         partitionCol: String, cond: Column): Long =
-    mutatePartitions(spark, tablePath, partitionCol, cond) { part =>
-      part.filter(!coalesce(cond, lit(false)))
+    mutatePartitions(spark, tablePath, cond, assignedCols = Set.empty) {
+      part => part.filter(!coalesce(cond, lit(false)))
     }
 
   private def mutatePartitions(spark: SparkSession, tablePath: String,
-                               partitionCol: String, cond: Column)
+                               cond: Column, assignedCols: Set[String])
                               (mutate: DataFrame => DataFrame): Long = {
     val df = spark.read.parquet(tablePath)
+    // Qualified table root: input_file_name() yields fully-qualified URIs
+    // (file:/...), and partition columns must be parsed from the path
+    // RELATIVE to the root — an ancestor directory that happens to
+    // contain '=' (e.g. /data/exp=baseline/t) is NOT a partition level
+    // and must never reach the drop list.
+    val rootPath = new Path(tablePath)
+    val qualifiedRoot = rootPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(rootPath).toString
     // One scan bounds the blast radius: touched partition DIRECTORIES are
     // derived from the actual file paths of affected rows
     // (input_file_name), never reconstructed from values — so Hive path
     // escaping (':' '%' '=') and null partitions (__HIVE_DEFAULT_
     // PARTITION__) are handled by construction. The planner prunes this
-    // scan too when cond constrains partitionCol.
+    // scan too when cond constrains a partition column.
     val touchedFiles = df.filter(cond)
       .groupBy(input_file_name().as("_file"))
       .agg(count(lit(1)).as("_n")).collect()
@@ -92,10 +102,22 @@ object Dml {
       affected += n
       // basePath keeps partition columns visible to `cond`; the rewritten
       // files drop them again (they live in the directory names). All
-      // name=value path segments are dropped, so multi-level partitioning
-      // (a=1/b=2/...) round-trips correctly too.
-      val dirCols = partDir.split('/')
+      // name=value segments BELOW the table root are dropped, so
+      // multi-level partitioning (a=1/b=2/...) round-trips correctly.
+      val relative =
+        if (partDir.startsWith(qualifiedRoot)) {
+          partDir.drop(qualifiedRoot.length)
+        } else partDir.drop(partDir.lastIndexOf('/')) // defensive fallback
+      val dirCols = relative.split('/')
         .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+      // An assignment targeting ANY partition level of this directory
+      // would be silently erased by the drop below — refuse loudly (rows
+      // cannot change directory under partition-bounded DML).
+      val clash = assignedCols.intersect(dirCols.toSet)
+      require(clash.isEmpty,
+        s"updatePartitioned cannot reassign partition column(s) " +
+          s"${clash.mkString(", ")} (rows would change directory); " +
+          "use Dml.update")
       val part = spark.read.option("basePath", tablePath).parquet(partDir)
       rewrite(spark, partDir, mutate(part).drop(dirCols: _*), 0L)
     }

@@ -86,18 +86,8 @@ object Streaming {
     * Column prefixes disambiguate the two sides. */
   def correlatedEvents(left: DataFrame, right: DataFrame,
                        within: String = "10 minutes",
-                       watermarkDelay: String = "1 hour"): DataFrame = {
-    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
-        col("event_type").as("l_type"), col("value").as("l_value"))
-      .withWatermark("l_ts", watermarkDelay)
-    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
-        col("event_type").as("r_type"), col("value").as("r_value"))
-      .withWatermark("r_ts", watermarkDelay)
-    l.join(r,
-      col("l_user") === col("r_user") &&
-        col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
-  }
+                       watermarkDelay: String = "1 hour"): DataFrame =
+    correlatedImpl(left, right, within, watermarkDelay, "inner")
 
   /** Left-outer variant of [[correlatedEvents]]: left events with NO
     * match within the window still emit (null right columns) — but only
@@ -108,7 +98,12 @@ object Streaming {
     * keeps both join states AND the unmatched buffer finite. */
   def correlatedEventsOuter(left: DataFrame, right: DataFrame,
                             within: String = "10 minutes",
-                            watermarkDelay: String = "1 hour"): DataFrame = {
+                            watermarkDelay: String = "1 hour"): DataFrame =
+    correlatedImpl(left, right, within, watermarkDelay, "leftOuter")
+
+  private def correlatedImpl(left: DataFrame, right: DataFrame,
+                             within: String, watermarkDelay: String,
+                             joinType: String): DataFrame = {
     val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
         col("event_type").as("l_type"), col("value").as("l_value"))
       .withWatermark("l_ts", watermarkDelay)
@@ -119,7 +114,7 @@ object Streaming {
       col("l_user") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
-      "leftOuter")
+      joinType)
   }
 
   /** Stream-static enrichment join: the event stream joined against a

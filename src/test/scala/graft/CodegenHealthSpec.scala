@@ -62,6 +62,16 @@ class CodegenHealthSpec extends SparkSpec {
       Seq("x")
     ).toDF("toks")
     df.createOrReplaceTempView("cg_toks")
+    // Stacked in an AND predicate under the no-codegen-error guard: the
+    // fused nested-block shape must compile for this expression too.
+    assertNoCodegenErrors {
+      val stacked = spark.sql(
+        """SELECT * FROM cg_toks
+          |WHERE size(graft_hash_tokens(toks)) > 0
+          |  AND element_at(graft_hash_tokens(toks), 1) IS NOT NULL
+          |""".stripMargin)
+      assert(stacked.count() == 2)
+    }
     val rows = spark.sql(
       """SELECT graft_hash_tokens(toks) AS fast,
         |       transform(toks, t -> xxhash64(t)) AS slow

@@ -94,6 +94,36 @@ class DmlSpec extends SparkSpec {
       (2L, 102.0, "d1", "eu"), (3L, 3.0, "d2", "us")))
   }
 
+  test("assignment to a non-declared partition LEVEL is refused, not erased") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml").toString + "/t"
+    graft.sinks.Sinks.writeParquet(
+      Seq(("d1", "us", 1L), ("d1", "eu", 2L)).toDF("day", "region", "id"),
+      dir, partitionBy = Seq("day", "region"))
+    // caller declares 'day' but assigns 'region' — the drop of directory
+    // columns would silently erase the assignment; must refuse loudly
+    intercept[IllegalArgumentException] {
+      Dml.updatePartitioned(spark, dir, "day",
+        Map("region" -> lit("apac")), col("id") === 2L)
+    }
+  }
+
+  test("'=' in an ancestor directory is not mistaken for a partition level") {
+    import spark.implicits._
+    // table root itself lives under .../exp=baseline/ and the DATA has a
+    // column named 'exp' — it must survive partition-bounded DML
+    val dir = Files.createTempDirectory("graft-dml")
+      .toString + "/exp=baseline/t"
+    graft.sinks.Sinks.writeParquet(
+      Seq(("d1", "a", 1L), ("d2", "b", 2L)).toDF("day", "exp", "id"),
+      dir, partitionBy = Seq("day"))
+    val n = Dml.deletePartitioned(spark, dir, "day", col("id") === 1L)
+    assert(n == 1)
+    val back = spark.read.parquet(dir).collect()
+    assert(back.length == 1)
+    assert(back.head.getAs[String]("exp") == "b") // column not dropped
+  }
+
   test("partition-bounded delete drops rows only in touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dml").toString + "/t"
