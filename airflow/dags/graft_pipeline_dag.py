@@ -65,6 +65,10 @@ with DAG(
     start_date=datetime(2023, 1, 1),
     catchup=False,
 ) as dag:
+    # For continuously-landing directories, swap IngestJob for
+    # graft.jobs.IncrementalIngestJob (streaming file source +
+    # AvailableNow + checkpoint): each daily run then appends only the
+    # files that arrived since the previous run.
     ingest = spark_task(
         "ingest",
         "graft.jobs.IngestJob",
