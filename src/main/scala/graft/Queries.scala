@@ -769,4 +769,131 @@ object Queries {
       |        FROM events) a) b
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // As-of join: attribute each purchase to the user's most recent prior
+  // click (inclusive). Right side pre-aggregated to one row per
+  // (user, ts) with max_by — the operator's uniqueness contract — so the
+  // result is deterministic in both engines. Oracle = DuckDB's NATIVE
+  // ASOF LEFT JOIN: a semantically independent implementation, not a
+  // transliteration of ours. Timestamps exported as epoch micros (exact
+  // integer compare).
+  // ---------------------------------------------------------------------
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("purchase_value"))
+    graft.transform.Temporal
+      .asofJoinBackward(purchases, clicks, "user_id", "ts", "ts",
+        prefix = "click_")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("purchase_value"),
+        unix_micros(col("click_ts")).as("click_ts_us"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, max_by(value, event_id) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+      |), purchases AS (
+      |  SELECT event_id, user_id, ts, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id,
+      |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us, p.purchase_value,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us, c.click_value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Interval join: events vs 25 synthetic 2-day promo windows derived
+  // from nation (start = 2024-01-01 + nationkey days). The operator bins
+  // the match into an equi-join (see Temporal.intervalJoin); the oracle
+  // is the raw inequality join DuckDB can afford at this scale.
+  // ---------------------------------------------------------------------
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "nation").select(
+      col("n_nationkey").as("iv_id"), col("n_name"),
+      expr("timestampadd(DAY, n_nationkey, TIMESTAMP'2024-01-01 00:00:00')")
+        .as("start_ts"),
+      expr("timestampadd(DAY, n_nationkey + 2, TIMESTAMP'2024-01-01 00:00:00')")
+        .as("end_ts"))
+    graft.transform.Temporal
+      .intervalJoin(t(s, dir, "events"), iv, "ts", "start_ts", "end_ts")
+      .groupBy(col("iv_id"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("iv_id"))
+  }
+
+  val qIntervalJoinSql: String =
+    """WITH intervals AS (
+      |  SELECT n_nationkey AS iv_id, n_name,
+      |    TIMESTAMP '2024-01-01' + n_nationkey * INTERVAL 1 DAY AS start_ts,
+      |    TIMESTAMP '2024-01-01' + (n_nationkey + 2) * INTERVAL 1 DAY AS end_ts
+      |  FROM nation
+      |)
+      |SELECT iv.iv_id, iv.n_name, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM intervals iv JOIN events e
+      |  ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+      |GROUP BY 1, 2
+      |ORDER BY iv_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Pivot (A8 surface): returnflag × linestatus quantity matrix. Explicit
+  // pivot values — no distinct-collect job to discover them, which is the
+  // 100 TB-safe way to pivot. Decimal-exact sums cast to double (dsum).
+  // ---------------------------------------------------------------------
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+      .orderBy(col("l_returnflag"))
+
+  val qPivotSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+      |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+      |       FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Exact percentiles (A1 surface): Spark's exact `percentile` vs
+  // DuckDB's quantile_cont — independent implementations of the same
+  // linear-interpolation definition. l_quantity is integer-valued and
+  // each group holds long runs of every value, so every requested
+  // quantile lands exactly ON a value (no FP interpolation residue).
+  // Exact percentile sorts within groups — fine at dims scale; at 100 TB
+  // use approx_percentile (t-digest) instead; noted here deliberately.
+  // ---------------------------------------------------------------------
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .orderBy(col("l_returnflag"))
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_quantity, 0.9) AS p90
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 }

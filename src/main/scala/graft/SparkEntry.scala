@@ -41,6 +41,10 @@ object SparkEntry {
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_events_json" -> (Queries.qEventsJson _),
     "q_events_sessions" -> (Queries.qEventsSessions _),
+    "q_asof_join" -> (Queries.qAsofJoin _),
+    "q_interval_join" -> (Queries.qIntervalJoin _),
+    "q_pivot" -> (Queries.qPivot _),
+    "q_percentiles" -> (Queries.qPercentiles _),
     // transform-layer wiring (W1/W2/A4/J1/W5-W6/F1)
     "t_profile_counts" -> (TransformQueries.tProfileCounts _),
     "t_summary_stats" -> (TransformQueries.tSummaryStats _),
@@ -74,6 +78,9 @@ object SparkEntry {
     "x_text_sentiment" -> (ExtQueries.xTextSentiment _),
     "x_media_features" -> (ExtQueries.xMediaFeatures _),
     "x_frame_sample" -> (ExtQueries.xFrameSample _),
+    "x_fuzzy_match" -> (ExtQueries.xFuzzyMatch _),
+    "x_text_redact" -> (ExtQueries.xTextRedact _),
+    "x_sample_split" -> (ExtQueries.xSampleSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,6 +111,10 @@ object SparkEntry {
     "q_events_hourly" -> Queries.qEventsHourlySql,
     "q_events_json" -> Queries.qEventsJsonSql,
     "q_events_sessions" -> Queries.qEventsSessionsSql,
+    "q_asof_join" -> Queries.qAsofJoinSql,
+    "q_interval_join" -> Queries.qIntervalJoinSql,
+    "q_pivot" -> Queries.qPivotSql,
+    "q_percentiles" -> Queries.qPercentilesSql,
     "t_profile_counts" -> TransformQueries.tProfileCountsSql,
     "t_summary_stats" -> TransformQueries.tSummaryStatsSql,
     "t_derive_flags" -> TransformQueries.tDeriveFlagsSql,
@@ -118,6 +129,7 @@ object SparkEntry {
     "t_keyed_pushdown" -> TransformQueries.tKeyedPushdownSql,
     "x_dedup_exact" -> ExtQueries.xDedupExactSql,
     "x_dedup_jaccard" -> ExtQueries.xDedupJaccardSql,
+    "x_dedup_minhash" -> ExtQueries.xDedupMinhashSql,
     "x_dedup_embed" -> ExtQueries.xDedupEmbedSql,
     "x_dedup_corpus" -> ExtQueries.xDedupCorpusSql,
     "x_sim_topk" -> ExtQueries.xSimTopkSql,
@@ -131,7 +143,12 @@ object SparkEntry {
     "x_text_sentiment" -> ExtQueries.xTextSentimentSql,
     "x_media_features" -> ExtQueries.xMediaFeaturesSql,
     "x_frame_sample" -> ExtQueries.xFrameSampleSql,
-    // x_dedup_minhash / x_dedup_simhash / x_sim_ivf are hash- or
-    // kmeans-seeded (no bit-exact DuckDB twin) → rows-only checks.
+    "x_fuzzy_match" -> ExtQueries.xFuzzyMatchSql,
+    "x_text_redact" -> ExtQueries.xTextRedactSql,
+    "x_sample_split" -> ExtQueries.xSampleSplitSql,
+    // x_dedup_simhash (xxhash64-seeded Hamming distances) and x_sim_ivf
+    // (k-means cells) have no bit-exact DuckDB twin → rows-only checks.
+    // x_dedup_minhash IS oracled: at threshold 0.8 the fixed-hash LSH
+    // result provably equals the exact all-pairs answer (see its SQL).
   )
 }

@@ -220,4 +220,44 @@ object DedupOps {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Fuzzy-match pairs at edit distance ≤ 1 via deletion-neighborhood
+    * blocking (the SymSpell trick: two strings are within one
+    * insert/delete/substitute iff they are equal, or share a 1-deletion
+    * variant, or one equals a 1-deletion of the other — so the variant
+    * set {s} ∪ del1(s) of each string overlaps). Candidates are generated
+    * by an equi-join on variants and then VERIFIED with `levenshtein`, so
+    * the result is exact.
+    *
+    * Scale shape: each string emits length+1 short variants — the shuffle
+    * is O(n·L) small strings and the join is bucket-bounded per variant,
+    * vs. the O(n²) all-pairs `levenshtein` cross join a naive form plans.
+    * Meant for short keys (names, codes, titles); for document-scale text
+    * use the MinHash/SimHash paths above. */
+  def fuzzyPairsEdit1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    def variants(s: Column): Column = {
+      val deletions = transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+      when(length(s) >= 1,
+        array_distinct(concat(array(s), deletions))).otherwise(array(s))
+    }
+    val strs = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("_id"), col(strCol).as("_s"))
+    val exploded = strs.select(col("_id"), explode(variants(col("_s"))).as("_v"))
+    // Candidate pairs carry IDS ONLY through the join + dedup (a hash agg
+    // on two longs, not a sort agg dragging strings); the short strings
+    // are re-attached to the surviving pairs for verification.
+    val l = exploded.select(col("_v"), col("_id").as("id_a"))
+    val r = exploded.select(col("_v"), col("_id").as("id_b"))
+    val candidates = l.join(r, Seq("_v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(strs.select(col("_id").as("id_a"), col("_s").as("str_a")), Seq("id_a"))
+      .join(strs.select(col("_id").as("id_b"), col("_s").as("str_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"),
+        levenshtein(col("str_a"), col("str_b")).as("dist"))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -226,4 +226,23 @@ object TextOps {
     * differ across engines) → verified by unit test, not oracle. */
   def rollingHash(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** PII-redaction patterns, ordered: emails first (they contain digit
+    * runs), then NNN-NNNN phone shapes, then any ≥5-digit run (account /
+    * id numbers). Kept to RE2-compatible syntax (no lookaround, no
+    * backrefs) so Java-regex Spark and RE2-based engines (the DuckDB
+    * oracle) rewrite byte-identically. */
+  val RedactionPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "[0-9]{3}-[0-9]{4}" -> "[PHONE]",
+    "[0-9]{5,}" -> "[NUM]")
+
+  /** Scrub PII-shaped substrings from free text — the standard hygiene
+    * pass before corpus text enters a training set. One narrow projection
+    * (three codegen'd regexp_replace), no shuffle; at 100 TB this is
+    * scan-bound next to the other text metrics. */
+  def redactPii(text: Column): Column =
+    RedactionPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
 }

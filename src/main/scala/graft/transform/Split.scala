@@ -1,0 +1,60 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and train/valid/test splitting for
+  * training-data pipelines.
+  *
+  * Why not `df.sample` / `randomSplit`: those are seeded per-partition and
+  * re-deal rows when the partitioning changes, so yesterday's test set is
+  * not today's. Here membership is a pure function of a stable id —
+  * `md5(id)` — so a document lands in the same split on every run, at
+  * every scale, on any cluster layout, and the assignment is reproducible
+  * by any engine with md5 (the DuckDB oracle recomputes it exactly).
+  *
+  * Plan shape: one narrow projection (md5 + substring compare), no
+  * shuffle, no driver traffic; at 100 TB the split column is free next to
+  * the scan.
+  */
+object Split {
+
+  /** First hex chars of md5(id) — 2 chars = 256 buckets for splits,
+    * 4 chars = 65536 for fine-grained sampling. Lexicographic comparison
+    * of fixed-width lowercase hex == numeric comparison. */
+  private def hexPrefix(id: Column, chars: Int): Column =
+    substring(md5(id.cast("string")), 1, chars)
+
+  /** Append a `split` column assigning each row to a named fraction.
+    *
+    * `fractions` are (name, weight) with weights summing to < 1; rows not
+    * claimed fall into `rest`. Bucket boundaries are ceil(weight·256), so
+    * realized fractions are within 1/256 of the ask — the price of exact
+    * reproducibility. Assignment depends only on `idCol` values.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                fractions: Seq[(String, Double)],
+                rest: String = "train"): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum < 1.0,
+      "fractions must be non-empty and sum to < 1 (remainder goes to rest)")
+    val h = hexPrefix(col(idCol), 2)
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .tail.map(c => f"${math.ceil(c * 256).toLong}%02x")
+    val assigned = fractions.zip(bounds).foldRight(lit(rest)) {
+      case (((name, _), bound), fallback) =>
+        when(h < lit(bound), lit(name)).otherwise(fallback)
+    }
+    // foldRight chains to when(h<b1, n1).otherwise(when(h<b2, n2)...): the
+    // FIRST bound wins, so cumulative bounds assign disjoint ranges.
+    df.withColumn("split", assigned)
+  }
+
+  /** Keep a deterministic `fraction` of rows by id hash (65536 buckets —
+    * resolution 1/65536). Same id set survives on every run/engine. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction: $fraction")
+    val bound = f"${math.ceil(fraction * 65536).toLong.min(65536)}%04x"
+    if (fraction >= 1.0) df
+    else df.filter(hexPrefix(col(idCol), 4) < lit(bound))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark's DataFrame API lacks as primitives:
+  * backward as-of joins (attribute each fact to the most recent prior
+  * observation per key) and interval/range joins (match facts to
+  * [start, end) windows).
+  *
+  * Both are composed from existing Catalyst operators — union + window,
+  * and bin-blocked equi-join — per the custom-operator preference order
+  * (compose first, custom plans only when composition can't express the
+  * semantics). Neither plans an inequality join, so neither degrades to
+  * BroadcastNestedLoop/CartesianProduct at scale.
+  *
+  * Reference context: the reference pipeline stores per-run scrape
+  * snapshots keyed by capture time (`core/airflow/dags/data_capture/
+  * wikipedia_dag.py:16-29`) and joins facts to the nearest snapshot
+  * downstream in pandas; these operators are the distributed form.
+  */
+object Temporal {
+
+  /** Backward (most-recent-prior, inclusive) as-of LEFT join.
+    *
+    * For each left row, attaches the right row with the greatest
+    * `rightTime <= leftTime` within the same `key`; left rows with no
+    * prior right row keep nulls. Right-side columns are prefixed with
+    * `prefix` in the output.
+    *
+    * Plan shape — the 100 TB story: both sides are tagged and unioned,
+    * shuffled ONCE on `key`, and resolved with a running
+    * `last(_, ignoreNulls)` window ordered by (time, side). That is the
+    * single-pass sorted merge a native engine would run; the naive
+    * alternative (theta-join on `rightTime <= leftTime` + argmax) plans a
+    * BroadcastNestedLoopJoin and is quadratic per key. Skew note: one
+    * window partition per key — salt upstream if a single key dominates.
+    *
+    * Contract: right must be unique per (key, rightTime) — pre-aggregate
+    * (e.g. `max_by`) if it isn't, otherwise which same-timestamp row wins
+    * is not deterministic. Ties `rightTime == leftTime` match (inclusive).
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       prefix: String = "asof_"): DataFrame = {
+    val rightVals = right.columns.filterNot(_ == key).toIndexedSeq
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val rStruct = struct(rightVals.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+
+    // side 0 (right) sorts before side 1 (left) at equal times, so an
+    // equal-time right row is visible to the left row (inclusive bound).
+    val l = left.select(col(key).as("_k"), col(leftTime).as("_t"),
+      lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    val r = right.select(col(key).as("_k"), col(rightTime).as("_t"),
+      lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val resolved = l.unionByName(r)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+
+    val leftCols = left.columns.toIndexedSeq.map(c => col(s"_l.$c").as(c))
+    val matchCols = rightVals.map(c => col(s"_m.$c").as(s"$prefix$c"))
+    resolved.select(leftCols ++ matchCols: _*)
+  }
+
+  /** Interval (range) join: facts whose `timeCol` falls in an interval's
+    * `[startCol, endCol)` — INNER, one output row per (fact, interval)
+    * overlap. Output = all fact columns + all interval columns (caller
+    * disambiguates name collisions up front).
+    *
+    * Plan shape — the 100 TB story: a raw `ts >= start AND ts < end` join
+    * has no equality key, so Spark plans BroadcastNestedLoop — O(n·m).
+    * Here each interval is exploded to the time bins it covers and each
+    * fact mapped to its one bin, turning the match into an EQUI-join on
+    * bin + a residual range filter. A fact occupies exactly one bin, so a
+    * (fact, interval) pair can match only once — no dedup step. With a
+    * dimension-sized interval side the exploded bins broadcast; with two
+    * large sides it is a plain shuffled hash join. Choose `binSeconds`
+    * near the typical interval length: much smaller explodes the interval
+    * side, much larger makes every bin a mini cross-join.
+    */
+  def intervalJoin(facts: DataFrame, intervals: DataFrame, timeCol: String,
+                   startCol: String, endCol: String,
+                   binSeconds: Long = 86400L): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val binUs = binSeconds * 1000000L
+    def binOf(c: Column): Column = floor(unix_micros(c) / binUs)
+
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(binOf(col(startCol)), binOf(col(endCol)))))
+    val f = facts.withColumn("_bin", binOf(col(timeCol)))
+
+    f.join(iv, f("_bin") === iv("_bin") &&
+        col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
+      .drop("_bin")
+  }
+}

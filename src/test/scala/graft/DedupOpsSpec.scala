@@ -82,4 +82,36 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(h(0) == h(1))
   }
+
+  test("fuzzyPairsEdit1: substitutions, insertions, deletions, equals — and nothing at distance 2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abc"), (2L, "abd"),  // substitution
+      (3L, "abcd"),              // insertion vs 1
+      (4L, "ab"),                // deletion vs 1
+      (5L, "abc"),               // exact duplicate of 1
+      (6L, "ba"),                // distance 2 from "ab" (swap) — excluded
+      (7L, "xyz")                // unrelated
+    ).toDF("id", "s")
+    val got = DedupOps.fuzzyPairsEdit1(df, "id", "s")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
+    assert(got == Map(
+      (1L, 2L) -> 1, (1L, 3L) -> 1, (1L, 4L) -> 1, (1L, 5L) -> 0,
+      (2L, 3L) -> 1, (2L, 4L) -> 1, // abd→abcd (insert c), abd→ab (del d)
+      (2L, 5L) -> 1, (3L, 5L) -> 1, (4L, 5L) -> 1))
+  }
+
+  test("fuzzyPairsEdit1 equals the naive all-pairs levenshtein join on fixture customers") {
+    val cust = graft.engine.Engine.table(spark, fixtureDir, "customer")
+    val fast = DedupOps.fuzzyPairsEdit1(cust, "c_custkey", "c_name")
+      .select("id_a", "id_b", "dist")
+    val a = cust.select(col("c_custkey").as("id_a"), col("c_name").as("na"))
+    val b = cust.select(col("c_custkey").as("id_b"), col("c_name").as("nb"))
+    val naive = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("na"), col("nb")).as("dist"))
+      .filter(col("dist") <= 1)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+      "deletion-neighborhood blocking must lose no pair vs all-pairs")
+  }
 }

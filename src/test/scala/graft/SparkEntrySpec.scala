@@ -15,12 +15,11 @@ class SparkEntrySpec extends SparkSpec {
 
   test("rows-only queries are the documented hash-seeded set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("x_dedup_minhash", "x_dedup_simhash",
-      "x_sim_ivf"), rowsOnly)
+    assert(rowsOnly == Set("x_dedup_simhash", "x_sim_ivf"), rowsOnly)
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 55)
-    assert(SparkEntry.oracleSql.size == 52)
+    assert(SparkEntry.queries.size == 62)
+    assert(SparkEntry.oracleSql.size == 60)
   }
 }

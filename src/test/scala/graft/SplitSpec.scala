@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.transform.Split
+
+/** Deterministic hash split/sample: partition-layout independence (the
+  * property randomSplit lacks), disjointness, fraction accuracy, and the
+  * monotone-subset property of the sampler. */
+class SplitSpec extends SparkSpec {
+
+  private def docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+
+  test("hashSplit assigns every row exactly one split, independent of partitioning") {
+    val a = Split.hashSplit(docs, "doc_id",
+      Seq("test" -> 0.05, "valid" -> 0.05)).select("doc_id", "split")
+    val b = Split.hashSplit(docs.repartition(13, col("text")), "doc_id",
+      Seq("test" -> 0.05, "valid" -> 0.05)).select("doc_id", "split")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "assignment must be a pure function of the id, not the layout")
+    assert(a.count() == docs.count())
+  }
+
+  test("hashSplit realized fractions are within 1/256-granularity tolerance") {
+    val n = docs.count().toDouble
+    val counts = Split.hashSplit(docs, "doc_id",
+        Seq("test" -> 0.1, "valid" -> 0.2))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("test", "valid", "train"))
+    // 256 buckets + sampling noise at n=50: generous ±8pp window.
+    assert(math.abs(counts("test") / n - 0.1) < 0.08,
+      s"test fraction off: ${counts("test") / n}")
+    assert(math.abs(counts("valid") / n - 0.2) < 0.08,
+      s"valid fraction off: ${counts("valid") / n}")
+  }
+
+  test("hashSplit rejects weights summing to >= 1") {
+    intercept[IllegalArgumentException] {
+      Split.hashSplit(docs, "doc_id", Seq("a" -> 0.6, "b" -> 0.4))
+    }
+  }
+
+  test("hashSample: monotone subsets, empty at 0, everything at 1") {
+    val ids10 = Split.hashSample(docs, "doc_id", 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids30 = Split.hashSample(docs, "doc_id", 0.30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids10.subsetOf(ids30),
+      "growing the fraction must only ADD rows (stable membership)")
+    assert(Split.hashSample(docs, "doc_id", 0.0).count() == 0)
+    assert(Split.hashSample(docs, "doc_id", 1.0).count() == docs.count())
+  }
+
+  test("hashSample is a narrow no-shuffle plan") {
+    val plan = Split.hashSample(docs, "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+}

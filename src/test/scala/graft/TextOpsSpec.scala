@@ -146,4 +146,17 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("redactPii scrubs emails, phone shapes, and long digit runs — and nothing else") {
+    import spark.implicits._
+    val cases = Seq(
+      "mail a.b+c@sub.example.org now" -> "mail [EMAIL] now",
+      "call 555-1234 today" -> "call [PHONE] today",
+      "acct 1234567 open" -> "acct [NUM] open",
+      "v2 build 1234 ok" -> "v2 build 1234 ok", // short digit runs survive
+      "x@y.io or 111-2222 ref 99999" -> "[EMAIL] or [PHONE] ref [NUM]")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextOps.redactPii(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
 }
