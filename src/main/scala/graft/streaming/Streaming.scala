@@ -161,6 +161,61 @@ object Streaming {
       .toDF("event_type", "rnk", "event_id", "value")
   }
 
+  /** Streaming as-of enrichment — the streaming twin of
+    * [[graft.transform.Temporal.asofJoinBackward]]: each left event is
+    * joined to the right event with the greatest event-time ≤ its own,
+    * among right events SEEN SO FAR.
+    *
+    * Semantics contract (documented, not hidden): within one micro-batch
+    * the group's rows are processed in event-time order (right before
+    * left on ties), so in-order streams reproduce the batch as-of result
+    * exactly — asserted by the unit test. Across micro-batches a late
+    * right event does NOT retro-correct matches already emitted (emitted
+    * rows are immutable in append semantics), and a left event that
+    * arrives after a NEWER right event was recorded gets a null match
+    * (the state keeps one latest-by-event-time entry per key, so "was
+    * there an older right?" is unanswerable — null is honest, a stale
+    * guess is not). For exact as-of over out-of-order history, run the
+    * batch operator on completed data.
+    *
+    * State: ONE (ts, value) pair per key — bounded regardless of stream
+    * length, partitioned across executors by key.
+    */
+  def asofEnriched(left: DataFrame, right: DataFrame): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val l = left.selectExpr("user_id", "ts", "event_id", "value")
+      .withColumn("_side", lit(1))
+    val r = right.selectExpr("user_id", "ts", "event_id", "value")
+      .withColumn("_side", lit(0))
+    l.unionByName(r)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"), col("_side"))
+      .as[(Long, Long, Long, Double, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double),
+        (Long, Long, Long, Double, Option[Long], Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var latest = state.getOption // (right ts_us, right value)
+          val out = rows.toSeq
+            .sortBy { case (_, tsUs, id, _, side) => (tsUs, side, id) }
+            .flatMap {
+              case (_, tsUs, id, v, 0) =>
+                if (latest.forall(_._1 <= tsUs)) latest = Some((tsUs, v))
+                None
+              case (_, tsUs, id, v, _) =>
+                val m = latest.filter(_._1 <= tsUs)
+                Some((user, id, tsUs, v, m.map(_._1), m.map(_._2)))
+            }
+          latest.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "ts_us", "purchase_value",
+        "click_ts_us", "click_value")
+  }
+
   def runningUserTotals(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

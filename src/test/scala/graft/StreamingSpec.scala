@@ -319,4 +319,62 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 4) // 60/15 overlapping windows contain the event
     assert(out.map(_.getAs[Long]("n_events")).forall(_ == 1L))
   }
+
+  test("streaming as-of enrichment matches the batch as-of join on one batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = fixtureEvents()
+    val lStream = MemoryStream[Ev]
+    val rStream = MemoryStream[Ev]
+    lStream.addData(evs.filter(_.event_type == "purchase"))
+    rStream.addData(evs.filter(_.event_type == "click"))
+    val q = Streaming.asofEnriched(lStream.toDF(), rStream.toDF())
+      .writeStream.format("memory").queryName("s_asof")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_asof")
+
+    val ev = graft.engine.Engine.table(spark, fixtureDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val batch = graft.transform.Temporal
+      .asofJoinBackward(purchases, clicks, "user_id", "ts", "ts",
+        prefix = "click_")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("purchase_value"),
+        unix_micros(col("click_ts")).as("click_ts_us"), col("click_value"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "one in-order batch must reproduce the batch as-of join exactly")
+  }
+
+  test("as-of enrichment state carries the latest right value across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lStream = MemoryStream[Ev]
+    val rStream = MemoryStream[Ev]
+    val q = Streaming.asofEnriched(lStream.toDF(), rStream.toDF())
+      .writeStream.format("memory").queryName("s_asof_state")
+      .outputMode("append").start()
+
+    // batch 1: a purchase BEFORE any click → null match; then a click.
+    lStream.addData(Seq(Ev(10, ts("2026-01-01 09:00:00"), 1, "purchase", 5.0)))
+    rStream.addData(Seq(Ev(11, ts("2026-01-01 10:00:00"), 1, "click", 1.5)))
+    q.processAllAvailable()
+    // batch 2: a later purchase must match batch 1's click from STATE.
+    lStream.addData(Seq(Ev(12, ts("2026-01-01 11:00:00"), 1, "purchase", 7.0)))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("s_asof_state").orderBy("event_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(4) && rows(0).isNullAt(5)) // pre-click purchase
+    assert(rows(1).getLong(4) == ts("2026-01-01 10:00:00").getTime * 1000L)
+    assert(rows(1).getDouble(5) == 1.5)
+  }
 }
