@@ -559,6 +559,47 @@ object ExtQueries {
       |FROM u ORDER BY doc_id, frame_no""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Connected components over the minhash-0.8 near-dup graph: pairwise
+  // edges collapsed into duplicate CLUSTERS (the keep-one-per-cluster
+  // prerequisite). Spark runs iterative min-label propagation; the
+  // oracle computes the transitive closure with a recursive CTE and
+  // takes min(reachable) — two independent algorithms, same fixpoint.
+  // ---------------------------------------------------------------------
+  def xDedupCc(s: SparkSession, dir: String): DataFrame =
+    DedupOps.connectedComponents(
+        DedupOps.nearDupPairsMinhash(clonedDocs(s, dir), "doc_id", "text",
+          shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+
+  val xDedupCcSql: String =
+    s"""WITH corpus AS ($clonedDocsSql),
+       |  tok AS (SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |        x -> x <> '') AS toks
+       |    FROM corpus),
+       |  t AS (SELECT doc_id,
+       |      list_distinct(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |    FROM tok WHERE len(toks) >= 2),
+       |  edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+       |  bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |    UNION SELECT id_b, id_a FROM edges
+       |    UNION SELECT id_a, id_a FROM edges
+       |    UNION SELECT id_b, id_b FROM edges),
+       |  reach AS (
+       |    WITH RECURSIVE r(src, dst) AS (
+       |      SELECT src, dst FROM bidir
+       |      UNION
+       |      SELECT r.src, b.dst FROM r JOIN bidir b ON r.dst = b.src
+       |    ) SELECT * FROM r)
+       |SELECT src AS doc_id, MIN(dst) AS component
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Fuzzy matching at edit distance ≤ 1 over customer names, via
   // deletion-neighborhood blocking + levenshtein verification
   // (DedupOps.fuzzyPairsEdit1). The oracle is the NAIVE all-pairs

@@ -896,4 +896,68 @@ object Queries {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Pearson correlation from exact decimal moments (Profile.pearson).
+  // Built-in corr() is partition-order-dependent in its last bits; the
+  // moment form is bit-reproducible, so both engines compute the SAME
+  // double expression over the SAME exact scalars.
+  // ---------------------------------------------------------------------
+  def qCorr(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Profile
+      .pearson(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice",
+        Seq("l_returnflag"), precision = 12, scale = 2)
+      .orderBy(col("l_returnflag"))
+
+  val qCorrSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+      |           * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+      |           * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (n * sxy - sx * sy)
+      |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Fixed-width histogram over order totals (Profile.histogram): explicit
+  // bounds — no min/max pre-pass job — one grouped count.
+  // ---------------------------------------------------------------------
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Profile
+      .histogram(t(s, dir, "orders"), "o_totalprice", 50000.0, 9)
+      .orderBy(col("bucket"))
+
+  val qHistogramSql: String =
+    """SELECT bucket, bucket * 50000.0 AS lo, COUNT(*) AS n
+      |FROM (SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT)
+      |        AS bucket
+      |      FROM orders WHERE o_totalprice IS NOT NULL)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Ordered string aggregation (listagg surface): first 5 customer names
+  // per nation, sorted then joined — deterministic where a bare
+  // string_agg/collect_list is partition-order-dependent.
+  // ---------------------------------------------------------------------
+  def qListagg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(slice(sort_array(collect_list(col("c_name"))), 1, 5),
+        ",").as("first5"))
+      .orderBy(col("c_nationkey"))
+
+  val qListaggSql: String =
+    """SELECT c_nationkey,
+      |  array_to_string((list(c_name ORDER BY c_name))[1:5], ',') AS first5
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
 }

@@ -221,6 +221,59 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-duplicate pair graph — the missing
+    * last step of dedup-at-scale: pairwise near-dup edges form CLUSTERS
+    * (a≈b, b≈c ⇒ {a,b,c} even when a≉c), and keep-one-per-cluster needs
+    * the component id, not the edge list. Returns (id, component) where
+    * component = the smallest id reachable from `id`; nodes not in any
+    * pair are absent (they are their own singleton cluster by definition).
+    *
+    * Algorithm: min-label propagation — every node starts labeled with
+    * itself; each round, every node takes the min of its own and its
+    * neighbors' labels; converges in O(graph diameter) rounds (dup
+    * clusters are shallow, so typically 2-4). Each round is ONE
+    * shuffled join + ONE aggregation, and the label frame is
+    * `localCheckpoint`ed to cut lineage (swap for `checkpoint` on a real
+    * cluster). This is the simple propagation variant of the MapReduce CC
+    * family (cf. Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014 — the large-star/small-star trick only pays off
+    * on high-diameter graphs, which dup clusters are not).
+    *
+    * Convergence is verified, not assumed: if labels still change after
+    * `maxIter` rounds the call FAILS loudly rather than returning a
+    * partially-merged clustering. */
+  def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
+                          dstCol: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val bidir = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every round; computed once
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = bidir.isEmpty
+    while (!converged && round < maxIter) {
+      val msgs = bidir.join(labels, bidir("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("component", "_old"),
+        Seq("id")).filter(col("component") =!= col("_old")).isEmpty
+      labels = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the bound; raise maxIter")
+    labels
+  }
+
   /** Fuzzy-match pairs at edit distance ≤ 1 via deletion-neighborhood
     * blocking (the SymSpell trick: two strings are within one
     * insert/delete/substitute iff they are equal, or share a 1-deletion

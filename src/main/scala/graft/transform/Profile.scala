@@ -208,4 +208,47 @@ object Profile {
       .agg(count(lit(1)).as("count"))
       .orderBy(desc("count"), asc("value"))
       .limit(k)
+
+  /** Pearson correlation from EXACT decimal moments — the oracle-parity
+    * form of `corr`. Built-in `corr` accumulates doubles in partition
+    * order, so its last bits vary with the partitioning; here the five
+    * moments are decimal sums (exact, order-independent) and the FP
+    * arithmetic happens once, on the final scalars — same result on any
+    * cluster layout, reproducible by any engine with decimal sums.
+    * One partial+final hash agg, one shuffle, like any grouped agg. */
+  def pearson(df: DataFrame, xCol: String, yCol: String,
+              groupCols: Seq[String],
+              precision: Int = 18, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // precision/scale must cover the inputs exactly (values with more
+    // fractional digits than `scale` get rounded INTO the moments);
+    // keep precision ≤ 19 so the squared terms stay within decimal
+    // range on other engines too (the DuckDB oracle uses (12,2)).
+    def d(c: Column): Column = c.cast(DecimalType(precision, scale))
+    val (x, y) = (col(xCol), col(yCol))
+    val m = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(d(x)).cast(DoubleType).as("sx"),
+      sum(d(y)).cast(DoubleType).as("sy"),
+      sum(d(x) * d(x)).cast(DoubleType).as("sxx"),
+      sum(d(y) * d(y)).cast(DoubleType).as("syy"),
+      sum(d(x) * d(y)).cast(DoubleType).as("sxy"))
+    val (n, sx, sy) = (col("n"), col("sx"), col("sy"))
+    m.select(groupCols.map(col) ++ Seq(n,
+      ((n * col("sxy") - sx * sy) /
+        sqrt((n * col("sxx") - sx * sx) * (n * col("syy") - sy * sy)))
+        .as("pearson_r")): _*)
+  }
+
+  /** Fixed-width histogram: bucket = min(floor(value/width), maxBucket)
+    * — explicit bounds, so no pre-pass to find min/max (the two-job
+    * alternative) and no driver traffic. One grouped count. */
+  def histogram(df: DataFrame, column: String, width: Double,
+                maxBucket: Int): DataFrame = {
+    val bucket = least(floor(col(column) / width), lit(maxBucket.toLong))
+    df.filter(col(column).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), (col("bucket") * width).as("lo"), col("n"))
+  }
 }

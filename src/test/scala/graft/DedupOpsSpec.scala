@@ -101,6 +101,26 @@ class DedupOpsSpec extends SparkSpec {
       (2L, 5L) -> 1, (3L, 5L) -> 1, (4L, 5L) -> 1))
   }
 
+  test("connectedComponents: chains collapse transitively, clusters stay separate") {
+    import spark.implicits._
+    // 1-2-3-4-5-6 is a diameter-5 chain (forces several propagation
+    // rounds); 10-11 is a separate pair; 20-21/21-22 a triangle-free vee.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+    assert(got.size == 11)
+  }
+
+  test("connectedComponents on an empty edge list returns an empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(DedupOps.connectedComponents(empty).isEmpty)
+  }
+
   test("fuzzyPairsEdit1 equals the naive all-pairs levenshtein join on fixture customers") {
     val cust = graft.engine.Engine.table(spark, fixtureDir, "customer")
     val fast = DedupOps.fuzzyPairsEdit1(cust, "c_custkey", "c_name")

@@ -95,4 +95,30 @@ class ProfileSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(top == Seq(("x", 2L), ("y", 2L)))
   }
+
+  test("pearson: exact ±1 on linear data, 0 on orthogonal, layout-independent") {
+    import spark.implicits._
+    val lin = Seq((1.0, 2.0, "g"), (2.0, 4.0, "g"), (3.0, 6.0, "g"),
+      (1.0, 9.0, "h"), (2.0, 6.0, "h"), (3.0, 3.0, "h")).toDF("x", "y", "g")
+    val r = Profile.pearson(lin, "x", "y", Seq("g")).collect()
+      .map(row => row.getString(0) -> row.getDouble(2)).toMap
+    assert(r("g") == 1.0 && r("h") == -1.0) // exact: moments are decimal
+    // x = [-1,0,1], y = [1,0,1]: covariance exactly 0.
+    val orth = Seq((-1.0, 1.0), (0.0, 0.0), (1.0, 1.0)).toDF("x", "y")
+    assert(Profile.pearson(orth, "x", "y", Nil).collect()(0).getDouble(1) == 0.0)
+    // Partition-layout independence (the property built-in corr lacks).
+    val a = Profile.pearson(lin.repartition(7, col("y")), "x", "y", Seq("g"))
+    assert(a.collect().map(row => row.getString(0) -> row.getDouble(2)).toMap
+      == r)
+  }
+
+  test("histogram: fixed buckets, overflow clamped to maxBucket, nulls dropped") {
+    import spark.implicits._
+    val v = Seq[java.lang.Double](0.0, 9.9, 10.0, 25.0, 99.0, 1e6, null)
+      .toDF("v")
+    val got = Profile.histogram(v, "v", 10.0, 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq.sorted
+    assert(got == Seq((0L, 0.0, 2L), (1L, 10.0, 1L), (2L, 20.0, 1L),
+      (4L, 40.0, 2L))) // 99.0 and 1e6 clamp into the top bucket
+  }
 }
