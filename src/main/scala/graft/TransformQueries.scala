@@ -17,6 +17,56 @@ object TransformQueries {
     Engine.table(s, dir, name)
 
   // ---------------------------------------------------------------------
+  // Data-quality gate (Checks.check): five row-local rules in ONE
+  // aggregation pass + a uniqueness check. Rules are deliberately strict
+  // enough to FAIL on real rows (range capped at 450k, priorities
+  // restricted to 1-3) so the violation counts are non-trivial.
+  // ---------------------------------------------------------------------
+  def tQualityChecks(s: SparkSession, dir: String): DataFrame = {
+    import graft.transform.Checks
+    Checks.check(t(s, dir, "orders"),
+      Seq(Checks.notNull("o_custkey"),
+        Checks.inRange("o_totalprice", 0.0, 450000.0),
+        Checks.oneOf("o_orderstatus", Seq("F", "O")),
+        Checks.matches("o_orderpriority", "^[1-3]-"),
+        Checks.nonNegative("o_totalprice")),
+      uniqueCols = Seq("o_orderkey"))
+  }
+
+  val tQualityChecksSql: String =
+    """SELECT rule, "column", n_violations, n_violations = 0 AS pass
+      |FROM (
+      |  SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+      |    COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'in_range', 'o_totalprice',
+      |    COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+      |      AND (o_totalprice < 0 OR o_totalprice > 450000))
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'one_of', 'o_orderstatus',
+      |    COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+      |      AND o_orderstatus NOT IN ('F', 'O'))
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'matches', 'o_orderpriority',
+      |    COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+      |      AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'non_negative', 'o_totalprice',
+      |    COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+      |      AND o_totalprice < 0)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'unique', 'o_orderkey',
+      |    COALESCE(SUM(n - 1), 0)
+      |  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+      |        HAVING COUNT(*) > 1))
+      |ORDER BY rule, "column"""".stripMargin
+
+  // ---------------------------------------------------------------------
   // W2 profile — the scalar half (null/unique counts) is SQL-expressible;
   // the array half (samples/top-10) is covered by unit + golden tests.
   // ---------------------------------------------------------------------

@@ -43,7 +43,21 @@ object Temporal {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
                        leftTime: String, rightTime: String,
-                       prefix: String = "asof_"): DataFrame = {
+                       prefix: String = "asof_"): DataFrame =
+    asofJoin(left, right, key, leftTime, rightTime, prefix,
+      forward = false)
+
+  /** Forward variant: attaches the EARLIEST right row with
+    * `rightTime >= leftTime` (nearest following observation — e.g. "next
+    * maintenance window after this event"). Same plan, same contract. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      prefix: String = "asof_"): DataFrame =
+    asofJoin(left, right, key, leftTime, rightTime, prefix, forward = true)
+
+  private def asofJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       prefix: String, forward: Boolean): DataFrame = {
     val rightVals = right.columns.filterNot(_ == key).toIndexedSeq
     val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val rStruct = struct(rightVals.map(col): _*)
@@ -57,8 +71,12 @@ object Temporal {
     val r = right.select(col(key).as("_k"), col(rightTime).as("_t"),
       lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
 
+    // Backward scans time ascending (running "latest right seen");
+    // forward scans descending (running "earliest right still ahead").
+    // Either way rights sort before lefts at equal times → inclusive.
+    val timeOrder = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy("_k")
-      .orderBy(col("_t").asc, col("_side").asc)
+      .orderBy(timeOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val resolved = l.unionByName(r)

@@ -36,6 +36,41 @@ class TemporalSpec extends SparkSpec {
     assert(out("l4") == (Some(ts("2024-01-01 01:00:00")), Some(99.0)))
   }
 
+  test("asofJoinForward: earliest following match, inclusive, null when none ahead") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"), // earliest right ahead = 12:00
+      (1L, ts("2024-01-01 12:00:00"), "l2"), // equal ts -> inclusive match
+      (1L, ts("2024-01-01 15:00:00"), "l3"), // nothing ahead -> null
+      (2L, ts("2024-01-01 15:00:00"), "l4")  // key 2's right is in the past
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 10.0),
+      (1L, ts("2024-01-01 14:00:00"), 20.0),
+      (2L, ts("2024-01-01 01:00:00"), 99.0)
+    ).toDF("k", "t", "v")
+    val out = Temporal.asofJoinForward(left, right, "k", "t", "t")
+      .select($"tag", $"asof_t", $"asof_v")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.get(2))))).toMap
+    assert(out("l1") == (Some(ts("2024-01-01 12:00:00")), Some(10.0)))
+    assert(out("l2") == (Some(ts("2024-01-01 12:00:00")), Some(10.0)))
+    assert(out("l3") == (None, None))
+    assert(out("l4") == (None, None))
+  }
+
+  test("asofJoinBackward plans exactly ONE shuffle (the key partition for the window)") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "t", "v")
+    // executedPlan: EnsureRequirements has inserted the exchanges.
+    val plan = Temporal.asofJoinBackward(left, right, "k", "t", "t")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected one shuffle, got $shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"no join operator should appear:\n$plan")
+  }
+
   test("asofJoinBackward matches the naive argmax formulation on fixture events") {
     val ev = graft.engine.Engine.table(spark, fixtureDir, "events")
     val clicks = ev.filter(col("event_type") === "click")
