@@ -960,4 +960,33 @@ object Queries {
       |FROM customer
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Unpivot (wide → long melt, the inverse of q_pivot): three measure
+  // columns become (metric, value) rows via Spark's native unpivot —
+  // an Expand of 3× the input, immediately collapsed by the partial
+  // aggregate, so the wide intermediate never shuffles.
+  // ---------------------------------------------------------------------
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .unpivot(
+        ids = Array(col("l_orderkey")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount")),
+        variableColumnName = "metric", valueColumnName = "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("metric"))
+
+  val qUnpivotSql: String =
+    """SELECT metric, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', l_discount FROM lineitem)
+      |GROUP BY metric
+      |ORDER BY metric""".stripMargin
 }

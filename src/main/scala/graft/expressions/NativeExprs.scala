@@ -57,6 +57,7 @@ object NativeExprs {
         s"graft_shingle_hashes(arr, intLiteral), got $other")
     })
     reg("graft_hash_tokens", { case Seq(c) => TokenHashes(c) })
+    reg("graft_del_variants", { case Seq(c) => DeletionVariants(c) })
   }
 
   /** Order-sensitive combine of one n-token window (Horner-style mixing —
@@ -433,6 +434,63 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression)
       : Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Deletion neighborhood of a string: `[s] ∪ del1(s)` deduplicated,
+  * original first then deletions left-to-right — the SymSpell blocking
+  * key set for edit-distance-1 matching ([[graft.ext.DedupOps
+  * .fuzzyPairsEdit1]]). Code-point aware (a deletion removes a full
+  * code point, matching Spark's `length`/`substr` semantics on
+  * supplementary characters).
+  *
+  * Why native: the HOF formulation (`transform(sequence(1, length(s)),
+  * i -> concat(substr...))`) pays one interpreted boxed lambda call per
+  * character per row. Here both eval paths call ONE compiled helper —
+  * the same single-allocation loop — via a static call from generated
+  * code (the XXH64 pattern above), so the op stays inside whole-stage
+  * codegen. */
+case class DeletionVariants(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_del_variants expects string, got $dt")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_del_variants"
+
+  override def nullSafeEval(input: Any): Any =
+    DeletionVariants.variants(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.DeletionVariants.variants($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object DeletionVariants {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Shared compiled kernel for both eval paths. */
+  def variants(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    out.add(u)
+    var i = 0
+    while (i < s.length) {
+      val end = s.offsetByCodePoints(i, 1)
+      val sb = new java.lang.StringBuilder(s.length)
+      sb.append(s, 0, i).append(s, end, s.length)
+      out.add(UTF8String.fromString(sb.toString))
+      i = end
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
 }
 
 /** SparkSessionExtensions hook installing the graft native functions —

@@ -288,15 +288,13 @@ object DedupOps {
     * Meant for short keys (names, codes, titles); for document-scale text
     * use the MinHash/SimHash paths above. */
   def fuzzyPairsEdit1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    def variants(s: Column): Column = {
-      val deletions = transform(sequence(lit(1), length(s)),
-        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
-      when(length(s) >= 1,
-        array_distinct(concat(array(s), deletions))).otherwise(array(s))
-    }
     val strs = df.filter(col(strCol).isNotNull)
       .select(col(idCol).as("_id"), col(strCol).as("_s"))
-    val exploded = strs.select(col("_id"), explode(variants(col("_s"))).as("_v"))
+    // Native codegen'd neighborhood (expressions.DeletionVariants) — the
+    // HOF form (transform + substr) pays an interpreted lambda call per
+    // character per row.
+    val exploded = strs.select(col("_id"),
+      explode(call_function("graft_del_variants", col("_s"))).as("_v"))
     // Candidate pairs carry IDS ONLY through the join + dedup (a hash agg
     // on two longs, not a sort agg dragging strings); the short strings
     // are re-attached to the surviving pairs for verification.

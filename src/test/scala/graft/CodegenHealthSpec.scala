@@ -88,6 +88,34 @@ class CodegenHealthSpec extends SparkSpec {
     assert(withNull(1) == seedOnly)
   }
 
+  test("graft_del_variants matches the HOF formulation and compiles stacked") {
+    import spark.implicits._
+    val df = Seq("abc", "aab", "x", "日本語", "").toDF("s")
+    df.createOrReplaceTempView("cg_del")
+    assertNoCodegenErrors {
+      val stacked = spark.sql(
+        """SELECT * FROM cg_del
+          |WHERE size(graft_del_variants(s)) > 0
+          |  AND element_at(graft_del_variants(s), 1) = s
+          |""".stripMargin)
+      assert(stacked.count() == 5) // first variant is always s itself
+    }
+    // Same SET of variants as the declarative HOF form (order differs:
+    // native is [s, deletions...] deduped; HOF sorts for the compare).
+    val rows = spark.sql(
+      """SELECT array_sort(graft_del_variants(s)) AS fast,
+        |  array_sort(array_distinct(concat(array(s),
+        |    transform(sequence(1, length(s)),
+        |      i -> concat(substr(s, 1, i - 1),
+        |                  substr(s, i + 1, length(s))))))) AS slow
+        |FROM cg_del WHERE length(s) >= 1""".stripMargin).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // Empty string: just itself (no deletions).
+    val empty = spark.sql("SELECT graft_del_variants('') AS v")
+      .collect()(0).getSeq[String](0)
+    assert(empty == Seq(""))
+  }
+
   test("codegen results match interpreted eval on the stacked shapes") {
     import spark.implicits._
     val df = Seq((Array(11L, 22L, 33L, 44L, 55L), Array("a", "bb")))
