@@ -657,6 +657,40 @@ object ExtQueries {
   // same split on every run, engine, and cluster layout — which is
   // exactly why the DuckDB oracle can recompute the full assignment.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // Stratified sample: exactly 20 docs per language, selected by md5(id)
+  // rank — layout-independent, and the oracle recomputes the identical
+  // selection. Small strata would be kept whole (none here).
+  // ---------------------------------------------------------------------
+  def xSampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Split
+      .stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 20)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  val xSampleStratifiedSql: String =
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20
+      |ORDER BY lang, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Corpus vocabulary: top-50 tokens, deterministic ties — the tokenizer
+  // vocab-construction step over the documents corpus.
+  // ---------------------------------------------------------------------
+  def xTextVocab(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabulary(t(s, dir, "documents"), "text", 50)
+
+  val xTextVocabSql: String =
+    s"""SELECT tok, COUNT(*) AS n FROM (
+       |  SELECT unnest($toksSql) AS tok FROM documents)
+       |GROUP BY tok
+       |ORDER BY n DESC, tok
+       |LIMIT 50""".stripMargin
+
   def xSampleSplit(s: SparkSession, dir: String): DataFrame =
     graft.transform.Split
       .hashSplit(t(s, dir, "documents"), "doc_id",

@@ -227,6 +227,19 @@ object TextOps {
   def rollingHash(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Corpus vocabulary: the k most frequent tokens with deterministic
+    * ties (count desc, token asc) — the first step of tokenizer/vocab
+    * construction over a training corpus. Explode → count → top-k;
+    * Catalyst plans the sort+limit as TakeOrderedAndProject, so only k
+    * rows per partition survive to the driver-side merge — no global
+    * sort of the token-frequency table at 100 TB. */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok"))
+      .limit(k)
+
   /** PII-redaction patterns, ordered: emails first (they contain digit
     * runs), then NNN-NNNN phone shapes, then any ≥5-digit run (account /
     * id numbers). Kept to RE2-compatible syntax (no lookaround, no

@@ -57,4 +57,23 @@ object Split {
     if (fraction >= 1.0) df
     else df.filter(hexPrefix(col(idCol), 4) < lit(bound))
   }
+
+  /** Deterministic stratified sample: EXACTLY min(n, |stratum|) rows per
+    * stratum, chosen by md5(id) rank (id tie-break) — so the selection is
+    * a pure function of the data, not the layout, and strata smaller than
+    * `n` are kept whole rather than over-sampled. The fraction-based
+    * sampler can't promise exact per-stratum counts; eval-set
+    * construction usually needs them. One window per stratum (shuffle on
+    * the stratum key); rank ≤ n prunes map-side via the window's
+    * running limit at scale. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
 }

@@ -51,6 +51,23 @@ class SplitSpec extends SparkSpec {
     assert(Split.hashSample(docs, "doc_id", 1.0).count() == docs.count())
   }
 
+  test("stratifiedSample: exact per-stratum counts, small strata kept whole, layout-independent") {
+    val byLang = Split.stratifiedSample(docs, "lang", "doc_id", 5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == full.keySet)
+    byLang.foreach { case (lang, n) => assert(n == math.min(5L, full(lang))) }
+
+    val a = Split.stratifiedSample(docs, "lang", "doc_id", 5)
+      .select("doc_id")
+    val b = Split.stratifiedSample(docs.repartition(11, col("n_chars")),
+      "lang", "doc_id", 5).select("doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "selection must be a pure function of the data")
+  }
+
   test("hashSample is a narrow no-shuffle plan") {
     val plan = Split.hashSample(docs, "doc_id", 0.5)
       .queryExecution.executedPlan.toString

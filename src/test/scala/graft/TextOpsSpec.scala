@@ -147,6 +147,18 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("vocabulary: frequency-ranked tokens with deterministic ties, top-k plan") {
+    import spark.implicits._
+    val df = Seq((1L, "b a a c b"), (2L, "a c")).toDF("id", "text")
+    val v = TextOps.vocabulary(df, "text", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v == Seq(("a", 3L), ("b", 2L))) // b before c at count 2 (tie asc)
+    val plan = TextOps.vocabulary(df, "text", 2)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n$plan")
+  }
+
   test("redactPii scrubs emails, phone shapes, and long digit runs — and nothing else") {
     import spark.implicits._
     val cases = Seq(
