@@ -962,6 +962,38 @@ object Queries {
       |ORDER BY c_nationkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Time-based RANGE window frame: trailing 90-day order count + spend
+  // per customer at each order — the rolling-aggregate shape row-count
+  // frames (q_window_frames) can't express. Ordered on integer epoch
+  // seconds so the frame bound arithmetic is exact in both engines;
+  // RANGE semantics include equal-timestamp peers identically.
+  // ---------------------------------------------------------------------
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-7776000L, 0L) // 90 days in seconds, inclusive
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_trailing"),
+        // dsum can't be used over a window (the cast must wrap the
+        // windowed aggregate, not the other way round):
+        sum(col("o_totalprice").cast(DecimalType(30, 6))).over(w)
+          .cast(DoubleType).as("sum_trailing"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  COUNT(*) OVER w AS n_trailing,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
+      |    AS sum_trailing
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Unpivot (wide → long melt, the inverse of q_pivot): three measure
   // columns become (metric, value) rows via Spark's native unpivot —
   // an Expand of 3× the input, immediately collapsed by the partial
