@@ -80,20 +80,37 @@ with DAG(
         "graft.jobs.ProfileJob",
         [RUN_DIR + "/documents", RUN_DIR + "/profile"],
     )
+    # Hard gate: the task FAILS (non-zero exit -> retry/alert) when any
+    # rule is violated; the report parquet survives either way.
+    quality_gate = spark_task(
+        "quality_gate",
+        "graft.jobs.QualityGateJob",
+        [RUN_DIR + "/documents", RUN_DIR + "/quality_report",
+         "not_null:doc_id;not_null:text;non_negative:n_chars",
+         "doc_id"],
+    )
     dedupe = spark_task(
         "dedupe",
         "graft.jobs.DedupeJob",
         [RUN_DIR + "/documents", RUN_DIR + "/deduped", "doc_id", "text",
          "0.85"],
     )
+    # Deterministic md5-bucket split: same doc lands in the same split
+    # on every run, so the warehouse's test set never drifts.
+    split = spark_task(
+        "split",
+        "graft.jobs.SplitJob",
+        [RUN_DIR + "/deduped", RUN_DIR + "/split", "doc_id",
+         "0.05", "0.05"],
+    )
     load = spark_task(
         "load",
         "graft.jobs.LoadJob",
-        [RUN_DIR + "/deduped", DATA_ROOT + "/warehouse/documents",
+        [RUN_DIR + "/split", DATA_ROOT + "/warehouse/documents",
          "replace"],
     )
 
-    # Profile is a quality gate on the raw ingest (runs in parallel with
-    # nothing downstream of it); dedupe -> load is the data path.
-    ingest >> [profile, dedupe]
-    dedupe >> load
+    # Profile runs informationally in parallel; the data path is gated:
+    # nothing downstream starts until the quality rules pass.
+    ingest >> [profile, quality_gate]
+    quality_gate >> dedupe >> split >> load

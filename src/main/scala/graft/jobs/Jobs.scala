@@ -89,6 +89,66 @@ object IncrementalIngestJob {
     Jobs.withSession("graft-ingest-incremental")(run(_, args))
 }
 
+/** Quality gate: run declarative [[graft.transform.Checks]] rules on a
+  * parquet table, persist the report, and FAIL THE TASK (exception →
+  * non-zero exit → Airflow retry/alert) when any rule is violated — the
+  * gate-between-ingest-and-load a training pipeline needs. The report is
+  * written BEFORE the failure is raised, so a red run leaves its
+  * evidence behind.
+  *
+  * args: <inTable> <reportOut> <rulesSpec> [uniqueCols,csv]
+  * rulesSpec — ';'-separated rules:
+  *   not_null:col | range:col:lo:hi | one_of:col:v1,v2
+  *   | matches:col:regex | non_negative:col
+  * (matches takes the rest of the string verbatim, so regexes may
+  * contain ':'.) */
+object QualityGateJob {
+  import graft.transform.Checks
+
+  private[graft] def parseRule(s: String): Checks.Rule =
+    s.split(":", -1) match {
+      case Array("not_null", c) => Checks.notNull(c)
+      case Array("range", c, lo, hi) => Checks.inRange(c, lo.toDouble,
+        hi.toDouble)
+      case Array("one_of", c, vs) => Checks.oneOf(c, vs.split(",").toSeq)
+      case Array("non_negative", c) => Checks.nonNegative(c)
+      case parts if parts.length >= 3 && parts(0) == "matches" =>
+        Checks.matches(parts(1), parts.drop(2).mkString(":"))
+      case _ => throw new IllegalArgumentException(s"bad rule: '$s'")
+    }
+
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(in, out, spec, rest @ _*) = args
+    val rules = spec.split(";").toSeq.filter(_.nonEmpty).map(parseRule)
+    val uniq = rest.headOption.toSeq.flatMap(_.split(",").toSeq)
+      .filter(_.nonEmpty)
+    val report = Checks.check(Sources.readParquet(spark, in), rules, uniq)
+    Sinks.writeParquet(report, out)
+    val failing = report.filter(!org.apache.spark.sql.functions.col("pass"))
+      .count()
+    if (failing > 0) throw new RuntimeException(
+      s"quality gate failed: $failing rule(s) violated — report at $out")
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-quality-gate")(run(_, args))
+}
+
+/** Split: append the deterministic md5-bucket train/valid/test column
+  * (membership is a pure function of the id — stable across runs and
+  * cluster layouts, see [[graft.transform.Split]]).
+  * args: <inPath> <outPath> <idCol> <testFrac> <validFrac> */
+object SplitJob {
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(in, out, idCol, testFrac, validFrac) = args
+    Sinks.writeParquet(
+      graft.transform.Split.hashSplit(Sources.readParquet(spark, in),
+        idCol, Seq("test" -> testFrac.toDouble,
+          "valid" -> validFrac.toDouble)), out)
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-split")(run(_, args))
+}
+
 /** Load: parquet → destination table path (K7 semantics: sanitize then
   * fail|replace|append, raising on failure).
   * args: <inPath> <destTable> [behavior=replace] */

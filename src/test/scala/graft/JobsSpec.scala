@@ -3,7 +3,8 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
-import graft.jobs.{DedupeJob, IngestJob, LoadJob, ProfileJob}
+import graft.jobs.{DedupeJob, IngestJob, LoadJob, ProfileJob,
+  QualityGateJob, SplitJob}
 
 /** The orchestrated pipeline stages (airflow/dags/graft_pipeline_dag.py)
   * chained exactly as the DAG chains them — parquet-path handoff between
@@ -38,6 +39,46 @@ class JobsSpec extends SparkSpec {
     val prof = spark.read.parquet(s"$ws/run/profile")
     assert(prof.select("column").collect().map(_.getString(0)).toSet
       .contains("text"))
+  }
+
+  test("quality gate passes clean data, fails dirty data AFTER writing the report") {
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    docs.write.mode("overwrite").parquet(s"$ws/qg/in")
+    // Clean: all rules hold → report written, no exception.
+    QualityGateJob.run(spark, Array(s"$ws/qg/in", s"$ws/qg/report_ok",
+      "not_null:doc_id;not_null:text;non_negative:n_chars", "doc_id"))
+    val ok = spark.read.parquet(s"$ws/qg/report_ok")
+    assert(ok.count() == 4 && ok.collect().forall(_.getAs[Boolean]("pass")))
+    // Dirty: impossible range must FAIL the task but leave the report.
+    val ex = intercept[RuntimeException] {
+      QualityGateJob.run(spark, Array(s"$ws/qg/in", s"$ws/qg/report_bad",
+        "range:n_chars:0:1", "doc_id"))
+    }
+    assert(ex.getMessage.contains("quality gate failed"))
+    val bad = spark.read.parquet(s"$ws/qg/report_bad")
+    assert(bad.filter(!col("pass")).count() == 1)
+  }
+
+  test("quality gate rule parsing: regexes may contain colons; bad rules are loud") {
+    val r = QualityGateJob.parseRule("matches:c:^a:b$")
+    assert(r.name == "matches" && r.column == "c")
+    intercept[IllegalArgumentException] {
+      QualityGateJob.parseRule("frobnicate:c")
+    }
+  }
+
+  test("split job appends the deterministic split column") {
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(s"$ws/sp/in")
+    SplitJob.run(spark, Array(s"$ws/sp/in", s"$ws/sp/out", "doc_id",
+      "0.05", "0.05"))
+    val out = spark.read.parquet(s"$ws/sp/out")
+    assert(out.columns.contains("split"))
+    assert(out.select("split").distinct().collect().map(_.getString(0))
+      .toSet.subsetOf(Set("test", "valid", "train")))
+    assert(out.count() == docs.count())
   }
 
   test("ingest raises on empty/unreadable input (DAG retry contract)") {
