@@ -37,9 +37,18 @@ object Split {
                 rest: String = "train"): DataFrame = {
     require(fractions.nonEmpty && fractions.map(_._2).sum < 1.0,
       "fractions must be non-empty and sum to < 1 (remainder goes to rest)")
+    require(fractions.forall(_._2 > 0.0),
+      s"every fraction must be positive: $fractions")
     val h = hexPrefix(col(idCol), 2)
     val bounds = fractions.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
-      .tail.map(c => f"${math.ceil(c * 256).toLong}%02x")
+      .tail.map { c =>
+        val b = math.ceil(c * 256).toLong
+        // A cumulative bound that rounds up to all 256 buckets must
+        // compare above every 2-char hex prefix — f"%02x" of 256 would
+        // be the 3-char "100", which sorts BELOW "11" lexicographically
+        // and would silently empty the split.
+        if (b >= 256) "g" else f"$b%02x"
+      }
     val assigned = fractions.zip(bounds).foldRight(lit(rest)) {
       case (((name, _), bound), fallback) =>
         when(h < lit(bound), lit(name)).otherwise(fallback)
@@ -53,9 +62,12 @@ object Split {
     * resolution 1/65536). Same id set survives on every run/engine. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction: $fraction")
-    val bound = f"${math.ceil(fraction * 65536).toLong.min(65536)}%04x"
-    if (fraction >= 1.0) df
-    else df.filter(hexPrefix(col(idCol), 4) < lit(bound))
+    val buckets = math.ceil(fraction * 65536).toLong
+    // ceil hits 65536 for any fraction above 65535/65536 — that formats
+    // as the 5-char "10000", which sorts below most 4-char prefixes and
+    // would silently DROP ~94% of rows. All buckets selected == keep df.
+    if (buckets >= 65536) df
+    else df.filter(hexPrefix(col(idCol), 4) < lit(f"$buckets%04x"))
   }
 
   /** Deterministic stratified sample: EXACTLY min(n, |stratum|) rows per

@@ -106,12 +106,28 @@ object Temporal {
     */
   def intervalJoin(facts: DataFrame, intervals: DataFrame, timeCol: String,
                    startCol: String, endCol: String,
-                   binSeconds: Long = 86400L): DataFrame = {
+                   binSeconds: Long = 86400L,
+                   maxBinsPerInterval: Int = 10000): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive: $maxBinsPerInterval")
     val binUs = binSeconds * 1000000L
     def binOf(c: Column): Column = floor(unix_micros(c) / binUs)
 
-    val iv = intervals.withColumn("_bin",
+    // Fail LOUDLY on an interval spanning an absurd number of bins (an
+    // open-ended sentinel end date, or binSeconds far below the interval
+    // length) instead of letting one row explode to millions of
+    // elements. assert_true returns null on pass, so the coalesce'd
+    // filter keeps every row while forcing the check to run per row.
+    val span = binOf(col(endCol)) - binOf(col(startCol))
+    val guarded = intervals.filter(coalesce(
+      assert_true(span <= lit(maxBinsPerInterval.toLong),
+        concat(lit(s"intervalJoin: interval spans more than " +
+          s"$maxBinsPerInterval bins of ${binSeconds}s — raise " +
+          "binSeconds or maxBinsPerInterval; offending span: "),
+          span.cast("string"))),
+      lit(true)))
+    val iv = guarded.withColumn("_bin",
       explode(sequence(binOf(col(startCol)), binOf(col(endCol)))))
     val f = facts.withColumn("_bin", binOf(col(timeCol)))
 

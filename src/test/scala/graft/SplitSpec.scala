@@ -34,10 +34,34 @@ class SplitSpec extends SparkSpec {
       s"valid fraction off: ${counts("valid") / n}")
   }
 
-  test("hashSplit rejects weights summing to >= 1") {
+  test("hashSplit rejects weights summing to >= 1 and non-positive weights") {
     intercept[IllegalArgumentException] {
       Split.hashSplit(docs, "doc_id", Seq("a" -> 0.6, "b" -> 0.4))
     }
+    intercept[IllegalArgumentException] {
+      Split.hashSplit(docs, "doc_id", Seq("a" -> -0.1, "b" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Split.hashSplit(docs, "doc_id", Seq("a" -> 0.0, "b" -> 0.5))
+    }
+  }
+
+  test("hashSplit boundary: cumulative fraction above 255/256 must not empty the split") {
+    // ceil(0.997*256) = 256: a naive %02x gives the 3-char "100", which
+    // sorts below "11" and would silently send ~94% of 'b' to rest.
+    val counts = Split.hashSplit(docs, "doc_id",
+        Seq("a" -> 0.9, "b" -> 0.097))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("train", 0L) == 0L,
+      s"virtually no rows should remain for rest: $counts")
+    assert(counts.getOrElse("b", 0L) > 0L, s"split b emptied: $counts")
+  }
+
+  test("hashSample boundary: fractions just under 1.0 keep ~everything") {
+    // ceil(0.99999*65536) = 65536: a naive %04x gives "10000" (5 chars),
+    // silently keeping only ~6% of rows.
+    assert(Split.hashSample(docs, "doc_id", 0.99999).count() == docs.count())
   }
 
   test("hashSample: monotone subsets, empty at 0, everything at 1") {

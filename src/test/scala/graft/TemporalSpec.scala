@@ -126,6 +126,22 @@ class TemporalSpec extends SparkSpec {
     assert(fine == got)
   }
 
+  test("intervalJoin fails loudly on an interval spanning too many bins") {
+    import spark.implicits._
+    val openEnded = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00"))
+    ).toDF("iv_id", "s", "e")
+    val facts = Seq((1L, ts("2024-01-02 00:00:00"))).toDF("fid", "t")
+    val ex = intercept[Exception] {
+      Temporal.intervalJoin(facts, openEnded, "t", "s", "e").collect()
+    }
+    assert(ex.getMessage.contains("intervalJoin"), ex.getMessage)
+    // The same data passes with a bound that covers the span.
+    val ok = Temporal.intervalJoin(facts, openEnded, "t", "s", "e",
+      binSeconds = 86400L * 365 * 10000, maxBinsPerInterval = 10000)
+    assert(ok.count() == 1)
+  }
+
   test("intervalJoin plans an equi-join (no nested-loop/cartesian) and equals the naive form") {
     val ev = graft.engine.Engine.table(spark, fixtureDir, "events")
     val iv = graft.engine.Engine.table(spark, fixtureDir, "nation").select(
