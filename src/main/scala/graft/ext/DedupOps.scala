@@ -254,16 +254,25 @@ object DedupOps {
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // Convergence probe: labels only ever DECREASE, so any change makes
+    // the label sum strictly smaller — equal consecutive sums ⇔ fixpoint.
+    // One decimal aggregate per round (overflow-safe at any id range)
+    // instead of a join against the previous round's frame.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
     var round = 0
     var converged = bidir.isEmpty
+    var prevSum = if (converged) null else labelSum(labels)
     while (!converged && round < maxIter) {
       val msgs = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("component", "_old"),
-        Seq("id")).filter(col("component") =!= col("_old")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       round += 1
     }
