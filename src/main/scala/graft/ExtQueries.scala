@@ -23,6 +23,19 @@ object ExtQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Bigram-shingle CTE (contract in [[TextOps.shingles]], n=2): expects
+    * a `tok(doc_id, toks)` relation in scope, yields `t(doc_id, sh)`. */
+  private val shingleCteSql =
+    """t AS (SELECT doc_id,
+      |      list_distinct(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS sh
+      |    FROM tok WHERE len(toks) >= 2)""".stripMargin
+
+  /** Exact Jaccard of two shingle sets `a.sh` / `b.sh` (DuckDB form). */
+  private val jaccardSql =
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)" +
+      " / len(list_distinct(list_concat(a.sh, b.sh)))"
+
   /** documents ∪ clones-of-first-50 (ids offset by 10000): a corpus with
     * KNOWN duplicates, so dedup queries provably find something. */
   private def clonedDocs(s: SparkSession, dir: String): DataFrame = {
@@ -72,13 +85,9 @@ object ExtQueries {
   val xDedupJaccardSql: String =
     s"""WITH tok AS (SELECT doc_id, $toksSql AS toks
        |             FROM documents WHERE doc_id < 100),
-       |  t AS (SELECT doc_id,
-       |          list_distinct(list_transform(range(1, len(toks)),
-       |            i -> toks[i] || ' ' || toks[i+1])) AS sh
-       |        FROM tok WHERE len(toks) >= 2)
+       |  $shingleCteSql
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  $jaccardSql AS jaccard
        |FROM t a JOIN t b ON a.doc_id < b.doc_id
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
 
@@ -103,20 +112,12 @@ object ExtQueries {
     * driver hash-compares every row. */
   val xDedupMinhashSql: String =
     s"""WITH corpus AS ($clonedDocsSql),
-       |  tok AS (SELECT doc_id,
-       |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-       |        x -> x <> '') AS toks
-       |    FROM corpus),
-       |  t AS (SELECT doc_id,
-       |      list_distinct(list_transform(range(1, len(toks)),
-       |        i -> toks[i] || ' ' || toks[i+1])) AS sh
-       |    FROM tok WHERE len(toks) >= 2)
+       |  tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |  $shingleCteSql
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  $jaccardSql AS jaccard
        |FROM t a JOIN t b ON a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+       |WHERE $jaccardSql >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -251,14 +252,10 @@ object ExtQueries {
        |                           ORDER BY doc_id) AS rn
        |      FROM corpus) WHERE rn = 1),
        |  tok AS (SELECT doc_id, $toksSql AS toks FROM surv),
-       |  t AS (SELECT doc_id,
-       |      list_distinct(list_transform(range(1, len(toks)),
-       |        i -> toks[i] || ' ' || toks[i+1])) AS sh
-       |    FROM tok WHERE len(toks) >= 2),
+       |  $shingleCteSql,
        |  losers AS (SELECT DISTINCT b.doc_id FROM t a
        |    JOIN t b ON a.doc_id < b.doc_id
-       |    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.85)
+       |    WHERE $jaccardSql >= 0.85)
        |SELECT doc_id FROM surv
        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
        |ORDER BY doc_id""".stripMargin
@@ -574,18 +571,11 @@ object ExtQueries {
 
   val xDedupCcSql: String =
     s"""WITH corpus AS ($clonedDocsSql),
-       |  tok AS (SELECT doc_id,
-       |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-       |        x -> x <> '') AS toks
-       |    FROM corpus),
-       |  t AS (SELECT doc_id,
-       |      list_distinct(list_transform(range(1, len(toks)),
-       |        i -> toks[i] || ' ' || toks[i+1])) AS sh
-       |    FROM tok WHERE len(toks) >= 2),
+       |  tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |  $shingleCteSql,
        |  edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |    FROM t a JOIN t b ON a.doc_id < b.doc_id
-       |    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+       |    WHERE $jaccardSql >= 0.8),
        |  bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
        |    UNION SELECT id_b, id_a FROM edges
        |    UNION SELECT id_a, id_a FROM edges

@@ -124,8 +124,10 @@ object QualityGateJob {
       .filter(_.nonEmpty)
     val report = Checks.check(Sources.readParquet(spark, in), rules, uniq)
     Sinks.writeParquet(report, out)
-    val failing = report.filter(!org.apache.spark.sql.functions.col("pass"))
-      .count()
+    // Count failures from the (tiny) written report, not `report` — the
+    // uniqueness half of the plan is lazy and would re-scan the input.
+    val failing = spark.read.parquet(out)
+      .filter(!org.apache.spark.sql.functions.col("pass")).count()
     if (failing > 0) throw new RuntimeException(
       s"quality gate failed: $failing rule(s) violated — report at $out")
   }

@@ -202,7 +202,7 @@ object Streaming {
           val out = rows.toSeq
             .sortBy { case (_, tsUs, id, _, side) => (tsUs, side, id) }
             .flatMap {
-              case (_, tsUs, id, v, 0) =>
+              case (_, tsUs, _, v, 0) =>
                 if (latest.forall(_._1 <= tsUs)) latest = Some((tsUs, v))
                 None
               case (_, tsUs, id, v, _) =>
