@@ -99,6 +99,60 @@ class SparkPropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join law: equals per-row argmax for random (key, time) data") {
+    import spark.implicits._
+    // Small keyspace + coarse times force collisions: equal timestamps,
+    // multiple rights per left, keys with rights only / lefts only.
+    val rowGen = for {
+      k <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0L, 20L)
+    } yield (k, t)
+    val lefts = samples(rowGen, 120).zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("k", "t", "lid")
+    // Unique (k, t) on the right — the operator's contract.
+    val rights = samples(rowGen, 120).distinct.zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong * 10) }
+      .toDF("k", "t", "rv")
+
+    val fast = graft.transform.Temporal
+      .asofJoinBackward(lefts, rights, "k", "t", "t")
+      .select(col("lid"), col("asof_t"), col("asof_rv"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lid").orderBy(col("rt").desc)
+    val naive = lefts
+      .join(rights.select(col("k").as("rk"), col("t").as("rt"), col("rv")),
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("lid"), col("rt").as("asof_t"), col("rv").as("asof_rv"))
+
+    assert(fast.count() == 120)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("hash split/sample laws: exhaustive id range, deterministic, disjoint, monotone") {
+    import spark.implicits._
+    val ids = spark.range(2000).toDF("id")
+    val split = graft.transform.Split
+      .hashSplit(ids, "id", Seq("a" -> 0.2, "b" -> 0.3), rest = "c")
+    // Total function: every row gets exactly one of the declared names.
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("a", "b", "c")))
+    assert(counts.values.sum == 2000L)
+    // Fractions within bucket-granularity + hash noise of the ask.
+    assert(math.abs(counts("a") / 2000.0 - 0.2) < 0.05, counts)
+    assert(math.abs(counts("b") / 2000.0 - 0.3) < 0.05, counts)
+    // Sampling is monotone in the fraction across many cut points.
+    val fracs = Seq(0.05, 0.2, 0.5, 0.8, 0.95)
+    val sets = fracs.map(f => graft.transform.Split.hashSample(ids, "id", f)
+      .collect().map(_.getLong(0)).toSet)
+    sets.sliding(2).foreach { case Seq(small, big) =>
+      assert(small.subsetOf(big), "larger fraction must be a superset")
+    }
+  }
+
   test("contiguous ids: dense from start for random sizes and starts") {
     import spark.implicits._
     val cases = Seq((1, 0L), (97, 1000L), (1024, -7L))
