@@ -283,6 +283,31 @@ object DedupOps {
     labels
   }
 
+  /** Resolve duplicate CLUSTERS to one surviving row each: connected
+    * components over the pair graph, then per-component argmax on
+    * `preferCol` (ties → lowest id). This is the quality-aware keeper a
+    * training pipeline wants — "keep the longest/cleanest copy", not
+    * "keep the lowest id" — and the reason components matter: with
+    * chains a≈b≈c, pairwise drop-the-higher-id can keep the WORST copy
+    * or several copies.
+    *
+    * Rows in no pair survive untouched (singleton clusters). Scale
+    * shape: components shuffle (id, label) pairs; the argmax is one
+    * window over components-sized data; the full rows join back by id. */
+  def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+                      preferCol: String): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("_cc_id"), col("component").as("_cc_comp"))
+    val withComp = df.join(comp, df(idCol) === comp("_cc_id"), "left")
+      .withColumn("_comp", coalesce(col("_cc_comp"), col(idCol)))
+      .drop("_cc_id", "_cc_comp")
+    val w = Window.partitionBy(col("_comp"))
+      .orderBy(desc(preferCol), col(idCol).asc)
+    withComp.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk", "_comp")
+  }
+
   /** Fuzzy-match pairs at edit distance ≤ 1 via deletion-neighborhood
     * blocking (the SymSpell trick: two strings are within one
     * insert/delete/substitute iff they are equal, or share a 1-deletion

@@ -43,21 +43,29 @@ object Temporal {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
                        leftTime: String, rightTime: String,
-                       prefix: String = "asof_"): DataFrame =
+                       prefix: String = "asof_",
+                       toleranceMicros: Option[Long] = None): DataFrame =
     asofJoin(left, right, key, leftTime, rightTime, prefix,
-      forward = false)
+      forward = false, toleranceMicros)
 
   /** Forward variant: attaches the EARLIEST right row with
     * `rightTime >= leftTime` (nearest following observation — e.g. "next
     * maintenance window after this event"). Same plan, same contract. */
   def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
                       leftTime: String, rightTime: String,
-                      prefix: String = "asof_"): DataFrame =
-    asofJoin(left, right, key, leftTime, rightTime, prefix, forward = true)
+                      prefix: String = "asof_",
+                      toleranceMicros: Option[Long] = None): DataFrame =
+    asofJoin(left, right, key, leftTime, rightTime, prefix, forward = true,
+      toleranceMicros)
 
+  /** `toleranceMicros` (pandas merge_asof's `tolerance`): a match further
+    * than this from the left time is nulled out — "most recent profile
+    * update, but only if fresher than an hour". Requires timestamp time
+    * columns (the gap is measured in microseconds). */
   private def asofJoin(left: DataFrame, right: DataFrame, key: String,
                        leftTime: String, rightTime: String,
-                       prefix: String, forward: Boolean): DataFrame = {
+                       prefix: String, forward: Boolean,
+                       toleranceMicros: Option[Long]): DataFrame = {
     val rightVals = right.columns.filterNot(_ == key).toIndexedSeq
     val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val rStruct = struct(rightVals.map(col): _*)
@@ -79,8 +87,17 @@ object Temporal {
       .orderBy(timeOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val raw = last(col("_r"), ignoreNulls = true).over(w)
+    val matched = toleranceMicros.fold(raw) { tol =>
+      require(tol >= 0, s"tolerance must be non-negative: $tol")
+      val gap =
+        if (forward) unix_micros(raw.getField(rightTime)) -
+          unix_micros(col("_t"))
+        else unix_micros(col("_t")) - unix_micros(raw.getField(rightTime))
+      when(gap <= tol, raw)
+    }
     val resolved = l.unionByName(r)
-      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .withColumn("_m", matched)
       .filter(col("_side") === 1)
 
     val leftCols = left.columns.toIndexedSeq.map(c => col(s"_l.$c").as(c))

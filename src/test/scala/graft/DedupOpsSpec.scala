@@ -115,6 +115,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.size == 11)
   }
 
+  test("resolveClusters keeps the best-quality row per cluster, singletons untouched") {
+    import spark.implicits._
+    // Cluster {1,2,3} via chain; 3 has the best quality. 4-5 pair: tie
+    // on quality → lowest id (4) wins. 9 is a singleton.
+    val rows = Seq(
+      (1L, "a", 0.1), (2L, "a'", 0.5), (3L, "a''", 0.9),
+      (4L, "b", 0.7), (5L, "b'", 0.7),
+      (9L, "c", 0.0)
+    ).toDF("id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = DedupOps.resolveClusters(rows, "id", pairs, "quality")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 9L))
+    // Contrast: pairwise drop-higher-id would keep 1 (worst quality).
+  }
+
   test("connectedComponents on an empty edge list returns an empty frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

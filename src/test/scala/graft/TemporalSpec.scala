@@ -59,6 +59,26 @@ class TemporalSpec extends SparkSpec {
     assert(out("l4") == (None, None))
   }
 
+  test("asofJoin tolerance: stale matches null out, fresh ones survive (both directions)") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 5.0)).toDF("k", "t", "v")
+    val hour = 3600L * 1000000L
+    // Backward gap is 2h: within a 3h tolerance, outside a 1h one.
+    def back(tol: Long) = Temporal
+      .asofJoinBackward(left, right, "k", "t", "t",
+        toleranceMicros = Some(tol))
+      .select($"asof_v").collect()(0)
+    assert(back(3 * hour).getDouble(0) == 5.0)
+    assert(back(1 * hour).isNullAt(0))
+    // Forward: right at 10:00 is BEHIND the left at 12:00 → no match at
+    // any tolerance (direction respected, not just |gap|).
+    val fwd = Temporal.asofJoinForward(left, right, "k", "t", "t",
+        toleranceMicros = Some(24 * hour))
+      .select($"asof_v").collect()(0)
+    assert(fwd.isNullAt(0))
+  }
+
   test("asofJoinBackward plans exactly ONE shuffle (the key partition for the window)") {
     import spark.implicits._
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "tag")
