@@ -569,8 +569,10 @@ object ExtQueries {
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
 
-  val xDedupCcSql: String =
-    s"""WITH corpus AS ($clonedDocsSql),
+  /** Shared CTE chain: cloned corpus → minhash-0.8-equivalent exact
+    * edges → transitive closure → `comp(doc_id, component)`. */
+  private val ccCtesSql: String =
+    s"""corpus AS ($clonedDocsSql),
        |  tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
        |  $shingleCteSql,
        |  edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -585,9 +587,39 @@ object ExtQueries {
        |      SELECT src, dst FROM bidir
        |      UNION
        |      SELECT r.src, b.dst FROM r JOIN bidir b ON r.dst = b.src
-       |    ) SELECT * FROM r)
-       |SELECT src AS doc_id, MIN(dst) AS component
-       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+       |    ) SELECT * FROM r),
+       |  comp AS (SELECT src AS doc_id, MIN(dst) AS component
+       |    FROM reach GROUP BY src)""".stripMargin
+
+  val xDedupCcSql: String =
+    s"""WITH $ccCtesSql
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Cluster resolution end-to-end: keep the best copy per near-dup
+  // cluster, preferring LONGEST text (planted clones tie on identical
+  // text → lowest id, the original, survives). The oracle resolves the
+  // same clusters via the recursive closure + a window argmax.
+  // ---------------------------------------------------------------------
+  def xDedupResolve(s: SparkSession, dir: String): DataFrame = {
+    val corpus = clonedDocs(s, dir)
+      .withColumn("quality", length(col("text")))
+    val pairs = DedupOps.nearDupPairsMinhash(corpus, "doc_id", "text",
+      shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8)
+    DedupOps.resolveClusters(corpus, "doc_id", pairs, "quality")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val xDedupResolveSql: String =
+    s"""WITH $ccCtesSql
+       |SELECT doc_id FROM (
+       |  SELECT c.doc_id,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY coalesce(comp.component, c.doc_id)
+       |      ORDER BY length(c.text) DESC, c.doc_id) AS rk
+       |  FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id)
+       |WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Fuzzy matching at edit distance ≤ 1 over customer names, via
