@@ -779,7 +779,11 @@ object Queries {
   // transliteration of ours. Timestamps exported as epoch micros (exact
   // integer compare).
   // ---------------------------------------------------------------------
-  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+  /** Shared sides for the as-of queries: purchases (left) and clicks
+    * deduped to one row per (user, ts) — the operator's uniqueness
+    * contract — with max_by(event_id) as the deterministic tie-break. */
+  private def asofSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts"))
@@ -787,26 +791,78 @@ object Queries {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"),
         col("value").as("purchase_value"))
-    graft.transform.Temporal
-      .asofJoinBackward(purchases, clicks, "user_id", "ts", "ts",
-        prefix = "click_")
-      .select(col("event_id"), col("user_id"),
+    (purchases, clicks)
+  }
+
+  private def asofOut(joined: DataFrame): DataFrame =
+    joined.select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("purchase_value"),
         unix_micros(col("click_ts")).as("click_ts_us"), col("click_value"))
       .orderBy(col("event_id"))
-  }
 
-  val qAsofJoinSql: String =
+  private val asofCteSql =
     """WITH clicks AS (
       |  SELECT user_id, ts, max_by(value, event_id) AS click_value
       |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
       |), purchases AS (
       |  SELECT event_id, user_id, ts, value AS purchase_value
       |  FROM events WHERE event_type = 'purchase'
-      |)
+      |)""".stripMargin
+
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = asofSides(s, dir)
+    asofOut(graft.transform.Temporal
+      .asofJoinBackward(purchases, clicks, "user_id", "ts", "ts",
+        prefix = "click_"))
+  }
+
+  val qAsofJoinSql: String =
+    s"""$asofCteSql
       |SELECT p.event_id, p.user_id,
       |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us, p.purchase_value,
       |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us, c.click_value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Forward as-of: EARLIEST click at/after each purchase. DuckDB's
+    * native ASOF with the reversed inequality is the oracle. */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = asofSides(s, dir)
+    asofOut(graft.transform.Temporal
+      .asofJoinForward(purchases, clicks, "user_id", "ts", "ts",
+        prefix = "click_"))
+  }
+
+  val qAsofForwardSql: String =
+    s"""$asofCteSql
+      |SELECT p.event_id, p.user_id,
+      |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us, p.purchase_value,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us, c.click_value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts <= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Backward as-of with a 1-hour tolerance: stale matches null out.
+    * Oracle = native ASOF + CASE-null — an independent formulation of
+    * the same semantics. */
+  def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = asofSides(s, dir)
+    asofOut(graft.transform.Temporal
+      .asofJoinBackward(purchases, clicks, "user_id", "ts", "ts",
+        prefix = "click_", toleranceMicros = Some(3600000000L)))
+  }
+
+  val qAsofToleranceSql: String =
+    s"""$asofCteSql
+      |SELECT p.event_id, p.user_id,
+      |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us, p.purchase_value,
+      |  CASE WHEN epoch_us(CAST(p.ts AS TIMESTAMP))
+      |          - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 3600000000
+      |       THEN epoch_us(CAST(c.ts AS TIMESTAMP)) END AS click_ts_us,
+      |  CASE WHEN epoch_us(CAST(p.ts AS TIMESTAMP))
+      |          - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 3600000000
+      |       THEN c.click_value END AS click_value
       |FROM purchases p ASOF LEFT JOIN clicks c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin

@@ -19,7 +19,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 72)
-    assert(SparkEntry.oracleSql.size == 70)
+    assert(SparkEntry.queries.size == 74)
+    assert(SparkEntry.oracleSql.size == 72)
   }
 }
