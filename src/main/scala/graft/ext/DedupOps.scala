@@ -293,10 +293,14 @@ object DedupOps {
     *
     * Rows in no pair survive untouched (singleton clusters). Scale
     * shape: components shuffle (id, label) pairs; the argmax is one
-    * window over components-sized data; the full rows join back by id. */
+    * window over components-sized data; the full rows join back by id.
+    *
+    * `srcCol`/`dstCol` name the edge columns in `pairs` (defaults match
+    * the pair-generating ops here: id_a/id_b). */
   def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame,
-                      preferCol: String): DataFrame = {
-    val comp = connectedComponents(pairs)
+                      preferCol: String, srcCol: String = "id_a",
+                      dstCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, srcCol, dstCol)
       .select(col("id").as("_cc_id"), col("component").as("_cc_comp"))
     val withComp = df.join(comp, df(idCol) === comp("_cc_id"), "left")
       .withColumn("_comp", coalesce(col("_cc_comp"), col(idCol)))

@@ -123,11 +123,15 @@ object QualityGateJob {
     val uniq = rest.headOption.toSeq.flatMap(_.split(",").toSeq)
       .filter(_.nonEmpty)
     val report = Checks.check(Sources.readParquet(spark, in), rules, uniq)
-    Sinks.writeParquet(report, out)
-    // Count failures from the (tiny) written report, not `report` — the
-    // uniqueness half of the plan is lazy and would re-scan the input.
-    val failing = spark.read.parquet(out)
-      .filter(!org.apache.spark.sql.functions.col("pass")).count()
+    // Collect ONCE (one row per rule — tiny) and write the report from
+    // memory: the uniqueness half of the plan is lazy, so writing and
+    // re-counting the frame would scan the input twice, and reading the
+    // written file back breaks when the guarded writer skips an empty
+    // report (or worse, picks up a STALE report at the same path).
+    val rows = report.collect()
+    Sinks.writeParquet(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), report.schema), out)
+    val failing = rows.count(!_.getAs[Boolean]("pass"))
     if (failing > 0) throw new RuntimeException(
       s"quality gate failed: $failing rule(s) violated — report at $out")
   }

@@ -60,8 +60,9 @@ object Temporal {
 
   /** `toleranceMicros` (pandas merge_asof's `tolerance`): a match further
     * than this from the left time is nulled out — "most recent profile
-    * update, but only if fresher than an hour". Requires timestamp time
-    * columns (the gap is measured in microseconds). */
+    * update, but only if fresher than an hour". For timestamp time
+    * columns the gap is measured in microseconds; for numeric time
+    * columns it is measured in the column's own units. */
   private def asofJoin(left: DataFrame, right: DataFrame, key: String,
                        leftTime: String, rightTime: String,
                        prefix: String, forward: Boolean,
@@ -90,10 +91,17 @@ object Temporal {
     val raw = last(col("_r"), ignoreNulls = true).over(w)
     val matched = toleranceMicros.fold(raw) { tol =>
       require(tol >= 0, s"tolerance must be non-negative: $tol")
+      // Timestamps → integer micros; numeric time columns (the operator
+      // is generic over orderable times) → their own units.
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      def units(c: Column): Column =
+        left.schema(leftTime).dataType match {
+          case TimestampType | TimestampNTZType => unix_micros(c)
+          case _ => c.cast("long")
+        }
       val gap =
-        if (forward) unix_micros(raw.getField(rightTime)) -
-          unix_micros(col("_t"))
-        else unix_micros(col("_t")) - unix_micros(raw.getField(rightTime))
+        if (forward) units(raw.getField(rightTime)) - units(col("_t"))
+        else units(col("_t")) - units(raw.getField(rightTime))
       when(gap <= tol, raw)
     }
     val resolved = l.unionByName(r)

@@ -60,6 +60,19 @@ class JobsSpec extends SparkSpec {
     assert(bad.filter(!col("pass")).count() == 1)
   }
 
+  test("quality gate with an empty rules spec passes cleanly (no stale-report read)") {
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select(col("doc_id"))
+    docs.write.mode("overwrite").parquet(s"$ws/qg0/in")
+    // Plant a FAILING stale report at the output path: an empty check
+    // must not pick it up and must not throw on the skipped write.
+    import spark.implicits._
+    Seq(("not_null", "x", 9L, false))
+      .toDF("rule", "column", "n_violations", "pass")
+      .write.mode("overwrite").parquet(s"$ws/qg0/report")
+    QualityGateJob.run(spark, Array(s"$ws/qg0/in", s"$ws/qg0/report", ""))
+  }
+
   test("quality gate rule parsing: regexes may contain colons; bad rules are loud") {
     val r = QualityGateJob.parseRule("matches:c:^a:b$")
     assert(r.name == "matches" && r.column == "c")

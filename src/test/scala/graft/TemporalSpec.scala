@@ -77,6 +77,14 @@ class TemporalSpec extends SparkSpec {
         toleranceMicros = Some(24 * hour))
       .select($"asof_v").collect()(0)
     assert(fwd.isNullAt(0))
+    // Numeric time columns: tolerance in the column's own units.
+    val ln = Seq((1L, 100L, "l")).toDF("k", "t", "tag")
+    val rn = Seq((1L, 60L, 5.0)).toDF("k", "t", "v")
+    def backN(tol: Long) = Temporal
+      .asofJoinBackward(ln, rn, "k", "t", "t", toleranceMicros = Some(tol))
+      .select($"asof_v").collect()(0)
+    assert(backN(50L).getDouble(0) == 5.0) // gap 40 ≤ 50
+    assert(backN(30L).isNullAt(0))         // gap 40 > 30
   }
 
   test("asofJoinBackward plans exactly ONE shuffle (the key partition for the window)") {
