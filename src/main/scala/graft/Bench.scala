@@ -115,7 +115,10 @@ object Bench {
     // to 4 decimals (halves the line at zero timing fidelity lost), all
     // diagnostics on STDERR, and the one-line JSON printed as the absolute
     // LAST stdout line after spark.stop() so the tail always contains it.
-    def f4(v: Double): String = f"$v%.4f"
+    // Locale.ROOT: the default-locale `f` interpolator would emit
+    // comma decimals (65,0688) under e.g. de_DE — invalid JSON.
+    def f4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => jstr(k) + ":" + f4(v) }
       .mkString("{", ",", "}")
     val rtJson = retimed.toSeq.sortBy(_._1)
@@ -128,7 +131,8 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     System.err.println(s"[bench] retimed=$rtJson")
     System.err.println(s"[bench] errors=$errJson codegen_failures=$cgJson")
-    spark.stop()
+    // stop() failures (shutdown-hook/teardown) must not eat the artifact.
+    try spark.stop() catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${f4(total)},"unit":"sec",""" +
       s""""queries":$qs,"errors":$errJson,"codegen_failures":$cgJson,""" +
       s""""n_errors":${errors.size},"sf":"$sfDir"}""")

@@ -65,7 +65,16 @@ object Engine {
       case Some(dir) if dir.nonEmpty =>
         if (spark.sparkContext.getCheckpointDir.isEmpty)
           spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        // Persist first: Dataset.checkpoint re-runs the plan for the
+        // checkpoint-write job when the data isn't cached (~2× compute
+        // per iterative round). Cache → eager checkpoint → unpersist.
+        // Checkpoint files themselves are reclaimed only via
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true (set it
+        // in cluster posture) or by deleting the directory post-job.
+        val cached = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint(eager = true)
+        finally cached.unpersist(blocking = false)
       case _ => df.localCheckpoint(eager = true)
     }
   }

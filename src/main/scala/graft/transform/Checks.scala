@@ -56,7 +56,12 @@ object Checks {
         // entirely inside the plan: `check` stays LAZY (no job runs until
         // the caller acts on the report) and the data is scanned exactly
         // once when it does.
-        def sq(s: String) = "'" + s.replace("'", "''") + "'"
+        // Backslashes must be escaped too: with the default
+        // escapedStringLiterals=false a raw-header column name like
+        // `a\tb` would otherwise be re-interpreted as an escape
+        // sequence inside the SQL literal.
+        def sq(s: String) =
+          "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
         val stackArgs = rules.zipWithIndex.map { case (r, i) =>
           s"${sq(r.name)}, ${sq(r.column)}, _v$i"
         }.mkString(", ")
