@@ -45,20 +45,11 @@ object Bench {
     CodegenErrorCounter.install()
     val spark = graft.engine.Engine.session(
       "graft-bench", Some(s"local[$cpus]"), shufflePartitions = cpus)
-    // Warm-up: one small end-to-end query (codegen, parquet footer reads)
-    // plus a tiny k-means fit (spark.ml class loading otherwise lands
-    // inside x_sim_ivf's measurement).
-    try {
-      force(Queries.q1PricingSummary(spark, sfDir))
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      import org.apache.spark.sql.functions.{array, col, lit}
-      val tiny = spark.range(32).select(
-        array_to_vector(array(col("id").cast("double"),
-          lit(1.0))).as("_fv"))
-      new KMeans().setK(2).setSeed(1L).setMaxIter(1)
-        .setFeaturesCol("_fv").fit(tiny)
-    } catch { case _: Throwable => () }
+    // Warm-up: one small end-to-end query (codegen, parquet footer
+    // reads). The k-means pre-load is gone with x_sim_ivf's move to the
+    // sampled quantizer — no registered query touches spark.ml now.
+    try force(Queries.q1PricingSummary(spark, sfDir))
+    catch { case _: Throwable => () }
     var errors = Map.empty[String, String]
     var codegenFails = Map.empty[String, Int]
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -121,12 +121,43 @@ object ExtQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
-  // SimHash near-dup pairs, Hamming ≤ 3, pigeonhole block join (rows-only).
+  // SimHash near-dup pairs, Hamming ≤ 3, pigeonhole block join. Uses the
+  // portable 60-bit md5-derived hash (DedupOps.nearDupPairsSimhashPortable)
+  // so the WHOLE pipeline — token hash, per-bit majority vote, 4×15-bit
+  // block join, Hamming filter — has an exact DuckDB twin; the xxhash64
+  // fast path stays the library default, unit-tested on planted clones.
   // ---------------------------------------------------------------------
   def xDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    DedupOps.nearDupPairsSimhash(clonedDocs(s, dir), "doc_id", "text",
-        maxHamming = 3)
+    DedupOps.nearDupPairsSimhashPortable(clonedDocs(s, dir), "doc_id",
+        "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Full DuckDB twin of the portable SimHash pipeline. `CAST(SUM(..) AS
+    * BIGINT)` guards against DuckDB's HUGEINT promotion (the r4
+    * t_quality_checks lesson); hamming is cast to INTEGER to match
+    * Spark's `bit_count`. */
+  val xDedupSimhashSql: String =
+    s"""WITH corpus AS ($clonedDocsSql),
+       |  tok AS (SELECT doc_id, unnest($toksSql) AS t FROM corpus),
+       |  th AS (SELECT doc_id,
+       |      ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |  bs AS (SELECT doc_id, b,
+       |      CASE WHEN CAST(SUM(((h >> CAST(b AS INTEGER)) & 1) * 2 - 1)
+       |                     AS BIGINT) > 0
+       |           THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+       |           ELSE CAST(0 AS BIGINT) END AS bv
+       |    FROM th, range(60) r(b) GROUP BY doc_id, b),
+       |  shx AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS sh
+       |    FROM bs GROUP BY doc_id),
+       |  blk AS (SELECT doc_id, sh, b AS blk,
+       |      (sh >> CAST(b * 15 AS INTEGER)) & 32767 AS bv
+       |    FROM shx, range(4) r(b)),
+       |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |    FROM blk a JOIN blk b
+       |      ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // Brute-force cosine top-5 for the first 10 query vectors — the exact
@@ -217,16 +248,58 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
-  // IVF approximate top-5 (rows-only: k-means centroid arithmetic has no
-  // bit-exact DuckDB twin — float reduce order varies; recall vs brute
-  // force is unit-tested in SimilarityOpsSpec). Same output shape as the
-  // exact baseline, so a user can swap ANN layouts without code changes.
+  // IVF approximate top-5 via the deterministic sampled coarse quantizer
+  // (cells = Voronoi regions of the 16 lowest-id corpus vectors): unlike
+  // the k-means fit (float reduce order varies → no bit-exact twin;
+  // ivfTopK stays recall-unit-tested in SimilarityOpsSpec), every step —
+  // centroid choice, L2 cell assignment, nProbe probing, cosine rerank —
+  // reproduces exactly in DuckDB. Same output shape as the exact
+  // baseline, so a user can swap ANN layouts without code changes.
   // ---------------------------------------------------------------------
   def xSimIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+    SimilarityOps.ivfTopKSampled(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Full DuckDB twin of [[xSimIvf]]: centroids are the 16 lowest-vec_id
+    * embeddings (ROW_NUMBER−1 = cell id, matching the Spark literal
+    * order), distances use the identical q·q − 2·q·c + c·c form with
+    * sequential double accumulation, ties break by cell id. */
+  val xSimIvfSql: String = {
+    val (nCent, nProbe, k) = (16, 4, 5)
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  cent AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, cv FROM (
+       |    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |    FROM e ORDER BY vec_id LIMIT $nCent)),
+       |  ad AS (SELECT e.vec_id, c.cell,
+       |      list_dot_product(e.v, e.v)
+       |        - 2 * list_dot_product(e.v, c.cv)
+       |        + list_dot_product(c.cv, c.cv) AS d2
+       |    FROM e, cent c),
+       |  rk AS (SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                         ORDER BY d2, cell) AS rn FROM ad),
+       |  asgn AS (SELECT vec_id AS neighbor_id, cell FROM rk WHERE rn = 1),
+       |  pr AS (SELECT vec_id AS query_id, cell FROM rk
+       |    WHERE vec_id < 10 AND rn <= $nProbe),
+       |  sc AS (SELECT p.query_id, a.neighbor_id,
+       |      round(list_dot_product(qv.v, cv.v)
+       |        / (sqrt(list_dot_product(qv.v, qv.v))
+       |           * sqrt(list_dot_product(cv.v, cv.v))), 6) AS score
+       |    FROM pr p JOIN asgn a ON p.cell = a.cell
+       |    JOIN e qv ON qv.vec_id = p.query_id
+       |    JOIN e cv ON cv.vec_id = a.neighbor_id
+       |    WHERE a.neighbor_id <> p.query_id),
+       |  r AS (SELECT query_id, neighbor_id, score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, neighbor_id) AS rnk
+       |    FROM sc)
+       |SELECT query_id, rnk, neighbor_id, score FROM r
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
   // ---------------------------------------------------------------------

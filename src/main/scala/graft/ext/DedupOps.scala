@@ -203,10 +203,23 @@ object DedupOps {
         call_function("graft_hash_tokens", TextOps.tokens(col(textCol)))
           .as("_th"))
       .select(col("_id"), simhashFromTokenHashes(col("_th")).as("_sh"))
+    simhashBlockPairs(hashed, nBlocks = 4, blockBits = 16, maxHamming)
+  }
+
+  /** Pigeonhole candidate join shared by the SimHash variants: `hashed`
+    * is (_id, _sh); any pair within Hamming ≤ maxHamming must agree
+    * exactly on at least one of the nBlocks disjoint bit blocks (needs
+    * nBlocks > maxHamming), so a per-block equi-join finds every such
+    * pair while shuffling only (block_id, block_value, id, sh) rows. */
+  private def simhashBlockPairs(hashed: DataFrame, nBlocks: Int,
+                                blockBits: Int, maxHamming: Int): DataFrame = {
+    require(nBlocks > maxHamming,
+      s"pigeonhole needs nBlocks ($nBlocks) > maxHamming ($maxHamming)")
+    val mask = (1L << blockBits) - 1
     val blocks = hashed.select(col("_id"), col("_sh"),
-        posexplode(array((0 until 4).map { b =>
-          call_function("shiftright", col("_sh"), lit(b * 16))
-            .bitwiseAND(lit(0xFFFFL))
+        posexplode(array((0 until nBlocks).map { b =>
+          call_function("shiftright", col("_sh"), lit(b * blockBits))
+            .bitwiseAND(lit(mask))
         }: _*)))
       .withColumnsRenamed(Map("pos" -> "_blk", "col" -> "_bv"))
     val l = blocks.select(col("_blk"), col("_bv"), col("_id").as("id_a"),
@@ -220,6 +233,44 @@ object DedupOps {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Portable 60-bit SimHash from md5-derived token hashes — the
+    * oracle-checkable twin of the xxhash64 path: md5, the hex→int prefix,
+    * and the per-bit majority vote all have exact DuckDB counterparts, so
+    * the FULL near-dup pipeline (hash → vote → block join → Hamming
+    * filter) can be verified end-to-end against an independent engine.
+    * 60 bits = 15 hex chars, the widest md5 prefix that fits a signed
+    * 64-bit int in both engines; the xxhash64 variant stays the fast
+    * default (one native expression vs an md5+conv per token).
+    *
+    * Scale shape: explode tokens once, then ONE grouped aggregation with
+    * 60 conditional sums (codegen'd, map-side partials) — a single
+    * shuffle of (id, token_hash) pairs. */
+  def simhashPortable(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val bits = 60
+    val th = df.select(col(idCol).as("_id"),
+        explode(TextOps.tokens(col(textCol))).as("_t"))
+      .select(col("_id"),
+        conv(substring(md5(col("_t")), 1, 15), 16, 10).cast("long").as("_h"))
+    val votes = (0 until bits).map { b =>
+      sum(shiftright(col("_h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"_s$b")
+    }
+    val voted = th.groupBy(col("_id")).agg(votes.head, votes.tail: _*)
+    val sh = (0 until bits).map { b =>
+      when(col(s"_s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    voted.select(col("_id"), sh.as("_sh"))
+  }
+
+  /** [[nearDupPairsSimhash]] over the portable 60-bit hash: 4×15-bit
+    * pigeonhole blocks, same output shape (id_a, id_b, hamming). */
+  def nearDupPairsSimhashPortable(df: DataFrame, idCol: String,
+                                  textCol: String,
+                                  maxHamming: Int = 3): DataFrame =
+    simhashBlockPairs(simhashPortable(df, idCol, textCol),
+      nBlocks = 4, blockBits = 15, maxHamming)
 
   /** Connected components over a near-duplicate pair graph — the missing
     * last step of dedup-at-scale: pairwise near-dup edges form CLUSTERS

@@ -201,6 +201,58 @@ object SimilarityOps {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
   }
 
+  /** IVF top-k with a DETERMINISTIC sampled coarse quantizer: cells are
+    * the Voronoi regions of the `nCentroids` lowest-id corpus vectors.
+    * Sampled centroids are the classic cheap alternative to a k-means fit
+    * (quantization is slightly worse, the inverted-file structure — cell
+    * assignment, nProbe probing, candidate join — is identical), and
+    * every step is exactly reproducible in SQL, so unlike [[ivfTopK]]
+    * this layout is oracle-checkable end-to-end.
+    *
+    * Scale shape: the centroid rows are collected driver-side (bounded:
+    * nCentroids rows, same contract as the LSH hyperplane literals) and
+    * fold into the plan as constants — cell assignment and probe
+    * selection are narrow SHUFFLE-FREE projections with no training job;
+    * the probe join then touches ~nProbe/nCentroids of the corpus per
+    * query. Distances compare by ||q−c||² = q·q − 2·q·c + c·c with the
+    * same left-to-right accumulation as the DuckDB twin, ties broken by
+    * cell id. */
+  def ivfTopKSampled(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nCentroids: Int = 16,
+                     nProbe: Int = 4): DataFrame = {
+    val cents: Seq[IndexedSeq[Double]] = corpus
+      .select(col(idCol).cast("long").as("_cid"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .orderBy(col("_cid")).limit(nCentroids)
+      .collect().toSeq.map(_.getSeq[Double](1).toIndexedSeq)
+    require(cents.nonEmpty, "ivfTopKSampled: empty corpus")
+    // array of (distance², cell) structs; array_sort orders
+    // lexicographically — nearest cell first, ties to the lowest cell.
+    def cellStructs(v: Column): Column = array(cents.zipWithIndex.map {
+      case (cvec, i) =>
+        val cl = array(cvec.map(lit): _*)
+        val d2 = dot(v, v) - lit(2.0) * dot(v, cl) + dot(cl, cl)
+        struct(d2.as("d"), lit(i).as("c"))
+    }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"),
+      element_at(array_sort(cellStructs(col(vecCol))), 1)
+        .getField("c").as("_cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(transform(
+          slice(array_sort(cellStructs(col(vecCol))), 1, nProbe),
+          s => s.getField("c"))).as("_cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("neighbor_id"))
+    c.join(broadcast(q), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_qv"), col("_cv")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+  }
+
   /** LSH-bucketed approximate top-k: `tables` independent hash tables of
     * `bits` hyperplanes each; candidates = corpus vectors sharing a bucket
     * with the query in ANY table; exact cosine re-ranks candidates.
