@@ -207,14 +207,14 @@ object DedupOps {
   }
 
   /** Pigeonhole candidate join shared by the SimHash variants: `hashed`
-    * is (_id, _sh); any pair within Hamming ≤ maxHamming must agree
-    * exactly on at least one of the nBlocks disjoint bit blocks (needs
-    * nBlocks > maxHamming), so a per-block equi-join finds every such
-    * pair while shuffling only (block_id, block_value, id, sh) rows. */
+    * is (_id, _sh); any pair within Hamming < nBlocks must agree exactly
+    * on at least one of the nBlocks disjoint bit blocks, so a per-block
+    * equi-join finds every such pair while shuffling only (block_id,
+    * block_value, id, sh) rows. For maxHamming ≥ nBlocks the guarantee
+    * weakens to best-effort recall (a pair can differ in every block) —
+    * allowed, matching how SimHash dedup is used with loose bounds. */
   private def simhashBlockPairs(hashed: DataFrame, nBlocks: Int,
                                 blockBits: Int, maxHamming: Int): DataFrame = {
-    require(nBlocks > maxHamming,
-      s"pigeonhole needs nBlocks ($nBlocks) > maxHamming ($maxHamming)")
     val mask = (1L << blockBits) - 1
     val blocks = hashed.select(col("_id"), col("_sh"),
         posexplode(array((0 until nBlocks).map { b =>

@@ -75,6 +75,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((2L, 3L)))
   }
 
+  test("portable simhash: clones at hamming 0; near-dups within bound; no false positives") {
+    val pairs = DedupOps.nearDupPairsSimhashPortable(corpus(), "id", "text",
+        maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 4L)) == 0)
+    assert(pairs.get((0L, 1L)).forall(_ <= 10))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("portable simhash stays within 60 bits and is order-insensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("id", "text")
+    val h = DedupOps.simhashPortable(df, "id", "text")
+      .orderBy("_id").collect().map(_.getLong(1))
+    assert(h(0) == h(1))
+    assert(h(0) >= 0L && h(0) < (1L << 60))
+  }
+
   test("simhash64 is deterministic and order-insensitive for token multisets") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")

@@ -65,6 +65,26 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("ivfTopKSampled recall vs brute force; deterministic across runs") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    def run() = SimilarityOps.ivfTopKSampled(queries, emb, "vec_id",
+        "embedding", k = 5, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = run()
+    assert(ivf.size == exact.size) // full top-k emitted per query
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // sampled centroids quantize worse than k-means; probing 4/16 cells
+    // of a random-uniform fixture still recovers a useful fraction
+    assert(recall >= 0.3, s"recall $recall too low")
+    assert(run() == ivf)
+  }
+
   test("annTopK output is deterministic across runs") {
     val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
     val q = emb.filter(col("vec_id") < 3)
