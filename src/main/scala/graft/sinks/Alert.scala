@@ -62,4 +62,136 @@ object Alert {
                       attachmentName: String = "result.csv"): String =
     deliver(outboxDir, subject, body,
       Some((attachmentName, csvAttachment(result))))
+
+  // ------------------------- SMTP transport -------------------------
+  // The transport half of the reference notifier
+  // (`core/configs/logs.py:222-243` — send_message_via_smtp with
+  // host/port/user/password/starttls config): a minimal RFC 5321 client
+  // over a plain socket. Implemented rather than stubbed because the
+  // protocol needs no cloud SDK and is fully testable against an
+  // in-process server; errors PROPAGATE (the reference raises for the
+  // caller to handle), and the outbox sink above stays the zero-config
+  // default.
+
+  /** Transport config — the same five keys the reference reads. */
+  final case class SmtpConfig(host: String, port: Int = 587,
+                              user: Option[String] = None,
+                              password: Option[String] = None,
+                              starttls: Boolean = true)
+
+  /** RFC 822 message: headers + text body + optional base64 CSV
+    * attachment as multipart/mixed (the EmailMessage.add_attachment
+    * shape, `logs.py:204-220`). */
+  def buildMessage(from: String, to: Seq[String], subject: String,
+                   body: String,
+                   attachment: Option[(String, String)] = None): String = {
+    val b = new StringBuilder()
+    b.append(s"From: $from\r\n")
+      .append(s"To: ${to.mkString(", ")}\r\n")
+      .append(s"Subject: $subject\r\n")
+      .append("MIME-Version: 1.0\r\n")
+    attachment match {
+      case None =>
+        b.append("Content-Type: text/plain; charset=utf-8\r\n\r\n")
+          .append(body).append("\r\n")
+      case Some((name, data)) =>
+        val boundary = "graft-" + Integer.toHexString(
+          (from + subject + name).hashCode)
+        b.append(s"""Content-Type: multipart/mixed; boundary="$boundary"""")
+          .append("\r\n\r\n")
+          .append(s"--$boundary\r\n")
+          .append("Content-Type: text/plain; charset=utf-8\r\n\r\n")
+          .append(body).append("\r\n")
+          .append(s"--$boundary\r\n")
+          .append(s"""Content-Type: text/csv; name="$name"""").append("\r\n")
+          .append("Content-Transfer-Encoding: base64\r\n")
+          .append(s"""Content-Disposition: attachment; filename="$name"""")
+          .append("\r\n\r\n")
+        java.util.Base64.getMimeEncoder(76, "\r\n".getBytes)
+          .encodeToString(data.getBytes(StandardCharsets.UTF_8))
+          .split("\r\n").foreach(l => b.append(l).append("\r\n"))
+        b.append(s"--$boundary--\r\n")
+    }
+    b.toString
+  }
+
+  /** Raised on a 4xx/5xx SMTP reply — carries the failing command. */
+  final class SmtpException(cmd: String, reply: String)
+    extends RuntimeException(s"SMTP error after $cmd: $reply")
+
+  /** Send via SMTP (`logs.py:222-243` semantics): EHLO → optional
+    * STARTTLS (port 587, as the reference gates it) → AUTH PLAIN when
+    * credentials are present → MAIL FROM/RCPT TO/DATA → QUIT. DATA dot-
+    * stuffs leading periods per RFC 5321 §4.5.2. Throws [[SmtpException]]
+    * on any non-2xx/3xx reply so the caller can handle/log. */
+  def sendViaSmtp(cfg: SmtpConfig, from: String, to: Seq[String],
+                  message: String): Unit = {
+    require(to.nonEmpty, "sendViaSmtp: empty recipient list")
+    var socket: java.net.Socket =
+      new java.net.Socket(cfg.host, cfg.port)
+    try {
+      var in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(socket.getInputStream,
+          StandardCharsets.US_ASCII))
+      var out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(socket.getOutputStream,
+          StandardCharsets.US_ASCII))
+      // multi-line replies: "250-..." continues, "250 ..." ends
+      def readReply(): String = {
+        val first = in.readLine()
+        if (first == null) throw new SmtpException("<read>", "connection closed")
+        var last = first
+        while (last.length >= 4 && last.charAt(3) == '-') last = in.readLine()
+        first
+      }
+      def send(cmd: String, okPrefixes: Seq[Char] = Seq('2', '3')): String = {
+        out.write(cmd + "\r\n"); out.flush()
+        val r = readReply()
+        if (r.isEmpty || !okPrefixes.contains(r.charAt(0)))
+          throw new SmtpException(cmd.takeWhile(_ != ' '), r)
+        r
+      }
+      readReply() // greeting
+      send("EHLO graft")
+      if (cfg.starttls && cfg.port == 587) {
+        send("STARTTLS")
+        socket = javax.net.ssl.SSLSocketFactory.getDefault
+          .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+          .createSocket(socket, cfg.host, cfg.port, true)
+        in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          socket.getInputStream, StandardCharsets.US_ASCII))
+        out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          socket.getOutputStream, StandardCharsets.US_ASCII))
+        send("EHLO graft")
+      }
+      (cfg.user, cfg.password) match {
+        case (Some(u), Some(p)) =>
+          // SASL PLAIN: NUL authzid NUL authcid NUL passwd (RFC 4616)
+          val token = java.util.Base64.getEncoder.encodeToString(
+            s"\u0000$u\u0000$p".getBytes(StandardCharsets.UTF_8))
+          send(s"AUTH PLAIN $token")
+        case _ => ()
+      }
+      send(s"MAIL FROM:<$from>")
+      to.foreach(r => send(s"RCPT TO:<$r>"))
+      send("DATA")
+      val stuffed = message.split("\r\n", -1).map { l =>
+        if (l.startsWith(".")) "." + l else l
+      }.mkString("\r\n")
+      out.write(stuffed)
+      if (!stuffed.endsWith("\r\n")) out.write("\r\n")
+      send(".")
+      send("QUIT")
+    } finally socket.close()
+  }
+
+  /** Composed flow with a real transport: frame → attachment → message →
+    * SMTP. The outbox variant ([[alertWithResult]]) remains the
+    * zero-egress default. */
+  def alertViaSmtp(cfg: SmtpConfig, from: String, to: Seq[String],
+                   subject: String, body: String, result: DataFrame,
+                   attachmentName: String = "result.csv"): Unit =
+    sendViaSmtp(cfg, from, to,
+      buildMessage(from, to, subject, body,
+        Some((attachmentName, csvAttachment(result)))))
 }

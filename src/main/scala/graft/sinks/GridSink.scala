@@ -97,6 +97,121 @@ object GridSink {
     toAppend.length
   }
 
+  // ---------------- post-write validation + sharing ----------------
+  // The reference follows every sheet append with (a) a ONE_OF_LIST data-
+  // validation rule on the 'homologado' column spanning the appended rows
+  // (`sheets_core.py:230-275`) and (b) writer-role shares to a list of
+  // emails with per-email error collection (`sheets_core.py:276-292`).
+  // The zero-egress twin records both in a sidecar `<grid>.meta.json`
+  // (the grid's "spreadsheet properties") — and, because a rule you can't
+  // enforce is just decoration, `validateGrid` checks the grid's cells
+  // against every recorded rule, so the sheet contract is testable.
+
+  /** One recorded ONE_OF_LIST rule: `column` restricted to `allowed` over
+    * data rows [startRow, endRow) (0 = header, per the reference's
+    * startRowIndex=1 → our data row 0). */
+  final case class GridRule(column: String, allowed: Seq[String],
+                            startRow: Int, endRow: Int)
+
+  /** Apply a ONE_OF_LIST validation covering the `appendedCount` freshly
+    * appended rows. No-op (returns false) when the column is absent from
+    * the header — reference behavior for sheets without 'homologado'.
+    * Default allowed values mirror the reference's SIM/NAO. */
+  def applyValidation(path: String, column: String,
+                      allowed: Seq[String] = Seq("SIM", "NAO"),
+                      appendedCount: Int = 0): Boolean = {
+    val lines = readLines(path)
+    if (lines.isEmpty) return false
+    val header = parseCsvLine(lines.head)
+    if (!header.exists(_.trim.toLowerCase == column.trim.toLowerCase))
+      return false
+    val nData = lines.length - 1
+    // reference range: rows 1 .. max(1, appended+2) in sheet coords →
+    // the appended tail of the data rows (clamped to what exists)
+    val start = math.max(0, nData - math.max(appendedCount, 1))
+    val meta = readMeta(path)
+    val rule = GridRule(column, allowed, start, nData)
+    writeMeta(path, meta.copy(rules = meta.rules :+ rule))
+    true
+  }
+
+  /** Share the grid with writer role; errors are COLLECTED per email,
+    * not thrown (`sheets_core.py:283-291` returns (email, status, msg)
+    * tuples). Invalid addresses get status 400; duplicates are
+    * idempotent. */
+  def share(path: String,
+            emails: Seq[String]): Seq[(String, Int, String)] = {
+    val meta = readMeta(path)
+    val (bad, good) = emails.partition(e => !e.matches("[^@\\s]+@[^@\\s]+"))
+    writeMeta(path, meta.copy(
+      writers = (meta.writers ++ good).distinct))
+    bad.map(e => (e, 400, s"invalid email address: $e"))
+  }
+
+  /** `get_spreadsheet_url` twin: the grid's stable URI. */
+  def gridUrl(path: String): String =
+    Paths.get(path).toAbsolutePath.toUri.toString
+
+  /** Enforce every recorded rule against the grid's current cells:
+    * returns (column, row, value) violations — empty means the sheet
+    * honors its validations. Blank cells pass (the sheet UI leaves new
+    * rows blank until a user picks a value). */
+  def validateGrid(path: String): Seq[(String, Int, String)] = {
+    val lines = readLines(path)
+    if (lines.isEmpty) return Seq.empty
+    val header = parseCsvLine(lines.head).map(_.trim.toLowerCase)
+    val data = lines.tail.map(parseCsvLine)
+    readMeta(path).rules.flatMap { r =>
+      val idx = header.indexOf(r.column.trim.toLowerCase)
+      if (idx < 0) Seq.empty
+      else data.zipWithIndex
+        .filter { case (_, i) => i >= r.startRow && i < r.endRow }
+        .flatMap { case (cells, i) =>
+          val v = if (idx < cells.length) cells(idx).trim else ""
+          if (v.isEmpty || r.allowed.contains(v)) None
+          else Some((r.column, i, v))
+        }
+    }
+  }
+
+  /** Recorded grid metadata (sidecar JSON next to the CSV). */
+  final case class GridMeta(rules: Seq[GridRule], writers: Seq[String])
+
+  private def metaPath(path: String) = Paths.get(path + ".meta.json")
+
+  private[graft] def readMeta(path: String): GridMeta = {
+    val p = metaPath(path)
+    if (!Files.exists(p)) return GridMeta(Nil, Nil)
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    // hand-rolled parse of the hand-rolled writer below — no JSON dep
+    def strList(field: String): Seq[String] = {
+      val m = (field + "\":\\[(.*?)\\]").r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
+    val rules = "\\{\"column\":\"((?:[^\"\\\\]|\\\\.)*)\",\"allowed\":\\[(.*?)\\],\"startRow\":(\\d+),\"endRow\":(\\d+)\\}".r
+      .findAllMatchIn(txt).map { m =>
+        val allowed = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+        GridRule(m.group(1), allowed, m.group(3).toInt, m.group(4).toInt)
+      }.toSeq
+    GridMeta(rules, strList("writers"))
+  }
+
+  private def writeMeta(path: String, meta: GridMeta): Unit = {
+    def js(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val rules = meta.rules.map { r =>
+      s"""{"column":${js(r.column)},"allowed":[${r.allowed.map(js)
+        .mkString(",")}],"startRow":${r.startRow},"endRow":${r.endRow}}"""
+    }.mkString("[", ",", "]")
+    val writers = meta.writers.map(js).mkString("[", ",", "]")
+    Files.write(metaPath(path),
+      s"""{"rules":$rules,"writers":$writers}"""
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
   // ------------------------- tiny CSV codec -------------------------
   // RFC-4180-ish: quote cells containing delimiter/quote/newline; double
   // embedded quotes. Enough for the grid stand-in; real sheets use the API.

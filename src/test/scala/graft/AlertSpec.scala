@@ -37,4 +37,90 @@ class AlertSpec extends SparkSpec {
     val att = Alert.csvAttachment(big, maxRows = 100)
     assert(att.split("\n").length == 101)
   }
+
+  test("buildMessage: multipart with base64 CSV attachment round-trips") {
+    val msg = Alert.buildMessage("a@x.test", Seq("b@x.test"), "Subj",
+      "body text", Some(("r.csv", "id,v\n1,x")))
+    assert(msg.contains("From: a@x.test\r\n"))
+    assert(msg.contains("Subject: Subj\r\n"))
+    assert(msg.contains("multipart/mixed"))
+    val b64 = msg.split("\r\n")
+      .dropWhile(!_.startsWith("Content-Disposition")).drop(2)
+      .takeWhile(l => l.nonEmpty && !l.startsWith("--")).mkString
+    assert(new String(java.util.Base64.getMimeDecoder.decode(b64),
+      "UTF-8") == "id,v\n1,x")
+  }
+
+  /** One-shot in-process SMTP server: records the dialogue, replies per
+    * command, optionally rejects RCPT with 550. */
+  private class FakeSmtp(rejectRcpt: Boolean = false) {
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val port: Int = server.getLocalPort
+    val commands = scala.collection.mutable.ArrayBuffer.empty[String]
+    val data = new StringBuilder
+    val thread = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, "US-ASCII"))
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      def reply(r: String): Unit = { out.print(r + "\r\n"); out.flush() }
+      reply("220 fake ESMTP")
+      var inData = false
+      var done = false
+      var line = in.readLine()
+      while (!done && line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; reply("250 queued") }
+          else data.append(line.stripPrefix(".")).append("\n")
+        } else {
+          commands += line
+          val cmd = line.toUpperCase
+          if (cmd.startsWith("EHLO")) { out.print("250-fake\r\n"); reply("250 OK") }
+          else if (cmd.startsWith("AUTH")) reply("235 ok")
+          else if (cmd.startsWith("RCPT") && rejectRcpt) reply("550 no such user")
+          else if (cmd.startsWith("DATA")) { inData = true; reply("354 go") }
+          else if (cmd.startsWith("QUIT")) {
+            reply("221 bye"); s.close(); server.close(); done = true
+          } else reply("250 ok")
+        }
+        if (!done) line = in.readLine()
+      }
+    })
+    thread.setDaemon(true); thread.start()
+  }
+
+  test("sendViaSmtp: full dialogue with auth, dot-stuffing, attachment body") {
+    val srv = new FakeSmtp()
+    val msg = Alert.buildMessage("a@x.test", Seq("b@x.test", "c@x.test"),
+      "S", ".leading dot line", None)
+    Alert.sendViaSmtp(
+      Alert.SmtpConfig("127.0.0.1", srv.port, Some("u"), Some("pw"),
+        starttls = false),
+      "a@x.test", Seq("b@x.test", "c@x.test"), msg)
+    srv.thread.join(5000)
+    val cmds = srv.commands.toSeq
+    assert(cmds.head.startsWith("EHLO"))
+    assert(cmds.exists(_.startsWith("AUTH PLAIN ")))
+    assert(cmds.contains("MAIL FROM:<a@x.test>"))
+    assert(cmds.contains("RCPT TO:<b@x.test>"))
+    assert(cmds.contains("RCPT TO:<c@x.test>"))
+    // dot-stuffed on the wire, un-stuffed by the server on receipt
+    assert(srv.data.toString.contains(".leading dot line"))
+    val authB64 = cmds.find(_.startsWith("AUTH PLAIN "))
+      .get.stripPrefix("AUTH PLAIN ")
+    assert(new String(java.util.Base64.getDecoder.decode(authB64),
+      "UTF-8") == "\u0000u\u0000pw")
+  }
+
+  test("sendViaSmtp raises on a 5xx reply (reference: caller handles)") {
+    val srv = new FakeSmtp(rejectRcpt = true)
+    val ex = intercept[Alert.SmtpException] {
+      Alert.sendViaSmtp(
+        Alert.SmtpConfig("127.0.0.1", srv.port, None, None,
+          starttls = false),
+        "a@x.test", Seq("nobody@x.test"), "Subject: s\r\n\r\nbody\r\n")
+    }
+    assert(ex.getMessage.contains("550"))
+  }
 }

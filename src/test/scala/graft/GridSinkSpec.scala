@@ -72,4 +72,37 @@ class GridSinkSpec extends SparkSpec {
     val cells = Seq("plain", "with,comma", "with\"quote", "", "tail")
     assert(GridSink.parseCsvLine(GridSink.toCsvLine(cells)) == cells)
   }
+
+  test("applyValidation records a ONE_OF_LIST rule over appended rows; absent column no-ops") {
+    import spark.implicits._
+    val path = tmpFile()
+    val n = GridSink.appendDedupe(
+      Seq(("1", "SIM"), ("2", "NAO"), ("3", "talvez"))
+        .toDF("id", "homologado"), path, "id")
+    assert(GridSink.applyValidation(path, "homologado",
+      appendedCount = n))
+    assert(!GridSink.applyValidation(path, "no_such_col")) // reference no-op
+    val meta = GridSink.readMeta(path)
+    assert(meta.rules.size == 1)
+    assert(meta.rules.head == GridSink.GridRule("homologado",
+      Seq("SIM", "NAO"), 0, 3))
+    // enforcement: the off-list cell is the only violation; blanks pass
+    assert(GridSink.validateGrid(path) == Seq(("homologado", 2, "talvez")))
+  }
+
+  test("share grants writer idempotently and collects invalid-email errors") {
+    import spark.implicits._
+    val path = tmpFile()
+    GridSink.appendDedupe(Seq(("1", "a")).toDF("id", "v"), path, "id")
+    val errs = GridSink.share(path,
+      Seq("ana@x.test", "not-an-email", "ana@x.test", "bo@x.test"))
+    assert(errs == Seq(("not-an-email", 400,
+      "invalid email address: not-an-email")))
+    assert(GridSink.readMeta(path).writers ==
+      Seq("ana@x.test", "bo@x.test"))
+    GridSink.share(path, Seq("ana@x.test")) // idempotent
+    assert(GridSink.readMeta(path).writers ==
+      Seq("ana@x.test", "bo@x.test"))
+    assert(GridSink.gridUrl(path).startsWith("file://"))
+  }
 }
