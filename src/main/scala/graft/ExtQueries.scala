@@ -773,6 +773,83 @@ object ExtQueries {
       |ORDER BY lang, doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Domain-mixture sample: per-source targets incl. a clamped stratum
+  // (src2 asks 40 of 25) and implicit whitelist drops (all other
+  // sources). Same md5-rank determinism as the stratified sampler.
+  // ---------------------------------------------------------------------
+  def xSampleMixture(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Split
+      .mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 15, "src1" -> 10, "src2" -> 40))
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+
+  val xSampleMixtureSql: String =
+    """SELECT source, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10
+      |                        WHEN 'src2' THEN 40 ELSE 0 END
+      |ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination: survivors of the corpus after dropping
+  // every document sharing a word trigram with the "benchmark" (docs
+  // 0-19 standing in for an eval set). Broadcast semi join on the
+  // benchmark's distinct trigram set.
+  // ---------------------------------------------------------------------
+  def xDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    DedupOps.decontaminate(docs, docs.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 3)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  val xDecontaminateSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  tri AS (SELECT doc_id,
+       |      unnest(list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+       |    FROM tok),
+       |  bad AS (SELECT DISTINCT doc_id FROM tri
+       |    WHERE g IN (SELECT g FROM tri WHERE doc_id < 20))
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Gopher-style repetition signals per document: duplicate/top token and
+  // bigram fractions — exact integer-count divisions, so the doubles are
+  // bit-identical across engines.
+  // ---------------------------------------------------------------------
+  def xTextRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val xTextRepetitionSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  tg AS (SELECT doc_id, unnest(toks) AS g FROM tok),
+       |  tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+       |  ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |      MAX(c) AS mx, COUNT(*) AS d FROM tc GROUP BY 1),
+       |  bgl AS (SELECT doc_id,
+       |      unnest(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS g FROM tok),
+       |  bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bgl GROUP BY 1, 2),
+       |  bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |      MAX(c) AS mx, COUNT(*) AS d FROM bc GROUP BY 1)
+       |SELECT ts.doc_id,
+       |  1.0 - CAST(ts.d AS DOUBLE) / ts.n AS dup_token_frac,
+       |  CAST(ts.mx AS DOUBLE) / ts.n AS top_token_frac,
+       |  COALESCE(1.0 - CAST(bs.d AS DOUBLE) / bs.n, 0.0)
+       |    AS dup_bigram_frac,
+       |  COALESCE(CAST(bs.mx AS DOUBLE) / bs.n, 0.0) AS top_bigram_frac
+       |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+       |ORDER BY ts.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Corpus vocabulary: top-50 tokens, deterministic ties — the tokenizer
   // vocab-construction step over the documents corpus.
   // ---------------------------------------------------------------------

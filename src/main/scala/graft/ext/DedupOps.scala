@@ -174,6 +174,35 @@ object DedupOps {
     dedupeNearMinhash(exactByText(df, idCol, textCol), idCol, textCol,
       shingleN, numPerm, bands, threshold)
 
+  /** Benchmark decontamination — the eval-leak guard every LLM training
+    * pipeline runs before a corpus ships (the n-gram collision rule of
+    * the GPT-3 appendix-C / PaLM / Llama data cards): a corpus document
+    * is CONTAMINATED when it shares at least one word n-gram with any
+    * benchmark document. Returns the distinct ids of contaminated rows.
+    *
+    * Scale shape: both sides reduce to (n-gram) tokens before anything
+    * joins — document text never crosses the network. The benchmark side
+    * is eval-sized by contract, so its distinct n-gram set is BROADCAST
+    * and contamination is a map-side semi join over the corpus n-gram
+    * stream; the only shuffle is the final distinct on ids. */
+  def contaminatedIds(corpus: DataFrame, bench: DataFrame, idCol: String,
+                      textCol: String, n: Int = 3): DataFrame = {
+    val cg = corpus.select(col(idCol).as("_id"),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
+    val bg = bench.select(
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
+      .distinct()
+    cg.join(broadcast(bg), Seq("_g"), "left_semi")
+      .select(col("_id")).distinct()
+  }
+
+  /** Drop contaminated rows ([[contaminatedIds]]) from the corpus. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val bad = contaminatedIds(corpus, bench, idCol, textCol, n)
+    corpus.join(bad, corpus(idCol) === bad("_id"), "left_anti")
+  }
+
   /** SimHash from pre-hashed tokens (`array<long>`): per bit position,
     * the majority vote of the token hashes' bits becomes that bit.
     * Delegates to the native codegen'd [[graft.expressions.SimHashBits]]

@@ -254,6 +254,55 @@ object TextOps {
     * pass before corpus text enters a training set. One narrow projection
     * (three codegen'd regexp_replace), no shuffle; at 100 TB this is
     * scan-bound next to the other text metrics. */
+  /** Repetition signals per document — the Gopher repetition-removal
+    * family (Rae et al., "Scaling Language Models: ... Gopher", 2021,
+    * §A1.1: duplicate-line/ngram fractions flag the pathological
+    * machine-generated pages that plain quality scores miss):
+    *   dup_token_frac  = 1 − |distinct tokens| / |tokens|
+    *   top_token_frac  = occurrences of the most frequent token / |tokens|
+    *   dup_bigram_frac = 1 − |distinct bigrams| / |bigrams|
+    *   top_bigram_frac = occurrences of the most frequent bigram / |bigrams|
+    * Documents without tokens are absent; without bigrams (single-token)
+    * the bigram fractions are 0.
+    *
+    * Scale shape: explode → two grouped aggregations per granularity
+    * (token, bigram), each ONE shuffle on (id, gram) then (id) with
+    * map-side partials; all divisions on exact integer counts, so the
+    * doubles reproduce bit-for-bit across engines. */
+  def repetitionStats(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    def fracs(gram: Column, dupName: String, topName: String): DataFrame =
+      df.select(col(idCol).as("_id"), explode(gram).as("_g"))
+        .groupBy(col("_id"), col("_g")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("_id")).agg(
+          sum(col("_c")).as("_n"), max(col("_c")).as("_mx"),
+          count(lit(1)).as("_d"))
+        .select(col("_id"),
+          (lit(1.0) - col("_d").cast("double") / col("_n")).as(dupName),
+          (col("_mx").cast("double") / col("_n")).as(topName))
+    val tok = fracs(tokens(col(textCol)), "dup_token_frac",
+      "top_token_frac")
+    val bg = fracs(shingles(tokens(col(textCol)), 2), "dup_bigram_frac",
+      "top_bigram_frac")
+    tok.join(bg, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        col("dup_token_frac"), col("top_token_frac"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Gopher-style repetition gate: keep documents under all the given
+    * repetition ceilings (defaults are in the published rules' range). */
+  def repetitionFilter(df: DataFrame, idCol: String, textCol: String,
+                       maxDupTokenFrac: Double = 0.6,
+                       maxTopBigramFrac: Double = 0.2): DataFrame = {
+    val stats = repetitionStats(df, idCol, textCol)
+      .filter(col("dup_token_frac") <= maxDupTokenFrac &&
+        col("top_bigram_frac") <= maxTopBigramFrac)
+      .select(col(idCol).as("_keep"))
+    df.join(stats, df(idCol) === stats("_keep"), "left_semi")
+  }
+
   def redactPii(text: Column): Column =
     RedactionPatterns.foldLeft(text) { case (c, (pat, rep)) =>
       regexp_replace(c, pat, rep)

@@ -88,4 +88,28 @@ object Split {
       .filter(col("_rn") <= n)
       .drop("_rn")
   }
+
+  /** Deterministic domain-mixture sampling — the data-mixing step of a
+    * training run ("60% web, 30% code, 10% books at a fixed budget"):
+    * EXACTLY min(target, |stratum|) rows per stratum, chosen by md5(id)
+    * rank like [[stratifiedSample]] but with a per-stratum target.
+    * Strata absent from `targets` are DROPPED — a mixture is a
+    * whitelist, not a default-keep. Same scale shape as the stratified
+    * sampler: one window shuffle on the stratum key, selection a pure
+    * function of the data. */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+                    targets: Map[String, Int]): DataFrame = {
+    require(targets.nonEmpty, "mixtureSample: empty target map")
+    require(targets.values.forall(_ >= 0),
+      s"mixtureSample: negative target in $targets")
+    val target = targets.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= target)
+      .drop("_rn")
+  }
 }

@@ -169,4 +169,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
       "deletion-neighborhood blocking must lose no pair vs all-pairs")
   }
+
+  test("decontaminate removes trigram-overlap docs; short docs are immune") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words about spark physical plans"),
+      (3L, "quick brown fox"),   // exactly the benchmark trigram
+      (4L, "quick brown")        // <3 tokens: cannot be contaminated
+    ).toDF("id", "text")
+    val bench = Seq((100L, "a quick brown fox appeared")).toDF("id", "text")
+    val kept = DedupOps.decontaminate(corpus, bench, "id", "text", n = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+    val bad = DedupOps.contaminatedIds(corpus, bench, "id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(bad == Set(1L, 3L))
+  }
 }

@@ -97,4 +97,19 @@ class SplitSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("mixtureSample: exact per-stratum targets, clamping, whitelist drop") {
+    val out = Split.mixtureSample(docs, "source", "doc_id",
+      Map("src0" -> 3, "src1" -> 1000, "src2" -> 0))
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src1Total = docs.filter(col("source") === "src1").count()
+    assert(bySrc == Map("src0" -> 3L, "src1" -> src1Total)) // src2 + others dropped
+    // layout independence: same ids from a different physical layout
+    val b = Split.mixtureSample(docs.repartition(7, col("text")),
+      "source", "doc_id", Map("src0" -> 3, "src1" -> 1000, "src2" -> 0))
+      .select("doc_id")
+    assert(out.select("doc_id").exceptAll(b).isEmpty &&
+      b.exceptAll(out.select("doc_id")).isEmpty)
+  }
 }

@@ -171,4 +171,31 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.redactPii(col("t"))).collect().map(_.getString(0))
     assert(got.toSeq == cases.map(_._2))
   }
+
+  test("repetitionStats: exact fractions on constructed docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),         // 4 tokens, 1 distinct; 3 bigrams "a a"
+      (2L, "w x y z"),         // all distinct
+      (3L, "solo"),            // single token → no bigrams
+      (4L, "")                 // no tokens → absent
+    ).toDF("id", "text")
+    val out = TextOps.repetitionStats(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == Seq(0.75, 1.0, 1.0 - 1.0 / 3, 1.0))
+    assert(out(2L) == Seq(0.0, 0.25, 0.0, 1.0 / 3))
+    assert(out(3L) == Seq(0.0, 1.0, 0.0, 0.0)) // bigram fracs default 0
+  }
+
+  test("repetitionFilter drops the degenerate doc, keeps diverse text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "a genuinely varied sentence with many different words here"))
+      .toDF("id", "text")
+    val kept = TextOps.repetitionFilter(df, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
 }
