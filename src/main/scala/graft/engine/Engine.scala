@@ -44,6 +44,14 @@ object Engine {
     master.foreach { m =>
       b.master(m)
       b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Local-harness scan parallelism: the default 128 MB split size
+      // leaves every small-SF parquet table a SINGLE input partition, so
+      // scan-stage work (tokenize, explode, partial aggs) runs on one of
+      // the 32 cores. 4 MB splits spread test-scale tables across the
+      // box; AQE re-coalesces downstream. Cluster deployments keep
+      // Spark's default (128 MB is right when files are block-sized).
+      b.config("spark.sql.files.maxPartitionBytes", "4m")
+      b.config("spark.sql.files.openCostInBytes", "1m")
     }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,6 +85,20 @@ object Engine {
         finally cached.unpersist(blocking = false)
       case _ => df.localCheckpoint(eager = true)
     }
+  }
+
+  /** Spread a small input across the session's cores before heavy
+    * per-row compute (tokenize → shingle → hash chains): repartition
+    * ONLY when the planned scan has fewer partitions than the session
+    * has slots — the small-file case, where one 1.5 MB parquet file is
+    * one partition and the whole scan stage runs on one core. On
+    * block-sized inputs (any real corpus) the partition count is already
+    * ≥ parallelism and this is a NO-OP, so the extra exchange never
+    * appears at scale; when it does fire, what shuffles is the small
+    * input itself. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
   /** The fixture tables (TESTDATA.md). */

@@ -55,7 +55,7 @@ object DedupOps {
     * string-shingle Jaccard up to 64-bit hash collisions. */
   private def hashedShingleSets(df: DataFrame, idCol: String,
                                 textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("_id"),
+    graft.engine.Engine.spread(df).select(col(idCol).as("_id"),
       call_function("graft_shingle_hashes",
         call_function("graft_hash_tokens", TextOps.tokens(col(textCol))),
         lit(n))
@@ -187,7 +187,7 @@ object DedupOps {
     * stream; the only shuffle is the final distinct on ids. */
   def contaminatedIds(corpus: DataFrame, bench: DataFrame, idCol: String,
                       textCol: String, n: Int = 3): DataFrame = {
-    val cg = corpus.select(col(idCol).as("_id"),
+    val cg = graft.engine.Engine.spread(corpus).select(col(idCol).as("_id"),
       explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
     val bg = bench.select(
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
@@ -227,7 +227,7 @@ object DedupOps {
     * 100 TB, vs the all-pairs O(n²) naive form. */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val hashed = df
+    val hashed = graft.engine.Engine.spread(df)
       .select(col(idCol).as("_id"),
         call_function("graft_hash_tokens", TextOps.tokens(col(textCol)))
           .as("_th"))
@@ -278,7 +278,7 @@ object DedupOps {
   def simhashPortable(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val bits = 60
-    val th = df.select(col(idCol).as("_id"),
+    val th = graft.engine.Engine.spread(df).select(col(idCol).as("_id"),
         explode(TextOps.tokens(col(textCol))).as("_t"))
       .select(col("_id"),
         conv(substring(md5(col("_t")), 1, 15), 16, 10).cast("long").as("_h"))

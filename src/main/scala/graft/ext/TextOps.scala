@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Tokenize: lowercase → split on non-alphanumeric runs → drop empties. */
+  /** Tokenize: lowercase → split on non-alphanumeric runs → drop empties.
+    * `array_remove` rather than a `filter` lambda: identical semantics
+    * (removes every "" element), but it's a regular codegen'd expression
+    * while higher-order `filter` evaluates an interpreted lambda per
+    * element — at corpus scale the scan stage is where tokenization
+    * runs, and it must stay inside whole-stage codegen. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
   /** Word n-gram shingles over a token array (building block for MinHash /
     * Jaccard dedup). Documents shorter than n shingle to an empty array. */
@@ -271,8 +276,9 @@ object TextOps {
     * doubles reproduce bit-for-bit across engines. */
   def repetitionStats(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
+    val in = graft.engine.Engine.spread(df)
     def fracs(gram: Column, dupName: String, topName: String): DataFrame =
-      df.select(col(idCol).as("_id"), explode(gram).as("_g"))
+      in.select(col(idCol).as("_id"), explode(gram).as("_g"))
         .groupBy(col("_id"), col("_g")).agg(count(lit(1)).as("_c"))
         .groupBy(col("_id")).agg(
           sum(col("_c")).as("_n"), max(col("_c")).as("_mx"),

@@ -13,13 +13,13 @@ class SparkEntrySpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracle entries without queries: $dangling")
   }
 
-  test("rows-only queries are the documented hash-seeded set") {
+  test("every registered query carries an oracle (no rows-only checks left)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("x_dedup_simhash", "x_sim_ivf"), rowsOnly)
+    assert(rowsOnly.isEmpty, s"rows-only queries: $rowsOnly")
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 74)
-    assert(SparkEntry.oracleSql.size == 72)
+    assert(SparkEntry.queries.size == 77)
+    assert(SparkEntry.oracleSql.size == 77)
   }
 }
