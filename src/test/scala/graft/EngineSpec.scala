@@ -40,6 +40,25 @@ class EngineSpec extends SparkSpec {
     assert(out.getSeq[Long](0).length == 8)
   }
 
+  test("spread parallelizes a 1-partition input and no-ops on a wide one") {
+    val narrow = spark.range(100).coalesce(1).toDF("id")
+    val spreadOut = Engine.spread(narrow)
+    assert(spreadOut.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    val wide = spark.range(100)
+      .repartition(spark.sparkContext.defaultParallelism).toDF("id")
+    assert(Engine.spread(wide) eq wide) // no extra exchange at scale
+  }
+
+  test("tokens is codegen-resident: no interpreted lambda in the plan") {
+    import spark.implicits._
+    val plan = Seq("a b c").toDF("text")
+      .select(graft.ext.TextOps.tokens(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"),
+      s"tokens must not use a higher-order lambda:\n$plan")
+  }
+
   test("stream-static enrichment joins events with a broadcast dimension") {
     import spark.implicits._
     val events = Engine.table(spark, fixtureDir, "events")
