@@ -297,6 +297,40 @@ object TextOps {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Cross-document boilerplate removal — the C4 rule (Raffel et al.
+    * 2020, §2.2): lines recurring across ≥ `minDocs` distinct documents
+    * (nav bars, cookie banners, footers) are stripped from every
+    * document. Lines compare after trim; blank lines are never counted
+    * as boilerplate. Documents whose every line was boilerplate drop out
+    * of the result (C4's empty-page behavior).
+    *
+    * Scale shape: lines explode once; the boilerplate set is ONE
+    * (line → distinct-doc count) aggregation and is tiny by construction
+    * (it IS the repeated content), so it broadcasts back as an anti-join
+    * over the exploded lines; reassembly is one groupBy(id) with the
+    * original line order restored from the explode position. Text
+    * crosses the network once each way. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        minDocs: Int = 3, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be ≥ 2: $minDocs")
+    val lines = graft.engine.Engine.spread(df.filter(col(textCol).isNotNull))
+      .select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnsRenamed(Map("pos" -> "_ln", "col" -> "_line"))
+    val boiler = lines
+      .groupBy(trim(col("_line")).as("_nl"))
+      .agg(count_distinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs && col("_nl") =!= "")
+      .select(col("_nl"))
+    val kept = lines.join(broadcast(boiler),
+      trim(col("_line")) === col("_nl"), "left_anti")
+    kept.groupBy(col("_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_ln"), col("_line")))),
+        s => s.getField("_line")), sep).as("_txt"))
+      .select(col("_id").as(idCol), col("_txt").as(textCol))
+  }
+
   /** Gopher-style repetition gate: keep documents under all the given
     * repetition ceilings (defaults are in the published rules' range). */
   def repetitionFilter(df: DataFrame, idCol: String, textCol: String,

@@ -188,6 +188,36 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == Seq(0.0, 1.0, 0.0, 0.0)) // bigram fracs default 0
   }
 
+  test("removeBoilerplate strips cross-doc lines, keeps order, drops emptied docs") {
+    import spark.implicits._
+    val footer = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"unique intro one\n$footer\nunique body one"),
+      (2L, s"$footer\nunique body two"),
+      (3L, s"unique only three\n$footer"),
+      (4L, footer),                       // all boilerplate → dropped
+      (5L, "twice repeated\nkeep me"),
+      (6L, "twice repeated\nand me")      // 2 < minDocs=3 → kept
+    ).toDF("id", "text")
+    val out = TextOps.removeBoilerplate(df, "id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unique intro one\nunique body one",
+      2L -> "unique body two",
+      3L -> "unique only three",
+      5L -> "twice repeated\nkeep me",
+      6L -> "twice repeated\nand me"))
+  }
+
+  test("removeBoilerplate never counts blank lines as boilerplate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a\n\nb"), (2L, "c\n\nd"), (3L, "e\n\nf")).toDF("id", "text")
+    val out = TextOps.removeBoilerplate(df, "id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a\n\nb") // blank line survives in place
+  }
+
   test("repetitionFilter drops the degenerate doc, keeps diverse text") {
     import spark.implicits._
     val df = Seq(
