@@ -89,16 +89,18 @@ object Engine {
 
   /** Spread a small input across the session's cores before heavy
     * per-row compute (tokenize → shingle → hash chains): repartition
-    * ONLY when the planned scan has fewer partitions than the session
-    * has slots — the small-file case, where one 1.5 MB parquet file is
-    * one partition and the whole scan stage runs on one core. On
-    * block-sized inputs (any real corpus) the partition count is already
-    * ≥ parallelism and this is a NO-OP, so the extra exchange never
-    * appears at scale; when it does fire, what shuffles is the small
-    * input itself. */
+    * ONLY when the planned scan has fewer than min(parallelism, 8)
+    * partitions — the small-file case, where one 1.5 MB parquet file is
+    * one partition and the whole scan stage runs on one core. The
+    * absolute floor of 8 keeps this a NO-OP on any real corpus (hundreds
+    * of splits on a cluster with more cores than splits would otherwise
+    * re-shuffle full text — exactly what these operators promise not to
+    * do); when it does fire, the input is by construction a handful of
+    * row groups, so what shuffles is small. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (df.rdd.getNumPartitions >= math.min(target, 8)) df
+    else df.repartition(target)
   }
 
   /** The fixture tables (TESTDATA.md). */

@@ -332,15 +332,18 @@ object TextOps {
   }
 
   /** Gopher-style repetition gate: keep documents under all the given
-    * repetition ceilings (defaults are in the published rules' range). */
+    * repetition ceilings (defaults are in the published rules' range).
+    * Anti-join on VIOLATORS, not semi-join on passers: a document with
+    * no tokens has no stats row yet trivially satisfies every ceiling —
+    * it must survive (token-count minimums are a separate gate). */
   def repetitionFilter(df: DataFrame, idCol: String, textCol: String,
                        maxDupTokenFrac: Double = 0.6,
                        maxTopBigramFrac: Double = 0.2): DataFrame = {
-    val stats = repetitionStats(df, idCol, textCol)
-      .filter(col("dup_token_frac") <= maxDupTokenFrac &&
-        col("top_bigram_frac") <= maxTopBigramFrac)
-      .select(col(idCol).as("_keep"))
-    df.join(stats, df(idCol) === stats("_keep"), "left_semi")
+    val violators = repetitionStats(df, idCol, textCol)
+      .filter(col("dup_token_frac") > maxDupTokenFrac ||
+        col("top_bigram_frac") > maxTopBigramFrac)
+      .select(col(idCol).as("_drop"))
+    df.join(violators, df(idCol) === violators("_drop"), "left_anti")
   }
 
   def redactPii(text: Column): Column =

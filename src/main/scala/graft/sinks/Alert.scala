@@ -79,6 +79,20 @@ object Alert {
                               password: Option[String] = None,
                               starttls: Boolean = true)
 
+  /** Header/command sanitation: a subject or address built from data
+    * rows must not be able to inject CRLF into the header block or the
+    * SMTP dialogue (classic mail-header injection). Control characters
+    * collapse to a space in header VALUES; addresses are validated
+    * strictly because they are interpolated into MAIL/RCPT commands. */
+  private def headerSafe(s: String): String =
+    s.replaceAll("[\\r\\n\\p{Cntrl}]+", " ")
+
+  private[graft] def requireAddress(a: String): String = {
+    require(a.matches("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"),
+      s"invalid email address: $a")
+    a
+  }
+
   /** RFC 822 message: headers + text body + optional base64 CSV
     * attachment as multipart/mixed (the EmailMessage.add_attachment
     * shape, `logs.py:204-220`). */
@@ -86,9 +100,9 @@ object Alert {
                    body: String,
                    attachment: Option[(String, String)] = None): String = {
     val b = new StringBuilder()
-    b.append(s"From: $from\r\n")
-      .append(s"To: ${to.mkString(", ")}\r\n")
-      .append(s"Subject: $subject\r\n")
+    b.append(s"From: ${requireAddress(from)}\r\n")
+      .append(s"To: ${to.map(requireAddress).mkString(", ")}\r\n")
+      .append(s"Subject: ${headerSafe(subject)}\r\n")
       .append("MIME-Version: 1.0\r\n")
     attachment match {
       case None =>
@@ -119,16 +133,23 @@ object Alert {
   final class SmtpException(cmd: String, reply: String)
     extends RuntimeException(s"SMTP error after $cmd: $reply")
 
-  /** Send via SMTP (`logs.py:222-243` semantics): EHLO → optional
-    * STARTTLS (port 587, as the reference gates it) → AUTH PLAIN when
-    * credentials are present → MAIL FROM/RCPT TO/DATA → QUIT. DATA dot-
-    * stuffs leading periods per RFC 5321 §4.5.2. Throws [[SmtpException]]
-    * on any non-2xx/3xx reply so the caller can handle/log. */
+  /** Send via SMTP (`logs.py:222-243` semantics): EHLO → STARTTLS when
+    * requested (on ANY port — the reference gates it on 587, but
+    * silently skipping TLS the caller asked for would push AUTH PLAIN
+    * credentials over cleartext) → AUTH PLAIN when credentials are
+    * present → MAIL FROM/RCPT TO/DATA → QUIT. DATA normalizes line
+    * endings to CRLF and dot-stuffs leading periods per RFC 5321
+    * §4.5.2. Connect and read timeouts mirror the reference's
+    * `timeout=30`. Throws [[SmtpException]] on any non-2xx/3xx reply so
+    * the caller can handle/log. */
   def sendViaSmtp(cfg: SmtpConfig, from: String, to: Seq[String],
-                  message: String): Unit = {
+                  message: String, timeoutMs: Int = 30000): Unit = {
     require(to.nonEmpty, "sendViaSmtp: empty recipient list")
-    var socket: java.net.Socket =
-      new java.net.Socket(cfg.host, cfg.port)
+    requireAddress(from); to.foreach(requireAddress)
+    var socket: java.net.Socket = new java.net.Socket()
+    socket.connect(
+      new java.net.InetSocketAddress(cfg.host, cfg.port), timeoutMs)
+    socket.setSoTimeout(timeoutMs)
     try {
       var in = new java.io.BufferedReader(
         new java.io.InputStreamReader(socket.getInputStream,
@@ -141,7 +162,10 @@ object Alert {
         val first = in.readLine()
         if (first == null) throw new SmtpException("<read>", "connection closed")
         var last = first
-        while (last.length >= 4 && last.charAt(3) == '-') last = in.readLine()
+        while (last != null && last.length >= 4 && last.charAt(3) == '-')
+          last = in.readLine()
+        if (last == null)
+          throw new SmtpException("<read>", "connection closed mid-reply")
         first
       }
       def send(cmd: String, okPrefixes: Seq[Char] = Seq('2', '3')): String = {
@@ -153,11 +177,12 @@ object Alert {
       }
       readReply() // greeting
       send("EHLO graft")
-      if (cfg.starttls && cfg.port == 587) {
+      if (cfg.starttls) {
         send("STARTTLS")
         socket = javax.net.ssl.SSLSocketFactory.getDefault
           .asInstanceOf[javax.net.ssl.SSLSocketFactory]
           .createSocket(socket, cfg.host, cfg.port, true)
+        socket.setSoTimeout(timeoutMs)
         in = new java.io.BufferedReader(new java.io.InputStreamReader(
           socket.getInputStream, StandardCharsets.US_ASCII))
         out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
@@ -175,7 +200,10 @@ object Alert {
       send(s"MAIL FROM:<$from>")
       to.foreach(r => send(s"RCPT TO:<$r>"))
       send("DATA")
-      val stuffed = message.split("\r\n", -1).map { l =>
+      // normalize CRLF/LF/CR to CRLF first: a '.' line after a bare LF
+      // would otherwise escape stuffing and truncate the message on
+      // lenient servers
+      val stuffed = message.split("\r\n|\n|\r", -1).map { l =>
         if (l.startsWith(".")) "." + l else l
       }.mkString("\r\n")
       out.write(stuffed)

@@ -174,42 +174,52 @@ object GridSink {
     }
   }
 
-  /** Recorded grid metadata (sidecar JSON next to the CSV). */
+  /** Recorded grid metadata (sidecar file next to the CSV). Stored as
+    * one record per line with URL-encoded fields — lossless for ANY
+    * column name / value / email (quotes, brackets, tabs, newlines)
+    * without a JSON dependency or a hand-rolled parser to get wrong:
+    *   rule <col> <allowed,csv> <startRow> <endRow>
+    *   writer <email>
+    * (tab-separated; fields percent-encoded). */
   final case class GridMeta(rules: Seq[GridRule], writers: Seq[String])
 
-  private def metaPath(path: String) = Paths.get(path + ".meta.json")
+  private def metaPath(path: String) = Paths.get(path + ".meta")
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
   private[graft] def readMeta(path: String): GridMeta = {
     val p = metaPath(path)
     if (!Files.exists(p)) return GridMeta(Nil, Nil)
-    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    // hand-rolled parse of the hand-rolled writer below — no JSON dep
-    def strList(field: String): Seq[String] = {
-      val m = (field + "\":\\[(.*?)\\]").r
-        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m)
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-    }
-    val rules = "\\{\"column\":\"((?:[^\"\\\\]|\\\\.)*)\",\"allowed\":\\[(.*?)\\],\"startRow\":(\\d+),\"endRow\":(\\d+)\\}".r
-      .findAllMatchIn(txt).map { m =>
-        val allowed = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
-          .findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
-        GridRule(m.group(1), allowed, m.group(3).toInt, m.group(4).toInt)
-      }.toSeq
-    GridMeta(rules, strList("writers"))
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+    val rules = lines.collect {
+      case l if l.startsWith("rule\t") =>
+        l.split("\t", -1) match {
+          case Array(_, c, allowed, s, e) =>
+            GridRule(dec(c),
+              if (allowed.isEmpty) Nil
+              else allowed.split(",", -1).toSeq.map(dec),
+              s.toInt, e.toInt)
+          case other => throw new IllegalStateException(
+            s"corrupt grid meta line: ${other.mkString("\t")}")
+        }
+    }.toSeq
+    val writers = lines.collect {
+      case l if l.startsWith("writer\t") => dec(l.split("\t", -1)(1))
+    }.toSeq
+    GridMeta(rules, writers)
   }
 
   private def writeMeta(path: String, meta: GridMeta): Unit = {
-    def js(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val rules = meta.rules.map { r =>
-      s"""{"column":${js(r.column)},"allowed":[${r.allowed.map(js)
-        .mkString(",")}],"startRow":${r.startRow},"endRow":${r.endRow}}"""
-    }.mkString("[", ",", "]")
-    val writers = meta.writers.map(js).mkString("[", ",", "]")
+    val lines =
+      meta.rules.map(r => s"rule\t${enc(r.column)}\t" +
+        s"${r.allowed.map(enc).mkString(",")}\t${r.startRow}\t${r.endRow}") ++
+      meta.writers.map(w => s"writer\t${enc(w)}")
     Files.write(metaPath(path),
-      s"""{"rules":$rules,"writers":$writers}"""
-        .getBytes(StandardCharsets.UTF_8))
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
   }
 
   // ------------------------- tiny CSV codec -------------------------

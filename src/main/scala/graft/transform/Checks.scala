@@ -52,21 +52,21 @@ object Checks {
           count_if(r.violated).as(s"_v$i")
         }
         val counted = df.agg(aggs.head, aggs.tail: _*)
-        // One wide 1-row agg → melt to (rule, column, n) rows with `stack`,
-        // entirely inside the plan: `check` stays LAZY (no job runs until
-        // the caller acts on the report) and the data is scanned exactly
-        // once when it does.
-        // Backslashes must be escaped too: with the default
-        // escapedStringLiterals=false a raw-header column name like
-        // `a\tb` would otherwise be re-interpreted as an escape
-        // sequence inside the SQL literal.
-        def sq(s: String) =
-          "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        val stackArgs = rules.zipWithIndex.map { case (r, i) =>
-          s"${sq(r.name)}, ${sq(r.column)}, _v$i"
-        }.mkString(", ")
-        counted.selectExpr(
-          s"stack(${rules.size}, $stackArgs) AS (rule, `column`, n_violations)")
+        // One wide 1-row agg → melt to (rule, column, n) rows with a
+        // typed explode-of-structs, entirely inside the plan: `check`
+        // stays LAZY (no job runs until the caller acts on the report)
+        // and the data is scanned exactly once when it does. Typed
+        // Column literals rather than selectExpr string splicing: rule/
+        // column names never pass through the SQL parser, so no escaping
+        // contract to get wrong under either setting of
+        // spark.sql.parser.escapedStringLiterals.
+        val entries = rules.zipWithIndex.map { case (r, i) =>
+          struct(lit(r.name).as("rule"), lit(r.column).as("column"),
+            col(s"_v$i").as("n_violations"))
+        }
+        counted.select(explode(array(entries: _*)).as("_kv"))
+          .select(col("_kv.rule"), col("_kv.column"),
+            col("_kv.n_violations"))
       }
 
     val uniq: Option[DataFrame] =

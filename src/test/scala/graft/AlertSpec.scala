@@ -113,6 +113,33 @@ class AlertSpec extends SparkSpec {
       "UTF-8") == "\u0000u\u0000pw")
   }
 
+  test("header injection is neutralized: CRLF subjects collapse, bad addresses raise") {
+    val msg = Alert.buildMessage("a@x.test", Seq("b@x.test"),
+      "Report\r\nBcc: attacker@evil.test", "body", None)
+    // the CRLF collapsed: the would-be Bcc header is inert subject TEXT
+    // on the Subject line, not a header line of its own
+    assert(!msg.contains("\r\nBcc:"))
+    assert(msg.contains("Subject: Report Bcc: attacker@evil.test\r\n"))
+    intercept[IllegalArgumentException] {
+      Alert.buildMessage("a@x.test>\r\nDATA", Seq("b@x.test"), "s", "b", None)
+    }
+    intercept[IllegalArgumentException] {
+      Alert.sendViaSmtp(Alert.SmtpConfig("127.0.0.1", 1, starttls = false),
+        "a@x.test", Seq("evil>\r\nRCPT TO:<other@x.test"), "m")
+    }
+  }
+
+  test("bare-LF dot lines are stuffed (line endings normalized to CRLF)") {
+    val srv = new FakeSmtp()
+    Alert.sendViaSmtp(
+      Alert.SmtpConfig("127.0.0.1", srv.port, starttls = false),
+      "a@x.test", Seq("b@x.test"),
+      "Subject: s\r\n\r\nbefore\n.\nafter\r\n")
+    srv.thread.join(5000)
+    // the lone '.' line arrived as data (server un-stuffs), not as EOD
+    assert(srv.data.toString.contains("before\n.\nafter"))
+  }
+
   test("sendViaSmtp raises on a 5xx reply (reference: caller handles)") {
     val srv = new FakeSmtp(rejectRcpt = true)
     val ex = intercept[Alert.SmtpException] {

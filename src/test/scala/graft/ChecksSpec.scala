@@ -65,4 +65,14 @@ class ChecksSpec extends SparkSpec {
   test("empty rule list with no unique cols yields an empty report") {
     assert(Checks.check(frame(), Nil).isEmpty)
   }
+
+  test("hostile rule/column names survive the melt (no SQL-literal parsing)") {
+    import spark.implicits._
+    val hostile = "a'b\\c\td"
+    val df = Seq(Some(1), None).toDF(hostile)
+    val report = Checks.check(df, Seq(Checks.notNull(hostile))).collect()
+    assert(report.length == 1)
+    assert(report(0).getString(1) == hostile)
+    assert(report(0).getLong(2) == 1L)
+  }
 }

@@ -90,6 +90,22 @@ class GridSinkSpec extends SparkSpec {
     assert(GridSink.validateGrid(path) == Seq(("homologado", 2, "talvez")))
   }
 
+  test("grid metadata round-trips hostile strings (brackets, quotes, tabs)") {
+    import spark.implicits._
+    val path = tmpFile()
+    GridSink.appendDedupe(Seq(("1", "v")).toDF("id", "a\"b\tc]d"), path, "id")
+    assert(GridSink.applyValidation(path, "a\"b\tc]d",
+      allowed = Seq("x]y", "p\"q"), appendedCount = 1))
+    GridSink.share(path, Seq("odd]name@x.test"))
+    val meta = GridSink.readMeta(path)
+    assert(meta.rules.head.column == "a\"b\tc]d")
+    assert(meta.rules.head.allowed == Seq("x]y", "p\"q"))
+    assert(meta.writers == Seq("odd]name@x.test"))
+    GridSink.share(path, Seq("two@x.test"))
+    assert(GridSink.readMeta(path).writers ==
+      Seq("odd]name@x.test", "two@x.test")) // earlier grants preserved
+  }
+
   test("share grants writer idempotently and collects invalid-email errors") {
     import spark.implicits._
     val path = tmpFile()

@@ -228,4 +228,14 @@ class TextOpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L))
   }
+
+  test("repetitionFilter keeps token-less docs (no stats ≠ too repetitive)") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "!!! ???"),
+      (3L, "a long and genuinely varied sentence with many distinct words"))
+      .toDF("id", "text")
+    val kept = TextOps.repetitionFilter(df, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
 }
