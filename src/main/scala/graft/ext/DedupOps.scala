@@ -203,6 +203,31 @@ object DedupOps {
     corpus.join(bad, corpus(idCol) === bad("_id"), "left_anti")
   }
 
+  /** The benchmark's distinct n-gram set as xxhash64 values, collected
+    * driver-side. Eval sets are small by contract (the same bounded-
+    * collect pattern as the LSH hyperplane / IVF centroid literals), so
+    * the whole set folds into downstream plans as a constant. */
+  def benchmarkGramHashes(bench: DataFrame, textCol: String,
+                          n: Int = 3): Array[Long] =
+    bench.select(explode(
+        TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
+      .select(xxhash64(col("_g")).as("_h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+
+  /** STATELESS contamination predicate: true when the text shares any
+    * word n-gram with the benchmark set. Because the benchmark grams are
+    * plan literals and the check is a pure projection — no join, no
+    * state, no shuffle — the same expression filters a batch frame or a
+    * structured stream (`readStream.filter(!isContaminated(...))`),
+    * where the join-based [[decontaminate]] would need streaming
+    * aggregation. */
+  def isContaminated(textCol: Column, benchGramHashes: Array[Long],
+                     n: Int = 3): Column =
+    arrays_overlap(
+      transform(TextOps.shingles(TextOps.tokens(textCol), n),
+        g => xxhash64(g)),
+      lit(benchGramHashes))
+
   /** SimHash from pre-hashed tokens (`array<long>`): per bit position,
     * the majority vote of the token hashes' bits becomes that bit.
     * Delegates to the native codegen'd [[graft.expressions.SimHashBits]]

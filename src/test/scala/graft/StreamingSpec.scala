@@ -101,6 +101,34 @@ class StreamingSpec extends SparkSpec {
     assert(written.columns.contains("event_id"))
   }
 
+  test("stateless decontamination filters a stream identically to the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val bench = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .filter($"doc_id" < 20)
+    val grams = graft.ext.DedupOps.benchmarkGramHashes(bench, "text")
+    // batch reference: the join-based op on the same corpus
+    val expected = graft.ext.DedupOps.decontaminate(
+        graft.engine.Engine.table(spark, fixtureDir, "documents"),
+        bench, "doc_id", "text")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val stream = MemoryStream[(Long, String)]
+    val clean = stream.toDF().toDF("doc_id", "text")
+      .filter(!graft.ext.DedupOps.isContaminated(col("text"), grams))
+    val q = clean.writeStream.format("memory")
+      .queryName("decontam").outputMode("append").start()
+    stream.addData(docs.take(100))
+    q.processAllAvailable()
+    stream.addData(docs.drop(100))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id FROM decontam")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected) // stateless literal-set filter == join twin
+  }
+
   test("stream-stream interval join pairs events within the window only") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
