@@ -350,10 +350,16 @@ object DedupOps {
   def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b",
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    // Lineage cut per round via Engine.materialize: localCheckpoint by
-    // default, reliable checkpoint when spark.graft.checkpointDir is set.
+    // Materialize the edge list BEFORE mirroring it: the union of
+    // forward + reversed edges reads the `pairs` subtree twice, and that
+    // subtree is typically the whole near-dup candidate pipeline
+    // (tokenize → signatures → band join) — paying it once halves the
+    // setup cost of every CC call.
+    // Lineage cut via Engine.materialize: localCheckpoint by default,
+    // reliable checkpoint when spark.graft.checkpointDir is set.
+    val edges = graft.engine.Engine.materialize(
+      pairs.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
     val bidir = graft.engine.Engine.materialize(edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()) // reused every round; computed once
