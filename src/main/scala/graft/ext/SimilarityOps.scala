@@ -253,6 +253,69 @@ object SimilarityOps {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
   }
 
+  /** Product-quantization top-k with asymmetric distance (the PQ/ADC
+    * half of Jégou et al., TPAMI 2011, complementing [[ivfTopKSampled]]'s
+    * coarse quantizer): the vector splits into `m` subspaces; each
+    * subspace has `nCodewords` codewords (the subvectors of the
+    * nCodewords lowest-id corpus vectors — deterministic sampled
+    * codebooks, same rationale as the sampled IVF centroids); a corpus
+    * vector stores only its m codeword ids; a query computes one m ×
+    * nCodewords distance table and ranks every corpus vector by the sum
+    * of table lookups — never touching the corpus floats.
+    *
+    * Scale shape: encoding is a narrow shuffle-free projection against
+    * literal codebooks (the classic O(dim·nCodewords) per row); the
+    * search scans CODES (m small ints per vector — a 64-float vector
+    * compresses to 4 bytes here) with the query tables broadcast, so the
+    * ranking pass reads ~1/64th the bytes of brute force. The estimated
+    * distance sums the m lookups in fixed subspace order, so results
+    * reproduce bit-for-bit across engines. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int, m: Int = 4,
+             nCodewords: Int = 16): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val cents: Seq[IndexedSeq[Double]] = corpus
+      .select(col(idCol).cast("long").as("_cid"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .orderBy(col("_cid")).limit(nCodewords)
+      .collect().toSeq.map(_.getSeq[Double](1).toIndexedSeq)
+    require(cents.nonEmpty, "pqTopK: empty corpus")
+    def codeword(cw: Int, mi: Int): IndexedSeq[Double] =
+      cents(cw).slice(mi * sub, (mi + 1) * sub)
+    def d2ToLit(vslice: Column, c: IndexedSeq[Double]): Column = {
+      val cl = array(c.map(lit): _*)
+      dot(vslice, vslice) - lit(2.0) * dot(vslice, cl) + dot(cl, cl)
+    }
+    def subSlice(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
+    // encode: per subspace, the nearest codeword (tie → lowest id)
+    def codeCol(v: Column, mi: Int): Column =
+      element_at(array_sort(array((0 until nCodewords).map { cw =>
+        struct(d2ToLit(subSlice(v, mi), codeword(cw, mi)).as("d"),
+          lit(cw).as("c"))
+      }: _*)), 1).getField("c")
+    val codes = corpus.select(col(idCol).as("neighbor_id") +:
+      (0 until m).map(mi => codeCol(col(vecCol), mi).as(s"_cw$mi")): _*)
+    // per-query ADC tables: _dt<mi>[cw] = d2(query subvector, codeword)
+    val q = queries.select(col(idCol).as("query_id") +:
+      (0 until m).map { mi =>
+        array((0 until nCodewords).map(cw =>
+          d2ToLit(subSlice(col(vecCol), mi), codeword(cw, mi))): _*)
+          .as(s"_dt$mi")
+      }: _*)
+    val est = (0 until m).map(mi =>
+      element_at(col(s"_dt$mi"), col(s"_cw$mi") + lit(1))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(asc("est_d2"), asc("neighbor_id"))
+    codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(est, 6).as("est_d2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("est_d2"))
+  }
+
   /** LSH-bucketed approximate top-k: `tables` independent hash tables of
     * `bits` hyperplanes each; candidates = corpus vectors sharing a bucket
     * with the query in ANY table; exact cosine re-ranks candidates.
