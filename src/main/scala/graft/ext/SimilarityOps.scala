@@ -316,6 +316,76 @@ object SimilarityOps {
         col("est_d2"))
   }
 
+  /** The full inverted-file + product-quantization layout (IVFADC,
+    * Jégou et al. TPAMI 2011 §IV): the sampled coarse quantizer
+    * ([[ivfTopKSampled]]'s cells) restricts the search to `nProbe` cells,
+    * and PQ codes ([[pqTopK]]'s codebooks) rank the candidates by
+    * asymmetric distance — so the query touches ~nProbe/nCentroids of
+    * the corpus AND reads only m bytes per candidate. This is the layout
+    * a billion-vector index actually deploys; both halves are the
+    * deterministic sampled variants, so results are exactly reproducible.
+    *
+    * Composition note: cell assignment and PQ encoding are independent
+    * narrow projections over the corpus (one pass computes both); the
+    * probe join carries (cell, codes) — never floats. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, dim: Int, nCentroids: Int = 16,
+                nProbe: Int = 4, m: Int = 4,
+                nCodewords: Int = 16): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val sample: Seq[IndexedSeq[Double]] = corpus
+      .select(col(idCol).cast("long").as("_cid"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .orderBy(col("_cid")).limit(math.max(nCentroids, nCodewords))
+      .collect().toSeq.map(_.getSeq[Double](1).toIndexedSeq)
+    require(sample.nonEmpty, "ivfPqTopK: empty corpus")
+    val cents = sample.take(nCentroids)
+    def codeword(cw: Int, mi: Int): IndexedSeq[Double] =
+      sample(cw).slice(mi * sub, (mi + 1) * sub)
+    def d2ToLit(vslice: Column, c: IndexedSeq[Double]): Column = {
+      val cl = array(c.map(lit): _*)
+      dot(vslice, vslice) - lit(2.0) * dot(vslice, cl) + dot(cl, cl)
+    }
+    def subSlice(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
+    def cellStructs(v: Column): Column = array(cents.zipWithIndex.map {
+      case (cvec, i) => struct(d2ToLit(v, cvec).as("d"), lit(i).as("c"))
+    }: _*)
+    def codeCol(v: Column, mi: Int): Column =
+      element_at(array_sort(array((0 until nCodewords).map { cw =>
+        struct(d2ToLit(subSlice(v, mi), codeword(cw, mi)).as("d"),
+          lit(cw).as("c"))
+      }: _*)), 1).getField("c")
+    // ONE corpus pass computes the cell and the m codes; floats dropped.
+    val indexed = corpus.select(
+      col(idCol).as("neighbor_id") +:
+        element_at(array_sort(cellStructs(col(vecCol))), 1)
+          .getField("c").as("_cell") +:
+        (0 until m).map(mi => codeCol(col(vecCol), mi).as(s"_cw$mi")): _*)
+    val q = queries.select(
+      col(idCol).as("query_id") +:
+        explode(transform(
+          slice(array_sort(cellStructs(col(vecCol))), 1, nProbe),
+          s => s.getField("c"))).as("_cell") +:
+        (0 until m).map { mi =>
+          array((0 until nCodewords).map(cw =>
+            d2ToLit(subSlice(col(vecCol), mi), codeword(cw, mi))): _*)
+            .as(s"_dt$mi")
+        }: _*)
+    val est = (0 until m).map(mi =>
+      element_at(col(s"_dt$mi"), col(s"_cw$mi") + lit(1))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(asc("est_d2"), asc("neighbor_id"))
+    indexed.join(broadcast(q), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(est, 6).as("est_d2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("est_d2"))
+  }
+
   /** LSH-bucketed approximate top-k: `tables` independent hash tables of
     * `bits` hyperplanes each; candidates = corpus vectors sharing a bucket
     * with the query in ANY table; exact cosine re-ranks candidates.

@@ -117,6 +117,27 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(run() == pq)
   }
 
+  test("ivfPqTopK composes cell probing with PQ ranking consistently") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    def run() = SimilarityOps.ivfPqTopK(queries, emb, "vec_id",
+        "embedding", k = 5, dim = 64, nCentroids = 16, nProbe = 4)
+      .collect().map(r => ((r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")), r.getAs[Double]("est_d2"))).toMap
+    val ivfpq = run()
+    assert(ivfpq.nonEmpty)
+    assert(run() == ivfpq) // deterministic
+    // the ADC estimate must agree with the full-scan PQ ranking wherever
+    // both consider the same (query, neighbor) pair
+    val pqFull = SimilarityOps.pqTopK(queries, emb, "vec_id", "embedding",
+        k = 2000, dim = 64, m = 4, nCodewords = 16)
+      .collect().map(r => ((r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")), r.getAs[Double]("est_d2"))).toMap
+    ivfpq.foreach { case (pair, est) =>
+      assert(pqFull(pair) == est, s"ADC mismatch for $pair")
+    }
+  }
+
   test("annTopK output is deterministic across runs") {
     val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
     val q = emb.filter(col("vec_id") < 3)

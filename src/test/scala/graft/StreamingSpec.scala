@@ -129,6 +129,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected) // stateless literal-set filter == join twin
   }
 
+  test("deterministic hash split/sample are stateless and stream-safe") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = (0L until 500L).map(i => (i, s"doc$i"))
+    val batchDf = ids.toDF("doc_id", "text")
+    val expectSplit = graft.transform.Split
+      .hashSplit(batchDf, "doc_id", Seq("test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val stream = MemoryStream[(Long, String)]
+    val streamed = graft.transform.Split.hashSplit(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", Seq("test" -> 0.1))
+    val q = streamed.writeStream.format("memory")
+      .queryName("splits").outputMode("append").start()
+    stream.addData(ids.take(250)); q.processAllAvailable()
+    stream.addData(ids.drop(250)); q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id, split FROM splits")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expectSplit) // membership is a pure function of the id
+  }
+
   test("stream-stream interval join pairs events within the window only") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
