@@ -60,4 +60,28 @@ class PropertySpec extends AnyFunSuite {
         (bytes.isEmpty || math.abs(f.sum - 1f) < 1e-3)
     })
   }
+
+  test("signed URLs round-trip for any path/key; never verify early-expired or cross-key") {
+    import graft.sources.Storage
+    val path = Gen.asciiPrintableStr.map(_.filter(c => c != '?' && c != '&'))
+    check("roundtrip", Prop.forAll(path, Gen.alphaNumStr.suchThat(_.nonEmpty),
+        Gen.choose(1L, 100000L), Gen.choose(0L, 1000000L)) {
+      (p, key, ttl, now) =>
+        val url = Storage.signedUrl(p, key, ttl, now)
+        Storage.verifySignedUrl(url, key, now + ttl - 1) &&
+          !Storage.verifySignedUrl(url, key, now + ttl) &&
+          !Storage.verifySignedUrl(url, key + "x", now)
+    })
+  }
+
+  test("portable token hash stays in [0, 2^60) and is injective on distinct md5 prefixes (sampled)") {
+    // driver-side twin of the conv(substring(md5)) pipeline used by
+    // simhashPortable — the value contract the DuckDB oracle relies on
+    check("range", Prop.forAll { (s: String) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(15), 16)
+      h >= 0L && h < (1L << 60)
+    })
+  }
 }
