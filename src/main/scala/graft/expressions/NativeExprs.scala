@@ -58,6 +58,12 @@ object NativeExprs {
     })
     reg("graft_hash_tokens", { case Seq(c) => TokenHashes(c) })
     reg("graft_del_variants", { case Seq(c) => DeletionVariants(c) })
+    reg("graft_any_in_set", {
+      case Seq(c, Literal(arr: ArrayData, ArrayType(LongType, _))) =>
+        AnyInSortedSet(c, arr.toLongArray())
+      case other => throw new IllegalArgumentException(
+        s"graft_any_in_set(arr, bigintArrayLiteral), got $other")
+    })
   }
 
   /** Order-sensitive combine of one n-token window (Horner-style mixing —
@@ -493,7 +499,61 @@ object DeletionVariants {
   }
 }
 
-/** SparkSessionExtensions hook installing the graft native functions —
+/** True iff ANY element of the child `array<long>` is a member of the
+  * SORTED literal set (binary search per element — O(|arr| · log |set|),
+  * vs `arrays_overlap` against an array literal which linearly probes
+  * the whole set per row). The set rides along as a plan constant
+  * (`ctx.addReferenceObj`), so a million-gram benchmark set costs one
+  * driver-side array, not a per-row rebuild. Used by the stateless
+  * streaming decontamination predicate. */
+case class AnyInSortedSet(child: Expression, set: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_any_in_set expects array<bigint>, got $dt")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_any_in_set"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) &&
+          java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0)
+        return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val setRef = ctx.addReferenceObj("graftSortedSet", set, "long[]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val found = ctx.freshName("found")
+      s"""
+         |int $n = $c.numElements();
+         |boolean $found = false;
+         |for (int $i = 0; $i < $n && !$found; $i++) {
+         |  if (!$c.isNullAt($i) &&
+         |      java.util.Arrays.binarySearch($setRef, $c.getLong($i)) >= 0)
+         |    $found = true;
+         |}
+         |${ev.value} = $found;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** SparkSessionExtensions installer for all graft native functions —
   * usable via `spark.sql.extensions=graft.expressions.GraftExtensions` or
   * programmatically (Engine does the latter). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

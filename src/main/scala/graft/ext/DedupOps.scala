@@ -203,29 +203,42 @@ object DedupOps {
     corpus.join(bad, corpus(idCol) === bad("_id"), "left_anti")
   }
 
-  /** The benchmark's distinct n-gram set as xxhash64 values, collected
-    * driver-side. Eval sets are small by contract (the same bounded-
-    * collect pattern as the LSH hyperplane / IVF centroid literals), so
-    * the whole set folds into downstream plans as a constant. */
+  /** The benchmark's distinct hashed n-gram set (native codegen'd
+    * token-hash → shingle-hash pipeline), collected driver-side and
+    * SORTED for binary-search probing. Eval sets are small by contract
+    * (the same bounded-collect pattern as the LSH hyperplane / IVF
+    * centroid literals), so the whole set folds into downstream plans
+    * as a constant. */
   def benchmarkGramHashes(bench: DataFrame, textCol: String,
                           n: Int = 3): Array[Long] =
     bench.select(explode(
-        TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
-      .select(xxhash64(col("_g")).as("_h"))
+        call_function("graft_shingle_hashes",
+          call_function("graft_hash_tokens",
+            TextOps.tokens(col(textCol))), lit(n))).as("_h"))
       .distinct().collect().map(_.getLong(0)).sorted
 
   /** STATELESS contamination predicate: true when the text shares any
-    * word n-gram with the benchmark set. Because the benchmark grams are
-    * plan literals and the check is a pure projection — no join, no
-    * state, no shuffle — the same expression filters a batch frame or a
-    * structured stream (`readStream.filter(!isContaminated(...))`),
-    * where the join-based [[decontaminate]] would need streaming
-    * aggregation. */
+    * word n-gram with the benchmark set. Because the benchmark gram
+    * hashes are a plan constant and the check is a pure projection — no
+    * join, no state, no shuffle — the same expression filters a batch
+    * frame or a structured stream (`readStream.filter(!isContaminated
+    * (...))`), where the join-based [[decontaminate]] would need
+    * streaming aggregation. Fully codegen'd: native token/shingle
+    * hashing plus a binary-search set probe (O(grams · log |bench|) per
+    * document — `arrays_overlap` against an array literal would scan
+    * the whole benchmark set per row).
+    *
+    * Semantics caveat vs [[decontaminate]]: this path compares 64-bit
+    * gram HASHES where the batch join compares gram strings, so a hash
+    * collision (expected count ≈ |corpus grams|·|bench grams| / 2⁶⁴)
+    * can falsely drop a clean document. Exact-match batch dedup remains
+    * the authority; this is the stream-side guard. */
   def isContaminated(textCol: Column, benchGramHashes: Array[Long],
                      n: Int = 3): Column =
-    arrays_overlap(
-      transform(TextOps.shingles(TextOps.tokens(textCol), n),
-        g => xxhash64(g)),
+    call_function("graft_any_in_set",
+      call_function("graft_shingle_hashes",
+        call_function("graft_hash_tokens", TextOps.tokens(textCol)),
+        lit(n)),
       lit(benchGramHashes))
 
   /** SimHash from pre-hashed tokens (`array<long>`): per bit position,

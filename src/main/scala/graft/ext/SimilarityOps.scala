@@ -201,6 +201,62 @@ object SimilarityOps {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
   }
 
+  // ---- shared sampled-quantizer helpers (IVF cells / PQ codebooks) ----
+  // One definition of the codebook sampling, the literal-folded distance
+  // and the argmin encodings, shared by ivfTopKSampled / pqTopK /
+  // ivfPqTopK: the three layouts MUST stay arithmetically identical
+  // (the IVFADC spec asserts its ADC estimates equal pqTopK's, and the
+  // DuckDB oracles reproduce these exact expressions).
+
+  /** The `n` lowest-id corpus vectors as driver-side double arrays —
+    * bounded collect, same contract as the LSH hyperplane literals.
+    * Returns min(n, |corpus|) vectors; callers clamp their codebook /
+    * centroid counts to what the corpus can supply. */
+  private def sampleVectors(corpus: DataFrame, idCol: String,
+                            vecCol: String, n: Int): Seq[IndexedSeq[Double]] = {
+    val s = corpus
+      .select(col(idCol).cast("long").as("_cid"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .orderBy(col("_cid")).limit(n)
+      .collect().toSeq.map(_.getSeq[Double](1).toIndexedSeq)
+    require(s.nonEmpty, "sampled quantizer needs a non-empty corpus")
+    s
+  }
+
+  /** ||v − c||² = v·v − 2·v·c + c·c against a literal vector — the
+    * exact left-to-right accumulation the DuckDB twins reproduce. */
+  private def d2ToLit(v: Column, c: IndexedSeq[Double]): Column = {
+    val cl = array(c.map(lit): _*)
+    dot(v, v) - lit(2.0) * dot(v, cl) + dot(cl, cl)
+  }
+
+  /** (distance², cell) structs for every centroid; array_sort orders
+    * lexicographically — nearest cell first, ties to the lowest cell. */
+  private def cellStructs(v: Column,
+                          cents: Seq[IndexedSeq[Double]]): Column =
+    array(cents.zipWithIndex.map { case (cvec, i) =>
+      struct(d2ToLit(v, cvec).as("d"), lit(i).as("c"))
+    }: _*)
+
+  /** Subspace `mi` of a PQ codeword-source vector. */
+  private def pqCodeword(src: IndexedSeq[Double], mi: Int,
+                         sub: Int): IndexedSeq[Double] =
+    src.slice(mi * sub, (mi + 1) * sub)
+
+  /** Nearest-codeword id for subspace `mi` (tie → lowest codeword). */
+  private def pqCodeCol(v: Column, mi: Int, sub: Int,
+                        cws: Seq[IndexedSeq[Double]]): Column =
+    element_at(array_sort(array(cws.zipWithIndex.map { case (cw, i) =>
+      struct(d2ToLit(slice(v, mi * sub + 1, sub),
+        pqCodeword(cw, mi, sub)).as("d"), lit(i).as("c"))
+    }: _*)), 1).getField("c")
+
+  /** ADC lookup table for subspace `mi`: distance to every codeword. */
+  private def pqDistTable(v: Column, mi: Int, sub: Int,
+                          cws: Seq[IndexedSeq[Double]]): Column =
+    array(cws.map(cw => d2ToLit(slice(v, mi * sub + 1, sub),
+      pqCodeword(cw, mi, sub))): _*)
+
   /** IVF top-k with a DETERMINISTIC sampled coarse quantizer: cells are
     * the Voronoi regions of the `nCentroids` lowest-id corpus vectors.
     * Sampled centroids are the classic cheap alternative to a k-means fit
@@ -220,27 +276,14 @@ object SimilarityOps {
   def ivfTopKSampled(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int, nCentroids: Int = 16,
                      nProbe: Int = 4): DataFrame = {
-    val cents: Seq[IndexedSeq[Double]] = corpus
-      .select(col(idCol).cast("long").as("_cid"),
-        col(vecCol).cast("array<double>").as("_cv"))
-      .orderBy(col("_cid")).limit(nCentroids)
-      .collect().toSeq.map(_.getSeq[Double](1).toIndexedSeq)
-    require(cents.nonEmpty, "ivfTopKSampled: empty corpus")
-    // array of (distance², cell) structs; array_sort orders
-    // lexicographically — nearest cell first, ties to the lowest cell.
-    def cellStructs(v: Column): Column = array(cents.zipWithIndex.map {
-      case (cvec, i) =>
-        val cl = array(cvec.map(lit): _*)
-        val d2 = dot(v, v) - lit(2.0) * dot(v, cl) + dot(cl, cl)
-        struct(d2.as("d"), lit(i).as("c"))
-    }: _*)
+    val cents = sampleVectors(corpus, idCol, vecCol, nCentroids)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"),
-      element_at(array_sort(cellStructs(col(vecCol))), 1)
+      element_at(array_sort(cellStructs(col(vecCol), cents)), 1)
         .getField("c").as("_cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         explode(transform(
-          slice(array_sort(cellStructs(col(vecCol))), 1, nProbe),
+          slice(array_sort(cellStructs(col(vecCol), cents)), 1, nProbe),
           s => s.getField("c"))).as("_cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), asc("neighbor_id"))
@@ -275,34 +318,15 @@ object SimilarityOps {
              nCodewords: Int = 16): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    val cents: Seq[IndexedSeq[Double]] = corpus
-      .select(col(idCol).cast("long").as("_cid"),
-        col(vecCol).cast("array<double>").as("_cv"))
-      .orderBy(col("_cid")).limit(nCodewords)
-      .collect().toSeq.map(_.getSeq[Double](1).toIndexedSeq)
-    require(cents.nonEmpty, "pqTopK: empty corpus")
-    def codeword(cw: Int, mi: Int): IndexedSeq[Double] =
-      cents(cw).slice(mi * sub, (mi + 1) * sub)
-    def d2ToLit(vslice: Column, c: IndexedSeq[Double]): Column = {
-      val cl = array(c.map(lit): _*)
-      dot(vslice, vslice) - lit(2.0) * dot(vslice, cl) + dot(cl, cl)
-    }
-    def subSlice(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
-    // encode: per subspace, the nearest codeword (tie → lowest id)
-    def codeCol(v: Column, mi: Int): Column =
-      element_at(array_sort(array((0 until nCodewords).map { cw =>
-        struct(d2ToLit(subSlice(v, mi), codeword(cw, mi)).as("d"),
-          lit(cw).as("c"))
-      }: _*)), 1).getField("c")
+    // clamped: a corpus smaller than nCodewords yields that many codewords
+    val cws = sampleVectors(corpus, idCol, vecCol, nCodewords)
     val codes = corpus.select(col(idCol).as("neighbor_id") +:
-      (0 until m).map(mi => codeCol(col(vecCol), mi).as(s"_cw$mi")): _*)
+      (0 until m).map(mi =>
+        pqCodeCol(col(vecCol), mi, sub, cws).as(s"_cw$mi")): _*)
     // per-query ADC tables: _dt<mi>[cw] = d2(query subvector, codeword)
     val q = queries.select(col(idCol).as("query_id") +:
-      (0 until m).map { mi =>
-        array((0 until nCodewords).map(cw =>
-          d2ToLit(subSlice(col(vecCol), mi), codeword(cw, mi))): _*)
-          .as(s"_dt$mi")
-      }: _*)
+      (0 until m).map(mi =>
+        pqDistTable(col(vecCol), mi, sub, cws).as(s"_dt$mi")): _*)
     val est = (0 until m).map(mi =>
       element_at(col(s"_dt$mi"), col(s"_cw$mi") + lit(1))).reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
@@ -334,44 +358,24 @@ object SimilarityOps {
                 nCodewords: Int = 16): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    val sample: Seq[IndexedSeq[Double]] = corpus
-      .select(col(idCol).cast("long").as("_cid"),
-        col(vecCol).cast("array<double>").as("_cv"))
-      .orderBy(col("_cid")).limit(math.max(nCentroids, nCodewords))
-      .collect().toSeq.map(_.getSeq[Double](1).toIndexedSeq)
-    require(sample.nonEmpty, "ivfPqTopK: empty corpus")
+    val sample = sampleVectors(corpus, idCol, vecCol,
+      math.max(nCentroids, nCodewords))
     val cents = sample.take(nCentroids)
-    def codeword(cw: Int, mi: Int): IndexedSeq[Double] =
-      sample(cw).slice(mi * sub, (mi + 1) * sub)
-    def d2ToLit(vslice: Column, c: IndexedSeq[Double]): Column = {
-      val cl = array(c.map(lit): _*)
-      dot(vslice, vslice) - lit(2.0) * dot(vslice, cl) + dot(cl, cl)
-    }
-    def subSlice(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
-    def cellStructs(v: Column): Column = array(cents.zipWithIndex.map {
-      case (cvec, i) => struct(d2ToLit(v, cvec).as("d"), lit(i).as("c"))
-    }: _*)
-    def codeCol(v: Column, mi: Int): Column =
-      element_at(array_sort(array((0 until nCodewords).map { cw =>
-        struct(d2ToLit(subSlice(v, mi), codeword(cw, mi)).as("d"),
-          lit(cw).as("c"))
-      }: _*)), 1).getField("c")
+    val cws = sample.take(nCodewords)
     // ONE corpus pass computes the cell and the m codes; floats dropped.
     val indexed = corpus.select(
       col(idCol).as("neighbor_id") +:
-        element_at(array_sort(cellStructs(col(vecCol))), 1)
+        element_at(array_sort(cellStructs(col(vecCol), cents)), 1)
           .getField("c").as("_cell") +:
-        (0 until m).map(mi => codeCol(col(vecCol), mi).as(s"_cw$mi")): _*)
+        (0 until m).map(mi =>
+          pqCodeCol(col(vecCol), mi, sub, cws).as(s"_cw$mi")): _*)
     val q = queries.select(
       col(idCol).as("query_id") +:
         explode(transform(
-          slice(array_sort(cellStructs(col(vecCol))), 1, nProbe),
+          slice(array_sort(cellStructs(col(vecCol), cents)), 1, nProbe),
           s => s.getField("c"))).as("_cell") +:
-        (0 until m).map { mi =>
-          array((0 until nCodewords).map(cw =>
-            d2ToLit(subSlice(col(vecCol), mi), codeword(cw, mi))): _*)
-            .as(s"_dt$mi")
-        }: _*)
+        (0 until m).map(mi =>
+          pqDistTable(col(vecCol), mi, sub, cws).as(s"_dt$mi")): _*)
     val est = (0 until m).map(mi =>
       element_at(col(s"_dt$mi"), col(s"_cw$mi") + lit(1))).reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))

@@ -77,11 +77,15 @@ class PropertySpec extends AnyFunSuite {
   test("portable token hash stays in [0, 2^60) and is injective on distinct md5 prefixes (sampled)") {
     // driver-side twin of the conv(substring(md5)) pipeline used by
     // simhashPortable — the value contract the DuckDB oracle relies on
+    def prefix(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    def h(s: String): Long = java.lang.Long.parseLong(prefix(s), 16)
     check("range", Prop.forAll { (s: String) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(md.take(15), 16)
-      h >= 0L && h < (1L << 60)
+      h(s) >= 0L && h(s) < (1L << 60)
+    })
+    check("injective-on-distinct-prefixes", Prop.forAll { (a: String, b: String) =>
+      (prefix(a) == prefix(b)) == (h(a) == h(b))
     })
   }
 }

@@ -117,6 +117,16 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(run() == pq)
   }
 
+  test("pqTopK clamps the codebook to a small corpus instead of crashing") {
+    import spark.implicits._
+    val tiny = Seq.tabulate(6)(i =>
+      (i.toLong, Seq.tabulate(8)(j => (i + j).toFloat))).toDF("id", "vec")
+    val out = SimilarityOps.pqTopK(tiny.filter(col("id") < 2), tiny,
+        "id", "vec", k = 3, dim = 8, m = 2, nCodewords = 16)
+      .collect()
+    assert(out.nonEmpty) // 6 < 16 codewords: clamped, not IndexOOB
+  }
+
   test("ivfPqTopK composes cell probing with PQ ranking consistently") {
     val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
