@@ -886,6 +886,32 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Repeated-span report on the cloned corpus: 5-token windows occurring
+  // in ≥2 distinct documents (the planted clones guarantee hits), with
+  // doc/occurrence counts — top 100 by spread, deterministic ties.
+  // ---------------------------------------------------------------------
+  def xTextSpans(s: SparkSession, dir: String): DataFrame =
+    TextOps.repeatedSpans(clonedDocs(s, dir), "doc_id", "text",
+        n = 5, minDocs = 2)
+      .orderBy(desc("n_docs"), desc("n_occurrences"), asc("gram"))
+      .limit(100)
+
+  val xTextSpansSql: String =
+    s"""WITH corpus AS ($clonedDocsSql),
+       |  tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |  g AS (SELECT doc_id,
+       |      unnest(list_transform(range(1, len(toks) - 3),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |             || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+       |    FROM tok)
+       |SELECT gram, n_docs, n_occurrences FROM (
+       |  SELECT gram, COUNT(DISTINCT doc_id) AS n_docs,
+       |    COUNT(*) AS n_occurrences
+       |  FROM g GROUP BY gram)
+       |WHERE n_docs >= 2
+       |ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Gopher-style repetition signals per document: duplicate/top token and
   // bigram fractions — exact integer-count divisions, so the doubles are
   // bit-identical across engines.

@@ -297,6 +297,27 @@ object TextOps {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Repeated-span report — the exact-substring duplication signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (2021), at token-window granularity: every word n-gram
+    * occurring in at least `minDocs` distinct documents, with document
+    * and occurrence counts. Near-dup detection finds document PAIRS;
+    * this surfaces the duplicated SPANS themselves (licenses,
+    * disclaimers, templates) for review or span-level removal.
+    *
+    * Scale shape: one explode + one grouped aggregation — the n-gram
+    * stream shuffles (gram, id) pairs once, with map-side partials on
+    * the occurrence count. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 10, minDocs: Int = 2): DataFrame =
+    graft.engine.Engine.spread(df)
+      .select(col(idCol).as("_id"),
+        explode(shingles(tokens(col(textCol)), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count_distinct(col("_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Cross-document boilerplate removal — the C4 rule (Raffel et al.
     * 2020, §2.2): lines recurring across ≥ `minDocs` distinct documents
     * (nav bars, cookie banners, footers) are stripped from every

@@ -188,6 +188,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == Seq(0.0, 1.0, 0.0, 0.0)) // bigram fracs default 0
   }
 
+  test("repeatedSpans finds planted cross-doc windows; unique spans absent") {
+    import spark.implicits._
+    val shared = "the license text goes here"
+    val df = Seq(
+      (1L, s"alpha one $shared tail a"),
+      (2L, s"beta two $shared tail b"),
+      (3L, s"$shared again $shared"),     // twice in one doc
+      (4L, "entirely unrelated words only once")).toDF("id", "text")
+    val spans = TextOps.repeatedSpans(df, "id", "text", n = 5, minDocs = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(spans(shared) == (3L, 4L)) // 3 docs, 4 occurrences
+    assert(spans.keys.forall(_.contains("license"))) // only the planted span repeats
+  }
+
   test("removeBoilerplate strips cross-doc lines, keeps order, drops emptied docs") {
     import spark.implicits._
     val footer = "subscribe to our newsletter"
