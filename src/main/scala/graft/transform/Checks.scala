@@ -37,6 +37,23 @@ object Checks {
   def nonNegative(c: String): Rule =
     Rule("non_negative", c, col(c).isNotNull && col(c) < 0)
 
+  /** Row-level variant of the gate: append a `violations` column — the
+    * names of every failing rule (`rule:column`), empty array when the
+    * row is clean. A pure projection, so unlike the aggregated
+    * [[check]] report it works UNCHANGED on a structured stream
+    * (quarantine pattern: `flagRows(...).filter(size($"violations") >
+    * 0)` routes bad rows to a side sink while clean rows flow on).
+    * Uniqueness is inherently global and stays with [[check]]. */
+  def flagRows(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val entries = rules.map(r =>
+      when(r.violated, lit(s"${r.name}:${r.column}"))
+        .otherwise(lit(null: String)))
+    val flags =
+      if (entries.isEmpty) array().cast("array<string>")
+      else filter(array(entries: _*), v => v.isNotNull)
+    df.withColumn("violations", flags)
+  }
+
   /** Run row-local rules in ONE aggregation pass; optionally add
     * uniqueness checks (each a groupBy on its column). Report schema:
     * (rule, column, n_violations, pass) ordered by (rule, column). */

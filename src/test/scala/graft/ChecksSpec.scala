@@ -66,6 +66,36 @@ class ChecksSpec extends SparkSpec {
     assert(Checks.check(frame(), Nil).isEmpty)
   }
 
+  test("flagRows marks each violating rule per row; clean rows get an empty array") {
+    import spark.implicits._
+    val df = Seq((1, "ok"), (-5, null.asInstanceOf[String]), (200, "ok"))
+      .toDF("qty", "status")
+    val flagged = Checks.flagRows(df,
+      Seq(Checks.nonNegative("qty"), Checks.inRange("qty", 0, 100),
+        Checks.notNull("status")))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](2).toSet).toMap
+    assert(flagged(1) == Set.empty)
+    assert(flagged(-5) == Set("non_negative:qty", "in_range:qty",
+      "not_null:status"))
+    assert(flagged(200) == Set("in_range:qty"))
+  }
+
+  test("flagRows is a stateless projection usable on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Int]
+    val q = Checks.flagRows(stream.toDF().toDF("qty"),
+        Seq(Checks.nonNegative("qty")))
+      .writeStream.format("memory").queryName("flags")
+      .outputMode("append").start()
+    stream.addData(1, -2, 3)
+    q.processAllAvailable(); q.stop()
+    val bad = spark.sql("SELECT qty FROM flags WHERE size(violations) > 0")
+      .collect().map(_.getInt(0)).toSeq
+    assert(bad == Seq(-2))
+  }
+
   test("hostile rule/column names survive the melt (no SQL-literal parsing)") {
     import spark.implicits._
     val hostile = "a'b\\c\td"
