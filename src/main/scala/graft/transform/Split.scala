@@ -108,8 +108,13 @@ object Split {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    // The CONSTANT bound (max target) comes first: InferWindowGroupLimit
+    // only fires on literal rank limits, and with it each task prunes
+    // rows beyond the largest stratum target BEFORE the window shuffle;
+    // the per-stratum CASE column then refines to the exact counts.
+    val maxTarget = targets.values.max
     df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= target)
+      .filter(col("_rn") <= maxTarget && col("_rn") <= target)
       .drop("_rn")
   }
 }

@@ -98,6 +98,14 @@ class SplitSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("mixtureSample prunes ranks map-side (WindowGroupLimit from the constant bound)") {
+    val plan = Split.mixtureSample(docs, "source", "doc_id",
+        Map("src0" -> 3, "src1" -> 7))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"constant max-target bound must enable rank pruning:\n$plan")
+  }
+
   test("mixtureSample: exact per-stratum targets, clamping, whitelist drop") {
     val out = Split.mixtureSample(docs, "source", "doc_id",
       Map("src0" -> 3, "src1" -> 1000, "src2" -> 0))
