@@ -44,14 +44,20 @@ object Checks {
     * (quarantine pattern: `flagRows(...).filter(size($"violations") >
     * 0)` routes bad rows to a side sink while clean rows flow on).
     * Uniqueness is inherently global and stays with [[check]]. */
-  def flagRows(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+  def flagRows(df: DataFrame, rules: Seq[Rule],
+               outCol: String = "violations"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"flagRows: input already has a '$outCol' column — pass outCol")
     val entries = rules.map(r =>
       when(r.violated, lit(s"${r.name}:${r.column}"))
         .otherwise(lit(null: String)))
+    // array_compact, not a filter lambda: this projection is the
+    // per-row hot path, and higher-order lambdas evaluate interpreted
+    // (same reasoning as TextOps.tokens).
     val flags =
       if (entries.isEmpty) array().cast("array<string>")
-      else filter(array(entries: _*), v => v.isNotNull)
-    df.withColumn("violations", flags)
+      else array_compact(array(entries: _*))
+    df.withColumn(outCol, flags)
   }
 
   /** Run row-local rules in ONE aggregation pass; optionally add

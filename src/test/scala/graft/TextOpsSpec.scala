@@ -200,7 +200,12 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(spans(shared) == (3L, 4L)) // 3 docs, 4 occurrences
-    assert(spans.keys.forall(_.contains("license"))) // only the planted span repeats
+    // exactly two cross-doc 5-grams exist: the planted span, and the
+    // window shifted one token right ("... goes here tail") which docs
+    // 1 and 2 also share
+    assert(spans.keySet ==
+      Set(shared, "license text goes here tail"))
+    assert(spans("license text goes here tail") == (2L, 2L))
   }
 
   test("removeBoilerplate strips cross-doc lines, keeps order, drops emptied docs") {
