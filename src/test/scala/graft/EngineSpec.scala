@@ -40,6 +40,27 @@ class EngineSpec extends SparkSpec {
     assert(out.getSeq[Long](0).length == 8)
   }
 
+  test("materialize takes the reliable-checkpoint path when checkpointDir is set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val out = Engine.materialize(Seq(1, 2, 3).toDF("v"))
+      assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+      // a reliable checkpoint wrote files under the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+      // iterative op end-to-end on the reliable path
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val comp = graft.ext.DedupOps.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L))
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("spread parallelizes a 1-partition input and no-ops on a wide one") {
     val narrow = spark.range(100).coalesce(1).toDF("id")
     val spreadOut = Engine.spread(narrow)
