@@ -942,6 +942,47 @@ object ExtQueries {
        |ORDER BY ts.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // BPE tokenizer training: the first 8 merges learned from the corpus
+  // word-frequency list. Each DuckDB stage recomputes the same top pair
+  // (freq DESC, pair ASC) and applies the identical padded two-pass
+  // replace, so the full merge table hash-matches.
+  // ---------------------------------------------------------------------
+  def xTextBpe(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
+      .orderBy(col("merge_rank"))
+
+  val xTextBpeSql: String = {
+    val k = 8
+    val w0 =
+      s"""w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+         |    list_transform(range(1, len(w) + 1),
+         |      i -> substr(w, CAST(i AS INTEGER), 1)), ' ') || ' ' AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  GROUP BY w)""".stripMargin
+    val stages = (0 until k).map { n =>
+      s"""p$n AS MATERIALIZED (SELECT pr, CAST(SUM(f) AS BIGINT) AS ff FROM (
+         |    SELECT f, unnest(CASE WHEN len(sy) < 2
+         |        THEN CAST([] AS VARCHAR[])
+         |        ELSE list_transform(range(1, len(sy)),
+         |          i -> sy[i] || ' ' || sy[i+1]) END) AS pr
+         |    FROM (SELECT f, string_split(trim(s), ' ') AS sy FROM w$n))
+         |    GROUP BY pr),
+         |  t$n AS MATERIALIZED (SELECT pr, ff FROM p$n ORDER BY ff DESC, pr LIMIT 1),
+         |  w${n + 1} AS MATERIALIZED (SELECT replace(replace(s,
+         |      ' ' || (SELECT pr FROM t$n) || ' ',
+         |      ' ' || replace((SELECT pr FROM t$n), ' ', '') || ' '),
+         |      ' ' || (SELECT pr FROM t$n) || ' ',
+         |      ' ' || replace((SELECT pr FROM t$n), ' ', '') || ' ') AS s,
+         |      f FROM w$n)""".stripMargin
+    }
+    val sel = (0 until k)
+      .map(n => s"SELECT $n AS merge_rank, pr AS pair, ff AS freq FROM t$n")
+      .mkString("\nUNION ALL\n")
+    s"WITH $w0,\n  ${stages.mkString(",\n  ")}\n$sel\nORDER BY merge_rank"
+  }
+
+  // ---------------------------------------------------------------------
   // Corpus vocabulary: top-50 tokens, deterministic ties — the tokenizer
   // vocab-construction step over the documents corpus.
   // ---------------------------------------------------------------------

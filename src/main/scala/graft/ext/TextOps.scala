@@ -297,6 +297,62 @@ object TextOps {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** BPE tokenizer-vocabulary training, first `numMerges` merges
+    * (Sennrich et al., "Neural Machine Translation of Rare Words with
+    * Subword Units", 2016): repeatedly merge the corpus-wide most
+    * frequent adjacent symbol pair. Returns (rank, pair, freq) — the
+    * merge table a subword tokenizer is built from. Ties break to the
+    * lexicographically smallest pair; merge application is the padded
+    * two-pass left-to-right replace, identical (and oracle-reproducible)
+    * in any engine with plain string `replace`.
+    *
+    * Scale shape — the classic BPE compression: the corpus collapses to
+    * its WORD-FREQUENCY list first (one tokenize + groupBy pass, the
+    * only thing that touches corpus bytes); every merge round then runs
+    * on the vocabulary table, shuffling (pair, freq) rows — vocabulary-
+    * sized, not corpus-sized — with one driver-side top-1 per round. */
+  def bpeMerges(df: DataFrame, textCol: String,
+                numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    // word-freq list; symbols = chars, space-joined, space-padded
+    // (explicit substr per position — same expression shape as the
+    // DuckDB twin's substr(w, i, 1), no engine-specific split('') quirks)
+    var words = graft.engine.Engine.spread(df)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
+      .select(concat(lit(" "),
+        array_join(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), " "),
+        lit(" ")).as("s"), col("f"))
+    val syms = split(trim(col("s")), " ")
+    val pairs = when(size(syms) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(syms) - 1),
+        i => concat(element_at(syms, i), lit(" "),
+          element_at(syms, i + 1))))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var i = 0
+    var dry = false
+    while (i < numMerges && !dry) {
+      val top = words.select(col("f"), explode(pairs).as("p"))
+        .groupBy(col("p")).agg(sum(col("f")).as("ff"))
+        .orderBy(desc("ff"), asc("p")).limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((i, pair, top(0).getLong(1)))
+        val pat = " " + pair + " "
+        val rep = " " + pair.replace(" ", "") + " "
+        def once(c: Column) = replace(c, lit(pat), lit(rep))
+        words = graft.engine.Engine.materialize(
+          words.select(once(once(col("s"))).as("s"), col("f")))
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "pair", "freq")
+  }
+
   /** Repeated-span report — the exact-substring duplication signal of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (2021), at token-window granularity: every word n-gram

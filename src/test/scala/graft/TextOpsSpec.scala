@@ -188,6 +188,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == Seq(0.0, 1.0, 0.0, 0.0)) // bigram fracs default 0
   }
 
+  test("bpeMerges learns the textbook merges on the classic corpus") {
+    import spark.implicits._
+    // Sennrich et al.'s running example shape: low×3, lower×2, newest×1
+    val df = Seq("low low low", "lower lower", "newest").toDF("text")
+    val merges = TextOps.bpeMerges(df, "text", numMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // 'l o' and 'o w' tie at 5 → lexicographic; then 'lo w' at 5;
+    // then 'e r' (2) beats 'low e' (2) lexicographically
+    assert(merges(0) == (0, "l o", 5L))
+    assert(merges(1) == (1, "lo w", 5L))
+    assert(merges(2) == (2, "e r", 2L))
+  }
+
   test("repeatedSpans finds planted cross-doc windows; unique spans absent") {
     import spark.implicits._
     val shared = "the license text goes here"
