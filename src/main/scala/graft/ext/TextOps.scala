@@ -303,8 +303,13 @@ object TextOps {
     * frequent adjacent symbol pair. Returns (rank, pair, freq) — the
     * merge table a subword tokenizer is built from. Ties break to the
     * lexicographically smallest pair; merge application is the padded
-    * two-pass left-to-right replace, identical (and oracle-reproducible)
-    * in any engine with plain string `replace`.
+    * TWO-PASS left-to-right replace, identical (and oracle-reproducible)
+    * in any engine with plain string `replace`. Known deviation from
+    * subword-nmt's lookaround regex: an odd run of ≥5 repeats of one
+    * symbol merges as [aa, a, aa] here vs [aa, aa, a] there (lookbehind
+    * isn't RE2-expressible, so the reference application rule has no
+    * cross-engine twin); both rules are valid greedy BPE variants and
+    * this one is deterministic everywhere.
     *
     * Scale shape — the classic BPE compression: the corpus collapses to
     * its WORD-FREQUENCY list first (one tokenize + groupBy pass, the
@@ -319,18 +324,20 @@ object TextOps {
     // word-freq list; symbols = chars, space-joined, space-padded
     // (explicit substr per position — same expression shape as the
     // DuckDB twin's substr(w, i, 1), no engine-specific split('') quirks)
-    var words = graft.engine.Engine.spread(df)
-      .select(explode(tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
-      .select(concat(lit(" "),
-        array_join(transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1))), " "),
-        lit(" ")).as("s"), col("f"))
-    val syms = split(trim(col("s")), " ")
-    val pairs = when(size(syms) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(syms) - 1),
-        i => concat(element_at(syms, i), lit(" "),
-          element_at(syms, i + 1))))
+    // Materialized up front: the loop's first top-1 action AND the first
+    // merge application would otherwise each re-run the corpus tokenize
+    // + word-freq shuffle — the only corpus-sized work here, which must
+    // execute exactly once.
+    var words = graft.engine.Engine.materialize(
+      graft.engine.Engine.spread(df)
+        .select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
+        .select(concat(lit(" "),
+          array_join(transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))), " "),
+          lit(" ")).as("s"), col("f")))
+    // adjacent symbol pairs = word 2-gram shingles over the symbol array
+    val pairs = shingles(split(trim(col("s")), " "), 2)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var i = 0
     var dry = false
