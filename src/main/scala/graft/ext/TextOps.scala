@@ -297,6 +297,50 @@ object TextOps {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Phrase-blocklist predicate — the safety/content-filter stage of a
+    * training pipeline: true when the text contains any blocked phrase
+    * as a CONTIGUOUS word sequence (tokenizer-normalized, so "Bad-Word!"
+    * matches the phrase "bad word"). Multi-word phrases are grouped by
+    * token count and each length-class probes its own sorted hash set
+    * via the native `graft_any_in_set` binary search — a stateless
+    * codegen'd projection, stream-safe like
+    * [[graft.ext.DedupOps.isContaminated]] (same machinery: the
+    * blocklist folds into the plan as constants).
+    *
+    * Matching is over token-hash n-grams, so a 64-bit collision can
+    * false-positive (≈ |doc grams|·|blocklist| / 2⁶⁴ — negligible for
+    * real blocklists); there are no false negatives. */
+  def containsBlockedPhrase(textCol: Column,
+                            phrases: Seq[String]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val byLen: Map[Int, Array[Long]] = phrases
+      .map(_.trim).filter(_.nonEmpty)
+      .groupBy(p => p.split("[^a-zA-Z0-9]+").count(_.nonEmpty))
+      .filter(_._1 > 0)
+      .map { case (n, ps) =>
+        // hash each phrase through the SAME tokenize→hash→shingle
+        // pipeline the document side uses, so normalization matches
+        n -> ps.toDF("text")
+          .select(explode(call_function("graft_shingle_hashes",
+            call_function("graft_hash_tokens", tokens(col("text"))),
+            lit(n))).as("_h"))
+          .distinct().collect().map(_.getLong(0)).sorted
+      }
+    require(byLen.nonEmpty, "containsBlockedPhrase: empty blocklist")
+    byLen.toSeq.sortBy(_._1).map { case (n, hashes) =>
+      call_function("graft_any_in_set",
+        call_function("graft_shingle_hashes",
+          call_function("graft_hash_tokens", tokens(textCol)), lit(n)),
+        lit(hashes))
+    }.reduce(_ || _)
+  }
+
+  /** Drop documents containing any blocked phrase. */
+  def filterBlocked(df: DataFrame, textCol: String,
+                    phrases: Seq[String]): DataFrame =
+    df.filter(!containsBlockedPhrase(col(textCol), phrases))
+
   /** BPE tokenizer-vocabulary training, first `numMerges` merges
     * (Sennrich et al., "Neural Machine Translation of Rare Words with
     * Subword Units", 2016): repeatedly merge the corpus-wide most

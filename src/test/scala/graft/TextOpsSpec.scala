@@ -188,6 +188,39 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == Seq(0.0, 1.0, 0.0, 0.0)) // bigram fracs default 0
   }
 
+  test("blocklist filter drops contiguous-phrase matches only, normalized") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "this has a Bad-Word! inside"),       // matches through punct/case
+      (2L, "totally fine text here"),
+      (3L, "contains the evil phrase somewhere"), // two-word phrase
+      (4L, "evil text with phrase apart"),        // words present, NOT contiguous
+      (5L, "")).toDF("id", "text")
+    val kept = TextOps.filterBlocked(df, "text",
+        Seq("bad word", "evil phrase"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      TextOps.filterBlocked(df, "text", Seq("  ", ""))
+    }
+  }
+
+  test("blocklist predicate is stream-safe (stateless projection)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val clean = stream.toDF().toDF("id", "text")
+      .filter(!TextOps.containsBlockedPhrase(col("text"), Seq("bad stuff")))
+    val q = clean.writeStream.format("memory").queryName("blocked")
+      .outputMode("append").start()
+    stream.addData((1L, "good content"), (2L, "some bad stuff here"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT id FROM blocked")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
   test("bpeMerges learns the textbook merges on the classic corpus") {
     import spark.implicits._
     // Sennrich et al.'s running example shape: low×3, lower×2, newest×1
