@@ -920,8 +920,11 @@ object ExtQueries {
     TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  val xTextRepetitionSql: String =
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** Shared Gopher-stats CTE chain (DuckDB form) — yields a
+    * `stats(doc_id, dup_token_frac, top_token_frac, dup_bigram_frac,
+    * top_bigram_frac)` relation over `documents`. */
+  private val repStatsCtesSql: String =
+    s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |  tg AS (SELECT doc_id, unnest(toks) AS g FROM tok),
        |  tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
        |  ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
@@ -931,15 +934,79 @@ object ExtQueries {
        |        i -> toks[i] || ' ' || toks[i+1])) AS g FROM tok),
        |  bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bgl GROUP BY 1, 2),
        |  bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
-       |      MAX(c) AS mx, COUNT(*) AS d FROM bc GROUP BY 1)
-       |SELECT ts.doc_id,
-       |  1.0 - CAST(ts.d AS DOUBLE) / ts.n AS dup_token_frac,
-       |  CAST(ts.mx AS DOUBLE) / ts.n AS top_token_frac,
-       |  COALESCE(1.0 - CAST(bs.d AS DOUBLE) / bs.n, 0.0)
-       |    AS dup_bigram_frac,
-       |  COALESCE(CAST(bs.mx AS DOUBLE) / bs.n, 0.0) AS top_bigram_frac
-       |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
-       |ORDER BY ts.doc_id""".stripMargin
+       |      MAX(c) AS mx, COUNT(*) AS d FROM bc GROUP BY 1),
+       |  stats AS (SELECT ts.doc_id,
+       |    1.0 - CAST(ts.d AS DOUBLE) / ts.n AS dup_token_frac,
+       |    CAST(ts.mx AS DOUBLE) / ts.n AS top_token_frac,
+       |    COALESCE(1.0 - CAST(bs.d AS DOUBLE) / bs.n, 0.0)
+       |      AS dup_bigram_frac,
+       |    COALESCE(CAST(bs.mx AS DOUBLE) / bs.n, 0.0) AS top_bigram_frac
+       |  FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id)""".stripMargin
+
+  val xTextRepetitionSql: String =
+    s"""WITH $repStatsCtesSql
+       |SELECT doc_id, dup_token_frac, top_token_frac,
+       |  dup_bigram_frac, top_bigram_frac
+       |FROM stats ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Gopher repetition gate: survivors under the dup-token / top-bigram
+  // ceilings. The fractions are exact integer divisions (proven
+  // bit-identical by x_text_repetition), so the > comparisons agree
+  // across engines. Anti-join on violators keeps stats-less documents.
+  // ---------------------------------------------------------------------
+  def xTextRepfilter(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionFilter(t(s, dir, "documents"), "doc_id", "text",
+        maxDupTokenFrac = 0.65, maxTopBigramFrac = 0.06)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+
+  val xTextRepfilterSql: String =
+    s"""WITH $repStatsCtesSql
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM stats
+       |  WHERE dup_token_frac > 0.65 OR top_bigram_frac > 0.06)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // C4 boilerplate removal on a corpus with planted recurring lines (nav
+  // header on every 3rd doc, cookie footer on every 2nd; every 97th doc
+  // is boilerplate-ONLY and must drop out entirely). Hash compares the
+  // full cleaned text, so line order and reassembly are both checked.
+  // ---------------------------------------------------------------------
+  def xTextBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 97 === 0, lit("accept all cookies"))
+        .otherwise(concat(
+          when(col("doc_id") % 3 === 0, lit("nav home about contact\n"))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 2 === 0, lit("\naccept all cookies"))
+            .otherwise(lit("")))).as("text"))
+    TextOps.removeBoilerplate(corpus, "doc_id", "text", minDocs = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val xTextBoilerplateSql: String =
+    """WITH corpus AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0 THEN 'accept all cookies'
+      |      ELSE CASE WHEN doc_id % 3 = 0
+      |          THEN 'nav home about contact' || chr(10) ELSE '' END
+      |        || text
+      |        || CASE WHEN doc_id % 2 = 0
+      |          THEN chr(10) || 'accept all cookies' ELSE '' END
+      |    END AS text FROM documents),
+      |  tok AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+      |    FROM corpus WHERE text IS NOT NULL),
+      |  l AS (SELECT doc_id, unnest(ls) AS line FROM tok),
+      |  b AS (SELECT trim(line) AS nl FROM l GROUP BY 1
+      |    HAVING COUNT(DISTINCT doc_id) >= 3 AND trim(line) <> ''),
+      |  bl AS (SELECT COALESCE(list(nl), CAST([] AS VARCHAR[])) AS bls
+      |    FROM b),
+      |  kept AS (SELECT doc_id,
+      |      list_filter(ls, x -> NOT list_contains(bls, trim(x))) AS ks
+      |    FROM tok, bl)
+      |SELECT doc_id, array_to_string(ks, chr(10)) AS text FROM kept
+      |WHERE len(ks) > 0 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // BPE tokenizer training: the first 8 merges learned from the corpus
