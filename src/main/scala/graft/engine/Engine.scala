@@ -96,11 +96,71 @@ object Engine {
     * of splits on a cluster with more cores than splits would otherwise
     * re-shuffle full text — exactly what these operators promise not to
     * do); when it does fire, the input is by construction a handful of
-    * row groups, so what shuffles is small. */
+    * row groups, so what shuffles is small.
+    *
+    * The width probe is PLAN-SIDE ([[planWidth]]), never `df.rdd`: under
+    * AQE, `.rdd` on a plan containing exchanges eagerly executes those
+    * shuffle stages at plan-construction time (a side-effect job whose
+    * work the returned frame then redoes), and it throws on streaming
+    * frames. Unknown-width plans (DSv2 relations, exotic nodes) no-op —
+    * the safe default, since spreading only ever helps tiny inputs. */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.min(target, 8)) df
-    else df.repartition(target)
+    if (df.isStreaming) df
+    else {
+      val sc = df.sparkSession.sparkContext
+      val target = sc.defaultParallelism
+      planWidth(df.queryExecution.optimizedPlan, df.sparkSession) match {
+        case Some(n) if n < math.min(target, 8) => df.repartition(target)
+        case _ => df
+      }
+    }
+  }
+
+  /** Static partition-count estimate for a logical plan, top-down:
+    * explicit repartitions pin the width; shuffle-inducing operators
+    * produce `spark.sql.shuffle.partitions`; file scans reproduce
+    * Spark's own split formula (`FilePartition.maxSplitBytes`: bin-pack
+    * `size + openCost` into `min(maxPartitionBytes, max(openCost,
+    * bytesPerCore))` bins); `None` = can't tell (caller must not assume
+    * small). Estimation only — fine for a fire/no-fire threshold, not
+    * an exact split count. */
+  private def planWidth(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      spark: SparkSession): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val conf = spark.sessionState.conf
+    plan match {
+      case r: Repartition => Some(r.numPartitions.toLong)
+      case r: RepartitionByExpression =>
+        Some(r.optNumPartitions.getOrElse(conf.numShufflePartitions).toLong)
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: Deduplicate =>
+        Some(conf.numShufflePartitions.toLong)
+      case _: GlobalLimit => Some(1L) // single-partition collect shape
+      case r: Range =>
+        Some(r.numSlices.getOrElse(spark.sparkContext.defaultParallelism)
+          .toLong)
+      case _: LocalRelation | _: OneRowRelation => Some(1L)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val bytes = math.max(0L, fs.location.sizeInBytes)
+          val nFiles = math.max(1L, fs.location.inputFiles.length.toLong)
+          val open = math.max(0L, conf.filesOpenCostInBytes)
+          val bytesPerCore =
+            (bytes + nFiles * open) / math.max(1,
+              spark.sparkContext.defaultParallelism)
+          val split = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+            math.max(open, bytesPerCore)))
+          Some((bytes + nFiles * open + split - 1) / split)
+        case _ => None
+      }
+      case u: Union =>
+        val widths = u.children.map(planWidth(_, spark))
+        if (widths.forall(_.isDefined)) Some(widths.flatten.sum) else None
+      case p if p.children.size == 1 => planWidth(p.children.head, spark)
+      case _ => None
+    }
   }
 
   /** The fixture tables (TESTDATA.md). */

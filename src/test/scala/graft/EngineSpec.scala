@@ -71,6 +71,50 @@ class EngineSpec extends SparkSpec {
     assert(Engine.spread(wide) eq wide) // no extra exchange at scale
   }
 
+  test("spread no-ops on streaming frames instead of throwing") {
+    val stream = spark.readStream.format("rate").load()
+    assert(Engine.spread(stream) eq stream) // old .rdd probe threw here
+  }
+
+  test("spread's width probe is plan-side: no job runs, even under AQE") {
+    // Old probe: df.rdd on a shuffling plan eagerly executed the AQE
+    // query stages at plan time. The plan-side probe must decide
+    // fire/no-fire without submitting any Spark job.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // Parquet schema inference submits its own (benign) job inside
+    // Engine.table, so build the frames first and baseline after.
+    val agg = Engine.table(spark, fixtureDir, "events")
+      .groupBy("user_id").count()
+    val scan = Engine.table(spark, fixtureDir, "nation")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Engine.spread(agg) eq agg) // post-shuffle width ≥ floor
+      Engine.spread(scan) // small single-file scan → fires, still no job
+      Thread.sleep(500)   // listener bus is async; give events time
+      assert(jobs.get() == 0, s"spread submitted ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("plan-side width probe agrees with the RDD probe on fixture scans") {
+    // On a pure scan .rdd is side-effect-free, so the old probe is a
+    // safe ground truth here: the new estimator must make the same
+    // fire/no-fire call for every fixture table.
+    val floor = math.min(spark.sparkContext.defaultParallelism, 8)
+    Engine.TableNames.foreach { t =>
+      val df = Engine.table(spark, fixtureDir, t)
+      val actual = df.rdd.getNumPartitions
+      val fired = !(Engine.spread(df) eq df)
+      assert(fired == (actual < floor),
+        s"$t: actual=$actual floor=$floor fired=$fired")
+    }
+  }
+
   test("tokens is codegen-resident: no interpreted lambda in the plan") {
     import spark.implicits._
     val plan = Seq("a b c").toDF("text")
