@@ -314,9 +314,19 @@ object TextOps {
                             phrases: Seq[String]): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val byLen: Map[Int, Array[Long]] = phrases
-      .map(_.trim).filter(_.nonEmpty)
-      .groupBy(p => p.split("[^a-zA-Z0-9]+").count(_.nonEmpty))
+    val cleaned = phrases.map(_.trim).filter(_.nonEmpty).distinct
+    // Token counts come from the SAME tokens() pipeline used for
+    // hashing below — a driver-side regex re-count can diverge on
+    // non-ASCII (e.g. Turkish İ lowercases to i + combining mark),
+    // silently making a phrase unmatchable (n too large → no shingle)
+    // or over-matchable (n too small → sub-sequence hits).
+    val counts: Map[String, Int] =
+      if (cleaned.isEmpty) Map.empty
+      else cleaned.toDF("text")
+        .select(col("text"), size(tokens(col("text"))).as("n"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val byLen: Map[Int, Array[Long]] = cleaned
+      .groupBy(counts)
       .filter(_._1 > 0)
       .map { case (n, ps) =>
         // hash each phrase through the SAME tokenize→hash→shingle

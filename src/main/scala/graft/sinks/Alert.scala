@@ -109,8 +109,19 @@ object Alert {
         b.append("Content-Type: text/plain; charset=utf-8\r\n\r\n")
           .append(body).append("\r\n")
       case Some((name, data)) =>
-        val boundary = "graft-" + Integer.toHexString(
+        val encoded = java.util.Base64.getMimeEncoder(76, "\r\n".getBytes)
+          .encodeToString(data.getBytes(StandardCharsets.UTF_8))
+        // The boundary must not occur in any enclosed part (a body that
+        // quotes a previously generated message would otherwise corrupt
+        // the multipart structure): re-derive with a counter until it is
+        // absent from both body and attachment. The base64 alphabet has
+        // no '-', so the encoded part can collide only across wrap
+        // boundaries — checked anyway, it's one contains() call.
+        val base = "graft-" + Integer.toHexString(
           (from + subject + name).hashCode)
+        val boundary = (Iterator.single(base) ++
+          Iterator.from(1).map(i => s"$base-$i"))
+          .find(c => !body.contains(c) && !encoded.contains(c)).get
         b.append(s"""Content-Type: multipart/mixed; boundary="$boundary"""")
           .append("\r\n\r\n")
           .append(s"--$boundary\r\n")
@@ -121,9 +132,7 @@ object Alert {
           .append("Content-Transfer-Encoding: base64\r\n")
           .append(s"""Content-Disposition: attachment; filename="$name"""")
           .append("\r\n\r\n")
-        java.util.Base64.getMimeEncoder(76, "\r\n".getBytes)
-          .encodeToString(data.getBytes(StandardCharsets.UTF_8))
-          .split("\r\n").foreach(l => b.append(l).append("\r\n"))
+        encoded.split("\r\n").foreach(l => b.append(l).append("\r\n"))
         b.append(s"--$boundary--\r\n")
     }
     b.toString
@@ -179,9 +188,19 @@ object Alert {
       send("EHLO graft")
       if (cfg.starttls) {
         send("STARTTLS")
-        socket = javax.net.ssl.SSLSocketFactory.getDefault
+        val tls = javax.net.ssl.SSLSocketFactory.getDefault
           .asInstanceOf[javax.net.ssl.SSLSocketFactory]
           .createSocket(socket, cfg.host, cfg.port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        // Without endpoint identification the JSSE default verifies the
+        // chain but NOT that the certificate matches cfg.host — any
+        // valid cert would let a MITM capture the AUTH PLAIN token,
+        // defeating the reason TLS is forced on all ports above.
+        val params = tls.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        tls.setSSLParameters(params)
+        tls.startHandshake()
+        socket = tls
         socket.setSoTimeout(timeoutMs)
         in = new java.io.BufferedReader(new java.io.InputStreamReader(
           socket.getInputStream, StandardCharsets.US_ASCII))

@@ -51,6 +51,24 @@ class AlertSpec extends SparkSpec {
       "UTF-8") == "id,v\n1,x")
   }
 
+  test("buildMessage: boundary re-derives when the body contains it") {
+    // A body quoting a previously generated message carries the default
+    // boundary delimiter line — the chosen boundary must avoid it or the
+    // multipart structure is corrupted.
+    val base = "graft-" + Integer.toHexString(
+      ("a@x.test" + "Subj" + "r.csv").hashCode)
+    val body = s"quoted old message:\r\n--$base\r\nold part"
+    val msg = Alert.buildMessage("a@x.test", Seq("b@x.test"), "Subj",
+      body, Some(("r.csv", "id\n1")))
+    val boundary = msg.split("\r\n")
+      .find(_.contains("boundary=")).get
+      .split("boundary=\"")(1).stripSuffix("\"")
+    assert(boundary != base)
+    assert(!body.contains(boundary))
+    // the closing delimiter exists and is unambiguous
+    assert(msg.contains(s"--$boundary--\r\n"))
+  }
+
   /** One-shot in-process SMTP server: records the dialogue, replies per
     * command, optionally rejects RCPT with 550. */
   private class FakeSmtp(rejectRcpt: Boolean = false) {

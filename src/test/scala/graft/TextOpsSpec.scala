@@ -205,6 +205,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("blocklist phrase length derives from the engine tokenizer, not ASCII") {
+    import spark.implicits._
+    // "İyi Değil" driver-side ASCII split → 2 alnum runs, but the engine
+    // tokenizer (lower → split [^a-z0-9]+) yields "i", "yi", "de", "il"
+    // (combining marks split the runs) — 4 tokens. A 2-shingle probe
+    // would never match; deriving n through tokens() must.
+    val df = Seq(
+      (1L, "prefix İyi Değil suffix"),
+      (2L, "iyi degil ascii variant"), // different normalization: no match
+      (3L, "clean row")).toDF("id", "text")
+    val kept = TextOps.filterBlocked(df, "text", Seq("İyi Değil"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+  }
+
   test("blocklist predicate is stream-safe (stateless projection)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
