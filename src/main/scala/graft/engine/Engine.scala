@@ -71,8 +71,16 @@ object Engine {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+        // Re-point the context when the CONFIGURED dir changed, not just
+        // when unset: setCheckpointDir appends a UUID subdir, so compare
+        // against the current value's parent (fully qualified).
+        val sc = spark.sparkContext
+        val want = new org.apache.hadoop.fs.Path(dir)
+        val wantQ = want.getFileSystem(sc.hadoopConfiguration)
+          .makeQualified(want)
+        val currentParent = sc.getCheckpointDir
+          .map(c => new org.apache.hadoop.fs.Path(c).getParent)
+        if (!currentParent.contains(wantQ)) sc.setCheckpointDir(dir)
         // Persist first: Dataset.checkpoint re-runs the plan for the
         // checkpoint-write job when the data isn't cached (~2× compute
         // per iterative round). Cache → eager checkpoint → unpersist.
@@ -86,6 +94,35 @@ object Engine {
       case _ => df.localCheckpoint(eager = true)
     }
   }
+
+  /** Free the storage behind a frame returned by [[materialize]] — the
+    * local-checkpoint blocks, or the reliable-checkpoint files when
+    * `spark.graft.checkpointDir` was in force. For iterative ops (BPE,
+    * connected components) each round's materialize supersedes the
+    * previous one; without an explicit release the old iterate's blocks
+    * stay pinned until the ContextCleaner happens to collect the
+    * reference — unbounded at large iteration counts, and reliable
+    * checkpoint FILES are never collected at all without
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`.
+    *
+    * DESTRUCTIVE: a checkpointed frame has no lineage to recompute from,
+    * so only release a frame nothing will read again. No-op on frames
+    * that did not come from [[materialize]]. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val rdd = lr.rdd
+        rdd.getCheckpointFile.foreach { path =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          try p.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          catch { case _: java.io.IOException => () } // best-effort
+        }
+        rdd.unpersist(blocking = false)
+        ()
+      case _ => ()
+    }
 
   /** Spread a small input across the session's cores before heavy
     * per-row compute (tokenize → shingle → hash chains): repartition

@@ -376,6 +376,7 @@ object DedupOps {
     val bidir = graft.engine.Engine.materialize(edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()) // reused every round; computed once
+    graft.engine.Engine.release(edges) // folded into bidir; dead now
     var labels = graft.engine.Engine.materialize(
       bidir.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))
@@ -398,9 +399,13 @@ object DedupOps {
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
+      graft.engine.Engine.release(labels) // superseded iterate
       labels = next
       round += 1
     }
+    // bidir is no longer read once the fixpoint is reached (the returned
+    // labels frame is checkpoint-backed, lineage-free).
+    graft.engine.Engine.release(bidir)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +

@@ -406,8 +406,13 @@ object TextOps {
         val pat = " " + pair + " "
         val rep = " " + pair.replace(" ", "") + " "
         def once(c: Column) = replace(c, lit(pat), lit(rep))
+        val prev = words
         words = graft.engine.Engine.materialize(
-          words.select(once(once(col("s"))).as("s"), col("f")))
+          prev.select(once(once(col("s"))).as("s"), col("f")))
+        // The new iterate is eagerly materialized, so the superseded
+        // one is dead — release its blocks now instead of waiting for
+        // the ContextCleaner (k pinned iterates at large numMerges).
+        graft.engine.Engine.release(prev)
         i += 1
       }
     }

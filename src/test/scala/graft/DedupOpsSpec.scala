@@ -150,6 +150,29 @@ class DedupOpsSpec extends SparkSpec {
     // Contrast: pairwise drop-higher-id would keep 1 (worst quality).
   }
 
+  test("connectedComponents cleans superseded reliable checkpoints per round") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_cc").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      // A 12-node chain: the min label travels one hop per round, so
+      // ~11 materialize rounds run — each must delete its predecessor's
+      // checkpoint files, not pile them up for the job's lifetime.
+      val pairs = (0 until 11).map(i => (i.toLong, i.toLong + 1))
+        .toDF("id_a", "id_b")
+      val comp = DedupOps.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L to 11L).forall(comp(_) == 0L))
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toSeq
+      assert(rddDirs.size <= 2,
+        s"superseded checkpoints left behind: $rddDirs")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("connectedComponents on an empty edge list returns an empty frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -236,6 +236,20 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(1L))
   }
 
+  test("bpeMerges releases superseded iterates as it goes") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val corpus = Seq.fill(20)("low lower lowest newer newest").toDF("text")
+    val merges = TextOps.bpeMerges(corpus, "text", numMerges = 6)
+    assert(merges.count() == 6)
+    // Each round explicitly releases the previous iterate's checkpoint
+    // blocks, so at most the FINAL iterate stays pinned — deterministic,
+    // no GC/ContextCleaner involved (the old behavior left all
+    // numMerges+1 iterates pinned until collection).
+    val extra = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(extra.size <= 1, s"pinned iterates leaked: $extra")
+  }
+
   test("bpeMerges learns the textbook merges on the classic corpus") {
     import spark.implicits._
     // Sennrich et al.'s running example shape: low×3, lower×2, newest×1
