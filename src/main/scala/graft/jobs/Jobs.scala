@@ -155,6 +155,126 @@ object SplitJob {
     Jobs.withSession("graft-split")(run(_, args))
 }
 
+/** The LLM-ingest pipeline as ONE streaming DAG (SURVEY §2.9 + §2.10
+  * composed): quality quarantine → benchmark decontamination → phrase
+  * blocklist → deterministic split → K9 keyed upsert. Every transform
+  * stage is a stateless codegen'd projection or filter (flagRows,
+  * isContaminated, containsBlockedPhrase, hashSplit) — no streaming
+  * aggregation state anywhere — so identical logic runs on a batch frame
+  * (the tested twin) and a structured stream. Durability comes from the
+  * sink side alone: the checkpointed file-source offset log plus the
+  * idempotent-per-key upsert make replayed micro-batches converge to the
+  * same stored state (effectively exactly-once), and quarantined rows
+  * land in an append-only parquet side channel WITH their violation
+  * list, so nothing is silently dropped.
+  *
+  * args: <inDir> <schemaDDL> <idCol> <textCol> <rulesSpec>
+  *       <benchParquet|-> <phrasesFile|-> <storeDir> <quarantineDir>
+  *       <checkpointDir> [testFrac=0.05] [validFrac=0.05]
+  * rulesSpec uses [[QualityGateJob.parseRule]] syntax; '-' disables the
+  * corresponding stage. */
+object StreamIngestJob {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import graft.transform.{Checks, Split}
+  import graft.ext.{DedupOps, TextOps}
+
+  /** The clean-row half of the pipeline (post-quarantine): stateless
+    * projections/filters only, stream- and batch-callable. */
+  def cleanTransform(df: DataFrame, idCol: String, textCol: String,
+                     benchGramHashes: Array[Long],
+                     blockedPhrases: Seq[String],
+                     testFrac: Double = 0.05,
+                     validFrac: Double = 0.05): DataFrame = {
+    val decon =
+      if (benchGramHashes.isEmpty) df
+      else df.filter(
+        !DedupOps.isContaminated(col(textCol), benchGramHashes))
+    val unblocked =
+      if (blockedPhrases.isEmpty) decon
+      else TextOps.filterBlocked(decon, textCol, blockedPhrases)
+    Split.hashSplit(unblocked, idCol,
+      Seq("test" -> testFrac, "valid" -> validFrac))
+  }
+
+  /** One micro-batch's routing, also THE batch twin: rows failing any
+    * rule go left (with their `violations`), clean rows run the full
+    * transform and go right. */
+  def routedTransform(df: DataFrame, idCol: String, textCol: String,
+                      rules: Seq[Checks.Rule],
+                      benchGramHashes: Array[Long],
+                      blockedPhrases: Seq[String],
+                      testFrac: Double = 0.05,
+                      validFrac: Double = 0.05)
+      : (DataFrame, DataFrame) = {
+    val flagged = Checks.flagRows(df, rules)
+    val bad = flagged.filter(size(col("violations")) > 0)
+    val clean = flagged.filter(size(col("violations")) === 0)
+      .drop("violations")
+    (bad, cleanTransform(clean, idCol, textCol, benchGramHashes,
+      blockedPhrases, testFrac, validFrac))
+  }
+
+  /** Start the streaming query: quarantine to parquet, kept rows to the
+    * keyed store. The input stream itself stays untransformed — routing
+    * happens per micro-batch so BOTH halves come from one source read
+    * and one checkpoint. */
+  def start(stream: DataFrame, idCol: String, textCol: String,
+            rules: Seq[Checks.Rule], benchGramHashes: Array[Long],
+            blockedPhrases: Seq[String],
+            store: graft.sinks.Upsert.KeyedStore,
+            quarantineDir: String, checkpointDir: String,
+            testFrac: Double = 0.05, validFrac: Double = 0.05,
+            trigger: org.apache.spark.sql.streaming.Trigger =
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
+          benchGramHashes, blockedPhrases, testFrac, validFrac)
+        if (!bad.isEmpty)
+          Sinks.writeParquet(bad, quarantineDir, "append")
+        if (!kept.isEmpty)
+          graft.sinks.Upsert.keyedUpsert(kept, idCol, store)
+        ()
+      }
+      .start()
+
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(in, ddl, idCol, textCol, rulesSpec, benchPath, phrasesFile,
+      storeDir, quarantineDir, cp, rest @ _*) = args
+    val rules = rulesSpec.split(";").toSeq.filter(_.nonEmpty)
+      .map(QualityGateJob.parseRule)
+    // Benchmark grams and the blocklist fold into the plan as constants
+    // (bounded by contract: eval sets and blocklists are small) — read
+    // them BEFORE the stream starts, batch-side.
+    val grams =
+      if (benchPath == "-") Array.empty[Long]
+      else DedupOps.benchmarkGramHashes(
+        Sources.readParquet(spark, benchPath), textCol)
+    val phrases =
+      if (phrasesFile == "-") Seq.empty[String]
+      else {
+        val src = scala.io.Source.fromFile(phrasesFile, "UTF-8")
+        try src.getLines().toList.map(_.trim).filter(_.nonEmpty)
+        finally src.close()
+      }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(in)
+    val q = start(stream, idCol, textCol, rules, grams, phrases,
+      new graft.sinks.Upsert.FileStore(storeDir), quarantineDir, cp,
+      testFrac = rest.headOption.map(_.toDouble).getOrElse(0.05),
+      validFrac = rest.lift(1).map(_.toDouble).getOrElse(0.05))
+    q.awaitTermination()
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-stream-ingest")(run(_, args))
+}
+
 /** Load: parquet → destination table path (K7 semantics: sanitize then
   * fail|replace|append, raising on failure).
   * args: <inPath> <destTable> [behavior=replace] */

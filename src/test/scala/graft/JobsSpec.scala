@@ -100,6 +100,65 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("stream ingest DAG routes quarantine/decon/blocklist/split, equal to its batch twin") {
+    import spark.implicits._
+    import graft.jobs.StreamIngestJob
+    import graft.transform.Checks
+    import graft.ext.DedupOps
+    val base = s"$ws/si"
+    val (landing, storeDir, quarantine, cp) =
+      (s"$base/landing", s"$base/store", s"$base/quarantine", s"$base/cp")
+    val ddl = "doc_id LONG, text STRING"
+    val rulesSpec = "not_null:text;non_negative:doc_id"
+    val bench = Seq("prefix alpha beta gamma suffix").toDF("text")
+    bench.write.mode("overwrite").parquet(s"$base/bench")
+    Files.writeString(Paths.get(s"$base/phrases.txt"),
+      "forbidden phrase\n\n")
+    val b1 = Seq(
+      (1L, "clean text about spark engines"),
+      (2L, null: String),                                // quarantined
+      (4L, "this has the Forbidden-Phrase! inside"),     // blocked
+      (5L, "carries benchmark alpha beta gamma trigram")) // contaminated
+    val b2 = Seq(
+      (-6L, "negative id row"),                          // quarantined
+      (7L, "another clean document entirely"),
+      (1L, "clean text about spark engines"))            // idempotent re-key
+    val args = Array(landing, ddl, "doc_id", "text", rulesSpec,
+      s"$base/bench", s"$base/phrases.txt", storeDir, quarantine, cp)
+
+    b1.toDF("doc_id", "text").write.parquet(landing)
+    StreamIngestJob.run(spark, args) // AvailableNow → terminates
+    b2.toDF("doc_id", "text").write.mode("append").parquet(landing)
+    StreamIngestJob.run(spark, args) // checkpoint resume: only new files
+
+    // Batch twin over the full corpus through the SAME routing logic.
+    val grams = DedupOps.benchmarkGramHashes(bench, "text")
+    val rules = Seq(Checks.notNull("text"), Checks.nonNegative("doc_id"))
+    val (twinBad, twinKept) = StreamIngestJob.routedTransform(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", rules, grams,
+      Seq("forbidden phrase"))
+
+    // Kept rows: the store holds one JSON doc per id, byte-equal to the
+    // twin's to_json projection (same column order: doc_id, text, split).
+    val stored = new java.io.File(storeDir).listFiles()
+      .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8")).toSet
+    val twinDocs = twinKept.select(to_json(struct(
+        col("doc_id"), col("text"), col("split")))).collect()
+      .map(_.getString(0)).toSet
+    assert(stored == twinDocs, s"store=$stored twin=$twinDocs")
+    assert(stored.size == 2) // ids 1 and 7 survive
+
+    // Quarantined rows carry their violation lists, nothing is dropped.
+    val quarantined = spark.read.parquet(quarantine)
+      .select(col("doc_id"), concat_ws(",", col("violations")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    val twinQ = twinBad
+      .select(col("doc_id"), concat_ws(",", col("violations")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(quarantined == twinQ && quarantined.map(_._1) == Set(2L, -6L),
+      s"quarantine=$quarantined twin=$twinQ")
+  }
+
   test("incremental ingest processes only newly landed files per run") {
     val base = s"$ws/incr"
     val (landing, out, cp) = (s"$base/landing", s"$base/table", s"$base/cp")
