@@ -161,6 +161,64 @@ object Streaming {
       .toDF("event_type", "rnk", "event_id", "value")
   }
 
+  /** Incremental nearest-neighbor top-k over a session stream — the
+    * streaming twin of [[graft.ext.SimilarityOps.bruteForceTopK]]'s
+    * ranking, for "what are this session's k closest corpus items so
+    * far" (e.g. retrieval context accumulating as a user session
+    * produces embeddings). Each arriving event's vector is scored
+    * against the STATIC corpus via a broadcast cross join (corpus never
+    * shuffles; cosine is the same codegen'd dot/norm/round-6 pipeline as
+    * the batch scorer), then `flatMapGroupsWithState` keyed by session
+    * folds candidates into the k best distinct neighbors seen so far
+    * (per-neighbor max score, ties by neighbor id) and emits the
+    * refreshed top-k on every update.
+    *
+    * The bounded k-entry state IS the exact answer: an entry is evicted
+    * only when k distinct neighbors hold strictly better achieved
+    * scores, which disqualifies it from every future top-k too (scores
+    * only accumulate). Equality with the batch rank-over-max twin is
+    * asserted by the unit test across micro-batch boundaries.
+    *
+    * Contract: events carry (session_id, vec); corpus supplies
+    * (`idCol`, `vecCol`). State per session: k (neighbor, score) pairs —
+    * a few hundred bytes regardless of stream length. */
+  def sessionNeighborTopK(events: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String,
+                          k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val c = corpus.select(col(idCol).as("_nid"), col(vecCol).as("_cv"),
+      graft.ext.SimilarityOps.norm(col(vecCol)).as("_cn"))
+    val scored = events
+      .select(col("session_id"), col("vec").as("_qv"),
+        graft.ext.SimilarityOps.norm(col("vec")).as("_qn"))
+      .join(broadcast(c)) // cross: every corpus item scores per event
+      .select(col("session_id"), col("_nid"),
+        round(graft.ext.SimilarityOps.dot(col("_qv"), col("_cv")) /
+          (col("_qn") * col("_cn")), 6).as("_score"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Double)],
+        (Long, Int, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (sess, rows, state) =>
+          val best = scala.collection.mutable.Map.empty[Long, Double]
+          state.getOption.getOrElse(Seq.empty)
+            .foreach { case (n, s) => best(n) = s }
+          rows.foreach { case (_, n, s) =>
+            if (best.get(n).forall(_ < s)) best(n) = s
+          }
+          val top = best.toSeq
+            .sortBy { case (n, s) => (-s, n) }.take(k)
+          state.update(top)
+          top.iterator.zipWithIndex.map { case ((n, s), i) =>
+            (sess, i + 1, n, s)
+          }
+      }
+      .toDF("session_id", "rnk", "neighbor_id", "score")
+  }
+
   /** Streaming as-of enrichment — the streaming twin of
     * [[graft.transform.Temporal.asofJoinBackward]]: each left event is
     * joined to the right event with the greatest event-time ≤ its own,

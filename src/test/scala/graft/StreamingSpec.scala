@@ -305,6 +305,65 @@ class StreamingSpec extends SparkSpec {
     assert(!all.exists { case (_, id, _) => id == 3L }) // never in top-2
   }
 
+  test("session neighbor top-k equals the batch rank-over-max twin across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    val all = emb.filter(col("vec_id") >= 20 && col("vec_id") < 70)
+      .select(pmod(col("vec_id"), lit(3)).as("session_id"),
+        col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).toArray))
+    val (a, b) = all.partition(_._2 < 50) // both halves hit all sessions
+
+    // Batch twin: same scoring expressions, per-(session, neighbor) max,
+    // rank, top-k.
+    def twin(rows: Seq[(Long, Long, Array[Float])], k: Int) = {
+      val ev = rows.toSeq.toDF("session_id", "vec_id", "vec")
+      val c = corpus.select(col("vec_id").as("_nid"),
+        col("embedding").as("_cv"),
+        graft.ext.SimilarityOps.norm(col("embedding")).as("_cn"))
+      val scored = ev.select(col("session_id"), col("vec").as("_qv"),
+          graft.ext.SimilarityOps.norm(col("vec")).as("_qn"))
+        .join(c)
+        .groupBy(col("session_id"), col("_nid"))
+        .agg(max(round(graft.ext.SimilarityOps.dot(col("_qv"), col("_cv")) /
+          (col("_qn") * col("_cn")), 6)).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("session_id").orderBy(desc("score"), asc("_nid"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select(col("session_id"), col("rnk"), col("_nid").as("neighbor_id"),
+          col("score"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq.sorted
+    }
+
+    val stream = MemoryStream[(Long, Long, Array[Float])]
+    val q = Streaming.sessionNeighborTopK(
+        stream.toDF().toDF("session_id", "vec_id", "vec")
+          .select(col("session_id"), col("vec")),
+        corpus, "vec_id", "embedding", k = 3)
+      .writeStream.format("memory").queryName("s_nn_topk")
+      .outputMode("update").start()
+    stream.addData(a.toSeq)
+    q.processAllAvailable()
+    val afterA = spark.table("s_nn_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(afterA == twin(a.toSeq, 3), "first emission != twin(A)")
+    stream.addData(b.toSeq)
+    q.processAllAvailable(); q.stop()
+    // Update mode appends batch 2's refreshed top-k after batch 1's rows:
+    // the tail must equal the twin over ALL data.
+    val everything = spark.table("s_nn_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val afterB = everything.drop(afterA.length).toSeq.sorted
+    assert(afterB == twin((a ++ b).toSeq, 3),
+      "refreshed emission != twin(A∪B)")
+  }
+
   test("restart from checkpoint: state and source offsets survive") {
     import spark.implicits._
     // File source (fully replayable, unlike MemoryStream) + checkpointed
