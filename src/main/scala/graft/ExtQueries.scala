@@ -369,6 +369,91 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // IVFADC — the composed billion-vector layout (coarse quantizer
+  // restricts to nProbe cells, PQ codes rank candidates by asymmetric
+  // distance). Both halves are the deterministic sampled variants already
+  // oracled separately (x_sim_ivf, x_sim_pq); this row certifies the
+  // COMPOSITION: cells and codes from one corpus pass, probe join on
+  // cell, fixed-order 4-lookup ADC estimate. Centroids and codebooks are
+  // the same 16 lowest-id vectors on both engines.
+  // ---------------------------------------------------------------------
+  def xSimIvfadc(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, dim = 64, nCentroids = 16,
+        nProbe = 4, m = 4, nCodewords = 16)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val xSimIvfadcSql: String = {
+    val (nCent, nProbe, k, mSub, sub) = (16, 4, 5, 4, 16)
+    // e/rk/d are each referenced more than once → AS MATERIALIZED, or
+    // DuckDB inlines the whole upstream chain per reference.
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  cent AS MATERIALIZED (
+       |    SELECT CAST(rn - 1 AS INTEGER) AS cell, cv FROM (
+       |    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |    FROM e ORDER BY vec_id LIMIT $nCent)),
+       |  ad AS (SELECT e.vec_id, c.cell,
+       |      list_dot_product(e.v, e.v)
+       |        - 2 * list_dot_product(e.v, c.cv)
+       |        + list_dot_product(c.cv, c.cv) AS d2
+       |    FROM e, cent c),
+       |  rk AS MATERIALIZED (SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                         ORDER BY d2, cell) AS rn FROM ad),
+       |  asgn AS (SELECT vec_id AS neighbor_id, cell FROM rk WHERE rn = 1),
+       |  pr AS (SELECT vec_id AS query_id, cell FROM rk
+       |    WHERE vec_id < 10 AND rn <= $nProbe),
+       |  subv AS (SELECT e.vec_id, CAST(mm.range AS INTEGER) AS m,
+       |      e.v[mm.range * $sub + 1 : mm.range * $sub + $sub] AS sv
+       |    FROM e, range($mSub) mm),
+       |  cbs AS (SELECT cent.cell AS cwid, CAST(mm.range AS INTEGER) AS m,
+       |      cent.cv[mm.range * $sub + 1 : mm.range * $sub + $sub] AS csv
+       |    FROM cent, range($mSub) mm),
+       |  d AS MATERIALIZED (SELECT subv.vec_id, subv.m, cbs.cwid,
+       |      list_dot_product(subv.sv, subv.sv)
+       |        - 2 * list_dot_product(subv.sv, cbs.csv)
+       |        + list_dot_product(cbs.csv, cbs.csv) AS d2
+       |    FROM subv JOIN cbs ON subv.m = cbs.m),
+       |  codes AS (SELECT vec_id, m, cwid FROM (
+       |    SELECT vec_id, m, cwid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                         ORDER BY d2, cwid) AS rn FROM d)
+       |    WHERE rn = 1),
+       |  cwt AS (SELECT c0.vec_id, c0.cwid AS cw0, c1.cwid AS cw1,
+       |      c2.cwid AS cw2, c3.cwid AS cw3
+       |    FROM codes c0
+       |    JOIN codes c1 ON c1.vec_id = c0.vec_id AND c1.m = 1
+       |    JOIN codes c2 ON c2.vec_id = c0.vec_id AND c2.m = 2
+       |    JOIN codes c3 ON c3.vec_id = c0.vec_id AND c3.m = 3
+       |    WHERE c0.m = 0),
+       |  qd AS MATERIALIZED (SELECT vec_id AS query_id, m, cwid, d2
+       |    FROM d WHERE vec_id < 10),
+       |  sc AS (SELECT p.query_id, a.neighbor_id,
+       |      round(qd0.d2 + qd1.d2 + qd2.d2 + qd3.d2, 6) AS est_d2
+       |    FROM pr p JOIN asgn a ON p.cell = a.cell
+       |    JOIN cwt ON cwt.vec_id = a.neighbor_id
+       |    JOIN qd qd0 ON qd0.query_id = p.query_id AND qd0.m = 0
+       |      AND qd0.cwid = cwt.cw0
+       |    JOIN qd qd1 ON qd1.query_id = p.query_id AND qd1.m = 1
+       |      AND qd1.cwid = cwt.cw1
+       |    JOIN qd qd2 ON qd2.query_id = p.query_id AND qd2.m = 2
+       |      AND qd2.cwid = cwt.cw2
+       |    JOIN qd qd3 ON qd3.query_id = p.query_id AND qd3.m = 3
+       |      AND qd3.cwid = cwt.cw3
+       |    WHERE a.neighbor_id <> p.query_id),
+       |  r AS (SELECT query_id, neighbor_id, est_d2,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY est_d2, neighbor_id) AS rnk
+       |    FROM sc)
+       |SELECT query_id, rnk, neighbor_id, est_d2 FROM r
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Composed corpus dedup (exact → MinHash-LSH) on the cloned corpus.
   // Threshold 0.85: at 64 perms / 16 bands the banded-LSH miss
   // probability for a true J ≥ 0.85 pair is (1−0.85⁴)¹⁶ ≈ 7e-6, so the
