@@ -65,4 +65,33 @@ class PlanShapeSpec extends SparkSpec {
     val f = formatted(df)
     assert(f.contains("codegen id"), f)
   }
+
+  test("boilerplate removal: the recurring-line set joins as a broadcast anti-join") {
+    // PERF claim: the boilerplate set is tiny by construction and must
+    // broadcast back over the exploded lines — a shuffled anti-join here
+    // would move the whole line corpus twice.
+    val p = plan(ExtQueries.xTextBoilerplate(spark, fixtureDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ivfadc: probe join broadcasts queries; corpus floats never shuffle") {
+    val df = ExtQueries.xSimIvfadc(spark, fixtureDir)
+    df.collect() // finalize AQE so the real join strategy is visible
+    val p = plan(df)
+    // candidates join on _cell with the probed-query side broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every exchange carries codes/cells/estimates — never the corpus
+    // embedding floats (the whole point of the m-byte-code layout)
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("embedding"), exchanges)
+  }
+
+  test("repetition filter: violator set broadcasts back as an anti-join") {
+    val p = plan(ExtQueries.xTextRepfilter(spark, fixtureDir))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
