@@ -114,3 +114,34 @@ with DAG(
     # nothing downstream starts until the quality rules pass.
     ingest >> [profile, quality_gate]
     quality_gate >> dedupe >> split >> load
+
+
+with DAG(
+    "graft_stream_ingest",
+    default_args=default_args,
+    description="streaming LLM-ingest: quarantine -> decontaminate -> "
+                "blocklist -> split -> keyed upsert",
+    schedule=timedelta(hours=1),
+    start_date=datetime(2023, 1, 1),
+    catchup=False,
+    max_active_runs=1,  # one AvailableNow drain at a time per checkpoint
+) as stream_dag:
+    # The single-task streaming twin of the batch pipeline above
+    # (graft.jobs.StreamIngestJob): each hourly run drains the landing
+    # directory through the stream-safe stages with AvailableNow, then
+    # exits — the checkpointed offset log makes re-runs incremental and
+    # the per-key upsert makes replays idempotent. Quarantined rows land
+    # in an append-only parquet side channel with their violation lists.
+    spark_task(
+        "stream_ingest",
+        "graft.jobs.StreamIngestJob",
+        [DATA_ROOT + "/landing/documents",
+         "doc_id LONG, text STRING",
+         "doc_id", "text",
+         "not_null:text;non_negative:doc_id",
+         DATA_ROOT + "/benchmarks/eval_set",
+         DATA_ROOT + "/config/blocked_phrases.txt",
+         DATA_ROOT + "/warehouse/documents_store",
+         DATA_ROOT + "/quarantine/documents",
+         DATA_ROOT + "/checkpoints/stream_ingest"],
+    )
