@@ -1103,8 +1103,12 @@ object ExtQueries {
     TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
       .orderBy(col("merge_rank"))
 
-  val xTextBpeSql: String = {
-    val k = 8
+  /** The BPE trainer CTE chain (DuckDB form), shared by the trainer and
+    * encoder oracles: yields `t0..t{k-1}` (each stage's winning pair)
+    * over the `documents` word-frequency list. Every stage referenced
+    * more than once is MATERIALIZED — inlined, the k-deep chain expands
+    * exponentially. */
+  private def bpeStageCtes(k: Int): String = {
     val w0 =
       s"""w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
          |    list_transform(range(1, len(w) + 1),
@@ -1128,10 +1132,51 @@ object ExtQueries {
          |      ' ' || replace((SELECT pr FROM t$n), ' ', '') || ' ') AS s,
          |      f FROM w$n)""".stripMargin
     }
+    s"$w0,\n  ${stages.mkString(",\n  ")}"
+  }
+
+  val xTextBpeSql: String = {
+    val k = 8
     val sel = (0 until k)
       .map(n => s"SELECT $n AS merge_rank, pr AS pair, ff AS freq FROM t$n")
       .mkString("\nUNION ALL\n")
-    s"WITH $w0,\n  ${stages.mkString(",\n  ")}\n$sel\nORDER BY merge_rank"
+    s"WITH ${bpeStageCtes(k)}\n$sel\nORDER BY merge_rank"
+  }
+
+  // ---------------------------------------------------------------------
+  // BPE ENCODING with the table the trainer just learned — the full
+  // tokenizer chain (train -> encode) in one query: per-document word
+  // and subword counts after applying the 8 merges in rank order. The
+  // DuckDB twin re-derives the same 8 merges (shared trainer CTEs) and
+  // applies the identical padded two-pass replaces.
+  // ---------------------------------------------------------------------
+  def xTextBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = TextOps.bpeMerges(docs, "text", numMerges = 8)
+      .orderBy(col("merge_rank"))
+      .select(col("pair")).collect().map(_.getString(0)).toSeq
+    TextOps.bpeEncodeStats(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
+  val xTextBpeEncodeSql: String = {
+    val k = 8
+    val spaced = "' ' || array_to_string(list_transform(" +
+      "range(1, len(w) + 1), i -> substr(w, CAST(i AS INTEGER), 1)), ' ')" +
+      " || ' '"
+    val enc = (0 until k).foldLeft(spaced) { (e, n) =>
+      val pat = s"' ' || (SELECT pr FROM t$n) || ' '"
+      val rep = s"' ' || replace((SELECT pr FROM t$n), ' ', '') || ' '"
+      s"replace(replace($e,\n      $pat, $rep),\n      $pat, $rep)"
+    }
+    s"""WITH ${bpeStageCtes(k)},
+       |  dw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |  enc AS (SELECT doc_id,
+       |      len(string_split(trim($enc), ' ')) AS n
+       |    FROM dw)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n) AS BIGINT) AS n_subwords
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------

@@ -419,6 +419,37 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "pair", "freq")
   }
 
+  /** Apply a learned BPE merge table (rank-ordered "a b" pairs — the
+    * [[bpeMerges]] output) to a corpus and report per-document subword
+    * stats: (id, n_words, n_subwords) — the fertility/compression
+    * numbers a tokenizer evaluation wants before committing to a vocab.
+    * Documents with no tokens are absent (nothing to encode).
+    *
+    * The merge table is vocabulary-sized by contract, so the k merges
+    * fold into the plan as 2k chained `replace` calls — a pure
+    * codegen'd projection over the exploded word stream (no UDF, no
+    * shuffle beyond the final per-doc aggregation); application order
+    * and the padded two-pass replace are exactly [[bpeMerges]]'s, so
+    * encode(train(corpus)) is self-consistent and oracle-reproducible. */
+  def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[String]): DataFrame = {
+    val words = graft.engine.Engine.spread(df)
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("w"))
+    val spaced = concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), " "), lit(" "))
+    val enc = merges.foldLeft(spaced) { (c, pair) =>
+      val pat = " " + pair + " "
+      val rep = " " + pair.replace(" ", "") + " "
+      replace(replace(c, lit(pat), lit(rep)), lit(pat), lit(rep))
+    }
+    words.select(col("_id"), size(split(trim(enc), " ")).as("_n"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("_n")).cast("long").as("n_subwords"))
+      .select(col("_id").as(idCol), col("n_words"), col("n_subwords"))
+  }
+
   /** Repeated-span report — the exact-substring duplication signal of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (2021), at token-window granularity: every word n-gram

@@ -264,6 +264,23 @@ class TextOpsSpec extends SparkSpec {
     assert(merges(2) == (2, "e r", 2L))
   }
 
+  test("bpeEncodeStats applies the learned merges in rank order") {
+    import spark.implicits._
+    val df = Seq((1L, "low low low"), (2L, "lower lower"),
+      (3L, "newest"), (4L, "")).toDF("id", "text")
+    // After merges [l o, lo w, e r]: low→[low], lower→[low, er];
+    // newest (n e w e s t) contains none of the merge pairs adjacent,
+    // so all 6 character symbols remain.
+    val out = TextOps.bpeEncodeStats(df, "id", "text",
+        Seq("l o", "lo w", "e r"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == (3L, 3L))  // 3 words x 1 subword
+    assert(out(2L) == (2L, 4L))  // 2 words x [low, er]
+    assert(out(3L) == (1L, 6L))  // newest: 6 char symbols
+    assert(!out.contains(4L))    // no tokens -> absent
+  }
+
   test("repeatedSpans finds planted cross-doc windows; unique spans absent") {
     import spark.implicits._
     val shared = "the license text goes here"
