@@ -997,6 +997,43 @@ object ExtQueries {
        |ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 100""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Span-level duplicate REMOVAL on the cloned corpus (Lee et al. 2021
+  // §4): every token position covered by a 5-gram occurring in >= 2
+  // distinct docs is stripped; the planted clones (docs 0-49 + copies)
+  // are fully covered and must drop out entirely, naturally-repeating
+  // spans get cut from otherwise-unique docs. Hash compares the full
+  // reassembled token stream.
+  // ---------------------------------------------------------------------
+  def xTextSpanremove(s: SparkSession, dir: String): DataFrame =
+    TextOps.removeRepeatedSpans(clonedDocs(s, dir), "doc_id", "text",
+        n = 5, minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  val xTextSpanremoveSql: String = {
+    val n = 5
+    s"""WITH corpus AS ($clonedDocsSql),
+       |  tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |  tp AS (SELECT doc_id,
+       |      unnest(range(1, len(toks) + 1)) AS i,
+       |      unnest(toks) AS tk FROM tok),
+       |  w AS (SELECT doc_id,
+       |      unnest(range(1, len(toks) - $n + 2)) AS st,
+       |      unnest(list_transform(range(1, len(toks) - $n + 2),
+       |        i -> array_to_string(toks[i : i + $n - 1], ' '))) AS gram
+       |    FROM tok WHERE len(toks) >= $n),
+       |  dup AS (SELECT gram FROM w GROUP BY gram
+       |    HAVING COUNT(DISTINCT doc_id) >= 2),
+       |  cov AS (SELECT DISTINCT doc_id,
+       |      unnest(range(st, st + $n)) AS i
+       |    FROM w WHERE gram IN (SELECT gram FROM dup)),
+       |  kept AS (SELECT tp.doc_id, tp.i, tp.tk FROM tp
+       |    WHERE NOT EXISTS (SELECT 1 FROM cov
+       |      WHERE cov.doc_id = tp.doc_id AND cov.i = tp.i))
+       |SELECT doc_id, array_to_string(list(tk ORDER BY i), ' ') AS text
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Gopher-style repetition signals per document: duplicate/top token and
   // bigram fractions — exact integer-count divisions, so the doubles are
   // bit-identical across engines.

@@ -471,6 +471,51 @@ object TextOps {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Span-level removal of cross-document duplicated substrings — the
+    * removal half of Lee et al. 2021 (§4: delete the duplicated
+    * substring occurrences themselves, not whole documents; whole-doc
+    * dedup keeps one copy of a license header in EVERY doc that embeds
+    * it — this strips the span everywhere it repeats). A token position
+    * is removed when any word n-gram window covering it occurs in at
+    * least `minDocs` distinct documents; surviving tokens reassemble in
+    * order (the output is the normalized token stream — tokenization
+    * already collapsed the original separators). Documents whose every
+    * position was covered drop out; documents shorter than n tokens
+    * have no windows and pass through re-tokenized.
+    *
+    * Scale shape (the gram-window approximation of the paper's suffix
+    * array, which has no distributed-join equivalent): windows shuffle
+    * as (gram, id, start) once for the duplicate aggregation and once
+    * for the coverage semi join — the duplicated-gram set is NOT
+    * assumed tiny (unlike the C4 boilerplate set), so the join strategy
+    * stays AQE's choice; covered positions explode to (id, pos) pairs
+    * only. Text crosses the network as tokens once, at reassembly. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 10, minDocs: Int = 2,
+                          sep: String = " "): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"bad n=$n / minDocs=$minDocs")
+    val toks = graft.engine.Engine.spread(df)
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
+    val tp = toks.select(col("_id"), posexplode(col("_toks")))
+      .withColumnsRenamed(Map("pos" -> "_pos", "col" -> "_tok"))
+    val w = toks.filter(size(col("_toks")) >= n)
+      .select(col("_id"), posexplode(shingles(col("_toks"), n)))
+      .withColumnsRenamed(Map("pos" -> "_st", "col" -> "_gram"))
+    val dup = w.groupBy(col("_gram"))
+      .agg(count_distinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs).select(col("_gram"))
+    val cov = w.join(dup, Seq("_gram"))
+      .select(col("_id"),
+        explode(sequence(col("_st"), col("_st") + lit(n - 1))).as("_pos"))
+      .distinct()
+    tp.join(cov, Seq("_id", "_pos"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+        s => s.getField("_tok")), sep).as("_txt"))
+      .select(col("_id").as(idCol), col("_txt").as(textCol))
+  }
+
   /** Cross-document boilerplate removal — the C4 rule (Raffel et al.
     * 2020, §2.2): lines recurring across ≥ `minDocs` distinct documents
     * (nav bars, cookie banners, footers) are stripped from every

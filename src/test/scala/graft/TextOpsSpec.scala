@@ -236,6 +236,26 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(1L))
   }
 
+  test("removeRepeatedSpans strips only covered positions; clones drop out") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta unique one"),   // shares the 4-gram...
+      (2L, "alpha beta gamma delta unique two"),   // ...prefix with doc 1
+      (3L, "totally different text entirely here"),
+      (4L, "alpha beta gamma delta"),              // fully covered → drops
+      (5L, "short text")                            // < n tokens → untouched
+    ).toDF("id", "text")
+    val out = TextOps.removeRepeatedSpans(df, "id", "text",
+        n = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // docs 1/2/4 share "alpha beta gamma delta" (and 1/2 additionally
+    // "beta gamma delta unique"): positions 0-4 covered in 1/2, all of 4
+    assert(out(1L) == "one" && out(2L) == "two", out.toString)
+    assert(out(3L) == "totally different text entirely here")
+    assert(!out.contains(4L))
+    assert(out(5L) == "short text")
+  }
+
   test("bpeMerges releases superseded iterates as it goes") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
