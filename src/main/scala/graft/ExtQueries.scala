@@ -971,6 +971,33 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Graded contamination report vs the doc<20 "benchmark": per-doc
+  // distinct-trigram count, benchmark-overlap count, and the exact
+  // overlap fraction — the numbers a threshold-based decontamination
+  // policy is tuned on.
+  // ---------------------------------------------------------------------
+  def xDecontamStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    DedupOps.contaminationStats(docs, docs.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val xDecontamStatsSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  tri AS (SELECT DISTINCT doc_id,
+       |      unnest(list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+       |    FROM tok),
+       |  bg AS (SELECT DISTINCT g FROM tri WHERE doc_id < 20)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(COUNT(CASE WHEN g IN (SELECT g FROM bg) THEN 1 END)
+       |    AS BIGINT) AS n_overlap,
+       |  CAST(COUNT(CASE WHEN g IN (SELECT g FROM bg) THEN 1 END)
+       |    AS DOUBLE) / COUNT(*) AS overlap_frac
+       |FROM tri GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Repeated-span report on the cloned corpus: 5-token windows occurring
   // in ≥2 distinct documents (the planted clones guarantee hits), with
   // doc/occurrence counts — top 100 by spread, deterministic ties.

@@ -203,6 +203,34 @@ object DedupOps {
     corpus.join(bad, corpus(idCol) === bad("_id"), "left_anti")
   }
 
+  /** Graded contamination report — the threshold-setting companion to
+    * the binary [[decontaminate]] (GPT-3's appendix-C methodology keeps
+    * documents below an overlap FRACTION rather than dropping on any
+    * single collision): per document, its distinct word-n-gram count,
+    * how many of those occur in the benchmark, and the exact fraction
+    * (integer-count division — bit-identical across engines). Documents
+    * with no n-grams are absent. Same scale shape as the binary op: the
+    * benchmark side reduces to its distinct gram set and broadcasts;
+    * corpus text never shuffles, only (id, gram-hit) pairs aggregate. */
+  def contaminationStats(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val cg = graft.engine.Engine.spread(corpus)
+      .select(col(idCol).as("_id"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("_g"))
+    val bg = bench.select(
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
+      .distinct().withColumn("_hit", lit(1))
+    cg.join(broadcast(bg), Seq("_g"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("_hit")).as("n_overlap"))
+      .select(col("_id").as(idCol), col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams"))
+          .as("overlap_frac"))
+  }
+
   /** The benchmark's distinct hashed n-gram set (native codegen'd
     * token-hash → shingle-hash pipeline), collected driver-side and
     * SORTED for binary-search probing. Eval sets are small by contract
