@@ -1271,4 +1271,71 @@ object ExtQueries {
       |       ELSE 'train' END AS split
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // BM25 full-text retrieval: top-5 documents per query for a fixed
+  // 4-query batch over the documents corpus. Hash-exact vs DuckDB by
+  // construction — dyadic k1/b, graft_ln (platform-libm idf), and the
+  // exact fixed-point (floor(score*2^30) BIGINT) cross-term sum; see
+  // TextOps.bm25TopK's scaladoc for the full determinism argument.
+  // ---------------------------------------------------------------------
+  private val bm25Queries = Seq(
+    ("q_hash_join", "hash join table"),
+    ("q_window_sort", "window sort order stream"),
+    ("q_vector_scan", "vector scan filter"),
+    ("q_customer", "customer query group data"))
+
+  def xTextBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = bm25Queries.toDF("qid", "qtext")
+    TextOps.bm25TopK(t(s, dir, "documents"), qs,
+        "doc_id", "text", "qid", "qtext", k = 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val xTextBm25Sql: String = {
+    val qvals = bm25Queries
+      .map { case (q, txt) => s"('$q', '$txt')" }.mkString(", ")
+    val qtoksSql = toksSql.replace("(text)", "(qtext)")
+    // Arithmetic mirrors the Scala expression tree ASSOCIATION exactly
+    // (left-assoc products, same cast points) — the doubles are then
+    // bit-identical and the floored fixed-point sums hash-equal.
+    s"""WITH q(qid, qtext) AS (VALUES $qvals),
+       |  tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  d AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+       |  stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d),
+       |  qt AS (SELECT qid, unnest(list_distinct($qtoksSql)) AS term
+       |         FROM q),
+       |  qv AS (SELECT DISTINCT term FROM qt),
+       |  post AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       |    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) e
+       |    JOIN qv USING (term)
+       |    GROUP BY doc_id, term, dl),
+       |  dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+       |  sc AS (SELECT qt.qid, post.doc_id,
+       |      CAST(FLOOR(
+       |        ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                 / (CAST(df AS DOUBLE) + 0.5))
+       |        * ((CAST(tf AS DOUBLE) * 2.25)
+       |           / (CAST(tf AS DOUBLE)
+       |              + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+       |                        / (CAST(sumdl AS DOUBLE)
+       |                           / CAST(n AS DOUBLE)))))
+       |        * 1073741824.0) AS BIGINT) AS fx
+       |    FROM post
+       |    JOIN dfs USING (term)
+       |    JOIN qt USING (term)
+       |    CROSS JOIN stats),
+       |  agg AS (SELECT qid, doc_id, CAST(SUM(fx) AS BIGINT) AS sfx,
+       |      CAST(COUNT(*) AS BIGINT) AS n_terms
+       |    FROM sc GROUP BY qid, doc_id),
+       |  r AS (SELECT qid, doc_id, sfx, n_terms,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY sfx DESC, doc_id) AS rnk
+       |    FROM agg)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rnk, doc_id,
+       |  CAST(sfx AS DOUBLE) / 1073741824.0 AS score, n_terms
+       |FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
 }

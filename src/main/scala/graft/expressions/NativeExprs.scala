@@ -58,6 +58,7 @@ object NativeExprs {
     })
     reg("graft_hash_tokens", { case Seq(c) => TokenHashes(c) })
     reg("graft_del_variants", { case Seq(c) => DeletionVariants(c) })
+    reg("graft_ln", { case Seq(c) => GraftLn(c) })
     reg("graft_any_in_set", {
       case Seq(c, Literal(arr: ArrayData, ArrayType(LongType, _))) =>
         AnyInSortedSet(c, arr.toLongArray())
@@ -548,6 +549,39 @@ case class AnyInSortedSet(child: Expression, set: Array[Long])
          |${ev.value} = $found;
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Natural log via `java.lang.Math.log` — the HotSpot intrinsic that (on
+  * this JVM/libm pairing, bit-asserted by NativeExprsSpec) agrees with
+  * glibc's `log` and therefore with DuckDB's `ln`. Spark's own `Log`
+  * expression calls `StrictMath.log` (fdlibm), which is 1 ulp off the
+  * platform result for some arguments (e.g. `ln(3.0)`:
+  * `...7aad030a` fdlibm vs `...7aad030b` glibc) — enough to break a
+  * hash-exact oracle. Every log-scored operator (BM25 idf, LM log-prob)
+  * routes through this expression so Spark and the DuckDB twin compute
+  * the identical double. Domain edges follow `Math.log`: ln(0) = -Inf,
+  * ln(<0) = NaN (no NULL conversion — the caller guards its domain). */
+case class GraftLn(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case DoubleType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_ln expects double, got $dt")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_ln"
+
+  override def nullSafeEval(x: Any): Any =
+    java.lang.Math.log(x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Math.log($c)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

@@ -569,4 +569,86 @@ object TextOps {
     RedactionPatterns.foldLeft(text) { case (c, (pat, rep)) =>
       regexp_replace(c, pat, rep)
     }
+
+  /** Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009, §3.3, with
+    * Lucene's non-negative `ln(1 + (N-df+0.5)/(df+0.5))` idf): rank the
+    * top `k` documents for each query in a SMALL query table (broadcast
+    * by contract — the bounded side, like the LSH/IVF literals).
+    *
+    * Numeric determinism (and hash-exact oracle parity) by construction:
+    *  - `k1`/`b` default to DYADIC rationals (1.25, 0.75), so every
+    *    per-term arithmetic step is a correctly-rounded IEEE op that any
+    *    engine reproduces bit-for-bit; `ln` routes through `graft_ln`
+    *    (platform-libm parity — see [[graft.expressions.GraftLn]]).
+    *  - the cross-term sum is EXACT FIXED-POINT: each per-term double is
+    *    scaled by 2³⁰ (exponent shift — exact), floored (exact), and
+    *    summed as BIGINT. Integer addition is order-free, so the score
+    *    is identical across partition layouts, engines, and cluster
+    *    sizes — and the aggregation keeps map-side partials, unlike
+    *    sorted-fold tricks. Resolution 2⁻³⁰ ≈ 1e-9; headroom: scores
+    *    are ≤ ~`ln(N)·(k1+1)·|terms|`, so the scaled sum fits a long
+    *    until N·|terms| overflows ~2³³ orders of magnitude later.
+    *
+    * Scale shape: two corpus passes — one tokenize+explode pass cut to
+    * query terms by a broadcast semi join BEFORE the tf shuffle (only
+    * matched (id, term) pairs ever cross the network; the df aggregation
+    * REUSES that shuffle via AQE exchange reuse — verified in the final
+    * adaptive plan, `ReusedExchange` over the tf stage), and one
+    * text-column-pruned pass for the corpus stats (N, sumdl — a 1-row
+    * aggregate a production deployment precomputes once per corpus
+    * snapshot and amortizes across query batches). df counts aggregate
+    * with map-side partials (skew-safe for stopword-like terms — a
+    * per-term window would funnel a hot term through one reducer) and
+    * broadcast back. The final ranking groups (qid, id) and prunes
+    * map-side via the constant-bound rank conjunct (WindowGroupLimit).
+    * No inverted index is materialized — at 100 TB this is the
+    * scatter-gather scoring pass a search tier runs per query batch. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+               idCol: String, textCol: String,
+               qidCol: String, qtextCol: String,
+               k: Int = 10, k1: Double = 1.25,
+               b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = graft.engine.Engine.spread(docs)
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("_id"), col("_toks"), size(col("_toks")).as("_dl"))
+    // Corpus stats: one 1-row aggregate, broadcast by the literal join.
+    val stats = toks.agg(count(lit(1)).as("_n"),
+      sum(col("_dl")).as("_sumdl"))
+    val qterms = queries.select(col(qidCol).as("_qid"),
+        explode(array_distinct(tokens(col(qtextCol)))).as("_term"))
+    val qvocab = qterms.select(col("_term")).distinct()
+    // Postings restricted to query terms BEFORE the tf aggregation.
+    val postings = toks
+      .select(col("_id"), col("_dl"), explode(col("_toks")).as("_term"))
+      .join(broadcast(qvocab), Seq("_term"))
+      .groupBy(col("_id"), col("_term"), col("_dl"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfs = postings.groupBy(col("_term"))
+      .agg(count(lit(1)).as("_df"))
+    val scored = postings
+      .join(broadcast(dfs), Seq("_term"))
+      .join(broadcast(qterms), Seq("_term"))
+      .crossJoin(broadcast(stats))
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val idf = call_function("graft_ln",
+      lit(1.0) + (col("_n").cast("double") - col("_df").cast("double") +
+        lit(0.5)) / (col("_df").cast("double") + lit(0.5)))
+    val tfNorm = (col("_tf").cast("double") * lit(k1 + 1.0)) /
+      (col("_tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / avgdl))
+    val fixed = floor(idf * tfNorm * lit(1073741824.0)).cast("long")
+    val agg = scored.select(col("_qid"), col("_id"), fixed.as("_fx"))
+      .groupBy(col("_qid"), col("_id"))
+      .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("_nterms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid"))
+      .orderBy(col("_sfx").desc, col("_id").asc)
+    agg.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("_qid").as(qidCol), col("rnk"),
+        col("_id").as(idCol),
+        (col("_sfx").cast("double") / lit(1073741824.0)).as("score"),
+        col("_nterms").as("n_terms"))
+  }
 }

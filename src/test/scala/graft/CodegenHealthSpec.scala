@@ -116,6 +116,45 @@ class CodegenHealthSpec extends SparkSpec {
     assert(empty == Seq(""))
   }
 
+  test("graft_ln is bit-identical to glibc/DuckDB ln (the oracle contract)") {
+    import spark.implicits._
+    // Expected bits are glibc's correctly-observed `log` outputs, probed
+    // against DuckDB `ln` (bit-equal there). Spark's builtin `ln` uses
+    // StrictMath/fdlibm, which is 1 ulp off on ln(3.0) — the exact reason
+    // GraftLn exists. If a JVM ever changes the Math.log intrinsic away
+    // from the platform libm, this test is the tripwire.
+    val expect = Map(
+      2.0 -> 0x3fe62e42fefa39efL,
+      3.0 -> 0x3ff193ea7aad030bL, // fdlibm gives ...030a here
+      10.0 -> 0x40026bb1bbb55516L,
+      1234.5678 -> 0x401c7951d51791d7L,
+      0.1 -> 0xc0026bb1bbb55515L,
+      7.0 / 3.0 -> 0x3feb1d10670aae9aL,
+      1e-9 -> 0xc034b927f32bffb8L,
+      601.0 / 37.0 -> 0x40064d299c46a8dbL)
+    val df = expect.keys.toSeq.toDF("x")
+    df.createOrReplaceTempView("cg_ln")
+    assertNoCodegenErrors {
+      val rows = spark.sql(
+        "SELECT x, graft_ln(x) AS l FROM cg_ln WHERE graft_ln(x) IS NOT NULL")
+        .collect()
+      assert(rows.length == expect.size)
+      rows.foreach { r =>
+        val bits = java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+        assert(bits == expect(r.getDouble(0)),
+          s"graft_ln(${r.getDouble(0)}) bits ${bits.toHexString} != " +
+            s"expected ${expect(r.getDouble(0)).toHexString}")
+      }
+    }
+    // NULL propagates; domain edges follow Math.log.
+    val edge = spark.sql(
+      "SELECT graft_ln(CAST(NULL AS DOUBLE)), graft_ln(0.0d), graft_ln(-1.0d)")
+      .collect()(0)
+    assert(edge.isNullAt(0))
+    assert(edge.getDouble(1).isNegInfinity)
+    assert(edge.getDouble(2).isNaN)
+  }
+
   test("codegen results match interpreted eval on the stacked shapes") {
     import spark.implicits._
     val df = Seq((Array(11L, 22L, 33L, 44L, 55L), Array("a", "bb")))
@@ -125,7 +164,8 @@ class CodegenHealthSpec extends SparkSpec {
       """SELECT graft_simhash(toks) AS sh,
         |       graft_minhash_sig(toks, 4) AS mh,
         |       graft_shingle_hashes(toks, 2) AS sg,
-        |       graft_hash_tokens(strs) AS th
+        |       graft_hash_tokens(strs) AS th,
+        |       graft_ln(CAST(element_at(toks, 1) AS DOUBLE)) AS ln
         |FROM cg_probe2""".stripMargin
     val generated = spark.sql(sql).collect()
     val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")

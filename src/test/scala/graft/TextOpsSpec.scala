@@ -371,4 +371,69 @@ class TextOpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 3L))
   }
+
+  test("bm25TopK matches a hand-computed reference on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat sat on the mat"),
+      (2L, "cat cat cat"),
+      (3L, "dog ate my homework"),
+      (4L, "the mat was flat")).toDF("doc_id", "text")
+    val qs = Seq(("q1", "cat mat")).toDF("qid", "qtext")
+    val out = TextOps.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext",
+        k = 3, k1 = 1.25, b = 0.75)
+      .orderBy(col("rnk")).collect()
+    // Reference scores computed the same way the op defines them:
+    // idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf-norm with k1/b,
+    // per-term fixed = floor(score * 2^30), summed exactly.
+    val corpus = Map(1L -> Seq("cat", "sat", "on", "the", "mat"),
+      2L -> Seq("cat", "cat", "cat"), 3L -> Seq("dog", "ate", "my",
+        "homework"), 4L -> Seq("the", "mat", "was", "flat"))
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    def score(id: Long, terms: Seq[String]): Long = terms.map { t =>
+      val tf = corpus(id).count(_ == t).toDouble
+      if (tf == 0) 0L
+      else {
+        val df = corpus.values.count(_.contains(t)).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val dl = corpus(id).size.toDouble
+        val tfn = tf * 2.25 / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl))
+        math.floor(idf * tfn * 1073741824.0).toLong
+      }
+    }.sum
+    val want = corpus.keys.map(id => id -> score(id, Seq("cat", "mat")))
+      .filter(_._2 > 0).toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(out.length == 3) // docs 1, 2, 4 match; doc 3 doesn't
+    out.zip(want).zipWithIndex.foreach { case ((row, (id, fx)), i) =>
+      assert(row.getAs[String]("qid") == "q1")
+      assert(row.getAs[Int]("rnk") == i + 1)
+      assert(row.getAs[Long]("doc_id") == id)
+      assert(row.getAs[Double]("score") == fx.toDouble / 1073741824.0,
+        s"rank ${i + 1}")
+    }
+  }
+
+  test("bm25TopK is layout-independent and prunes ranks map-side") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, s"term${i % 7} term${i % 5} filler$i common"))
+      .toDF("doc_id", "text")
+    val qs = Seq(("a", "term1 common"), ("b", "term3")).toDF("qid", "qtext")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.bm25TopK(d, qs, "doc_id", "text", "qid", "qtext", k = 4)
+        .orderBy(col("qid"), col("rnk"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val base = run(docs)
+    assert(base == run(docs.repartition(13)),
+      "score/order must not depend on partition layout")
+    val plan = TextOps.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext",
+      k = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "constant rank bound must enable map-side rank pruning")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "query-side tables must broadcast")
+  }
 }
