@@ -1273,6 +1273,65 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // SemDeDup semantic dedup over embeddings ∪ perturbed clones of the
+  // first 25 (ids +10000; first coordinate +0.25 → cosine ≈ 0.97 to the
+  // original, while the highest NATURAL pairwise cosine in the fixture
+  // is 0.513 — clean separation around tau = 0.95). 22 of the 25
+  // planted pairs land in the same sampled-centroid cell and are
+  // deduped; 3 straddle a cell boundary and survive — cluster
+  // blocking's documented recall trade (Abbas et al. 2023), identical
+  // in both engines, so the oracle certifies exactly that behavior.
+  // ---------------------------------------------------------------------
+  def xDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val pert = e.filter(col("vec_id") < 25).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.25)),
+        slice(col("v"), 2, 63)).as("v"))
+    SimilarityOps.semDedup(e.unionAll(pert), "vec_id", "v",
+        nCentroids = 16, tau = 0.95)
+      .select(col("vec_id"), col("cell"), col("centroid_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  val xDedupSemanticSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |  corpus AS (SELECT vec_id, v FROM e
+      |    UNION ALL
+      |    SELECT vec_id + 10000, list_concat([v[1] + 0.25], v[2:])
+      |    FROM e WHERE vec_id < 25),
+      |  cent AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, cv FROM (
+      |    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+      |    FROM corpus ORDER BY vec_id LIMIT 16)),
+      |  ad AS (SELECT c0.vec_id, c0.v, c.cell,
+      |      list_dot_product(c0.v, c0.v)
+      |        - 2 * list_dot_product(c0.v, c.cv)
+      |        + list_dot_product(c.cv, c.cv) AS d2
+      |    FROM corpus c0, cent c),
+      |  asgn AS (SELECT vec_id, v, cell FROM (
+      |      SELECT vec_id, v, cell,
+      |        ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                           ORDER BY d2, cell) AS rn
+      |      FROM ad) WHERE rn = 1),
+      |  wcs AS (SELECT a.vec_id, a.v, a.cell,
+      |      round(list_dot_product(a.v, c.cv)
+      |        / (sqrt(list_dot_product(a.v, a.v))
+      |           * sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim
+      |    FROM asgn a JOIN cent c ON a.cell = c.cell)
+      |SELECT w.vec_id, w.cell, w.csim AS centroid_sim FROM wcs w
+      |WHERE NOT EXISTS (SELECT 1 FROM wcs b
+      |  WHERE b.cell = w.cell AND b.vec_id <> w.vec_id
+      |    AND round(list_dot_product(w.v, b.v)
+      |      / (sqrt(list_dot_product(w.v, w.v))
+      |         * sqrt(list_dot_product(b.v, b.v))), 6) > 0.95
+      |    AND (b.csim < w.csim
+      |         OR (b.csim = w.csim AND b.vec_id < w.vec_id)))
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // BM25 full-text retrieval: top-5 documents per query for a fixed
   // 4-query batch over the documents corpus. Hash-exact vs DuckDB by
   // construction — dyadic k1/b, graft_ln (platform-libm idf), and the

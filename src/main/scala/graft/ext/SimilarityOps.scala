@@ -420,4 +420,60 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
   }
+
+  /** SemDeDup — semantic deduplication by cluster-blocked embedding
+    * cosine (Abbas et al. 2023, arXiv:2303.09540): assign every vector
+    * to its nearest centroid cell, compare pairs only WITHIN a cell, and
+    * where a pair exceeds `tau` keep the member with the LOWER cosine
+    * similarity to its cell centroid (the paper's keep rule — the item
+    * farther from the cluster center is the more "informative" copy;
+    * ties break to the lower id). Returns the kept rows with their cell
+    * and centroid-similarity columns.
+    *
+    * Drop rule (pairwise dominance, no transitive closure — matches the
+    * paper's per-cluster duplicate-group handling and this file's
+    * drop-the-dominated convention): x is dropped iff some same-cell y
+    * has round-6 cos(x,y) > tau and (csim(y), id(y)) < (csim(x), id(x))
+    * lexicographically. The minimal member of every duplicate group
+    * always survives.
+    *
+    * Cells come from the deterministic sampled quantizer (Voronoi
+    * regions of the `nCentroids` lowest-id vectors, folded into the plan
+    * as literals — [[ivfTopKSampled]]'s contract), so assignment is a
+    * shuffle-free projection, there is no training job, and the whole
+    * op reproduces exactly in SQL. A k-means assignment (the
+    * [[ivfTopK]] path) plugs into the identical pair/keep stage when
+    * cluster adaptivity matters more than oracle-checkability.
+    *
+    * Scale shape: ONE shuffle, on the cell key, carrying (id, vec,
+    * csim); the pair space is within-cell quadratic BY DESIGN (the
+    * paper's trade: nCentroids bounds cell population — size cells to
+    * ~10⁴-10⁵ vectors at 100 TB); the keeper decision needs no global
+    * state, so cells dedupe independently and in parallel. For corpora
+    * whose cells still overflow, [[dedupeByEmbedding]]'s sign-pattern
+    * sub-blocking composes inside a cell unchanged. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int = 16, tau: Double = 0.99): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")
+    val cents = sampleVectors(df, idCol, vecCol, nCentroids)
+    // Original columns ride along; `cell`/`centroid_sim` are appended
+    // output columns (callers must not already use those names).
+    val assigned = df
+      .withColumn("cell",
+        element_at(array_sort(cellStructs(col(vecCol), cents)), 1)
+          .getField("c"))
+      .withColumn("centroid_sim", element_at(
+        array(cents.map(c => round(cosine(col(vecCol),
+          array(c.map(lit): _*)), 6)): _*),
+        col("cell") + 1))
+    val b = assigned.select(col(idCol).as("_bid"), col(vecCol).as("_bv"),
+      col("cell").as("_bcell"), col("centroid_sim").as("_bcsim"))
+    assigned.join(b,
+        col("cell") === col("_bcell") && col(idCol) =!= col("_bid") &&
+          round(cosine(col(vecCol), col("_bv")), 6) > tau &&
+          (col("_bcsim") < col("centroid_sim") ||
+            (col("_bcsim") === col("centroid_sim") &&
+              col("_bid") < col(idCol))),
+        "left_anti")
+  }
 }

@@ -155,4 +155,43 @@ class SimilarityOpsSpec extends SparkSpec {
       dim = 64).collect().map(_.toSeq).toSeq
     assert(run() == run())
   }
+
+  test("semDedup: keep rule, cross-cell immunity, tie-break") {
+    import spark.implicits._
+    // Two well-separated clusters; centroids are the 2 lowest-id
+    // vectors, so cell 0 ≈ e1-direction, cell 1 ≈ e2-direction.
+    //  - 1 (on e1, csim 1.0) vs 3 (slightly off e1): near-dup pair in
+    //    cell 0 → the HIGHER-centroid-sim member (1) is dropped, the
+    //    farther-from-center copy (3) kept (the paper's keep rule).
+    //  - 2 and 4: cluster-2 members, not near-dups of each other.
+    //  - 5: exact clone of 3 → cosine 1.0, csim ties → higher id drops.
+    //  - 6: e2-ish vector in cell 1 — near-dup of nothing.
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0)),
+      (3L, Array(0.999, 0.01, 0.0)),
+      (4L, Array(0.05, 0.9, 0.3)),
+      (5L, Array(0.999, 0.01, 0.0)),
+      (6L, Array(0.3, 0.85, 0.0))).toDF("id", "v")
+    val kept = SimilarityOps.semDedup(vecs, "id", "v",
+        nCentroids = 2, tau = 0.98)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 1 dropped (dominated by 3: csim(3) < csim(1) = 1.0);
+    // 5 dropped (clone of 3, csim equal, higher id).
+    // cell 1 pairwise cosines (2-4 ≈ 0.95, 2-6 ≈ 0.94, 4-6 ≈ 0.91)
+    // all stay below tau = 0.98 → 2, 4, 6 kept.
+    assert(kept == Set(2L, 3L, 4L, 6L))
+  }
+
+  test("semDedup is layout-independent and keeps appended columns") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.semDedup(d, "vec_id", "v", nCentroids = 8, tau = 0.95)
+        .select("vec_id", "cell", "centroid_sim")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val base = run(emb)
+    assert(base == run(emb.repartition(7)))
+    assert(base.nonEmpty)
+  }
 }
