@@ -1273,6 +1273,36 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Leakage-safe split over the cloned corpus: every near-dup component
+  // (the same minhash-0.8 graph x_dedup_cc certifies) lands in ONE
+  // split, so planted clones can never straddle train/test. The oracle
+  // recomputes components via the recursive-CTE closure and applies the
+  // identical md5-bucket assignment to the component label.
+  // ---------------------------------------------------------------------
+  def xSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val corpus = clonedDocs(s, dir)
+    val pairs = DedupOps.nearDupPairsMinhash(corpus, "doc_id", "text",
+      shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8)
+    DedupOps.leakageSafeSplit(corpus, "doc_id", pairs,
+        Seq("test" -> 0.1, "valid" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Bounds mirror hashSplit: ceil(0.1*256) = 26 = 0x1a cumulative,
+  // ceil(0.2*256) = 52 = 0x34.
+  val xSplitLeakageSql: String =
+    s"""WITH $ccCtesSql
+       |SELECT c.doc_id,
+       |  CASE WHEN substr(md5(CAST(coalesce(comp.component, c.doc_id)
+       |              AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+       |       WHEN substr(md5(CAST(coalesce(comp.component, c.doc_id)
+       |              AS VARCHAR)), 1, 2) < '34' THEN 'valid'
+       |       ELSE 'train' END AS split
+       |FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // SemDeDup semantic dedup over embeddings ∪ perturbed clones of the
   // first 25 (ids +10000; first coordinate +0.25 → cosine ≈ 0.97 to the
   // original, while the highest NATURAL pairwise cosine in the fixture

@@ -470,6 +470,20 @@ object DedupOps {
       .drop("_rk", "_comp")
   }
 
+  /** Leakage-safe train/valid/test split: connected components over the
+    * near-dup pair graph, then the whole component splits together by
+    * the md5 hash of its label ([[graft.transform.Split.componentSplit]]
+    * holds the split core and the scale notes). Guarantees no near-dup
+    * pair straddles train and test — the standard contamination vector
+    * of naive per-document splits (Lee et al. 2021 §6.2). Singletons
+    * split exactly as `Split.hashSplit` would. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       fractions: Seq[(String, Double)],
+                       rest: String = "train", srcCol: String = "id_a",
+                       dstCol: String = "id_b"): DataFrame =
+    graft.transform.Split.componentSplit(df, idCol,
+      connectedComponents(pairs, srcCol, dstCol), fractions, rest)
+
   /** Fuzzy-match pairs at edit distance ≤ 1 via deletion-neighborhood
     * blocking (the SymSpell trick: two strings are within one
     * insert/delete/substitute iff they are equal, or share a 1-deletion

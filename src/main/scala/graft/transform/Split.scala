@@ -117,4 +117,33 @@ object Split {
       .filter(col("_rn") <= maxTarget && col("_rn") <= target)
       .drop("_rn")
   }
+
+  /** Leakage-safe split core: assign every row of a duplicate COMPONENT
+    * to the same split, so near-duplicates can never straddle
+    * train/test (the eval-contamination vector [[hashSplit]] alone
+    * cannot close — Lee et al. 2021 §6.2 measure exactly this leak).
+    * `components` is an (id, component) labeling — produced by e.g.
+    * `DedupOps.connectedComponents` over any near-dup pair relation;
+    * rows absent from it are singletons and split by their own id. The
+    * split of a component is [[hashSplit]] of its label, so singleton
+    * assignments are IDENTICAL to plain hashSplit (a leakage-safe
+    * split of a dup-free corpus degrades to hashSplit bit-for-bit).
+    *
+    * Scale shape: one join against the component labeling (dup-pair
+    * members only — typically a small fraction of the corpus, AQE
+    * broadcasts it when so) plus hashSplit's narrow md5 projection.
+    * The convenience wrapper `DedupOps.leakageSafeSplit` runs the
+    * whole chain from a pair relation. */
+  def componentSplit(df: DataFrame, idCol: String, components: DataFrame,
+                     fractions: Seq[(String, Double)],
+                     rest: String = "train",
+                     compIdCol: String = "id",
+                     compCol: String = "component"): DataFrame = {
+    val comps = components.select(col(compIdCol).as("_cid"),
+      col(compCol).as("_comp"))
+    val withRep = df.join(comps, df(idCol) === col("_cid"), "left")
+      .withColumn("_rep", coalesce(col("_comp"), df(idCol)))
+      .drop("_cid", "_comp")
+    hashSplit(withRep, "_rep", fractions, rest).drop("_rep")
+  }
 }

@@ -19,7 +19,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 88)
-    assert(SparkEntry.oracleSql.size == 88)
+    assert(SparkEntry.queries.size == 89)
+    assert(SparkEntry.oracleSql.size == 89)
   }
 }

@@ -120,4 +120,39 @@ class SplitSpec extends SparkSpec {
     assert(out.select("doc_id").exceptAll(b).isEmpty &&
       b.exceptAll(out.select("doc_id")).isEmpty)
   }
+
+  test("componentSplit keeps whole components together; singletons = hashSplit") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // components: {1,2,3} labeled 1, {10,11} labeled 10; rest singleton
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val fr = Seq("test" -> 0.3, "valid" -> 0.2)
+    val out = Split.componentSplit(rows, "id", comps, fr)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 40)
+    // whole component shares one split
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(10L) == out(11L))
+    // component split == hashSplit of the LABEL id
+    assert(out(2L) == out(1L))
+    val plain = Split.hashSplit(rows, "id", fr)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == plain(1L) && out(10L) == plain(10L))
+    // singletons identical to plain hashSplit (degrades bit-for-bit)
+    ((4L to 9L) ++ (12L to 40L)).foreach(i => assert(out(i) == plain(i), s"id $i"))
+  }
+
+  test("leakageSafeSplit: no near-dup pair straddles splits (chain case)") {
+    import spark.implicits._
+    val rows = (1L to 20L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // chain 1-2-3 plus pair 7-15: transitive closure must group the chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 15L)).toDF("id_a", "id_b")
+    val out = graft.ext.DedupOps
+      .leakageSafeSplit(rows, "id", pairs, Seq("test" -> 0.4))
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "chain must co-split")
+    assert(out(7L) == out(15L), "pair must co-split")
+  }
 }
