@@ -1273,6 +1273,38 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Token-budget mixture: src0 to ~half its tokens (boundary doc
+  // included), src1 to a small budget, src3's budget exceeds the
+  // stratum (kept whole), every other source dropped. The oracle
+  // recomputes the md5-rank order and integer cumsum exactly.
+  // ---------------------------------------------------------------------
+  def xSampleBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+    graft.transform.Split.tokenBudgetSample(d, "source", "doc_id",
+        "n_tokens",
+        Map("src0" -> 700L, "src1" -> 300L, "src3" -> 5000L))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val xSampleBudgetSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE source IN ('src0', 'src1', 'src3')),
+       |  c AS (SELECT doc_id, source, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS tok_before
+       |  FROM d)
+       |SELECT doc_id, source, n_tokens FROM c
+       |WHERE tok_before < CASE source WHEN 'src0' THEN 700
+       |                               WHEN 'src1' THEN 300
+       |                               WHEN 'src3' THEN 5000 END
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Leakage-safe split over the cloned corpus: every near-dup component
   // (the same minhash-0.8 graph x_dedup_cc certifies) lands in ONE
   // split, so planted clones can never straddle train/test. The oracle

@@ -118,6 +118,48 @@ object Split {
       .drop("_rn")
   }
 
+  /** Token-budget mixture sampling — [[mixtureSample]] denominated in
+    * TOKENS instead of documents, because training mixtures are token
+    * budgets ("300 B web tokens, 50 B code") and document counts are
+    * only a proxy for them. Per stratum, documents are taken in
+    * md5(id)-rank order until the budget fills: a document is kept iff
+    * the token count of the documents BEFORE it is still under the
+    * budget — so the boundary-straddling document is included, the
+    * sample reaches ≥ budget tokens whenever the stratum has them, and
+    * any positive budget takes at least one document. Strata absent
+    * from `budgets` are dropped (a mixture is a whitelist).
+    *
+    * Deterministic by the same argument as every sampler here: the
+    * order is a pure function of ids, the running sum is an INTEGER
+    * window cumsum (exact, engine-independent), so the selected set is
+    * reproducible on any layout, cluster, or engine. Scale shape: one
+    * window shuffle on the stratum key; unlike the rank-bounded
+    * samplers there is no constant bound for map-side pruning (the
+    * cutoff depends on the running sum), so budget sampling pays its
+    * stratum's full sort — acceptable because strata are the
+    * parallelism unit and the window carries only (id, stratum,
+    * token-count). */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+                        tokenCountCol: String,
+                        budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSample: empty budget map")
+    require(budgets.values.forall(_ > 0),
+      s"tokenBudgetSample: budgets must be positive: $budgets")
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    df.filter(col(stratumCol).isin(budgets.keys.toSeq: _*))
+      .withColumn("_before",
+        coalesce(sum(col(tokenCountCol)).over(w), lit(0L)))
+      .filter(col("_before") < budget)
+      .drop("_before")
+  }
+
   /** Leakage-safe split core: assign every row of a duplicate COMPONENT
     * to the same split, so near-duplicates can never straddle
     * train/test (the eval-contamination vector [[hashSplit]] alone

@@ -121,6 +121,46 @@ class SplitSpec extends SparkSpec {
       b.exceptAll(out.select("doc_id")).isEmpty)
   }
 
+  test("tokenBudgetSample: boundary doc included, whole-stratum budgets, whitelist") {
+    import spark.implicits._
+    val rows = (1L to 30L).map { i =>
+      val stratum = if (i <= 10) "a" else if (i <= 20) "b" else "c"
+      (i, stratum, 10L * (i % 3 + 1)) // token counts 10/20/30
+    }.toDF("id", "stratum", "n_tok")
+    // Reference: replicate the op's spec directly (md5-rank order,
+    // integer cumsum, keep while tokens-before < budget).
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val data = rows.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    def expect(stratum: String, budget: Long): Set[Long] = {
+      val ordered = data.filter(_._2 == stratum)
+        .sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+      var before = 0L
+      ordered.flatMap { case (id, _, n) =>
+        val keep = before < budget; before += n; if (keep) Some(id) else None
+      }.toSet
+    }
+    val budgets = Map("a" -> 45L, "b" -> 10000L) // c absent → dropped
+    val out = Split.tokenBudgetSample(rows, "stratum", "id", "n_tok", budgets)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == expect("a", 45L) ++ expect("b", 10000L))
+    // b's budget exceeds the stratum total → whole stratum kept
+    assert((11L to 20L).forall(out.contains))
+    assert(!(21L to 30L).exists(out.contains), "stratum c must be dropped")
+    // tiny budget still takes the first document
+    val one = Split.tokenBudgetSample(rows, "stratum", "id", "n_tok",
+      Map("a" -> 1L)).select("id").collect().map(_.getLong(0)).toSet
+    assert(one.size == 1)
+    // layout independence
+    val re = Split.tokenBudgetSample(rows.repartition(7, col("n_tok")),
+      "stratum", "id", "n_tok", budgets)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(re == out)
+  }
+
   test("componentSplit keeps whole components together; singletons = hashSplit") {
     import spark.implicits._
     val rows = (1L to 40L).map(i => (i, s"doc $i")).toDF("id", "text")
