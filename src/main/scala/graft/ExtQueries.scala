@@ -1273,6 +1273,46 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Bigram-LM fluency score: train the add-one LM on the src0 slice,
+  // score every document. The oracle retrains the identical counts and
+  // reproduces each mean-NLL bit-for-bit (graft_ln + fixed-point sums).
+  // ---------------------------------------------------------------------
+  def xTextLmscore(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextOps.lmScore(d, d.filter(col("source") === "src0"),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val xTextLmscoreSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, $toksSql AS toks
+       |    FROM documents),
+       |  grams AS (SELECT doc_id, source, unnest(
+       |      list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS g
+       |    FROM tok WHERE len(toks) >= 2),
+       |  uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+       |      SELECT unnest(toks) AS w1 FROM tok WHERE source = 'src0')
+       |    GROUP BY w1),
+       |  vs AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS v FROM uni),
+       |  bi AS (SELECT g, COUNT(*) AS c12 FROM grams
+       |    WHERE source = 'src0' GROUP BY g),
+       |  sc AS (SELECT doc_id,
+       |      CAST(FLOOR((0.0 - ln(
+       |        (CAST(COALESCE(c12, 0) AS DOUBLE) + 1.0)
+       |          / (CAST(COALESCE(c1, 0) AS DOUBLE) + v)))
+       |        * 1073741824.0) AS BIGINT) AS fx
+       |    FROM grams d
+       |    LEFT JOIN uni ON string_split(d.g, ' ')[1] = uni.w1
+       |    LEFT JOIN bi ON d.g = bi.g
+       |    CROSS JOIN vs)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  (CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE)
+       |     / CAST(COUNT(*) AS DOUBLE)) / 1073741824.0 AS mean_nll
+       |FROM sc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Token-budget mixture: src0 to ~half its tokens (boundary doc
   // included), src1 to a small budget, src3's budget exceeds the
   // stratum (kept whole), every other source dropped. The oracle

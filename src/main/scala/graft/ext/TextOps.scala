@@ -570,6 +570,59 @@ object TextOps {
       regexp_replace(c, pat, rep)
     }
 
+  /** Bigram-LM fluency scoring — the CCNet quality signal (Wenzek et
+    * al. 2020 score with a language-model trained on a trusted corpus,
+    * then filter/bucket by perplexity; KenLM's n-gram counts reduced to
+    * their Spark shape): train add-one-smoothed bigram counts on `ref`
+    * (the trusted slice), score every document of `docs` by its mean
+    * per-bigram negative log-probability in nats (lower = more like the
+    * reference). P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), V = reference
+    * unigram-type count + 1 (the reserved OOV type); unseen words and
+    * bigrams fall back to the smoothing mass. Documents with fewer than
+    * two tokens have no bigrams and are absent from the result.
+    *
+    * Numeric determinism, same toolkit as [[bm25TopK]]: counts are
+    * integers, each per-bigram probability is one correctly-rounded
+    * division, ln routes through `graft_ln` (platform-libm parity),
+    * and the per-document sum is exact fixed-point
+    * (floor(nll·2³⁰) BIGINT) — layout- and engine-independent, with
+    * map-side aggregation partials intact.
+    *
+    * Scale shape: the LM tables are VOCABULARY-sized (unigram types +
+    * observed bigram types — orders of magnitude below corpus size), so
+    * the two count joins behave like dimension joins (AQE broadcasts
+    * them while they fit, falls back to shuffled hash beyond); the
+    * document side explodes to (id, bigram) pairs once and aggregates
+    * straight back to one row per document. V rides along as a 1-row
+    * cross-joined aggregate, and its subtree shares the unigram
+    * aggregation via AQE exchange reuse. */
+  def lmScore(docs: DataFrame, ref: DataFrame, idCol: String,
+              textCol: String): DataFrame = {
+    val uni = ref.select(explode(tokens(col(textCol))).as("_w1"))
+      .groupBy(col("_w1")).agg(count(lit(1)).as("_c1"))
+    val bi = ref
+      .select(explode(shingles(tokens(col(textCol)), 2)).as("_g"))
+      .groupBy(col("_g")).agg(count(lit(1)).as("_c12"))
+    val vdf = uni.agg((count(lit(1)) + lit(1)).cast("double").as("_v"))
+    val dg = graft.engine.Engine.spread(docs)
+      .select(col(idCol).as("_id"),
+        explode(shingles(tokens(col(textCol)), 2)).as("_g"))
+      .withColumn("_w1", element_at(split(col("_g"), " "), 1))
+      .join(uni, Seq("_w1"), "left")
+      .join(bi, Seq("_g"), "left")
+      .crossJoin(broadcast(vdf))
+    val p = (coalesce(col("_c12"), lit(0L)).cast("double") + lit(1.0)) /
+      (coalesce(col("_c1"), lit(0L)).cast("double") + col("_v"))
+    val fixed = floor((lit(0.0) - call_function("graft_ln", p)) *
+      lit(1073741824.0)).cast("long")
+    dg.select(col("_id"), fixed.as("_fx"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("n_bigrams"))
+      .select(col("_id").as(idCol), col("n_bigrams"),
+        ((col("_sfx").cast("double") / col("n_bigrams").cast("double")) /
+          lit(1073741824.0)).as("mean_nll"))
+  }
+
   /** Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009, §3.3, with
     * Lucene's non-negative `ln(1 + (N-df+0.5)/(df+0.5))` idf): rank the
     * top `k` documents for each query in a SMALL query table (broadcast

@@ -372,6 +372,31 @@ class TextOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("lmScore: textbook add-one bigram probabilities, OOV fallback") {
+    import spark.implicits._
+    // ref "a b a b": uni a→2 b→2 (V = 2 types + 1 = 3);
+    // bigrams "a b"→2, "b a"→1.
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"), // P(b|a) = (2+1)/(2+3), P(c|b) = (0+1)/(2+3)
+      (2L, "z z"),   // OOV context: P(z|z) = (0+1)/(0+3)
+      (3L, "a")      // no bigrams → absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    def fx(p: Double): Long =
+      math.floor(-math.log(p) * 1073741824.0).toLong
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 2)
+    assert(out(1L)._2 ==
+      (fx(3.0 / 5.0) + fx(1.0 / 5.0)).toDouble / 2.0 / 1073741824.0)
+    assert(out(2L)._1 == 1)
+    assert(out(2L)._2 == fx(1.0 / 3.0).toDouble / 1073741824.0)
+    // the fluent doc scores strictly better (lower NLL) than OOV noise
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
   test("bm25TopK matches a hand-computed reference on a tiny corpus") {
     import spark.implicits._
     val docs = Seq(
