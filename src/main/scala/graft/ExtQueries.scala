@@ -1273,6 +1273,64 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // TF-IDF keywords: top-3 terms per document, smoothed idf via
+  // graft_ln — scores are single products (no float sums), so the
+  // oracle reproduces them bit-for-bit with no fixed-point step.
+  // ---------------------------------------------------------------------
+  def xTextKeywords(s: SparkSession, dir: String): DataFrame =
+    TextOps.keywordsTfidf(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rnk"))
+
+  val xTextKeywordsSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+       |      SELECT doc_id, unnest(toks) AS term FROM tok)
+       |    GROUP BY doc_id, term),
+       |  dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |  ns AS (SELECT COUNT(*) AS n FROM documents),
+       |  sc AS (SELECT doc_id, term,
+       |      CAST(tf AS DOUBLE) * ln((CAST(n AS DOUBLE) + 1.0)
+       |        / (CAST(df AS DOUBLE) + 1.0)) AS score
+       |    FROM tf JOIN dfs USING (term) CROSS JOIN ns),
+       |  r AS (SELECT doc_id, term, score,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, term) AS rnk
+       |    FROM sc)
+       |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, score
+       |FROM r WHERE rnk <= 3
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Ordered funnel over the events table: view → click → purchase with
+  // first-touch / earliest-completion semantics. The oracle stages the
+  // same min-after-previous aggregates through CTEs.
+  // ---------------------------------------------------------------------
+  def xEventsFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ext.EventOps.funnel(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
+  val xEventsFunnelSql: String =
+    """WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |    WHERE event_type = 'view' GROUP BY user_id),
+      |  u2 AS (SELECT u1.user_id, u1.t1, MIN(e.ts) AS t2
+      |    FROM u1 LEFT JOIN events e
+      |      ON e.user_id = u1.user_id AND e.event_type = 'click'
+      |        AND e.ts > u1.t1
+      |    GROUP BY u1.user_id, u1.t1),
+      |  u3 AS (SELECT u2.user_id, u2.t1, u2.t2, MIN(e.ts) AS t3
+      |    FROM u2 LEFT JOIN events e
+      |      ON e.user_id = u2.user_id AND e.event_type = 'purchase'
+      |        AND e.ts > u2.t2
+      |    GROUP BY u2.user_id, u2.t1, u2.t2)
+      |SELECT user_id, t1, t2, t3,
+      |  CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END)
+      |     + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+      |     + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END)
+      |    AS INTEGER) AS steps_completed
+      |FROM u3 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Bigram-LM fluency score: train the add-one LM on the src0 slice,
   // score every document. The oracle retrains the identical counts and
   // reproduces each mean-NLL bit-for-bit (graft_ln + fixed-point sums).

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events stream/table — the product-
+  * analytics operator family (funnels; sessionization lives in
+  * `Queries.qEventsSessions`, windowed rates in `qEventsHourly`).
+  *
+  * Reference provenance: the reference's event pipelines stop at
+  * grouped counts; funnels are part of the §2.10 "what a real consumer
+  * of this engine asks next" surface, same as the dedup/similarity
+  * families.
+  */
+object EventOps {
+
+  /** Classic ordered funnel: for each user, the earliest time of step 1,
+    * then the earliest step-2 event STRICTLY AFTER that, then the
+    * earliest step-3 event strictly after step 2, and so on ("first
+    * touch, earliest completion" semantics — deterministic, the standard
+    * product-analytics definition). Users who never fire step 1 are
+    * absent; users who stall mid-funnel keep NULL for the later stage
+    * times. `steps_completed` counts the non-NULL stages.
+    *
+    * Scale shape: one filtered min-aggregate per stage plus a join per
+    * transition, all keyed on the user column — n-1 shuffles for an
+    * n-step funnel, each carrying one row per surviving user (funnels
+    * only narrow). The event scan is pruned to (user, ts, type). No
+    * window over the raw event stream — at 100 TB per-user event lists
+    * can be huge, but per-user AGGREGATES are one row each. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct: $steps")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("t1"))
+    val full = steps.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (st, i)) =>
+        val prevT = s"t${i + 1}"
+        val curT = s"t${i + 2}"
+        val nxt = events.filter(col(typeCol) === st)
+          .select(col(userCol).as("_u2"), col(tsCol).as("_ts"))
+        val keyCols = col("_u") +: (1 to i + 1).map(j => col(s"t$j"))
+        acc.join(nxt,
+            col("_u") === col("_u2") && col("_ts") > col(prevT), "left")
+          .groupBy(keyCols: _*)
+          .agg(min(col("_ts")).as(curT))
+    }
+    val stepCols = (1 to steps.size).map(j => col(s"t$j"))
+    full.withColumn("steps_completed",
+        stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+      .select((col("_u").as(userCol) +: stepCols :+
+        col("steps_completed")): _*)
+  }
+}

@@ -570,6 +570,42 @@ object TextOps {
       regexp_replace(c, pat, rep)
     }
 
+  /** Top-k TF-IDF keywords per document (Salton & Buckley 1988 weights,
+    * smoothed idf = ln((N+1)/(df+1)) so even corpus-wide terms score
+    * ≥ 0): the classic document-tagging / feature-extraction primitive.
+    * Deterministic and oracle-exact WITHOUT fixed-point machinery —
+    * each score is a single product of correctly-rounded terms (tf ·
+    * graft_ln(exact division)), no cross-row float sums exist; ranking
+    * ties break to the lexicographically smaller term.
+    *
+    * Scale shape: one (id, term) tf shuffle; df is a vocabulary-sized
+    * aggregate REUSING the tf exchange (AQE stage reuse, same shape as
+    * [[bm25TopK]]); N rides along as a broadcast 1-row aggregate; the
+    * constant rank bound prunes map-side (WindowGroupLimit). */
+  def keywordsTfidf(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val tf = graft.engine.Engine.spread(df)
+      .select(col(idCol).as("_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("_id"), col("term")).agg(count(lit(1)).as("_tf"))
+    val dfs = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("_df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val idf = call_function("graft_ln",
+      (col("_n").cast("double") + lit(1.0)) /
+        (col("_df").cast("double") + lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfs, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("_tf").cast("double") * idf)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("_id").as(idCol), col("rnk"), col("term"), col("score"))
+  }
+
   /** Bigram-LM fluency scoring — the CCNet quality signal (Wenzek et
     * al. 2020 score with a language-model trained on a trusted corpus,
     * then filter/bucket by perplexity; KenLM's n-gram counts reduced to

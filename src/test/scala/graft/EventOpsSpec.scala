@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.EventOps
+
+/** Ordered-funnel semantics: first touch, earliest completion, strict
+  * ordering, mid-funnel stalls, no-entry exclusion. */
+class EventOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: ordering, stalls, and entry semantics") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: full conversion, with an out-of-order click decoy first
+      (1L, ts("2024-01-01 09:00:00"), "click"),    // BEFORE the view: ignored
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 10:30:00"), "view"),     // later view: first touch wins
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2: stalls after click (no purchase)
+      (2L, ts("2024-01-02 10:00:00"), "view"),
+      (2L, ts("2024-01-02 10:05:00"), "click"),
+      // user 3: purchase BEFORE any view — never enters, purchase ignored
+      (3L, ts("2024-01-03 08:00:00"), "purchase"),
+      (3L, ts("2024-01-03 09:00:00"), "view"),
+      // user 4: only clicks — no view, absent from the funnel
+      (4L, ts("2024-01-04 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3),
+          r.getInt(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == (ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00"), 3))
+    assert(out(2L)._3 == null && out(2L)._4 == 2)
+    // user 3: view at 09:00, no click after it → steps = 1, t2/t3 null
+    assert(out(3L) == (ts("2024-01-03 09:00:00"), null, null, 1))
+  }
+
+  test("funnel narrows monotonically on the fixture") {
+    val events = graft.engine.Engine.table(spark, fixtureDir, "events")
+    val out = EventOps.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).cache()
+    try {
+      val n1 = out.filter(col("t1").isNotNull).count()
+      val n2 = out.filter(col("t2").isNotNull).count()
+      val n3 = out.filter(col("t3").isNotNull).count()
+      assert(n1 >= n2 && n2 >= n3, s"funnel must narrow: $n1/$n2/$n3")
+      assert(n1 == out.count())
+    } finally out.unpersist()
+  }
+
+  test("keywordsTfidf ranks document-specific terms above ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common common yak"),
+      (3L, "common wolf wolf")).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.keywordsTfidf(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+    // "common" appears in every doc → idf = ln(4/4) = 0 → scores 0;
+    // the distinctive animal always wins rank 1.
+    assert(out((1L, 1)) == "zebra")
+    assert(out((2L, 1)) == "yak")
+    assert(out((3L, 1)) == "wolf")
+    // rank 2 is the zero-scoring ubiquitous term (ties → lexicographic)
+    assert(out((1L, 2)) == "common")
+  }
+}
