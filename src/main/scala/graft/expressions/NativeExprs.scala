@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions._
@@ -59,6 +59,17 @@ object NativeExprs {
     reg("graft_hash_tokens", { case Seq(c) => TokenHashes(c) })
     reg("graft_del_variants", { case Seq(c) => DeletionVariants(c) })
     reg("graft_ln", { case Seq(c) => GraftLn(c) })
+    reg("graft_lm_nll", {
+      case Seq(c, Literal(uk: ArrayData, ArrayType(LongType, _)),
+               Literal(uv: ArrayData, ArrayType(LongType, _)),
+               Literal(bk: ArrayData, ArrayType(LongType, _)),
+               Literal(bv: ArrayData, ArrayType(LongType, _)),
+               Literal(v: Double, DoubleType)) =>
+        LmNllFixed(c, uk.toLongArray(), uv.toLongArray(),
+          bk.toLongArray(), bv.toLongArray(), v)
+      case other => throw new IllegalArgumentException(
+        "graft_lm_nll(arr, ukLit, uvLit, bkLit, bvLit, vLit), got " + other)
+    })
     reg("graft_any_in_set", {
       case Seq(c, Literal(arr: ArrayData, ArrayType(LongType, _))) =>
         AnyInSortedSet(c, arr.toLongArray())
@@ -75,6 +86,44 @@ object NativeExprs {
     var j = 0
     while (j < n) { acc = mix(acc ^ (hs(start + j) * 0x9E3779B97F4A7C15L)); j += 1 }
     acc
+  }
+
+  /** [[combineWindow]] over Catalyst ArrayData (no copy). */
+  @inline final def combineWindowAD(
+      hs: org.apache.spark.sql.catalyst.util.ArrayData, start: Int,
+      n: Int): Long = {
+    var acc = 0x2545F4914F6CDD1DL
+    var j = 0
+    while (j < n) { acc = mix(acc ^ (hs.getLong(start + j) * 0x9E3779B97F4A7C15L)); j += 1 }
+    acc
+  }
+
+  /** Shared eval core for [[LmNllFixed]] — called from BOTH the
+    * interpreted path and generated code (the DeletionVariants static-
+    * call pattern). Returns null for docs with fewer than two tokens
+    * (no bigrams — mirroring the batch op's absence semantics). The
+    * arithmetic per bigram is EXACTLY `TextOps.lmScore`'s:
+    * p = (c12 + 1.0) / (c1 + V), fixed = floor(−ln(p)·2³⁰), with
+    * `Math.log` (the platform-libm intrinsic GraftLn standardizes on). */
+  def lmNllFixed(hs: org.apache.spark.sql.catalyst.util.ArrayData,
+                 uniKeys: Array[Long], uniVals: Array[Long],
+                 biKeys: Array[Long], biVals: Array[Long],
+                 v: Double): InternalRow = {
+    val n = hs.numElements()
+    if (n < 2) return null
+    var sfx = 0L
+    var i = 0
+    while (i < n - 1) {
+      val iu = java.util.Arrays.binarySearch(uniKeys, hs.getLong(i))
+      val c1 = if (iu >= 0) uniVals(iu) else 0L
+      val ib = java.util.Arrays.binarySearch(biKeys, combineWindowAD(hs, i, 2))
+      val c12 = if (ib >= 0) biVals(ib) else 0L
+      val p = (c12.toDouble + 1.0) / (c1.toDouble + v)
+      sfx += java.lang.Math.floor(-java.lang.Math.log(p) *
+        1073741824.0).toLong
+      i += 1
+    }
+    InternalRow(sfx, n - 1)
   }
 }
 
@@ -547,6 +596,62 @@ case class AnyInSortedSet(child: Expression, set: Array[Long])
          |    $found = true;
          |}
          |${ev.value} = $found;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Per-document bigram-LM NLL in one pass over the token-hash array —
+  * the STREAM-SAFE form of `TextOps.lmScore`: the add-one-smoothed
+  * count tables ride along as sorted literal arrays (hash → count,
+  * `ctx.addReferenceObj`, same contract as [[AnyInSortedSet]]'s
+  * benchmark set), each bigram costs two binary searches plus the
+  * identical `floor(−ln(p)·2³⁰)` fixed-point arithmetic, and the
+  * result is a `struct(sfx, n_bigrams)` — a pure projection with no
+  * join, no shuffle, no state, so it runs unchanged on a structured
+  * stream. Docs with fewer than two tokens yield NULL (absent in the
+  * batch op). Same honest caveat as the streaming decontamination
+  * probe: 64-bit hash collisions can alias a count lookup; the
+  * string-keyed batch op remains the authority. */
+case class LmNllFixed(child: Expression, uniKeys: Array[Long],
+                      uniVals: Array[Long], biKeys: Array[Long],
+                      biVals: Array[Long], v: Double)
+    extends UnaryExpression {
+
+  require(uniKeys.length == uniVals.length &&
+    biKeys.length == biVals.length,
+    "graft_lm_nll: key/value arrays must align")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_lm_nll expects array<bigint> token hashes, got $dt")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("sfx", LongType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lm_nll"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.lmNllFixed(input.asInstanceOf[ArrayData],
+      uniKeys, uniVals, biKeys, biVals, v)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val uk = ctx.addReferenceObj("graftLmUk", uniKeys, "long[]")
+      val uv = ctx.addReferenceObj("graftLmUv", uniVals, "long[]")
+      val bk = ctx.addReferenceObj("graftLmBk", biKeys, "long[]")
+      val bv = ctx.addReferenceObj("graftLmBv", biVals, "long[]")
+      val r = ctx.freshName("lmRow")
+      s"""
+         |InternalRow $r = graft.expressions.NativeExprs.lmNllFixed(
+         |  $c, $uk, $uv, $bk, $bv, $v);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
 

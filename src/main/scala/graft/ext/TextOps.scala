@@ -659,6 +659,77 @@ object TextOps {
           lit(1073741824.0)).as("mean_nll"))
   }
 
+  /** Hashed bigram-LM model for the stream-safe scorer: sorted
+    * (xxhash64/combined hash → count) arrays plus the smoothing mass V,
+    * foldable into a plan as literals. */
+  final case class LmModel(uniKeys: Array[Long], uniVals: Array[Long],
+                           biKeys: Array[Long], biVals: Array[Long],
+                           v: Double)
+
+  /** Train the hashed model for [[streamLmScore]] from the trusted
+    * reference slice — the SAME counts [[lmScore]] aggregates, with
+    * words keyed by xxhash64 (seed 42, `graft_hash_tokens`' hash) and
+    * bigrams by the shingle-window combine, collected driver-side and
+    * sorted for binary search. Bounded collect BY CONTRACT: the tables
+    * are vocabulary-sized (unigram types + observed bigram types), the
+    * same bound that lets KenLM models ship to every worker as files —
+    * here they ship inside the plan. Fails loudly on a 64-bit key
+    * collision (none can occur until vocabularies reach ~2³² types;
+    * at fixture scale it would indicate a hashing bug). */
+  def lmTrainHashed(ref: DataFrame, textCol: String): LmModel = {
+    import graft.expressions.NativeExprs
+    def hashWord(w: String): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), 42L)
+    def sortedCounts(rows: Array[(Long, Long)],
+                     what: String): (Array[Long], Array[Long]) = {
+      val s = rows.sortBy(_._1)
+      s.iterator.sliding(2).withPartial(false).foreach { w =>
+        require(w.head._1 != w.last._1,
+          s"graft lm: 64-bit $what key collision — refusing a lossy model")
+      }
+      (s.map(_._1), s.map(_._2))
+    }
+    val uni = ref.select(explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (hashWord(r.getString(0)), r.getLong(1)))
+    val bi = ref.select(explode(shingles(tokens(col(textCol)), 2)).as("_g"))
+      .groupBy(col("_g")).agg(count(lit(1)).as("_c"))
+      .collect().map { r =>
+        val ws = r.getString(0).split(' ')
+        val hs = Array(hashWord(ws(0)), hashWord(ws(1)))
+        (NativeExprs.combineWindow(hs, 0, 2), r.getLong(1))
+      }
+    val (uk, uv) = sortedCounts(uni, "unigram")
+    val (bk, bv) = sortedCounts(bi, "bigram")
+    LmModel(uk, uv, bk, bv, uni.length.toDouble + 1.0)
+  }
+
+  /** The per-document (sfx, n_bigrams) struct of [[streamLmScore]] as a
+    * raw column — usable directly in a streaming filter predicate. */
+  def lmNllStruct(textCol: Column, model: LmModel): Column =
+    call_function("graft_lm_nll",
+      call_function("graft_hash_tokens", tokens(textCol)),
+      lit(model.uniKeys), lit(model.uniVals),
+      lit(model.biKeys), lit(model.biVals), lit(model.v))
+
+  /** STREAM-SAFE [[lmScore]]: identical output schema and (absent hash
+    * collisions) identical values, but as a pure projection — token
+    * hashes probed against the literal-folded model, no join, no
+    * shuffle, no state — so a fluency gate can sit in the same
+    * streaming DAG as the quarantine/decontamination/blocklist
+    * predicates. Docs with fewer than two tokens are dropped (absent
+    * from the batch op too). */
+  def streamLmScore(df: DataFrame, idCol: String, textCol: String,
+                    model: LmModel): DataFrame =
+    df.withColumn("_lm", lmNllStruct(col(textCol), model))
+      .filter(col("_lm").isNotNull)
+      .select(col(idCol),
+        col("_lm.n_bigrams").cast("long").as("n_bigrams"),
+        ((col("_lm.sfx").cast("double") /
+          col("_lm.n_bigrams").cast("double")) /
+          lit(1073741824.0)).as("mean_nll"))
+
   /** Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009, §3.3, with
     * Lucene's non-negative `ln(1 + (N-df+0.5)/(df+0.5))` idf): rank the
     * top `k` documents for each query in a SMALL query table (broadcast

@@ -155,6 +155,27 @@ class CodegenHealthSpec extends SparkSpec {
     assert(edge.getDouble(2).isNaN)
   }
 
+  test("graft_lm_nll compiles stacked and matches interpreted eval") {
+    import spark.implicits._
+    val model = graft.ext.TextOps.lmTrainHashed(
+      Seq("a b a b", "a c").toDF("text"), "text")
+    val df = Seq("a b c", "z z z", "a", "").toDF("text")
+    df.createOrReplaceTempView("cg_lm")
+    def nll = graft.ext.TextOps.lmNllStruct(col("text"), model)
+    assertNoCodegenErrors {
+      val stacked = df.filter(nll.isNotNull && nll.getField("sfx") >= 0L)
+      assert(stacked.count() == 2) // "a" and "" have no bigrams → null
+    }
+    val sql = df.select(nll.as("s"))
+    val generated = sql.collect()
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = sql.collect()
+      assert(generated.toSeq == interpreted.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
   test("codegen results match interpreted eval on the stacked shapes") {
     import spark.implicits._
     val df = Seq((Array(11L, 22L, 33L, 44L, 55L), Array("a", "bb")))

@@ -129,6 +129,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected) // stateless literal-set filter == join twin
   }
 
+  test("stream LM fluency score equals the batch join twin on the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val documents = graft.engine.Engine.table(spark, fixtureDir, "documents")
+    val ref = documents.filter(col("source") === "src0")
+    val model = graft.ext.TextOps.lmTrainHashed(ref, "text")
+    val expected = graft.ext.TextOps
+      .lmScore(documents, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val docs = documents.select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val scored = graft.ext.TextOps.streamLmScore(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    val q = scored.writeStream.format("memory")
+      .queryName("lm_stream").outputMode("append").start()
+    stream.addData(docs.take(250)); q.processAllAvailable()
+    stream.addData(docs.drop(250)); q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id, n_bigrams, mean_nll FROM lm_stream")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // bit-exact equality: hash probes + literal model reproduce the
+    // string-keyed join arithmetic (no collisions at fixture vocab)
+    assert(got == expected)
+  }
+
   test("deterministic hash split/sample are stateless and stream-safe") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
