@@ -157,9 +157,10 @@ object SplitJob {
 
 /** The LLM-ingest pipeline as ONE streaming DAG (SURVEY §2.9 + §2.10
   * composed): quality quarantine → benchmark decontamination → phrase
-  * blocklist → deterministic split → K9 keyed upsert. Every transform
-  * stage is a stateless codegen'd projection or filter (flagRows,
-  * isContaminated, containsBlockedPhrase, hashSplit) — no streaming
+  * blocklist → optional LM fluency gate → deterministic split → K9
+  * keyed upsert. Every transform stage is a stateless codegen'd
+  * projection or filter (flagRows, isContaminated,
+  * containsBlockedPhrase, lmNllStruct, hashSplit) — no streaming
   * aggregation state anywhere — so identical logic runs on a batch frame
   * (the tested twin) and a structured stream. Durability comes from the
   * sink side alone: the checkpointed file-source offset log plus the
@@ -171,6 +172,7 @@ object SplitJob {
   * args: <inDir> <schemaDDL> <idCol> <textCol> <rulesSpec>
   *       <benchParquet|-> <phrasesFile|-> <storeDir> <quarantineDir>
   *       <checkpointDir> [testFrac=0.05] [validFrac=0.05]
+  *       [lmRefParquet|-] [maxMeanNll=+inf]
   * rulesSpec uses [[QualityGateJob.parseRule]] syntax; '-' disables the
   * corresponding stage. */
 object StreamIngestJob {
@@ -185,7 +187,10 @@ object StreamIngestJob {
                      benchGramHashes: Array[Long],
                      blockedPhrases: Seq[String],
                      testFrac: Double = 0.05,
-                     validFrac: Double = 0.05): DataFrame = {
+                     validFrac: Double = 0.05,
+                     lmModel: Option[TextOps.LmModel] = None,
+                     maxMeanNll: Double = Double.PositiveInfinity)
+      : DataFrame = {
     val decon =
       if (benchGramHashes.isEmpty) df
       else df.filter(
@@ -193,7 +198,18 @@ object StreamIngestJob {
     val unblocked =
       if (blockedPhrases.isEmpty) decon
       else TextOps.filterBlocked(decon, textCol, blockedPhrases)
-    Split.hashSplit(unblocked, idCol,
+    // Fluency gate (CCNet-style): mean bigram NLL vs the trusted-slice
+    // LM must stay under the cap. Docs with no bigrams pass (the
+    // quality rules own degenerate-document policy); a pure stream-safe
+    // projection like every other stage (graft_lm_nll).
+    val fluent = lmModel.fold(unblocked) { m =>
+      val s = TextOps.lmNllStruct(col(textCol), m)
+      unblocked.filter(s.isNull ||
+        ((s.getField("sfx").cast("double") /
+          s.getField("n_bigrams").cast("double")) /
+          lit(1073741824.0)) <= maxMeanNll)
+    }
+    Split.hashSplit(fluent, idCol,
       Seq("test" -> testFrac, "valid" -> validFrac))
   }
 
@@ -205,14 +221,16 @@ object StreamIngestJob {
                       benchGramHashes: Array[Long],
                       blockedPhrases: Seq[String],
                       testFrac: Double = 0.05,
-                      validFrac: Double = 0.05)
+                      validFrac: Double = 0.05,
+                      lmModel: Option[TextOps.LmModel] = None,
+                      maxMeanNll: Double = Double.PositiveInfinity)
       : (DataFrame, DataFrame) = {
     val flagged = Checks.flagRows(df, rules)
     val bad = flagged.filter(size(col("violations")) > 0)
     val clean = flagged.filter(size(col("violations")) === 0)
       .drop("violations")
     (bad, cleanTransform(clean, idCol, textCol, benchGramHashes,
-      blockedPhrases, testFrac, validFrac))
+      blockedPhrases, testFrac, validFrac, lmModel, maxMeanNll))
   }
 
   /** Start the streaming query: quarantine to parquet, kept rows to the
@@ -225,6 +243,8 @@ object StreamIngestJob {
             store: graft.sinks.Upsert.KeyedStore,
             quarantineDir: String, checkpointDir: String,
             testFrac: Double = 0.05, validFrac: Double = 0.05,
+            lmModel: Option[TextOps.LmModel] = None,
+            maxMeanNll: Double = Double.PositiveInfinity,
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -234,7 +254,8 @@ object StreamIngestJob {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
-          benchGramHashes, blockedPhrases, testFrac, validFrac)
+          benchGramHashes, blockedPhrases, testFrac, validFrac,
+          lmModel, maxMeanNll)
         if (!bad.isEmpty)
           Sinks.writeParquet(bad, quarantineDir, "append")
         if (!kept.isEmpty)
@@ -265,10 +286,17 @@ object StreamIngestJob {
     val stream = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
       .parquet(in)
+    // Fluency model trained batch-side before the stream starts, like
+    // the gram/phrase constants.
+    val lmModel = rest.lift(2).filter(_ != "-").map(p =>
+      TextOps.lmTrainHashed(Sources.readParquet(spark, p), textCol))
     val q = start(stream, idCol, textCol, rules, grams, phrases,
       new graft.sinks.Upsert.FileStore(storeDir), quarantineDir, cp,
       testFrac = rest.headOption.map(_.toDouble).getOrElse(0.05),
-      validFrac = rest.lift(1).map(_.toDouble).getOrElse(0.05))
+      validFrac = rest.lift(1).map(_.toDouble).getOrElse(0.05),
+      lmModel = lmModel,
+      maxMeanNll = rest.lift(3).map(_.toDouble)
+        .getOrElse(Double.PositiveInfinity))
     q.awaitTermination()
   }
   def main(args: Array[String]): Unit =

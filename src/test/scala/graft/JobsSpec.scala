@@ -159,6 +159,46 @@ class JobsSpec extends SparkSpec {
       s"quarantine=$quarantined twin=$twinQ")
   }
 
+  test("ingest fluency gate drops reference-unlike docs, stream == batch twin") {
+    import spark.implicits._
+    import graft.jobs.StreamIngestJob
+    import graft.ext.TextOps
+    val base = s"$ws/si_lm"
+    val (landing, storeDir, quarantine, cp) =
+      (s"$base/landing", s"$base/store", s"$base/quarantine", s"$base/cp")
+    val ddl = "doc_id LONG, text STRING"
+    // Reference LM: fluent "spark" prose; the gibberish doc's bigrams
+    // are all OOV → its mean NLL is far above the fluent docs'.
+    val ref = Seq("the spark engine runs the query",
+      "the engine runs the spark job").toDF("text")
+    ref.write.mode("overwrite").parquet(s"$base/ref")
+    val model = TextOps.lmTrainHashed(ref, "text")
+    val docs = Seq(
+      (1L, "the spark engine runs the job"),
+      (2L, "zq xv bnw ql zzt prw mmx"), // OOV gibberish → gated
+      (3L, "the engine runs the query"))
+    // Threshold between the fluent docs' scores and the gibberish's.
+    val scores = TextOps.streamLmScore(docs.toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(2L) > scores(1L) && scores(2L) > scores(3L))
+    val cap = (scores.values.max + scores.values.min) / 2
+    docs.toDF("doc_id", "text").write.parquet(landing)
+    StreamIngestJob.run(spark, Array(landing, ddl, "doc_id", "text",
+      "not_null:text", "-", "-", storeDir, quarantine, cp,
+      "0.05", "0.05", s"$base/ref", cap.toString))
+    val storedIds = new java.io.File(storeDir).listFiles()
+      .map(_.getName.stripSuffix(".json")).toSet
+    val (_, twinKept) = StreamIngestJob.routedTransform(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      Seq(graft.transform.Checks.notNull("text")), Array.empty, Seq.empty,
+      lmModel = Some(model), maxMeanNll = cap)
+    val twinIds = twinKept.select("doc_id").collect()
+      .map(_.getLong(0).toString).toSet
+    assert(twinIds == Set("1", "3"), s"twin kept $twinIds")
+    assert(storedIds == twinIds, s"store=$storedIds twin=$twinIds")
+  }
+
   test("incremental ingest processes only newly landed files per run") {
     val base = s"$ws/incr"
     val (landing, out, cp) = (s"$base/landing", s"$base/table", s"$base/cp")
