@@ -324,4 +324,50 @@ object TransformQueries {
       |               format='newline_delimited')
       |WHERE o_orderstatus = 'F'
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Winsorization (W3-adjacent numeric cleaning): clip l_extendedprice
+  // to its [5%, 95%] exact-percentile band, summarized per returnflag
+  // with exact-safe aggregates only (integer clip counts, band edges,
+  // min/max of the clipped column — deliberately NO sums of the
+  // winsorized doubles: percentile edges carry ~17 significant digits
+  // and the decimal-cast accumulator would face manufactured rounding
+  // ties; see Queries.scala's header).
+  // ---------------------------------------------------------------------
+  def tWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = graft.transform.Sanitize.winsorize(
+      graft.engine.Engine.table(s, dir, "lineitem"),
+      "l_extendedprice", lo = 0.05, hi = 0.95)
+    w.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <
+          col("l_extendedprice_lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("l_extendedprice") >
+          col("l_extendedprice_hi"), 1L).otherwise(0L)).as("n_hi"),
+        min(col("l_extendedprice_wins")).as("min_wins"),
+        max(col("l_extendedprice_wins")).as("max_wins"),
+        first(col("l_extendedprice_lo")).as("p_lo"),
+        first(col("l_extendedprice_hi")).as("p_hi"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val tWinsorizeSql: String =
+    """WITH b AS (SELECT
+      |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS plo,
+      |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS phi
+      |  FROM lineitem),
+      |  w AS (SELECT l_returnflag, l_extendedprice, plo, phi,
+      |    least(greatest(CAST(l_extendedprice AS DOUBLE), plo), phi)
+      |      AS wins
+      |  FROM lineitem CROSS JOIN b)
+      |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN l_extendedprice < plo THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_lo,
+      |  CAST(SUM(CASE WHEN l_extendedprice > phi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hi,
+      |  MIN(wins) AS min_wins, MAX(wins) AS max_wins,
+      |  ANY_VALUE(plo) AS p_lo, ANY_VALUE(phi) AS p_hi
+      |FROM w GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 }

@@ -63,6 +63,33 @@ object Sanitize {
   /** W6 — stringify every cell for export: timestamps → ISO, null → "",
     * everything else → `cast(string)` (`core/utils/sheets_core.py:194-209`).
     */
+  /** Winsorize a numeric column: clip values outside the [lo, hi]
+    * exact-percentile band to the band edges (Tukey's outlier-taming
+    * transform — the numeric-cleaning analog of the text quality
+    * filters; `value < p_lo → p_lo`, `value > p_hi → p_hi`). Appends
+    * `<col>_wins` (double) plus the band edges, leaving the raw column
+    * intact for audit.
+    *
+    * Scale shape: one exact-percentile aggregate (a per-partition sort
+    * at fixture scale — swap `percentile` for `approx_percentile`'s
+    * t-digest at 100 TB, same plan shape) cross-joined back as a
+    * broadcast 1-row frame; the clip itself is a narrow projection.
+    * Exact `percentile` matches DuckDB's `quantile_cont` (the
+    * q_percentiles-proven pairing), so the edges are oracle-exact. */
+  def winsorize(df: DataFrame, valueCol: String, lo: Double = 0.01,
+                hi: Double = 0.99): DataFrame = {
+    require(lo >= 0.0 && lo < hi && hi <= 1.0, s"bad band [$lo, $hi]")
+    val bounds = df.agg(
+      expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $lo)").as("_plo"),
+      expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $hi)").as("_phi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col(valueCol).cast("double"), col("_plo")),
+          col("_phi")))
+      .withColumnRenamed("_plo", s"${valueCol}_lo")
+      .withColumnRenamed("_phi", s"${valueCol}_hi")
+  }
+
   def stringifyForExport(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
       val c = f.dataType match {

@@ -94,4 +94,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("bm25/keywords: df aggregation reuses the tf exchange (one postings pass)") {
+    // The scaladocs claim AQE stage reuse dedupes the df branch onto the
+    // tf shuffle — pin it so a refactor can't silently double the
+    // corpus-scan cost. Reuse nodes only appear in the FINAL adaptive
+    // plan, hence collect() first.
+    Seq(ExtQueries.xTextBm25 _, ExtQueries.xTextKeywords _).foreach { q =>
+      val df = q(spark, fixtureDir)
+      df.collect()
+      val p = plan(df)
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        s"expected exchange reuse in the final adaptive plan:\n$p")
+    }
+  }
+
+  test("funnel: per-stage aggregates, no window over raw event lists") {
+    val df = ExtQueries.xEventsFunnel(spark, fixtureDir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Window"), s"funnel must not window raw events:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
 }

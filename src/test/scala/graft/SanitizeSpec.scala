@@ -74,4 +74,22 @@ class SanitizeSpec extends SparkSpec {
     assert(out.schema("n").dataType.typeName == "integer")
     assert(out.collect()(0).getString(0) == "2024-01-02T03:04:05")
   }
+
+  test("winsorize clips to the exact-percentile band, raw column intact") {
+    import spark.implicits._
+    // values 1..10: p10 = 1.9, p90 = 9.1 (exact interpolated percentile)
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val out = graft.transform.Sanitize.winsorize(df, "v", 0.1, 0.9)
+      .collect().map(r => (r.getAs[Double]("v"), r.getAs[Double]("v_wins"),
+        r.getAs[Double]("v_lo"), r.getAs[Double]("v_hi")))
+    out.foreach { case (_, _, lo, hi) =>
+      assert(lo == 1.9 && hi == 9.1, s"band ($lo, $hi)")
+    }
+    out.foreach { case (v, w, _, _) =>
+      val expect = math.min(math.max(v, 1.9), 9.1)
+      assert(w == expect, s"v=$v wins=$w")
+      assert(v == out.find(_._1 == v).get._1) // raw survives
+    }
+    assert(out.count { case (v, w, _, _) => v != w } == 2) // 1 and 10
+  }
 }
