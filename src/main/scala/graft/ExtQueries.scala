@@ -1371,6 +1371,33 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Duplication report: the cluster-size histogram of the near-dup
+  // graph — the first number a data engineer asks of a corpus ("how
+  // much duplication, in what shape?"). Sizes come from the same
+  // oracled component closure as x_dedup_cc; n_docs = size × count
+  // cross-checks the histogram against the corpus mass.
+  // ---------------------------------------------------------------------
+  def xDedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val comps = DedupOps.connectedComponents(
+      DedupOps.nearDupPairsMinhash(clonedDocs(s, dir), "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8))
+    comps.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val xDedupClusterSizesSql: String =
+    s"""WITH $ccCtesSql
+       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+       |FROM (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |      FROM comp GROUP BY component)
+       |GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Token-budget mixture: src0 to ~half its tokens (boundary doc
   // included), src1 to a small budget, src3's budget exceeds the
   // stratum (kept whole), every other source dropped. The oracle
