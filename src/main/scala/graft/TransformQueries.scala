@@ -336,8 +336,12 @@ object TransformQueries {
   // ---------------------------------------------------------------------
   def tWinsorize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // spread: the single-row-group fixture would otherwise run the
+    // percentile aggregate's map side as one task (block-sized files
+    // parallelize natively at scale).
     val w = graft.transform.Sanitize.winsorize(
-      graft.engine.Engine.table(s, dir, "lineitem"),
+      graft.engine.Engine.spread(
+        graft.engine.Engine.table(s, dir, "lineitem")),
       "l_extendedprice", lo = 0.05, hi = 0.95)
     w.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),

@@ -79,9 +79,14 @@ object Sanitize {
   def winsorize(df: DataFrame, valueCol: String, lo: Double = 0.01,
                 hi: Double = 0.99): DataFrame = {
     require(lo >= 0.0 && lo < hi && hi <= 1.0, s"bad band [$lo, $hi]")
+    // BOTH percentiles from one aggregate call: `percentile` builds a
+    // value→count map per buffer, so two separate calls would pay the
+    // build+merge+sort twice for the same column.
     val bounds = df.agg(
-      expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $lo)").as("_plo"),
-      expr(s"percentile(CAST(`$valueCol` AS DOUBLE), $hi)").as("_phi"))
+        expr(s"percentile(CAST(`$valueCol` AS DOUBLE), array($lo, $hi))")
+          .as("_pband"))
+      .select(element_at(col("_pband"), 1).as("_plo"),
+        element_at(col("_pband"), 2).as("_phi"))
     df.crossJoin(broadcast(bounds))
       .withColumn(s"${valueCol}_wins",
         least(greatest(col(valueCol).cast("double"), col("_plo")),
