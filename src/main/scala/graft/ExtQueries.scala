@@ -1273,6 +1273,81 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // PMI collocations: global top-20 bigram collocations with min count
+  // 5 — each PMI is one graft_ln over exact divisions, no float sums.
+  // ---------------------------------------------------------------------
+  def xTextPmi(s: SparkSession, dir: String): DataFrame =
+    TextOps.collocationsPmi(t(s, dir, "documents"), "text",
+      k = 20, minCount = 5L)
+
+  val xTextPmiSql: String =
+    s"""WITH tok AS (SELECT $toksSql AS toks FROM documents),
+       |  uni AS (SELECT w, COUNT(*) AS c FROM (
+       |      SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+       |  bi AS (SELECT pair, COUNT(*) AS n_pair FROM (
+       |      SELECT unnest(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS pair
+       |      FROM tok WHERE len(toks) >= 2)
+       |    GROUP BY pair HAVING COUNT(*) >= 5),
+       |  tots AS (SELECT (SELECT SUM(c) FROM uni) AS t,
+       |    (SELECT COUNT(*) FROM (
+       |      SELECT unnest(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1]))
+       |      FROM tok WHERE len(toks) >= 2)) AS b)
+       |SELECT pair, n_pair,
+       |  ln((CAST(n_pair AS DOUBLE) / CAST(b AS DOUBLE))
+       |    / ((CAST(u1.c AS DOUBLE) / CAST(t AS DOUBLE))
+       |       * (CAST(u2.c AS DOUBLE) / CAST(t AS DOUBLE)))) AS pmi
+       |FROM bi
+       |JOIN uni u1 ON string_split(pair, ' ')[1] = u1.w
+       |JOIN uni u2 ON string_split(pair, ' ')[2] = u2.w
+       |CROSS JOIN tots
+       |ORDER BY pmi DESC, pair LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Token-distribution drift src0 vs src1: symmetric add-one KL pair
+  // over the union vocabulary; the fixed-point sums and graft_ln make
+  // the nats values reproduce bit-for-bit.
+  // ---------------------------------------------------------------------
+  def xTextDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextOps.tokenDrift(d.filter(col("source") === "src0"),
+      d.filter(col("source") === "src1"), "text")
+  }
+
+  val xTextDriftSql: String =
+    s"""WITH ca AS (SELECT w, COUNT(*) AS c FROM (
+       |    SELECT unnest($toksSql) AS w FROM documents
+       |    WHERE source = 'src0') GROUP BY w),
+       |  cb AS (SELECT w, COUNT(*) AS c FROM (
+       |    SELECT unnest($toksSql) AS w FROM documents
+       |    WHERE source = 'src1') GROUP BY w),
+       |  j AS (SELECT COALESCE(ca.w, cb.w) AS w,
+       |      COALESCE(ca.c, 0) AS cca, COALESCE(cb.c, 0) AS ccb
+       |    FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+       |  tots AS (SELECT CAST(SUM(cca) AS BIGINT) AS ta,
+       |    CAST(SUM(ccb) AS BIGINT) AS tb,
+       |    CAST(COUNT(*) AS BIGINT) AS v FROM j),
+       |  terms AS (SELECT ta, tb, v,
+       |      (CAST(cca AS DOUBLE) + 1.0)
+       |        / (CAST(ta AS DOUBLE) + CAST(v AS DOUBLE)) AS p,
+       |      (CAST(ccb AS DOUBLE) + 1.0)
+       |        / (CAST(tb AS DOUBLE) + CAST(v AS DOUBLE)) AS q
+       |    FROM j CROSS JOIN tots),
+       |  fx AS (SELECT ta, tb, v,
+       |      CAST(FLOOR(p * ln(p / q) * 1099511627776.0) AS BIGINT)
+       |        AS fab,
+       |      CAST(FLOOR(q * ln(q / p) * 1099511627776.0) AS BIGINT)
+       |        AS fba
+       |    FROM terms)
+       |SELECT v AS n_vocab, ta AS tokens_a, tb AS tokens_b,
+       |  CAST(CAST(SUM(fab) AS BIGINT) AS DOUBLE)
+       |    / 1099511627776.0 AS kl_ab,
+       |  CAST(CAST(SUM(fba) AS BIGINT) AS DOUBLE)
+       |    / 1099511627776.0 AS kl_ba
+       |FROM fx GROUP BY ta, tb, v""".stripMargin
+
+  // ---------------------------------------------------------------------
   // TF-IDF keywords: top-3 terms per document, smoothed idf via
   // graft_ln — scores are single products (no float sums), so the
   // oracle reproduces them bit-for-bit with no fixed-point step.

@@ -659,6 +659,98 @@ object TextOps {
           lit(1073741824.0)).as("mean_nll"))
   }
 
+  /** Top-k collocations by pointwise mutual information (Church &
+    * Hanks 1990): PMI(w1,w2) = ln( (c12/B) / ((c1/T)·(c2/T)) ) over
+    * corpus bigram/unigram instance counts, with a minimum bigram
+    * count (PMI's classic failure mode is rare-pair noise — minCount
+    * is the standard guard). Deterministic and oracle-exact with no
+    * fixed-point step — each PMI is one `graft_ln` of a chain of
+    * correctly-rounded divisions, no cross-row float sums; global
+    * top-k orders by (pmi desc, pair asc).
+    *
+    * Scale shape: one (pair) count shuffle and one (token) count
+    * shuffle, both with map-side partials; the unigram table joins
+    * back twice as a vocabulary-sized dimension; totals ride along as
+    * a broadcast 1-row aggregate; the final top-k is a
+    * TakeOrderedAndProject (no global sort materializes). */
+  def collocationsPmi(df: DataFrame, textCol: String, k: Int = 20,
+                      minCount: Long = 5L): DataFrame = {
+    require(k >= 1 && minCount >= 1, s"bad k=$k / minCount=$minCount")
+    val toks = graft.engine.Engine.spread(df)
+      .select(tokens(col(textCol)).as("_toks"))
+    val uni = toks.select(explode(col("_toks")).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    val bi = toks.select(explode(shingles(col("_toks"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val totals = uni.agg(sum(col("_c")).as("_t"))
+      .crossJoin(toks.select(explode(shingles(col("_toks"), 2)).as("_g"))
+        .agg(count(lit(1)).as("_b")))
+    val u1 = uni.select(col("_w").as("_w1"), col("_c").as("_c1"))
+    val u2 = uni.select(col("_w").as("_w2"), col("_c").as("_c2"))
+    val pmi = call_function("graft_ln",
+      (col("n_pair").cast("double") / col("_b").cast("double")) /
+        ((col("_c1").cast("double") / col("_t").cast("double")) *
+          (col("_c2").cast("double") / col("_t").cast("double"))))
+    bi.withColumn("_w1", element_at(split(col("pair"), " "), 1))
+      .withColumn("_w2", element_at(split(col("pair"), " "), 2))
+      .join(u1, Seq("_w1"))
+      .join(u2, Seq("_w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("pair"), col("n_pair"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Token-distribution drift between two corpus slices: symmetric
+    * pair of add-one-smoothed KL divergences over the union vocabulary
+    * — the distribution-shift monitor a pipeline runs between crawl
+    * snapshots / sources before mixing them (KL(p‖q) = Σ p·ln(p/q),
+    * Kullback & Leibler 1951; smoothing over the union vocab keeps
+    * both divergences finite). Returns ONE row: vocab size, token
+    * totals, and both divergences in nats.
+    *
+    * Numeric determinism: per-token p, q, and ln(p/q) are chains of
+    * correctly-rounded divisions plus `graft_ln`; the vocab-sized sums
+    * are exact fixed-point at 2⁴⁰ (finer than the 2³⁰ used for
+    * per-document scores because per-token terms are ~p·ln ≈ 1e-4 —
+    * resolution 1e-12 keeps 8 digits per term; the scaled sum stays
+    * far under 2⁶³ until vocabularies reach ~10¹⁰ types).
+    *
+    * Scale shape: one token-count aggregate per slice (map-side
+    * partials), a vocabulary-sized full outer join, 1-row totals
+    * broadcast back, and a final 1-row sum — corpus text is touched
+    * once per slice, everything after is vocabulary-sized. */
+  def tokenDrift(dfA: DataFrame, dfB: DataFrame,
+                 textCol: String): DataFrame = {
+    def counts(df: DataFrame, cn: String) =
+      graft.engine.Engine.spread(df)
+        .select(explode(tokens(col(textCol))).as("_w"))
+        .groupBy(col("_w")).agg(count(lit(1)).as(cn))
+    val joined = counts(dfA, "_ca").join(counts(dfB, "_cb"),
+        Seq("_w"), "full_outer")
+      .select(col("_w"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val totals = joined.agg(sum(col("_ca")).as("_ta"),
+      sum(col("_cb")).as("_tb"), count(lit(1)).as("_v"))
+    val p = (col("_ca").cast("double") + lit(1.0)) /
+      (col("_ta").cast("double") + col("_v").cast("double"))
+    val q = (col("_cb").cast("double") + lit(1.0)) /
+      (col("_tb").cast("double") + col("_v").cast("double"))
+    val scale = 1099511627776.0 // 2^40
+    def fx(e: Column) = floor(e * lit(scale)).cast("long")
+    joined.crossJoin(broadcast(totals))
+      .select(col("_ta"), col("_tb"), col("_v"),
+        fx(p * call_function("graft_ln", p / q)).as("_fab"),
+        fx(q * call_function("graft_ln", q / p)).as("_fba"))
+      .groupBy(col("_ta"), col("_tb"), col("_v"))
+      .agg(sum(col("_fab")).as("_sab"), sum(col("_fba")).as("_sba"))
+      .select(col("_v").as("n_vocab"), col("_ta").as("tokens_a"),
+        col("_tb").as("tokens_b"),
+        (col("_sab").cast("double") / lit(scale)).as("kl_ab"),
+        (col("_sba").cast("double") / lit(scale)).as("kl_ba"))
+  }
+
   /** Hashed bigram-LM model for the stream-safe scorer: sorted
     * (xxhash64/combined hash → count) arrays plus the smoothing mass V,
     * foldable into a plan as literals. */

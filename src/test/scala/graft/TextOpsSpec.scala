@@ -372,6 +372,42 @@ class TextOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("collocationsPmi surfaces the planted collocation; minCount guards noise") {
+    import spark.implicits._
+    // "gila monster" always co-occurs (PMI max); "the" pairs diffusely.
+    val docs = (1 to 10).map(i =>
+      s"the gila monster sat near the busy road and the gila monster slept")
+      .toDF("text")
+    val out = TextOps.collocationsPmi(docs, "text", k = 5, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 5)
+    // PMI favors the rarer perfectly-correlated pairs: the 1:1 pairs of
+    // once-per-doc words (busy road / road and / sat near, tied, pair
+    // asc) outrank gila monster (its words appear twice per doc), and
+    // every diffuse "the *" pair falls out of the top 5 entirely.
+    assert(out.head._1 == "busy road", s"top was ${out.head}")
+    assert(out.map(_._1).contains("gila monster"))
+    assert(!out.exists(_._1.split(' ').contains("the")), out.mkString(","))
+    assert(out.head._3 > 0.0)
+    // every surviving pair met the count floor
+    assert(out.forall(_._2 >= 5L))
+    // PMI is non-increasing down the ranking
+    assert(out.sliding(2).forall(w => w.head._3 >= w.last._3))
+  }
+
+  test("tokenDrift: zero on identical slices, positive both ways on shifted ones") {
+    import spark.implicits._
+    val a = Seq("alpha beta gamma alpha", "beta gamma beta").toDF("text")
+    val same = TextOps.tokenDrift(a, a, "text").collect()(0)
+    assert(same.getAs[Double]("kl_ab") == 0.0 &&
+      same.getAs[Double]("kl_ba") == 0.0)
+    val b = Seq("delta epsilon delta", "epsilon zeta").toDF("text")
+    val r = TextOps.tokenDrift(a, b, "text").collect()(0)
+    assert(r.getAs[Long]("n_vocab") == 6) // union of 3 + 3 disjoint types
+    assert(r.getAs[Long]("tokens_a") == 7 && r.getAs[Long]("tokens_b") == 5)
+    assert(r.getAs[Double]("kl_ab") > 0.0 && r.getAs[Double]("kl_ba") > 0.0)
+  }
+
   test("lmScore: textbook add-one bigram probabilities, OOV fallback") {
     import spark.implicits._
     // ref "a b a b": uni a→2 b→2 (V = 2 types + 1 = 3);
