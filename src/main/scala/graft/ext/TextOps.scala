@@ -678,14 +678,21 @@ object TextOps {
     require(k >= 1 && minCount >= 1, s"bad k=$k / minCount=$minCount")
     val toks = graft.engine.Engine.spread(df)
       .select(tokens(col(textCol)).as("_toks"))
-    val uni = toks.select(explode(col("_toks")).as("_w"))
-      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
-    val bi = toks.select(explode(shingles(col("_toks"), 2)).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minCount)
+    // Materialize the vocabulary-sized count tables: each feeds TWO
+    // consumers (the PMI join AND its total), and AQE exchange reuse
+    // does not cross the broadcast-stage boundary the totals ride in —
+    // without the cut the corpus explode would run once per consumer
+    // (verified with tools.ExplainFinal). After the cut the corpus is
+    // touched exactly twice (unigram pass, bigram pass).
+    val uni = graft.engine.Engine.materialize(
+      toks.select(explode(col("_toks")).as("_w"))
+        .groupBy(col("_w")).agg(count(lit(1)).as("_c")))
+    val biAll = graft.engine.Engine.materialize(
+      toks.select(explode(shingles(col("_toks"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n_pair")))
+    val bi = biAll.filter(col("n_pair") >= minCount)
     val totals = uni.agg(sum(col("_c")).as("_t"))
-      .crossJoin(toks.select(explode(shingles(col("_toks"), 2)).as("_g"))
-        .agg(count(lit(1)).as("_b")))
+      .crossJoin(biAll.agg(sum(col("n_pair")).as("_b")))
     val u1 = uni.select(col("_w").as("_w1"), col("_c").as("_c1"))
     val u2 = uni.select(col("_w").as("_w2"), col("_c").as("_c2"))
     val pmi = call_function("graft_ln",
@@ -727,10 +734,14 @@ object TextOps {
       graft.engine.Engine.spread(df)
         .select(explode(tokens(col(textCol))).as("_w"))
         .groupBy(col("_w")).agg(count(lit(1)).as(cn))
-    val joined = counts(dfA, "_ca").join(counts(dfB, "_cb"),
-        Seq("_w"), "full_outer")
-      .select(col("_w"), coalesce(col("_ca"), lit(0L)).as("_ca"),
-        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    // Materialized: the vocab table feeds both the 1-row totals and the
+    // per-token terms; without the cut each consumer would re-run both
+    // corpus-sized count passes (AQE reuse stops at the broadcast
+    // stage — same finding as collocationsPmi, tools.ExplainFinal).
+    val joined = graft.engine.Engine.materialize(
+      counts(dfA, "_ca").join(counts(dfB, "_cb"), Seq("_w"), "full_outer")
+        .select(col("_w"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+          coalesce(col("_cb"), lit(0L)).as("_cb")))
     val totals = joined.agg(sum(col("_ca")).as("_ta"),
       sum(col("_cb")).as("_tb"), count(lit(1)).as("_v"))
     val p = (col("_ca").cast("double") + lit(1.0)) /
