@@ -1273,6 +1273,44 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Embedding covariance via the custom typed aggregate (graft_gram):
+  // one corpus pass folds (n, Σx, Σxxᵀ) into a fixed-point buffer;
+  // the DuckDB twin recomputes every floor(x_i·x_j·2³⁰) sum over the
+  // exploded index cross product. 4096 rows, every value hash-exact.
+  // ---------------------------------------------------------------------
+  def xEmbedCov(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.embeddingCovariance(
+        t(s, dir, "embeddings").select(col("embedding")), "embedding",
+        dim = 64)
+      .orderBy(col("i"), col("j"))
+
+  val xEmbedCovSql: String =
+    """WITH e AS (SELECT
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |  idx AS (SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j
+      |    FROM range(64) r1(i), range(64) r2(j)),
+      |  g AS (SELECT i, j,
+      |      CAST(SUM(CAST(FLOOR(v[i + 1] * v[j + 1] * 1073741824.0)
+      |        AS BIGINT)) AS BIGINT) AS gram_fixed
+      |    FROM e, idx GROUP BY i, j),
+      |  sm AS (SELECT CAST(i AS INTEGER) AS i,
+      |      CAST(SUM(CAST(FLOOR(v[i + 1] * 1073741824.0) AS BIGINT))
+      |        AS BIGINT) AS sf
+      |    FROM e, range(64) r1(i) GROUP BY i),
+      |  ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+      |SELECT g.i, g.j, n, gram_fixed,
+      |  ((CAST(gram_fixed AS DOUBLE) / 1073741824.0) / CAST(n AS DOUBLE))
+      |    - ((CAST(si.sf AS DOUBLE) / 1073741824.0) / CAST(n AS DOUBLE))
+      |      * ((CAST(sj.sf AS DOUBLE) / 1073741824.0) / CAST(n AS DOUBLE))
+      |    AS cov
+      |FROM g
+      |JOIN sm si ON si.i = g.i
+      |JOIN sm sj ON sj.i = g.j
+      |CROSS JOIN ns
+      |ORDER BY g.i, g.j""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PMI collocations: global top-20 bigram collocations with min count
   // 5 — each PMI is one graft_ln over exact divisions, no float sums.
   // ---------------------------------------------------------------------

@@ -59,6 +59,11 @@ object NativeExprs {
     reg("graft_hash_tokens", { case Seq(c) => TokenHashes(c) })
     reg("graft_del_variants", { case Seq(c) => DeletionVariants(c) })
     reg("graft_ln", { case Seq(c) => GraftLn(c) })
+    reg("graft_gram", {
+      case Seq(c, Literal(d: Int, IntegerType)) => GramMatrixFixed(c, d)
+      case other => throw new IllegalArgumentException(
+        s"graft_gram(arr, dimLiteral), got $other")
+    })
     reg("graft_lm_nll", {
       case Seq(c, Literal(uk: ArrayData, ArrayType(LongType, _)),
                Literal(uv: ArrayData, ArrayType(LongType, _)),

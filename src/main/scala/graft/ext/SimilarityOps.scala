@@ -452,6 +452,38 @@ object SimilarityOps {
     * state, so cells dedupe independently and in parallel. For corpora
     * whose cells still overflow, [[dedupeByEmbedding]]'s sign-pattern
     * sub-blocking composes inside a cell unchanged. */
+  /** Embedding covariance matrix in ONE corpus pass — the PCA /
+    * whitening / decorrelation foundation: the custom typed aggregate
+    * [[graft.expressions.GramMatrixFixed]] folds each partition's rows
+    * into a single `(n, Σx, Σxxᵀ)` fixed-point buffer (map-side
+    * partials, only dim²+dim+1 longs per task cross the network), and
+    * this wrapper unpacks it to (i, j, n, gram_fixed, cov) rows with
+    * cov = G/n − μᵢμⱼ. Deterministic to the bit across layouts and
+    * engines (integer buffer sums; the cov doubles are a fixed chain of
+    * correctly-rounded ops). Consumers eigendecompose the d×d result
+    * driver-side — at any corpus scale that matrix is tiny. */
+  def embeddingCovariance(df: DataFrame, vecCol: String,
+                          dim: Int): DataFrame = {
+    val g = df.agg(call_function("graft_gram",
+      col(vecCol).cast("array<double>"), lit(dim)).as("_g"))
+    val scale = 1073741824.0 // 2^30, the aggregate's fixed-point scale
+    def m(si: Column, n: Column) =
+      (si.cast("double") / lit(scale)) / n.cast("double")
+    g.select(col("_g.n").as("n"), col("_g.sums").as("_s"),
+        posexplode(col("_g.gram")).as(Seq("_pos", "gram_fixed")))
+      .select(
+        (col("_pos") / lit(dim)).cast("int").as("i"),
+        pmod(col("_pos"), lit(dim)).cast("int").as("j"),
+        col("n"), col("gram_fixed"),
+        (((col("gram_fixed").cast("double") / lit(scale)) /
+          col("n").cast("double")) -
+          m(element_at(col("_s"), (col("_pos") / lit(dim)).cast("int") + 1),
+            col("n")) *
+            m(element_at(col("_s"),
+              pmod(col("_pos"), lit(dim)).cast("int") + 1), col("n")))
+          .as("cov"))
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int = 16, tau: Double = 0.99): DataFrame = {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")

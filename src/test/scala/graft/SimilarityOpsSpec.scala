@@ -156,6 +156,48 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("embeddingCovariance: hand-computed moments, merge-path invariance") {
+    import spark.implicits._
+    // Dyadic coordinates → every fixed-point floor is exact.
+    val vecs = Seq(Array(0.5, -0.25), Array(0.25, 0.5), Array(-0.5, 0.75))
+    val df = vecs.toDF("embedding")
+    val out = SimilarityOps.embeddingCovariance(df, "embedding", 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.size == 4)
+    val S = 1073741824.0
+    def fx(d: Double) = math.floor(d * S).toLong
+    def gramF(i: Int, j: Int) = vecs.map(v => fx(v(i) * v(j))).sum
+    def sumF(i: Int) = vecs.map(v => fx(v(i))).sum
+    for (i <- 0 until 2; j <- 0 until 2) {
+      val (n, gf, cov) = out((i, j))
+      assert(n == 3L)
+      assert(gf == gramF(i, j), s"gram($i,$j)")
+      val mi = (sumF(i).toDouble / S) / 3.0
+      val mj = (sumF(j).toDouble / S) / 3.0
+      assert(cov == (gf.toDouble / S) / 3.0 - mi * mj, s"cov($i,$j)")
+    }
+    // covariance matrix is symmetric (dyadic inputs → exact equality)
+    assert(out((0, 1))._3 == out((1, 0))._3)
+  }
+
+  test("graft_gram aggregates with map-side partials, layout-independent") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+      .select(col("embedding"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.embeddingCovariance(d, "embedding", 64)
+        .orderBy(col("i"), col("j")).collect().map(_.toSeq).toSeq
+    val base = run(emb)
+    assert(base.length == 4096)
+    assert(base == run(emb.repartition(13)),
+      "fixed-point buffers must merge identically across layouts")
+    val plan = SimilarityOps.embeddingCovariance(emb, "embedding", 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_gram"),
+      s"map-side partial aggregation must survive:\n$plan")
+  }
+
   test("semDedup: keep rule, cross-cell immunity, tie-break") {
     import spark.implicits._
     // Two well-separated clusters; centroids are the 2 lowest-id
