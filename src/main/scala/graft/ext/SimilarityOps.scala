@@ -484,6 +484,82 @@ object SimilarityOps {
           .as("cov"))
   }
 
+  /** PCA projection of an embedding column onto its top-k principal
+    * components — dimensionality reduction before ANN / clustering /
+    * visualization. The covariance comes from [[embeddingCovariance]]
+    * (ONE corpus pass; the d×d matrix is driver-tiny at any corpus
+    * scale), the eigensolve is a deterministic driver-side power
+    * iteration with deflation (fixed start vector, fixed iteration
+    * count — same inputs, same components, every run), and the
+    * components fold into the plan as literals, so the projection
+    * itself is a narrow codegen'd `graft_dot` projection: centered
+    * vector · component, no shuffle, stream-safe like every
+    * literal-folded op here. Library-level (the eigensolve has no SQL
+    * analog to oracle against); the covariance input IS oracled
+    * (x_embed_cov) and the projection properties are unit-tested
+    * (variance ordering, component orthonormality, determinism). */
+  def pcaProject(df: DataFrame, vecCol: String, dim: Int,
+                 k: Int): DataFrame = {
+    require(k >= 1 && k <= dim, s"bad k=$k for dim=$dim")
+    val covRows = embeddingCovariance(df, vecCol, dim)
+      .select(col("i"), col("j"), col("cov"), col("n"))
+      .collect()
+    require(covRows.nonEmpty && covRows.head.getLong(3) > 0,
+      "pcaProject needs a non-empty corpus")
+    val cov = Array.ofDim[Double](dim, dim)
+    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    // Mean vector for centering, from the same aggregate's fixed sums.
+    val g = df.agg(call_function("graft_gram",
+        col(vecCol).cast("array<double>"), lit(dim)).as("_g"))
+      .select(col("_g.n"), col("_g.sums")).collect()(0)
+    val n = g.getLong(0).toDouble
+    val mean = g.getSeq[Long](1).map(_.toDouble / 1073741824.0 / n).toArray
+    // Deterministic power iteration + deflation (fixed 1/sqrt(dim)
+    // start, 200 rounds — overkill for separation at d ≤ a few
+    // thousand; ties/degenerate spectra resolve deterministically to
+    // whatever the fixed start converges to).
+    def eigen(a: Array[Array[Double]]): (Double, Array[Double]) = {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var it = 0
+      while (it < 200) {
+        val w = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => a(i)(j) * v(j)).sum)
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm == 0.0) return (0.0, v)
+        v = w.map(_ / nrm)
+        it += 1
+      }
+      val lam = (0 until dim).map(i =>
+        v(i) * (0 until dim).map(j => a(i)(j) * v(j)).sum).sum
+      (lam, v)
+    }
+    val comps = Array.ofDim[Array[Double]](k)
+    val work = cov.map(_.clone())
+    var c = 0
+    while (c < k) {
+      val (lam, v) = eigen(work)
+      comps(c) = v
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { work(i)(j) -= lam * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      c += 1
+    }
+    // (v − μ)·c = v·c − μ·c, and μ·c is a driver-side constant — the
+    // projection stays a pure codegen'd graft_dot (no interpreted
+    // zip_with centering in the hot path).
+    val projCols = comps.zipWithIndex.map { case (comp, ci) =>
+      val meanDot = mean.zip(comp).foldLeft(0.0) {
+        case (acc, (m, cc)) => acc + m * cc
+      }
+      (dot(col(vecCol).cast("array<double>"),
+        array(comp.map(lit).toSeq: _*)) - lit(meanDot)).as(s"pc${ci + 1}")
+    }
+    df.select((df.columns.map(col).toSeq ++ projCols.toSeq): _*)
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int = 16, tau: Double = 0.99): DataFrame = {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")

@@ -198,6 +198,44 @@ class SimilarityOpsSpec extends SparkSpec {
       s"map-side partial aggregation must survive:\n$plan")
   }
 
+  test("pcaProject: dominant direction first, variance ordering, determinism") {
+    import spark.implicits._
+    // Data stretched along (1,1,0)/√2 with small noise off-axis: the
+    // top component must align with it and carry most of the variance.
+    val base = Seq(3.0, -2.0, 1.5, -1.0, 2.5, -3.0, 0.5, -0.5)
+    val vecs = base.zipWithIndex.map { case (t, i) =>
+      val eps = 0.05 * ((i % 3) - 1)
+      Array(t / math.sqrt(2) + eps, t / math.sqrt(2) - eps, 2 * eps)
+    }
+    val df = vecs.toDF("embedding")
+    val out = SimilarityOps.pcaProject(df, "embedding", dim = 3, k = 2)
+      .select("pc1", "pc2").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v1 = variance(out.map(_._1).toSeq)
+    val v2 = variance(out.map(_._2).toSeq)
+    assert(v1 > v2, s"pc1 variance $v1 must dominate pc2 $v2")
+    // pc1 recovers the stretch parameter (up to sign and centering):
+    // correlation with `base` is essentially ±1
+    val m1 = out.map(_._1).sum / out.length
+    val mb = base.sum / base.size
+    val corr = base.zip(out.map(_._1)).map { case (b, p) =>
+      (b - mb) * (p - m1)
+    }.sum / math.sqrt(base.map(b => (b - mb) * (b - mb)).sum *
+      out.map(p => (p._1 - m1) * (p._1 - m1)).sum)
+    assert(math.abs(corr) > 0.999, s"pc1 must track the planted axis: $corr")
+    // deterministic across runs and layouts
+    val again = SimilarityOps.pcaProject(df.repartition(5), "embedding",
+        dim = 3, k = 2).select("pc1", "pc2").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // row order follows the layout; the projected VALUES must be
+    // bit-identical
+    assert(out.toSeq.sorted == again.toSeq.sorted)
+  }
+
   test("semDedup: keep rule, cross-cell immunity, tie-break") {
     import spark.implicits._
     // Two well-separated clusters; centroids are the 2 lowest-id
