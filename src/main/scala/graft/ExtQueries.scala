@@ -1386,6 +1386,50 @@ object ExtQueries {
        |FROM fx GROUP BY ta, tb, v""".stripMargin
 
   // ---------------------------------------------------------------------
+  // CCNet's head/middle/tail cut: NTILE(3) over the LM fluency score
+  // (Wenzek et al. 2020 §4.3 bucket corpora by reference-LM perplexity
+  // and mix by bucket). Order is (mean_nll, doc_id) — total, so the
+  // tile assignment is deterministic and the oracle reproduces it
+  // exactly on the bit-identical scores. Scale note: the global NTILE
+  // serializes one sort — at 100 TB cut by exact/approx percentile
+  // THRESHOLDS of mean_nll instead (the winsorize pattern), which
+  // keeps bucketing a narrow projection; exercised here in the
+  // oracle-exact global form.
+  // ---------------------------------------------------------------------
+  def xTextPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = TextOps.lmScore(d, d.filter(col("source") === "src0"),
+      "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_nll"), col("doc_id"))
+    scored.withColumn("bucket",
+        when(ntile(3).over(w) === 1, "head")
+          .when(ntile(3).over(w) === 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("mean_nll")).as("min_nll"),
+        max(col("mean_nll")).as("max_nll"))
+      .orderBy(col("bucket"))
+  }
+
+  // lazy: shares the scoring CTE chain with xTextLmscoreSql, which is
+  // declared later in the file (object vals initialize in order).
+  lazy val xTextPplBucketsSql: String = {
+    val scored = xTextLmscoreSql.replace("ORDER BY doc_id", "")
+    s"""WITH scored AS ($scored),
+       |  tiled AS (SELECT doc_id, mean_nll,
+       |      NTILE(3) OVER (ORDER BY mean_nll, doc_id) AS t
+       |    FROM scored)
+       |SELECT CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |              ELSE 'tail' END AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(mean_nll) AS min_nll, MAX(mean_nll) AS max_nll
+       |FROM tiled GROUP BY t
+       |ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // TF-IDF keywords: top-3 terms per document, smoothed idf via
   // graft_ln — scores are single products (no float sums), so the
   // oracle reproduces them bit-for-bit with no fixed-point step.

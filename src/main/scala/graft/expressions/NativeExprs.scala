@@ -59,6 +59,12 @@ object NativeExprs {
     reg("graft_hash_tokens", { case Seq(c) => TokenHashes(c) })
     reg("graft_del_variants", { case Seq(c) => DeletionVariants(c) })
     reg("graft_ln", { case Seq(c) => GraftLn(c) })
+    reg("graft_bloom_contains", {
+      case Seq(c, Literal(bytes: Array[Byte], BinaryType)) =>
+        BloomMightContain(c, bytes)
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_contains(str, binaryLiteral), got $other")
+    })
     reg("graft_gram", {
       case Seq(c, Literal(d: Int, IntegerType)) => GramMatrixFixed(c, d)
       case other => throw new IllegalArgumentException(
@@ -659,6 +665,47 @@ case class LmNllFixed(child: Expression, uniKeys: Array[Long],
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Membership probe against a serialized Bloom filter riding in the
+  * plan as a binary literal — the tier-1 gate of incremental dedup
+  * against a huge history ([[graft.ext.DedupOps.incrementalDedup]]):
+  * the filter is MB-sized REGARDLESS of history size, so "have I seen
+  * this fingerprint among 10¹¹ others" becomes a pure projection with
+  * NO false negatives (a `false` here is definitely new; `true` means
+  * "verify with the exact join"). Deserialized once per plan reference
+  * (`addReferenceObj`), probed per row. */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_contains expects string, got $dt")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainString(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    // The DESERIALIZED filter is the reference object — one readFrom at
+    // plan setup, not per row (and not per generated-class instance:
+    // the lazy val above is per-expression-instance, shared).
+    val ref = ctx.addReferenceObj("graftBloom", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainString($c.toString())")
+  }
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

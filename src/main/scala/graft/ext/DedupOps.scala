@@ -484,6 +484,49 @@ object DedupOps {
     graft.transform.Split.componentSplit(df, idCol,
       connectedComponents(pairs, srcCol, dstCol), fractions, rest)
 
+  /** Incremental exact dedup of a new batch against a (huge) history —
+    * the daily-crawl-vs-100-TB-archive shape, where joining the whole
+    * history per batch is the thing to avoid:
+    *
+    *  - tier 1: a Bloom filter over the HISTORY's text fingerprints
+    *    (one aggregate pass over history, MB-sized result regardless
+    *    of history row count) folds into the new batch's plan as a
+    *    binary literal; `graft_bloom_contains` = false is DEFINITELY
+    *    new (Bloom has no false negatives), and at fpp=1% that settles
+    *    ~99% of a mostly-novel batch as a pure projection.
+    *  - tier 2: only Bloom-positive candidates anti-join the history
+    *    fingerprints for exact confirmation — the join's left side is
+    *    (true dups + fpp·|batch|) rows, not the batch.
+    *
+    * The RESULT equals the naive `batch ANTI JOIN history` exactly
+    * (false positives are weeded by the verify join; unit-asserted) —
+    * the tiers only change how much data moves. The filter build is
+    * per-batch here; a production pipeline persists and unions
+    * filters across batches (sketch BloomFilters merge). Intra-batch
+    * duplicates are [[exactByText]]'s job — compose as
+    * `exactByText(incrementalDedup(...))`. */
+  def incrementalDedup(newDf: DataFrame, history: DataFrame,
+                       idCol: String, textCol: String,
+                       expectedHistoryRows: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    val histFp = history
+      .select(TextOps.fingerprint(col(textCol)).as("_hfp"))
+    val bloom = histFp.stat.bloomFilter("_hfp", expectedHistoryRows, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val withFp = newDf.withColumn("_fp",
+      TextOps.fingerprint(col(textCol)))
+    val definitelyNew = withFp.filter(!call_function(
+      "graft_bloom_contains", col("_fp"), lit(bytes)))
+    val candidates = withFp.filter(call_function(
+      "graft_bloom_contains", col("_fp"), lit(bytes)))
+      .join(histFp, col("_fp") === col("_hfp"), "left_anti")
+    definitelyNew.unionByName(candidates).drop("_fp")
+  }
+
   /** Fuzzy-match pairs at edit distance ≤ 1 via deletion-neighborhood
     * blocking (the SymSpell trick: two strings are within one
     * insert/delete/substitute iff they are equal, or share a 1-deletion

@@ -176,6 +176,33 @@ class CodegenHealthSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
   }
 
+  test("graft_bloom_contains compiles stacked; no false negatives") {
+    import spark.implicits._
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq("alpha", "beta", "gamma").foreach(bloom.putString)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val df = Seq("alpha", "beta", "gamma", "delta", "epsilon").toDF("s")
+    df.createOrReplaceTempView("cg_bloom")
+    def contains = call_function("graft_bloom_contains", col("s"), lit(bytes))
+    assertNoCodegenErrors {
+      val stacked = df.filter(contains && contains) // fused nested shape
+      // members MUST pass (no false negatives); non-members usually don't
+      val hits = stacked.collect().map(_.getString(0)).toSet
+      assert(Set("alpha", "beta", "gamma").subsetOf(hits))
+    }
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val gen = df.select(contains).collect().map(_.getBoolean(0)).toSeq
+      spark.conf.set("spark.sql.codegen.factoryMode", prev)
+      val gen2 = df.select(contains).collect().map(_.getBoolean(0)).toSeq
+      assert(gen == gen2, "interpreted and codegen probes must agree")
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
   test("codegen results match interpreted eval on the stacked shapes") {
     import spark.implicits._
     val df = Seq((Array(11L, 22L, 33L, 44L, 55L), Array("a", "bb")))

@@ -209,4 +209,39 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(bad == Set(1L, 3L))
   }
+
+  test("incrementalDedup equals the naive anti-join; Bloom prunes tier 2") {
+    import spark.implicits._
+    val history = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // new batch: 30 genuinely new docs + 10 exact re-crawls of history
+    val fresh = (1L to 30L)
+      .map(i => (100000L + i, s"entirely novel crawl document number $i"))
+    val recrawled = history.filter(col("doc_id") < 10)
+      .collect().map(r => (200000L + r.getLong(0), r.getString(1))).toSeq
+    val batch = (fresh ++ recrawled).toDF("doc_id", "text")
+    val got = DedupOps.incrementalDedup(batch, history, "doc_id", "text",
+        expectedHistoryRows = 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // ground truth: plain anti-join on the fingerprint
+    val naive = batch
+      .withColumn("_fp", graft.ext.TextOps.fingerprint(col("text")))
+      .join(history.select(
+          graft.ext.TextOps.fingerprint(col("text")).as("_hfp")),
+        col("_fp") === col("_hfp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == naive, "two-tier result must equal the exact anti-join")
+    assert(got == fresh.map(_._1).toSet, "all re-crawls dropped, all fresh kept")
+    // tier-1 really prunes: at fpp 1% the candidate side is ~the dups,
+    // not the batch — count Bloom positives directly
+    val bloom = history
+      .select(graft.ext.TextOps.fingerprint(col("text")).as("_hfp"))
+      .stat.bloomFilter("_hfp", 1000L, 0.01)
+    val positives = batch.collect().map(_.getString(1)).count(t =>
+      bloom.mightContainString(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(t.toLowerCase.trim.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString))
+    assert(positives < 20, s"Bloom should pass ~10 dups, saw $positives")
+  }
 }
