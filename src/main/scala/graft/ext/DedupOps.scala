@@ -509,20 +509,37 @@ object DedupOps {
                        idCol: String, textCol: String,
                        expectedHistoryRows: Long = 1000000L,
                        fpp: Double = 0.01): DataFrame = {
+    val (bytes, histFp) = buildDedupIndex(history, textCol,
+      expectedHistoryRows, fpp)
+    incrementalDedupWith(newDf, textCol, bytes, histFp)
+  }
+
+  /** The tier-1 Bloom (serialized) + the exact fingerprint frame —
+    * built ONCE per history snapshot and reusable across batches /
+    * micro-batches (the constants-before-the-stream pattern
+    * StreamIngestJob uses for gram sets and LM models). */
+  def buildDedupIndex(history: DataFrame, textCol: String,
+                      expectedHistoryRows: Long = 1000000L,
+                      fpp: Double = 0.01): (Array[Byte], DataFrame) = {
     val histFp = history
       .select(TextOps.fingerprint(col(textCol)).as("_hfp"))
     val bloom = histFp.stat.bloomFilter("_hfp", expectedHistoryRows, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    (bos.toByteArray, histFp)
+  }
+
+  /** Two-tier core over a prebuilt index; stream-legal (tier 1 is a
+    * projection, tier 2 a stream-static left-anti join). */
+  def incrementalDedupWith(newDf: DataFrame, textCol: String,
+                           bloomBytes: Array[Byte],
+                           histFp: DataFrame): DataFrame = {
     val withFp = newDf.withColumn("_fp",
       TextOps.fingerprint(col(textCol)))
     val definitelyNew = withFp.filter(!call_function(
-      "graft_bloom_contains", col("_fp"), lit(bytes)))
+      "graft_bloom_contains", col("_fp"), lit(bloomBytes)))
     val candidates = withFp.filter(call_function(
-      "graft_bloom_contains", col("_fp"), lit(bytes)))
+      "graft_bloom_contains", col("_fp"), lit(bloomBytes)))
       .join(histFp, col("_fp") === col("_hfp"), "left_anti")
     definitelyNew.unionByName(candidates).drop("_fp")
   }

@@ -156,13 +156,15 @@ object SplitJob {
 }
 
 /** The LLM-ingest pipeline as ONE streaming DAG (SURVEY §2.9 + §2.10
-  * composed): quality quarantine → benchmark decontamination → phrase
-  * blocklist → optional LM fluency gate → deterministic split → K9
-  * keyed upsert. Every transform stage is a stateless codegen'd
-  * projection or filter (flagRows, isContaminated,
-  * containsBlockedPhrase, lmNllStruct, hashSplit) — no streaming
-  * aggregation state anywhere — so identical logic runs on a batch frame
-  * (the tested twin) and a structured stream. Durability comes from the
+  * composed): quality quarantine → optional history dedup (Bloom
+  * projection + stream-static anti-join) → benchmark decontamination →
+  * phrase blocklist → optional LM fluency gate → deterministic split →
+  * K9 keyed upsert. Every transform stage is a stateless codegen'd
+  * projection, filter, or stream-static join (incrementalDedupWith,
+  * flagRows, isContaminated, containsBlockedPhrase, lmNllStruct,
+  * hashSplit) — no streaming aggregation state anywhere — so identical
+  * logic runs on a batch frame (the tested twin) and a structured
+  * stream. Durability comes from the
   * sink side alone: the checkpointed file-source offset log plus the
   * idempotent-per-key upsert make replayed micro-batches converge to the
   * same stored state (effectively exactly-once), and quarantined rows
@@ -172,7 +174,7 @@ object SplitJob {
   * args: <inDir> <schemaDDL> <idCol> <textCol> <rulesSpec>
   *       <benchParquet|-> <phrasesFile|-> <storeDir> <quarantineDir>
   *       <checkpointDir> [testFrac=0.05] [validFrac=0.05]
-  *       [lmRefParquet|-] [maxMeanNll=+inf]
+  *       [lmRefParquet|-] [maxMeanNll=+inf] [historyParquet|-]
   * rulesSpec uses [[QualityGateJob.parseRule]] syntax; '-' disables the
   * corresponding stage. */
 object StreamIngestJob {
@@ -189,11 +191,19 @@ object StreamIngestJob {
                      testFrac: Double = 0.05,
                      validFrac: Double = 0.05,
                      lmModel: Option[TextOps.LmModel] = None,
-                     maxMeanNll: Double = Double.PositiveInfinity)
+                     maxMeanNll: Double = Double.PositiveInfinity,
+                     dedupIndex: Option[(Array[Byte], DataFrame)] = None)
       : DataFrame = {
+    // History dedup first — cheapest stage to give less downstream
+    // work (tier 1 is a Bloom projection; tier 2 the stream-legal
+    // static anti-join). Index built once per history snapshot via
+    // DedupOps.buildDedupIndex, like the other plan constants.
+    val novel = dedupIndex.fold(df) { case (bytes, histFp) =>
+      DedupOps.incrementalDedupWith(df, textCol, bytes, histFp)
+    }
     val decon =
-      if (benchGramHashes.isEmpty) df
-      else df.filter(
+      if (benchGramHashes.isEmpty) novel
+      else novel.filter(
         !DedupOps.isContaminated(col(textCol), benchGramHashes))
     val unblocked =
       if (blockedPhrases.isEmpty) decon
@@ -223,14 +233,16 @@ object StreamIngestJob {
                       testFrac: Double = 0.05,
                       validFrac: Double = 0.05,
                       lmModel: Option[TextOps.LmModel] = None,
-                      maxMeanNll: Double = Double.PositiveInfinity)
+                      maxMeanNll: Double = Double.PositiveInfinity,
+                      dedupIndex: Option[(Array[Byte], DataFrame)] = None)
       : (DataFrame, DataFrame) = {
     val flagged = Checks.flagRows(df, rules)
     val bad = flagged.filter(size(col("violations")) > 0)
     val clean = flagged.filter(size(col("violations")) === 0)
       .drop("violations")
     (bad, cleanTransform(clean, idCol, textCol, benchGramHashes,
-      blockedPhrases, testFrac, validFrac, lmModel, maxMeanNll))
+      blockedPhrases, testFrac, validFrac, lmModel, maxMeanNll,
+      dedupIndex))
   }
 
   /** Start the streaming query: quarantine to parquet, kept rows to the
@@ -245,6 +257,7 @@ object StreamIngestJob {
             testFrac: Double = 0.05, validFrac: Double = 0.05,
             lmModel: Option[TextOps.LmModel] = None,
             maxMeanNll: Double = Double.PositiveInfinity,
+            dedupIndex: Option[(Array[Byte], DataFrame)] = None,
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -255,7 +268,7 @@ object StreamIngestJob {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
           benchGramHashes, blockedPhrases, testFrac, validFrac,
-          lmModel, maxMeanNll)
+          lmModel, maxMeanNll, dedupIndex)
         if (!bad.isEmpty)
           Sinks.writeParquet(bad, quarantineDir, "append")
         if (!kept.isEmpty)
@@ -290,13 +303,16 @@ object StreamIngestJob {
     // the gram/phrase constants.
     val lmModel = rest.lift(2).filter(_ != "-").map(p =>
       TextOps.lmTrainHashed(Sources.readParquet(spark, p), textCol))
+    val dedupIndex = rest.lift(4).filter(_ != "-").map(p =>
+      DedupOps.buildDedupIndex(Sources.readParquet(spark, p), textCol))
     val q = start(stream, idCol, textCol, rules, grams, phrases,
       new graft.sinks.Upsert.FileStore(storeDir), quarantineDir, cp,
       testFrac = rest.headOption.map(_.toDouble).getOrElse(0.05),
       validFrac = rest.lift(1).map(_.toDouble).getOrElse(0.05),
       lmModel = lmModel,
       maxMeanNll = rest.lift(3).map(_.toDouble)
-        .getOrElse(Double.PositiveInfinity))
+        .getOrElse(Double.PositiveInfinity),
+      dedupIndex = dedupIndex)
     q.awaitTermination()
   }
   def main(args: Array[String]): Unit =

@@ -199,6 +199,36 @@ class JobsSpec extends SparkSpec {
     assert(storedIds == twinIds, s"store=$storedIds twin=$twinIds")
   }
 
+  test("ingest history-dedup stage drops re-crawls, stream == batch twin") {
+    import spark.implicits._
+    import graft.jobs.StreamIngestJob
+    import graft.ext.DedupOps
+    val base = s"$ws/si_dedup"
+    val (landing, storeDir, quarantine, cp) =
+      (s"$base/landing", s"$base/store", s"$base/quarantine", s"$base/cp")
+    val history = Seq((900L, "previously archived crawl document"))
+      .toDF("doc_id", "text")
+    history.write.mode("overwrite").parquet(s"$base/history")
+    val docs = Seq(
+      (1L, "a brand new crawl document"),
+      (2L, "previously archived crawl document"), // re-crawl → dropped
+      (3L, "another brand new one"))
+    docs.toDF("doc_id", "text").write.parquet(landing)
+    StreamIngestJob.run(spark, Array(landing, "doc_id LONG, text STRING",
+      "doc_id", "text", "not_null:text", "-", "-", storeDir, quarantine,
+      cp, "0.05", "0.05", "-", "Infinity", s"$base/history"))
+    val storedIds = new java.io.File(storeDir).listFiles()
+      .map(_.getName.stripSuffix(".json")).toSet
+    val (_, twinKept) = StreamIngestJob.routedTransform(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      Seq(graft.transform.Checks.notNull("text")), Array.empty, Seq.empty,
+      dedupIndex = Some(DedupOps.buildDedupIndex(history, "text")))
+    val twinIds = twinKept.select("doc_id").collect()
+      .map(_.getLong(0).toString).toSet
+    assert(twinIds == Set("1", "3"), s"twin kept $twinIds")
+    assert(storedIds == twinIds)
+  }
+
   test("incremental ingest processes only newly landed files per run") {
     val base = s"$ws/incr"
     val (landing, out, cp) = (s"$base/landing", s"$base/table", s"$base/cp")

@@ -157,6 +157,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("incrementalDedup runs unchanged on a stream (stream-static anti-join)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val history = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select($"doc_id", $"text")
+    val fresh = (1L to 20L)
+      .map(i => (300000L + i, s"novel streaming crawl doc $i"))
+    val recrawled = history.filter($"doc_id" < 8)
+      .collect().map(r => (400000L + r.getLong(0), r.getString(1))).toSeq
+    val batchExpected = graft.ext.DedupOps.incrementalDedup(
+        (fresh ++ recrawled).toDF("doc_id", "text"), history,
+        "doc_id", "text", expectedHistoryRows = 1000L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val stream = MemoryStream[(Long, String)]
+    // the SAME op over an unbounded frame: tier 1 is a projection,
+    // tier 2 a stream-static left-anti join — both stream-legal
+    val deduped = graft.ext.DedupOps.incrementalDedup(
+      stream.toDF().toDF("doc_id", "text"), history,
+      "doc_id", "text", expectedHistoryRows = 1000L)
+    val q = deduped.writeStream.format("memory")
+      .queryName("inc_dedup").outputMode("append").start()
+    stream.addData(fresh.take(10) ++ recrawled.take(4))
+    q.processAllAvailable()
+    stream.addData(fresh.drop(10) ++ recrawled.drop(4))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id FROM inc_dedup")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == batchExpected && got == fresh.map(_._1).toSet)
+  }
+
   test("deterministic hash split/sample are stateless and stream-safe") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
