@@ -1488,6 +1488,27 @@ object ExtQueries {
       |FROM u3 ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Weekly cohort retention over events: first-activity-week cohorts ×
+  // week offsets, counted on the distinct (user, week) activity
+  // relation. Pure calendar/integer arithmetic — hash-exact.
+  // ---------------------------------------------------------------------
+  def xEventsRetention(s: SparkSession, dir: String): DataFrame =
+    graft.ext.EventOps.cohortRetention(t(s, dir, "events"),
+        "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  val xEventsRetentionSql: String =
+    """WITH act AS (SELECT DISTINCT user_id AS u,
+      |    CAST(date_trunc('week', ts) AS DATE) AS p FROM events),
+      |  coh AS (SELECT u, MIN(p) AS c FROM act GROUP BY u)
+      |SELECT c AS cohort_week,
+      |  CAST(datediff('day', c, p) // 7 AS INTEGER) AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM act JOIN coh USING (u)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Bigram-LM fluency score: train the add-one LM on the src0 slice,
   // score every document. The oracle retrains the identical counts and
   // reproduces each mean-NLL bit-for-bit (graft_ln + fixed-point sums).

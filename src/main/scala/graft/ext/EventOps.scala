@@ -14,6 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** Weekly cohort-retention matrix: users cohort by the ISO week of
+    * their FIRST activity; each cell counts the cohort's users active
+    * again `week_offset` weeks later ((cohort_week, week_offset,
+    * n_users) rows — offset 0 is the cohort size). All arithmetic is
+    * calendar truncation + integer day differences — deterministic and
+    * engine-exact.
+    *
+    * Scale shape: raw events collapse FIRST to distinct (user, week)
+    * pairs (one pass + one shuffle, the only corpus-sized step); the
+    * cohort min and the matrix count are aggregates over that far
+    * smaller activity relation. No window over raw event lists. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val activity = events.select(col(userCol).as("_u"),
+        date_trunc("week", col(tsCol)).cast("date").as("_p"))
+      .distinct()
+    val cohorts = activity.groupBy(col("_u")).agg(min(col("_p")).as("_c"))
+    activity.join(cohorts, Seq("_u"))
+      .groupBy(col("_c").as("cohort_week"),
+        (datediff(col("_p"), col("_c")) / lit(7)).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Classic ordered funnel: for each user, the earliest time of step 1,
     * then the earliest step-2 event STRICTLY AFTER that, then the
     * earliest step-3 event strictly after step 2, and so on ("first

@@ -53,6 +53,24 @@ class EventOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("cohortRetention: first-week cohorts, offsets, within-week dedup") {
+    import spark.implicits._
+    // Mondays: 2024-01-01, -08, -15 (weeks 0, 1, 2 of the year)
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00")), // A: cohort wk of 01-01
+      (1L, ts("2024-01-03 11:00:00")), //   same week — counts once
+      (1L, ts("2024-01-16 09:00:00")), //   active wk of 01-15 → offset 2
+      (2L, ts("2024-01-10 12:00:00")), // B: cohort wk of 01-08
+      (2L, ts("2024-01-17 12:00:00"))  //   offset 1
+    ).toDF("user_id", "ts")
+    val out = EventOps.cohortRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-08", 0) -> 1L, ("2024-01-08", 1) -> 1L))
+  }
+
   test("keywordsTfidf ranks document-specific terms above ubiquitous ones") {
     import spark.implicits._
     val docs = Seq(
