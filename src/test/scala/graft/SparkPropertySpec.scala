@@ -167,4 +167,69 @@ class SparkPropertySpec extends SparkSpec {
         s"size=$size start=$start not dense")
     }
   }
+
+  test("tokenBudgetSample law: monotone in budget (prefix of the md5 order)") {
+    import spark.implicits._
+    val rows = samples(Gen.zip(Gen.chooseNum(1L, 500L),
+        Gen.oneOf("a", "b"), Gen.chooseNum(1L, 40L)), 120)
+      .distinctBy(_._1).toDF("id", "stratum", "n_tok")
+    val budgets = Seq(50L, 150L, 400L, 1200L)
+    val kept = budgets.map { b =>
+      b -> graft.transform.Split.tokenBudgetSample(rows, "stratum", "id",
+        "n_tok", Map("a" -> b, "b" -> b))
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    kept.sliding(2).foreach { case Seq((b1, s1), (b2, s2)) =>
+      assert(s1.subsetOf(s2),
+        s"budget $b1 selection must be a prefix of budget $b2's")
+    }
+    // budget ≥ total tokens keeps everything
+    assert(kept.last._2 == rows.select("id").collect()
+      .map(_.getLong(0)).toSet)
+  }
+
+  test("winsorize law: outputs inside the band, order statistics preserved") {
+    import spark.implicits._
+    val vals = samples(Gen.chooseNum(-1000.0, 1000.0), 200)
+    val df = vals.toDF("v")
+    val out = graft.transform.Sanitize.winsorize(df, "v", 0.1, 0.9)
+      .select("v", "v_wins", "v_lo", "v_hi").collect()
+    val (lo, hi) = (out.head.getDouble(2), out.head.getDouble(3))
+    assert(lo <= hi)
+    out.foreach { r =>
+      val (v, w) = (r.getDouble(0), r.getDouble(1))
+      assert(w >= lo && w <= hi, s"clipped $w outside [$lo, $hi]")
+      assert(w == math.min(math.max(v, lo), hi))
+    }
+    // clipping preserves weak order: v1 <= v2 → w1 <= w2
+    val sorted = out.sortBy(_.getDouble(0))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(1) <= b.getDouble(1))
+    }
+  }
+
+  test("componentSplit law: total assignment, component-constant splits") {
+    import spark.implicits._
+    val n = 80L
+    val rows = (1L to n).map(i => (i, s"r$i")).toDF("id", "text")
+    // random component labeling over a subset of ids (label = min id)
+    val pairs = samples(Gen.zip(Gen.chooseNum(1L, n), Gen.chooseNum(1L, n)),
+        40).filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+    val comps = graft.ext.DedupOps.connectedComponents(
+      pairs.toDF("id_a", "id_b"))
+    val out = graft.transform.Split.componentSplit(rows, "id", comps,
+        Seq("test" -> 0.25, "valid" -> 0.25))
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == n, "every row gets exactly one split")
+    assert(out.values.forall(Set("test", "valid", "train")))
+    val labels = comps.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all members of one component share the split
+    labels.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(out).toSet.size == 1,
+        s"component ${members.values.head} split apart")
+    }
+  }
 }
