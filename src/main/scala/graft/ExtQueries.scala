@@ -1402,9 +1402,10 @@ object ExtQueries {
       "doc_id", "text")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("mean_nll"), col("doc_id"))
-    scored.withColumn("bucket",
-        when(ntile(3).over(w) === 1, "head")
-          .when(ntile(3).over(w) === 2, "middle")
+    scored.withColumn("_t", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("_t") === 1, "head")
+          .when(col("_t") === 2, "middle")
           .otherwise("tail"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
