@@ -1311,6 +1311,34 @@ object ExtQueries {
       |ORDER BY g.i, g.j""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Token chunking with overlap (RAG prep): 40-token windows advancing
+  // by 30 (10-token overlap). Chunk layout is exact integer
+  // arithmetic; text reconstructs from the token slices identically in
+  // both engines.
+  // ---------------------------------------------------------------------
+  def xTextChunks(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 40, overlapTokens = 10)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val xTextChunksSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  d AS (SELECT doc_id, toks, len(toks) AS n FROM tok
+       |    WHERE len(toks) >= 1),
+       |  c AS (SELECT doc_id, toks, n,
+       |      unnest(range(CAST((greatest(n - 40, 0) + 29) // 30 AS INTEGER)
+       |        + 1)) AS chunk_id
+       |    FROM d),
+       |  sl AS (SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       |      toks[chunk_id * 30 + 1 : chunk_id * 30 + 40] AS ct
+       |    FROM c)
+       |SELECT doc_id, chunk_id,
+       |  CAST(len(ct) AS INTEGER) AS n_chunk_tokens,
+       |  array_to_string(ct, ' ') AS chunk_text
+       |FROM sl
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // PMI collocations: global top-20 bigram collocations with min count
   // 5 — each PMI is one graft_ln over exact divisions, no float sums.
   // ---------------------------------------------------------------------

@@ -659,6 +659,41 @@ object TextOps {
           lit(1073741824.0)).as("mean_nll"))
   }
 
+  /** Fixed-size token chunking with overlap — the RAG / context-window
+    * preparation primitive: split each document into windows of
+    * `chunkTokens` tokens advancing by `chunkTokens - overlapTokens`,
+    * so consecutive chunks share `overlapTokens` tokens and no token
+    * is dropped (the final chunk may be shorter). Chunk text is the
+    * token-normalized join (the standard RAG form — retrieval indexes
+    * tokenized text, not raw bytes). Documents with no tokens produce
+    * no chunks.
+    *
+    * Pure codegen projection + one posexplode — no shuffle, no state,
+    * stream-safe; chunk count per doc is exact integer arithmetic
+    * (`1 + ceil_div(max(n - chunk, 0), stride)`), so the layout is
+    * deterministic and oracle-exact. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens,
+      s"bad chunk=$chunkTokens overlap=$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // ceil_div(max(n - chunk, 0), stride) + 1 chunks for n >= 1
+    val nChunks = ((greatest(n - lit(chunkTokens), lit(0)) +
+      lit(stride - 1)) / lit(stride)).cast("int") + lit(1)
+    df.filter(n >= 1)
+      .select(col(idCol), toks.as("_toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("_toks"), col("chunk_id") * lit(stride) + 1,
+          lit(chunkTokens)).as("_ct"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_ct")).as("n_chunk_tokens"),
+        array_join(col("_ct"), " ").as("chunk_text"))
+  }
+
   /** Top-k collocations by pointwise mutual information (Church &
     * Hanks 1990): PMI(w1,w2) = ln( (c12/B) / ((c1/T)·(c2/T)) ) over
     * corpus bigram/unigram instance counts, with a minimum bigram

@@ -372,6 +372,33 @@ class TextOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("chunkDocuments: exact layout, overlap, full coverage, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // shorter than chunk
+      (3L, "")                                        // no tokens → absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getString(3))).toMap
+    // stride 3: 10 tokens → ceil((10-4)/3)+1 = 3 chunks at 0, 3, 6 —
+    // the last window ends exactly at the document end, nothing dropped
+    assert(out.keys.count(_._1 == 1L) == 3)
+    assert(out((1L, 0)) == (4, "t1 t2 t3 t4"))
+    assert(out((1L, 1)) == (4, "t4 t5 t6 t7")) // 1-token overlap
+    assert(out((1L, 2)) == (4, "t7 t8 t9 t10"))
+    assert(out((2L, 0)) == (3, "a b c"))
+    assert(out.keys.count(_._1 == 2L) == 1)
+    assert(!out.keys.exists(_._1 == 3L))
+    // coverage: concatenating chunks at stride offsets reproduces
+    // every token at least once
+    val covered = out.collect { case ((1L, c), (_, txt)) =>
+      txt.split(' ').toSeq }.flatten.toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("collocationsPmi surfaces the planted collocation; minCount guards noise") {
     import spark.implicits._
     // "gila monster" always co-occurs (PMI max); "the" pairs diffusely.
