@@ -1311,6 +1311,53 @@ object ExtQueries {
       |ORDER BY g.i, g.j""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Corpus report: the per-source dashboard a data engineer pulls
+  // before mixing — volume (docs/tokens), quality-gate pass counts,
+  // exact-duplicate mass, and mean length, each an exact integer
+  // aggregate (the one division is integer/integer → double, exact).
+  // Composes qualityMetrics + fingerprint over one grouped pass.
+  // ---------------------------------------------------------------------
+  def xCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityMetrics(t(s, dir, "documents"), "text")
+      .withColumn("_fp", TextOps.fingerprint(col("text")))
+    q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        (count(lit(1)) - count_distinct(col("_fp"))).as("n_exact_dups"),
+        (sum(col("n_tokens")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val xCorpusReportSql: String =
+    s"""WITH q AS (SELECT source,
+       |    len($toksSql) AS n_tokens,
+       |    length(text) AS n_chars,
+       |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+       |      AS n_alnum,
+       |    md5(lower(trim(text))) AS fp
+       |  FROM documents),
+       |  m AS (SELECT source, n_tokens, fp,
+       |    (n_tokens >= 5
+       |      AND (CASE WHEN n_chars > 0
+       |            THEN CAST(n_alnum AS DOUBLE) / n_chars
+       |            ELSE 0.0 END) >= 0.5
+       |      AND (CASE WHEN n_tokens > 0
+       |            THEN CAST(n_alnum AS DOUBLE) / n_tokens
+       |            ELSE 0.0 END) BETWEEN 2 AND 12) AS ok
+       |  FROM q)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_quality_ok,
+       |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+       |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS avg_tokens
+       |FROM m GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Token chunking with overlap (RAG prep): 40-token windows advancing
   // by 30 (10-token overlap). Chunk layout is exact integer
   // arithmetic; text reconstructs from the token slices identically in
