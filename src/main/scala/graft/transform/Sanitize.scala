@@ -81,9 +81,11 @@ object Sanitize {
     require(lo >= 0.0 && lo < hi && hi <= 1.0, s"bad band [$lo, $hi]")
     // BOTH percentiles from one aggregate call: `percentile` builds a
     // value→count map per buffer, so two separate calls would pay the
-    // build+merge+sort twice for the same column.
+    // build+merge+sort twice for the same column. Column reference is
+    // built from the Column API (no string splice — a backtick in the
+    // name can't break out of the quoted identifier).
     val bounds = df.agg(
-        expr(s"percentile(CAST(`$valueCol` AS DOUBLE), array($lo, $hi))")
+        percentile(col(valueCol).cast("double"), array(lit(lo), lit(hi)))
           .as("_pband"))
       .select(element_at(col("_pband"), 1).as("_plo"),
         element_at(col("_pband"), 2).as("_phi"))
