@@ -1311,6 +1311,38 @@ object ExtQueries {
       |ORDER BY g.i, g.j""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Hourly error-rate anomalies (z > 2 against observed-hour moments):
+  // exact integer sums → one fixed arithmetic chain → engine-exact
+  // z-scores and flags.
+  // ---------------------------------------------------------------------
+  def xEventsAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.ext.EventOps.hourlyAnomalies(t(s, dir, "events"), "ts",
+        "event_type", "error", zMax = 2.0)
+      .orderBy(col("hour"))
+
+  val xEventsAnomalySql: String =
+    """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |  st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(n_events) AS BIGINT) AS s,
+      |    CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+      |  FROM hourly),
+      |  z AS (SELECT hour, n_events,
+      |    CASE WHEN sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) > 0.0
+      |      THEN (CAST(n_events AS DOUBLE)
+      |            - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      ELSE 0.0 END AS z
+      |  FROM hourly CROSS JOIN st)
+      |SELECT hour, n_events, z, abs(z) > 2.0 AS is_anomaly
+      |FROM z ORDER BY hour""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Corpus report: the per-source dashboard a data engineer pulls
   // before mixing — volume (docs/tokens), quality-gate pass counts,
   // exact-duplicate mass, and mean length, each an exact integer

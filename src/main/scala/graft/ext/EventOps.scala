@@ -14,6 +14,41 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** Hourly anomaly flags for one event type — the ops-monitoring
+    * staple: count events per hour, z-score each hour against the
+    * corpus of observed hours, flag |z| beyond `zMax`. Moments are
+    * exact integer sums (Σc, Σc²) turned into μ/σ by one fixed chain
+    * of correctly-rounded ops, so scores and flags are deterministic
+    * and engine-exact. Hours with NO events of the type are absent —
+    * the stats describe observed hours (densify upstream if silence
+    * itself is the anomaly; that is a calendar join, not a monitor
+    * change).
+    *
+    * Scale shape: one filtered groupBy(hour) — counts with map-side
+    * partials — then a 1-row moment aggregate broadcast back over the
+    * (tiny) hourly relation. */
+  def hourlyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+                      eventType: String, zMax: Double = 3.0): DataFrame = {
+    require(zMax > 0.0, s"zMax must be positive: $zMax")
+    val hourly = events.filter(col(typeCol) === eventType)
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.agg(count(lit(1)).as("_n"),
+      sum(col("n_events")).as("_s"),
+      sum(col("n_events") * col("n_events")).as("_s2"))
+    val mu = col("_s").cast("double") / col("_n").cast("double")
+    val variance = col("_s2").cast("double") / col("_n").cast("double") -
+      mu * mu
+    val sigma = sqrt(variance)
+    hourly.crossJoin(broadcast(stats))
+      .withColumn("z",
+        when(sigma > 0.0,
+          (col("n_events").cast("double") - mu) / sigma)
+          .otherwise(lit(0.0)))
+      .withColumn("is_anomaly", abs(col("z")) > zMax)
+      .select(col("hour"), col("n_events"), col("z"), col("is_anomaly"))
+  }
+
   /** Weekly cohort-retention matrix: users cohort by the ISO week of
     * their FIRST activity; each cell counts the cohort's users active
     * again `week_offset` weeks later ((cohort_week, week_offset,

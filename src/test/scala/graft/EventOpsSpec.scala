@@ -53,6 +53,29 @@ class EventOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("hourlyAnomalies flags the planted spike; constant series has no flags") {
+    import spark.implicits._
+    // 11 quiet hours at 2 errors, one spike hour at 30
+    val quiet = (0 until 11).flatMap(h => (1 to 2).map(i =>
+      (ts(f"2024-01-01 $h%02d:15:00"), "error")))
+    val spike = (1 to 30).map(i => (ts("2024-01-01 11:30:00"), "error"))
+    val noise = (0 until 12).map(h => (ts(f"2024-01-01 $h%02d:00:01"), "view"))
+    val events = (quiet ++ spike ++ noise).toDF("ts", "event_type")
+    val out = EventOps.hourlyAnomalies(events, "ts", "event_type",
+        "error", zMax = 2.0)
+      .collect().map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out.size == 12)
+    assert(out("2024-01-01 11:00:00.0") == (30L, true), "spike must flag")
+    assert(out.count(_._2._2) == 1, "only the spike flags")
+    // constant series: sigma = 0 → z defined as 0, nothing flags
+    val flat = (0 until 6).flatMap(h => (1 to 3).map(_ =>
+      (ts(f"2024-01-01 $h%02d:10:00"), "error"))).toDF("ts", "event_type")
+    val flatOut = EventOps.hourlyAnomalies(flat, "ts", "event_type",
+      "error").collect()
+    assert(flatOut.forall(r => r.getDouble(2) == 0.0 && !r.getBoolean(3)))
+  }
+
   test("cohortRetention: first-week cohorts, offsets, within-week dedup") {
     import spark.implicits._
     // Mondays: 2024-01-01, -08, -15 (weeks 0, 1, 2 of the year)
