@@ -65,6 +65,12 @@ case class GramMatrixFixed(child: Expression, dim: Int,
     val arr = v.asInstanceOf[ArrayData]
     require(arr.numElements() == dim,
       s"graft_gram: vector of ${arr.numElements()} elements, expected $dim")
+    var k = 0
+    while (k < dim) {
+      require(!arr.isNullAt(k),
+        s"graft_gram: null element at index $k — embeddings must be dense")
+      k += 1
+    }
     buf(0) += 1L
     var i = 0
     while (i < dim) {

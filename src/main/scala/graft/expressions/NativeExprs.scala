@@ -57,6 +57,16 @@ object NativeExprs {
         s"graft_shingle_hashes(arr, intLiteral), got $other")
     })
     reg("graft_hash_tokens", { case Seq(c) => TokenHashes(c) })
+    reg("graft_window_hashes", {
+      case Seq(c, Literal(n: Int, IntegerType)) => WindowHashes(c, n)
+      case other => throw new IllegalArgumentException(
+        s"graft_window_hashes(arr, intLiteral), got $other")
+    })
+    reg("graft_strip_covered", {
+      case Seq(t, s, Literal(n: Int, IntegerType)) => StripCovered(t, s, n)
+      case other => throw new IllegalArgumentException(
+        s"graft_strip_covered(toks, starts, intLiteral), got $other")
+    })
     reg("graft_del_variants", { case Seq(c) => DeletionVariants(c) })
     reg("graft_ln", { case Seq(c) => GraftLn(c) })
     reg("graft_bloom_contains", {
@@ -742,6 +752,115 @@ case class GraftLn(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+/** POSITIONAL hashed word-n-gram windows (`array<long>` token hashes →
+  * `array<long>` of length `len − n + 1`, element i = the window hash
+  * starting at token i) — [[ShingleHashes]] minus the sort/dedup, for the
+  * span-level operators that need window IDENTITY AND POSITION
+  * (`TextOps.repeatedSpans` / `removeRepeatedSpans`): grouping and
+  * joining on these 8-byte longs instead of reassembled gram STRINGS
+  * keeps the corpus-sized exchanges fixed-width (the strings are
+  * re-attached once, per surviving gram, from a representative doc).
+  * Same Horner window combine as ShingleHashes, so the two families
+  * agree on window identity. Fewer than n tokens → empty array. */
+case class WindowHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_window_hashes expects array<bigint>, got $dt")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WindowHashes.windows(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.WindowHashes.windows($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object WindowHashes {
+  /** Shared compiled kernel for both eval paths. */
+  def windows(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](len)
+    var i = 0
+    while (i < len) { hs(i) = if (arr.isNullAt(i)) 0L else arr.getLong(i); i += 1 }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) { out(i) = NativeExprs.combineWindow(hs, i, n); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Tokens surviving span removal: given a token array and the SORTED
+  * 0-based start positions of its duplicated n-windows, drop every token
+  * position covered by some window `[st, st+n−1]` and return the
+  * survivors in order. One two-pointer sweep, O(tokens + starts) — the
+  * set-algebra this replaces (explode every covered `(doc, pos)` pair ×n,
+  * global `distinct`, token-level anti-join) shuffled n× the corpus's
+  * positions; here coverage never leaves the row. Starts sorted ⇒ window
+  * ENDS are sorted too (fixed width), so "covered" is just `pos ≤ last
+  * seen start + n − 1`. */
+case class StripCovered(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_strip_covered expects (array<string>, array<int>), got ($l, $r)")
+    }
+  override def dataType: DataType = left.dataType
+  override def prettyName: String = "graft_strip_covered"
+
+  override def nullSafeEval(toks: Any, starts: Any): Any =
+    StripCovered.strip(toks.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.expressions.StripCovered.strip($t, $s, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object StripCovered {
+  /** Shared compiled kernel for both eval paths. */
+  def strip(toks: ArrayData, starts: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    val k = starts.numElements()
+    val out = new Array[AnyRef](len)
+    var kept = 0
+    var p = 0            // next unconsumed start
+    var hi = -1          // end of the furthest coverage seen so far
+    var pos = 0
+    while (pos < len) {
+      while (p < k && starts.getInt(p) <= pos) {
+        val h = starts.getInt(p) + n - 1
+        if (h > hi) hi = h
+        p += 1
+      }
+      if (pos > hi) { out(kept) = toks.getUTF8String(pos); kept += 1 }
+      pos += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, kept))
+  }
 }
 
 /** SparkSessionExtensions installer for all graft native functions —

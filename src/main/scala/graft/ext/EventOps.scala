@@ -39,7 +39,11 @@ object EventOps {
     val mu = col("_s").cast("double") / col("_n").cast("double")
     val variance = col("_s2").cast("double") / col("_n").cast("double") -
       mu * mu
-    val sigma = sqrt(variance)
+    // Catastrophic cancellation on near-equal counts can round the
+    // difference to a tiny negative, and sqrt(neg)=NaN compares TRUE
+    // under `NaN > 0.0` in Spark's ordering — clamp so a degenerate
+    // spectrum falls into the z = 0 branch instead of flagging all.
+    val sigma = sqrt(greatest(variance, lit(0.0)))
     hourly.crossJoin(broadcast(stats))
       .withColumn("z",
         when(sigma > 0.0,

@@ -501,19 +501,24 @@ object SimilarityOps {
   def pcaProject(df: DataFrame, vecCol: String, dim: Int,
                  k: Int): DataFrame = {
     require(k >= 1 && k <= dim, s"bad k=$k for dim=$dim")
-    val covRows = embeddingCovariance(df, vecCol, dim)
-      .select(col("i"), col("j"), col("cov"), col("n"))
-      .collect()
-    require(covRows.nonEmpty && covRows.head.getLong(3) > 0,
-      "pcaProject needs a non-empty corpus")
-    val cov = Array.ofDim[Double](dim, dim)
-    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    // Mean vector for centering, from the same aggregate's fixed sums.
+    // ONE corpus aggregate: the raw graft_gram struct carries n, Σx and
+    // Σxxᵀ — both the covariance matrix and the mean derive from it
+    // driver-side with the exact double chain embeddingCovariance uses
+    // (x_fixed/scale/n − μᵢμⱼ), so the components are bit-identical to
+    // the two-pass formulation this replaces.
     val g = df.agg(call_function("graft_gram",
         col(vecCol).cast("array<double>"), lit(dim)).as("_g"))
-      .select(col("_g.n"), col("_g.sums")).collect()(0)
+      .select(col("_g.n"), col("_g.sums"), col("_g.gram")).collect()(0)
+    require(g.getLong(0) > 0, "pcaProject needs a non-empty corpus")
+    val scale = 1073741824.0 // 2^30, the aggregate's fixed-point scale
     val n = g.getLong(0).toDouble
-    val mean = g.getSeq[Long](1).map(_.toDouble / 1073741824.0 / n).toArray
+    val sums = g.getSeq[Long](1)
+    val gram = g.getSeq[Long](2)
+    val mean = sums.map(_.toDouble / scale / n).toArray
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      gram(i * dim + j).toDouble / scale / n -
+        (sums(i).toDouble / scale / n) * (sums(j).toDouble / scale / n)
+    }
     // Deterministic power iteration + deflation (fixed 1/sqrt(dim)
     // start, 200 rounds — overkill for separation at d ≤ a few
     // thousand; ties/degenerate spectra resolve deterministically to

@@ -458,18 +458,39 @@ object TextOps {
     * this surfaces the duplicated SPANS themselves (licenses,
     * disclaimers, templates) for review or span-level removal.
     *
-    * Scale shape: one explode + one grouped aggregation — the n-gram
-    * stream shuffles (gram, id) pairs once, with map-side partials on
-    * the occurrence count. */
+    * Scale shape: one explode + one grouped aggregation, keyed on 8-byte
+    * WINDOW HASHES (`graft_window_hashes`, codegen'd) — the corpus-sized
+    * exchange carries (hash, id) fixed-width pairs, never gram strings.
+    * The output strings are re-attached AFTER the `minDocs` cut, one per
+    * surviving gram, by slicing a deterministic representative document
+    * (min (id, start)) — a join of the tiny survivor set against token
+    * arrays that AQE turns into a broadcast. Distinct grams collide only
+    * if the 64-bit Horner window combine does. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = 10, minDocs: Int = 2): DataFrame =
-    graft.engine.Engine.spread(df)
-      .select(col(idCol).as("_id"),
-        explode(shingles(tokens(col(textCol)), n)).as("gram"))
-      .groupBy(col("gram"))
+                    n: Int = 10, minDocs: Int = 2): DataFrame = {
+    val agg = graft.engine.Engine.spread(df)
+      .select(col(idCol).as("_id"), posexplode(
+        call_function("graft_window_hashes",
+          call_function("graft_hash_tokens", tokens(col(textCol))),
+          lit(n))))
+      .withColumnsRenamed(Map("pos" -> "_st", "col" -> "_gh"))
+      .groupBy(col("_gh"))
       .agg(count_distinct(col("_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col("_id"), col("_st"))).as("_loc"))
       .filter(col("n_docs") >= minDocs)
+      .select(col("n_docs"), col("n_occurrences"),
+        col("_loc._id").as("_rid"), col("_loc._st").as("_rst"))
+    // Second pass re-reads raw text only to PRINT the survivors:
+    // tokenization happens AFTER the join (AQE broadcasts the tiny
+    // survivor side), so the corpus is tokenized once, not twice.
+    df.select(col(idCol).as("_rid"), col(textCol).as("_t"))
+      .join(agg, Seq("_rid"))
+      .select(
+        concat_ws(" ", slice(tokens(col("_t")), col("_rst") + 1, lit(n)))
+          .as("gram"),
+        col("n_docs"), col("n_occurrences"))
+  }
 
   /** Span-level removal of cross-document duplicated substrings — the
     * removal half of Lee et al. 2021 (§4: delete the duplicated
@@ -485,35 +506,42 @@ object TextOps {
     *
     * Scale shape (the gram-window approximation of the paper's suffix
     * array, which has no distributed-join equivalent): windows shuffle
-    * as (gram, id, start) once for the duplicate aggregation and once
-    * for the coverage semi join — the duplicated-gram set is NOT
-    * assumed tiny (unlike the C4 boilerplate set), so the join strategy
-    * stays AQE's choice; covered positions explode to (id, pos) pairs
-    * only. Text crosses the network as tokens once, at reassembly. */
+    * ONCE, as fixed-width (window-hash, id, start) triples
+    * (`graft_window_hashes` — gram strings never leave the row), for
+    * the duplicate aggregation and the coverage semi join — the
+    * duplicated-gram set is NOT assumed tiny (unlike the C4 boilerplate
+    * set), so the join strategy stays AQE's choice. Duplicated-window
+    * starts then collapse straight to ONE sorted array per document
+    * (collect_list, map-side partials), and `graft_strip_covered` drops
+    * the covered positions in a single O(tokens + starts) two-pointer
+    * sweep per row — replacing the former coverage explode (×n
+    * positions), global distinct, and token-level anti-join, which
+    * together shuffled every covered position n times. Text crosses the
+    * network as token arrays once, at the final per-doc join. */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 10, minDocs: Int = 2,
                           sep: String = " "): DataFrame = {
     require(n >= 1 && minDocs >= 2, s"bad n=$n / minDocs=$minDocs")
     val toks = graft.engine.Engine.spread(df)
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
-    val tp = toks.select(col("_id"), posexplode(col("_toks")))
-      .withColumnsRenamed(Map("pos" -> "_pos", "col" -> "_tok"))
     val w = toks.filter(size(col("_toks")) >= n)
-      .select(col("_id"), posexplode(shingles(col("_toks"), n)))
-      .withColumnsRenamed(Map("pos" -> "_st", "col" -> "_gram"))
-    val dup = w.groupBy(col("_gram"))
+      .select(col("_id"), posexplode(call_function("graft_window_hashes",
+        call_function("graft_hash_tokens", col("_toks")), lit(n))))
+      .withColumnsRenamed(Map("pos" -> "_st", "col" -> "_gh"))
+    val dup = w.groupBy(col("_gh"))
       .agg(count_distinct(col("_id")).as("_nd"))
-      .filter(col("_nd") >= minDocs).select(col("_gram"))
-    val cov = w.join(dup, Seq("_gram"))
-      .select(col("_id"),
-        explode(sequence(col("_st"), col("_st") + lit(n - 1))).as("_pos"))
-      .distinct()
-    tp.join(cov, Seq("_id", "_pos"), "left_anti")
+      .filter(col("_nd") >= minDocs).select(col("_gh"))
+    val starts = w.join(dup, Seq("_gh"))
       .groupBy(col("_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("_pos"), col("_tok")))),
-        s => s.getField("_tok")), sep).as("_txt"))
-      .select(col("_id").as(idCol), col("_txt").as(textCol))
+      .agg(sort_array(collect_list(col("_st"))).as("_sts"))
+    toks.join(starts, Seq("_id"), "left")
+      .select(col("_id"), call_function("graft_strip_covered",
+        col("_toks"),
+        coalesce(col("_sts"), array().cast("array<int>")), lit(n))
+        .as("_kept"))
+      .filter(size(col("_kept")) > 0)
+      .select(col("_id").as(idCol),
+        array_join(col("_kept"), sep).as(textCol))
   }
 
   /** Cross-document boilerplate removal — the C4 rule (Raffel et al.

@@ -248,7 +248,16 @@ object StreamIngestJob {
   /** Start the streaming query: quarantine to parquet, kept rows to the
     * keyed store. The input stream itself stays untransformed — routing
     * happens per micro-batch so BOTH halves come from one source read
-    * and one checkpoint. */
+    * and one checkpoint.
+    *
+    * Delivery semantics: the keyed-upsert side is replay-idempotent
+    * (same ids overwrite), so it is effectively exactly-once; the
+    * quarantine side is a plain parquet append and therefore
+    * AT-LEAST-ONCE — a micro-batch replayed after a failure between the
+    * quarantine write and the checkpoint commit duplicates its
+    * quarantine rows. Consumers of the quarantine directory must
+    * dedupe on read (rows carry the batch's ids; `SELECT DISTINCT` or
+    * a keyed downstream load both work). */
   def start(stream: DataFrame, idCol: String, textCol: String,
             rules: Seq[Checks.Rule], benchGramHashes: Array[Long],
             blockedPhrases: Seq[String],

@@ -203,6 +203,67 @@ class CodegenHealthSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
   }
 
+  test("graft_window_hashes: positional, agrees with shingle identity") {
+    import spark.implicits._
+    val df = Seq((Array("a", "b", "c", "a", "b"), 0)).toDF("toks", "pad")
+    df.createOrReplaceTempView("cg_win")
+    assertNoCodegenErrors {
+      val row = spark.sql(
+        """SELECT graft_window_hashes(graft_hash_tokens(toks), 2) AS w,
+          |       graft_shingle_hashes(graft_hash_tokens(toks), 2) AS s,
+          |       graft_window_hashes(graft_hash_tokens(toks), 9) AS e
+          |FROM cg_win""".stripMargin).collect()(0)
+      val w = row.getSeq[Long](0)
+      val s = row.getSeq[Long](1)
+      // positional: one hash per start; windows "ab","bc","ca","ab"
+      assert(w.length == 4)
+      assert(w(0) == w(3) && w(0) != w(1), "identical windows must collide")
+      // identity agrees with the sorted-distinct shingle family
+      assert(w.toSet == s.toSet)
+      assert(row.getSeq[Long](2).isEmpty, "docs shorter than n → empty")
+    }
+  }
+
+  test("graft_strip_covered: two-pointer sweep matches set semantics") {
+    import spark.implicits._
+    val df = Seq(
+      // starts {0, 3} with n=3 cover positions 0-2 and 3-5 → keep 6
+      (Array("t0", "t1", "t2", "t3", "t4", "t5", "t6"), Array(0, 3)),
+      // overlapping starts {1, 2}, n=3 → cover 1-4, keep 0,5,6
+      (Array("t0", "t1", "t2", "t3", "t4", "t5", "t6"), Array(1, 2)),
+      // no coverage
+      (Array("t0", "t1"), Array.empty[Int]),
+      // full coverage
+      (Array("t0", "t1", "t2"), Array(0))
+    ).toDF("toks", "starts")
+    df.createOrReplaceTempView("cg_strip")
+    assertNoCodegenErrors {
+      val rows = spark.sql(
+        """SELECT graft_strip_covered(toks, starts, 3) AS kept
+          |FROM cg_strip""".stripMargin)
+        .collect().map(_.getSeq[String](0))
+      assert(rows(0) == Seq("t6"))
+      assert(rows(1) == Seq("t0", "t5", "t6"))
+      assert(rows(2) == Seq("t0", "t1"))
+      assert(rows(3) == Seq.empty)
+    }
+    // brute-force cross-check on random inputs: kept == positions not in
+    // any [st, st+n-1]
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val len = 1 + rnd.nextInt(30)
+      val toks = Array.tabulate(len)(i => s"w$i")
+      val n = 1 + rnd.nextInt(5)
+      val starts = (0 until len).filter(_ => rnd.nextBoolean()).toArray
+      val expect = (0 until len).filterNot(p =>
+        starts.exists(st => st <= p && p <= st + n - 1)).map(toks)
+      val got = Seq((toks, starts)).toDF("toks", "starts")
+        .selectExpr(s"graft_strip_covered(toks, starts, $n) AS kept")
+        .collect()(0).getSeq[String](0)
+      assert(got == expect, s"n=$n starts=${starts.mkString(",")}")
+    }
+  }
+
   test("codegen results match interpreted eval on the stacked shapes") {
     import spark.implicits._
     val df = Seq((Array(11L, 22L, 33L, 44L, 55L), Array("a", "bb")))

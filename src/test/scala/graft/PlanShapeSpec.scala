@@ -109,6 +109,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("span ops: corpus exchanges carry window-hash longs, not gram strings") {
+    // PERF claim: repeatedSpans / removeRepeatedSpans group and join on
+    // graft_window_hashes output (8-byte longs); the reassembled gram
+    // STRINGS must never be a shuffle key — they are re-attached once,
+    // per surviving gram / doc, after the minDocs cut.
+    Seq(ExtQueries.xTextSpans _, ExtQueries.xTextSpanremove _).foreach { q =>
+      val p = plan(q(spark, fixtureDir))
+      val exchanges = p.linesIterator
+        .filter(_.contains("hashpartitioning")).mkString("\n")
+      assert(exchanges.contains("_gh"),
+        s"expected a window-hash (_gh) exchange:\n$exchanges")
+      assert(!exchanges.contains("gram"),
+        s"gram strings must not be shuffle keys:\n$exchanges")
+    }
+    // and the coverage explode+distinct is gone from span removal
+    val pr = plan(ExtQueries.xTextSpanremove(spark, fixtureDir))
+    assert(!pr.toLowerCase.contains("sequence("),
+      "span removal must not explode covered positions")
+  }
+
   test("funnel: per-stage aggregates, no window over raw event lists") {
     val df = ExtQueries.xEventsFunnel(spark, fixtureDir)
     df.collect()
