@@ -50,6 +50,27 @@ object ExtQueries {
       |  SELECT doc_id + 10000 AS doc_id, text FROM documents
       |  WHERE doc_id < 50""".stripMargin
 
+  /** Connected components of the minhash-0.8 near-dup graph over
+    * [[clonedDocs]] — computed ONCE per (session, fixture dir) and
+    * shared by the four CC-family queries (`x_dedup_cc` /
+    * `x_dedup_resolve` / `x_dedup_sizes` / `x_split_leakage`). The
+    * candidate pipeline (tokenize → signatures → band join) plus the
+    * iterative closure is the most expensive subtree in the suite, and
+    * within a session its input is immutable, so each consumer
+    * recomputing it was pure waste; at corpus scale it is the
+    * difference between one and four full near-dup passes. The
+    * returned frame is checkpoint-backed (connectedComponents
+    * materializes its fixpoint), so reuse replays no lineage. */
+  private val ccCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def clonedDocsComponents(s: SparkSession,
+                                   dir: String): DataFrame =
+    ccCache.computeIfAbsent((s, dir), _ =>
+      DedupOps.connectedComponents(
+        DedupOps.nearDupPairsMinhash(clonedDocs(s, dir), "doc_id",
+          "text", shingleN = 2, numPerm = 64, bands = 16,
+          threshold = 0.8)))
+
   // ---------------------------------------------------------------------
   // Exact dedup: hash-groupBy on the md5 text fingerprint, keep min id.
   // One shuffle, partial agg; the 50 planted clones must all be dropped.
@@ -787,9 +808,7 @@ object ExtQueries {
   // takes min(reachable) — two independent algorithms, same fixpoint.
   // ---------------------------------------------------------------------
   def xDedupCc(s: SparkSession, dir: String): DataFrame =
-    DedupOps.connectedComponents(
-        DedupOps.nearDupPairsMinhash(clonedDocs(s, dir), "doc_id", "text",
-          shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8))
+    clonedDocsComponents(s, dir)
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
 
@@ -828,9 +847,8 @@ object ExtQueries {
   def xDedupResolve(s: SparkSession, dir: String): DataFrame = {
     val corpus = clonedDocs(s, dir)
       .withColumn("quality", length(col("text")))
-    val pairs = DedupOps.nearDupPairsMinhash(corpus, "doc_id", "text",
-      shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8)
-    DedupOps.resolveClusters(corpus, "doc_id", pairs, "quality")
+    DedupOps.resolveClustersWith(corpus, "doc_id",
+        clonedDocsComponents(s, dir), "quality")
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
   }
@@ -1664,9 +1682,7 @@ object ExtQueries {
   // cross-checks the histogram against the corpus mass.
   // ---------------------------------------------------------------------
   def xDedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
-    val comps = DedupOps.connectedComponents(
-      DedupOps.nearDupPairsMinhash(clonedDocs(s, dir), "doc_id", "text",
-        shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8))
+    val comps = clonedDocsComponents(s, dir)
     comps.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
@@ -1724,10 +1740,8 @@ object ExtQueries {
   // ---------------------------------------------------------------------
   def xSplitLeakage(s: SparkSession, dir: String): DataFrame = {
     val corpus = clonedDocs(s, dir)
-    val pairs = DedupOps.nearDupPairsMinhash(corpus, "doc_id", "text",
-      shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8)
-    DedupOps.leakageSafeSplit(corpus, "doc_id", pairs,
-        Seq("test" -> 0.1, "valid" -> 0.1))
+    graft.transform.Split.componentSplit(corpus, "doc_id",
+        clonedDocsComponents(s, dir), Seq("test" -> 0.1, "valid" -> 0.1))
       .select(col("doc_id"), col("split"))
       .orderBy(col("doc_id"))
   }

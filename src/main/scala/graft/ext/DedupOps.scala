@@ -457,8 +457,19 @@ object DedupOps {
     * the pair-generating ops here: id_a/id_b). */
   def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame,
                       preferCol: String, srcCol: String = "id_a",
-                      dstCol: String = "id_b"): DataFrame = {
-    val comp = connectedComponents(pairs, srcCol, dstCol)
+                      dstCol: String = "id_b"): DataFrame =
+    resolveClustersWith(df, idCol,
+      connectedComponents(pairs, srcCol, dstCol), preferCol)
+
+  /** [[resolveClusters]] over PRECOMPUTED components (`id`, `component`)
+    * — the entry point when one materialized closure serves several
+    * downstream consumers (resolution, sizing, splitting), so the
+    * candidate pipeline and the iterative closure run once per corpus
+    * snapshot instead of once per consumer. */
+  def resolveClustersWith(df: DataFrame, idCol: String,
+                          components: DataFrame,
+                          preferCol: String): DataFrame = {
+    val comp = components
       .select(col("id").as("_cc_id"), col("component").as("_cc_comp"))
     val withComp = df.join(comp, df(idCol) === comp("_cc_id"), "left")
       .withColumn("_comp", coalesce(col("_cc_comp"), col(idCol)))
