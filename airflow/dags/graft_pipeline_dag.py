@@ -21,6 +21,7 @@ from datetime import datetime, timedelta
 import os
 
 from airflow import DAG
+from airflow.operators.bash import BashOperator
 from airflow.providers.apache.spark.operators.spark_submit import (
     SparkSubmitOperator,
 )
@@ -75,6 +76,26 @@ with DAG(
         [DATA_ROOT + "/incoming/documents.csv", RUN_DIR + "/documents",
          "replace"],
     )
+    # S9 web-ingest pair: `crawl` runs the Selenium spiders driver-side
+    # (the reference's base_spider.py shape) and records a JSON-lines
+    # manifest {url, path, fetched_at} as pages land under
+    # incoming/scraped/; `scrape_ingest` then turns manifest + landed
+    # files into a parquet table through the graft-scrape DSv2 source
+    # (executors read the page files, the driver only the manifest).
+    crawl = BashOperator(
+        task_id="crawl",
+        bash_command=(
+            "python -m spiders.run_crawl "
+            + DATA_ROOT + "/incoming/scraped "
+            + DATA_ROOT + "/incoming/scraped/manifest.jsonl"
+        ),
+    )
+    scrape_ingest = spark_task(
+        "scrape_ingest",
+        "graft.jobs.ScrapeIngestJob",
+        [DATA_ROOT + "/incoming/scraped/manifest.jsonl",
+         RUN_DIR + "/scraped_pages", "replace"],
+    )
     profile = spark_task(
         "profile",
         "graft.jobs.ProfileJob",
@@ -113,6 +134,7 @@ with DAG(
     # Profile runs informationally in parallel; the data path is gated:
     # nothing downstream starts until the quality rules pass.
     ingest >> [profile, quality_gate]
+    crawl >> scrape_ingest >> quality_gate
     quality_gate >> dedupe >> split >> load
 
 

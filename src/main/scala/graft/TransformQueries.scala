@@ -326,6 +326,49 @@ object TransformQueries {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S9 — scrape-manifest roundtrip: land the first 100 documents as
+  // one file each plus a JSON-lines crawl manifest (the shape the
+  // reference's Selenium ingest task produces, base_spider.py:5-16),
+  // scan them back through the `graft-scrape` DSv2 connector, and
+  // oracle url/timestamp/char-count against the ORIGINAL documents
+  // table — proving the full land → manifest → distributed-read path
+  // preserves content. The landing pass is driver-side by design
+  // (crawls ARE driver-side in the reference; bounded at 100 docs);
+  // the scan back is executor-side with pruning-aware file IO.
+  // ---------------------------------------------------------------------
+  def tScrapeManifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.scrape.ScrapeManifest
+    val land = rtDir(dir) + "/scrape_land"
+    val manifest = land + "/manifest.jsonl"
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val fs = new org.apache.hadoop.fs.Path(land)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = docs.map { case (id, text) =>
+      val p = new org.apache.hadoop.fs.Path(s"$land/doc_$id.txt")
+      val out = fs.create(p, true)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      (s"https://example.com/doc/$id", p.toString, t0.plusSeconds(id))
+    }
+    ScrapeManifest.write(entries.toIndexedSeq, manifest)
+    s.read.format("graft-scrape").option("path", manifest).load()
+      .select(col("url"), col("fetched_at"),
+        length(col("content")).as("n_chars"))
+      .orderBy(col("url"))
+  }
+
+  val tScrapeManifestSql: String =
+    """SELECT 'https://example.com/doc/' || doc_id AS url,
+      |  TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND
+      |    AS fetched_at,
+      |  length(text) AS n_chars
+      |FROM documents WHERE doc_id < 100
+      |ORDER BY url""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Winsorization (W3-adjacent numeric cleaning): clip l_extendedprice
   // to its [5%, 95%] exact-percentile band, summarized per returnflag
   // with exact-safe aggregates only (integer clip counts, band edges,

@@ -89,11 +89,19 @@ object Engine {
         // in cluster posture) or by deleting the directory post-job.
         val cached = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try cached.checkpoint(eager = true)
+        try reset(cached.checkpoint(eager = true))
         finally cached.unpersist(blocking = false)
-      case _ => df.localCheckpoint(eager = true)
+      case _ => reset(df.localCheckpoint(eager = true))
     }
   }
+
+  /** Checkpoint carries the ORIGIN plan's size estimate through the cut
+    * (`LogicalRDD.originStats`); in iterative loops that estimate is
+    * squared by every round's join and eventually overflows BigInteger
+    * (see CheckpointStats). Strip it — AQE re-plans from true runtime
+    * sizes, so the carried estimate only ever hurt. */
+  private def reset(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.CheckpointStats.dropOriginStats(df)
 
   /** Free the storage behind a frame returned by [[materialize]] — the
     * local-checkpoint blocks, or the reliable-checkpoint files when

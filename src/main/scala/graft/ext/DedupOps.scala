@@ -374,20 +374,41 @@ object DedupOps {
     * component = the smallest id reachable from `id`; nodes not in any
     * pair are absent (they are their own singleton cluster by definition).
     *
-    * Algorithm: min-label propagation — every node starts labeled with
-    * itself; each round, every node takes the min of its own and its
-    * neighbors' labels; converges in O(graph diameter) rounds (dup
-    * clusters are shallow, so typically 2-4). Each round is ONE
-    * shuffled join + ONE aggregation, and the label frame is
-    * `localCheckpoint`ed to cut lineage (swap for `checkpoint` on a real
-    * cluster). This is the simple propagation variant of the MapReduce CC
-    * family (cf. Kiveris et al., "Connected Components in MapReduce and
-    * Beyond", SoCC 2014 — the large-star/small-star trick only pays off
-    * on high-diameter graphs, which dup clusters are not).
+    * Algorithm: hook + full path compression (the Shiloach-Vishkin
+    * shape, in DataFrame joins) — every node starts labeled with
+    * itself; each round, every node first takes the min of its own and
+    * its neighbors' labels (the HOOK: one hop along the graph), then
+    * the label forest is compressed TO FLAT (component :=
+    * label(label(v)) repeated until the label sum stops moving — each
+    * jump halves the forest depth, so the inner loop runs
+    * ~log₂(forest depth) label-sized joins). The invariant is
+    * preserved because label(v) = u always means u is reachable from
+    * v, so u's label is also a reachable id. A single jump per round is
+    * NOT enough: an adversarial id layout (bit-reversed path, pinned in
+    * DedupOpsSpec) defeats hop+one-jump — coverage doubling needs the
+    * min's ball to extend the node's own, which adversarial layouts
+    * deny — and plain propagation needs diameter rounds outright. With
+    * full compression the outer rounds stay O(log n) on ANY layout
+    * (cf. Shiloach & Vishkin 1982; Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014 — compression
+    * plays the large-star/small-star role): a 200-node ordered path
+    * finishes in 2 outer rounds (the round-1 label forest IS the path
+    * and compression flattens it), the bit-reversed variant in a small
+    * handful — both pinned. Labels frames are the dup-cluster nodes
+    * only, far smaller than the corpus, so the extra compression joins
+    * are cheap; shallow real corpora flatten after one jump.
     *
     * Convergence is verified, not assumed: if labels still change after
     * `maxIter` rounds the call FAILS loudly rather than returning a
     * partially-merged clustering. */
+  /** Outer (hook) rounds the most recent [[connectedComponents]] call
+    * took to reach AND confirm its fixpoint, and the total compression
+    * jumps across them — observability for the diameter tests and for
+    * capacity planning (rounds = O(log n); jumps ≈ Σ log₂ forest
+    * depth). */
+  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val lastCcJumps = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b",
                           maxIter: Int = 25): DataFrame = {
@@ -416,24 +437,88 @@ object DedupOps {
       df.agg(sum(col("component").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
     var round = 0
+    var totalJumps = 0
     var converged = bidir.isEmpty
     var prevSum = if (converged) null else labelSum(labels)
     while (!converged && round < maxIter) {
       val msgs = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
-      val next = graft.engine.Engine.materialize(
+      // Graph hook: every node takes the min of its own and its
+      // neighbors' labels. Materialized because it feeds the tree-hook
+      // joins below twice.
+      val hooked = graft.engine.Engine.materialize(
         labels.unionByName(msgs)
           .groupBy("id").agg(min("component").as("component")))
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      // TREE hook (the Shiloach-Vishkin step a naive formulation
+      // misses): when any member of a tree found a smaller label, the
+      // WHOLE tree — keyed by its pre-round root, i.e. the previous
+      // label — adopts that tree-wide minimum at once. Without this a
+      // star-shaped tree re-absorbs a boundary node's discovery one
+      // graph hop per round, and adversarial layouts (bit-reversed
+      // path, pinned in DedupOpsSpec) stretch that past any O(log n)
+      // bound.
+      val old = labels.select(col("id").as("_tid"),
+        col("component").as("_troot"))
+      // Materialized: feeds the per-tree aggregate AND the adopt join.
+      val withRoot = graft.engine.Engine.materialize(
+        hooked.join(old, hooked("id") === old("_tid"))
+          .select(col("id"), col("component"), col("_troot")))
+      graft.engine.Engine.release(hooked)
+      val treeMin = withRoot.groupBy(col("_troot"))
+        .agg(min(col("component")).as("_tmin"))
+        .select(col("_troot").as("_mroot"), col("_tmin"))
+      // Materialized: the tree-hooked frame feeds BOTH sides of every
+      // compression join below — without the cut the aggregation
+      // subtree would re-run per jump (AQE exchange reuse is not
+      // guaranteed across the join).
+      var cur = graft.engine.Engine.materialize(
+        withRoot.join(treeMin, withRoot("_troot") === treeMin("_mroot"))
+          .select(col("id"),
+            least(col("component"), col("_tmin")).as("component")))
+      graft.engine.Engine.release(withRoot)
+      var curSum = labelSum(cur)
+      // Path compression to flat: follow the label forest (label of my
+      // label) until the label sum stops moving — each jump halves the
+      // forest depth. Every label value is itself a node id present in
+      // `cur` (all of bidir's nodes are seeded), so the inner join is
+      // total; least() keeps monotone decrease, which also bounds the
+      // loop (the sum strictly decreases until flat).
+      var flat = false
+      var jumps = 0
+      while (!flat) {
+        val jump = cur.select(col("id").as("_jid"),
+          col("component").as("_jcomp"))
+        val nxt = graft.engine.Engine.materialize(
+          cur.join(jump, cur("component") === jump("_jid"))
+            .select(col("id"),
+              least(col("component"), col("_jcomp")).as("component")))
+        val s = labelSum(nxt)
+        flat = s.compareTo(curSum) == 0
+        graft.engine.Engine.release(cur)
+        cur = nxt
+        curSum = s
+        jumps += 1
+        // NOT tied to maxIter (the user-facing diameter guard): the
+        // inner loop terminates by monotonicity alone — labels strictly
+        // decrease until flat — so 64 jumps (forest depth 2^64) is
+        // unreachable except through a bug.
+        if (jumps > 64)
+          throw new IllegalStateException(
+            "path compression did not flatten in 64 jumps — " +
+              "monotonicity violated; this is a bug")
+      }
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       graft.engine.Engine.release(labels) // superseded iterate
-      labels = next
+      labels = cur
+      totalJumps += jumps
       round += 1
     }
     // bidir is no longer read once the fixpoint is reached (the returned
     // labels frame is checkpoint-backed, lineage-free).
     graft.engine.Engine.release(bidir)
+    lastCcRounds.set(round)
+    lastCcJumps.set(totalJumps)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +

@@ -41,6 +41,28 @@ object IngestJob {
     Jobs.withSession("graft-ingest")(run(_, args))
 }
 
+/** Scrape ingest (S9): crawl-manifest → sanitized parquet landing
+  * table. The crawl itself (the reference's Selenium spiders,
+  * `neulix_dataflow/spiders/base_spider.py:5-16`) runs driver-side in
+  * the DAG's crawl task and records a JSON-lines manifest as it lands
+  * pages; THIS job turns that manifest into a table through the
+  * `graft-scrape` DSv2 source — executors open the landed files, the
+  * driver only reads the manifest. args: <manifestPath> <outTable>
+  * [behavior=replace] */
+object ScrapeIngestJob {
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(manifest, out, rest @ _*) = args
+    val pages = spark.read.format("graft-scrape")
+      .option("path", manifest).load()
+    val ok = graft.sinks.Sinks.loadDataFrame(pages, out,
+      rest.headOption.getOrElse("replace"))
+    if (!ok) throw new RuntimeException(
+      s"scrape ingest landed no pages: $manifest")
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-scrape-ingest")(run(_, args))
+}
+
 /** Profile: parquet table → per-column profile parquet (W2).
   * args: <inTable> <outPath> */
 object ProfileJob {

@@ -70,10 +70,11 @@ object Sanitize {
     * `<col>_wins` (double) plus the band edges, leaving the raw column
     * intact for audit.
     *
-    * Scale shape: one exact-percentile aggregate (a per-partition sort
-    * at fixture scale — swap `percentile` for `approx_percentile`'s
-    * t-digest at 100 TB, same plan shape) cross-joined back as a
-    * broadcast 1-row frame; the clip itself is a narrow projection.
+    * Scale shape: one exact-percentile aggregate (a per-buffer
+    * value→count map — fine at fixture scale; use [[winsorizeApprox]]
+    * at 100 TB, same plan shape with constant-memory buffers)
+    * cross-joined back as a broadcast 1-row frame; the clip itself is
+    * a narrow projection.
     * Exact `percentile` matches DuckDB's `quantile_cont` (the
     * q_percentiles-proven pairing), so the edges are oracle-exact. */
   def winsorize(df: DataFrame, valueCol: String, lo: Double = 0.01,
@@ -87,6 +88,40 @@ object Sanitize {
     val bounds = df.agg(
         percentile(col(valueCol).cast("double"), array(lit(lo), lit(hi)))
           .as("_pband"))
+      .select(element_at(col("_pband"), 1).as("_plo"),
+        element_at(col("_pband"), 2).as("_phi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col(valueCol).cast("double"), col("_plo")),
+          col("_phi")))
+      .withColumnRenamed("_plo", s"${valueCol}_lo")
+      .withColumnRenamed("_phi", s"${valueCol}_hi")
+  }
+
+  /** [[winsorize]] with `approx_percentile` band edges — the 100 TB
+    * path. Exact `percentile` accumulates a value→count map PER
+    * AGGREGATION BUFFER: on high-cardinality doubles the buffer grows
+    * with the distinct count, and at corpus scale the merge phase
+    * funnels gigabyte maps through one reducer — the aggregate itself
+    * becomes the bottleneck. `approx_percentile` keeps a fixed-size
+    * quantile summary (Greenwald-Khanna) per buffer instead: constant
+    * memory, cheap merges, same one-aggregate-then-broadcast plan.
+    *
+    * Error bound (the documented contract, asserted in SanitizeSpec):
+    * with `accuracy` = a, the returned edge is the value at SOME rank
+    * within ±n/a of the requested rank (Spark guarantees rank error ≤
+    * floor(1/a · n)) — so the clip band is off by at most that rank
+    * slack, never by an out-of-distribution VALUE (edges are always
+    * actual data values). Not oracle-exact by design; the oracled
+    * `t_winsorize` keeps the exact variant. Default a=10000 ⇒ ≤0.01 %
+    * rank error. */
+  def winsorizeApprox(df: DataFrame, valueCol: String, lo: Double = 0.01,
+                      hi: Double = 0.99, accuracy: Int = 10000): DataFrame = {
+    require(lo >= 0.0 && lo < hi && hi <= 1.0, s"bad band [$lo, $hi]")
+    require(accuracy >= 1, s"bad accuracy $accuracy")
+    val bounds = df.agg(
+        approx_percentile(col(valueCol).cast("double"),
+          array(lit(lo), lit(hi)), lit(accuracy)).as("_pband"))
       .select(element_at(col("_pband"), 1).as("_plo"),
         element_at(col("_pband"), 2).as("_phi"))
     df.crossJoin(broadcast(bounds))

@@ -157,9 +157,9 @@ class DedupOpsSpec extends SparkSpec {
       .createTempDirectory("graft_ckpt_cc").toString
     spark.conf.set("spark.graft.checkpointDir", dir)
     try {
-      // A 12-node chain: the min label travels one hop per round, so
-      // ~11 materialize rounds run — each must delete its predecessor's
-      // checkpoint files, not pile them up for the job's lifetime.
+      // A 12-node chain: hook rounds plus compression jumps run several
+      // materializes — each must delete its predecessor's checkpoint
+      // files, not pile them up for the job's lifetime.
       val pairs = (0 until 11).map(i => (i.toLong, i.toLong + 1))
         .toDF("id_a", "id_b")
       val comp = DedupOps.connectedComponents(pairs)
@@ -171,6 +171,62 @@ class DedupOpsSpec extends SparkSpec {
       assert(rddDirs.size <= 2,
         s"superseded checkpoints left behind: $rddDirs")
     } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
+  test("connectedComponents at adversarial diameter: 200-node path in O(log d) rounds") {
+    import spark.implicits._
+    // A 200-node path (diameter 199) is the worst case for plain
+    // min-label propagation — one hop per round would need ~200 rounds
+    // and trip the maxIter=25 guard. With hook + compress-to-flat the
+    // round-1 label forest IS the path (label(v) = v−1), compression
+    // flattens it to 0 in ~log₂(199) jumps, and round 2 confirms the
+    // fixpoint: 2 outer rounds total.
+    val pairs = (0 until 199).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    assert((0L to 199L).forall(got(_) == 0L))
+    assert(DedupOps.lastCcRounds.get() == 2,
+      s"expected 2 rounds, took ${DedupOps.lastCcRounds.get()}")
+    assert(DedupOps.lastCcJumps.get() <= 12, // ⌈log₂ 199⌉ + confirms
+      s"too many compression jumps: ${DedupOps.lastCcJumps.get()}")
+  }
+
+  test("connectedComponents at adversarial diameter: ids against the grain") {
+    import spark.implicits._
+    // Same shape, but path order is the BIT-REVERSED id sequence: every
+    // node's graph neighbors are numerically distant, and the min id
+    // sits behind zig-zag detours. This layout defeats hop+single-jump
+    // (it needed >25 rounds before compress-to-flat existed — coverage
+    // doubling requires the min's ball to extend the node's own, which
+    // this layout denies). Full compression must converge well inside
+    // the guard on ANY layout — the property, not an exact count.
+    val ids = (0 until 256).map(i =>
+      Integer.reverse(i) >>> 24).map(_.toLong)
+    val pairs = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 256)
+    assert(got.values.forall(_ == 0L))
+    assert(DedupOps.lastCcRounds.get() <= 10,
+      s"guard at risk: ${DedupOps.lastCcRounds.get()} rounds " +
+        s"(${DedupOps.lastCcJumps.get()} jumps)")
+  }
+
+  test("connectedComponents fails loudly past maxIter instead of returning a partial merge") {
+    import spark.implicits._
+    // maxIter=1: the first hook+compress round DOES move labels (so the
+    // sum changes and convergence cannot be declared), and no confirm
+    // round is allowed — the guard must throw, not return the
+    // (possibly complete but UNVERIFIED) labeling.
+    val pairs = (0 until 40).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("connectedComponents on an empty edge list returns an empty frame") {

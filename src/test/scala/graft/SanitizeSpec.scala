@@ -92,4 +92,30 @@ class SanitizeSpec extends SparkSpec {
     }
     assert(out.count { case (v, w, _, _) => v != w } == 2) // 1 and 10
   }
+
+  test("winsorizeApprox edges sit within the documented rank bound of exact") {
+    import spark.implicits._
+    // 10 000 distinct values, deliberately scrambled across partitions
+    // so per-buffer summaries actually merge. With accuracy = 1000 the
+    // guarantee is rank error ≤ n/accuracy = 10 ranks; values are the
+    // identity function of rank, so |approx − exact| ≤ 10 in VALUE
+    // space too — assert with that exact slack, no fuzz factor.
+    val n = 10000
+    val acc = 1000
+    val df = scala.util.Random.shuffle((1 to n).toVector)
+      .map(_.toDouble).toDF("v").repartition(8)
+    val exact = graft.transform.Sanitize.winsorize(df, "v", 0.05, 0.95)
+      .select("v_lo", "v_hi").head()
+    val approx = graft.transform.Sanitize
+      .winsorizeApprox(df, "v", 0.05, 0.95, accuracy = acc)
+      .select("v_lo", "v_hi").head()
+    val slack = n.toDouble / acc
+    assert(math.abs(approx.getDouble(0) - exact.getDouble(0)) <= slack,
+      s"lo: approx=${approx.getDouble(0)} exact=${exact.getDouble(0)}")
+    assert(math.abs(approx.getDouble(1) - exact.getDouble(1)) <= slack,
+      s"hi: approx=${approx.getDouble(1)} exact=${exact.getDouble(1)}")
+    // approx edges are actual data values, never interpolated ones
+    assert(approx.getDouble(0) == approx.getDouble(0).floor)
+    assert(approx.getDouble(1) == approx.getDouble(1).floor)
+  }
 }

@@ -71,6 +71,28 @@ class SourcesSpec extends SparkSpec {
     assert(!Sources.loadFromFile(spark, s"$dir/in.txt", s"$dir/out2", "replace"))
   }
 
+  test("load error asymmetry: loadFromFile swallows what loadDataFrame raises " +
+      "(db_core.py:116-117 vs db_core.py:366-367)") {
+    import spark.implicits._
+    // The reference's two load entry points handle the SAME failure
+    // differently: the file path wraps everything in try/except-log
+    // (db_core.py:116-117) and falls through; the DataFrame path
+    // re-raises (db_core.py:366-367). Pin both sides against one
+    // identical failure — behavior="fail" (ErrorIfExists) on a target
+    // that already has data.
+    val dir = tmp()
+    writeCsvFile(s"$dir/in.csv", Seq("k,v", "1,x"))
+    assert(Sources.loadFromFile(spark, s"$dir/in.csv", s"$dir/out", "replace"))
+    val df = Seq((1, "x")).toDF("k", "v")
+    intercept[Exception] { // DF path: the write failure propagates
+      graft.sinks.Sinks.loadDataFrame(df, s"$dir/out", "fail")
+    }
+    // File path: the SAME ErrorIfExists failure is logged-and-swallowed
+    assert(!Sources.loadFromFile(spark, s"$dir/in.csv", s"$dir/out", "fail"))
+    // and the original landed data is untouched by either attempt
+    assert(spark.read.parquet(s"$dir/out").count() == 1)
+  }
+
   test("loadBatch loads a manifest and skips missing files (db_core.py:137-185)") {
     val dir = tmp()
     writeCsvFile(s"$dir/a.csv", Seq("k,v", "1,x"))
