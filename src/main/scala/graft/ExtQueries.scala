@@ -989,6 +989,94 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // The FULL streaming-ingest DAG as its batch twin (StreamIngestJob.
+  // routedTransform — every stage is stateless/stream-static by
+  // construction, so the same code path is both the micro-batch body
+  // and this oracled query): quality quarantine (n_chars ∉ [60, 100k])
+  // → history dedup vs docs 0-9 (Bloom tier-1 + exact anti-join) →
+  // benchmark decontamination vs docs 10-19 (trigram overlap) → token
+  // blocklist ("slow fast" bigram) → bigram-LM fluency gate (src0
+  // model, mean NLL ≤ 3.65) → deterministic md5 split. Output is the
+  // routing disposition: quarantined rows keep status 'quarantined',
+  // survivors carry their split; rows dropped mid-pipeline are absent.
+  // ---------------------------------------------------------------------
+  def xStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.StreamIngestJob
+    import graft.transform.Checks
+    val docs = t(s, dir, "documents")
+    val hist = docs.filter(col("doc_id") < 10)
+    val bench = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+    val lm = TextOps.lmTrainHashed(
+      docs.filter(col("source") === "src0"), "text")
+    val (bad, kept) = StreamIngestJob.routedTransform(docs, "doc_id",
+      "text",
+      rules = Seq(Checks.inRange("n_chars", 60.0, 100000.0)),
+      benchGramHashes = DedupOps.benchmarkGramHashes(bench, "text"),
+      blockedPhrases = Seq("slow fast"),
+      testFrac = 0.05, validFrac = 0.05,
+      lmModel = Some(lm), maxMeanNll = 3.65,
+      dedupIndex = Some(DedupOps.buildDedupIndex(hist, "text")))
+    bad.select(col("doc_id"), lit("quarantined").as("status"))
+      .unionByName(kept.select(col("doc_id"), col("split").as("status")))
+      .orderBy(col("doc_id"))
+  }
+
+  val xStreamIngestSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, $toksSql AS toks
+       |    FROM documents),
+       |  quar AS (SELECT doc_id FROM documents
+       |    WHERE n_chars IS NOT NULL
+       |      AND (n_chars < 60 OR n_chars > 100000)),
+       |  tri AS (SELECT doc_id,
+       |      unnest(list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+       |    FROM tok),
+       |  contam AS (SELECT DISTINCT doc_id FROM tri
+       |    WHERE g IN (SELECT g FROM tri
+       |                WHERE doc_id >= 10 AND doc_id < 20)),
+       |  grams AS (SELECT doc_id, source, unnest(
+       |      list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS g
+       |    FROM tok WHERE len(toks) >= 2),
+       |  blocked AS (SELECT DISTINCT doc_id FROM grams
+       |    WHERE g = 'slow fast'),
+       |  uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+       |      SELECT unnest(toks) AS w1 FROM tok WHERE source = 'src0')
+       |    GROUP BY w1),
+       |  vs AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS v FROM uni),
+       |  bi AS (SELECT g, COUNT(*) AS c12 FROM grams
+       |    WHERE source = 'src0' GROUP BY g),
+       |  sc AS (SELECT doc_id,
+       |      CAST(FLOOR((0.0 - ln(
+       |        (CAST(COALESCE(c12, 0) AS DOUBLE) + 1.0)
+       |          / (CAST(COALESCE(c1, 0) AS DOUBLE) + v)))
+       |        * 1073741824.0) AS BIGINT) AS fx
+       |    FROM grams d
+       |    LEFT JOIN uni ON string_split(d.g, ' ')[1] = uni.w1
+       |    LEFT JOIN bi ON d.g = bi.g
+       |    CROSS JOIN vs),
+       |  influent AS (SELECT doc_id FROM sc GROUP BY doc_id
+       |    HAVING (CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE)) / 1073741824.0 > 3.65),
+       |  kept AS (SELECT d.doc_id FROM documents d
+       |    WHERE d.doc_id NOT IN (SELECT doc_id FROM quar)
+       |      AND d.text NOT IN (SELECT text FROM documents
+       |                         WHERE doc_id < 10)
+       |      AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+       |      AND d.doc_id NOT IN (SELECT doc_id FROM blocked)
+       |      AND d.doc_id NOT IN (SELECT doc_id FROM influent))
+       |SELECT doc_id, 'quarantined' AS status FROM quar
+       |UNION ALL
+       |SELECT doc_id,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+       |         THEN 'test'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+       |         THEN 'valid'
+       |       ELSE 'train' END AS status
+       |FROM kept
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Graded contamination report vs the doc<20 "benchmark": per-doc
   // distinct-trigram count, benchmark-overlap count, and the exact
   // overlap fraction — the numbers a threshold-based decontamination
