@@ -449,6 +449,18 @@ object DedupOps {
       val hooked = graft.engine.Engine.materialize(
         labels.unionByName(msgs)
           .groupBy("id").agg(min("component").as("component")))
+      val hookSum = labelSum(hooked)
+      if (hookSum.compareTo(prevSum) == 0) {
+        // Confirm-round fast path: the hop moved nothing, so every edge
+        // already joins equal labels and `labels` (flat from last
+        // round's compression) IS the fixpoint — tree hook and
+        // compression would be identity work on an iterative footprint
+        // that is pure scheduler overhead under co-tenant load.
+        graft.engine.Engine.release(labels)
+        labels = hooked
+        converged = true
+        round += 1
+      } else {
       // TREE hook (the Shiloach-Vishkin step a naive formulation
       // misses): when any member of a tree found a smaller label, the
       // WHOLE tree — keyed by its pre-round root, i.e. the previous
@@ -456,27 +468,36 @@ object DedupOps {
       // star-shaped tree re-absorbs a boundary node's discovery one
       // graph hop per round, and adversarial layouts (bit-reversed
       // path, pinned in DedupOpsSpec) stretch that past any O(log n)
-      // bound.
-      val old = labels.select(col("id").as("_tid"),
-        col("component").as("_troot"))
-      // Materialized: feeds the per-tree aggregate AND the adopt join.
-      val withRoot = graft.engine.Engine.materialize(
-        hooked.join(old, hooked("id") === old("_tid"))
-          .select(col("id"), col("component"), col("_troot")))
-      graft.engine.Engine.release(hooked)
-      val treeMin = withRoot.groupBy(col("_troot"))
-        .agg(min(col("component")).as("_tmin"))
-        .select(col("_troot").as("_mroot"), col("_tmin"))
-      // Materialized: the tree-hooked frame feeds BOTH sides of every
-      // compression join below — without the cut the aggregation
-      // subtree would re-run per jump (AQE exchange reuse is not
-      // guaranteed across the join).
-      var cur = graft.engine.Engine.materialize(
-        withRoot.join(treeMin, withRoot("_troot") === treeMin("_mroot"))
-          .select(col("id"),
-            least(col("component"), col("_tmin")).as("component")))
-      graft.engine.Engine.release(withRoot)
-      var curSum = labelSum(cur)
+      // bound. SKIPPED in round 0: the pre-round labels are the
+      // identity seeding, so every tree is a singleton and the adopt
+      // join is three stages of identity work.
+      var cur =
+        if (round == 0) hooked
+        else {
+          val old = labels.select(col("id").as("_tid"),
+            col("component").as("_troot"))
+          // Materialized: feeds the per-tree aggregate AND the adopt
+          // join.
+          val withRoot = graft.engine.Engine.materialize(
+            hooked.join(old, hooked("id") === old("_tid"))
+              .select(col("id"), col("component"), col("_troot")))
+          graft.engine.Engine.release(hooked)
+          val treeMin = withRoot.groupBy(col("_troot"))
+            .agg(min(col("component")).as("_tmin"))
+            .select(col("_troot").as("_mroot"), col("_tmin"))
+          // Materialized: the tree-hooked frame feeds BOTH sides of
+          // every compression join below — without the cut the
+          // aggregation subtree would re-run per jump (AQE exchange
+          // reuse is not guaranteed across the join).
+          val adopted = graft.engine.Engine.materialize(
+            withRoot.join(treeMin,
+                withRoot("_troot") === treeMin("_mroot"))
+              .select(col("id"),
+                least(col("component"), col("_tmin")).as("component")))
+          graft.engine.Engine.release(withRoot)
+          adopted
+        }
+      var curSum = if (round == 0) hookSum else labelSum(cur)
       // Path compression to flat: follow the label forest (label of my
       // label) until the label sum stops moving — each jump halves the
       // forest depth. Every label value is itself a node id present in
@@ -513,6 +534,7 @@ object DedupOps {
       labels = cur
       totalJumps += jumps
       round += 1
+      }
     }
     // bidir is no longer read once the fixpoint is reached (the returned
     // labels frame is checkpoint-backed, lineage-free).

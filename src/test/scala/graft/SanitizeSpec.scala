@@ -102,7 +102,7 @@ class SanitizeSpec extends SparkSpec {
     // space too — assert with that exact slack, no fuzz factor.
     val n = 10000
     val acc = 1000
-    val df = scala.util.Random.shuffle((1 to n).toVector)
+    val df = new scala.util.Random(42).shuffle((1 to n).toVector)
       .map(_.toDouble).toDF("v").repartition(8)
     val exact = graft.transform.Sanitize.winsorize(df, "v", 0.05, 0.95)
       .select("v_lo", "v_hi").head()
