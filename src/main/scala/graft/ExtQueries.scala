@@ -209,6 +209,37 @@ object ExtQueries {
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Hard-negative mining (DPR-style): for the first 20 query vectors,
+  // the top-3 most-similar embeddings with a DIFFERENT label — the
+  // negatives that actually teach a contrastive model. Same scoring
+  // contract as x_sim_topk, plus the label exclusion.
+  // ---------------------------------------------------------------------
+  def xEmbedNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.hardNegatives(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val xEmbedNegativesSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |  q AS (SELECT vec_id AS query_id, label AS ql, v AS qv
+      |    FROM e WHERE vec_id < 20),
+      |  sc AS (SELECT query_id, vec_id AS neighbor_id,
+      |      round(list_dot_product(qv, v)
+      |        / (sqrt(list_dot_product(qv, qv))
+      |           * sqrt(list_dot_product(v, v))), 6) AS score
+      |    FROM q, e WHERE label <> ql),
+      |  r AS (SELECT query_id, neighbor_id, score,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |                         ORDER BY score DESC, neighbor_id) AS rnk
+      |    FROM sc)
+      |SELECT query_id, rnk, neighbor_id, score FROM r
+      |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // LSH-bucketed approximate top-5 (rows-only; recall vs brute force is
   // unit-tested). Same output shape as the exact baseline.
   // ---------------------------------------------------------------------
@@ -962,6 +993,35 @@ object ExtQueries {
       |WHERE rn <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10
       |                        WHEN 'src2' THEN 40 ELSE 0 END
       |ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Temperature-weighted language rebalance (α = 0.5): quotas ∝ √n_i
+  // over a 100-doc budget — en's 43.6% raw share flattens to ~30%,
+  // the low-resource langs rise. Quota arithmetic is exact integer
+  // fixed-point end to end (see Split.temperatureSample), so the
+  // oracle reproduces the selected set hash-exactly.
+  // ---------------------------------------------------------------------
+  def xSampleTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Split.temperatureSample(
+        t(s, dir, "documents"), "lang", "doc_id", budget = 100)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val xSampleTemperatureSql: String =
+    """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |  fx AS (SELECT lang,
+      |      CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1073741824.0)
+      |           AS BIGINT) AS fx
+      |    FROM n),
+      |  tot AS (SELECT CAST(SUM(fx) AS BIGINT) AS t FROM fx),
+      |  quota AS (SELECT lang, (100 * fx) // t AS q
+      |    FROM fx CROSS JOIN tot),
+      |  r AS (SELECT doc_id, lang,
+      |      ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |    FROM documents)
+      |SELECT doc_id, lang FROM r JOIN quota USING (lang)
+      |WHERE rn <= q ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Benchmark decontamination: survivors of the corpus after dropping

@@ -66,6 +66,61 @@ object SimilarityOps {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training (the
+    * in-batch-negatives upgrade — e.g. DPR, Karpukhin et al. 2020 §3.2:
+    * the negatives that actually teach are the most-similar vectors
+    * with a DIFFERENT label, not random ones): per query, the top-k
+    * highest-cosine corpus vectors whose `labelCol` differs. Same
+    * scoring/tie-break contract as [[bruteForceTopK]] (round-6 scores,
+    * neighbor-id tiebreak), so the oracle twin is hash-exact.
+    *
+    * This is the exact/bounded variant (|Q| broadcast by contract, one
+    * corpus scan); at corpus scale mine through [[hardNegativesAnn]],
+    * which oversamples an ANN candidate set and label-filters it. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("_ql"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("_cl"), col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn"))
+    val scored = c.join(broadcast(q), col("_ql") =!= col("_cl"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+  }
+
+  /** [[hardNegatives]] at scale: LSH-bucketed candidates oversampled to
+    * `k · oversample` per query, label-filtered, then re-ranked down to
+    * k. Recall vs the exact miner is a fixture property
+    * (SimilarityOpsSpec), not a guarantee — the standard ANN trade. */
+  def hardNegativesAnn(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String,
+                       k: Int, dim: Int, bits: Int = 4, tables: Int = 8,
+                       oversample: Int = 4): DataFrame = {
+    val labels = corpus.select(col(idCol).as("_nid"),
+      col(labelCol).as("_cl"))
+    val qLabels = queries.select(col(idCol).as("_qid"),
+      col(labelCol).as("_ql"))
+    val cand = annTopK(queries, corpus, idCol, vecCol,
+        k = k * oversample, dim = dim, bits = bits, tables = tables)
+      .join(broadcast(qLabels), col("query_id") === col("_qid"))
+      .join(labels, col("neighbor_id") === col("_nid"))
+      .filter(col("_ql") =!= col("_cl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("neighbor_id"))
+    cand.withColumn("_rnk2", row_number().over(w))
+      .filter(col("_rnk2") <= k)
+      .select(col("query_id"), col("_rnk2").as("rnk"),
+        col("neighbor_id"), col("score"))
+  }
+
   /** Deterministic random hyperplanes: `bits` planes of dimension `dim`,
     * components uniform in [-1, 1) from a seeded PRNG. Driver-side
     * literals — they fold into the plan, nothing is broadcast at runtime. */

@@ -118,6 +118,47 @@ object Split {
       .drop("_rn")
   }
 
+  /** Temperature-weighted mixture sampling — the multilingual-
+    * pretraining rebalance (Conneau & Lample 2019 §3.1; mT5, BLOOM):
+    * per-stratum quotas proportional to n_i^α with α < 1, so
+    * low-resource strata are UP-sampled relative to their raw share
+    * ("temperature" because the distribution is flattened like a
+    * softmax at T = 1/α). α = 0.5 here — and deliberately ONLY 0.5:
+    * `sqrt` is correctly rounded under IEEE 754 on every engine, so
+    * quota arithmetic can be made bit-identical cross-engine, while a
+    * general `pow(n, α)` is not correctly rounded and a 1-ulp
+    * divergence at a floor boundary would flip a quota. The weights go
+    * through the round-7 fixed-point pattern: `floor(sqrt(n)·2³⁰)` as
+    * BIGINT, integer SUM, and `(budget · fx_i) div Σfx` in exact
+    * integer division — no float sum, no float divide, no
+    * associativity hazard.
+    *
+    * Selection within a stratum is the usual md5-rank prefix, so the
+    * sample is a pure function of the data. Scale shape: one tiny
+    * stratum-count aggregate (broadcast back), one window shuffle on
+    * the stratum key; the literal `budget` bound on the row_number
+    * keeps InferWindowGroupLimit pruning ahead of the shuffle. */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        budget: Int): DataFrame = {
+    require(budget > 0, s"temperatureSample: budget $budget must be > 0")
+    val fx = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_fx",
+        floor(sqrt(col("_n").cast("double")) * lit(1073741824.0))
+          .cast("long"))
+    val tot = fx.agg(sum(col("_fx")).as("_tfx"))
+    val quota = fx.crossJoin(broadcast(tot))
+      .withColumn("_quota", expr(s"(${budget}L * _fx) div _tfx"))
+      .select(col(stratumCol).as("_qs"), col("_quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .join(broadcast(quota), col(stratumCol) === col("_qs"))
+      .filter(col("_rn") <= lit(budget) && col("_rn") <= col("_quota"))
+      .drop("_rn", "_qs", "_quota")
+  }
+
   /** Token-budget mixture sampling — [[mixtureSample]] denominated in
     * TOKENS instead of documents, because training mixtures are token
     * budgets ("300 B web tokens, 50 B code") and document counts are

@@ -156,6 +156,48 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("hardNegatives: most-similar DIFFERENT-label vectors, same-label excluded") {
+    import spark.implicits._
+    // Query 0 (label A) is nearly parallel to 1 (label A) and 2
+    // (label B), orthogonal to 3 (label B). The mining must SKIP the
+    // same-label near-twin (1) and rank the different-label near-twin
+    // (2) first — that is the whole point of hard negatives.
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f), "A"), (1L, Seq(0.999f, 0.01f, 0f), "A"),
+      (2L, Seq(0.99f, 0.1f, 0f), "B"), (3L, Seq(0f, 1f, 0f), "B"),
+      (4L, Seq(0f, 0f, 1f), "C")).toDF("id", "vec", "lab")
+    val got = SimilarityOps.hardNegatives(
+        corpus.filter(col("id") === 0), corpus, "id", "vec", "lab", k = 3)
+      .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("neighbor_id")))
+      .toMap
+    assert(got == Map(1 -> 2L, 2 -> 3L, 3 -> 4L), got)
+  }
+
+  test("hardNegativesAnn recall vs exact miner on the fixture embeddings") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.hardNegatives(queries, emb,
+        "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val ann = SimilarityOps.hardNegativesAnn(queries, emb,
+        "vec_id", "embedding", "label", k = 3, dim = 64,
+        bits = 4, tables = 8, oversample = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    // every ANN result must be a genuinely different-label pair;
+    // recall is a fixture property of the LSH tables, not a guarantee
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qs = queries.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ann.foreach { case (q, n) =>
+      assert(qs(q) != labels(n), s"same-label pair leaked: $q -> $n")
+    }
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN hard-negative recall $recall too low")
+  }
+
   test("embeddingCovariance: hand-computed moments, merge-path invariance") {
     import spark.implicits._
     // Dyadic coordinates → every fixed-point floor is exact.

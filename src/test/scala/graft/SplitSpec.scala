@@ -121,6 +121,47 @@ class SplitSpec extends SparkSpec {
       b.exceptAll(out.select("doc_id")).isEmpty)
   }
 
+  test("temperatureSample: sqrt quotas flatten the mix, exact integer arithmetic") {
+    import spark.implicits._
+    // 100/25/4 docs (perfect squares, so √n·2³⁰ is an exact integer
+    // and the fixed-point weights are exactly 10:5:2): raw shares
+    // 77.5/19.4/3.1 % flatten to 20/10/4 of a 34-doc budget — the
+    // low-resource stratum rises from 3.1 % to 11.8 %. Exact integer
+    // quota division means the boundary is deterministic.
+    val rows = (0 until 100).map(i => (i.toLong, "big")) ++
+      (1000 until 1025).map(i => (i.toLong, "mid")) ++
+      (2000 until 2004).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "src")
+    val out = Split.temperatureSample(df, "src", "id", budget = 34)
+    val got = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("big" -> 20L, "mid" -> 10L, "small" -> 4L), got)
+    // layout independence
+    val b = Split.temperatureSample(df.repartition(7, col("id")),
+      "src", "id", budget = 34).select("id")
+    assert(out.select("id").exceptAll(b).isEmpty &&
+      b.exceptAll(out.select("id")).isEmpty)
+  }
+
+  test("temperatureSample up-samples low-resource strata vs proportional") {
+    // On the fixture languages (en 218 of 500 = 43.6% raw), the α=0.5
+    // rebalance must pull en's share toward the mean and push the
+    // low-resource langs above their raw share.
+    val out = Split.temperatureSample(docs, "lang", "doc_id", budget = 100)
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = got.values.sum.toDouble
+    val rawTotal = raw.values.sum.toDouble
+    val enShare = got("en") / total
+    assert(enShare < raw("en") / rawTotal, s"en not flattened: $got")
+    raw.keys.filter(_ != "en").foreach { l =>
+      assert(got(l) / total >= raw(l) / rawTotal,
+        s"$l not up-sampled: $got vs $raw")
+    }
+  }
+
   test("tokenBudgetSample: boundary doc included, whole-stratum budgets, whitelist") {
     import spark.implicits._
     val rows = (1L to 30L).map { i =>
