@@ -240,6 +240,103 @@ object ExtQueries {
       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Hybrid retrieval via reciprocal-rank fusion: per query document
+  // (ids 0-3, which carry both text and an embedding under the shared
+  // id space), fuse the BM25 top-20 (query = the document's own text —
+  // more-like-this retrieval) with the dense cosine top-20. The two
+  // lists deliberately cover DIFFERENT corpus subsets (BM25 ranks every
+  // document; the dense index holds only vecs 0-499) — the fusion
+  // contract handles one-sided hits, which is exactly the
+  // partially-built-dense-index shape a production migration runs
+  // through. Ranks on both sides are engine-exact (fixed-point BM25
+  // sums; round-6 cosine), so the fused fixed-point ordering is too.
+  // ---------------------------------------------------------------------
+  def xHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val qdocs = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val sparse = TextOps.bm25TopK(docs, qdocs, "doc_id", "text",
+        "qid", "qtext", k = 20)
+      .select(col("qid").as("query_id"), col("doc_id").as("neighbor_id"),
+        col("rnk"))
+    val dense = SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 4), emb, "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    SimilarityOps.rrfFuse(sparse, dense, kRrf = 60, k = 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val xHybridRrfSql: String = {
+    val qtoksSql = toksSql.replace("(text)", "(qtext)")
+    s"""WITH q AS (SELECT doc_id AS qid, text AS qtext FROM documents
+       |    WHERE doc_id < 4),
+       |  tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  d AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+       |  stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d),
+       |  qt AS (SELECT qid, unnest(list_distinct($qtoksSql)) AS term
+       |         FROM q),
+       |  qv AS (SELECT DISTINCT term FROM qt),
+       |  post AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       |    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) e
+       |    JOIN qv USING (term)
+       |    GROUP BY doc_id, term, dl),
+       |  dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+       |  sc AS (SELECT qt.qid, post.doc_id,
+       |      CAST(FLOOR(
+       |        ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                 / (CAST(df AS DOUBLE) + 0.5))
+       |        * ((CAST(tf AS DOUBLE) * 2.25)
+       |           / (CAST(tf AS DOUBLE)
+       |              + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+       |                        / (CAST(sumdl AS DOUBLE)
+       |                           / CAST(n AS DOUBLE)))))
+       |        * 1073741824.0) AS BIGINT) AS fx
+       |    FROM post
+       |    JOIN dfs USING (term)
+       |    JOIN qt USING (term)
+       |    CROSS JOIN stats),
+       |  bagg AS (SELECT qid, doc_id, CAST(SUM(fx) AS BIGINT) AS sfx
+       |    FROM sc GROUP BY qid, doc_id),
+       |  sr AS (SELECT qid, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY sfx DESC, doc_id) AS rnk
+       |    FROM bagg QUALIFY rnk <= 20),
+       |  e AS (SELECT vec_id,
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |    FROM embeddings),
+       |  dq AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |    WHERE vec_id < 4),
+       |  dsc AS (SELECT query_id, vec_id AS neighbor_id,
+       |      round(list_dot_product(qv, v)
+       |        / (sqrt(list_dot_product(qv, qv))
+       |           * sqrt(list_dot_product(v, v))), 6) AS score
+       |    FROM dq, e WHERE vec_id <> query_id),
+       |  dr AS (SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id) AS rnk
+       |    FROM dsc QUALIFY rnk <= 20),
+       |  f AS (SELECT COALESCE(s.qid, d.query_id) AS query_id,
+       |      COALESCE(s.doc_id, d.neighbor_id) AS neighbor_id,
+       |      s.rnk AS rank_a, d.rnk AS rank_b,
+       |      COALESCE(CAST(FLOOR(1073741824.0
+       |          / (60 + CAST(s.rnk AS DOUBLE))) AS BIGINT), 0)
+       |        + COALESCE(CAST(FLOOR(1073741824.0
+       |          / (60 + CAST(d.rnk AS DOUBLE))) AS BIGINT), 0) AS rrf_fx
+       |    FROM sr s FULL OUTER JOIN dr d
+       |      ON s.qid = d.query_id AND s.doc_id = d.neighbor_id),
+       |  r AS (SELECT query_id, neighbor_id, rank_a, rank_b, rrf_fx,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY rrf_fx DESC, neighbor_id) AS rnk
+       |    FROM f QUALIFY rnk <= 10)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+       |  CAST(rrf_fx AS BIGINT) AS rrf_fx,
+       |  CAST(rank_a AS INTEGER) AS rank_a,
+       |  CAST(rank_b AS INTEGER) AS rank_b
+       |FROM r ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // LSH-bucketed approximate top-5 (rows-only; recall vs brute force is
   // unit-tested). Same output shape as the exact baseline.
   // ---------------------------------------------------------------------

@@ -32,6 +32,14 @@ object Engine {
       // for; read as long and convert in `table` (values are µs-resolution,
       // so the conversion is lossless — see FIXTURES.md).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fixture generations vary between TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false); the latter would infer
+      // as TIMESTAMP_NTZ and split the engine into two timestamp
+      // families (Row.getTimestamp, unix_micros, window ranges all
+      // differ). Pin inference off: naive micros read as session-TZ
+      // TIMESTAMP, and the session TZ is pinned UTC above, so values
+      // are identical to the oracle's naive reading either way.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // managed-table warehouse (bucketed tables) under tmp, not the cwd
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
@@ -225,6 +233,14 @@ object Engine {
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+    else if (name == "events" &&
+        df.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampNTZType)
+      // Session created outside Engine.session (NTZ inference on):
+      // normalize to the engine-wide TIMESTAMP family. The session TZ
+      // is UTC, so the cast is value-preserving vs the naive oracle.
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
     else df
   }
 

@@ -620,6 +620,53 @@ object SimilarityOps {
     df.select((df.columns.map(col).toSeq ++ projCols.toSeq): _*)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * merge two retrievers' ranked lists into one, scoring each hit
+    * `Σ 1/(kRrf + rank)` over the lists that returned it. The standard
+    * way to combine sparse (BM25) and dense (embedding) retrieval for
+    * RAG context selection — rank-based, so no score calibration
+    * between retrievers is needed.
+    *
+    * Both inputs carry `(query_id, neighbor_id, rnk)`; lists may cover
+    * different corpus subsets (e.g. a dense index built over only part
+    * of the corpus) — a hit missing from one list simply contributes
+    * nothing from it. Scores are EXACT fixed-point: each contribution
+    * is `floor(2³⁰/(kRrf+rnk))` — for ranks ≤ ~10⁶ the double divide
+    * is correctly rounded far below the floor boundary, so the floored
+    * value equals true integer division on every engine — summed as
+    * BIGINT, making the fused ordering engine- and layout-exact (ties
+    * broken by neighbor id).
+    *
+    * Scale shape: the inputs are per-query top-k lists (tiny relative
+    * to the corpora that produced them), so the fusion itself is one
+    * equi-join + one bounded per-query window — negligible next to the
+    * retrieval passes. Fusing k-by-query lists never touches the
+    * corpus again. */
+  def rrfFuse(listA: DataFrame, listB: DataFrame, kRrf: Int = 60,
+              k: Int = 10): DataFrame = {
+    require(kRrf >= 1, s"kRrf must be >= 1: $kRrf")
+    require(k >= 1, s"k must be >= 1: $k")
+    def contrib(rnk: Column): Column =
+      floor(lit(1073741824.0) / (lit(kRrf) + rnk.cast("double")))
+        .cast("long")
+    val a = listA.select(col("query_id"), col("neighbor_id"),
+      col("rnk").as("_rnk_a"))
+    val b = listB.select(col("query_id"), col("neighbor_id"),
+      col("rnk").as("_rnk_b"))
+    val fused = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        col("_rnk_a"), col("_rnk_b"),
+        (coalesce(contrib(col("_rnk_a")), lit(0L)) +
+          coalesce(contrib(col("_rnk_b")), lit(0L))).as("rrf_fx"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rrf_fx"), asc("neighbor_id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("rrf_fx"), col("_rnk_a").as("rank_a"),
+        col("_rnk_b").as("rank_b"))
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int = 16, tau: Double = 0.99): DataFrame = {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")

@@ -316,4 +316,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(base == run(emb.repartition(7)))
     assert(base.nonEmpty)
   }
+
+  test("rrfFuse: fixed-point scores, one-sided hits, rank tie-break") {
+    import spark.implicits._
+    // query 1: doc 10 ranks 1st in A and 2nd in B; doc 20 only in A;
+    // doc 30 only in B (rank 1) — fused order must be 10, 30, 20.
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF(
+      "query_id", "neighbor_id", "rnk")
+    val b = Seq((1L, 10L, 2), (1L, 30L, 1)).toDF(
+      "query_id", "neighbor_id", "rnk")
+    val out = SimilarityOps.rrfFuse(a, b, kRrf = 60, k = 10)
+      .orderBy(col("rnk")).collect()
+    def c(r: Int): Long = 1073741824L / (60L + r)
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((10L, c(1) + c(2)), (30L, c(1)), (20L, c(2))))
+    // one-sided rows carry a null rank on the absent side
+    val d20 = out.find(_.getLong(2) == 20L).get
+    assert(d20.getInt(4) == 2 && d20.isNullAt(5))
+    val d30 = out.find(_.getLong(2) == 30L).get
+    assert(d30.isNullAt(4) && d30.getInt(5) == 1)
+    // equal fused score ties break by neighbor id: two docs each only
+    // in one list at the same rank
+    val t1 = Seq((2L, 7L, 3)).toDF("query_id", "neighbor_id", "rnk")
+    val t2 = Seq((2L, 5L, 3)).toDF("query_id", "neighbor_id", "rnk")
+    val tied = SimilarityOps.rrfFuse(t1, t2, kRrf = 60, k = 10)
+      .orderBy(col("rnk")).collect()
+    assert(tied.map(_.getLong(2)).toSeq == Seq(5L, 7L))
+  }
 }
