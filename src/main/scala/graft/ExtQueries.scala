@@ -2129,4 +2129,97 @@ object ExtQueries {
        |FROM r WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Curriculum staging: rarity-weighted integer difficulty, global
+  // easy→hard rank via the two-pass contiguous-id machinery (no
+  // single-partition window), 5 stages; output is the per-stage
+  // profile a training scheduler consumes.
+  // ---------------------------------------------------------------------
+  def xCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextOps.curriculumStages(docs, "doc_id", "text", stages = 5)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("difficulty_fx")).as("min_fx"),
+        max(col("difficulty_fx")).as("max_fx"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("stage"))
+  }
+
+  val xCurriculumSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  tk AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+       |  cnt AS (SELECT term, COUNT(*) AS c FROM tk GROUP BY term),
+       |  dfx AS (SELECT doc_id,
+       |      CAST(SUM(CAST(FLOOR(1073741824.0 / CAST(c AS DOUBLE))
+       |        AS BIGINT)) AS BIGINT) AS fx
+       |    FROM tk JOIN cnt USING (term) GROUP BY doc_id),
+       |  alld AS (SELECT d.doc_id, COALESCE(fx, 0) AS fx, d.n_chars
+       |    FROM documents d LEFT JOIN dfx USING (doc_id)),
+       |  rk AS (SELECT doc_id, fx, n_chars,
+       |      ROW_NUMBER() OVER (ORDER BY fx, doc_id) - 1 AS rnk
+       |    FROM alld),
+       |  nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM alld),
+       |  st AS (SELECT fx, n_chars,
+       |      CAST(FLOOR(CAST(rnk * 5 AS DOUBLE) / CAST(n AS DOUBLE))
+       |        AS INTEGER) AS stage
+       |    FROM rk CROSS JOIN nn)
+       |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(fx) AS min_fx, MAX(fx) AS max_fx,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM st GROUP BY stage ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Snapshot diff: documents vs a deterministically-derived "next crawl"
+  // (every 17th doc dropped, every 13th re-cased, 20 new docs landed
+  // under a new source) — per-row added/removed/changed/unchanged status
+  // plus exactly which columns changed. One full-outer join on the key.
+  // ---------------------------------------------------------------------
+  def xSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "documents")
+    val next = a.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 5, upper(col("text")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .unionAll(a.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+          col("lang"), lit("newcrawl").as("source"), col("n_chars")))
+    graft.transform.Diff.snapshotDiff(a, next, "doc_id",
+        Seq("text", "lang", "source", "n_chars"), carry = Seq("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val xSnapshotDiffSql: String =
+    """WITH b AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 5 THEN upper(text) ELSE text END AS text,
+      |    lang, source, n_chars
+      |  FROM documents WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang,
+      |    'newcrawl' AS source, n_chars
+      |  FROM documents WHERE doc_id < 20),
+      |  f AS (SELECT a.doc_id AS ak, b.doc_id AS bk,
+      |    COALESCE(b.source, a.source) AS source,
+      |    CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN
+      |      concat_ws(',',
+      |        CASE WHEN a.text IS DISTINCT FROM b.text
+      |          THEN 'text' END,
+      |        CASE WHEN a.lang IS DISTINCT FROM b.lang
+      |          THEN 'lang' END,
+      |        CASE WHEN a.source IS DISTINCT FROM b.source
+      |          THEN 'source' END,
+      |        CASE WHEN a.n_chars IS DISTINCT FROM b.n_chars
+      |          THEN 'n_chars' END)
+      |    ELSE '' END AS changed_cols
+      |  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT COALESCE(ak, bk) AS doc_id,
+      |  CASE WHEN ak IS NULL THEN 'added'
+      |       WHEN bk IS NULL THEN 'removed'
+      |       WHEN changed_cols <> '' THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  changed_cols, source
+      |FROM f ORDER BY doc_id""".stripMargin
 }

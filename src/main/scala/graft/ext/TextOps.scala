@@ -929,6 +929,49 @@ object TextOps {
     * map-side via the constant-bound rank conjunct (WindowGroupLimit).
     * No inverted index is materialized — at 100 TB this is the
     * scatter-gather scoring pass a search tier runs per query batch. */
+  /** Curriculum staging (Bengio et al. 2009): order the corpus
+    * easy→hard and cut it into `stages` contiguous blocks, so training
+    * can feed stage 0 first. Difficulty here is the rarity-weighted
+    * token sum — `Σ_tokens floor(2³⁰ / corpus_count(token))` — an
+    * integer score (engine- and layout-exact by construction) that
+    * grows with both document length and how unusual its vocabulary
+    * is; documents with no tokens score 0 and land in stage 0.
+    *
+    * Scale shape: one tokenize+explode pass feeds BOTH the corpus
+    * token counts (map-side partials) and the per-doc rarity sum (one
+    * shuffle join on the term, AQE picks broadcast when the vocab side
+    * is small). The global easy→hard ordering does NOT use a
+    * single-partition window: [[graft.transform.Ids.assignContiguousIds]]
+    * range-partitions by (difficulty, id) and attaches ranks in two
+    * skew-free passes, then `stage = floor(rank·stages/n)` needs only
+    * the row count. The rank·stages product stays under 2⁵³ until the
+    * corpus exceeds ~10¹⁵ rows, so the double floor is exact at any
+    * realistic scale.
+    */
+  def curriculumStages(docs: DataFrame, idCol: String, textCol: String,
+                       stages: Int = 5): DataFrame = {
+    require(stages >= 1, s"stages must be >= 1: $stages")
+    val tok = graft.engine.Engine.spread(docs)
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol)))
+        .as("_term"))
+    val cnt = tok.groupBy(col("_term")).agg(count(lit(1)).as("_c"))
+    val dfx = tok.join(cnt, Seq("_term"))
+      .groupBy(col("_id"))
+      .agg(sum(floor(lit(1073741824.0) / col("_c").cast("double"))
+        .cast("long")).as("_fx"))
+    val alld = docs.select(col(idCol))
+      .join(dfx, col(idCol) === col("_id"), "left")
+      .select(col(idCol), coalesce(col("_fx"), lit(0L))
+        .as("difficulty_fx"))
+    val ranked = graft.transform.Ids.assignContiguousIds(alld,
+      struct(col("difficulty_fx"), col(idCol)), "_rank")
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col(idCol), col("difficulty_fx"),
+        floor((col("_rank") * lit(stages.toLong)).cast("double") /
+          col("_n").cast("double")).cast("int").as("stage"))
+  }
+
   def bm25TopK(docs: DataFrame, queries: DataFrame,
                idCol: String, textCol: String,
                qidCol: String, qtextCol: String,

@@ -524,4 +524,30 @@ class TextOpsSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"),
       "query-side tables must broadcast")
   }
+
+  test("curriculumStages: rarity-ordered stages, empty docs in stage 0") {
+    import spark.implicits._
+    // 'common' appears in every doc (count 4 → small rarity), 'rare*'
+    // tokens appear once (count 1 → rarity 2^30 each). Difficulty order
+    // is then: empty doc < common-only < one-rare < two-rares.
+    val docs = Seq(
+      (1L, "common common"),
+      (2L, ""),
+      (3L, "common rarex"),
+      (4L, "common rarey rarez")
+    ).toDF("id", "txt")
+    val out = TextOps.curriculumStages(docs, "id", "txt", stages = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    val common = 1073741824L / 4
+    assert(out(2L) == (0L, 0))
+    assert(out(1L) == (2 * common, 0))
+    assert(out(3L) == (common + 1073741824L, 1))
+    assert(out(4L) == (common + 2 * 1073741824L, 1))
+    // layout independence: same stages under a different partitioning
+    val re = TextOps.curriculumStages(docs.repartition(5), "id", "txt",
+      stages = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(re == out)
+  }
 }
