@@ -2131,6 +2131,85 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Unicode NFC normalization (graft_nfc native expression vs DuckDB's
+  // utf8proc nfc_normalize — two independent implementations of UAX
+  // #15): each doc gets a decomposed-accent suffix planted (combining
+  // U+0301/U+0308), normalization must merge the combining marks
+  // (length drops by exactly 2) and the normalized bytes must md5-agree
+  // across engines.
+  // ---------------------------------------------------------------------
+  def xTextNfc(s: SparkSession, dir: String): DataFrame = {
+    val marked = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 u\u0308ber")).as("_raw"))
+    val norm = call_function("graft_nfc", col("_raw"))
+    marked.select(col("doc_id"),
+        length(col("_raw")).as("len_raw"),
+        length(norm).as("len_nfc"),
+        md5(norm.cast("binary")).as("h_nfc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val xTextNfcSql: String =
+    """WITH m AS (SELECT doc_id,
+      |    text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber'
+      |      AS raw
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id, CAST(length(raw) AS INTEGER) AS len_raw,
+      |  CAST(length(nfc_normalize(raw)) AS INTEGER) AS len_nfc,
+      |  md5(nfc_normalize(raw)) AS h_nfc
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Engine-exact Lloyd's k-means (k=4, 2 rounds, init = first 4 vecs):
+  // fixed-point distances and integer-division centroid updates make
+  // the full iterative clustering — not just one assignment pass —
+  // hash-identical to the DuckDB twin, which replays both rounds as
+  // CTEs. Complements x_sim_ivf, whose ML-trained centroids are only
+  // rows-checkable.
+  // ---------------------------------------------------------------------
+  def xEmbedKmeans(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.kmeansLloydFx(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4, dim = 64, iters = 2)
+      .orderBy(col("vec_id"))
+
+  val xEmbedKmeansSql: String = {
+    // per-dim fixed-point squared-distance term vs a centroid list `cv`
+    val dTerm =
+      """CAST(list_sum(list_transform(range(64), i ->
+        |        CAST(FLOOR((v[CAST(i+1 AS INTEGER)]
+        |            - cv[CAST(i+1 AS INTEGER)])
+        |          * (v[CAST(i+1 AS INTEGER)]
+        |            - cv[CAST(i+1 AS INTEGER)])
+        |          * 1073741824.0) AS BIGINT))) AS BIGINT)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  c0 AS (SELECT CAST(vec_id AS INTEGER) AS c, v AS cv FROM e
+       |    WHERE vec_id < 4),
+       |  d1 AS (SELECT e.vec_id, c0.c, $dTerm AS dfx FROM e, c0),
+       |  a1 AS (SELECT vec_id, c AS cl FROM d1
+       |    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dfx, c) = 1),
+       |  s1 AS (SELECT cl, CAST(i AS INTEGER) AS i,
+       |      CAST(SUM(CAST(FLOOR(v[CAST(i+1 AS INTEGER)]
+       |        * 1073741824.0) AS BIGINT)) AS BIGINT) AS sfx,
+       |      CAST(COUNT(*) AS BIGINT) AS n
+       |    FROM a1 JOIN e USING (vec_id), range(64) r(i)
+       |    GROUP BY cl, i),
+       |  c1 AS (SELECT cl AS c,
+       |      list(CAST(sfx // n AS DOUBLE) / 1073741824.0 ORDER BY i)
+       |        AS cv
+       |    FROM s1 GROUP BY cl),
+       |  d2 AS (SELECT e.vec_id, c1.c, $dTerm AS dfx FROM e, c1),
+       |  a2 AS (SELECT vec_id, c AS cluster, dfx AS dist_fx FROM d2
+       |    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dfx, c) = 1)
+       |SELECT vec_id, cluster, dist_fx FROM a2
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Curriculum staging: rarity-weighted integer difficulty, global
   // easy→hard rank via the two-pass contiguous-id machinery (no
   // single-partition window), 5 stages; output is the per-stage

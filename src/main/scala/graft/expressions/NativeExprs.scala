@@ -69,6 +69,7 @@ object NativeExprs {
     })
     reg("graft_del_variants", { case Seq(c) => DeletionVariants(c) })
     reg("graft_ln", { case Seq(c) => GraftLn(c) })
+    reg("graft_nfc", { case Seq(c) => NfcNormalize(c) })
     reg("graft_bloom_contains", {
       case Seq(c, Literal(bytes: Array[Byte], BinaryType)) =>
         BloomMightContain(c, bytes)
@@ -97,6 +98,20 @@ object NativeExprs {
       case other => throw new IllegalArgumentException(
         s"graft_any_in_set(arr, bigintArrayLiteral), got $other")
     })
+  }
+
+  /** NFC-normalize a UTF8String, returning the INPUT object untouched
+    * when it is already normalized — the dominant case for web text
+    * (ASCII and precomposed Latin-1 both pass `isNormalized` without
+    * allocating), so the scan-wide cost is one table lookup per char
+    * and zero garbage on the hot path. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
   /** Order-sensitive combine of one n-token window (Horner-style mixing —
@@ -154,6 +169,40 @@ object NativeExprs {
   * `slice`+`concat_ws` string assembly (O(n²) interpreted work per doc)
   * entirely. Output order is canonical (sorted), which set operations and
   * MinHash are insensitive to. Fewer than n tokens → empty array. */
+/** Unicode NFC normalization (UAX #15) as a codegen'd scalar — the
+  * canonical-composition pass a multilingual ingest runs before any
+  * hashing/dedup step, so that `café` composed and decomposed fingerprint
+  * identically (a decomposed clone otherwise sails through exact AND
+  * near dedup: different bytes, different shingles). Spark ships no
+  * normalizer; the JDK's `java.text.Normalizer` implements the same
+  * Unicode algorithm as DuckDB's `nfc_normalize` (utf8proc), which the
+  * oracle twin leans on. Already-normalized strings return the input
+  * object unchanged (see [[NativeExprs.nfc]]). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_nfc expects string, got $dt")
+    }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.nfc(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.NativeExprs.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression {
 

@@ -620,6 +620,80 @@ object SimilarityOps {
     df.select((df.columns.map(col).toSeq ++ projCols.toSeq): _*)
   }
 
+  /** Lloyd's k-means over an embedding column, ENGINE-EXACT: unlike
+    * [[ivfTopK]]'s ML-backed training pass (float math, seed-dependent),
+    * every step here is reproducible bit-for-bit on any engine, so the
+    * clustering itself is an oracle-checkable operator — the clustering
+    * a curation pipeline uses for cluster-balanced sampling or
+    * SemDeDup-style pruning, with an audit trail.
+    *
+    * Determinism by construction, round by round:
+    *  - init: the first `k` vectors by id (no RNG);
+    *  - distances: `Σ_dims floor((v_i−c_i)²·2³⁰)` — per-dim IEEE ops are
+    *    correctly rounded, the scale shift and floor are exact, and the
+    *    64-term BIGINT sum is order-free; argmin ties break by centroid
+    *    id;
+    *  - centroid update: per-(cluster, dim) sums of `floor(v_i·2³⁰)` as
+    *    BIGINT, then INTEGER division by the member count and an exact
+    *    `/2³⁰` exponent shift — so the next round's centroids are
+    *    identical doubles everywhere. Clusters that lose every member
+    *    drop out (standard Lloyd's degeneracy, deterministic here).
+    *
+    * Scale shape: each round is (a) one narrow assignment projection —
+    * k·d literal multiply-adds per row, whole-stage codegen, NO shuffle
+    * — and (b) one (cluster, dim)-grouped aggregate with map-side
+    * partials whose result is k·d longs to the driver (the only driver
+    * state; 4×64 here). Rounds are a fixed small count. At 10⁹ rows
+    * this is the textbook distributed Lloyd's layout.
+    */
+  def kmeansLloydFx(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, dim: Int, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 1 && dim >= 1,
+      s"k/dim/iters must be >= 1: $k/$dim/$iters")
+    val vecs = df.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    def distFx(cent: Array[Double]): Column =
+      (0 until dim).map { i =>
+        val d = element_at(col("_v"), i + 1) - lit(cent(i))
+        floor(d * d * lit(1073741824.0)).cast("long")
+      }.reduce(_ + _)
+    def assign(cents: Seq[(Int, Array[Double])]): DataFrame = {
+      val cells = array(cents.map { case (c, cv) =>
+        struct(distFx(cv).as("d"), lit(c).as("c"))
+      }: _*)
+      vecs.withColumn("_best", element_at(array_sort(cells), 1))
+        .select(col("_id"), col("_best").getField("c").as("cluster"),
+          col("_best").getField("d").as("dist_fx"))
+    }
+    val init = vecs.orderBy(col("_id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
+    var cents = init
+    var round = 1
+    while (round < iters) {
+      // centroid update: fixed-point component sums, integer-divided by
+      // the member count — k·d longs back to the driver, nothing more.
+      val sums = assign(cents)
+        .join(vecs, Seq("_id"))
+        .select(col("cluster"), posexplode(col("_v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(floor(col("col") * lit(1073741824.0)).cast("long"))
+          .as("_sfx"), count(lit(1)).as("_n"))
+        .collect()
+      cents = sums.groupBy(_.getInt(0)).toSeq.map { case (c, rows) =>
+        val comp = new Array[Double](dim)
+        rows.foreach { r =>
+          comp(r.getInt(1)) =
+            (r.getLong(2) / r.getLong(3)).toDouble / 1073741824.0
+        }
+        (c, comp)
+      }.sortBy(_._1)
+      round += 1
+    }
+    assign(cents).select(col("_id").as(idCol), col("cluster"),
+      col("dist_fx"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     * merge two retrievers' ranked lists into one, scoring each hit
     * `Σ 1/(kRrf + rank)` over the lists that returned it. The standard

@@ -88,6 +88,32 @@ class CodegenHealthSpec extends SparkSpec {
     assert(withNull(1) == seedOnly)
   }
 
+  test("graft_nfc normalizes decomposed text, idempotent, compiles stacked") {
+    import spark.implicits._
+    // raw = DECOMPOSED (base char + combining mark), pre = PRECOMPOSED
+    val df = Seq(
+      ("café", "café"),
+      ("über ok", "über ok"),
+      ("plain ascii", "plain ascii")
+    ).toDF("raw", "pre")
+    df.createOrReplaceTempView("nfc_probe")
+    assertNoCodegenErrors {
+      val out = spark.sql(
+        """SELECT graft_nfc(raw) AS n, pre,
+          |       length(raw) AS lr, length(graft_nfc(raw)) AS ln
+          |FROM nfc_probe
+          |WHERE graft_nfc(raw) = graft_nfc(graft_nfc(raw))
+          |  AND graft_nfc(raw) IS NOT NULL""".stripMargin).collect()
+      assert(out.length == 3)
+      out.foreach(r => assert(r.getString(0) == r.getString(1),
+        s"NFC mismatch: ${r.getString(0)} != ${r.getString(1)}"))
+      // combining marks merged: decomposed inputs lose one codepoint
+      assert(out.count(r => r.getInt(3) == r.getInt(2) - 1) == 2)
+    }
+    val n = spark.sql("SELECT graft_nfc(CAST(NULL AS STRING))").collect()
+    assert(n(0).isNullAt(0))
+  }
+
   test("graft_del_variants matches the HOF formulation and compiles stacked") {
     import spark.implicits._
     val df = Seq("abc", "aab", "x", "日本語", "").toDF("s")

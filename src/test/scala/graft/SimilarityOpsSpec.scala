@@ -317,6 +317,30 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("kmeansLloydFx separates two obvious clusters and is layout-exact") {
+    import spark.implicits._
+    // ids 0/1 seed the two centroids; points sit near (0,0) and (10,10).
+    val pts = Seq(
+      (0L, Seq(0.0, 0.5)), (1L, Seq(10.0, 10.5)),
+      (2L, Seq(0.25, 0.0)), (3L, Seq(9.75, 10.0)),
+      (4L, Seq(0.5, 0.25)), (5L, Seq(10.5, 9.75))
+    ).toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.kmeansLloydFx(d, "id", "v", k = 2, dim = 2,
+        iters = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val out = run(pts)
+    assert(out.map(_._2).toSeq == Seq(0, 1, 0, 1, 0, 1))
+    // round-2+ centroids are member means: cluster 0 ≈ (0.25, 0.25) —
+    // the fixed-point distance to (0,0.5) is engine-exactly this:
+    val c0 = Array(0.25, 0.25)
+    val expect0 = (math.floor((0.0 - c0(0)) * (0.0 - c0(0)) *
+      1073741824.0) + math.floor((0.5 - c0(1)) * (0.5 - c0(1)) *
+      1073741824.0)).toLong
+    assert(out.head._3 == expect0)
+    assert(run(pts.repartition(5)).toSeq == out.toSeq)
+  }
+
   test("rrfFuse: fixed-point scores, one-sided hits, rank tie-break") {
     import spark.implicits._
     // query 1: doc 10 ranks 1st in A and 2nd in B; doc 20 only in A;
