@@ -2131,6 +2131,82 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // MMR diversified re-ranking (λ=0.5, top-8 candidates → 3 picks per
+  // query): every cosine is pre-rounded by the shared round-6 Column
+  // contract, so the DuckDB twin replays the greedy EXACTLY, step by
+  // step (s1 → m2/s2 → m3/s3 CTEs).
+  // ---------------------------------------------------------------------
+  def xMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.mmrRerank(emb.filter(col("vec_id") < 6), emb,
+        "vec_id", "embedding", k = 3, lambda = 0.5, nCand = 8)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val xMmrRerankSql: String = {
+    val cos = (a: String, b: String) =>
+      s"""round(list_dot_product($a, $b)
+         |        / (sqrt(list_dot_product($a, $a))
+         |           * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |    WHERE vec_id < 6),
+       |  sc AS (SELECT query_id, vec_id AS neighbor_id,
+       |      ${cos("qv", "v")} AS score, v
+       |    FROM q, e WHERE vec_id <> query_id),
+       |  cand AS (SELECT query_id, neighbor_id, score, v FROM sc
+       |    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) <= 8),
+       |  ps AS (SELECT a.query_id, a.neighbor_id AS ida,
+       |      b.neighbor_id AS idb, ${cos("a.v", "b.v")} AS sim
+       |    FROM cand a JOIN cand b
+       |      ON a.query_id = b.query_id
+       |        AND a.neighbor_id < b.neighbor_id),
+       |  s1 AS (SELECT query_id, neighbor_id AS id1, score AS rel1
+       |    FROM cand
+       |    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) = 1),
+       |  m2 AS (SELECT c.query_id, c.neighbor_id, c.score,
+       |      0.5 * c.score - 0.5 * p1.sim AS mmr
+       |    FROM cand c
+       |    JOIN s1 ON c.query_id = s1.query_id
+       |      AND c.neighbor_id <> s1.id1
+       |    JOIN ps p1 ON p1.query_id = c.query_id
+       |      AND p1.ida = LEAST(c.neighbor_id, s1.id1)
+       |      AND p1.idb = GREATEST(c.neighbor_id, s1.id1)),
+       |  s2 AS (SELECT query_id, neighbor_id AS id2, score AS rel2,
+       |      mmr AS mmr2 FROM m2
+       |    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY mmr DESC, neighbor_id) = 1),
+       |  m3 AS (SELECT c.query_id, c.neighbor_id, c.score,
+       |      0.5 * c.score - 0.5 * GREATEST(p1.sim, p2.sim) AS mmr
+       |    FROM cand c
+       |    JOIN s1 ON c.query_id = s1.query_id
+       |    JOIN s2 ON c.query_id = s2.query_id
+       |    JOIN ps p1 ON p1.query_id = c.query_id
+       |      AND p1.ida = LEAST(c.neighbor_id, s1.id1)
+       |      AND p1.idb = GREATEST(c.neighbor_id, s1.id1)
+       |    JOIN ps p2 ON p2.query_id = c.query_id
+       |      AND p2.ida = LEAST(c.neighbor_id, s2.id2)
+       |      AND p2.idb = GREATEST(c.neighbor_id, s2.id2)
+       |    WHERE c.neighbor_id <> s1.id1
+       |      AND c.neighbor_id <> s2.id2),
+       |  s3 AS (SELECT query_id, neighbor_id AS id3, score AS rel3,
+       |      mmr AS mmr3 FROM m3
+       |    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY mmr DESC, neighbor_id) = 1)
+       |SELECT query_id, 1 AS rnk, id1 AS neighbor_id,
+       |  rel1 AS relevance, 0.5 * rel1 AS mmr FROM s1
+       |UNION ALL
+       |SELECT query_id, 2 AS rnk, id2, rel2, mmr2 FROM s2
+       |UNION ALL
+       |SELECT query_id, 3 AS rnk, id3, rel3, mmr3 FROM s3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Unicode NFC normalization (graft_nfc native expression vs DuckDB's
   // utf8proc nfc_normalize — two independent implementations of UAX
   // #15): each doc gets a decomposed-accent suffix planted (combining

@@ -741,6 +741,90 @@ object SimilarityOps {
         col("_rnk_b").as("rank_b"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): greedily pick `k` of the top-`nCand` candidates,
+    * each step maximizing `λ·rel(q,d) − (1−λ)·max_{s∈chosen} sim(d,s)`
+    * — the diversification pass that keeps a RAG context window from
+    * filling with near-duplicates of one passage.
+    *
+    * The greedy is inherently sequential per query, so this is the one
+    * similarity operator built on the typed-Dataset group API rather
+    * than Columns — but only the per-query top-k lists and their
+    * candidate-pair similarities ever enter the group stage (N + N²/2
+    * rows per query; the corpus never does), shuffled once on
+    * query_id. Engine-exactness: every cosine is computed and rounded
+    * to 6 decimals by the SAME Column contract as [[bruteForceTopK]]
+    * BEFORE the group stage; inside the greedy only dyadic-λ
+    * multiply/subtract/compare remain (correctly-rounded IEEE ops),
+    * ties break by candidate id — so a SQL twin can replay the
+    * selection step for step. */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int = 3, lambda: Double = 0.5,
+                nCand: Int = 8): DataFrame = {
+    require(k >= 1 && nCand >= k, s"need nCand >= k >= 1: $nCand/$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(queries, corpus, idCol, vecCol, nCand)
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_nv"))
+    val cv = cand.join(vecs, Seq("neighbor_id"))
+    val a = cv.select(col("query_id"), col("neighbor_id").as("_ida"),
+      col("_nv").as("_va"))
+    val b = cv.select(col("query_id"), col("neighbor_id").as("_idb"),
+      col("_nv").as("_vb"))
+    val pairs = a.join(b, Seq("query_id"))
+      .filter(col("_ida") < col("_idb"))
+      .select(col("query_id"), col("_ida"), col("_idb"),
+        round(dot(col("_va"), col("_vb")) /
+          (norm(col("_va")) * norm(col("_vb"))), 6).as("_sim"))
+    val candDs = cand.select(col("query_id").cast("long").as("_1"),
+        col("neighbor_id").cast("long").as("_2"),
+        col("score").cast("double").as("_3"))
+      .as[(Long, Long, Double)]
+    val pairDs = pairs.select(col("query_id").cast("long").as("_1"),
+        col("_ida").cast("long").as("_2"),
+        col("_idb").cast("long").as("_3"),
+        col("_sim").cast("double").as("_4"))
+      .as[(Long, Long, Long, Double)]
+    candDs.groupByKey(_._1).cogroup(pairDs.groupByKey(_._1)) {
+      (q, ci, pi) =>
+        val sim = new scala.collection.mutable.HashMap[(Long, Long),
+          Double]
+        pi.foreach(p => sim((p._2, p._3)) = p._4)
+        def s(x: Long, y: Long): Double =
+          if (x < y) sim((x, y)) else sim((y, x))
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          ci.map(c => (c._2, c._3)).toArray.sortBy(x => (-x._2, x._1))
+            .toIndexedSeq: _*)
+        val chosen = scala.collection.mutable.ArrayBuffer[Long]()
+        val out = scala.collection.mutable.ArrayBuffer[
+          (Long, Int, Long, Double, Double)]()
+        var rnk = 1
+        while (rnk <= k && remaining.nonEmpty) {
+          var bi = -1
+          var bm = Double.NegativeInfinity
+          var bid = Long.MaxValue
+          var i = 0
+          while (i < remaining.length) {
+            val (id, rel) = remaining(i)
+            val ms =
+              if (chosen.isEmpty) 0.0 else chosen.map(c => s(id, c)).max
+            val m = lambda * rel - (1.0 - lambda) * ms
+            if (m > bm || (m == bm && id < bid)) {
+              bm = m; bid = id; bi = i
+            }
+            i += 1
+          }
+          val (id, rel) = remaining.remove(bi)
+          out += ((q, rnk, id, rel, bm))
+          chosen += id
+          rnk += 1
+        }
+        out.iterator
+    }.toDF("query_id", "rnk", "neighbor_id", "relevance", "mmr")
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int = 16, tau: Double = 0.99): DataFrame = {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")

@@ -341,6 +341,38 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(run(pts.repartition(5)).toSeq == out.toSeq)
   }
 
+  test("mmrRerank trades relevance for diversity; k bounded; layout-exact") {
+    import spark.implicits._
+    // query 0 = (1,0,0); candidates 1 and 2 are near-clones of each
+    // other (equally relevant), candidate 3 mirrors 1 across the query
+    // axis — same relevance as 1 but far from it. Pure relevance ranks
+    // (1,2,3); MMR must demote 2 (sim to the first pick ≈ 1, so
+    // rel−sim ≈ −0.05) below 3 (rel−sim = 0.95−0.8 = +0.15).
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.9, 0.3, 0.0)),
+      (2L, Seq(0.9, 0.3, 0.01)),
+      (3L, Seq(0.9, -0.3, 0.0))
+    ).toDF("id", "v")
+    val out = SimilarityOps.mmrRerank(corpus.filter(col("id") === 0),
+        corpus, "id", "v", k = 3, lambda = 0.5, nCand = 8)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+    // k caps output even when fewer remain diverse
+    val k2 = SimilarityOps.mmrRerank(corpus.filter(col("id") === 0),
+      corpus, "id", "v", k = 2, lambda = 0.5, nCand = 8).count()
+    assert(k2 == 2)
+    // layout independence
+    val re = SimilarityOps.mmrRerank(
+        corpus.repartition(5).filter(col("id") === 0),
+        corpus.repartition(3), "id", "v", k = 3, lambda = 0.5,
+        nCand = 8)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("rrfFuse: fixed-point scores, one-sided hits, rank tie-break") {
     import spark.implicits._
     // query 1: doc 10 ranks 1st in A and 2nd in B; doc 20 only in A;
