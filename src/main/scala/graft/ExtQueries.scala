@@ -2131,6 +2131,51 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Corpus-law report: Zipf slope/intercept over the top-1000 vocab +
+  // Heaps-style token/vocab totals, all fixed-point engine-exact.
+  // ---------------------------------------------------------------------
+  def xCorpusZipf(s: SparkSession, dir: String): DataFrame =
+    TextOps.corpusZipf(t(s, dir, "documents"), "text", topN = 1000)
+
+  val xCorpusZipfSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  tk AS (SELECT unnest(toks) AS term FROM tok),
+       |  tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       |      CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_tokens
+       |    FROM tk),
+       |  cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+       |    GROUP BY term),
+       |  top AS (SELECT term, c FROM cnt ORDER BY c DESC, term
+       |    LIMIT 1000),
+       |  rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term)
+       |      AS r FROM top),
+       |  pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+       |      ln(CAST(c AS DOUBLE)) AS y FROM rk),
+       |  sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fit,
+       |      CAST(SUM(CAST(FLOOR(x * 1073741824.0) AS BIGINT))
+       |        AS BIGINT) AS sx,
+       |      CAST(SUM(CAST(FLOOR(y * 1073741824.0) AS BIGINT))
+       |        AS BIGINT) AS sy,
+       |      CAST(SUM(CAST(FLOOR(x * y * 1073741824.0) AS BIGINT))
+       |        AS BIGINT) AS sxy,
+       |      CAST(SUM(CAST(FLOOR(x * x * 1073741824.0) AS BIGINT))
+       |        AS BIGINT) AS sxx
+       |    FROM pts),
+       |  sl AS (SELECT total_tokens, distinct_tokens, n_fit, sx, sy,
+       |      (CAST(n_fit AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1073741824.0)
+       |         - (CAST(sx AS DOUBLE) / 1073741824.0)
+       |           * (CAST(sy AS DOUBLE) / 1073741824.0))
+       |      / (CAST(n_fit AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1073741824.0)
+       |         - (CAST(sx AS DOUBLE) / 1073741824.0)
+       |           * (CAST(sx AS DOUBLE) / 1073741824.0)) AS zipf_slope
+       |    FROM sums CROSS JOIN tot)
+       |SELECT total_tokens, distinct_tokens, n_fit, zipf_slope,
+       |  (CAST(sy AS DOUBLE) / 1073741824.0) / CAST(n_fit AS DOUBLE)
+       |    - zipf_slope * ((CAST(sx AS DOUBLE) / 1073741824.0)
+       |                    / CAST(n_fit AS DOUBLE)) AS zipf_intercept
+       |FROM sl""".stripMargin
+
+  // ---------------------------------------------------------------------
   // MMR diversified re-ranking (λ=0.5, top-8 candidates → 3 picks per
   // query): every cosine is pre-rounded by the shared round-6 Column
   // contract, so the DuckDB twin replays the greedy EXACTLY, step by

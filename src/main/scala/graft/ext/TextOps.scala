@@ -972,6 +972,59 @@ object TextOps {
           col("_n").cast("double")).cast("int").as("stage"))
   }
 
+  /** Corpus-law statistics: Zipf rank-frequency fit + Heaps-style
+    * vocabulary counts — the one-row diagnostic dataset papers report
+    * to show a corpus "looks like natural language" (log-log slope near
+    * −1) versus template/boilerplate spam (flat or cliff-shaped).
+    *
+    * Fit: least-squares slope/intercept of `ln(freq)` on `ln(rank)`
+    * over the top-`topN` vocabulary. Engine-exact: `graft_ln` for
+    * platform-libm parity, and all four regression sums are
+    * fixed-point `floor(·2³⁰)` BIGINTs (order-free), so slope and
+    * intercept are bit-identical across engines and layouts.
+    *
+    * Scale shape: one tokenize pass feeds the vocab counts (map-side
+    * partials) and the 1-row totals; the top-`topN` cut is a
+    * TakeOrdered (no vocab-wide window); only `topN` rows (bounded,
+    * default 1000 — the standard Zipf fit range) enter the ranked
+    * regression, so the single-partition ranking window is over a
+    * constant-size set. */
+  def corpusZipf(docs: DataFrame, textCol: String,
+                 topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2: $topN")
+    val tk = graft.engine.Engine.spread(docs)
+      .select(explode(tokens(col(textCol))).as("_term"))
+    // distinct count via the vocab frame, NOT count_distinct next to a
+    // plain count — that mix plans an Expand (doubles the agg input)
+    val tot = tk.agg(count(lit(1)).as("total_tokens"))
+    val cnt = tk.groupBy(col("_term")).agg(count(lit(1)).as("_c"))
+    val dc = cnt.agg(count(lit(1)).as("distinct_tokens"))
+    val top = cnt.orderBy(col("_c").desc, col("_term")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_c").desc, col("_term"))
+    val pts = top.withColumn("_r", row_number().over(w))
+      .select(
+        call_function("graft_ln", col("_r").cast("double")).as("_x"),
+        call_function("graft_ln", col("_c").cast("double")).as("_y"))
+    def fx(c: Column): Column =
+      sum(floor(c * lit(1073741824.0)).cast("long"))
+    val sums = pts.agg(count(lit(1)).as("n_fit"),
+      fx(col("_x")).as("_sx"), fx(col("_y")).as("_sy"),
+      fx(col("_x") * col("_y")).as("_sxy"),
+      fx(col("_x") * col("_x")).as("_sxx"))
+    def dq(c: Column): Column =
+      c.cast("double") / lit(1073741824.0)
+    val nD = col("n_fit").cast("double")
+    sums.crossJoin(tot).crossJoin(dc)
+      .withColumn("zipf_slope",
+        (nD * dq(col("_sxy")) - dq(col("_sx")) * dq(col("_sy"))) /
+          (nD * dq(col("_sxx")) - dq(col("_sx")) * dq(col("_sx"))))
+      .withColumn("zipf_intercept",
+        dq(col("_sy")) / nD - col("zipf_slope") * (dq(col("_sx")) / nD))
+      .select(col("total_tokens"), col("distinct_tokens"), col("n_fit"),
+        col("zipf_slope"), col("zipf_intercept"))
+  }
+
   def bm25TopK(docs: DataFrame, queries: DataFrame,
                idCol: String, textCol: String,
                qidCol: String, qtextCol: String,

@@ -136,4 +136,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"funnel must not window raw events:\n$p")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
+
+  test("kmeans assignment pass is shuffle-free (literal centroids)") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val p = plan(graft.ext.SimilarityOps.kmeansLloydFx(emb, "vec_id",
+      "embedding", k = 4, dim = 64, iters = 1))
+    // one round = pure projection + argmin over plan-literal centroids:
+    // any Exchange here would shuffle the full corpus every iteration
+    assert(!p.contains("Exchange"),
+      s"kmeans assignment must not shuffle the corpus:\n$p")
+    assert(!p.contains("Window"), s"no per-row window either:\n$p")
+  }
+
+  test("snapshot diff: one equi-join on the key, no broadcast-nested-loop") {
+    val p = plan(ExtQueries.xSnapshotDiff(spark, fixtureDir))
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"diff must stay an equi-join:\n$p")
+  }
+
+  test("rrf fusion: per-query window, lists join as an equi-join") {
+    val f = formatted(ExtQueries.xHybridRrf(spark, fixtureDir))
+    assert(f.contains("windowspecdefinition(query_id"),
+      "fused ranking must partition by query_id (no global window)")
+    assert(!plan(ExtQueries.xHybridRrf(spark, fixtureDir))
+      .contains("CartesianProduct"))
+  }
+
+  test("curriculum: no global window; difficulty joins carry partial aggs") {
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+    val p = plan(graft.ext.TextOps.curriculumStages(docs, "doc_id",
+      "text", stages = 5))
+    // the global rank comes from the two-pass id machinery, never a
+    // single-partition Window over the corpus
+    assert(!p.contains("Window"),
+      s"curriculum must not plan a global window:\n$p")
+  }
 }

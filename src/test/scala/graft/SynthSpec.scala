@@ -51,9 +51,15 @@ class SynthSpec extends SparkSpec {
     val src = orders.agg(min("o_orderdate"), max("o_orderdate")).collect()(0)
     val out = s.agg(min("o_orderdate"), max("o_orderdate")).collect()(0)
     assert(!out.isNullAt(0) && !out.isNullAt(1))
-    assert(!out.getAs[java.time.LocalDateTime](0)
-      .isBefore(src.getAs[java.time.LocalDateTime](0)))
-    assert(!out.getAs[java.time.LocalDateTime](1)
-      .isAfter(src.getAs[java.time.LocalDateTime](1)))
+    // fixture generations flip between TIMESTAMP and TIMESTAMP_NTZ
+    // parquet types; compare on epoch millis either way
+    def ms(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case o => fail(s"unexpected timestamp class: ${o.getClass}")
+    }
+    assert(ms(out, 0) >= ms(src, 0))
+    assert(ms(out, 1) <= ms(src, 1))
   }
 }

@@ -525,6 +525,36 @@ class TextOpsSpec extends SparkSpec {
       "query-side tables must broadcast")
   }
 
+  test("corpusZipf: planted rank-frequency fit, fixed-point exact") {
+    import spark.implicits._
+    // counts 12/rank: a=12, b=6, c=4, d=3 → exactly count ∝ 1/rank,
+    // so the log-log fit is linear with slope −1 by construction
+    val docs = Seq("a a a a a a a a a a a a b b b",
+      "b b b c c c c d d d").toDF("txt")
+    val r = TextOps.corpusZipf(docs, "txt", topN = 1000).collect()(0)
+    assert(r.getLong(0) == 25L && r.getLong(1) == 4L &&
+      r.getLong(2) == 4L)
+    // expected slope via the identical fixed-point arithmetic
+    val pts = Seq((1, 12), (2, 6), (3, 4), (4, 3)).map { case (rk, c) =>
+      (math.log(rk.toDouble), math.log(c.toDouble))
+    }
+    def fx(v: Double): Long = math.floor(v * 1073741824.0).toLong
+    val (sx, sy, sxy, sxx) = pts.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, b, ab, aa), (x, y)) =>
+        (a + fx(x), b + fx(y), ab + fx(x * y), aa + fx(x * x))
+    }
+    def dq(l: Long): Double = l.toDouble / 1073741824.0
+    val n = 4.0
+    val slope = (n * dq(sxy) - dq(sx) * dq(sy)) /
+      (n * dq(sxx) - dq(sx) * dq(sx))
+    assert(r.getDouble(3) == slope)
+    assert(slope < -0.999 && slope > -1.001) // Zipfian by construction
+    val re = TextOps.corpusZipf(docs.repartition(4), "txt", 1000)
+      .collect()(0)
+    assert(re.getDouble(3) == r.getDouble(3) &&
+      re.getDouble(4) == r.getDouble(4))
+  }
+
   test("curriculumStages: rarity-ordered stages, empty docs in stage 0") {
     import spark.implicits._
     // 'common' appears in every doc (count 4 → small rarity), 'rare*'
