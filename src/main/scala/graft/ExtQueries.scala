@@ -2131,6 +2131,102 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Quality-classifier inference: fixed trained weights as plan
+  // literals over exact-integer features; keep = sign of the linear
+  // score (≡ sigmoid > 0.5). One narrow projection.
+  // ---------------------------------------------------------------------
+  def xQualityClassify(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityClassify(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens"), col("stop_hits"),
+        col("distinct_tokens"), col("digit_tokens"), col("clf_score"),
+        col("keep"))
+      .orderBy(col("doc_id"))
+
+  val xQualityClassifySql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(toks, x -> list_contains(
+       |    ['the','a','an','and','or','of','to','in','is','it'], x)))
+       |    AS BIGINT) AS stop_hits,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens,
+       |  CAST(len(list_filter(toks,
+       |    x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT)
+       |    AS digit_tokens,
+       |  CAST(-40 + 3 * len(list_filter(toks, x -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','it'], x)))
+       |    + 1 * len(list_distinct(toks))
+       |    - 2 * len(list_filter(toks,
+       |        x -> regexp_full_match(x, '[0-9]+')))
+       |    - 1 * GREATEST(0, len(toks) - 150) AS BIGINT) AS clf_score,
+       |  (-40 + 3 * len(list_filter(toks, x -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','it'], x)))
+       |    + 1 * len(list_distinct(toks))
+       |    - 2 * len(list_filter(toks,
+       |        x -> regexp_full_match(x, '[0-9]+')))
+       |    - 1 * GREATEST(0, len(toks) - 150)) > 0 AS keep
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Int8 scalar quantization of the embedding table: corpus-wide
+  // per-dim (min, max) → plan-literal quantizer → shuffle-free coding
+  // projection; per-vector code checksum/extremes + fixed-point
+  // reconstruction error.
+  // ---------------------------------------------------------------------
+  def xEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.quantizeInt8(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64)
+      .orderBy(col("vec_id"))
+
+  val xEmbedQuantizeSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |  st AS (SELECT CAST(i AS INTEGER) AS i,
+      |      MIN(v[CAST(i + 1 AS INTEGER)]) AS mn,
+      |      MAX(v[CAST(i + 1 AS INTEGER)]) AS mx
+      |    FROM e, range(64) r(i) GROUP BY i),
+      |  q AS (SELECT CAST(list(mn ORDER BY i) AS DOUBLE[]) AS mns,
+      |      CAST(list(mx ORDER BY i) AS DOUBLE[]) AS mxs FROM st),
+      |  c AS (SELECT vec_id,
+      |      list_transform(range(64), i -> CASE
+      |        WHEN mxs[CAST(i + 1 AS INTEGER)]
+      |             > mns[CAST(i + 1 AS INTEGER)]
+      |        THEN LEAST(255, GREATEST(0, CAST(FLOOR(
+      |          (v[CAST(i + 1 AS INTEGER)]
+      |             - mns[CAST(i + 1 AS INTEGER)]) * 255.0
+      |            / (mxs[CAST(i + 1 AS INTEGER)]
+      |               - mns[CAST(i + 1 AS INTEGER)]) + 0.5)
+      |          AS BIGINT)))
+      |        ELSE 0 END) AS codes,
+      |      v, mns, mxs
+      |    FROM e CROSS JOIN q)
+      |SELECT vec_id,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  CAST(list_min(codes) AS INTEGER) AS code_min,
+      |  CAST(list_max(codes) AS INTEGER) AS code_max,
+      |  CAST(list_sum(list_transform(range(64), i ->
+      |    CAST(FLOOR(
+      |      ((CASE WHEN mxs[CAST(i + 1 AS INTEGER)]
+      |                  > mns[CAST(i + 1 AS INTEGER)]
+      |         THEN mns[CAST(i + 1 AS INTEGER)]
+      |           + CAST(codes[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+      |             * (mxs[CAST(i + 1 AS INTEGER)]
+      |                - mns[CAST(i + 1 AS INTEGER)]) / 255.0
+      |         ELSE mns[CAST(i + 1 AS INTEGER)] END)
+      |       - v[CAST(i + 1 AS INTEGER)])
+      |      * ((CASE WHEN mxs[CAST(i + 1 AS INTEGER)]
+      |                    > mns[CAST(i + 1 AS INTEGER)]
+      |           THEN mns[CAST(i + 1 AS INTEGER)]
+      |             + CAST(codes[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+      |               * (mxs[CAST(i + 1 AS INTEGER)]
+      |                  - mns[CAST(i + 1 AS INTEGER)]) / 255.0
+      |           ELSE mns[CAST(i + 1 AS INTEGER)] END)
+      |         - v[CAST(i + 1 AS INTEGER)])
+      |      * 1073741824.0) AS BIGINT))) AS BIGINT) AS err_fx
+      |FROM c ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Corpus-law report: Zipf slope/intercept over the top-1000 vocab +
   // Heaps-style token/vocab totals, all fixed-point engine-exact.
   // ---------------------------------------------------------------------

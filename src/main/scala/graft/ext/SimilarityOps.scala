@@ -741,6 +741,62 @@ object SimilarityOps {
         col("_rnk_b").as("rank_b"))
   }
 
+  /** Per-dimension scalar quantization of an embedding column to int8
+    * codes — the storage/bandwidth op that turns a 100 TB float32
+    * embedding table into a 25 TB one (4× smaller scans for every ANN
+    * probe, the first lever production vector stores pull).
+    *
+    * Codes: `clamp(floor((x−mn)·255/(mx−mn) + 0.5), 0, 255)` per
+    * dimension, with corpus-wide per-dim (mn, mx). Determinism: min and
+    * max are order-free (no float-sum issue), the quantize chain is one
+    * fixed association of correctly-rounded IEEE ops, and the returned
+    * checksum/error metrics are order-free integer sums — all
+    * engine-exact. Degenerate dims (mx = mn) code to 0.
+    *
+    * Scale shape: one (dim)-grouped aggregate (map-side partials, `dim`
+    * rows to the driver — the quantizer itself, persisted with the
+    * table in production), then one shuffle-free codegen'd projection
+    * with the 2·dim bounds folded in as plan literals. Reports per
+    * vector: the code checksum, code extremes, and the fixed-point
+    * squared reconstruction error. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+                   dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    val vecs = df.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val stats = vecs.select(posexplode(col("_v")))
+      .groupBy(col("pos"))
+      .agg(min(col("col")).as("_mn"), max(col("col")).as("_mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(stats.length == dim, s"expected $dim dims, got ${stats.length}")
+    def codeAt(i: Int): Column = {
+      val (_, mn, mx) = stats(i)
+      if (mx > mn)
+        least(lit(255L), greatest(lit(0L),
+          floor((element_at(col("_v"), i + 1) - lit(mn)) * lit(255.0) /
+            (lit(mx) - lit(mn)) + lit(0.5)).cast("long")))
+      else lit(0L)
+    }
+    def errAt(i: Int): Column = {
+      val (_, mn, mx) = stats(i)
+      val deq =
+        if (mx > mn)
+          lit(mn) + codeAt(i).cast("double") * (lit(mx) - lit(mn)) /
+            lit(255.0)
+        else lit(mn)
+      val d = deq - element_at(col("_v"), i + 1)
+      floor(d * d * lit(1073741824.0)).cast("long")
+    }
+    val codeSum = (0 until dim).map(codeAt).reduce(_ + _)
+    val codeMin = least((0 until dim).map(codeAt): _*)
+    val codeMax = greatest((0 until dim).map(codeAt): _*)
+    val errSum = (0 until dim).map(errAt).reduce(_ + _)
+    vecs.select(col("_id").as(idCol), codeSum.as("code_sum"),
+      codeMin.cast("int").as("code_min"),
+      codeMax.cast("int").as("code_max"), errSum.as("err_fx"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998): greedily pick `k` of the top-`nCand` candidates,
     * each step maximizing `λ·rel(q,d) − (1−λ)·max_{s∈chosen} sim(d,s)`

@@ -972,6 +972,42 @@ object TextOps {
           col("_n").cast("double")).cast("int").as("stage"))
   }
 
+  /** Linear quality-classifier inference: score each document with a
+    * FIXED weight vector over cheap integer features — the deploy side
+    * of a fastText-style quality classifier (weights trained offline,
+    * then shipped into the scoring projection as plan literals). The
+    * decision is the sign of the linear score, which equals
+    * thresholding the sigmoid at 0.5 — so no transcendental function
+    * enters the plan and the gate is exact-integer end to end.
+    *
+    * Feature vector (all exact BIGINT counts, no ratios): stopword
+    * hits, distinct tokens, all-digit tokens, and an over-length
+    * penalty `max(0, n_tokens − lenCap)`. Scale shape: one narrow
+    * codegen'd projection — no joins, no shuffles, no state. */
+  def qualityClassify(df: DataFrame, textCol: String,
+                      wStop: Long = 3L, wDistinct: Long = 1L,
+                      wDigit: Long = -2L, wOverlen: Long = -1L,
+                      bias: Long = -40L,
+                      lenCap: Int = 150): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stopHits = size(filter(toks,
+      t => t.isin(EnglishStopwords: _*))).cast("long")
+    val distinctToks = size(array_distinct(toks)).cast("long")
+    val digitToks = size(filter(toks, t => t.rlike("^[0-9]+$")))
+      .cast("long")
+    val overlen = greatest(lit(0L),
+      size(toks).cast("long") - lit(lenCap.toLong))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("distinct_tokens", distinctToks)
+      .withColumn("digit_tokens", digitToks)
+      .withColumn("clf_score",
+        lit(bias) + lit(wStop) * col("stop_hits") +
+          lit(wDistinct) * col("distinct_tokens") +
+          lit(wDigit) * col("digit_tokens") + lit(wOverlen) * overlen)
+      .withColumn("keep", col("clf_score") > 0L)
+  }
+
   /** Corpus-law statistics: Zipf rank-frequency fit + Heaps-style
     * vocabulary counts — the one-row diagnostic dataset papers report
     * to show a corpus "looks like natural language" (log-log slope near

@@ -341,6 +341,34 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(run(pts.repartition(5)).toSeq == out.toSeq)
   }
 
+  test("quantizeInt8: exact codes at the range edges, hand-checked error") {
+    import spark.implicits._
+    // dim0 range [0,2], dim1 range [10,30]: edge vectors code to 0/255
+    // with ZERO reconstruction error; the midpoint codes to 128 both
+    val vecs = Seq(
+      (0L, Seq(0.0, 10.0)),
+      (1L, Seq(1.0, 20.0)),
+      (2L, Seq(2.0, 30.0))
+    ).toDF("id", "v")
+    val out = SimilarityOps.quantizeInt8(vecs, "id", "v", dim = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))
+    assert(out(0) == ((0L, 0L, 0, 0, 0L)))
+    assert(out(2) == ((2L, 510L, 255, 255, 0L)))
+    // midpoint: both dims floor(127.5+0.5)=128; error via the same chain
+    val d0 = (0.0 + 128.0 * 2.0 / 255.0) - 1.0
+    val d1 = (10.0 + 128.0 * 20.0 / 255.0) - 20.0
+    val expErr = (math.floor(d0 * d0 * 1073741824.0) +
+      math.floor(d1 * d1 * 1073741824.0)).toLong
+    assert(out(1) == ((1L, 256L, 128, 128, expErr)))
+    val re = SimilarityOps.quantizeInt8(vecs.repartition(3), "id", "v", 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("mmrRerank trades relevance for diversity; k bounded; layout-exact") {
     import spark.implicits._
     // query 0 = (1,0,0); candidates 1 and 2 are near-clones of each

@@ -525,6 +525,26 @@ class TextOpsSpec extends SparkSpec {
       "query-side tables must broadcast")
   }
 
+  test("qualityClassify: hand-computed linear scores, sign gate") {
+    import spark.implicits._
+    val docs = Seq(
+      // 12 stopword hits ("the" x6, "a" x6), 3 distinct, 0 digits:
+      // score = -40 + 3*12 + 3 = -1 -> drop (just below the boundary)
+      (1L, "the a the a the a the a the a the a cat"),
+      // 14 hits -> -40 + 42 + 3 = 5 -> keep
+      (2L, "the a the a the a the a the a the a the a cat"),
+      // digit spam: 12 hits but 10 digit tokens:
+      // -40 + 36 + 13 - 20 = -11 -> drop
+      (3L, "the a the a the a the a the a the a " +
+        "1 2 3 4 5 6 7 8 9 10 cat")
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityClassify(docs, "text")
+      .select("doc_id", "clf_score", "keep").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, -1L, false), (2L, 5L, true),
+      (3L, -11L, false)))
+  }
+
   test("corpusZipf: planted rank-frequency fit, fixed-point exact") {
     import spark.implicits._
     // counts 12/rank: a=12, b=6, c=4, d=3 → exactly count ∝ 1/rank,
