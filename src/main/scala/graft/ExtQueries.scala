@@ -2131,6 +2131,85 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Mutual-kNN pair mining (both directions in each other's top-5):
+  // the reciprocity join over the brute-force lists; each surviving
+  // pair appears once (id_a < id_b) with both ranks.
+  // ---------------------------------------------------------------------
+  def xEmbedMutual(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.mutualTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val xEmbedMutualSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |  sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      round(list_dot_product(q.v, c.v)
+      |        / (sqrt(list_dot_product(q.v, q.v))
+      |           * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+      |    FROM e q, e c WHERE q.vec_id <> c.vec_id),
+      |  r AS (SELECT query_id, neighbor_id, score,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, neighbor_id) AS rnk
+      |    FROM sc QUALIFY rnk <= 5)
+      |SELECT a.query_id AS id_a, a.neighbor_id AS id_b,
+      |  CAST(a.rnk AS INTEGER) AS rnk_ab,
+      |  CAST(b.rnk AS INTEGER) AS rnk_ba, a.score
+      |FROM r a JOIN r b
+      |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+      |WHERE a.query_id < a.neighbor_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // PSI feature drift (population stability index) between two corpus
+  // slices on a numeric column, fixed bucket edges as plan literals;
+  // add-one smoothing keeps empty buckets finite; fixed-point sum +
+  // graft_ln make the index engine-exact.
+  // ---------------------------------------------------------------------
+  def xFeaturePsi(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextOps.featurePsi(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") === "src1"),
+      "n_chars", edges = Seq(100.0, 200.0, 300.0, 500.0))
+  }
+
+  val xFeaturePsiSql: String =
+    """WITH a AS (SELECT n_chars FROM documents WHERE source = 'src0'),
+      |  b AS (SELECT n_chars FROM documents WHERE source = 'src1'),
+      |  ba AS (SELECT CASE WHEN n_chars < 100 THEN 0
+      |      WHEN n_chars < 200 THEN 1 WHEN n_chars < 300 THEN 2
+      |      WHEN n_chars < 500 THEN 3 ELSE 4 END AS bkt FROM a),
+      |  bb AS (SELECT CASE WHEN n_chars < 100 THEN 0
+      |      WHEN n_chars < 200 THEN 1 WHEN n_chars < 300 THEN 2
+      |      WHEN n_chars < 500 THEN 3 ELSE 4 END AS bkt FROM b),
+      |  ca AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS na FROM ba
+      |    GROUP BY bkt),
+      |  cb AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS nb FROM bb
+      |    GROUP BY bkt),
+      |  tots AS (SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS ta,
+      |      CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS tb),
+      |  grid AS (SELECT CAST(i AS INTEGER) AS bkt FROM range(5) r(i)),
+      |  j AS (SELECT grid.bkt, COALESCE(na, 0) + 1 AS na1,
+      |      COALESCE(nb, 0) + 1 AS nb1, ta + 5 AS ta1, tb + 5 AS tb1
+      |    FROM grid LEFT JOIN ca USING (bkt) LEFT JOIN cb USING (bkt)
+      |    CROSS JOIN tots),
+      |  terms AS (SELECT bkt,
+      |      (CAST(na1 AS DOUBLE) / CAST(ta1 AS DOUBLE)
+      |        - CAST(nb1 AS DOUBLE) / CAST(tb1 AS DOUBLE))
+      |      * ln((CAST(na1 AS DOUBLE) / CAST(ta1 AS DOUBLE))
+      |            / (CAST(nb1 AS DOUBLE) / CAST(tb1 AS DOUBLE)))
+      |        AS term
+      |    FROM j)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(CAST(FLOOR(term * 1099511627776.0) AS BIGINT))
+      |    AS BIGINT) AS psi_fx,
+      |  CAST(SUM(CAST(FLOOR(term * 1099511627776.0) AS BIGINT))
+      |    AS DOUBLE) / 1099511627776.0 AS psi
+      |FROM terms""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Quality-classifier inference: fixed trained weights as plan
   // literals over exact-integer features; keep = sign of the linear
   // score (≡ sigmoid > 0.5). One narrow projection.

@@ -741,6 +741,35 @@ object SimilarityOps {
         col("_rnk_b").as("rank_b"))
   }
 
+  /** Mutual k-nearest-neighbor pairs: (a, b) such that b is in a's
+    * top-k AND a is in b's top-k — the margin-free core of
+    * mutual-NN pair mining (Artetxe & Schwenk 2019's bitext mining,
+    * also the pairing step of dataset distillation matchers). Mutuality
+    * is a much stronger signal than one-directional nearness: hub
+    * vectors appear in many top-k lists but reciprocate few.
+    *
+    * Built on the [[bruteForceTopK]] contract (round-6 scores, id
+    * tie-breaks), so the pair set is engine-exact. The cosine is
+    * symmetric under the shared `graft_dot` accumulation order, so one
+    * score per pair suffices. This exact form scans |C|² pairs —
+    * bounded-corpus audit tier; at scale run the same mutuality join
+    * over [[annTopK]] lists (LSH candidates), which keeps both
+    * directions approximate but the join identical. */
+  def mutualTopK(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    val t = bruteForceTopK(df, df, idCol, vecCol, k)
+    val fwd = t.select(col("query_id").as("id_a"),
+      col("neighbor_id").as("id_b"), col("rnk").as("rnk_ab"),
+      col("score"))
+    val rev = t.select(col("query_id").as("_rq"),
+      col("neighbor_id").as("_rn"), col("rnk").as("rnk_ba"))
+    fwd.join(rev,
+        col("id_a") === col("_rn") && col("id_b") === col("_rq"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("rnk_ab"), col("rnk_ba"),
+        col("score"))
+  }
+
   /** Per-dimension scalar quantization of an embedding column to int8
     * codes — the storage/bandwidth op that turns a 100 TB float32
     * embedding table into a 25 TB one (4× smaller scans for every ANN

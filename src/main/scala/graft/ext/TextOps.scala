@@ -972,6 +972,59 @@ object TextOps {
           col("_n").cast("double")).cast("int").as("stage"))
   }
 
+  /** PSI (population stability index) drift of a numeric column
+    * between two slices — the model-monitoring staple
+    * (`Σ (p_a − p_b)·ln(p_a/p_b)` over fixed buckets; > 0.2 is the
+    * classic "investigate" threshold) applied to corpus features:
+    * has this crawl's length/score distribution moved vs the last one?
+    * Complements [[tokenDrift]] (vocabulary KL) with a numeric-feature
+    * lens.
+    *
+    * Bucket edges are caller-fixed plan literals (comparable across
+    * runs — never data-derived quantiles, which would drift with the
+    * data they measure). Add-one smoothing keeps empty buckets finite.
+    * Engine-exact: bucketing is a when-chain, `graft_ln` for libm
+    * parity, and the bucket terms fold through a fixed-point
+    * `floor(·2⁴⁰)` BIGINT sum. Scale shape: two grouped bucket counts
+    * (map-side partials) + two 1-row totals; the bucket grid is
+    * edges+1 rows. */
+  def featurePsi(a: DataFrame, b: DataFrame, numCol: String,
+                 edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      s"edges must be non-empty ascending: $edges")
+    val nb = edges.length + 1
+    def bucket(df: DataFrame): DataFrame = {
+      val bkt = edges.zipWithIndex
+        .foldRight(lit(edges.length): Column) { case ((e, i), acc) =>
+          when(col(numCol) < e, lit(i)).otherwise(acc)
+        }
+      df.select(bkt.cast("int").as("bkt"))
+    }
+    val spark = a.sparkSession
+    val ca = bucket(a).groupBy(col("bkt")).agg(count(lit(1)).as("na"))
+    val cb = bucket(b).groupBy(col("bkt")).agg(count(lit(1)).as("nb"))
+    val ta = a.agg(count(lit(1)).as("ta"))
+    val tb = b.agg(count(lit(1)).as("tb"))
+    val grid = spark.range(nb.toLong)
+      .select(col("id").cast("int").as("bkt"))
+    val j = grid.join(ca, Seq("bkt"), "left").join(cb, Seq("bkt"), "left")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("bkt"),
+        (coalesce(col("na"), lit(0L)) + lit(1L)).as("na1"),
+        (coalesce(col("nb"), lit(0L)) + lit(1L)).as("nb1"),
+        (col("ta") + lit(nb.toLong)).as("ta1"),
+        (col("tb") + lit(nb.toLong)).as("tb1"))
+    val pa = col("na1").cast("double") / col("ta1").cast("double")
+    val pb = col("nb1").cast("double") / col("tb1").cast("double")
+    val term = (pa - pb) * call_function("graft_ln", pa / pb)
+    j.select(term.as("_term"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(floor(col("_term") * lit(1099511627776.0)).cast("long"))
+          .as("psi_fx"))
+      .select(col("n_buckets"), col("psi_fx"),
+        (col("psi_fx").cast("double") / lit(1099511627776.0)).as("psi"))
+  }
+
   /** Linear quality-classifier inference: score each document with a
     * FIXED weight vector over cheap integer features — the deploy side
     * of a fastText-style quality classifier (weights trained offline,

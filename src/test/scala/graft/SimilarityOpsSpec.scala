@@ -341,6 +341,25 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(run(pts.repartition(5)).toSeq == out.toSeq)
   }
 
+  test("mutualTopK keeps only reciprocated pairs, once each") {
+    import spark.implicits._
+    // 1↔2 are mutual nearest; 3 points at 1 but 1's list (k=1) holds
+    // only 2, so 3's edge is one-directional and must drop.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.99, 0.14)),
+      (3L, Seq(0.8, -0.6))
+    ).toDF("id", "v")
+    val out = SimilarityOps.mutualTopK(vecs, "id", "v", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1, 1)))
+    // k=2 admits every reciprocated pair in this tiny clique
+    val k2 = SimilarityOps.mutualTopK(vecs, "id", "v", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k2 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("quantizeInt8: exact codes at the range edges, hand-checked error") {
     import spark.implicits._
     // dim0 range [0,2], dim1 range [10,30]: edge vectors code to 0/255

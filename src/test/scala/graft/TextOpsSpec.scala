@@ -525,6 +525,30 @@ class TextOpsSpec extends SparkSpec {
       "query-side tables must broadcast")
   }
 
+  test("featurePsi: zero on identical slices, hand-checked on a shift") {
+    import spark.implicits._
+    val a = Seq(50L, 150L, 250L, 450L, 800L).toDF("x")
+    val same = TextOps.featurePsi(a, a, "x", Seq(100.0, 200.0, 300.0,
+      500.0)).collect()(0)
+    assert(same.getLong(0) == 5L)
+    assert(same.getLong(1) == 0L && same.getDouble(2) == 0.0)
+    // shifted slice: every value one bucket up from a's
+    val b = Seq(150L, 250L, 450L, 800L, 900L).toDF("x")
+    val out = TextOps.featurePsi(a, b, "x", Seq(100.0, 200.0, 300.0,
+      500.0)).collect()(0)
+    // hand-compute with the identical smoothing + fixed-point chain
+    val na = Seq(2L, 2L, 2L, 2L, 2L) // +1 smoothing on 1,1,1,1,1
+    val nb = Seq(1L, 2L, 2L, 2L, 3L)
+    val psiFx = (0 until 5).map { i =>
+      val pa = na(i).toDouble / 10.0
+      val pb = nb(i).toDouble / 10.0
+      math.floor((pa - pb) * math.log(pa / pb) *
+        1099511627776.0).toLong
+    }.sum
+    assert(out.getLong(1) == psiFx)
+    assert(out.getDouble(2) > 0.0) // drift is positive
+  }
+
   test("qualityClassify: hand-computed linear scores, sign gate") {
     import spark.implicits._
     val docs = Seq(
