@@ -2131,6 +2131,23 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Training-sequence assembly: per-(user, day) ordered event-type
+  // chains — one shuffle on the grouping the trainer reads anyway;
+  // ordering pinned by the unique (ts, event_id) prefix.
+  // ---------------------------------------------------------------------
+  def xEventsSequences(s: SparkSession, dir: String): DataFrame =
+    graft.ext.EventOps.userSequences(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type")
+      .orderBy(col("user_id"), col("day"))
+
+  val xEventsSequencesSql: String =
+    """SELECT user_id, CAST(ts AS DATE) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+      |FROM events GROUP BY user_id, CAST(ts AS DATE)
+      |ORDER BY user_id, day""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Mutual-kNN pair mining (both directions in each other's top-5):
   // the reciprocity join over the brute-force lists; each surviving
   // pair appears once (id_a < id_b) with both ranks.

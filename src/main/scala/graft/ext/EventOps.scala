@@ -14,6 +14,34 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** Per-(user, day) ordered event sequences — the assembly step that
+    * turns raw event logs into training sequences (behavioral-model
+    * pretraining, SFT-style trajectory export): one row per user-day
+    * with the '>'-joined event-type chain in (ts, event_id) order.
+    *
+    * Determinism: collect_list is NOT order-stable across layouts, so
+    * events are gathered as (ts, event_id, type) structs and
+    * `array_sort`ed — struct ordering on the unique (ts, event_id)
+    * prefix fixes the chain bit-for-bit on any partitioning, matching
+    * SQL's `string_agg(... ORDER BY ts, event_id)`.
+    *
+    * Scale shape: ONE shuffle on (user, day) — the grouping the
+    * downstream trainer reads anyway; sequences are bounded by a
+    * user-day's activity, so no global ordering or window exists
+    * anywhere. */
+  def userSequences(events: DataFrame, userCol: String, tsCol: String,
+                    idCol: String, typeCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    events
+      .select(col(userCol).as("user_id"), day.as("day"),
+        struct(col(tsCol).as("_ts"), col(idCol).as("_id"),
+          col(typeCol).as("_t")).as("_e"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(array_sort(collect_list(col("_e"))),
+          e => e.getField("_t")), ">").as("seq"))
+  }
+
   /** Hourly anomaly flags for one event type — the ops-monitoring
     * staple: count events per hour, z-score each hour against the
     * corpus of observed hours, flag |z| beyond `zMax`. Moments are

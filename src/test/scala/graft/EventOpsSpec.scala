@@ -7,6 +7,31 @@ import graft.ext.EventOps
   * ordering, mid-funnel stalls, no-entry exclusion. */
 class EventOpsSpec extends SparkSpec {
 
+  test("userSequences: (ts,id)-ordered chains, layout-independent") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 3L, "view"),
+      (1L, ts("2026-01-01 09:00:00"), 1L, "open"),
+      // same timestamp: event_id breaks the tie
+      (1L, ts("2026-01-01 09:00:00"), 2L, "click"),
+      (1L, ts("2026-01-02 08:00:00"), 4L, "open"),
+      (2L, ts("2026-01-01 12:00:00"), 5L, "buy")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ext.EventOps.userSequences(d, "user_id", "ts", "event_id",
+          "event_type")
+        .orderBy("user_id", "day").collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+          r.getString(3)))
+    val out = run(ev)
+    assert(out.toSeq == Seq(
+      (1L, "2026-01-01", 3L, "open>click>view"),
+      (1L, "2026-01-02", 1L, "open"),
+      (2L, "2026-01-01", 1L, "buy")))
+    assert(run(ev.repartition(7)).toSeq == out.toSeq)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
   test("funnel: ordering, stalls, and entry semantics") {
