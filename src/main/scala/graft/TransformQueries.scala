@@ -377,6 +377,32 @@ object TransformQueries {
   // and the decimal-cast accumulator would face manufactured rounding
   // ties; see Queries.scala's header).
   // ---------------------------------------------------------------------
+  /** MAD outlier flags over the events value stream: flagged rows
+    * only, with the shared robust band. */
+  def tMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.transform.Sanitize.madOutliers(
+        graft.engine.Engine.spread(
+          graft.engine.Engine.table(s, dir, "events")),
+        "value", k = 3.0)
+      .filter(col("is_outlier"))
+      .select(col("event_id"), col("value").cast("double").as("value"),
+        col("_med").as("med"), col("_mad").as("mad"))
+      .orderBy(col("event_id"))
+  }
+
+  val tMadOutliersSql: String =
+    """WITH m AS (SELECT quantile_cont(CAST(value AS DOUBLE), 0.5)
+      |    AS med FROM events),
+      |  d AS (SELECT event_id, CAST(value AS DOUBLE) AS value, med,
+      |      abs(CAST(value AS DOUBLE) - med) AS ad
+      |    FROM events CROSS JOIN m),
+      |  md AS (SELECT quantile_cont(ad, 0.5) AS mad FROM d)
+      |SELECT event_id, value, med, mad
+      |FROM d CROSS JOIN md
+      |WHERE ad > 3.0E0 * 1.4826E0 * mad
+      |ORDER BY event_id""".stripMargin
+
   def tWinsorize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     // spread: the single-row-group fixture would otherwise run the

@@ -98,6 +98,33 @@ object Sanitize {
       .withColumnRenamed("_phi", s"${valueCol}_hi")
   }
 
+  /** MAD (median-absolute-deviation) outlier flags — the robust
+    * replacement for mean/σ z-scores, whose moments the outliers
+    * themselves corrupt: flag rows with
+    * `|x − median| > k · 1.4826 · MAD` (1.4826 is the Gaussian
+    * consistency constant, so k reads as "k robust sigmas"; Iglewicz &
+    * Hoaglin's classic k=3.5, default 3).
+    *
+    * Two sequential exact `percentile` aggregates (the median, then
+    * the median of |x − median|), each a 1-row broadcast — same
+    * value→count buffer caveat as [[winsorize]]; swap the percentile
+    * calls for `approx_percentile` on corpus-scale columns exactly as
+    * [[winsorizeApprox]] does. Appends `_med`/`_mad`/`is_outlier`. */
+  def madOutliers(df: DataFrame, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0.0, s"k must be > 0: $k")
+    val v = col(valueCol).cast("double")
+    val med = df.agg(
+      percentile(v, lit(0.5)).as("_med"))
+    val dev = df.crossJoin(broadcast(med))
+      .withColumn("_absdev", abs(v - col("_med")))
+    val mad = dev.agg(percentile(col("_absdev"), lit(0.5)).as("_mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn("is_outlier",
+        col("_absdev") > lit(k) * lit(1.4826) * col("_mad"))
+      .drop("_absdev")
+  }
+
   /** [[winsorize]] with `approx_percentile` band edges — the 100 TB
     * path. Exact `percentile` accumulates a value→count map PER
     * AGGREGATION BUFFER: on high-cardinality doubles the buffer grows

@@ -118,4 +118,26 @@ class SanitizeSpec extends SparkSpec {
     assert(approx.getDouble(0) == approx.getDouble(0).floor)
     assert(approx.getDouble(1) == approx.getDouble(1).floor)
   }
+
+  test("madOutliers: hand-checked robust band; mean-corrupting spike") {
+    import spark.implicits._
+    // 9 values near 10 plus one wild spike: med = 10, MAD = 1.
+    // Classic z-score with the spike in the moments would need the
+    // spike to shift mean/sigma; the robust band ignores it entirely.
+    val df = (Seq(8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0) :+
+      1000.0).toDF("v")
+    val out = graft.transform.Sanitize.madOutliers(df, "v", k = 3.0)
+    val med = out.select("_med").head().getDouble(0)
+    val mad = out.select("_mad").head().getDouble(0)
+    assert(med == 10.0 && mad == 1.0)
+    val flagged = out.filter(col("is_outlier")).select("v")
+      .collect().map(_.getDouble(0)).toSeq
+    // band is 10 ± 3·1.4826 = [5.55, 14.45]: only the spike flags
+    assert(flagged == Seq(1000.0))
+    // layout independence
+    val re = graft.transform.Sanitize.madOutliers(df.repartition(4),
+      "v", k = 3.0).filter(col("is_outlier")).select("v")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(re == flagged)
+  }
 }
