@@ -2152,15 +2152,19 @@ object ExtQueries {
   // the reciprocity join over the brute-force lists; each surviving
   // pair appears once (id_a < id_b) with both ranks.
   // ---------------------------------------------------------------------
+  /** Bounded like the other brute-force baseline queries (x_sim_topk
+    * contract): the exact all-pairs tier runs over vecs 0-999; the
+    * production path is the same mutuality join over ANN lists. */
   def xEmbedMutual(s: SparkSession, dir: String): DataFrame =
-    SimilarityOps.mutualTopK(t(s, dir, "embeddings"), "vec_id",
+    SimilarityOps.mutualTopK(
+        t(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id",
         "embedding", k = 5)
       .orderBy(col("id_a"), col("id_b"))
 
   val xEmbedMutualSql: String =
     """WITH e AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
+      |  FROM embeddings WHERE vec_id < 1000),
       |  sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |      round(list_dot_product(q.v, c.v)
       |        / (sqrt(list_dot_product(q.v, q.v))
