@@ -74,6 +74,53 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("RRF fixed-point contribution: floor(double) ≡ integer division, strictly rank-monotone") {
+    // the scaladoc claim behind rrfFuse: the floored double divide
+    // equals true integer division for every realistic rank, and
+    // better ranks always contribute strictly more (so fused order
+    // respects rank improvements)
+    def f(r: Long): Long = math.floor(1073741824.0 / (60.0 + r)).toLong
+    check("floor≡intdiv", Prop.forAll(Gen.choose(1L, 1000000L)) { r =>
+      f(r) == 1073741824L / (60L + r)
+    })
+    check("strict-monotone", Prop.forAll(
+        Gen.choose(1L, 30000L), Gen.choose(1L, 30000L)) { (a, b) =>
+      a == b || (a < b) == (f(a) > f(b))
+    })
+  }
+
+  test("int8 quantize roundtrip error is bounded by half a step") {
+    // driver-side replica of quantizeInt8's per-dim chain
+    val gen = for {
+      mn <- Gen.choose(-100.0, 100.0)
+      w <- Gen.choose(1e-6, 200.0)
+      t <- Gen.choose(0.0, 1.0)
+    } yield (mn, mn + w, mn + t * w)
+    check("halfstep", Prop.forAll(gen) { case (mn, mx, x0) =>
+      val x = math.min(mx, math.max(mn, x0))
+      val code = math.max(0L, math.min(255L,
+        math.floor((x - mn) * 255.0 / (mx - mn) + 0.5).toLong))
+      val deq = mn + code.toDouble * (mx - mn) / 255.0
+      math.abs(deq - x) <= (mx - mn) / 255.0 * 0.5000001
+    })
+  }
+
+  test("PSI bucket terms are never negative (psi_fx >= 0 by construction)") {
+    // (pa − pb)·ln(pa/pb) ≥ 0 whenever both probabilities are
+    // positive — add-one smoothing guarantees that, so the fixed-point
+    // floor sum can never go below zero
+    val gen = for {
+      na <- Gen.choose(0L, 100000L); ta <- Gen.choose(1L, 1000000L)
+      nb <- Gen.choose(0L, 100000L); tb <- Gen.choose(1L, 1000000L)
+    } yield (na, ta + na, nb, tb + nb)
+    check("nonneg", Prop.forAll(gen) { case (na, ta, nb, tb) =>
+      val pa = (na + 1).toDouble / (ta + 5).toDouble
+      val pb = (nb + 1).toDouble / (tb + 5).toDouble
+      val term = (pa - pb) * math.log(pa / pb)
+      term >= 0.0 && math.floor(term * 1099511627776.0).toLong >= 0L
+    })
+  }
+
   test("portable token hash stays in [0, 2^60) and is injective on distinct md5 prefixes (sampled)") {
     // driver-side twin of the conv(substring(md5)) pipeline used by
     // simhashPortable — the value contract the DuckDB oracle relies on
