@@ -770,6 +770,29 @@ object SimilarityOps {
         col("score"))
   }
 
+  /** [[mutualTopK]] at corpus scale: the identical reciprocity join,
+    * but over [[annTopK]]'s LSH-bucketed lists — no |C|² scan; each
+    * direction is approximate (standard ANN trade), the mutuality
+    * filter is exact over whatever the lists contain. Recall vs the
+    * exact miner is a fixture property (SimilarityOpsSpec), not a
+    * guarantee. */
+  def mutualTopKAnn(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, dim: Int, bits: Int = 4,
+                    tables: Int = 8): DataFrame = {
+    val t = annTopK(df, df, idCol, vecCol, k = k, dim = dim,
+      bits = bits, tables = tables)
+    val fwd = t.select(col("query_id").as("id_a"),
+      col("neighbor_id").as("id_b"), col("rnk").as("rnk_ab"),
+      col("score"))
+    val rev = t.select(col("query_id").as("_rq"),
+      col("neighbor_id").as("_rn"), col("rnk").as("rnk_ba"))
+    fwd.join(rev,
+        col("id_a") === col("_rn") && col("id_b") === col("_rq"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("rnk_ab"), col("rnk_ba"),
+        col("score"))
+  }
+
   /** Per-dimension scalar quantization of an embedding column to int8
     * codes — the storage/bandwidth op that turns a 100 TB float32
     * embedding table into a 25 TB one (4× smaller scans for every ANN

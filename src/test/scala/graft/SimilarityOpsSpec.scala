@@ -360,6 +360,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(k2 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("mutualTopKAnn recall vs the exact miner on fixture embeddings") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val exact = SimilarityOps.mutualTopK(emb, "vec_id", "embedding",
+        k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilarityOps.mutualTopKAnn(emb, "vec_id", "embedding",
+        k = 5, dim = 64, bits = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // every ANN pair is reciprocated WITHIN the ANN lists by
+    // construction; against the exact pair set we require the usual
+    // fixture recall bar
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"mutual recall $recall (${ann.size} ann, " +
+      s"${exact.size} exact)")
+  }
+
   test("quantizeInt8: exact codes at the range edges, hand-checked error") {
     import spark.implicits._
     // dim0 range [0,2], dim1 range [10,30]: edge vectors code to 0/255
