@@ -23,6 +23,40 @@ object ExtQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Shared fixed-point BM25 scoring chain (contract in
+    * [[TextOps.bm25TopK]]): expects a `q(qid, qtext)` relation in
+    * scope, yields per-(qid, doc_id) fixed-point term rows
+    * `sc(qid, doc_id, fx)`. Used verbatim by BOTH the BM25 oracle and
+    * the RRF-hybrid oracle so the two twins cannot drift. */
+  private val bm25ScoreCtesSql: String = {
+    val qtoksSql = toksSql.replace("(text)", "(qtext)")
+    s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  d AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+       |  stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d),
+       |  qt AS (SELECT qid, unnest(list_distinct($qtoksSql)) AS term
+       |         FROM q),
+       |  qv AS (SELECT DISTINCT term FROM qt),
+       |  post AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       |    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) e
+       |    JOIN qv USING (term)
+       |    GROUP BY doc_id, term, dl),
+       |  dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+       |  sc AS (SELECT qt.qid, post.doc_id,
+       |      CAST(FLOOR(
+       |        ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                 / (CAST(df AS DOUBLE) + 0.5))
+       |        * ((CAST(tf AS DOUBLE) * 2.25)
+       |           / (CAST(tf AS DOUBLE)
+       |              + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+       |                        / (CAST(sumdl AS DOUBLE)
+       |                           / CAST(n AS DOUBLE)))))
+       |        * 1073741824.0) AS BIGINT) AS fx
+       |    FROM post
+       |    JOIN dfs USING (term)
+       |    JOIN qt USING (term)
+       |    CROSS JOIN stats)""".stripMargin
+  }
+
   /** Bigram-shingle CTE (contract in [[TextOps.shingles]], n=2): expects
     * a `tok(doc_id, toks)` relation in scope, yields `t(doc_id, sh)`. */
   private val shingleCteSql =
@@ -268,34 +302,9 @@ object ExtQueries {
   }
 
   val xHybridRrfSql: String = {
-    val qtoksSql = toksSql.replace("(text)", "(qtext)")
     s"""WITH q AS (SELECT doc_id AS qid, text AS qtext FROM documents
        |    WHERE doc_id < 4),
-       |  tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |  d AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
-       |  stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d),
-       |  qt AS (SELECT qid, unnest(list_distinct($qtoksSql)) AS term
-       |         FROM q),
-       |  qv AS (SELECT DISTINCT term FROM qt),
-       |  post AS (SELECT doc_id, dl, term, COUNT(*) AS tf
-       |    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) e
-       |    JOIN qv USING (term)
-       |    GROUP BY doc_id, term, dl),
-       |  dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
-       |  sc AS (SELECT qt.qid, post.doc_id,
-       |      CAST(FLOOR(
-       |        ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-       |                 / (CAST(df AS DOUBLE) + 0.5))
-       |        * ((CAST(tf AS DOUBLE) * 2.25)
-       |           / (CAST(tf AS DOUBLE)
-       |              + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
-       |                        / (CAST(sumdl AS DOUBLE)
-       |                           / CAST(n AS DOUBLE)))))
-       |        * 1073741824.0) AS BIGINT) AS fx
-       |    FROM post
-       |    JOIN dfs USING (term)
-       |    JOIN qt USING (term)
-       |    CROSS JOIN stats),
+       |  $bm25ScoreCtesSql,
        |  bagg AS (SELECT qid, doc_id, CAST(SUM(fx) AS BIGINT) AS sfx
        |    FROM sc GROUP BY qid, doc_id),
        |  sr AS (SELECT qid, doc_id,
@@ -2087,36 +2096,12 @@ object ExtQueries {
   val xTextBm25Sql: String = {
     val qvals = bm25Queries
       .map { case (q, txt) => s"('$q', '$txt')" }.mkString(", ")
-    val qtoksSql = toksSql.replace("(text)", "(qtext)")
-    // Arithmetic mirrors the Scala expression tree ASSOCIATION exactly
-    // (left-assoc products, same cast points) — the doubles are then
-    // bit-identical and the floored fixed-point sums hash-equal.
+    // Arithmetic (in the shared bm25ScoreCtesSql chain) mirrors the
+    // Scala expression tree ASSOCIATION exactly (left-assoc products,
+    // same cast points) — the doubles are then bit-identical and the
+    // floored fixed-point sums hash-equal.
     s"""WITH q(qid, qtext) AS (VALUES $qvals),
-       |  tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |  d AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
-       |  stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d),
-       |  qt AS (SELECT qid, unnest(list_distinct($qtoksSql)) AS term
-       |         FROM q),
-       |  qv AS (SELECT DISTINCT term FROM qt),
-       |  post AS (SELECT doc_id, dl, term, COUNT(*) AS tf
-       |    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) e
-       |    JOIN qv USING (term)
-       |    GROUP BY doc_id, term, dl),
-       |  dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
-       |  sc AS (SELECT qt.qid, post.doc_id,
-       |      CAST(FLOOR(
-       |        ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-       |                 / (CAST(df AS DOUBLE) + 0.5))
-       |        * ((CAST(tf AS DOUBLE) * 2.25)
-       |           / (CAST(tf AS DOUBLE)
-       |              + 1.25 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
-       |                        / (CAST(sumdl AS DOUBLE)
-       |                           / CAST(n AS DOUBLE)))))
-       |        * 1073741824.0) AS BIGINT) AS fx
-       |    FROM post
-       |    JOIN dfs USING (term)
-       |    JOIN qt USING (term)
-       |    CROSS JOIN stats),
+       |  $bm25ScoreCtesSql,
        |  agg AS (SELECT qid, doc_id, CAST(SUM(fx) AS BIGINT) AS sfx,
        |      CAST(COUNT(*) AS BIGINT) AS n_terms
        |    FROM sc GROUP BY qid, doc_id),

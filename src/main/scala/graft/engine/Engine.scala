@@ -235,10 +235,15 @@ object Engine {
           org.apache.spark.sql.functions.expr("ts div 1000")))
     else if (name == "events" &&
         df.schema("ts").dataType ==
-          org.apache.spark.sql.types.TimestampNTZType)
+          org.apache.spark.sql.types.TimestampNTZType &&
+        spark.conf.get("spark.sql.session.timeZone") == "UTC")
       // Session created outside Engine.session (NTZ inference on):
-      // normalize to the engine-wide TIMESTAMP family. The session TZ
-      // is UTC, so the cast is value-preserving vs the naive oracle.
+      // normalize to the engine-wide TIMESTAMP family. The cast
+      // interprets naive values in the SESSION time zone, so it is
+      // value-preserving vs the naive oracle only under UTC — which
+      // the guard requires. A non-UTC session keeps the NTZ column
+      // untouched (loud NTZ type errors downstream beat silently
+      // offset instants).
       df.withColumn("ts",
         org.apache.spark.sql.functions.col("ts").cast("timestamp"))
     else df

@@ -756,12 +756,17 @@ object SimilarityOps {
     * over [[annTopK]] lists (LSH candidates), which keeps both
     * directions approximate but the join identical. */
   def mutualTopK(df: DataFrame, idCol: String, vecCol: String,
-                 k: Int): DataFrame = {
-    val t = bruteForceTopK(df, df, idCol, vecCol, k)
-    val fwd = t.select(col("query_id").as("id_a"),
+                 k: Int): DataFrame =
+    mutualJoin(bruteForceTopK(df, df, idCol, vecCol, k))
+
+  /** The reciprocity join shared by the exact and ANN mutual miners:
+    * keep (a, b) iff both directions appear in the top-k list frame,
+    * once per pair (id_a < id_b), with both ranks. */
+  private def mutualJoin(topk: DataFrame): DataFrame = {
+    val fwd = topk.select(col("query_id").as("id_a"),
       col("neighbor_id").as("id_b"), col("rnk").as("rnk_ab"),
       col("score"))
-    val rev = t.select(col("query_id").as("_rq"),
+    val rev = topk.select(col("query_id").as("_rq"),
       col("neighbor_id").as("_rn"), col("rnk").as("rnk_ba"))
     fwd.join(rev,
         col("id_a") === col("_rn") && col("id_b") === col("_rq"))
@@ -778,20 +783,9 @@ object SimilarityOps {
     * guarantee. */
   def mutualTopKAnn(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, dim: Int, bits: Int = 4,
-                    tables: Int = 8): DataFrame = {
-    val t = annTopK(df, df, idCol, vecCol, k = k, dim = dim,
-      bits = bits, tables = tables)
-    val fwd = t.select(col("query_id").as("id_a"),
-      col("neighbor_id").as("id_b"), col("rnk").as("rnk_ab"),
-      col("score"))
-    val rev = t.select(col("query_id").as("_rq"),
-      col("neighbor_id").as("_rn"), col("rnk").as("rnk_ba"))
-    fwd.join(rev,
-        col("id_a") === col("_rn") && col("id_b") === col("_rq"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("rnk_ab"), col("rnk_ba"),
-        col("score"))
-  }
+                    tables: Int = 8): DataFrame =
+    mutualJoin(annTopK(df, df, idCol, vecCol, k = k, dim = dim,
+      bits = bits, tables = tables))
 
   /** Per-dimension scalar quantization of an embedding column to int8
     * codes — the storage/bandwidth op that turns a 100 TB float32
@@ -830,21 +824,28 @@ object SimilarityOps {
             (lit(mx) - lit(mn)) + lit(0.5)).cast("long")))
       else lit(0L)
     }
+    // materialize the codes array ONCE — the floor-chain per dim is
+    // deep, and deriving sum/min/max/error each from fresh copies
+    // would 4x the expression tree (risking codegen method limits at
+    // higher dims); downstream reads are cheap element_at lookups.
+    val coded = vecs.withColumn("_codes",
+      array((0 until dim).map(codeAt): _*))
+    def cAt(i: Int): Column = element_at(col("_codes"), i + 1)
     def errAt(i: Int): Column = {
       val (_, mn, mx) = stats(i)
       val deq =
         if (mx > mn)
-          lit(mn) + codeAt(i).cast("double") * (lit(mx) - lit(mn)) /
+          lit(mn) + cAt(i).cast("double") * (lit(mx) - lit(mn)) /
             lit(255.0)
         else lit(mn)
       val d = deq - element_at(col("_v"), i + 1)
       floor(d * d * lit(1073741824.0)).cast("long")
     }
-    val codeSum = (0 until dim).map(codeAt).reduce(_ + _)
-    val codeMin = least((0 until dim).map(codeAt): _*)
-    val codeMax = greatest((0 until dim).map(codeAt): _*)
+    val codeSum = (0 until dim).map(cAt).reduce(_ + _)
+    val codeMin = least((0 until dim).map(cAt): _*)
+    val codeMax = greatest((0 until dim).map(cAt): _*)
     val errSum = (0 until dim).map(errAt).reduce(_ + _)
-    vecs.select(col("_id").as(idCol), codeSum.as("code_sum"),
+    coded.select(col("_id").as(idCol), codeSum.as("code_sum"),
       codeMin.cast("int").as("code_min"),
       codeMax.cast("int").as("code_max"), errSum.as("err_fx"))
   }
@@ -924,10 +925,17 @@ object SimilarityOps {
             }
             i += 1
           }
-          val (id, rel) = remaining.remove(bi)
-          out += ((q, rnk, id, rel, bm))
-          chosen += id
-          rnk += 1
+          if (bi < 0) {
+            // every remaining candidate scored NaN (zero-norm or
+            // NaN-poisoned vectors): nothing is selectable under a
+            // deterministic order — stop instead of remove(-1)
+            rnk = k + 1
+          } else {
+            val (id, rel) = remaining.remove(bi)
+            out += ((q, rnk, id, rel, bm))
+            chosen += id
+            rnk += 1
+          }
         }
         out.iterator
     }.toDF("query_id", "rnk", "neighbor_id", "relevance", "mmr")

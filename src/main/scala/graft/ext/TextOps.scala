@@ -1104,10 +1104,15 @@ object TextOps {
     def dq(c: Column): Column =
       c.cast("double") / lit(1073741824.0)
     val nD = col("n_fit").cast("double")
+    val denom = nD * dq(col("_sxx")) - dq(col("_sx")) * dq(col("_sx"))
     sums.crossJoin(tot).crossJoin(dc)
+      // degenerate fit (single-term vocab: every x = ln(1) = 0 so the
+      // denominator is exactly 0) → NULL, matching SQL's 0/0 = NULL
+      // rather than Java's 0.0/0.0 = NaN
       .withColumn("zipf_slope",
-        (nD * dq(col("_sxy")) - dq(col("_sx")) * dq(col("_sy"))) /
-          (nD * dq(col("_sxx")) - dq(col("_sx")) * dq(col("_sx"))))
+        when(denom =!= 0.0,
+          (nD * dq(col("_sxy")) - dq(col("_sx")) * dq(col("_sy"))) /
+            denom))
       .withColumn("zipf_intercept",
         dq(col("_sy")) / nD - col("zipf_slope") * (dq(col("_sx")) / nD))
       .select(col("total_tokens"), col("distinct_tokens"), col("n_fit"),

@@ -35,21 +35,30 @@ object Diff {
                    cols: Seq[String],
                    carry: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "cols must list at least one compare column")
-    val aSide = a.select((key +: (cols ++ carry).distinct)
-      .map(c => col(c).as(s"_a_$c")): _*)
-    val bSide = b.select((key +: (cols ++ carry).distinct)
-      .map(c => col(c).as(s"_b_$c")): _*)
+    // presence flags, NOT key nullability, drive the status: a
+    // null-key row never matches the equi-join, and deriving
+    // added/removed from `key IS NULL` would misread the row's OWN
+    // null key as "absent from this side" (an old null-key row would
+    // report 'added'). With flags it reports removed/added correctly.
+    val aSide = a.select((lit(true).as("_a_present") +:
+      (key +: (cols ++ carry).distinct)
+        .map(c => col(c).as(s"_a_$c"))): _*)
+    val bSide = b.select((lit(true).as("_b_present") +:
+      (key +: (cols ++ carry).distinct)
+        .map(c => col(c).as(s"_b_$c"))): _*)
     val aKey = col(s"_a_$key")
     val bKey = col(s"_b_$key")
+    val inA = col("_a_present").isNotNull
+    val inB = col("_b_present").isNotNull
     val changed: Column = concat_ws(",",
       cols.map(c => when(!(col(s"_a_$c") <=> col(s"_b_$c")), lit(c))): _*)
     val outCols =
       coalesce(aKey, bKey).as(key) ::
-        when(aKey.isNull, lit("added"))
-          .when(bKey.isNull, lit("removed"))
+        when(!inA, lit("added"))
+          .when(!inB, lit("removed"))
           .when(changed =!= "", lit("changed"))
           .otherwise(lit("unchanged")).as("status") ::
-        when(aKey.isNotNull && bKey.isNotNull, changed)
+        when(inA && inB, changed)
           .otherwise(lit("")).as("changed_cols") ::
         carry.map(c => coalesce(col(s"_b_$c"), col(s"_a_$c")).as(c)).toList
     aSide.join(bSide, aKey === bKey, "full_outer").select(outCols: _*)

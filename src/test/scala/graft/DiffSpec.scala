@@ -65,6 +65,22 @@ class DiffSpec extends SparkSpec {
       (2L, "removed", "gone")))
   }
 
+  test("null-key rows classify by presence, not key nullability") {
+    import spark.implicits._
+    // old side has a null-key row that vanishes; new side gains one.
+    // Key-nullability logic would call BOTH 'added'; presence flags
+    // must report removed (old side) and added (new side).
+    val a = Seq((Option(1L), "x"), (Option.empty[Long], "ghost"))
+      .toDF("id", "txt")
+    val b = Seq((Option(1L), "x"), (Option.empty[Long], "new"))
+      .toDF("id", "txt")
+    val out = Diff.snapshotDiff(a, b, "id", Seq("txt"))
+      .orderBy("status").collect()
+      .map(r => (r.getString(1), r.isNullAt(0)))
+    assert(out.toSeq == Seq(("added", true), ("removed", true),
+      ("unchanged", false)))
+  }
+
   test("diffSummary groups counts by status and dimension") {
     val (a, b) = fixture
     val d = Diff.snapshotDiff(a, b, "id", Seq("txt", "n"))

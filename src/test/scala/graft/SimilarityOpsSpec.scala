@@ -360,6 +360,26 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(k2 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("mmrRerank survives NaN pairwise sims (overflowed vectors)") {
+    import spark.implicits._
+    // vectors 2 and 3 overflow: their mutual dot is inf + (-inf) =
+    // NaN (ANSI allows inf/inf; a zero divisor would have failed in
+    // bruteForceTopK already). Once 2 is chosen, 3's max-sim-to-chosen
+    // is NaN, its MMR score is NaN, and the greedy must STOP after
+    // rank 2 instead of remove(-1)
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.9, 0.1)),
+      (2L, Seq(1e200, 1e200)),
+      (3L, Seq(1e200, -1e200))
+    ).toDF("id", "v")
+    val out = SimilarityOps.mmrRerank(corpus.filter(col("id") === 0),
+        corpus, "id", "v", k = 3, lambda = 0.5, nCand = 8)
+      .orderBy(col("rnk"))
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L), (2, 2L)))
+  }
+
   test("mutualTopKAnn recall vs the exact miner on fixture embeddings") {
     val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
     val exact = SimilarityOps.mutualTopK(emb, "vec_id", "embedding",

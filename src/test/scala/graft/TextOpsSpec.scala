@@ -597,6 +597,11 @@ class TextOpsSpec extends SparkSpec {
       .collect()(0)
     assert(re.getDouble(3) == r.getDouble(3) &&
       re.getDouble(4) == r.getDouble(4))
+    // degenerate single-term vocab: denominator is exactly 0 — slope
+    // must be NULL (matching SQL 0/0), never NaN
+    val degen = TextOps.corpusZipf(Seq("a a a").toDF("txt"), "txt",
+      1000).collect()(0)
+    assert(degen.isNullAt(3) && degen.isNullAt(4))
   }
 
   test("curriculumStages: rarity-ordered stages, empty docs in stage 0") {
