@@ -164,6 +164,27 @@ class PlanShapeSpec extends SparkSpec {
       .contains("CartesianProduct"))
   }
 
+  test("quantize coding pass is a shuffle-free projection") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val p = plan(graft.ext.SimilarityOps.quantizeInt8(emb, "vec_id",
+      "embedding", dim = 64))
+    // per-dim bounds fold in as plan literals at construction; the
+    // returned frame must be scan + projection only
+    assert(!p.contains("Exchange"),
+      s"quantize coding must not shuffle:\n$p")
+  }
+
+  test("mutual-kNN reciprocity step plans as an equi-join") {
+    // the brute-force SCORER is an all-pairs broadcast by design; the
+    // reciprocity join on swapped ids must still plan as a hash/merge
+    // equi-join, never a second cross product
+    val p = plan(ExtQueries.xEmbedMutual(spark, fixtureDir))
+    assert(p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"mutuality must plan an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("curriculum: no global window; difficulty joins carry partial aggs") {
     val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
     val p = plan(graft.ext.TextOps.curriculumStages(docs, "doc_id",
