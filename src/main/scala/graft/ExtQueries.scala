@@ -2116,6 +2116,26 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Markov transition statistics: consecutive event-type pairs per
+  // user in (ts, event_id) order — the behavioral-model training
+  // table; |types|² output rows.
+  // ---------------------------------------------------------------------
+  def xEventsMarkov(s: SparkSession, dir: String): DataFrame =
+    graft.ext.EventOps.transitionCounts(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type")
+      .orderBy(col("prev_type"), col("next_type"))
+
+  val xEventsMarkovSql: String =
+    """WITH seq AS (SELECT user_id, event_type AS next_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM seq WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type
+      |ORDER BY prev_type, next_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Training-sequence assembly: per-(user, day) ordered event-type
   // chains — one shuffle on the grouping the trainer reads anyway;
   // ordering pinned by the unique (ts, event_id) prefix.

@@ -42,6 +42,29 @@ object EventOps {
           e => e.getField("_t")), ">").as("seq"))
   }
 
+  /** First-order transition counts between consecutive event types per
+    * user — the Markov-chain sufficient statistics a behavioral model
+    * trains on (and the production drift check: compare this table
+    * between weeks). Consecutive = adjacent in (ts, event_id) order
+    * WITHIN a user; chains never cross users.
+    *
+    * Scale shape: one window per user partition (events shuffle once
+    * on user_id — bounded per-user state, no global ordering), then a
+    * (prev, next) grouped count with map-side partials. Output is
+    * |event types|² rows at most. */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Hourly anomaly flags for one event type — the ops-monitoring
     * staple: count events per hour, z-score each hour against the
     * corpus of observed hours, flag |z| beyond `zMax`. Moments are

@@ -7,6 +7,25 @@ import graft.ext.EventOps
   * ordering, mid-funnel stalls, no-entry exclusion. */
 class EventOpsSpec extends SparkSpec {
 
+  test("transitionCounts: per-user adjacency only, (ts,id) order") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (1L, ts("2026-01-01 09:00:00"), 1L, "open"),
+      (1L, ts("2026-01-01 09:05:00"), 2L, "click"),
+      (1L, ts("2026-01-01 09:10:00"), 3L, "buy"),
+      // user 2's chain must NOT bridge into user 1's
+      (2L, ts("2026-01-01 09:07:00"), 4L, "open"),
+      (2L, ts("2026-01-01 09:08:00"), 5L, "open")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ext.EventOps.transitionCounts(ev, "user_id", "ts",
+        "event_id", "event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2))).toMap
+    assert(out == Map(("open", "click") -> 1L, ("click", "buy") -> 1L,
+      ("open", "open") -> 1L))
+  }
+
   test("userSequences: (ts,id)-ordered chains, layout-independent") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
