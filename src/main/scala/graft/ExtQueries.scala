@@ -2116,6 +2116,41 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Lexical diversity per source: distinct-1 / distinct-2 ratios
+  // (Li et al. 2016) — template spam scores near 0.
+  // ---------------------------------------------------------------------
+  def xTextDiversity(s: SparkSession, dir: String): DataFrame =
+    TextOps.distinctNgramRatios(t(s, dir, "documents"), "source",
+        "text")
+      .orderBy(col("source"))
+
+  val xTextDiversitySql: String =
+    s"""WITH tok AS (SELECT source, $toksSql AS toks FROM documents),
+       |  u AS (SELECT source, unnest(toks) AS gram FROM tok),
+       |  b AS (SELECT source, unnest(list_transform(
+       |      range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+       |      AS gram FROM tok WHERE len(toks) >= 2),
+       |  t1 AS (SELECT source, CAST(COUNT(*) AS BIGINT)
+       |      AS total_1gram FROM u GROUP BY source),
+       |  d1 AS (SELECT source, CAST(COUNT(*) AS BIGINT)
+       |      AS distinct_1gram
+       |    FROM (SELECT DISTINCT source, gram FROM u) GROUP BY source),
+       |  t2 AS (SELECT source, CAST(COUNT(*) AS BIGINT)
+       |      AS total_2gram FROM b GROUP BY source),
+       |  d2 AS (SELECT source, CAST(COUNT(*) AS BIGINT)
+       |      AS distinct_2gram
+       |    FROM (SELECT DISTINCT source, gram FROM b) GROUP BY source)
+       |SELECT source, total_1gram, distinct_1gram,
+       |  CAST(distinct_1gram AS DOUBLE) / CAST(total_1gram AS DOUBLE)
+       |    AS distinct_1,
+       |  total_2gram, distinct_2gram,
+       |  CAST(distinct_2gram AS DOUBLE) / CAST(total_2gram AS DOUBLE)
+       |    AS distinct_2
+       |FROM t1 JOIN d1 USING (source) JOIN t2 USING (source)
+       |JOIN d2 USING (source)
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Markov transition statistics: consecutive event-type pairs per
   // user in (ts, event_id) order — the behavioral-model training
   // table; |types|² output rows.

@@ -972,6 +972,46 @@ object TextOps {
           col("_n").cast("double")).cast("int").as("stage"))
   }
 
+  /** Distinct-n diversity ratios per group — `distinct n-grams /
+    * total n-grams` for n = 1, 2 (Li et al. 2016's distinct-1/2): the
+    * standard lexical-diversity report for generated or scraped text;
+    * template spam scores near 0, natural text much higher. Exact
+    * integer counts, ratio as one double division.
+    *
+    * Scale shape: one tokenize+explode pass per n, grouped counts with
+    * map-side partials; distinct counts come from the (group, gram)
+    * relation — no count_distinct-next-to-count Expand. */
+  def distinctNgramRatios(df: DataFrame, groupCol: String,
+                          textCol: String): DataFrame = {
+    def grams(n: Int): DataFrame = {
+      val toks = tokens(col(textCol))
+      // guard short docs: sequence(1, 0) would run DESCENDING in
+      // Spark and fabricate windows — emit an empty index array
+      val idx = when(size(toks) >= n,
+        sequence(lit(1), size(toks) - lit(n - 1)))
+        .otherwise(array().cast("array<int>"))
+      val g =
+        if (n == 1) explode(toks)
+        else explode(transform(idx, i => concat_ws(" ",
+          (0 until n).map(j => element_at(toks, i + j)): _*)))
+      df.select(col(groupCol).as("grp"), g.as("gram"))
+    }
+    def stats(n: Int): DataFrame = {
+      val base = grams(n)
+      val tot = base.groupBy(col("grp"))
+        .agg(count(lit(1)).as(s"total_${n}gram"))
+      val dis = base.select(col("grp"), col("gram")).distinct()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as(s"distinct_${n}gram"))
+      tot.join(dis, Seq("grp"))
+        .withColumn(s"distinct_$n",
+          col(s"distinct_${n}gram").cast("double") /
+            col(s"total_${n}gram").cast("double"))
+    }
+    stats(1).join(stats(2), Seq("grp"))
+      .withColumnRenamed("grp", groupCol)
+  }
+
   /** PSI (population stability index) drift of a numeric column
     * between two slices — the model-monitoring staple
     * (`Σ (p_a − p_b)·ln(p_a/p_b)` over fixed buckets; > 0.2 is the

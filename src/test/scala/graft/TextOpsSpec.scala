@@ -525,6 +525,20 @@ class TextOpsSpec extends SparkSpec {
       "query-side tables must broadcast")
   }
 
+  test("distinctNgramRatios: hand counts; short docs emit no bigrams") {
+    import spark.implicits._
+    val docs = Seq(("s1", "a a b"), ("s1", "a b"), ("s1", "c"))
+      .toDF("src", "txt")
+    val r = TextOps.distinctNgramRatios(docs, "src", "txt").collect()(0)
+    // unigrams: a,a,b,a,b,c → total 6, distinct 3; bigrams: "a a",
+    // "a b", "a b" → total 3, distinct 2 (the 1-token doc adds none —
+    // a descending-sequence bug would have fabricated windows)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getLong(4) == 3L && r.getLong(5) == 2L)
+    assert(r.getDouble(6) == 2.0 / 3.0)
+  }
+
   test("featurePsi: zero on identical slices, hand-checked on a shift") {
     import spark.implicits._
     val a = Seq(50L, 150L, 250L, 450L, 800L).toDF("x")
