@@ -643,8 +643,11 @@ object SimilarityOps {
     * k·d literal multiply-adds per row, whole-stage codegen, NO shuffle
     * — and (b) one (cluster, dim)-grouped aggregate with map-side
     * partials whose result is k·d longs to the driver (the only driver
-    * state; 4×64 here). Rounds are a fixed small count. At 10⁹ rows
-    * this is the textbook distributed Lloyd's layout.
+    * state; 4×64 here). The update round carries `_v` THROUGH the
+    * assignment projection (never re-joining the corpus to itself to
+    * re-fetch it — [[kmeansUpdateFrame]] is join-free by construction
+    * and PlanShapeSpec pins it). Rounds are a fixed small count. At
+    * 10⁹ rows this is the textbook distributed Lloyd's layout.
     */
   def kmeansLloydFx(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, dim: Int, iters: Int = 2): DataFrame = {
@@ -652,19 +655,11 @@ object SimilarityOps {
       s"k/dim/iters must be >= 1: $k/$dim/$iters")
     val vecs = df.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
-    def distFx(cent: Array[Double]): Column =
-      (0 until dim).map { i =>
-        val d = element_at(col("_v"), i + 1) - lit(cent(i))
-        floor(d * d * lit(1073741824.0)).cast("long")
-      }.reduce(_ + _)
-    def assign(cents: Seq[(Int, Array[Double])]): DataFrame = {
-      val cells = array(cents.map { case (c, cv) =>
-        struct(distFx(cv).as("d"), lit(c).as("c"))
-      }: _*)
-      vecs.withColumn("_best", element_at(array_sort(cells), 1))
+    def assign(cents: Seq[(Int, Array[Double])]): DataFrame =
+      vecs.withColumn("_best",
+          element_at(array_sort(kmeansCellsFx(col("_v"), cents, dim)), 1))
         .select(col("_id"), col("_best").getField("c").as("cluster"),
           col("_best").getField("d").as("dist_fx"))
-    }
     val init = vecs.orderBy(col("_id")).limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
@@ -673,13 +668,7 @@ object SimilarityOps {
     while (round < iters) {
       // centroid update: fixed-point component sums, integer-divided by
       // the member count — k·d longs back to the driver, nothing more.
-      val sums = assign(cents)
-        .join(vecs, Seq("_id"))
-        .select(col("cluster"), posexplode(col("_v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(floor(col("col") * lit(1073741824.0)).cast("long"))
-          .as("_sfx"), count(lit(1)).as("_n"))
-        .collect()
+      val sums = kmeansUpdateFrame(vecs, cents, dim).collect()
       cents = sums.groupBy(_.getInt(0)).toSeq.map { case (c, rows) =>
         val comp = new Array[Double](dim)
         rows.foreach { r =>
@@ -693,6 +682,34 @@ object SimilarityOps {
     assign(cents).select(col("_id").as(idCol), col("cluster"),
       col("dist_fx"))
   }
+
+  /** (fixed-point distance, cluster) structs against literal centroids —
+    * the argmin cell array shared by the assignment and update rounds of
+    * [[kmeansLloydFx]]. */
+  private def kmeansCellsFx(v: Column, cents: Seq[(Int, Array[Double])],
+                            dim: Int): Column =
+    array(cents.map { case (c, cv) =>
+      struct((0 until dim).map { i =>
+        val d = element_at(v, i + 1) - lit(cv(i))
+        floor(d * d * lit(1073741824.0)).cast("long")
+      }.reduce(_ + _).as("d"), lit(c).as("c"))
+    }: _*)
+
+  /** One Lloyd's update round as a single frame over a `(_id, _v)`
+    * projection: the argmin assignment computed inline (centroids are
+    * plan literals), `_v` carried THROUGH it, then one (cluster, pos)
+    * aggregate of fixed-point component sums. No join anywhere — the
+    * corpus is read once and only k·dim aggregate rows shuffle.
+    * Package-private so PlanShapeSpec can pin the join-free shape. */
+  private[graft] def kmeansUpdateFrame(vecs: DataFrame,
+      cents: Seq[(Int, Array[Double])], dim: Int): DataFrame =
+    vecs.select(
+        element_at(array_sort(kmeansCellsFx(col("_v"), cents, dim)), 1)
+          .getField("c").as("cluster"),
+        posexplode(col("_v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(floor(col("col") * lit(1073741824.0)).cast("long"))
+        .as("_sfx"), count(lit(1)).as("_n"))
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     * merge two retrievers' ranked lists into one, scoring each hit
@@ -799,25 +816,43 @@ object SimilarityOps {
     * checksum/error metrics are order-free integer sums — all
     * engine-exact. Degenerate dims (mx = mn) code to 0.
     *
-    * Scale shape: one (dim)-grouped aggregate (map-side partials, `dim`
-    * rows to the driver — the quantizer itself, persisted with the
-    * table in production), then one shuffle-free codegen'd projection
-    * with the 2·dim bounds folded in as plan literals. Reports per
-    * vector: the code checksum, code extremes, and the fixed-point
-    * squared reconstruction error. */
+    * Scale shape: ONE wide aggregate of 2·dim `min/max(element_at)`
+    * exprs — the corpus is read at native width (no Generate node
+    * multiplying the row count ×dim before partial aggregation;
+    * PlanShapeSpec pins the explode-free stats subtree), map-side
+    * partials, one 2·dim-column row to the driver — the quantizer
+    * itself, persisted with the table in production. Then one
+    * shuffle-free codegen'd projection with the 2·dim bounds folded in
+    * as plan literals. Reports per vector: the code checksum, code
+    * extremes, and the fixed-point squared reconstruction error. */
+  /** The per-dim (min, max) bounds of a `(_id, _v)` projection as ONE
+    * wide aggregate row — `_mn0, _mx0, …, _mn{dim-1}, _mx{dim-1}`.
+    * Deliberately NOT posexplode+groupBy(pos): a Generate node would
+    * multiply the corpus ×dim in row count before partial aggregation.
+    * Package-private so PlanShapeSpec can pin the explode-free shape. */
+  private[graft] def quantizeStatsFrame(vecs: DataFrame,
+                                        dim: Int): DataFrame = {
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col("_v"), i + 1)).as(s"_mn$i"),
+      max(element_at(col("_v"), i + 1)).as(s"_mx$i")))
+    vecs.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
                    dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1: $dim")
     val vecs = df.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
-    val stats = vecs.select(posexplode(col("_v")))
-      .groupBy(col("pos"))
-      .agg(min(col("col")).as("_mn"), max(col("col")).as("_mx"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    require(stats.length == dim, s"expected $dim dims, got ${stats.length}")
+    val row = quantizeStatsFrame(vecs, dim).collect()(0)
+    val stats = (0 until dim).map { i =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"quantizeInt8: no values for dim ${i + 1} — empty corpus or " +
+          s"vectors shorter than dim=$dim")
+      (i, row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }
     def codeAt(i: Int): Column = {
       val (_, mn, mx) = stats(i)
+      require(!mn.isNaN && !mx.isNaN, s"NaN bound in dim ${i + 1}")
       if (mx > mn)
         least(lit(255L), greatest(lit(0L),
           floor((element_at(col("_v"), i + 1) - lit(mn)) * lit(255.0) /

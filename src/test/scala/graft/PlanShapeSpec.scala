@@ -148,6 +148,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no per-row window either:\n$p")
   }
 
+  test("kmeans update round carries _v through the assignment — no join") {
+    // r8 judge finding: the centroid update re-joined the corpus to
+    // itself every Lloyd's round purely to re-fetch `_v` the assignment
+    // projection had dropped — two extra corpus shuffles per round. The
+    // update frame must be projection + ONE (cluster, pos) aggregate.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val vecs = emb.select(col("vec_id").as("_id"),
+      col("embedding").cast("array<double>").as("_v"))
+    val cents = Seq(0 -> Array.fill(64)(0.1), 1 -> Array.fill(64)(-0.1))
+    val p = plan(
+      graft.ext.SimilarityOps.kmeansUpdateFrame(vecs, cents, dim = 64))
+    assert(!p.contains("Join"), s"update round must not plan a join:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"update round shuffles only the k·dim aggregate rows:\n$p")
+  }
+
+  test("quantize bounds: one wide aggregate, no Generate node") {
+    // the per-dim (min, max) stats must read the corpus at native width
+    // — a posexplode would multiply the row count ×dim before partials
+    import org.apache.spark.sql.functions.col
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val vecs = emb.select(col("vec_id").as("_id"),
+      col("embedding").cast("array<double>").as("_v"))
+    val p = plan(
+      graft.ext.SimilarityOps.quantizeStatsFrame(vecs, dim = 64))
+    assert(!p.contains("Generate"),
+      s"bounds must not explode the corpus:\n$p")
+  }
+
   test("snapshot diff: one equi-join on the key, no broadcast-nested-loop") {
     val p = plan(ExtQueries.xSnapshotDiff(spark, fixtureDir))
     assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
