@@ -2146,8 +2146,8 @@ object ExtQueries {
        |  total_2gram, distinct_2gram,
        |  CAST(distinct_2gram AS DOUBLE) / CAST(total_2gram AS DOUBLE)
        |    AS distinct_2
-       |FROM t1 JOIN d1 USING (source) JOIN t2 USING (source)
-       |JOIN d2 USING (source)
+       |FROM t1 JOIN d1 USING (source) LEFT JOIN t2 USING (source)
+       |LEFT JOIN d2 USING (source)
        |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -2237,8 +2237,10 @@ object ExtQueries {
   }
 
   val xFeaturePsiSql: String =
-    """WITH a AS (SELECT n_chars FROM documents WHERE source = 'src0'),
-      |  b AS (SELECT n_chars FROM documents WHERE source = 'src1'),
+    """WITH a AS (SELECT n_chars FROM documents
+      |    WHERE source = 'src0' AND n_chars IS NOT NULL),
+      |  b AS (SELECT n_chars FROM documents
+      |    WHERE source = 'src1' AND n_chars IS NOT NULL),
       |  ba AS (SELECT CASE WHEN n_chars < 100 THEN 0
       |      WHEN n_chars < 200 THEN 1 WHEN n_chars < 300 THEN 2
       |      WHEN n_chars < 500 THEN 3 ELSE 4 END AS bkt FROM a),

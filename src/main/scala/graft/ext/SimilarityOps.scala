@@ -721,7 +721,12 @@ object SimilarityOps {
     * Both inputs carry `(query_id, neighbor_id, rnk)`; lists may cover
     * different corpus subsets (e.g. a dense index built over only part
     * of the corpus) — a hit missing from one list simply contributes
-    * nothing from it. Scores are EXACT fixed-point: each contribution
+    * nothing from it. Each (query_id, neighbor_id) is expected AT MOST
+    * ONCE per list (what every ranker here produces); inputs that
+    * violate it — concatenated or unranked lists — are defensively
+    * collapsed to their BEST (minimum) rank per pair before fusion, so
+    * duplicates can neither inflate `rrf_fx` through the full-outer
+    * join nor emit duplicate fused rows. Scores are EXACT fixed-point: each contribution
     * is `floor(2³⁰/(kRrf+rnk))` — for ranks ≤ ~10⁶ the double divide
     * is correctly rounded far below the floor boundary, so the floored
     * value equals true integer division on every engine — summed as
@@ -740,10 +745,18 @@ object SimilarityOps {
     def contrib(rnk: Column): Column =
       floor(lit(1073741824.0) / (lit(kRrf) + rnk.cast("double")))
         .cast("long")
+    // best-rank collapse: a no-op aggregate on well-formed top-k lists
+    // (per-query k rows — negligible), a correctness guard on malformed
+    // ones: duplicate (query, neighbor) entries would otherwise fan out
+    // through the full-outer join and inflate rrf_fx.
     val a = listA.select(col("query_id"), col("neighbor_id"),
-      col("rnk").as("_rnk_a"))
+        col("rnk").as("_rnk_a"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("_rnk_a")).as("_rnk_a"))
     val b = listB.select(col("query_id"), col("neighbor_id"),
-      col("rnk").as("_rnk_b"))
+        col("rnk").as("_rnk_b"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("_rnk_b")).as("_rnk_b"))
     val fused = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
       .select(col("query_id"), col("neighbor_id"),
         col("_rnk_a"), col("_rnk_b"),

@@ -1009,7 +1009,11 @@ object TextOps {
           col(s"distinct_${n}gram").cast("double") /
             col(s"total_${n}gram").cast("double"))
     }
-    stats(1).join(stats(2), Seq("grp"))
+    // LEFT join from the unigram frame: a group whose documents are all
+    // single-token has zero bigrams — it must surface with null bigram
+    // columns, not vanish from a diversity report whose whole point is
+    // catching degenerate text (r8 review finding).
+    stats(1).join(stats(2), Seq("grp"), "left")
       .withColumnRenamed("grp", groupCol)
   }
 
@@ -1023,7 +1027,13 @@ object TextOps {
     *
     * Bucket edges are caller-fixed plan literals (comparable across
     * runs — never data-derived quantiles, which would drift with the
-    * data they measure). Add-one smoothing keeps empty buckets finite.
+    * data they measure). NULL values are EXCLUDED from both slices
+    * (counts and totals): the when-chain would otherwise fall through
+    * to the top bucket and silently count nulls as '>= last edge',
+    * skewing the index — PSI here measures the distribution of present
+    * values; track null-rate drift separately via [[textQualityStats]]
+    * / profile null counts. Add-one smoothing keeps empty buckets
+    * finite.
     * Engine-exact: bucketing is a when-chain, `graft_ln` for libm
     * parity, and the bucket terms fold through a fixed-point
     * `floor(·2⁴⁰)` BIGINT sum. Scale shape: two grouped bucket counts
@@ -1034,6 +1044,8 @@ object TextOps {
     require(edges.nonEmpty && edges == edges.sorted,
       s"edges must be non-empty ascending: $edges")
     val nb = edges.length + 1
+    val aNn = a.filter(col(numCol).isNotNull)
+    val bNn = b.filter(col(numCol).isNotNull)
     def bucket(df: DataFrame): DataFrame = {
       val bkt = edges.zipWithIndex
         .foldRight(lit(edges.length): Column) { case ((e, i), acc) =>
@@ -1042,10 +1054,10 @@ object TextOps {
       df.select(bkt.cast("int").as("bkt"))
     }
     val spark = a.sparkSession
-    val ca = bucket(a).groupBy(col("bkt")).agg(count(lit(1)).as("na"))
-    val cb = bucket(b).groupBy(col("bkt")).agg(count(lit(1)).as("nb"))
-    val ta = a.agg(count(lit(1)).as("ta"))
-    val tb = b.agg(count(lit(1)).as("tb"))
+    val ca = bucket(aNn).groupBy(col("bkt")).agg(count(lit(1)).as("na"))
+    val cb = bucket(bNn).groupBy(col("bkt")).agg(count(lit(1)).as("nb"))
+    val ta = aNn.agg(count(lit(1)).as("ta"))
+    val tb = bNn.agg(count(lit(1)).as("tb"))
     val grid = spark.range(nb.toLong)
       .select(col("id").cast("int").as("bkt"))
     val j = grid.join(ca, Seq("bkt"), "left").join(cb, Seq("bkt"), "left")

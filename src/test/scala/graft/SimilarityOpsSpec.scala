@@ -483,4 +483,21 @@ class SimilarityOpsSpec extends SparkSpec {
       .orderBy(col("rnk")).collect()
     assert(tied.map(_.getLong(2)).toSeq == Seq(5L, 7L))
   }
+
+  test("rrfFuse collapses duplicate list entries to their best rank") {
+    import spark.implicits._
+    // malformed inputs (concatenated lists with repeated pairs) must
+    // fuse identically to their best-rank-deduped form — duplicates
+    // fanning out through the full-outer join would inflate rrf_fx and
+    // emit duplicate fused rows
+    val a = Seq((1L, 10L, 1), (1L, 10L, 4), (1L, 20L, 2))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val b = Seq((1L, 10L, 2), (1L, 30L, 1), (1L, 30L, 5))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val out = SimilarityOps.rrfFuse(a, b, kRrf = 60, k = 10)
+      .orderBy(col("rnk")).collect()
+    def c(r: Int): Long = 1073741824L / (60L + r)
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((10L, c(1) + c(2)), (30L, c(1)), (20L, c(2))))
+  }
 }

@@ -563,6 +563,40 @@ class TextOpsSpec extends SparkSpec {
     assert(out.getDouble(2) > 0.0) // drift is positive
   }
 
+  test("featurePsi excludes nulls instead of top-bucketing them") {
+    import spark.implicits._
+    val edges = Seq(100.0, 200.0, 300.0, 500.0)
+    val a = Seq(50L, 150L, 250L, 450L, 800L).map(Option(_)).toDF("x")
+    val b = Seq(150L, 250L, 450L, 800L, 900L).map(Option(_)).toDF("x")
+    val clean = TextOps.featurePsi(a, b, "x", edges).collect()(0)
+    // nulls sprinkled into BOTH slices must change nothing — the old
+    // when-chain fallthrough counted them as '>= last edge'
+    val aN = (Seq(50L, 150L, 250L, 450L, 800L).map(Option(_)) ++
+      Seq(None, None)).toDF("x")
+    val bN = (Seq(150L, 250L, 450L, 800L, 900L).map(Option(_)) ++
+      Seq(None)).toDF("x")
+    val dirty = TextOps.featurePsi(aN, bN, "x", edges).collect()(0)
+    assert(dirty.getLong(0) == clean.getLong(0))
+    assert(dirty.getLong(1) == clean.getLong(1))
+    assert(dirty.getDouble(2) == clean.getDouble(2))
+  }
+
+  test("distinctNgramRatios keeps zero-bigram groups visible") {
+    import spark.implicits._
+    // s2's documents are all single-token — zero bigrams. The report
+    // must still show the group (null bigram columns), not drop it: a
+    // diversity report that hides its most degenerate group is useless.
+    val docs = Seq(("s1", "a a b"), ("s2", "c"), ("s2", "d"))
+      .toDF("src", "txt")
+    val out = TextOps.distinctNgramRatios(docs, "src", "txt")
+      .orderBy(col("src")).collect()
+    assert(out.length == 2)
+    val s2 = out(1)
+    assert(s2.getString(0) == "s2")
+    assert(s2.getLong(1) == 2L && s2.getLong(2) == 2L)
+    assert(s2.isNullAt(4) && s2.isNullAt(5) && s2.isNullAt(6))
+  }
+
   test("qualityClassify: hand-computed linear scores, sign gate") {
     import spark.implicits._
     val docs = Seq(
