@@ -791,8 +791,11 @@ object SimilarityOps {
 
   /** The reciprocity join shared by the exact and ANN mutual miners:
     * keep (a, b) iff both directions appear in the top-k list frame,
-    * once per pair (id_a < id_b), with both ranks. */
-  private def mutualJoin(topk: DataFrame): DataFrame = {
+    * once per pair (id_a < id_b), with both ranks. A hub id appearing
+    * in MANY top-k lists can still reciprocate at most k pairs — its
+    * own list only names k neighbors (SimilarityOpsSpec property).
+    * Package-private for that property test. */
+  private[graft] def mutualJoin(topk: DataFrame): DataFrame = {
     val fwd = topk.select(col("query_id").as("id_a"),
       col("neighbor_id").as("id_b"), col("rnk").as("rnk_ab"),
       col("score"))
@@ -919,6 +922,13 @@ object SimilarityOps {
                 vecCol: String, k: Int = 3, lambda: Double = 0.5,
                 nCand: Int = 8): DataFrame = {
     require(k >= 1 && nCand >= k, s"need nCand >= k >= 1: $nCand/$k")
+    // per-query group state is O(nCand²) pairwise sims (plus the
+    // candidate list) held in one executor task's heap — 64 caps it at
+    // ~2k map entries/query. MMR past a few dozen candidates stops
+    // diversifying anything anyway; re-rank a tighter retrieval list
+    // instead of raising the cap.
+    require(nCand <= 64,
+      s"nCand > 64 builds O(nCand²) per-query state: $nCand")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
     val spark = corpus.sparkSession
     import spark.implicits._

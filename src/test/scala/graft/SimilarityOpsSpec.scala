@@ -500,4 +500,44 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
       Seq((10L, c(1) + c(2)), (30L, c(1)), (20L, c(2))))
   }
+
+  test("mutualJoin: a hub in every top-k list reciprocates at most k pairs") {
+    import spark.implicits._
+    // hub id 0 appears in ALL n query lists, but its own list names
+    // only k neighbors — mutuality must cap its pairs at k, the core
+    // anti-hub claim of mutual-NN mining
+    val n = 20
+    val k = 3
+    val hubList = (1 to k).map(j => (0L, j.toLong, j, 0.9))
+    val others = (1 to n).flatMap { q =>
+      // every other query ranks the hub first, then two arbitrary ids
+      Seq((q.toLong, 0L, 1, 0.9),
+        (q.toLong, ((q % n) + 1).toLong, 2, 0.5),
+        (q.toLong, ((q + 1) % n + 1).toLong, 3, 0.4))
+        .filter { case (a, b, _, _) => a != b }
+    }
+    val topk = (hubList ++ others)
+      .toDF("query_id", "neighbor_id", "rnk", "score")
+    val pairs = SimilarityOps.mutualJoin(topk).collect()
+    val hubPairs = pairs.filter(r =>
+      r.getLong(0) == 0L || r.getLong(1) == 0L)
+    assert(hubPairs.length <= k,
+      s"hub reciprocated ${hubPairs.length} > $k pairs")
+    // and the hub's reciprocated pairs are exactly its own k neighbors
+    // (each of which ranked the hub back)
+    assert(hubPairs.map(_.getLong(1)).toSet.subsetOf(
+      (1 to k).map(_.toLong).toSet))
+    // once-per-pair: no (a, b) with a >= b
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("mmrRerank refuses nCand > 64 (O(nCand²) per-query state)") {
+    import spark.implicits._
+    val df = Seq((0L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.mmrRerank(df, df, "vec_id", "embedding",
+        k = 3, nCand = 65)
+    }
+    assert(e.getMessage.contains("nCand"))
+  }
 }
