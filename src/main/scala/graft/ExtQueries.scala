@@ -365,15 +365,14 @@ object ExtQueries {
     if (s.contains("E") || s.contains("e")) s else s + "E0"
   }
 
-  /** Full DuckDB twin of [[xSimAnn]]: the hyperplanes are seeded
-    * driver-side literals (`SimilarityOps.hyperplanes`), so the SQL is
-    * GENERATED with the same planes embedded as double literals — bucket
-    * assignment (sign of the dot product per plane), candidate bucket
-    * join, and exact-cosine rerank all reproduce bit-for-bit, making the
-    * ANN path end-to-end hash-checkable rather than rows-only. */
-  val xSimAnnSql: String = {
-    val (dim, bits, tables, seed) = (64, 4, 8, 42L)
-    val perTable = (0 until tables).map { tb =>
+  /** Per-table LSH bucket rows over a CTE `e(vec_id, v)` — the
+    * generated UNION ALL every ANN oracle twin shares. The hyperplanes
+    * are the SAME seeded driver-side literals the Spark plan folds in
+    * (`SimilarityOps.hyperplanes`), embedded as double literals via
+    * [[dlit]], so bucket assignment reproduces bit-for-bit. */
+  private def lshBucketsSql(dim: Int, bits: Int, tables: Int,
+                            seed: Long): String =
+    (0 until tables).map { tb =>
       val planes = SimilarityOps.hyperplanes(dim, bits, seed + tb)
       val bucket = planes.zipWithIndex.map { case (p, i) =>
         val planeList = p.map(dlit).mkString("[", ", ", "]")
@@ -382,6 +381,14 @@ object ExtQueries {
       }.mkString(" + ")
       s"SELECT vec_id, $tb AS tbl, $bucket AS bkt FROM e"
     }.mkString("\nUNION ALL\n")
+
+  /** Full DuckDB twin of [[xSimAnn]]: generated buckets
+    * ([[lshBucketsSql]]), candidate bucket join, and exact-cosine
+    * rerank all reproduce bit-for-bit, making the ANN path end-to-end
+    * hash-checkable rather than rows-only. */
+  val xSimAnnSql: String = {
+    val perTable = lshBucketsSql(dim = 64, bits = 4, tables = 8,
+      seed = 42L)
     s"""WITH e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -2221,6 +2228,106 @@ object ExtQueries {
       |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
       |WHERE a.query_id < a.neighbor_id
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Mutual-kNN over ANN lists — THE production tier (no |C|² scan):
+  // the identical reciprocity join, but over LSH-bucketed candidate
+  // lists. Run on the same bounded slice as the exact tier so the two
+  // CORRECTNESS rows grade the same pair-mining task at both tiers.
+  // ---------------------------------------------------------------------
+  def xEmbedMutualAnn(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.mutualTopKAnn(
+        t(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id",
+        "embedding", k = 5, dim = 64, bits = 4, tables = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Full DuckDB twin of [[xEmbedMutualAnn]]: generated LSH buckets
+    * ([[lshBucketsSql]] — plan-literal hyperplanes), candidate join,
+    * exact-cosine rerank, then the reciprocity join — the 100 TB
+    * mutual-mining path is hash-checkable end to end, not rows-only. */
+  val xEmbedMutualAnnSql: String = {
+    val perTable = lshBucketsSql(dim = 64, bits = 4, tables = 8,
+      seed = 42L)
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < 1000),
+       |  eb AS ($perTable),
+       |  cand AS (SELECT DISTINCT q.vec_id AS query_id,
+       |      c.vec_id AS neighbor_id
+       |    FROM eb q JOIN eb c ON q.tbl = c.tbl AND q.bkt = c.bkt
+       |    WHERE c.vec_id <> q.vec_id),
+       |  sc AS (SELECT query_id, neighbor_id,
+       |      round(list_dot_product(qv.v, cv.v)
+       |        / (sqrt(list_dot_product(qv.v, qv.v))
+       |           * sqrt(list_dot_product(cv.v, cv.v))), 6) AS score
+       |    FROM cand
+       |    JOIN e qv ON qv.vec_id = cand.query_id
+       |    JOIN e cv ON cv.vec_id = cand.neighbor_id),
+       |  r AS (SELECT query_id, neighbor_id, score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, neighbor_id) AS rnk
+       |    FROM sc QUALIFY rnk <= 5)
+       |SELECT a.query_id AS id_a, a.neighbor_id AS id_b,
+       |  CAST(a.rnk AS INTEGER) AS rnk_ab,
+       |  CAST(b.rnk AS INTEGER) AS rnk_ba, a.score
+       |FROM r a JOIN r b
+       |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+       |WHERE a.query_id < a.neighbor_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Hard-negative mining over ANN candidates — the production tier:
+  // LSH lists oversampled to k·4 per query, label-filtered, re-ranked
+  // to k. Same query slice as the exact tier (vec_id < 20 vs the full
+  // corpus), so recall loss vs x_embed_negatives is directly visible.
+  // ---------------------------------------------------------------------
+  def xEmbedNegativesAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.hardNegativesAnn(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", "label", k = 3, dim = 64, bits = 4,
+        tables = 8, oversample = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Full DuckDB twin of [[xEmbedNegativesAnn]]: generated buckets over
+    * the whole corpus, query side restricted in the candidate join,
+    * rank ≤ k·oversample BEFORE the label filter (the order matters —
+    * a same-label hit occupies a candidate slot), then the final
+    * re-rank to k. */
+  val xEmbedNegativesAnnSql: String = {
+    val perTable = lshBucketsSql(dim = 64, bits = 4, tables = 8,
+      seed = 42L)
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  eb AS ($perTable),
+       |  cand AS (SELECT DISTINCT q.vec_id AS query_id,
+       |      c.vec_id AS neighbor_id
+       |    FROM eb q JOIN eb c ON q.tbl = c.tbl AND q.bkt = c.bkt
+       |    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |  sc AS (SELECT query_id, neighbor_id,
+       |      round(list_dot_product(qv.v, cv.v)
+       |        / (sqrt(list_dot_product(qv.v, qv.v))
+       |           * sqrt(list_dot_product(cv.v, cv.v))), 6) AS score
+       |    FROM cand
+       |    JOIN e qv ON qv.vec_id = cand.query_id
+       |    JOIN e cv ON cv.vec_id = cand.neighbor_id),
+       |  r AS (SELECT query_id, neighbor_id, score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, neighbor_id) AS rnk
+       |    FROM sc QUALIFY rnk <= 12),
+       |  flt AS (SELECT r.query_id, r.neighbor_id, r.score
+       |    FROM r JOIN embeddings ql ON ql.vec_id = r.query_id
+       |    JOIN embeddings cl ON cl.vec_id = r.neighbor_id
+       |    WHERE ql.label <> cl.label),
+       |  r2 AS (SELECT query_id, neighbor_id, score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, neighbor_id) AS rnk
+       |    FROM flt QUALIFY rnk <= 3)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, score
+       |FROM r2 ORDER BY query_id, rnk""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // PSI feature drift (population stability index) between two corpus
