@@ -267,19 +267,48 @@ object StreamIngestJob {
       dedupIndex))
   }
 
+  /** One micro-batch's sink work, keyed by the streaming engine's
+    * batchId — package-private so replay idempotency is directly
+    * testable (JobsSpec re-runs a batch under the same id and asserts
+    * no duplicates). The quarantine half writes to a
+    * `batch_id=<batchId>` partition directory with OVERWRITE: a
+    * micro-batch replayed after a failure between the quarantine write
+    * and the checkpoint commit rewrites the SAME partition with the
+    * same rows instead of appending duplicates — the standard
+    * foreachBatch idempotent-sink pattern (batchId is stable across
+    * replays by the checkpoint contract). Readers of the quarantine
+    * root see `batch_id` as a discovered partition column. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+            idCol: String, textCol: String,
+            rules: Seq[Checks.Rule], benchGramHashes: Array[Long],
+            blockedPhrases: Seq[String],
+            store: graft.sinks.Upsert.KeyedStore,
+            quarantineDir: String,
+            testFrac: Double, validFrac: Double,
+            lmModel: Option[TextOps.LmModel],
+            maxMeanNll: Double,
+            dedupIndex: Option[(Array[Byte], DataFrame)]): Unit = {
+    val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
+      benchGramHashes, blockedPhrases, testFrac, validFrac,
+      lmModel, maxMeanNll, dedupIndex)
+    if (!bad.isEmpty)
+      Sinks.writeParquet(bad, s"$quarantineDir/batch_id=$batchId",
+        "replace")
+    if (!kept.isEmpty)
+      graft.sinks.Upsert.keyedUpsert(kept, idCol, store)
+    ()
+  }
+
   /** Start the streaming query: quarantine to parquet, kept rows to the
     * keyed store. The input stream itself stays untransformed — routing
     * happens per micro-batch so BOTH halves come from one source read
     * and one checkpoint.
     *
-    * Delivery semantics: the keyed-upsert side is replay-idempotent
-    * (same ids overwrite), so it is effectively exactly-once; the
-    * quarantine side is a plain parquet append and therefore
-    * AT-LEAST-ONCE — a micro-batch replayed after a failure between the
-    * quarantine write and the checkpoint commit duplicates its
-    * quarantine rows. Consumers of the quarantine directory must
-    * dedupe on read (rows carry the batch's ids; `SELECT DISTINCT` or
-    * a keyed downstream load both work). */
+    * Delivery semantics: BOTH halves are replay-idempotent — the keyed
+    * upsert because same ids overwrite, the quarantine because each
+    * micro-batch overwrites its own `batch_id` partition
+    * ([[processBatch]]) — so the DAG is effectively exactly-once end
+    * to end. */
   def start(stream: DataFrame, idCol: String, textCol: String,
             rules: Seq[Checks.Rule], benchGramHashes: Array[Long],
             blockedPhrases: Seq[String],
@@ -296,15 +325,10 @@ object StreamIngestJob {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
-          benchGramHashes, blockedPhrases, testFrac, validFrac,
-          lmModel, maxMeanNll, dedupIndex)
-        if (!bad.isEmpty)
-          Sinks.writeParquet(bad, quarantineDir, "append")
-        if (!kept.isEmpty)
-          graft.sinks.Upsert.keyedUpsert(kept, idCol, store)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, rules,
+          benchGramHashes, blockedPhrases, store, quarantineDir,
+          testFrac, validFrac, lmModel, maxMeanNll, dedupIndex)
       }
       .start()
 

@@ -159,6 +159,41 @@ class JobsSpec extends SparkSpec {
       s"quarantine=$quarantined twin=$twinQ")
   }
 
+  test("quarantine channel is replay-idempotent under the same batchId") {
+    import spark.implicits._
+    import graft.jobs.StreamIngestJob
+    import graft.transform.Checks
+    val base = s"$ws/si_replay"
+    val quarantine = s"$base/quarantine"
+    val store = new graft.sinks.Upsert.FileStore(s"$base/store")
+    val rules = Seq(Checks.notNull("text"), Checks.nonNegative("doc_id"))
+    val b1 = Seq((1L, "clean document text"), (2L, null: String),
+      (-3L, "negative id")).toDF("doc_id", "text")
+    def runBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamIngestJob.processBatch(df, id, "doc_id", "text", rules,
+        Array.empty[Long], Seq.empty, store, quarantine,
+        0.05, 0.05, None, Double.PositiveInfinity, None)
+    runBatch(b1, 7L)
+    // replay the SAME micro-batch id — the failure-between-write-and-
+    // checkpoint-commit scenario; the partition overwrite must leave
+    // exactly one copy of each quarantined row
+    runBatch(b1, 7L)
+    val afterReplay = spark.read.parquet(quarantine)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(afterReplay == Seq(-3L, 2L),
+      s"replay duplicated quarantine rows: $afterReplay")
+    // a NEW batch id still accumulates (append across batches)
+    val b2 = Seq((9L, null: String)).toDF("doc_id", "text")
+    runBatch(b2, 8L)
+    val afterNext = spark.read.parquet(quarantine)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(afterNext == Seq(-3L, 2L, 9L), s"lost rows: $afterNext")
+    // and the batch id is visible as a discovered partition column
+    val parts = spark.read.parquet(quarantine)
+      .select("batch_id").distinct().as[Long].collect().sorted.toSeq
+    assert(parts == Seq(7L, 8L), s"partitions: $parts")
+  }
+
   test("ingest fluency gate drops reference-unlike docs, stream == batch twin") {
     import spark.implicits._
     import graft.jobs.StreamIngestJob
