@@ -452,24 +452,39 @@ object SimilarityOps {
     * Recall/cost dial: more bits → smaller buckets (fewer candidates,
     * lower recall); more tables → higher recall (union of probes). At
     * billions of vectors: bits ~ log2(n/target_bucket_size), tables 4-16.
-    */
+    *
+    * Scale shape (the [[nearDupPairsEmbedding]] discipline): bucket rows
+    * carry ONLY (table, bucket, id) — never vectors — so the candidate
+    * join and the pair dedup shuffle three small columns; the dim-float
+    * payloads are re-attached AFTER the dedup, queries by broadcast and
+    * the corpus by one id equi-join, crossing the network once per
+    * surviving candidate. (The first cut carried both vectors through
+    * the ×tables explode and the dedup — 5× slower at 10³ vectors,
+    * fatal at 10⁹.) */
   def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, bits: Int = 4,
               tables: Int = 8, seed: Long = 42L): DataFrame = {
     val allPlanes = (0 until tables)
       .map(t => hyperplanes(dim, bits, seed + t))
     def bucketed(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"_${side}v"),
+      df.select(col(idCol).as(s"${side}_id"),
         posexplode(array(allPlanes.map(p => lshBucket(col(vecCol), p)): _*)))
         .withColumnsRenamed(Map("pos" -> "_tbl", "col" -> "_bkt"))
     val qb = bucketed(queries, "query")
     val cb = bucketed(corpus, "neighbor")
     val cand = cb.join(broadcast(qb), Seq("_tbl", "_bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_queryv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_neighborv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), asc("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"),
+    cand.join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("_queryv"), col("_neighborv")), 6).as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -667,15 +682,14 @@ object SimilarityOps {
     var round = 1
     while (round < iters) {
       // centroid update: fixed-point component sums, integer-divided by
-      // the member count — k·d longs back to the driver, nothing more.
+      // the member count — k·(dim+2) values back to the driver, one row
+      // per surviving cluster.
       val sums = kmeansUpdateFrame(vecs, cents, dim).collect()
-      cents = sums.groupBy(_.getInt(0)).toSeq.map { case (c, rows) =>
-        val comp = new Array[Double](dim)
-        rows.foreach { r =>
-          comp(r.getInt(1)) =
-            (r.getLong(2) / r.getLong(3)).toDouble / 1073741824.0
-        }
-        (c, comp)
+      cents = sums.toSeq.map { r =>
+        val n = r.getLong(dim + 1)
+        val comp = Array.tabulate(dim)(i =>
+          (r.getLong(i + 1) / n).toDouble / 1073741824.0)
+        (r.getInt(0), comp)
       }.sortBy(_._1)
       round += 1
     }
@@ -696,20 +710,27 @@ object SimilarityOps {
     }: _*)
 
   /** One Lloyd's update round as a single frame over a `(_id, _v)`
-    * projection: the argmin assignment computed inline (centroids are
-    * plan literals), `_v` carried THROUGH it, then one (cluster, pos)
-    * aggregate of fixed-point component sums. No join anywhere — the
-    * corpus is read once and only k·dim aggregate rows shuffle.
-    * Package-private so PlanShapeSpec can pin the join-free shape. */
+    * projection: the argmin assignment computed once per row (centroids
+    * are plan literals), `_v` carried THROUGH it, then ONE
+    * (cluster)-grouped WIDE aggregate — dim fixed-point component sums
+    * as separate columns plus the member count, so k rows × (dim+2)
+    * columns come back. No join anywhere, and deliberately no
+    * posexplode either: a Generate would multiply the corpus ×dim in
+    * row count AND (via ExtractGenerator's outer Project) re-evaluate
+    * the k·dim argmin once per exploded element. Package-private so
+    * PlanShapeSpec can pin the join-free, Generate-free shape.
+    * Output schema: (cluster, _s0 … _s{dim-1}, _n). */
   private[graft] def kmeansUpdateFrame(vecs: DataFrame,
-      cents: Seq[(Int, Array[Double])], dim: Int): DataFrame =
-    vecs.select(
-        element_at(array_sort(kmeansCellsFx(col("_v"), cents, dim)), 1)
-          .getField("c").as("cluster"),
-        posexplode(col("_v")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(sum(floor(col("col") * lit(1073741824.0)).cast("long"))
-        .as("_sfx"), count(lit(1)).as("_n"))
+      cents: Seq[(Int, Array[Double])], dim: Int): DataFrame = {
+    val assigned = vecs.select(
+      element_at(array_sort(kmeansCellsFx(col("_v"), cents, dim)), 1)
+        .getField("c").as("cluster"), col("_v"))
+    val sums = (0 until dim).map(i =>
+      sum(floor(element_at(col("_v"), i + 1) * lit(1073741824.0))
+        .cast("long")).as(s"_s$i"))
+    assigned.groupBy(col("cluster"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
+  }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     * merge two retrievers' ranked lists into one, scoring each hit

@@ -163,6 +163,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"update round must not plan a join:\n$p")
     assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
       s"update round shuffles only the k·dim aggregate rows:\n$p")
+    // and no Generate: a posexplode would multiply the corpus ×dim AND
+    // re-evaluate the argmin per exploded element (ExtractGenerator
+    // hoists non-generator exprs into the outer Project) — measured 6×
+    // slower than the wide aggregate at sf0.1
+    assert(!p.contains("Generate"),
+      s"update round must not explode the vectors:\n$p")
+  }
+
+  test("annTopK: exchanges carry (table, bucket, id) — never vectors") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val df = graft.ext.SimilarityOps.annTopK(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+      k = 5, dim = 64)
+    df.collect() // finalize AQE so real exchanges are visible
+    val p = plan(df)
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    // query vectors broadcast — they must never appear in any shuffle
+    assert(!exchanges.exists(_.contains("_queryv")),
+      s"query vectors must broadcast, never shuffle:\n$exchanges")
+    // the candidate dedup shuffle (keyed by both ids) carries id pairs
+    // only — corpus vectors re-attach AFTER it via one id equi-join
+    val dedupEx = exchanges.filter(l =>
+      l.contains("query_id") && l.contains("neighbor_id"))
+    assert(dedupEx.nonEmpty && !dedupEx.exists(_.contains("_neighborv")),
+      s"pair dedup must not haul vector payloads:\n$exchanges")
   }
 
   test("quantize bounds: one wide aggregate, no Generate node") {
