@@ -670,33 +670,58 @@ object DedupOps {
     * by an equi-join on variants and then VERIFIED with `levenshtein`, so
     * the result is exact.
     *
-    * Scale shape: each string emits length+1 short variants — the shuffle
-    * is O(n·L) small strings and the join is bucket-bounded per variant,
-    * vs. the O(n²) all-pairs `levenshtein` cross join a naive form plans.
-    * Meant for short keys (names, codes, titles); for document-scale text
-    * use the MinHash/SimHash paths above. */
+    * Scale shape, two tiers both immune to exact-duplicate mass (the
+    * normal state of a crawl corpus — and the sf1 validation's finding:
+    * a per-ROW variant join multiplies every bucket by the copy count
+    * and the candidate volume quadratically with it, 71× observed at
+    * 10× replicated keys):
+    *
+    *  - DISTINCT-STRING tier: variants explode, bucket-join, and
+    *    levenshtein-verify once per distinct string — O(d·L) shuffle
+    *    for d distinct values regardless of row count; verified string
+    *    pairs then expand to id pairs by two id joins, so the
+    *    quadratic-in-copies part is exactly the true output size.
+    *  - SAME-STRING tier: identical strings (edit distance 0) pair by
+    *    one self-join on the string key — again output-bound.
+    *
+    * Meant for short keys (names, codes, titles) — the string itself is
+    * a join key here; for document-scale text use the MinHash/SimHash
+    * paths above. */
   def fuzzyPairsEdit1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val strs = df.filter(col(strCol).isNotNull)
       .select(col(idCol).as("_id"), col(strCol).as("_s"))
+    val dstrs = strs.select(col("_s")).distinct()
     // Native codegen'd neighborhood (expressions.DeletionVariants) — the
     // HOF form (transform + substr) pays an interpreted lambda call per
     // character per row.
-    val exploded = strs.select(col("_id"),
+    val exploded = dstrs.select(col("_s"),
       explode(call_function("graft_del_variants", col("_s"))).as("_v"))
-    // Candidate pairs carry IDS ONLY through the join + dedup (a hash agg
-    // on two longs, not a sort agg dragging strings); the short strings
-    // are re-attached to the surviving pairs for verification.
-    val l = exploded.select(col("_v"), col("_id").as("id_a"))
-    val r = exploded.select(col("_v"), col("_id").as("id_b"))
-    val candidates = l.join(r, Seq("_v"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(strs.select(col("_id").as("id_a"), col("_s").as("str_a")), Seq("id_a"))
-      .join(strs.select(col("_id").as("id_b"), col("_s").as("str_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"),
-        levenshtein(col("str_a"), col("str_b")).as("dist"))
+    val l = exploded.select(col("_v"), col("_s").as("_sa"))
+    val r = exploded.select(col("_v"), col("_s").as("_sb"))
+    val strPairs = l.join(r, Seq("_v"))
+      .filter(col("_sa") < col("_sb"))
+      .select(col("_sa"), col("_sb"))
+      .dropDuplicates("_sa", "_sb")
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
       .filter(col("dist") <= 1)
+    val crossIds = strPairs
+      .join(strs.select(col("_s").as("_sa"), col("_id").as("_ia")),
+        Seq("_sa"))
+      .join(strs.select(col("_s").as("_sb"), col("_id").as("_ib")),
+        Seq("_sb"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        when(col("_ia") < col("_ib"), col("_sa")).otherwise(col("_sb"))
+          .as("str_a"),
+        when(col("_ia") < col("_ib"), col("_sb")).otherwise(col("_sa"))
+          .as("str_b"),
+        col("dist"))
+    val sameIds = strs
+      .join(strs.select(col("_s"), col("_id").as("_ib")), Seq("_s"))
+      .filter(col("_id") < col("_ib"))
+      .select(col("_id").as("id_a"), col("_ib").as("id_b"),
+        col("_s").as("str_a"), col("_s").as("str_b"),
+        lit(0).as("dist"))
+    crossIds.unionByName(sameIds)
   }
 }

@@ -120,6 +120,25 @@ class DedupOpsSpec extends SparkSpec {
       (2L, 5L) -> 1, (3L, 5L) -> 1, (4L, 5L) -> 1))
   }
 
+  test("fuzzyPairsEdit1 under duplicate mass: copies expand to exactly the true pairs") {
+    import spark.implicits._
+    // 3 copies of "aa", 2 of "ab": within-group C(3,2)+C(2,2) dist-0
+    // pairs plus 3×2 cross dist-1 pairs — the distinct-string tier must
+    // expand to all 10, with str columns tracking the id order
+    val df = Seq((1L, "aa"), (5L, "aa"), (9L, "aa"), (3L, "ab"),
+      (7L, "ab")).toDF("id", "s")
+    val got = DedupOps.fuzzyPairsEdit1(df, "id", "s").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getString(3), r.getInt(4)))).toMap
+    assert(got.size == 10)
+    assert(got.keys.forall { case (a, b) => a < b })
+    assert(got((1L, 5L)) == ("aa", "aa", 0))
+    assert(got((3L, 7L)) == ("ab", "ab", 0))
+    assert(got((1L, 3L)) == ("aa", "ab", 1))
+    assert(got((3L, 5L)) == ("ab", "aa", 1)) // swap keeps str-id pairing
+    assert(got((7L, 9L)) == ("ab", "aa", 1))
+  }
+
   test("connectedComponents: chains collapse transitively, clusters stay separate") {
     import spark.implicits._
     // 1-2-3-4-5-6 is a diameter-5 chain (forces several propagation
