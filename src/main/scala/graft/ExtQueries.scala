@@ -2767,4 +2767,58 @@ object ExtQueries {
       |       ELSE 'unchanged' END AS status,
       |  changed_cols, source
       |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // DSIR data selection (Xie et al. 2023): hashed bag-of-unigrams
+  // importance weights of corpus docs vs the src0 target slice, top-500
+  // kept. Portable md5 buckets + fixed-point log-ratios make the whole
+  // score engine-exact.
+  // ---------------------------------------------------------------------
+  def xSelectDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextOps.dsirSelect(docs, docs.filter(col("source") === "src0"),
+        "doc_id", "text", "text", numBuckets = 64, budget = 500)
+      .orderBy(col("rnk"))
+  }
+
+  val xSelectDsirSql: String =
+    s"""WITH tgt AS (SELECT unnest($toksSql) AS t FROM documents
+       |    WHERE source = 'src0'),
+       |  tb AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % 64
+       |      AS bkt FROM tgt),
+       |  tc AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS ct FROM tb
+       |    GROUP BY bkt),
+       |  tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS tt
+       |    FROM tc),
+       |  ctk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |  db AS (SELECT doc_id,
+       |      ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS bkt,
+       |      CAST(COUNT(*) AS BIGINT) AS cnt
+       |    FROM ctk GROUP BY doc_id, bkt),
+       |  rc AS (SELECT bkt, CAST(SUM(cnt) AS BIGINT) AS cr FROM db
+       |    GROUP BY bkt),
+       |  rt AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS tr
+       |    FROM rc),
+       |  grid AS (SELECT CAST(i AS BIGINT) AS bkt FROM range(64) r(i)),
+       |  lr AS (SELECT grid.bkt,
+       |      CAST(FLOOR(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+       |          / CAST(tt + 64 AS DOUBLE)) * 1073741824.0) AS BIGINT)
+       |      - CAST(FLOOR(ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE)
+       |          / CAST(tr + 64 AS DOUBLE)) * 1073741824.0) AS BIGINT)
+       |        AS lrfx
+       |    FROM grid LEFT JOIN tc USING (bkt) LEFT JOIN rc USING (bkt)
+       |    CROSS JOIN tt CROSS JOIN rt),
+       |  sc AS (SELECT doc_id, CAST(SUM(cnt * lrfx) AS BIGINT) AS lwfx,
+       |      CAST(SUM(cnt) AS BIGINT) AS nt
+       |    FROM db JOIN lr USING (bkt) GROUP BY doc_id),
+       |  f AS (SELECT d.doc_id, COALESCE(nt, 0) AS n_tokens,
+       |      COALESCE(lwfx, 0) AS logw_fx
+       |    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+       |  rk AS (SELECT doc_id, n_tokens, logw_fx,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY logw_fx DESC, doc_id)
+       |        AS INTEGER) AS rnk
+       |    FROM f)
+       |SELECT doc_id, n_tokens, logw_fx,
+       |  CAST(logw_fx AS DOUBLE) / 1073741824.0 AS logw, rnk
+       |FROM rk WHERE rnk <= 500 ORDER BY rnk""".stripMargin
 }

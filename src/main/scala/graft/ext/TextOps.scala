@@ -1220,4 +1220,89 @@ object TextOps {
         (col("_sfx").cast("double") / lit(1073741824.0)).as("score"),
         col("_nterms").as("n_terms"))
   }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw-corpus document
+    * by the log importance weight of a hashed bag-of-unigrams model —
+    * `log w(d) = Σ_b count_d[b]·(ln p_target[b] − ln q_raw[b])` over `m`
+    * hash buckets with add-one smoothing — and keep the top-`budget`
+    * documents. This is the deterministic top-k variant of DSIR (their
+    * §4 heuristic baseline); the sampled variant only adds Gumbel noise
+    * to the same scores.
+    *
+    * Engine-exact: token buckets use the portable 60-bit md5 hash (the
+    * [[DedupOps.nearDupPairsSimhashPortable]] contract) so DuckDB
+    * reproduces bucket identity; each per-bucket log-ratio is the
+    * difference of two `floor(graft_ln(·)·2³⁰)` BIGINTs, and a document
+    * score is an integer Σ count·ratio_fx — order-free, overflow-safe
+    * (|ratio_fx| ≲ 25·2³⁰, so even 10⁶-token documents stay < 2⁶³).
+    *
+    * Scale shape: the corpus token stream reduces to a
+    * `(doc, bucket, count)` relation (map-side combine caps fan-out at
+    * `m` rows per document) consumed by the raw-distribution aggregate
+    * and the per-document scores — two corpus passes in the unpersisted
+    * plan (persist the relation in a pipeline to make it one); all
+    * totals derive from the m-row bucket tables, never a re-explode;
+    * the m-row log-ratio table is broadcast; document scores are one
+    * grouped sum; the budget cut is a TakeOrdered (no global window)
+    * with the ranking window over the bounded `budget`-row set.
+    * Nothing all-pairs, nothing driver-side beyond `m` longs. */
+  def dsirSelect(corpus: DataFrame, target: DataFrame,
+                 idCol: String, textCol: String, targetTextCol: String,
+                 numBuckets: Int = 64, budget: Int = 500): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2: $numBuckets")
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val m = numBuckets
+    def bucket(tok: Column): Column =
+      pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"),
+        lit(m.toLong))
+    val spark = corpus.sparkSession
+    // target distribution: m bucket counts + total
+    val tgtB = target.select(
+      explode(tokens(col(targetTextCol))).as("_t"))
+      .select(bucket(col("_t")).as("_bkt"))
+    val tc = tgtB.groupBy(col("_bkt")).agg(count(lit(1)).as("_ct"))
+    // totals derive from the m-row bucket tables (every token lands in
+    // a bucket), NOT from a second pass over the token stream — without
+    // this the unpersisted plan re-explodes the corpus once per use
+    val tt = tc.agg(coalesce(sum(col("_ct")), lit(0L)).as("_tt"))
+    val docB = graft.engine.Engine.spread(corpus)
+      .select(col(idCol).as("_id"),
+        explode(tokens(col(textCol))).as("_t"))
+      .select(col("_id"), bucket(col("_t")).as("_bkt"))
+      .groupBy(col("_id"), col("_bkt")).agg(count(lit(1)).as("_cnt"))
+    val rc = docB.groupBy(col("_bkt")).agg(sum(col("_cnt")).as("_cr"))
+    val rt = rc.agg(coalesce(sum(col("_cr")), lit(0L)).as("_tr"))
+    val grid = spark.range(m.toLong).select(col("id").as("_bkt"))
+    def lnFx(num: Column, den: Column): Column =
+      floor(call_function("graft_ln",
+        num.cast("double") / den.cast("double")) *
+        lit(1073741824.0)).cast("long")
+    val ratio = grid
+      .join(tc, Seq("_bkt"), "left").join(rc, Seq("_bkt"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+      .select(col("_bkt"),
+        (lnFx(coalesce(col("_ct"), lit(0L)) + lit(1L),
+            col("_tt") + lit(m.toLong)) -
+          lnFx(coalesce(col("_cr"), lit(0L)) + lit(1L),
+            col("_tr") + lit(m.toLong))).as("_lrfx"))
+    val scored = docB.join(broadcast(ratio), Seq("_bkt"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_cnt") * col("_lrfx")).as("_lwfx"),
+        sum(col("_cnt")).as("_nt"))
+    // empty documents stay visible with score 0 (they have no evidence
+    // either way) rather than silently dropping out of the ranking
+    val full = corpus.select(col(idCol).as("_id"))
+      .join(scored, Seq("_id"), "left")
+      .select(col("_id"),
+        coalesce(col("_nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("_lwfx"), lit(0L)).as("logw_fx"))
+    val top = full.orderBy(col("logw_fx").desc, col("_id")).limit(budget)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("logw_fx").desc, col("_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("_id").as(idCol), col("n_tokens"), col("logw_fx"),
+        (col("logw_fx").cast("double") / lit(1073741824.0)).as("logw"),
+        col("rnk"))
+  }
 }

@@ -677,4 +677,56 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
     assert(re == out)
   }
+
+  test("dsirSelect: target-like docs outrank off-target; empty visible") {
+    import spark.implicits._
+    // words chosen collision-free under the portable md5 bucket at m=16
+    // (apple→4 mango→1 zebra→8 nymph→3 vortex→7 kiwi→15); expected
+    // fixed-point scores precomputed with the same libm doubles
+    val corpus = Seq(
+      (1L, "apple mango apple mango"),     // pure target vocabulary
+      (2L, "zebra nymph vortex kiwi"),     // pure off-target
+      (3L, "apple mango zebra nymph"),     // mixed
+      (4L, "")                             // empty: visible, score 0
+    ).toDF("id", "txt")
+    val target = Seq("apple mango", "mango apple apple").toDF("t")
+    val out = TextOps.dsirSelect(corpus, target, "id", "txt", "t",
+      numBuckets = 16, budget = 10).collect()
+    assert(out.length == 4)
+    val byId = out.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    // pure-target (+) > empty (0) > mixed (−) > pure-off-target (−−):
+    // off-target evidence outweighs target affinity in log space, so a
+    // half-contaminated doc scores BELOW a no-evidence doc
+    assert(byId(1L) == ((4L, 617792546L, 1)))
+    assert(byId(4L) == ((0L, 0L, 2)))
+    assert(byId(3L) == ((4L, -1432563107L, 3)))
+    assert(byId(2L) == ((4L, -2612189070L, 4)))
+  }
+
+  test("dsirSelect: score is a pure function of the token bag; budget cut") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "cherry apple banana"),          // same bag, other order
+      (3L, "zebra zebra zebra")
+    ).toDF("id", "txt")
+    val target = Seq("apple banana").toDF("t")
+    val all = TextOps.dsirSelect(corpus, target, "id", "txt", "t",
+      numBuckets = 8, budget = 10).collect()
+    val score = all.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(score(1L) == score(2L))
+    // budget cuts to exactly k rows, ranks contiguous from 1, and the
+    // kept set is the global top-k (ties broken by id)
+    val top = TextOps.dsirSelect(corpus, target, "id", "txt", "t",
+      numBuckets = 8, budget = 2).collect()
+    assert(top.length == 2)
+    assert(top.map(_.getInt(4)).toSeq == Seq(1, 2))
+    assert(top.map(_.getLong(0)).toSet == Set(1L, 2L))
+    // layout independence
+    val re = TextOps.dsirSelect(corpus.repartition(7), target, "id",
+      "txt", "t", numBuckets = 8, budget = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == score)
+  }
 }
