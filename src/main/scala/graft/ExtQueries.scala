@@ -2821,4 +2821,36 @@ object ExtQueries {
        |SELECT doc_id, n_tokens, logw_fx,
        |  CAST(logw_fx AS DOUBLE) / 1073741824.0 AS logw, rnk
        |FROM rk WHERE rnk <= 500 ORDER BY rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Semantic decontamination: every corpus embedding screened against
+  // the benchmark slice (vec_id % 29 = 0 plays the leaked eval set — it
+  // remains IN the corpus, so those rows flag at sim 1.0); round-6
+  // cosine contract, closest-benchmark tie → smallest id.
+  // ---------------------------------------------------------------------
+  def xDecontamSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.semanticDecontaminate(emb,
+        emb.filter(col("vec_id") % 29 === 0),
+        "vec_id", "embedding", "vec_id", "embedding", tau = 0.95)
+      .orderBy(col("vec_id"))
+  }
+
+  val xDecontamSemanticSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |  bench AS (SELECT vec_id AS bid, v AS bv FROM e
+      |    WHERE vec_id % 29 = 0),
+      |  sims AS (SELECT c.vec_id, b.bid,
+      |      round(list_dot_product(c.v, b.bv)
+      |        / (sqrt(list_dot_product(c.v, c.v))
+      |           * sqrt(list_dot_product(b.bv, b.bv))), 6) AS sim
+      |    FROM e c CROSS JOIN bench b),
+      |  m AS (SELECT vec_id,
+      |      MAX(struct_pack(s := sim, nb := -bid)) AS mm
+      |    FROM sims GROUP BY vec_id)
+      |SELECT vec_id, mm.s AS max_sim, -mm.nb AS bench_id,
+      |  mm.s > 0.95 AS contaminated
+      |FROM m ORDER BY vec_id""".stripMargin
 }

@@ -1044,4 +1044,43 @@ object SimilarityOps {
               col("_bid") < col(idCol))),
         "left_anti")
   }
+
+  /** Semantic decontamination: flag every corpus vector whose cosine
+    * similarity to ANY benchmark/eval vector exceeds `tau` — the
+    * embedding-level complement of the n-gram screen
+    * ([[graft.ext.DedupOps.decontaminate]]); paraphrased benchmark
+    * leakage that shares no 8-gram still lands within a tight cosine
+    * ball of the eval item. Reports per corpus vector the max benchmark
+    * similarity (round-6 contract), the closest benchmark id (ties →
+    * smallest id), and the `contaminated` verdict, so the same output
+    * serves both the audit report (distribution of near-benchmark mass)
+    * and the filter (anti-join on `contaminated`).
+    *
+    * Scale shape: the benchmark side is small by contract (eval suites)
+    * and broadcasts; the corpus streams ONCE through a
+    * BroadcastNestedLoopJoin and the per-vector argmax is a
+    * `max(struct(sim, -bench_id))` grouped aggregate — map-side partials
+    * collapse the corpus×B join output to one row per corpus vector
+    * before the only shuffle, so nothing per-candidate ever crosses the
+    * network. An EMPTY benchmark yields an empty result (a vacuous
+    * screen reports nothing, it does not pass everything) — callers
+    * gating on `contaminated` must treat "no benchmark" upstream. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            benchIdCol: String, benchVecCol: String,
+                            tau: Double): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")
+    val bench = benchmark.select(col(benchIdCol).as("_bid"),
+      col(benchVecCol).as("_bv"))
+    val sim = round(cosine(col(vecCol), col("_bv")), 6)
+    corpus.crossJoin(broadcast(bench))
+      .select(col(idCol),
+        struct(sim.as("s"), (-col("_bid")).as("nb")).as("_sb"))
+      .groupBy(col(idCol))
+      .agg(max(col("_sb")).as("_m"))
+      .select(col(idCol),
+        col("_m.s").as("max_sim"),
+        (-col("_m.nb")).as("bench_id"),
+        (col("_m.s") > tau).as("contaminated"))
+  }
 }

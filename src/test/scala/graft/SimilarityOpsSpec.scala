@@ -540,4 +540,27 @@ class SimilarityOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nCand"))
   }
+
+  test("semanticDecontaminate: leak flags at 1.0, ties break to min id") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)),      // verbatim leak of the bench vector
+      (2L, Seq(0f, 1f)),      // orthogonal
+      (3L, Seq(0.8f, 0.6f))   // sim 0.8 — similar but below tau
+    ).toDF("id", "vec")
+    val bench = Seq((100L, Seq(1f, 0f)), (101L, Seq(1f, 0f)))
+      .toDF("bid", "bvec")
+    val out = SimilarityOps.semanticDecontaminate(corpus, bench,
+        "id", "vec", "bid", "bvec", tau = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 3)
+    assert(out(1L) == ((1.0, 100L, true)))   // tie 100 vs 101 → min id
+    assert(out(2L) == ((0.0, 100L, false)))
+    assert(out(3L) == ((0.8, 100L, false)))
+    // empty benchmark: vacuous screen reports NOTHING (documented)
+    val none = SimilarityOps.semanticDecontaminate(corpus,
+      bench.filter(col("bid") < 0L), "id", "vec", "bid", "bvec", 0.95)
+    assert(none.count() == 0L)
+  }
 }
