@@ -251,4 +251,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"curriculum must not plan a global window:\n$p")
   }
+
+  test("dsir: ratio table broadcasts; budget cut is a TakeOrdered") {
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+    val df = graft.ext.TextOps.dsirSelect(docs,
+      docs.filter(org.apache.spark.sql.functions.col("source") === "src0"),
+      "doc_id", "text", "text", numBuckets = 64, budget = 500)
+    val p = plan(df)
+    // the m-row log-ratio table must reach the doc-score join as a
+    // broadcast, and the budget cut must be a TakeOrdered (the ranking
+    // Window then runs over the bounded budget-row set only)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"budget cut must plan as TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("semantic decontamination: benchmark broadcasts, argmax is a " +
+      "grouped agg with map-side partials (no corpus x B shuffle)") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val df = graft.ext.SimilarityOps.semanticDecontaminate(emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 29 === 0),
+      "vec_id", "embedding", "vec_id", "embedding", tau = 0.95)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // no Window over the join output: the per-vector argmax must be the
+    // partial-aggregable max(struct(...)), so the only exchange carries
+    // one row per corpus vector
+    assert(!p.contains("Window"),
+      s"argmax must be a grouped agg, not a window over corpus x B:\n$p")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(exchanges <= 1, s"expected at most one hash exchange:\n$p")
+  }
 }
