@@ -69,7 +69,7 @@ object Bench {
     // transient noise (CPU contention, first-touch JIT of the generated
     // classes, page-cache misses) — r3 showed 3-5× first-run outliers in
     // the driver env that vanish on a second run. Queries whose first
-    // measurement exceeds 2 s OR 3× their recorded quiet-box twin
+    // measurement exceeds 2 s OR 2× their recorded quiet-box twin
     // (BenchBaseline — r6 showed 13× single-query contention bursts on
     // sub-second queries the absolute threshold never catches) are re-run
     // once and the minimum reported; both raw measurements are preserved

@@ -463,16 +463,40 @@ object SimilarityOps {
     * fatal at 10⁹.) */
   def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, bits: Int = 4,
-              tables: Int = 8, seed: Long = 42L): DataFrame = {
+              tables: Int = 8, seed: Long = 42L): DataFrame =
+    annTopKImpl(queries, corpus, idCol, vecCol, k, dim, bits, tables,
+      seed, broadcastQueries = true)
+
+  /** [[annTopK]] with the corpus itself as the query side (every-vector
+    * top-k, the mutual-kNN substrate): IDENTICAL results, but nothing
+    * broadcasts — with queries == corpus the broadcast tier would ship
+    * the whole corpus (bucket rows AND vectors) to every executor and
+    * materialize it on the driver, which is exactly the OOM the
+    * broadcast contract exists to prevent. Here the candidate stage is
+    * a shuffle equi-join on (table, bucket) carrying id-only rows, and
+    * both vector re-attachments are id equi-joins — every exchange is
+    * corpus-sized, none is driver-sized. */
+  def annTopKSelf(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, dim: Int, bits: Int = 4,
+                  tables: Int = 8, seed: Long = 42L): DataFrame =
+    annTopKImpl(df, df, idCol, vecCol, k, dim, bits, tables,
+      seed, broadcastQueries = false)
+
+  private def annTopKImpl(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          dim: Int, bits: Int, tables: Int, seed: Long,
+                          broadcastQueries: Boolean): DataFrame = {
     val allPlanes = (0 until tables)
       .map(t => hyperplanes(dim, bits, seed + t))
     def bucketed(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),
         posexplode(array(allPlanes.map(p => lshBucket(col(vecCol), p)): _*)))
         .withColumnsRenamed(Map("pos" -> "_tbl", "col" -> "_bkt"))
+    def qSide(df: DataFrame): DataFrame =
+      if (broadcastQueries) broadcast(df) else df
     val qb = bucketed(queries, "query")
     val cb = bucketed(corpus, "neighbor")
-    val cand = cb.join(broadcast(qb), Seq("_tbl", "_bkt"))
+    val cand = cb.join(qSide(qb), Seq("_tbl", "_bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -482,7 +506,7 @@ object SimilarityOps {
       col(vecCol).as("_neighborv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), asc("neighbor_id"))
-    cand.join(broadcast(qv), Seq("query_id"))
+    cand.join(qSide(qv), Seq("query_id"))
       .join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("_queryv"), col("_neighborv")), 6).as("score"))
@@ -830,15 +854,17 @@ object SimilarityOps {
   }
 
   /** [[mutualTopK]] at corpus scale: the identical reciprocity join,
-    * but over [[annTopK]]'s LSH-bucketed lists — no |C|² scan; each
-    * direction is approximate (standard ANN trade), the mutuality
-    * filter is exact over whatever the lists contain. Recall vs the
-    * exact miner is a fixture property (SimilarityOpsSpec), not a
-    * guarantee. */
+    * but over [[annTopKSelf]]'s LSH-bucketed lists — no |C|² scan AND
+    * no corpus broadcast (the query side IS the corpus here, so the
+    * broadcast tier would driver-materialize it; the self variant
+    * keeps every exchange corpus-sized). Each direction is approximate
+    * (standard ANN trade), the mutuality filter is exact over whatever
+    * the lists contain. Recall vs the exact miner is a fixture
+    * property (SimilarityOpsSpec), not a guarantee. */
   def mutualTopKAnn(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, dim: Int, bits: Int = 4,
                     tables: Int = 8): DataFrame =
-    mutualJoin(annTopK(df, df, idCol, vecCol, k = k, dim = dim,
+    mutualJoin(annTopKSelf(df, idCol, vecCol, k = k, dim = dim,
       bits = bits, tables = tables))
 
   /** Per-dimension scalar quantization of an embedding column to int8
@@ -871,7 +897,8 @@ object SimilarityOps {
                                         dim: Int): DataFrame = {
     val aggs = (0 until dim).flatMap(i => Seq(
       min(element_at(col("_v"), i + 1)).as(s"_mn$i"),
-      max(element_at(col("_v"), i + 1)).as(s"_mx$i")))
+      max(element_at(col("_v"), i + 1)).as(s"_mx$i"))) :+
+      max(size(col("_v"))).as("_maxlen")
     vecs.groupBy().agg(aggs.head, aggs.tail: _*)
   }
 
@@ -881,6 +908,12 @@ object SimilarityOps {
     val vecs = df.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
     val row = quantizeStatsFrame(vecs, dim).collect()(0)
+    // longer vectors would be SILENTLY truncated by the per-dim probes
+    // (the r9-review regression the old posexplode path caught by row
+    // count) — reject them loudly; shorter ones surface as null bounds
+    require(row.isNullAt(2 * dim) || row.getInt(2 * dim) == dim,
+      s"quantizeInt8: vectors have ${row.getInt(2 * dim)} dims, " +
+        s"expected dim=$dim")
     val stats = (0 until dim).map { i =>
       require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
         s"quantizeInt8: no values for dim ${i + 1} — empty corpus or " +

@@ -277,7 +277,14 @@ object StreamIngestJob {
     * same rows instead of appending duplicates — the standard
     * foreachBatch idempotent-sink pattern (batchId is stable across
     * replays by the checkpoint contract). Readers of the quarantine
-    * root see `batch_id` as a discovered partition column. */
+    * root see `batch_id` as a discovered partition column.
+    *
+    * Layout migration: a quarantine directory written by the pre-r9
+    * FLAT layout (parquet files at the root) cannot be mixed with
+    * `batch_id=` partition directories — Spark's partition discovery
+    * rejects conflicting structures. Point new pipelines at a fresh
+    * directory, or move legacy files into a `batch_id=-1/` subdir
+    * once; replay keys start at 0 so `-1` never collides. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
             idCol: String, textCol: String,
             rules: Seq[Checks.Rule], benchGramHashes: Array[Long],
@@ -291,9 +298,10 @@ object StreamIngestJob {
     val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
       benchGramHashes, blockedPhrases, testFrac, validFrac,
       lmModel, maxMeanNll, dedupIndex)
-    if (!bad.isEmpty)
-      Sinks.writeParquet(bad, s"$quarantineDir/batch_id=$batchId",
-        "replace")
+    // writeParquet's own empty guard skips the write — no second
+    // isEmpty pass over the routed-transform plan here
+    Sinks.writeParquet(bad, s"$quarantineDir/batch_id=$batchId",
+      "replace")
     if (!kept.isEmpty)
       graft.sinks.Upsert.keyedUpsert(kept, idCol, store)
     ()

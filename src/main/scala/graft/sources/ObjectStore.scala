@@ -36,7 +36,17 @@ class ObjectStore(root: String,
 
   private val rootPath = new Path(root)
   private def fs: FileSystem = rootPath.getFileSystem(hadoopConf)
-  private def resolve(name: String): Path = new Path(rootPath, name)
+
+  /** Object names are opaque blob KEYS within the root, as in the GCS
+    * reference — never paths that can escape it: `Path(parent, child)`
+    * replaces the parent outright for an absolute child and normalizes
+    * `..`, so both are rejected rather than silently re-rooted. */
+  private def resolve(name: String): Path = {
+    require(name.nonEmpty && !name.startsWith("/") &&
+        !name.split('/').contains(".."),
+      s"object name must be a relative key without '..': '$name'")
+    new Path(rootPath, name)
+  }
 
   /** Upload a local file to `destName` under the store root
     * (`storage.py:34-42`). Overwrites, like `blob.upload_from_filename`. */

@@ -54,6 +54,20 @@ class ObjectStoreSpec extends SparkSpec {
     assert(back.toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("object names are opaque keys: absolute and ..-escapes rejected") {
+    val store = new ObjectStore(tmpRoot())
+    intercept[IllegalArgumentException] {
+      store.deleteFile("/etc/hosts")
+    }
+    intercept[IllegalArgumentException] {
+      store.listFiles() // ok
+      store.deleteFile("a/../../outside.txt")
+    }
+    intercept[IllegalArgumentException] {
+      store.deleteFile("")
+    }
+  }
+
   test("save failure returns false rather than throwing (storage.py:143)") {
     import spark.implicits._
     // a root under a plain FILE cannot be created -> write fails

@@ -192,6 +192,19 @@ class PlanShapeSpec extends SparkSpec {
       s"pair dedup must not haul vector payloads:\n$exchanges")
   }
 
+  test("annTopKSelf (mutual-ANN substrate): nothing broadcasts — " +
+      "queries ARE the corpus, so a broadcast would driver-materialize it") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val df = graft.ext.SimilarityOps.annTopKSelf(
+      emb, "vec_id", "embedding", k = 5, dim = 64)
+    // initial plan, pre-AQE: the LIBRARY must not request a broadcast
+    // (AQE may still convert a genuinely small runtime side — that is
+    // its call, made per-run, not a plan commitment)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("BroadcastExchange"),
+      s"self-ANN must not plan a corpus broadcast:\n$p")
+  }
+
   test("quantize bounds: one wide aggregate, no Generate node") {
     // the per-dim (min, max) stats must read the corpus at native width
     // — a posexplode would multiply the row count ×dim before partials
