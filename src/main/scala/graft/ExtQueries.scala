@@ -2826,12 +2826,18 @@ object ExtQueries {
   // Semantic decontamination: every corpus embedding screened against
   // the benchmark slice (vec_id % 29 = 0 plays the leaked eval set — it
   // remains IN the corpus, so those rows flag at sim 1.0); round-6
-  // cosine contract, closest-benchmark tie → smallest id.
+  // cosine contract, closest-benchmark tie → smallest id. The benchmark
+  // side is additionally bounded to vec_id < 2000 (a no-op at
+  // sf ≤ 0.1, where all ids are < 2000): eval benchmarks are
+  // FIXED-SIZE in practice — a 10× corpus does not grow a 10× eval
+  // set — so the registered query keeps the screen linear in the
+  // corpus, the shape the operator has at any scale (the bounded-tier
+  // convention of x_embed_mutual).
   // ---------------------------------------------------------------------
   def xDecontamSemantic(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     SimilarityOps.semanticDecontaminate(emb,
-        emb.filter(col("vec_id") % 29 === 0),
+        emb.filter(col("vec_id") % 29 === 0 && col("vec_id") < 2000),
         "vec_id", "embedding", "vec_id", "embedding", tau = 0.95)
       .orderBy(col("vec_id"))
   }
@@ -2841,7 +2847,7 @@ object ExtQueries {
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |  bench AS (SELECT vec_id AS bid, v AS bv FROM e
-      |    WHERE vec_id % 29 = 0),
+      |    WHERE vec_id % 29 = 0 AND vec_id < 2000),
       |  sims AS (SELECT c.vec_id, b.bid,
       |      round(list_dot_product(c.v, b.bv)
       |        / (sqrt(list_dot_product(c.v, c.v))
