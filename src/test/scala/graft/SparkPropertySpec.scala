@@ -232,4 +232,89 @@ class SparkPropertySpec extends SparkSpec {
         s"component ${members.values.head} split apart")
     }
   }
+
+  test("dsirSelect law: equals a naive reimplementation on random corpora") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val docGen = Gen.listOf(Gen.oneOf(vocab)).map(_.mkString(" "))
+    val docs = samples(docGen, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val target = samples(docGen, 8).filter(_.nonEmpty)
+    val m = 8
+    val out = TextOps.dsirSelect(docs.toDF("id", "txt"),
+        target.toDF("t"), "id", "txt", "t",
+        numBuckets = m, budget = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    // naive mirror: same md5 bucket, same Math.log (graft_ln IS
+    // Math.log), same floor(x*2^30) fixed point, same tie order
+    def bkt(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % m
+    }
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def fx(x: Double): Long = math.floor(x * 1073741824.0).toLong
+    val tCnt = target.flatMap(toks).groupBy(bkt).map { case (b, g) =>
+      b -> g.size.toLong }
+    val tt = tCnt.values.sum
+    val dCnt = docs.map { case (id, t) =>
+      id -> toks(t).groupBy(bkt).map { case (b, g) => b -> g.size.toLong }
+    }.toMap
+    val rCnt = dCnt.values.flatten
+      .groupBy(_._1).map { case (b, g) => b -> g.map(_._2).sum }
+    val tr = rCnt.values.sum
+    val lr = (0L until m.toLong).map { b =>
+      b -> (fx(Math.log((tCnt.getOrElse(b, 0L) + 1).toDouble /
+              (tt + m).toDouble)) -
+            fx(Math.log((rCnt.getOrElse(b, 0L) + 1).toDouble /
+              (tr + m).toDouble)))
+    }.toMap
+    val naive = docs.map { case (id, _) =>
+      val cm = dCnt(id)
+      (id, cm.values.sum, cm.map { case (b, c) => c * lr(b) }.sum)
+    }.sortBy { case (id, _, s) => (-s, id) }
+      .zipWithIndex
+      .map { case ((id, nt, s), i) => (id, nt, s, i + 1) }
+    assert(out.sortBy(_._4).toSeq == naive,
+      "dsirSelect diverged from the naive mirror")
+  }
+
+  test("semanticDecontaminate law: equals the naive max-cosine screen") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-5.0f, 5.0f))
+      .map(_.toArray).suchThat(v => v.exists(_ != 0f))
+    val corpus = samples(vecGen, 60).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+    val bench = samples(vecGen, 7).zipWithIndex
+      .map { case (v, i) => (100L + i, v.toSeq) }
+    val tau = 0.6
+    val out = graft.ext.SimilarityOps.semanticDecontaminate(
+        corpus.toDF("id", "v"), bench.toDF("bid", "bv"),
+        "id", "v", "bid", "bv", tau)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // naive mirror: graft_dot accumulates left-to-right in doubles;
+    // Spark round(_, 6) is BigDecimal HALF_UP
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    corpus.foreach { case (id, v) =>
+      val best = bench.map { case (bid, bv) => (cos(v, bv), bid) }
+        .maxBy { case (s, bid) => (s, -bid) }
+      assert(out(id) == ((best._1, best._2, best._1 > tau)),
+        s"id=$id spark=${out(id)} naive=$best")
+    }
+  }
 }
