@@ -2859,4 +2859,31 @@ object ExtQueries {
       |SELECT vec_id, mm.s AS max_sim, -mm.nb AS bench_id,
       |  mm.s > 0.95 AS contaminated
       |FROM m ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Embedding-coverage audit: per-source doc counts vs embedding rows
+  // (vec_id keys the embedded doc), integer ppm coverage, global orphan
+  // count on every row.
+  // ---------------------------------------------------------------------
+  def xEmbedCoverage(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.embeddingCoverage(t(s, dir, "documents"),
+        t(s, dir, "embeddings"), "doc_id", "source", "vec_id")
+      .orderBy(col("source"))
+
+  val xEmbedCoverageSql: String =
+    """WITH em AS (SELECT DISTINCT vec_id FROM embeddings),
+      |  j AS (SELECT d.source, d.doc_id, em.vec_id AS has
+      |    FROM documents d LEFT JOIN em ON d.doc_id = em.vec_id),
+      |  per AS (SELECT source,
+      |      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |      CAST(COUNT(has) AS BIGINT) AS n_embedded
+      |    FROM j GROUP BY source),
+      |  orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_vecs
+      |    FROM em LEFT JOIN documents d ON em.vec_id = d.doc_id
+      |    WHERE d.doc_id IS NULL)
+      |SELECT source, n_docs, n_embedded,
+      |  n_docs - n_embedded AS n_missing,
+      |  (n_embedded * 1000000) // n_docs AS cov_ppm,
+      |  n_orphan_vecs
+      |FROM per CROSS JOIN orph ORDER BY source""".stripMargin
 }

@@ -1078,6 +1078,40 @@ object SimilarityOps {
         "left_anti")
   }
 
+  /** Embedding-coverage audit: the referential-integrity report run
+    * BEFORE building any vector index — per document group, how many
+    * documents have an embedding row, how many are missing (un-embedded
+    * docs silently vanish from every ANN/semantic-dedup result), and
+    * corpus-wide, how many embedding rows point at no document (orphan
+    * vectors inflate index size and can surface deleted content).
+    *
+    * Output grain: one row per `groupCol` value with
+    * `(n_docs, n_embedded, n_missing, cov_ppm)` — coverage in integer
+    * parts-per-million via floor division, engine-exact — plus the
+    * global `n_orphan_vecs` carried on every row (1-row broadcast).
+    *
+    * Scale shape: the embedding side reduces to a DISTINCT id
+    * projection (duplicate vec rows must not double-count coverage)
+    * before a left join on the doc key — co-partitioned with the
+    * grouped count; the orphan side is one anti-join of ids only.
+    * Nothing carries vectors; both shuffles are id-sized. */
+  def embeddingCoverage(docs: DataFrame, embeddings: DataFrame,
+                        idCol: String, groupCol: String,
+                        vecIdCol: String): DataFrame = {
+    val emIds = embeddings.select(col(vecIdCol).as("_eid")).distinct()
+    val j = docs.select(col(idCol).as("_eid"), col(groupCol))
+      .join(emIds.withColumn("_has", lit(1)), Seq("_eid"), "left")
+    val per = j.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), count(col("_has")).as("n_embedded"))
+      .withColumn("n_missing", col("n_docs") - col("n_embedded"))
+      .withColumn("cov_ppm",
+        expr("(n_embedded * 1000000) div n_docs"))
+    val orphans = emIds.join(docs.select(col(idCol).as("_eid")),
+        Seq("_eid"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_vecs"))
+    per.crossJoin(broadcast(orphans))
+  }
+
   /** Semantic decontamination: flag every corpus vector whose cosine
     * similarity to ANY benchmark/eval vector exceeds `tau` — the
     * embedding-level complement of the n-gram screen

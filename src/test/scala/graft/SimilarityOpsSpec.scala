@@ -541,6 +541,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("nCand"))
   }
 
+  test("embeddingCoverage: missing docs, orphan vecs, dup vec rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web"), (2L, "web"), (3L, "web"),   // 2 of 3 embedded
+      (10L, "book"), (11L, "book")             // 0 of 2 embedded
+    ).toDF("doc_id", "source")
+    val emb = Seq(1L, 2L, 2L, 99L)             // dup row for 2; 99 orphan
+      .map(i => (i, Seq(0.1f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.embeddingCoverage(docs, emb,
+        "doc_id", "source", "vec_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // duplicate vec rows must NOT double-count doc 2
+    assert(out("web") == ((3L, 2L, 1L, 666666L, 1L)))
+    assert(out("book") == ((2L, 0L, 2L, 0L, 1L)))
+  }
+
   test("semanticDecontaminate: leak flags at 1.0, ties break to min id") {
     import spark.implicits._
     val corpus = Seq(

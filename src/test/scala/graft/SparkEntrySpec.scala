@@ -19,7 +19,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 126)
-    assert(SparkEntry.oracleSql.size == 126)
+    assert(SparkEntry.queries.size == 127)
+    assert(SparkEntry.oracleSql.size == 127)
   }
 }
