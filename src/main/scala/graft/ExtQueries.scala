@@ -2391,6 +2391,17 @@ object ExtQueries {
         col("keep"))
       .orderBy(col("doc_id"))
 
+  /** The fixed-weight classifier score over a `toks` list column —
+    * shared verbatim by the quality-classify and top-fraction oracles
+    * so the two twins cannot drift. */
+  private val clfScoreSql: String =
+    """-40 + 3 * len(list_filter(toks, x -> list_contains(
+      |      ['the','a','an','and','or','of','to','in','is','it'], x)))
+      |    + 1 * len(list_distinct(toks))
+      |    - 2 * len(list_filter(toks,
+      |        x -> regexp_full_match(x, '[0-9]+')))
+      |    - 1 * GREATEST(0, len(toks) - 150)""".stripMargin
+
   val xQualityClassifySql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
        |SELECT doc_id,
@@ -2402,19 +2413,35 @@ object ExtQueries {
        |  CAST(len(list_filter(toks,
        |    x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT)
        |    AS digit_tokens,
-       |  CAST(-40 + 3 * len(list_filter(toks, x -> list_contains(
-       |      ['the','a','an','and','or','of','to','in','is','it'], x)))
-       |    + 1 * len(list_distinct(toks))
-       |    - 2 * len(list_filter(toks,
-       |        x -> regexp_full_match(x, '[0-9]+')))
-       |    - 1 * GREATEST(0, len(toks) - 150) AS BIGINT) AS clf_score,
-       |  (-40 + 3 * len(list_filter(toks, x -> list_contains(
-       |      ['the','a','an','and','or','of','to','in','is','it'], x)))
-       |    + 1 * len(list_distinct(toks))
-       |    - 2 * len(list_filter(toks,
-       |        x -> regexp_full_match(x, '[0-9]+')))
-       |    - 1 * GREATEST(0, len(toks) - 150)) > 0 AS keep
+       |  CAST($clfScoreSql AS BIGINT) AS clf_score,
+       |  ($clfScoreSql) > 0 AS keep
        |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Per-source quality gate: keep the top 30% of each source by
+  // classifier score (exact integer ceil cut, rank ties by doc_id) —
+  // the per-domain curation step a global threshold gets wrong.
+  // ---------------------------------------------------------------------
+  def xQualityTopfrac(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityTopFraction(t(s, dir, "documents"), "doc_id", "text",
+        "source", keepPpm = 300000L)
+      .orderBy(col("source"), col("src_rank"))
+
+  val xQualityTopfracSql: String =
+    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks
+       |    FROM documents),
+       |  sc AS (SELECT doc_id, source,
+       |      CAST($clfScoreSql AS BIGINT) AS clf_score FROM t),
+       |  r AS (SELECT doc_id, source, clf_score,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |          ORDER BY clf_score DESC, doc_id) AS INTEGER)
+       |        AS src_rank,
+       |      CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+       |        AS n_group
+       |    FROM sc)
+       |SELECT doc_id, source, clf_score, src_rank, n_group,
+       |  src_rank <= (n_group * 300000 + 999999) // 1000000 AS kept
+       |FROM r ORDER BY source, src_rank""".stripMargin
 
   // ---------------------------------------------------------------------
   // Int8 scalar quantization of the embedding table: corpus-wide

@@ -1221,6 +1221,41 @@ object TextOps {
         col("_nterms").as("n_terms"))
   }
 
+  /** Per-group quality gate: keep the top `keepPpm` parts-per-million
+    * of each group by [[qualityClassify]] score — the "top 30% per
+    * domain" curation step that a single global threshold gets wrong
+    * (a global cut empties low-scoring domains entirely; per-group
+    * fractions preserve the mixture while still dropping each domain's
+    * worst tail). All rows stay visible with their rank and verdict —
+    * the same report drives the filter (`kept`) and the audit.
+    *
+    * Engine-exact: integer classifier scores, rank ties broken by id,
+    * and the cut `rank ≤ ceil(n·keepPpm/10⁶)` in integer arithmetic
+    * (`(n·keepPpm + 999999) div 10⁶`) — every group keeps at least one
+    * document for keepPpm ≥ 1.
+    *
+    * Scale shape: ONE shuffle on the group key serving both window
+    * functions (rank + group count share the partition spec). Groups
+    * are domains/sources — thousands of rows to millions; for a
+    * pathological single mega-group, swap the rank for the two-pass
+    * contiguous-id machinery ([[curriculumStages]]' shape). */
+  def qualityTopFraction(df: DataFrame, idCol: String, textCol: String,
+                         groupCol: String,
+                         keepPpm: Long = 300000L): DataFrame = {
+    require(keepPpm >= 1 && keepPpm <= 1000000L,
+      s"keepPpm must be in [1, 1000000]: $keepPpm")
+    val scored = qualityClassify(df, textCol)
+      .select(col(idCol), col(groupCol), col("clf_score"))
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val w = part.orderBy(col("clf_score").desc, col(idCol))
+    scored
+      .withColumn("src_rank", row_number().over(w))
+      .withColumn("n_group", count(lit(1)).over(part))
+      .withColumn("kept", col("src_rank") <=
+        expr(s"(n_group * $keepPpm + 999999) div 1000000"))
+  }
+
   /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): score every raw-corpus document
     * by the log importance weight of a hashed bag-of-unigrams model —

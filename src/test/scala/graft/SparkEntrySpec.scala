@@ -19,7 +19,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 127)
-    assert(SparkEntry.oracleSql.size == 127)
+    assert(SparkEntry.queries.size == 128)
+    assert(SparkEntry.oracleSql.size == 128)
   }
 }

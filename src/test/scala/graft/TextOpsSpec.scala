@@ -678,6 +678,25 @@ class TextOpsSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("qualityTopFraction: ceil cut keeps >= 1 per group; ties by id") {
+    import spark.implicits._
+    // identical text → identical clf_score → rank ties break by id
+    val docs = Seq(
+      (1L, "g1", "the cat"), (2L, "g1", "the cat"), (3L, "g1", "the cat"),
+      (10L, "g2", "solo")
+    ).toDF("id", "src", "txt")
+    val out = TextOps.qualityTopFraction(docs, "id", "txt", "src",
+        keepPpm = 300000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // g1: n=3, ceil(3*0.3)=1 kept — the tie-min id
+    assert(out(1L) == ((1, 3L, true)))
+    assert(out(2L) == ((2, 3L, false)))
+    assert(out(3L) == ((3, 3L, false)))
+    // g2: n=1, ceil(0.3)=1 — every group keeps at least one
+    assert(out(10L) == ((1, 1L, true)))
+  }
+
   test("dsirSelect: target-like docs outrank off-target; empty visible") {
     import spark.implicits._
     // words chosen collision-free under the portable md5 bucket at m=16
