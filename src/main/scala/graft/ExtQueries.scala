@@ -2391,6 +2391,71 @@ object ExtQueries {
         col("keep"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------------
+  // Cross-corpus bigram novelty: each non-src0 source scored by how
+  // many of its distinct bigrams never occur in src0 — set-cardinality
+  // identity (hash-invariant), integer-ppm ratio.
+  // ---------------------------------------------------------------------
+  def xNgramNovelty(s: SparkSession, dir: String): DataFrame =
+    TextOps.ngramNovelty(t(s, dir, "documents"), "source", "text",
+        refValue = "src0", n = 2)
+      .orderBy(col("source"))
+
+  val xNgramNoveltySql: String =
+    s"""WITH tok AS (SELECT source, $toksSql AS toks FROM documents),
+       |  big AS (SELECT source,
+       |      unnest(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS gm
+       |    FROM tok WHERE len(toks) >= 2),
+       |  refg AS (SELECT DISTINCT gm FROM big WHERE source = 'src0'),
+       |  newg AS (SELECT DISTINCT source, gm FROM big
+       |    WHERE source <> 'src0'),
+       |  tot AS (SELECT source, CAST(COUNT(*) AS BIGINT)
+       |      AS distinct_grams FROM newg GROUP BY source),
+       |  nov AS (SELECT source, CAST(COUNT(*) AS BIGINT)
+       |      AS novel_grams FROM newg
+       |    WHERE gm NOT IN (SELECT gm FROM refg) GROUP BY source),
+       |  srcs AS (SELECT DISTINCT source FROM documents
+       |    WHERE source <> 'src0'),
+       |  f AS (SELECT srcs.source, distinct_grams,
+       |      CASE WHEN distinct_grams IS NOT NULL
+       |        THEN COALESCE(novel_grams, 0) END AS novel_grams
+       |    FROM srcs LEFT JOIN tot USING (source)
+       |    LEFT JOIN nov USING (source))
+       |SELECT source, distinct_grams, novel_grams,
+       |  (novel_grams * 1000000) // distinct_grams AS novelty_ppm
+       |FROM f ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Token-distribution entropy per document (fixed-point Shannon H) —
+  // the continuous repetition signal; near-zero = template spam.
+  // ---------------------------------------------------------------------
+  def xTextEntropy(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val xTextEntropySql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk
+       |    FROM documents),
+       |  cnt AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c
+       |    FROM tok GROUP BY doc_id, tk),
+       |  per AS (SELECT doc_id,
+       |      CAST(SUM(c) AS BIGINT) AS n,
+       |      CAST(COUNT(*) AS BIGINT) AS d,
+       |      CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE)
+       |          * ln(CAST(c AS DOUBLE)) * 1073741824.0) AS BIGINT))
+       |        AS BIGINT) AS sfx
+       |    FROM cnt GROUP BY doc_id),
+       |  f AS (SELECT docs.doc_id,
+       |      COALESCE(n, 0) AS n_tokens,
+       |      COALESCE(d, 0) AS distinct_tokens,
+       |      COALESCE(CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1073741824.0)
+       |          AS BIGINT) - sfx // n, 0) AS entropy_fx
+       |    FROM documents docs LEFT JOIN per ON docs.doc_id = per.doc_id)
+       |SELECT doc_id, n_tokens, distinct_tokens, entropy_fx,
+       |  CAST(entropy_fx AS DOUBLE) / 1073741824.0 AS entropy
+       |FROM f ORDER BY doc_id""".stripMargin
+
   /** The fixed-weight classifier score over a `toks` list column —
     * shared verbatim by the quality-classify and top-fraction oracles
     * so the two twins cannot drift. */

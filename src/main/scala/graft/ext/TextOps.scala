@@ -1017,6 +1017,53 @@ object TextOps {
       .withColumnRenamed("grp", groupCol)
   }
 
+  /** Cross-corpus n-gram novelty: for every non-reference group, how
+    * many of its distinct word n-grams do NOT occur anywhere in the
+    * reference group — the crawl-refresh valuation metric ("is this
+    * new source actually new text, or a re-skin of what we have?").
+    * Near-zero novelty → the source adds duplicate mass; near-10⁶ ppm
+    * → genuinely fresh content. Groups stay visible even when they
+    * have no n-grams at all (null counts, per the diversity-report
+    * posture).
+    *
+    * Identity is the codegen'd window-hash long (the spans/diversity
+    * contract — [[distinctNgramRatios]]): counts are set cardinalities,
+    * invariant under the injective hash, so the DuckDB twin counts the
+    * same sets over gram STRINGS. Novelty ppm is integer floor
+    * division — engine-exact.
+    *
+    * Scale shape: both sides reduce to distinct (group, gram-hash) /
+    * (gram-hash) relations before the anti join — longs only, text
+    * never shuffles; the reference side's distinct relation is the
+    * only thing the join redistributes. */
+  def ngramNovelty(df: DataFrame, groupCol: String, textCol: String,
+                   refValue: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val hs = call_function("graft_hash_tokens", tokens(col(textCol)))
+    val g =
+      if (n == 1) explode(hs)
+      else explode(call_function("graft_window_hashes", hs, lit(n)))
+    val spread = graft.engine.Engine.spread(df)
+    val refG = spread.filter(col(groupCol) === refValue)
+      .select(g.as("_gh")).distinct()
+    val newG = spread.filter(col(groupCol) =!= refValue)
+      .select(col(groupCol).as("grp"), g.as("_gh")).distinct()
+    val tot = newG.groupBy(col("grp"))
+      .agg(count(lit(1)).as("distinct_grams"))
+    val novel = newG.join(refG, Seq("_gh"), "left_anti")
+      .groupBy(col("grp")).agg(count(lit(1)).as("novel_grams"))
+    df.filter(col(groupCol) =!= refValue)
+      .select(col(groupCol).as("grp")).distinct()
+      .join(tot, Seq("grp"), "left")
+      .join(novel, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("distinct_grams"),
+        // a group WITH grams but zero novel ones is 0, not null
+        when(col("distinct_grams").isNotNull,
+          coalesce(col("novel_grams"), lit(0L))).as("novel_grams"))
+      .withColumn("novelty_ppm",
+        expr("(novel_grams * 1000000) div distinct_grams"))
+  }
+
   /** PSI (population stability index) drift of a numeric column
     * between two slices — the model-monitoring staple
     * (`Σ (p_a − p_b)·ln(p_a/p_b)` over fixed buckets; > 0.2 is the
@@ -1219,6 +1266,46 @@ object TextOps {
         col("_id").as(idCol),
         (col("_sfx").cast("double") / lit(1073741824.0)).as("score"),
         col("_nterms").as("n_terms"))
+  }
+
+  /** Per-document Shannon entropy of the token distribution —
+    * `H = ln(n) − (Σ c·ln(c))/n` over per-doc token counts `c` — the
+    * continuous counterpart of [[repetitionStats]]' duplicate-fraction
+    * signals: near-zero entropy = one token repeated (template spam),
+    * entropy ≈ ln(n) = all tokens distinct. Filtering on both tails is
+    * the standard cheap gibberish/boilerplate screen.
+    *
+    * Engine-exact: each `c·ln(c)` term is `floor(c·graft_ln(c)·2³⁰)`
+    * (order-free BIGINT sum), the division is integer `div n`, and
+    * `ln(n)` is one more fixed-point term — bit-identical across
+    * engines and layouts. Documents with no tokens stay visible with
+    * entropy 0 (not dropped, not null-poisoned).
+    *
+    * Scale shape: one (doc, token) count aggregate, one per-doc
+    * aggregate — two shuffles, both keyed and map-side-combined; the
+    * final visibility join is id-sized. */
+  def tokenEntropy(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val tk = graft.engine.Engine.spread(df)
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_t"))
+      .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_c"))
+    val per = tk.groupBy(col("_id")).agg(
+      sum(col("_c")).as("_n"),
+      count(lit(1)).as("_d"),
+      sum(floor(col("_c").cast("double") *
+        call_function("graft_ln", col("_c").cast("double")) *
+        lit(1073741824.0)).cast("long")).as("_sfx"))
+    df.select(col(idCol).as("_id"))
+      .join(per, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_tokens"),
+        coalesce(col("_d"), lit(0L)).as("distinct_tokens"),
+        coalesce(
+          floor(call_function("graft_ln", col("_n").cast("double")) *
+            lit(1073741824.0)).cast("long") -
+            expr("_sfx div _n"), lit(0L)).as("entropy_fx"))
+      .withColumn("entropy",
+        col("entropy_fx").cast("double") / lit(1073741824.0))
   }
 
   /** Per-group quality gate: keep the top `keepPpm` parts-per-million

@@ -678,6 +678,48 @@ class TextOpsSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("ngramNovelty: overlap counts, all-novel, gramless group visible") {
+    import spark.implicits._
+    val docs = Seq(
+      ("ref", "a b c"),            // reference bigrams: {a b, b c}
+      ("s1", "a b x y"),           // bigrams {a b, b x, x y} → 2 novel
+      ("s2", "p q"),               // {p q} → 1 novel of 1
+      ("s3", "solo")               // no bigrams → visible, nulls
+    ).toDF("src", "txt")
+    val out = TextOps.ngramNovelty(docs, "src", "txt", refValue = "ref")
+      .collect().map { r =>
+        r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3))))
+      }.toMap
+    assert(out("s1") == ((Some(3L), Some(2L), Some(666666L))))
+    assert(out("s2") == ((Some(1L), Some(1L), Some(1000000L))))
+    assert(out("s3") == ((None, None, None)))
+    assert(!out.contains("ref"))
+  }
+
+  test("tokenEntropy: 0 for empty and single-token docs, ln(n) when " +
+      "all distinct, between otherwise") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),                   // no tokens → visible, H = 0
+      (2L, "a a a a"),            // one repeated token → H = 0
+      (3L, "a b c d"),            // all distinct → H = ln(4)
+      (4L, "a a b b")             // H = ln(2)
+    ).toDF("id", "txt")
+    val out = TextOps.tokenEntropy(docs, "id", "txt")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((0L, 0L, 0L)))
+    assert(out(2L) == ((4L, 1L, 0L)))
+    val ln4fx = math.floor(Math.log(4.0) * 1073741824.0).toLong
+    // all-distinct: sfx = 0 (every c = 1), so H_fx = fx(ln 4) exactly
+    assert(out(3L) == ((4L, 4L, ln4fx)))
+    // two pairs: H = ln(4) − (2·2·ln2·2³⁰ floored) div 4 ≈ ln 2
+    val h4 = out(4L)._3
+    assert(math.abs(h4 / 1073741824.0 - Math.log(2.0)) < 1e-6, s"$h4")
+    assert(h4 > 0L && h4 < ln4fx)
+  }
+
   test("qualityTopFraction: ceil cut keeps >= 1 per group; ties by id") {
     import spark.implicits._
     // identical text → identical clf_score → rank ties break by id
