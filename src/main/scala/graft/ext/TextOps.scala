@@ -1281,13 +1281,17 @@ object TextOps {
     * engines and layouts. Documents with no tokens stay visible with
     * entropy 0 (not dropped, not null-poisoned).
     *
-    * Scale shape: one (doc, token) count aggregate, one per-doc
-    * aggregate — two shuffles, both keyed and map-side-combined; the
-    * final visibility join is id-sized. */
+    * Scale shape: one (doc, token-hash) count aggregate, one per-doc
+    * aggregate — two shuffles, both keyed and map-side-combined, and
+    * both carrying LONGS (token identity is the codegen'd hash, the
+    * diversity-op contract: counts are hash-invariant, so strings
+    * never shuffle); the final visibility join is id-sized. */
   def tokenEntropy(df: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
     val tk = graft.engine.Engine.spread(df)
-      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_t"))
+      .select(col(idCol).as("_id"),
+        explode(call_function("graft_hash_tokens",
+          tokens(col(textCol)))).as("_t"))
       .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_c"))
     val per = tk.groupBy(col("_id")).agg(
       sum(col("_c")).as("_n"),

@@ -265,6 +265,22 @@ class PlanShapeSpec extends SparkSpec {
       s"curriculum must not plan a global window:\n$p")
   }
 
+  test("entropy/novelty: gram identity shuffles as longs, not strings") {
+    // both ops reduce text to codegen'd hash longs BEFORE their
+    // grouping/anti-join shuffles — token/gram strings never cross
+    // the network (the spans/diversity discipline)
+    Seq(ExtQueries.xTextEntropy _, ExtQueries.xNgramNovelty _)
+      .foreach { q =>
+        val p = plan(q(spark, fixtureDir))
+        val exchanges = p.linesIterator
+          .filter(_.contains("hashpartitioning")).mkString("\n")
+        assert(!exchanges.contains("_t#") || !exchanges.contains("string"),
+          s"token identity must shuffle as longs:\n$exchanges")
+        assert(!exchanges.contains("text"),
+          s"raw text must never be a shuffle key:\n$exchanges")
+      }
+  }
+
   test("dsir: ratio table broadcasts; budget cut is a TakeOrdered") {
     val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
     val df = graft.ext.TextOps.dsirSelect(docs,
