@@ -2955,7 +2955,8 @@ object ExtQueries {
   // ---------------------------------------------------------------------
   // Embedding-coverage audit: per-source doc counts vs embedding rows
   // (vec_id keys the embedded doc), integer ppm coverage, global orphan
-  // count on every row.
+  // count on every row. NOT to be confused with x_embed_cov, the
+  // covariance-matrix query — "cov" there abbreviates covariance.
   // ---------------------------------------------------------------------
   def xEmbedCoverage(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.embeddingCoverage(t(s, dir, "documents"),

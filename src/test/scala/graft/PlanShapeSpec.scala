@@ -268,17 +268,25 @@ class PlanShapeSpec extends SparkSpec {
   test("entropy/novelty: gram identity shuffles as longs, not strings") {
     // both ops reduce text to codegen'd hash longs BEFORE their
     // grouping/anti-join shuffles — token/gram strings never cross
-    // the network (the spans/diversity discipline)
-    Seq(ExtQueries.xTextEntropy _, ExtQueries.xNgramNovelty _)
-      .foreach { q =>
-        val p = plan(q(spark, fixtureDir))
-        val exchanges = p.linesIterator
-          .filter(_.contains("hashpartitioning")).mkString("\n")
-        assert(!exchanges.contains("_t#") || !exchanges.contains("string"),
-          s"token identity must shuffle as longs:\n$exchanges")
-        assert(!exchanges.contains("text"),
-          s"raw text must never be a shuffle key:\n$exchanges")
-      }
+    // the network (the spans/diversity discipline). Attributes render
+    // as `name#<id>L` for longs, `name#<id>` (no suffix) for strings —
+    // assert the hash column IS a shuffle key and IS a long.
+    def hashKeyed(q: (org.apache.spark.sql.SparkSession, String) =>
+        DataFrame, key: String): Unit = {
+      val p = plan(q(spark, fixtureDir))
+      val exchanges = p.linesIterator
+        .filter(_.contains("hashpartitioning")).mkString("\n")
+      val keyAsLong = (key + "#\\d+L").r
+      assert(keyAsLong.findFirstIn(exchanges).isDefined,
+        s"expected $key as a LONG shuffle key:\n$exchanges")
+      val keyAsString = (key + "#\\d+(?!L|\\d)").r
+      assert(keyAsString.findFirstIn(exchanges).isEmpty,
+        s"$key shuffles as a string (hash step dropped?):\n$exchanges")
+      assert(!exchanges.contains("text"),
+        s"raw text must never be a shuffle key:\n$exchanges")
+    }
+    hashKeyed(ExtQueries.xTextEntropy _, "_t")
+    hashKeyed(ExtQueries.xNgramNovelty _, "_gh")
   }
 
   test("dsir: ratio table broadcasts; budget cut is a TakeOrdered") {
