@@ -283,6 +283,92 @@ class SparkPropertySpec extends SparkSpec {
       "dsirSelect diverged from the naive mirror")
   }
 
+  test("tokenEntropy law: equals the naive fixed-point H on random docs") {
+    import spark.implicits._
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docGen = Gen.listOf(Gen.oneOf(vocab)).map(_.mkString(" "))
+    val docs = samples(docGen, 250).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = TextOps.tokenEntropy(docs.toDF("id", "txt"), "id", "txt")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def fx(x: Double): Long = math.floor(x * 1073741824.0).toLong
+    docs.foreach { case (id, t) =>
+      val cs = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .groupBy(identity).map(_._2.length.toLong)
+      val n = cs.sum
+      val expected =
+        if (n == 0) (0L, 0L, 0L)
+        else {
+          val sfx = cs.map(c => fx(c.toDouble * Math.log(c.toDouble))).sum
+          (n, cs.size.toLong, fx(Math.log(n.toDouble)) - sfx / n)
+        }
+      assert(out(id) == expected, s"id=$id got=${out(id)} want=$expected")
+    }
+  }
+
+  test("ngramNovelty law: equals naive bigram set arithmetic") {
+    import spark.implicits._
+    val vocab = Vector("x1", "x2", "x3", "y1", "y2")
+    val docGen = Gen.listOf(Gen.oneOf(vocab)).map(_.mkString(" "))
+    val rows = samples(Gen.zip(Gen.oneOf("ref", "s1", "s2", "s3"),
+      docGen), 200)
+    val out = TextOps.ngramNovelty(rows.toDF("src", "txt"),
+        "src", "txt", refValue = "ref")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    def bigrams(t: String): Set[(String, String)] = {
+      val tk = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      tk.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSet
+    }
+    val bySrc = rows.groupBy(_._1).view
+      .mapValues(_.flatMap(r => bigrams(r._2)).toSet).toMap
+    val ref = bySrc.getOrElse("ref", Set.empty)
+    bySrc.keys.filter(_ != "ref").foreach { s =>
+      val g = bySrc(s)
+      val expected =
+        if (g.isEmpty) ((None, None, None))
+        else {
+          val novel = (g -- ref).size.toLong
+          ((Some(g.size.toLong), Some(novel),
+            Some(novel * 1000000L / g.size)))
+        }
+      assert(out(s) == expected, s"src=$s got=${out(s)} want=$expected")
+    }
+  }
+
+  test("qualityTopFraction law: equals naive scoring + per-group ceil cut") {
+    import spark.implicits._
+    val vocab = Vector("the", "cat", "runs", "42", "007", "of", "data")
+    val docGen = Gen.listOf(Gen.oneOf(vocab)).map(_.mkString(" "))
+    val rows = samples(Gen.zip(Gen.oneOf("a", "b", "c"), docGen), 150)
+      .zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+    val ppm = 300000L
+    val out = TextOps.qualityTopFraction(rows.toDF("id", "grp", "txt"),
+        "id", "txt", "grp", keepPpm = ppm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val stop = Set("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it")
+    def score(t: String): Long = {
+      val tk = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      -40L + 3L * tk.count(stop) + tk.distinct.length.toLong -
+        2L * tk.count(_.matches("[0-9]+")) -
+        math.max(0L, tk.length.toLong - 150L)
+    }
+    rows.groupBy(_._2).values.foreach { grp =>
+      val ranked = grp.map(r => (r._1, score(r._3)))
+        .sortBy { case (id, s) => (-s, id) }
+      val n = ranked.size.toLong
+      val cut = (n * ppm + 999999L) / 1000000L
+      ranked.zipWithIndex.foreach { case ((id, _), i) =>
+        val expected = ((i + 1, n, (i + 1) <= cut))
+        assert(out(id) == expected,
+          s"id=$id got=${out(id)} want=$expected")
+      }
+    }
+  }
+
   test("semanticDecontaminate law: equals the naive max-cosine screen") {
     import spark.implicits._
     val vecGen = Gen.listOfN(4, Gen.chooseNum(-5.0f, 5.0f))
