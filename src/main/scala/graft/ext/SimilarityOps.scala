@@ -895,10 +895,17 @@ object SimilarityOps {
     * Package-private so PlanShapeSpec can pin the explode-free shape. */
   private[graft] def quantizeStatsFrame(vecs: DataFrame,
                                         dim: Int): DataFrame = {
+    // probes are size-guarded: under ANSI (Spark 4 default) a bare
+    // element_at past the end of a SHORT vector would kill the whole
+    // stats job with an opaque executor ArrayIndexOutOfBounds before
+    // quantizeInt8's ragged-corpus require can produce a real message
+    def at(i: Int): Column =
+      when(size(col("_v")) > i, element_at(col("_v"), i + 1))
     val aggs = (0 until dim).flatMap(i => Seq(
-      min(element_at(col("_v"), i + 1)).as(s"_mn$i"),
-      max(element_at(col("_v"), i + 1)).as(s"_mx$i"))) :+
-      max(size(col("_v"))).as("_maxlen")
+      min(at(i)).as(s"_mn$i"),
+      max(at(i)).as(s"_mx$i"))) ++ Seq(
+      max(size(col("_v"))).as("_maxlen"),
+      min(size(col("_v"))).as("_minlen"))
     vecs.groupBy().agg(aggs.head, aggs.tail: _*)
   }
 
@@ -910,10 +917,16 @@ object SimilarityOps {
     val row = quantizeStatsFrame(vecs, dim).collect()(0)
     // longer vectors would be SILENTLY truncated by the per-dim probes
     // (the r9-review regression the old posexplode path caught by row
-    // count) — reject them loudly; shorter ones surface as null bounds
+    // count) — and in a RAGGED corpus mixing exact-dim and shorter
+    // vectors, max(size) alone still passes while the short vectors
+    // feed nulls into trailing-dim min/max (stats over partial data,
+    // null-quantized tails). Both directions must fail loudly:
     require(row.isNullAt(2 * dim) || row.getInt(2 * dim) == dim,
-      s"quantizeInt8: vectors have ${row.getInt(2 * dim)} dims, " +
+      s"quantizeInt8: vectors have up to ${row.getInt(2 * dim)} dims, " +
         s"expected dim=$dim")
+    require(row.isNullAt(2 * dim + 1) || row.getInt(2 * dim + 1) == dim,
+      s"quantizeInt8: corpus is ragged — shortest vector has " +
+        s"${row.getInt(2 * dim + 1)} dims, expected dim=$dim")
     val stats = (0 until dim).map { i =>
       require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
         s"quantizeInt8: no values for dim ${i + 1} — empty corpus or " +

@@ -38,14 +38,27 @@ class ObjectStore(root: String,
   private def fs: FileSystem = rootPath.getFileSystem(hadoopConf)
 
   /** Object names are opaque blob KEYS within the root, as in the GCS
-    * reference — never paths that can escape it: `Path(parent, child)`
-    * replaces the parent outright for an absolute child and normalizes
-    * `..`, so both are rejected rather than silently re-rooted. */
+    * reference — never paths that can escape it. Three escape routes
+    * exist through `Path(parent, child)` and all are rejected rather
+    * than silently re-rooted: an absolute child replaces the parent
+    * outright; `..` segments climb out during normalization; and a
+    * SCHEME-QUALIFIED child (`file:/etc/passwd`, `gs://other-bucket/x`)
+    * also replaces the parent outright — its URI is absolute even
+    * though the string has no leading '/'. A colon before the first
+    * '/' is exactly what `java.net.URI` parses as a scheme, so such
+    * names are refused up front; belt-and-braces, the resolved path is
+    * then verified to still sit under the qualified root. */
   private def resolve(name: String): Path = {
+    val firstSlash = { val i = name.indexOf('/'); if (i < 0) name.length else i }
     require(name.nonEmpty && !name.startsWith("/") &&
-        !name.split('/').contains(".."),
-      s"object name must be a relative key without '..': '$name'")
-    new Path(rootPath, name)
+        !name.split('/').contains("..") &&
+        name.lastIndexOf(':', firstSlash - 1) < 0,
+      s"object name must be a scheme-less relative key without '..': '$name'")
+    val resolved = fs.makeQualified(new Path(rootPath, name))
+    val qualifiedRoot = fs.makeQualified(rootPath).toString
+    require(resolved.toString.startsWith(qualifiedRoot + "/"),
+      s"object name resolves outside the store root: '$name'")
+    resolved
   }
 
   /** Upload a local file to `destName` under the store root
@@ -109,9 +122,15 @@ class ObjectStore(root: String,
     }
   }
 
-  /** Read a parquet object back (`storage.py:152-190`). Raises on a
-    * missing path — the reference's read path does NOT swallow
-    * (`db_core.py:366-367` taxonomy: reads raise, ingest swallows). */
+  /** Read a parquet object back (`storage.py:152-190`). DELIBERATE
+    * DEVIATION: the reference returns an empty DataFrame both when the
+    * blob is missing and on any read exception (`storage.py:168-190`)
+    * — which makes "object deleted" indistinguishable from "object
+    * present and empty" and lets credential/connector failures
+    * masquerade as empty data. Here a missing path raises (the
+    * `db_core.py:366-367` read-path posture); callers that want the
+    * reference's empty-frame fallback compose
+    * [[Sources.readParquetOrEmpty]]. */
   def readParquet(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(resolve(name).toString)
 }

@@ -68,6 +68,27 @@ class ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("scheme-qualified names cannot replace the root (r9-review fix)") {
+    val root = tmpRoot()
+    val store = new ObjectStore(root)
+    // Path(parent, child) swaps in an absolute child URI wholesale —
+    // without the scheme guard these would operate OUTSIDE the root
+    val victim = Files.createTempFile("victim", ".txt")
+    Files.writeString(victim, "do-not-delete")
+    Seq(s"file:$victim", s"file://$victim", "gs://bucket/other/x",
+        "hdfs://nn:8020/x", "file:relative-but-schemed").foreach { n =>
+      val e = intercept[IllegalArgumentException](store.deleteFile(n))
+      assert(e.getMessage.contains("scheme-less") ||
+        e.getMessage.contains("outside the store root"), s"$n: $e")
+    }
+    assert(Files.readString(victim) == "do-not-delete")
+    // a colon AFTER the first slash is not a scheme — still a valid key
+    val local = Files.createTempFile("up", ".txt")
+    Files.writeString(local, "x")
+    store.uploadFile(local.toString, "data/ts=12:30:00.txt")
+    assert(store.listFiles() == Seq("data/ts=12:30:00.txt"))
+  }
+
   test("save failure returns false rather than throwing (storage.py:143)") {
     import spark.implicits._
     // a root under a plain FILE cannot be created -> write fails

@@ -425,6 +425,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(re.toSeq == out.toSeq)
   }
 
+  test("quantizeInt8 rejects ragged corpora in BOTH directions") {
+    import spark.implicits._
+    // longer-than-dim: silently-truncated tail (r9 guard)
+    val long = Seq((0L, Seq(0.0, 1.0, 2.0)), (1L, Seq(3.0, 4.0, 5.0)))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.quantizeInt8(long, "id", "v", dim = 2)
+    }
+    // MIXED exact-dim and shorter: max(size)==dim passes the old guard
+    // while short vectors null-poison trailing-dim stats (review fix)
+    val ragged = Seq((0L, Seq(0.0, 1.0)), (1L, Seq(3.0)))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.quantizeInt8(ragged, "id", "v", dim = 2)
+    }
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+  }
+
   test("mmrRerank trades relevance for diversity; k bounded; layout-exact") {
     import spark.implicits._
     // query 0 = (1,0,0); candidates 1 and 2 are near-clones of each
