@@ -1772,32 +1772,67 @@ object ExtQueries {
        |FROM fx GROUP BY ta, tb, v""".stripMargin
 
   // ---------------------------------------------------------------------
-  // CCNet's head/middle/tail cut: NTILE(3) over the LM fluency score
-  // (Wenzek et al. 2020 §4.3 bucket corpora by reference-LM perplexity
-  // and mix by bucket). Order is (mean_nll, doc_id) — total, so the
-  // tile assignment is deterministic and the oracle reproduces it
-  // exactly on the bit-identical scores. Scale note: the global NTILE
-  // serializes one sort — at 100 TB cut by exact/approx percentile
-  // THRESHOLDS of mean_nll instead (the winsorize pattern), which
-  // keeps bucketing a narrow projection; exercised here in the
-  // oracle-exact global form.
+  // CCNet's head/middle/tail cut: NTILE(3)-exact tiling over the LM
+  // fluency score (Wenzek et al. 2020 §4.3 bucket corpora by
+  // reference-LM perplexity and mix by bucket). Order is
+  // (mean_nll, doc_id) — total, so the tile assignment is deterministic
+  // and the oracle reproduces it exactly on the bit-identical scores.
+  // r10: the global-window NTILE (every row to ONE task) is replaced by
+  // TextOps.scoreTiles — the two-pass contiguous-rank shape + integer
+  // tile arithmetic, SAME semantics (the unchanged NTILE oracle proves
+  // it), no partition-less window anywhere (PlanShapeSpec pins this).
+  // The threshold form (x_text_ppl_thresh) is the other 100 TB cut.
   // ---------------------------------------------------------------------
   def xTextPplBuckets(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val scored = TextOps.lmScore(d, d.filter(col("source") === "src0"),
       "doc_id", "text")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("mean_nll"), col("doc_id"))
-    scored.withColumn("_t", ntile(3).over(w))
+    TextOps.scoreTiles(scored, "doc_id", "mean_nll", k = 3)
       .withColumn("bucket",
-        when(col("_t") === 1, "head")
-          .when(col("_t") === 2, "middle")
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
           .otherwise("tail"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("mean_nll")).as("min_nll"),
         max(col("mean_nll")).as("max_nll"))
       .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------------
+  // The percentile-THRESHOLD form of the same cut — the plan that runs
+  // at 100 TB: one exact-percentile aggregate (DuckDB quantile_cont
+  // twins Spark's exact `percentile`, the q_percentiles-proven
+  // pairing), 1-row broadcast bounds, narrow when-chain bucketing.
+  // Boundary-tie semantics differ from NTILE by design (ties share a
+  // bucket); the oracle certifies exactly this form.
+  // ---------------------------------------------------------------------
+  def xTextPplThresh(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = TextOps.lmScore(d, d.filter(col("source") === "src0"),
+      "doc_id", "text")
+    TextOps.nllBucketsByThreshold(scored, "mean_nll")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("mean_nll")).as("min_nll"),
+        max(col("mean_nll")).as("max_nll"))
+      .orderBy(col("bucket"))
+  }
+
+  // lazy: shares the scoring CTE chain with xTextLmscoreSql (declared
+  // later in the file; object vals initialize in order).
+  lazy val xTextPplThreshSql: String = {
+    val scored = xTextLmscoreSql.replace("ORDER BY doc_id", "")
+    s"""WITH scored AS ($scored),
+       |  b AS (SELECT quantile_cont(mean_nll, 1.0/3) AS t1,
+       |      quantile_cont(mean_nll, 2.0/3) AS t2 FROM scored)
+       |SELECT CASE WHEN mean_nll <= t1 THEN 'head'
+       |            WHEN mean_nll <= t2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(mean_nll) AS min_nll, MAX(mean_nll) AS max_nll
+       |FROM scored CROSS JOIN b GROUP BY 1
+       |ORDER BY bucket""".stripMargin
   }
 
   // lazy: shares the scoring CTE chain with xTextLmscoreSql, which is

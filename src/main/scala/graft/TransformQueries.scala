@@ -273,11 +273,13 @@ object TransformQueries {
   // CSV write (K3) → delimiter-sniffed read (S2), and the keyed DSv2
   // write path → pushdown scan (S7), each verified end-to-end by DuckDB
   // reading the SAME on-disk artifact the Spark side produced. Artifacts
-  // land under /tmp keyed by the sf-dir basename; the oracle SQL pins the
-  // sf0.01 path because that is the driver's correctness gate scale.
+  // land under one SF-INDEPENDENT scratch dir, overwritten per run, so
+  // the static oracle SQL reads the artifact of whichever SF just ran —
+  // valid at the driver's sf0.01 gate AND the extended sf0.1 sweep
+  // (r9: basename-keyed paths left the sweep reading stale sf0.01
+  // artifacts, 128/130).
   // ---------------------------------------------------------------------
-  private def rtDir(dir: String): String =
-    "/tmp/graft_rt/" + new java.io.File(dir).getName
+  private def rtDir(dir: String): String = "/tmp/graft_rt/current"
 
   /** CSV round-trip: project 4 customer columns, write with ';' (K3),
     * sniff the delimiter back (S2) and read (S1). Types are re-cast after
@@ -298,7 +300,7 @@ object TransformQueries {
   val tCsvRoundtripSql: String =
     """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
       |  CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
-      |FROM read_csv('/tmp/graft_rt/sf0.01/customer_csv/*.csv',
+      |FROM read_csv('/tmp/graft_rt/current/customer_csv/*.csv',
       |              delim=';', header=true)""".stripMargin
 
   /** Keyed-store round-trip: write orders through the DSv2 write path
@@ -320,7 +322,7 @@ object TransformQueries {
 
   val tKeyedPushdownSql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-      |FROM read_json('/tmp/graft_rt/sf0.01/orders_keyed/shard-*.json',
+      |FROM read_json('/tmp/graft_rt/current/orders_keyed/shard-*.json',
       |               format='newline_delimited')
       |WHERE o_orderstatus = 'F'
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin

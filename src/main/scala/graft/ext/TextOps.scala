@@ -687,6 +687,72 @@ object TextOps {
           lit(1073741824.0)).as("mean_nll"))
   }
 
+  /** Exact k-tile assignment over a scored frame — NTILE(k) ordered by
+    * `(scoreCol, idCol)`, WITHOUT the partition-less window that NTILE
+    * plans (Spark moves every row to ONE task for an unpartitioned
+    * window — a stop, not a straggler, at 100 TB). Instead the global
+    * rank comes from [[graft.transform.Ids.assignContiguousIds]]'s
+    * two-pass shape: range-partition by the order key (partitions are
+    * globally ordered, each sorted in parallel), per-partition counts →
+    * driver prefix sums (#partitions longs), then `offset + local index`
+    * — no single-partition stage anywhere. The tile is then pure integer
+    * arithmetic on the rank, reproducing SQL NTILE's ragged-edge rule
+    * exactly (first `n mod k` tiles get `⌈n/k⌉` rows): the oracle for
+    * the window form verifies this form unchanged.
+    *
+    * Appends `tile` (1-based int). Total row count rides along as a
+    * 1-row broadcast from an aggregate over the checkpointed ranked
+    * frame (cheap: lineage is truncated, nothing recomputes). */
+  def scoreTiles(scored: DataFrame, idCol: String, scoreCol: String,
+                 k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ranked = graft.transform.Ids.assignContiguousIds(
+      scored, struct(col(scoreCol), col(idCol)), "_rk0", 0L)
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("_rk", col("_rk0") + 1)
+      .withColumn("_q", expr(s"_n div $k"))
+      .withColumn("_cut", (col("_n") % k) * (col("_q") + 1))
+      // ranks 1.._cut sit in the first (n mod k) tiles of size q+1; the
+      // rest in size-q tiles. The q=0 branch (n < k) never reaches the
+      // otherwise-division: every rank is <= _cut when q = 0.
+      .withColumn("tile",
+        when(col("_rk") <= col("_cut"),
+          expr("(_rk - 1) div (_q + 1)") + lit(1L))
+          .otherwise(col("_n") % k +
+            expr("(_rk - _cut - 1) div _q") + lit(1L))
+          .cast("int"))
+      .drop("_rk0", "_rk", "_n", "_q", "_cut")
+  }
+
+  /** CCNet head/middle/tail bucketing by percentile THRESHOLDS — the
+    * 100 TB form of the perplexity cut (Wenzek et al. 2020 §4.3): one
+    * exact-percentile aggregate over the fluency score (the
+    * [[graft.transform.Sanitize.winsorize]] pattern — at extreme scale
+    * swap `percentile` for `approx_percentile`, same plan shape),
+    * broadcast the 1-row (t1, t2) bounds, and bucket with a narrow
+    * when-chain projection. No window, no global sort, no
+    * single-partition stage; the corpus streams once through a
+    * codegen'd comparison.
+    *
+    * Differs from the NTILE form ([[scoreTiles]]) only at exact-tie
+    * boundaries: every document with score <= t1 is 'head' (ties share
+    * a bucket), where NTILE splits ties to hit exact tile sizes.
+    * Appends `bucket` plus the band edges `nll_t1`/`nll_t2`. */
+  def nllBucketsByThreshold(scored: DataFrame,
+                            nllCol: String): DataFrame = {
+    val bounds = scored.agg(
+        percentile(col(nllCol).cast("double"),
+          array(lit(1.0 / 3), lit(2.0 / 3))).as("_pb"))
+      .select(element_at(col("_pb"), 1).as("nll_t1"),
+        element_at(col("_pb"), 2).as("nll_t2"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col(nllCol) <= col("nll_t1"), "head")
+          .when(col(nllCol) <= col("nll_t2"), "middle")
+          .otherwise("tail"))
+  }
+
   /** Fixed-size token chunking with overlap — the RAG / context-window
     * preparation primitive: split each document into windows of
     * `chunkTokens` tokens advancing by `chunkTokens - overlapTokens`,

