@@ -1391,11 +1391,15 @@ object TextOps {
     * (`(n·keepPpm + 999999) div 10⁶`) — every group keeps at least one
     * document for keepPpm ≥ 1.
     *
-    * Scale shape: ONE shuffle on the group key serving both window
-    * functions (rank + group count share the partition spec). Groups
-    * are domains/sources — thousands of rows to millions; for a
-    * pathological single mega-group, swap the rank for the two-pass
-    * contiguous-id machinery ([[curriculumStages]]' shape). */
+    * Scale shape (r10, mega-group-safe): a per-group rank window
+    * (`row_number().over(partitionBy(group))`) sends EACH GROUP to one
+    * task — real web corpora are domain-skewed, so one domain can be a
+    * double-digit share of the corpus. The rank instead comes from
+    * [[graft.transform.Ids.assignGroupedRanks]]: range-partition by
+    * (group, score desc, id) so a mega-group SPANS partitions, count
+    * per (partition, group), prefix-sum offsets over that tiny counts
+    * relation, attach offset + local index. No per-group task anywhere;
+    * PlanShapeSpec pins the absence of a corpus-frame window. */
   def qualityTopFraction(df: DataFrame, idCol: String, textCol: String,
                          groupCol: String,
                          keepPpm: Long = 300000L): DataFrame = {
@@ -1403,14 +1407,14 @@ object TextOps {
       s"keepPpm must be in [1, 1000000]: $keepPpm")
     val scored = qualityClassify(df, textCol)
       .select(col(idCol), col(groupCol), col("clf_score"))
-    val part = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-    val w = part.orderBy(col("clf_score").desc, col(idCol))
-    scored
-      .withColumn("src_rank", row_number().over(w))
-      .withColumn("n_group", count(lit(1)).over(part))
+    graft.transform.Ids.assignGroupedRanks(scored, groupCol,
+        Seq(col("clf_score").desc, col(idCol).asc),
+        rankName = "_rk", countName = "n_group")
+      .withColumn("src_rank", col("_rk").cast("int")).drop("_rk")
       .withColumn("kept", col("src_rank") <=
         expr(s"(n_group * $keepPpm + 999999) div 1000000"))
+      .select(col(idCol), col(groupCol), col("clf_score"),
+        col("src_rank"), col("n_group"), col("kept"))
   }
 
   /** DSIR data selection (Xie et al. 2023, "Data Selection for Language

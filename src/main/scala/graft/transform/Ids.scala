@@ -68,6 +68,99 @@ object Ids {
     } finally rdd.unpersist(blocking = false)
   }
 
+  /** PER-GROUP dense ranks without a per-group window — the mega-group-
+    * safe form of `row_number().over(partitionBy(group))`, which sends
+    * every row of a group to ONE task (real web corpora are domain-
+    * skewed; one domain can be a double-digit share of the corpus).
+    *
+    * Same two-pass shape as [[assignContiguousIds]], generalized:
+    * range-partition by `(group, orderCols…)` (so each group occupies a
+    * CONTIGUOUS run of partitions and big groups SPAN many), count rows
+    * per (partition, group) — a #partitions + #groups sized relation,
+    * never a driver map — turn those into per-group prefix offsets with
+    * a window over the tiny counts table (partitioned by group, at most
+    * #partitions rows per key), and attach `offset + local index` in one
+    * more partition-local pass. Appends `rankName` (1-based, dense in
+    * rank-of-(orderCols) order, long) and `countName` (group size,
+    * long).
+    *
+    * Both derived frames are eagerly localCheckpoint-ed while the sorted
+    * RDD is pinned (the [[assignContiguousIds]] correctness anchor: the
+    * range partitioner samples at runtime, so recomputing lineage after
+    * unpersist could shift rows across partitions and desync the counts
+    * from the indices). Null group keys rank like any other key. */
+  def assignGroupedRanks(df: DataFrame, groupCol: String,
+                         orderCols: Seq[Column],
+                         rankName: String = "grp_rank",
+                         countName: String = "n_group"): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.rdd.getNumPartitions.max(1)
+    val gi = df.schema.fieldIndex(groupCol)
+    val sortKeys = col(groupCol) +: orderCols
+    val sorted = df.repartitionByRange(n, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+    val rdd = sorted.rdd
+    rdd.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val gType = df.schema(groupCol).dataType
+      // Pass 1: (partition, group, count) — rows arrive group-contiguous
+      val cntRows = rdd.mapPartitionsWithIndex { (i, it) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var cur: Any = null; var c = 0L; var any = false
+        while (it.hasNext) {
+          val g = it.next().get(gi)
+          if (any && java.util.Objects.equals(g, cur)) c += 1
+          else {
+            if (any) out += Row(i, cur, c)
+            cur = g; c = 1L; any = true
+          }
+        }
+        if (any) out += Row(i, cur, c)
+        out.iterator
+      }
+      val cntSchema = StructType(Seq(
+        StructField("_p", org.apache.spark.sql.types.IntegerType, false),
+        StructField("_g", gType, true),
+        StructField("_c", LongType, false)))
+      val cnts = spark.createDataFrame(cntRows, cntSchema)
+        .localCheckpoint(eager = true)
+      // Pass 2: attach (partition, 1-based local index within the
+      // group's run inside this partition)
+      val withIdx = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cur: Any = null; var j = 0L; var any = false
+        it.map { r =>
+          val g = r.get(gi)
+          if (any && java.util.Objects.equals(g, cur)) j += 1
+          else { cur = g; j = 1L; any = true }
+          // Seq[Any]: Seq(i, j) would WIDEN the Int partition index to
+          // Long and break the IntegerType row encoder
+          Row.fromSeq(r.toSeq ++ Seq[Any](i, j))
+        }
+      }
+      val idxSchema = StructType(sorted.schema.fields ++ Seq(
+        StructField("_p", org.apache.spark.sql.types.IntegerType, false),
+        StructField("_j", LongType, false)))
+      val idxDf = spark.createDataFrame(withIdx, idxSchema)
+        .localCheckpoint(eager = true)
+      // per-group prefix offsets: a window over the COUNTS relation only
+      // (≤ #partitions rows per group key — never corpus-sized)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_g")).orderBy(col("_p"))
+      val off = cnts
+        .withColumn("_off", org.apache.spark.sql.functions.sum(col("_c"))
+          .over(w) - col("_c"))
+        .withColumn(countName, org.apache.spark.sql.functions.sum(col("_c"))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_g"))))
+        .select(col("_p"), col("_g"), col("_off"), col(countName))
+      idxDf.join(off,
+          idxDf("_p") === off("_p") && (idxDf(groupCol) <=> off("_g")),
+          "inner")
+        .withColumn(rankName, col("_off") + col("_j"))
+        .drop("_p", "_g", "_off", "_j")
+    } finally rdd.unpersist(blocking = false)
+  }
+
   /** Reference composition (`data_core.py:169`): continue ids after the
     * current max of an existing id column. */
   def appendIdsAfterMax(existing: DataFrame, newRows: DataFrame,

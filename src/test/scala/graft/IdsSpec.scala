@@ -48,6 +48,33 @@ class IdsSpec extends SparkSpec {
       s"persistent RDDs leaked after results became unreachable: $extra")
   }
 
+  test("assignGroupedRanks: skewed + null groups rank like row_number") {
+    import spark.implicits._
+    // one mega-group (4/5 of rows), one tiny group, one NULL group —
+    // ranks and group sizes must equal the window form's
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 400).map(i =>
+      (i.toLong, if (i % 5 == 4) "tiny" else "mega", rnd.nextInt(7))) ++
+      Seq((400L, null, 1), (401L, null, 0))
+    val df = rows.toDF("id", "g", "s").repartition(7)
+    val got = Ids.assignGroupedRanks(df, "g",
+        Seq(col("s").desc, col("id").asc), "rk", "ng")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("rk")), r.getLong(r.fieldIndex("ng"))))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("s").desc, col("id").asc)
+    val want = df
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .withColumn("ng", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(r.fieldIndex("rk")).toLong, r.getLong(r.fieldIndex("ng"))))
+      .toMap
+    assert(got == want)
+  }
+
   test("appendIdsAfterMax continues after the existing max") {
     import spark.implicits._
     val existing = Seq(3L, 9L, 7L).toDF("id")

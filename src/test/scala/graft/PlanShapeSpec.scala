@@ -303,6 +303,23 @@ class PlanShapeSpec extends SparkSpec {
       s"budget cut must plan as TakeOrdered, not a global sort:\n$p")
   }
 
+  test("quality gate: no window over the corpus frame (r9 weak #3 closed)") {
+    // the per-group rank must come from the two-pass grouped-rank
+    // machinery; the only windows left partition the tiny
+    // (partition, group, count) relation (keys _g/_p) — a window
+    // keyed on the raw group column over corpus rows would re-create
+    // the one-task-per-domain shape
+    val df = ExtQueries.xQualityTopfrac(spark, fixtureDir)
+    df.collect()
+    val f = formatted(df)
+    assert(!f.contains("windowspecdefinition(source"),
+      s"corpus-frame window over the group column is back:\n$f")
+    val winLines = f.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(_.contains("_g")),
+      s"every window must ride the counts relation:\n${winLines.mkString("\n")}")
+  }
+
   test("ppl bucket cuts plan NO window at all (r9 weak #1 closed)") {
     // r9 verdict: the registered bucket cut used NTILE over an
     // unpartitioned window — Spark moves EVERY row to one task. Both
