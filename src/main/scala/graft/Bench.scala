@@ -52,7 +52,13 @@ object Bench {
     catch { case _: Throwable => () }
     var errors = Map.empty[String, String]
     var codegenFails = Map.empty[String, Int]
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-loop subset filter (comma-separated names) — the driver never
+    // sets it; used for targeted retimes (sf1/sf10 probes).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries
+      .filter(kv => only.forall(_.contains(kv._1)))
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cg0 = CodegenErrorCounter.count.get()
       val t0 = System.nanoTime()
       try { force(fn(spark, sfDir)) } catch {

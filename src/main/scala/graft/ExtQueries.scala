@@ -2072,8 +2072,12 @@ object ExtQueries {
       (col("vec_id") + 10000).as("vec_id"),
       concat(array(element_at(col("v"), 1) + lit(0.25)),
         slice(col("v"), 2, 63)).as("v"))
-    SimilarityOps.semDedup(e.unionAll(pert), "vec_id", "v",
-        nCentroids = 16, tau = 0.95)
+    // r10: size-derived centroid count (constant ~128-vector cells).
+    // At the sf0.01/sf0.1 gate scales this derives the SAME k=16 as the
+    // old fixed count — identical output — while a 10x corpus gets 10x
+    // the cells instead of 10x the density (the r9 sf1 9.3x ratio).
+    SimilarityOps.semDedupScaled(e.unionAll(pert), "vec_id", "v",
+        targetCellSize = 128, minCentroids = 16, tau = 0.95)
       .select(col("vec_id"), col("cell"), col("centroid_sim"))
       .orderBy(col("vec_id"))
   }
@@ -2086,9 +2090,11 @@ object ExtQueries {
       |    UNION ALL
       |    SELECT vec_id + 10000, list_concat([v[1] + 0.25], v[2:])
       |    FROM e WHERE vec_id < 25),
+      |  nk AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0)
+      |      AS BIGINT)) AS k FROM corpus),
       |  cent AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, cv FROM (
       |    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-      |    FROM corpus ORDER BY vec_id LIMIT 16)),
+      |    FROM corpus) WHERE rn <= (SELECT k FROM nk)),
       |  ad AS (SELECT c0.vec_id, c0.v, c.cell,
       |      list_dot_product(c0.v, c0.v)
       |        - 2 * list_dot_product(c0.v, c.cv)

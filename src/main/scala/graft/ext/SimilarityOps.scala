@@ -1066,6 +1066,91 @@ object SimilarityOps {
     }.toDF("query_id", "rnk", "neighbor_id", "relevance", "mmr")
   }
 
+  /** SemDeDup (Abbas et al. 2023) with a SIZE-DERIVED centroid count —
+    * the scale-true form of [[semDedup]]. A FIXED centroid count makes
+    * within-cell pair work quadratic in the corpus (10× rows → 10×
+    * denser cells → ~100× pairs; measured 9.3× wall for 10× data at r9
+    * sf1). Here `nCentroids = max(minCentroids, ⌈n / targetCellSize⌉)`,
+    * so cells hold ~`targetCellSize` vectors at ANY corpus size and the
+    * pair stage stays LINEAR (n · targetCellSize comparisons).
+    *
+    * The centroid table is therefore no longer driver-literal-foldable
+    * (its size grows with the corpus): centroids live in a BROADCAST
+    * frame — the n/128-row table fits a broadcast well past 10⁸-vector
+    * corpora — and the nearest-cell argmin is the
+    * [[semanticDecontaminate]] shape: corpus × centroids through one
+    * BroadcastNestedLoopJoin, per-vector `min(struct(d2, cell, csim))`
+    * grouped aggregate whose map-side partials collapse the n·k join
+    * output to one row per vector before the only assignment shuffle.
+    * Beyond broadcastable centroid counts (≫10⁶ cells), swap the
+    * assignment for the IVF sign-bucket equi-join ([[annTopKSelf]]'s
+    * blocking) — the pair stage is unchanged.
+    *
+    * Same arithmetic contract as [[semDedup]] (d2 = v·v − 2·v·c + c·c
+    * left-to-right, ties to the lowest cell, cosine rounded to 6, drop
+    * rule by (centroid_sim, id) dominance), so the DuckDB oracle mirrors
+    * it with a dynamically-derived LIMIT. Returns the SURVIVOR set as
+    * `(idCol, vecCol: array<double>, cell, centroid_sim)`; callers
+    * needing more columns join back on the id. */
+  def semDedupScaled(df: DataFrame, idCol: String, vecCol: String,
+                     targetCellSize: Int = 128, minCentroids: Int = 16,
+                     tau: Double = 0.99): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")
+    require(targetCellSize >= 1 && minCentroids >= 1,
+      s"bad targetCellSize=$targetCellSize minCentroids=$minCentroids")
+    val n = df.count()
+    require(n > 0, "semDedupScaled needs a non-empty corpus")
+    val k = math.min(
+      math.max(minCentroids.toLong,
+        (n + targetCellSize - 1) / targetCellSize),
+      n).toInt
+    val proj = df.select(col(idCol).cast("long").as("_aid"),
+      col(vecCol).cast("array<double>").as("_av"))
+    // lowest-id k vectors as the sampled centroids ([[sampleVectors]]'
+    // determinism contract) — TakeOrdered cut, then a row_number over
+    // the BOUNDED k-row set only to index the cells
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("_aid"))
+    val cents = proj.orderBy(col("_aid")).limit(k)
+      .withColumn("_cell", (row_number().over(wc) - lit(1)))
+      .select(col("_cell"), col("_av").as("_cv"))
+    // self-dots once per SIDE (n + k evaluations, the bruteForceTopK
+    // discipline) and the cross-dot once per joined row in a projection
+    // BEFORE the argmin aggregate — identical arithmetic to
+    // d2 = v·v − 2·v·c + c·c and cosine = v·c/(|v||c|), a third of the
+    // per-pair dot evaluations
+    val proj2 = proj.withColumn("_avv", dot(col("_av"), col("_av")))
+    val cents2 = cents.withColumn("_cvv", dot(col("_cv"), col("_cv")))
+    val dvc = dot(col("_av"), col("_cv"))
+    val scored = proj2.crossJoin(broadcast(cents2))
+      .select(col("_aid"), col("_av"), col("_cell"),
+        (col("_avv") - lit(2.0) * dvc + col("_cvv")).as("_d2"),
+        round(dvc / (sqrt(col("_avv")) * sqrt(col("_cvv"))), 6).as("_s"))
+    // group key is the ID ONLY — grouping by the vector would hash a
+    // 64-double array once per n·k joined row; the vector rides the
+    // aggregation as a first() (all values per id identical)
+    val assigned = scored
+      .groupBy(col("_aid"))
+      .agg(min(struct(col("_d2").as("d"), col("_cell").as("c"),
+        col("_s").as("s"))).as("_m"), first(col("_av")).as("_av"))
+      .select(col("_aid"), col("_av"),
+        col("_m.c").as("cell"), col("_m.s").as("centroid_sim"))
+    val b = assigned.select(col("_aid").as("_bid"), col("_av").as("_bv"),
+      col("cell").as("_bcell"), col("centroid_sim").as("_bcsim"))
+    assigned.join(b,
+        col("cell") === col("_bcell") && col("_aid") =!= col("_bid") &&
+          round(cosine(col("_av"), col("_bv")), 6) > tau &&
+          (col("_bcsim") < col("centroid_sim") ||
+            (col("_bcsim") === col("centroid_sim") &&
+              col("_bid") < col("_aid"))),
+        "left_anti")
+      .select(col("_aid").as(idCol), col("_av").as(vecCol),
+        col("cell"), col("centroid_sim"))
+  }
+
+  /** Fixed-centroid SemDeDup — explicit `nCentroids` control for
+    * bounded experiments; production corpora should use
+    * [[semDedupScaled]] (a fixed cell count is quadratic in within-cell
+    * pair work as the corpus grows). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int = 16, tau: Double = 0.99): DataFrame = {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")

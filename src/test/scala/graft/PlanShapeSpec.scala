@@ -303,6 +303,20 @@ class PlanShapeSpec extends SparkSpec {
       s"budget cut must plan as TakeOrdered, not a global sort:\n$p")
   }
 
+  test("semDedupScaled: broadcast centroid assignment, no cartesian, " +
+      "anti-join keyed on cell (r9 weak #2 closed)") {
+    val df = ExtQueries.xDedupSemantic(spark, fixtureDir)
+    df.collect()
+    val p = plan(df)
+    // centroids reach the corpus as a broadcast (BNLJ over k rows), the
+    // argmin collapses n·k to n via grouped partials, and the pair
+    // stage is a hash/merge anti-join on the cell key — never a second
+    // cross product over corpus rows
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("quality gate: no window over the corpus frame (r9 weak #3 closed)") {
     // the per-group rank must come from the two-pass grouped-rank
     // machinery; the only windows left partition the tiny

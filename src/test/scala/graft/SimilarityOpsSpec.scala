@@ -317,6 +317,48 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("semDedupScaled == fixed semDedup when the derived k matches") {
+    // same arithmetic contract (d2, tie rules, csim rounding, drop
+    // rule); at a size where max(min, ceil(n/target)) == nCentroids the
+    // two forms must keep identical survivors with identical cells
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val fixed = SimilarityOps.semDedup(emb, "vec_id", "v",
+        nCentroids = 16, tau = 0.95)
+      .select("vec_id", "cell", "centroid_sim")
+      .collect().map(_.toSeq).toSet
+    val scaled = SimilarityOps.semDedupScaled(emb, "vec_id", "v",
+        targetCellSize = 128, minCentroids = 16, tau = 0.95)
+      .select("vec_id", "cell", "centroid_sim")
+      .collect().map(_.toSeq).toSet
+    assert(scaled == fixed)
+  }
+
+  test("semDedupScaled derives constant-size cells as the corpus grows") {
+    import spark.implicits._
+    // k = max(min, ceil(n/target)): pin the derivation and the ~target
+    // mean cell size at two corpus sizes — the r9 sf1 quadratic came
+    // from a FIXED k densifying cells 10x
+    val rnd = new scala.util.Random(11)
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian()))).toDF("id", "v")
+    for (n <- Seq(64, 256)) {
+      val out = SimilarityOps.semDedupScaled(corpus(n), "id", "v",
+        targetCellSize = 16, minCentroids = 1, tau = 0.9999)
+      val cells = out.groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+      val k = math.max(1, (n + 15) / 16)
+      assert(cells.map(_._1).forall(c => c >= 0 && c < k),
+        s"n=$n cells out of range: ${cells.toSeq}")
+      // near-unit tau → nothing deduped; all n rows distribute over k
+      // cells: mean occupancy equals the target by construction
+      assert(out.count() == n)
+      val mean = n.toDouble / cells.length
+      assert(cells.length <= k && mean <= 3.0 * 16,
+        s"n=$n k=$k got ${cells.length} cells, mean $mean")
+    }
+  }
+
   test("kmeansLloydFx separates two obvious clusters and is layout-exact") {
     import spark.implicits._
     // ids 0/1 seed the two centroids; points sit near (0,0) and (10,10).
