@@ -1435,10 +1435,11 @@ object TextOps {
     *
     * Scale shape: the corpus token stream reduces to a
     * `(doc, bucket, count)` relation (map-side combine caps fan-out at
-    * `m` rows per document) consumed by the raw-distribution aggregate
-    * and the per-document scores — two corpus passes in the unpersisted
-    * plan (persist the relation in a pipeline to make it one); all
-    * totals derive from the m-row bucket tables, never a re-explode;
+    * `m` rows per document), MATERIALIZED once (r10 — the unpersisted
+    * plan re-ran the tokenize+explode for the raw-distribution pass;
+    * at 100 TB that second pass is the dominant cost) and consumed by
+    * both the raw-distribution aggregate and the per-document scores;
+    * all totals derive from the m-row bucket tables, never a re-explode;
     * the m-row log-ratio table is broadcast; document scores are one
     * grouped sum; the budget cut is a TakeOrdered (no global window)
     * with the ranking window over the bounded `budget`-row set.
@@ -1457,16 +1458,21 @@ object TextOps {
     val tgtB = target.select(
       explode(tokens(col(targetTextCol))).as("_t"))
       .select(bucket(col("_t")).as("_bkt"))
-    val tc = tgtB.groupBy(col("_bkt")).agg(count(lit(1)).as("_ct"))
+    // materialized (≤ m rows): the bucket counts feed both the ratio
+    // join and the total — unpersisted, the target (often a sizable
+    // corpus slice) would tokenize twice
+    val tc = graft.engine.Engine.materialize(
+      tgtB.groupBy(col("_bkt")).agg(count(lit(1)).as("_ct")))
     // totals derive from the m-row bucket tables (every token lands in
     // a bucket), NOT from a second pass over the token stream — without
     // this the unpersisted plan re-explodes the corpus once per use
     val tt = tc.agg(coalesce(sum(col("_ct")), lit(0L)).as("_tt"))
-    val docB = graft.engine.Engine.spread(corpus)
-      .select(col(idCol).as("_id"),
-        explode(tokens(col(textCol))).as("_t"))
-      .select(col("_id"), bucket(col("_t")).as("_bkt"))
-      .groupBy(col("_id"), col("_bkt")).agg(count(lit(1)).as("_cnt"))
+    val docB = graft.engine.Engine.materialize(
+      graft.engine.Engine.spread(corpus)
+        .select(col(idCol).as("_id"),
+          explode(tokens(col(textCol))).as("_t"))
+        .select(col("_id"), bucket(col("_t")).as("_bkt"))
+        .groupBy(col("_id"), col("_bkt")).agg(count(lit(1)).as("_cnt")))
     val rc = docB.groupBy(col("_bkt")).agg(sum(col("_cnt")).as("_cr"))
     val rt = rc.agg(coalesce(sum(col("_cr")), lit(0L)).as("_tr"))
     val grid = spark.range(m.toLong).select(col("id").as("_bkt"))

@@ -301,6 +301,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"),
       s"budget cut must plan as TakeOrdered, not a global sort:\n$p")
+    // ONE tokenize/explode per token stream (r9 minor #5): both the
+    // corpus (doc,bucket,count) relation and the target bucket counts
+    // are materialized, so the final plan re-explodes NOTHING
+    val generates = p.linesIterator.count(_.contains("Generate"))
+    assert(generates == 0,
+      s"token streams must each tokenize once ($generates Generates):\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the materialized (doc,bucket,count) relation:\n$p")
   }
 
   test("semDedupScaled: broadcast centroid assignment, no cartesian, " +
