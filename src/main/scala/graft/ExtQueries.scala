@@ -1437,13 +1437,17 @@ object ExtQueries {
       |WHERE len(ks) > 0 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // BPE tokenizer training: the first 8 merges learned from the corpus
-  // word-frequency list. Each DuckDB stage recomputes the same top pair
-  // (freq DESC, pair ASC) and applies the identical padded two-pass
-  // replace, so the full merge table hash-matches.
+  // BPE tokenizer training: the first 32 merges learned from the corpus
+  // word-frequency list (r10: was 8 — a real tokenizer runs tens of
+  // thousands of merges; 32 exercises the per-round cost model at a
+  // depth DuckDB's materialized stage chain still reproduces, and each
+  // round stays one vocabulary-sized job regardless of depth). Each
+  // DuckDB stage recomputes the same top pair (freq DESC, pair ASC) and
+  // applies the identical padded two-pass replace, so the full merge
+  // table hash-matches.
   // ---------------------------------------------------------------------
   def xTextBpe(s: SparkSession, dir: String): DataFrame =
-    TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
+    TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 32)
       .orderBy(col("merge_rank"))
 
   /** The BPE trainer CTE chain (DuckDB form), shared by the trainer and
@@ -1479,7 +1483,7 @@ object ExtQueries {
   }
 
   val xTextBpeSql: String = {
-    val k = 8
+    val k = 32
     val sel = (0 until k)
       .map(n => s"SELECT $n AS merge_rank, pr AS pair, ff AS freq FROM t$n")
       .mkString("\nUNION ALL\n")
@@ -1489,13 +1493,14 @@ object ExtQueries {
   // ---------------------------------------------------------------------
   // BPE ENCODING with the table the trainer just learned — the full
   // tokenizer chain (train -> encode) in one query: per-document word
-  // and subword counts after applying the 8 merges in rank order. The
-  // DuckDB twin re-derives the same 8 merges (shared trainer CTEs) and
-  // applies the identical padded two-pass replaces.
+  // and subword counts after applying the 32 merges in rank order. The
+  // DuckDB twin re-derives the same 32 merges (shared trainer CTEs) and
+  // applies the identical padded two-pass replaces (64 nested replace
+  // calls — which is why the trainer stages are MATERIALIZED CTEs).
   // ---------------------------------------------------------------------
   def xTextBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = TextOps.bpeMerges(docs, "text", numMerges = 8)
+    val merges = TextOps.bpeMerges(docs, "text", numMerges = 32)
       .orderBy(col("merge_rank"))
       .select(col("pair")).collect().map(_.getString(0)).toSeq
     TextOps.bpeEncodeStats(docs, "doc_id", "text", merges)
@@ -1503,7 +1508,7 @@ object ExtQueries {
   }
 
   val xTextBpeEncodeSql: String = {
-    val k = 8
+    val k = 32
     val spaced = "' ' || array_to_string(list_transform(" +
       "range(1, len(w) + 1), i -> substr(w, CAST(i AS INTEGER), 1)), ' ')" +
       " || ' '"
