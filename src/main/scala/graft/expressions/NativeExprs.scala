@@ -69,6 +69,7 @@ object NativeExprs {
     })
     reg("graft_del_variants", { case Seq(c) => DeletionVariants(c) })
     reg("graft_ln", { case Seq(c) => GraftLn(c) })
+    reg("graft_dbits", { case Seq(c) => DoubleOrderBits(c) })
     reg("graft_nfc", { case Seq(c) => NfcNormalize(c) })
     reg("graft_bloom_contains", {
       case Seq(c, Literal(bytes: Array[Byte], BinaryType)) =>
@@ -780,6 +781,49 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
   * routes through this expression so Spark and the DuckDB twin compute
   * the identical double. Domain edges follow `Math.log`: ln(0) = -Inf,
   * ln(<0) = NaN (no NULL conversion — the caller guards its domain). */
+/** Order-preserving total-order LONG encoding of a double — the classic
+  * sortable-bits trick: non-negative doubles keep their raw IEEE bits
+  * (which already sort correctly), negative ones flip the magnitude
+  * bits so more-negative sorts lower. `encoded(a) < encoded(b)` iff
+  * `a < b` under Spark's total ordering (−0.0 < 0.0, NaN greatest).
+  *
+  * Exists so ARGMIN-style aggregates can ride a HASH aggregate: a
+  * `min(struct(score, id))` buffer is not mutable-fixed-width, so Spark
+  * silently plans a SortAggregate that SORTS the whole input (the r10
+  * SemDeDup sf10 probe stalled exactly there). Packing
+  * `dbits(score) · k + id` into a DECIMAL(38,0) makes the argmin a
+  * plain `min` with a fixed-width buffer — hash-aggregated, map-side
+  * partials intact. */
+case class DoubleOrderBits(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case DoubleType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_dbits expects double, got $dt")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dbits"
+
+  override def nullSafeEval(x: Any): Any = {
+    val b = java.lang.Double.doubleToLongBits(x.asInstanceOf[Double])
+    if (b >= 0L) b else b ^ 0x7fffffffffffffffL
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("bits")
+      s"""long $b = Double.doubleToLongBits($c);
+         |${ev.value} = $b >= 0L ? $b : ($b ^ 0x7fffffffffffffffL);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 case class GraftLn(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -1104,8 +1104,14 @@ object SimilarityOps {
       math.max(minCentroids.toLong,
         (n + targetCellSize - 1) / targetCellSize),
       n).toInt
-    val proj = df.select(col(idCol).cast("long").as("_aid"),
-      col(vecCol).cast("array<double>").as("_av"))
+    // spread BEFORE the n·k assignment: a replicated fixture lands as
+    // one ~100 MB parquet split, and the flop-heavy scoring pass would
+    // run on ONE core (the first sf10 probe spent minutes exactly so —
+    // 31 of 32 executor threads parked). No-op on real multi-split
+    // corpora, the Engine.spread contract.
+    val proj = graft.engine.Engine.spread(
+      df.select(col(idCol).cast("long").as("_aid"),
+        col(vecCol).cast("array<double>").as("_av")))
     // lowest-id k vectors as the sampled centroids ([[sampleVectors]]'
     // determinism contract) — TakeOrdered cut, then a row_number over
     // the BOUNDED k-row set only to index the cells
@@ -1114,31 +1120,49 @@ object SimilarityOps {
       .withColumn("_cell", (row_number().over(wc) - lit(1)))
       .select(col("_cell"), col("_av").as("_cv"))
     // self-dots once per SIDE (n + k evaluations, the bruteForceTopK
-    // discipline) and the cross-dot once per joined row in a projection
-    // BEFORE the argmin aggregate — identical arithmetic to
-    // d2 = v·v − 2·v·c + c·c and cosine = v·c/(|v||c|), a third of the
-    // per-pair dot evaluations
+    // discipline); the n·k scoring pass computes ONLY the packed argmin
+    // key — no cosine, no rounding, no vectors in flight
     val proj2 = proj.withColumn("_avv", dot(col("_av"), col("_av")))
     val cents2 = cents.withColumn("_cvv", dot(col("_cv"), col("_cv")))
     val dvc = dot(col("_av"), col("_cv"))
-    val scored = proj2.crossJoin(broadcast(cents2))
-      .select(col("_aid"), col("_av"), col("_cell"),
-        (col("_avv") - lit(2.0) * dvc + col("_cvv")).as("_d2"),
-        round(dvc / (sqrt(col("_avv")) * sqrt(col("_cvv"))), 6).as("_s"))
-    // group key is the ID ONLY — grouping by the vector would hash a
-    // 64-double array once per n·k joined row; the vector rides the
-    // aggregation as a first() (all values per id identical)
-    val assigned = scored
-      .groupBy(col("_aid"))
-      .agg(min(struct(col("_d2").as("d"), col("_cell").as("c"),
-        col("_s").as("s"))).as("_m"), first(col("_av")).as("_av"))
-      .select(col("_aid"), col("_av"),
-        col("_m.c").as("cell"), col("_m.s").as("centroid_sim"))
+    val d2 = col("_avv") - lit(2.0) * dvc + col("_cvv")
+    // Argmin over (d2, cell) as ONE fixed-width `min`: min(struct(...))
+    // and min_by both carry struct buffers, which are not
+    // mutable-fixed-width, so Spark silently plans a SortAggregate that
+    // SORTS the whole n·k join output (the first sf10 probe stalled
+    // exactly there, spilling 312M wide rows). Packing the
+    // order-preserving double bits (graft_dbits, codegen'd) with the
+    // cell index into a DECIMAL(38,0) — 19 digits of bits · k + cell
+    // ≪ 38 digits — keeps the lexicographic (d2, cell) order and
+    // hash-aggregates with map-side partials. Exact: dbits is a
+    // total-order bijection on doubles.
+    val enc = (call_function("graft_dbits", d2).cast("decimal(38,0)") *
+      lit(k) + col("_cell")).as("_enc")
+    val amin = proj2.crossJoin(broadcast(cents2))
+      .select(col("_aid"), enc)
+      .groupBy(col("_aid")).agg(min(col("_enc")).as("_e"))
+      .select(col("_aid"), (col("_e") % k).cast("int").as("cell"))
+    // cell-dependent outputs attach per CORPUS ROW (n evaluations, not
+    // n·k): centroid_sim and the pair-stage norm — arithmetic identical
+    // to cosine(v, c) rounded to 6. Materialized so the pair stage's
+    // self-join reads the assignment once instead of recomputing the
+    // n·k scoring per side.
+    val assigned = graft.engine.Engine.materialize(
+      proj2.join(amin, Seq("_aid"))
+        .join(broadcast(cents2.select(col("_cell").as("cell"),
+          col("_cv"), col("_cvv"))), Seq("cell"))
+        .select(col("_aid"), col("_av"),
+          sqrt(col("_avv")).as("_an"), col("cell"),
+          round(dot(col("_av"), col("_cv")) /
+            (sqrt(col("_avv")) * sqrt(col("_cvv"))), 6)
+            .as("centroid_sim")))
     val b = assigned.select(col("_aid").as("_bid"), col("_av").as("_bv"),
-      col("cell").as("_bcell"), col("centroid_sim").as("_bcsim"))
+      col("_an").as("_bn"), col("cell").as("_bcell"),
+      col("centroid_sim").as("_bcsim"))
     assigned.join(b,
         col("cell") === col("_bcell") && col("_aid") =!= col("_bid") &&
-          round(cosine(col("_av"), col("_bv")), 6) > tau &&
+          round(dot(col("_av"), col("_bv")) / (col("_an") * col("_bn")),
+            6) > tau &&
           (col("_bcsim") < col("centroid_sim") ||
             (col("_bcsim") === col("centroid_sim") &&
               col("_bid") < col("_aid"))),
