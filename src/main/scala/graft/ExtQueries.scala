@@ -1437,25 +1437,36 @@ object ExtQueries {
       |WHERE len(ks) > 0 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // BPE tokenizer training: the first 32 merges learned from the corpus
-  // word-frequency list (r10: was 8 — a real tokenizer runs tens of
-  // thousands of merges; 32 exercises the per-round cost model at a
-  // depth DuckDB's materialized stage chain still reproduces, and each
-  // round stays one vocabulary-sized job regardless of depth). Each
-  // DuckDB stage recomputes the same top pair (freq DESC, pair ASC) and
-  // applies the identical padded two-pass replace, so the full merge
-  // table hash-matches.
+  // BPE tokenizer training, BATCHED rounds (r11: replaces the 32
+  // sequential single-merge rounds — a real tokenizer runs tens of
+  // thousands of merges, and one driver-synchronized recount PER MERGE
+  // is the depth wall): each of the 8 rounds recounts pairs once, takes
+  // the top-24 window, and applies every candidate independent of all
+  // higher-ranked window candidates (disjoint {x, y, xy} symbol sets),
+  // pushing effective depth to ~10 merges per recount. The DuckDB twin
+  // reproduces the window, the anti-join independence rule, and the
+  // list_reduce replace chain exactly, so the full merge table (rank,
+  // pair, round-start freq) hash-matches at any selection yield.
   // ---------------------------------------------------------------------
+  private val (bpeRounds, bpeWindow) = (16, 40)
+
   def xTextBpe(s: SparkSession, dir: String): DataFrame =
-    TextOps.bpeMerges(t(s, dir, "documents"), "text", numMerges = 32)
+    TextOps.bpeMergesBatched(t(s, dir, "documents"), "text",
+        rounds = bpeRounds, window = bpeWindow)
       .orderBy(col("merge_rank"))
 
-  /** The BPE trainer CTE chain (DuckDB form), shared by the trainer and
-    * encoder oracles: yields `t0..t{k-1}` (each stage's winning pair)
-    * over the `documents` word-frequency list. Every stage referenced
-    * more than once is MATERIALIZED — inlined, the k-deep chain expands
-    * exponentially. */
-  private def bpeStageCtes(k: Int): String = {
+  /** The batched BPE trainer CTE chain (DuckDB form), shared by the
+    * trainer and encoder oracles: per round `n`, `p$n` (pair counts),
+    * `top$n` (ranked window), `sel$n` (independent candidates via one
+    * NOT EXISTS against higher-ranked window rows), `w${n+1}` (the
+    * word-frequency list after applying `sel$n` in rank order through
+    * `list_reduce` — the padded two-pass replace per pair). Every stage
+    * referenced more than once is MATERIALIZED — inlined, the chain
+    * expands exponentially. */
+  private def bpeStageCtes(rounds: Int, window: Int): String = {
+    def symsOf(t: String): String =
+      s"[string_split($t.pr, ' ')[1], string_split($t.pr, ' ')[2], " +
+        s"replace($t.pr, ' ', '')]"
     val w0 =
       s"""w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
          |    list_transform(range(1, len(w) + 1),
@@ -1463,7 +1474,7 @@ object ExtQueries {
          |    CAST(COUNT(*) AS BIGINT) AS f
          |  FROM (SELECT unnest($toksSql) AS w FROM documents)
          |  GROUP BY w)""".stripMargin
-    val stages = (0 until k).map { n =>
+    val stages = (0 until rounds).map { n =>
       s"""p$n AS MATERIALIZED (SELECT pr, CAST(SUM(f) AS BIGINT) AS ff FROM (
          |    SELECT f, unnest(CASE WHEN len(sy) < 2
          |        THEN CAST([] AS VARCHAR[])
@@ -1471,36 +1482,48 @@ object ExtQueries {
          |          i -> sy[i] || ' ' || sy[i+1]) END) AS pr
          |    FROM (SELECT f, string_split(trim(s), ' ') AS sy FROM w$n))
          |    GROUP BY pr),
-         |  t$n AS MATERIALIZED (SELECT pr, ff FROM p$n ORDER BY ff DESC, pr LIMIT 1),
-         |  w${n + 1} AS MATERIALIZED (SELECT replace(replace(s,
-         |      ' ' || (SELECT pr FROM t$n) || ' ',
-         |      ' ' || replace((SELECT pr FROM t$n), ' ', '') || ' '),
-         |      ' ' || (SELECT pr FROM t$n) || ' ',
-         |      ' ' || replace((SELECT pr FROM t$n), ' ', '') || ' ') AS s,
-         |      f FROM w$n)""".stripMargin
+         |  top$n AS MATERIALIZED (SELECT pr, ff,
+         |      ROW_NUMBER() OVER (ORDER BY ff DESC, pr) AS rnk
+         |    FROM p$n ORDER BY ff DESC, pr LIMIT $window),
+         |  sel$n AS MATERIALIZED (SELECT a.pr, a.ff, a.rnk FROM top$n a
+         |    WHERE NOT EXISTS (SELECT 1 FROM top$n b WHERE b.rnk < a.rnk
+         |      AND len(list_intersect(${symsOf("a")},
+         |        ${symsOf("b")})) > 0)),
+         |  w${n + 1} AS MATERIALIZED (SELECT list_reduce(list_prepend(s,
+         |      (SELECT COALESCE(list(pr ORDER BY rnk),
+         |         CAST([] AS VARCHAR[])) FROM sel$n)),
+         |      (acc, x) -> replace(replace(acc,
+         |        ' ' || x || ' ', ' ' || replace(x, ' ', '') || ' '),
+         |        ' ' || x || ' ', ' ' || replace(x, ' ', '') || ' '))
+         |      AS s, f FROM w$n)""".stripMargin
     }
-    s"$w0,\n  ${stages.mkString(",\n  ")}"
+    val unions = (0 until rounds)
+      .map(n => s"SELECT $n AS rnd, rnk, pr, ff FROM sel$n")
+      .mkString("\n    UNION ALL ")
+    s"""$w0,
+       |  ${stages.mkString(",\n  ")},
+       |  selall AS MATERIALIZED (SELECT rnd, rnk, pr, ff FROM (
+       |    $unions))""".stripMargin
   }
 
-  val xTextBpeSql: String = {
-    val k = 32
-    val sel = (0 until k)
-      .map(n => s"SELECT $n AS merge_rank, pr AS pair, ff AS freq FROM t$n")
-      .mkString("\nUNION ALL\n")
-    s"WITH ${bpeStageCtes(k)}\n$sel\nORDER BY merge_rank"
-  }
+  val xTextBpeSql: String =
+    s"""WITH ${bpeStageCtes(bpeRounds, bpeWindow)}
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, rnk) - 1 AS INTEGER)
+       |    AS merge_rank, pr AS pair, ff AS freq
+       |FROM selall ORDER BY merge_rank""".stripMargin
 
   // ---------------------------------------------------------------------
   // BPE ENCODING with the table the trainer just learned — the full
   // tokenizer chain (train -> encode) in one query: per-document word
-  // and subword counts after applying the 32 merges in rank order. The
-  // DuckDB twin re-derives the same 32 merges (shared trainer CTEs) and
-  // applies the identical padded two-pass replaces (64 nested replace
-  // calls — which is why the trainer stages are MATERIALIZED CTEs).
+  // and subword counts after applying the learned merges in rank order.
+  // The DuckDB twin re-derives the same merge table (shared trainer
+  // CTEs) and applies the identical padded two-pass replaces through
+  // one list_reduce over the rank-ordered pair list.
   // ---------------------------------------------------------------------
   def xTextBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = TextOps.bpeMerges(docs, "text", numMerges = 32)
+    val merges = TextOps.bpeMergesBatched(docs, "text",
+        rounds = bpeRounds, window = bpeWindow)
       .orderBy(col("merge_rank"))
       .select(col("pair")).collect().map(_.getString(0)).toSeq
     TextOps.bpeEncodeStats(docs, "doc_id", "text", merges)
@@ -1508,19 +1531,20 @@ object ExtQueries {
   }
 
   val xTextBpeEncodeSql: String = {
-    val k = 32
     val spaced = "' ' || array_to_string(list_transform(" +
       "range(1, len(w) + 1), i -> substr(w, CAST(i AS INTEGER), 1)), ' ')" +
       " || ' '"
-    val enc = (0 until k).foldLeft(spaced) { (e, n) =>
-      val pat = s"' ' || (SELECT pr FROM t$n) || ' '"
-      val rep = s"' ' || replace((SELECT pr FROM t$n), ' ', '') || ' '"
-      s"replace(replace($e,\n      $pat, $rep),\n      $pat, $rep)"
-    }
-    s"""WITH ${bpeStageCtes(k)},
+    s"""WITH ${bpeStageCtes(bpeRounds, bpeWindow)},
+       |  mseq AS MATERIALIZED (SELECT COALESCE(list(pr ORDER BY rnd, rnk),
+       |      CAST([] AS VARCHAR[])) AS ms FROM selall),
        |  dw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
        |  enc AS (SELECT doc_id,
-       |      len(string_split(trim($enc), ' ')) AS n
+       |      len(string_split(trim(list_reduce(list_prepend($spaced,
+       |        (SELECT ms FROM mseq)),
+       |        (acc, x) -> replace(replace(acc,
+       |          ' ' || x || ' ', ' ' || replace(x, ' ', '') || ' '),
+       |          ' ' || x || ' ', ' ' || replace(x, ' ', '') || ' '))),
+       |        ' ')) AS n
        |    FROM dw)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(n) AS BIGINT) AS n_subwords
@@ -2126,6 +2150,92 @@ object ExtQueries {
       |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // SemDeDup with the BUCKETED assignment tier forced — the
+  // beyond-broadcast form (centroid counts too large to broadcast):
+  // nearest-cell assignment over LSH-bucket CANDIDATE pairs only (an
+  // id-only equi-join on (table, bucket)), bucket-orphan vectors
+  // resolved exactly. Same corpus and pair stage as x_dedup_semantic;
+  // the oracle reproduces the seeded hyperplane buckets bit-for-bit
+  // (lshBucketsSql), so the approximate assignment is itself
+  // hash-checked, not just the survivor count.
+  // ---------------------------------------------------------------------
+  def xDedupSemanticLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val pert = e.filter(col("vec_id") < 25).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.25)),
+        slice(col("v"), 2, 63)).as("v"))
+    SimilarityOps.semDedupScaled(e.unionAll(pert), "vec_id", "v",
+        targetCellSize = 128, minCentroids = 16, tau = 0.95,
+        assignMode = "bucketed", dim = 64, bits = 4, tables = 8,
+        seed = 42L)
+      .select(col("vec_id"), col("cell"), col("centroid_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  val xDedupSemanticLshSql: String = {
+    val perTable = lshBucketsSql(dim = 64, bits = 4, tables = 8,
+      seed = 42L)
+    s"""WITH raw AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  e AS (SELECT vec_id, v FROM raw
+       |    UNION ALL
+       |    SELECT vec_id + 10000, list_concat([v[1] + 0.25], v[2:])
+       |    FROM raw WHERE vec_id < 25),
+       |  nk AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0)
+       |      AS BIGINT)) AS k FROM e),
+       |  cent AS (SELECT vec_id AS cid, CAST(rn - 1 AS INTEGER) AS cell,
+       |      cv FROM (
+       |    SELECT vec_id, v AS cv, ROW_NUMBER() OVER (ORDER BY vec_id)
+       |        AS rn
+       |    FROM e) WHERE rn <= (SELECT k FROM nk)),
+       |  eb AS ($perTable),
+       |  centb AS (SELECT c.cell, b.tbl, b.bkt
+       |    FROM eb b JOIN cent c ON b.vec_id = c.cid),
+       |  cand AS (SELECT DISTINCT b.vec_id, c.cell
+       |    FROM eb b JOIN centb c ON b.tbl = c.tbl AND b.bkt = c.bkt),
+       |  scored AS (SELECT cand.vec_id, cand.cell,
+       |      list_dot_product(cv0.v, cv0.v)
+       |        - 2 * list_dot_product(cv0.v, ct.cv)
+       |        + list_dot_product(ct.cv, ct.cv) AS d2
+       |    FROM cand JOIN e cv0 ON cv0.vec_id = cand.vec_id
+       |    JOIN cent ct ON ct.cell = cand.cell),
+       |  asgn_c AS (SELECT vec_id, cell FROM (
+       |      SELECT vec_id, cell,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                           ORDER BY d2, cell) AS rn
+       |      FROM scored) WHERE rn = 1),
+       |  orph AS (SELECT vec_id, v FROM e
+       |    WHERE vec_id NOT IN (SELECT vec_id FROM asgn_c)),
+       |  fb AS (SELECT vec_id, cell FROM (
+       |      SELECT o.vec_id, c.cell,
+       |        ROW_NUMBER() OVER (PARTITION BY o.vec_id ORDER BY
+       |          list_dot_product(o.v, o.v)
+       |            - 2 * list_dot_product(o.v, c.cv)
+       |            + list_dot_product(c.cv, c.cv), c.cell) AS rn
+       |      FROM orph o, cent c) WHERE rn = 1),
+       |  asgn AS (SELECT vec_id, cell FROM asgn_c
+       |    UNION ALL SELECT vec_id, cell FROM fb),
+       |  wcs AS (SELECT a.vec_id, e.v, a.cell,
+       |      round(list_dot_product(e.v, c.cv)
+       |        / (sqrt(list_dot_product(e.v, e.v))
+       |           * sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim
+       |    FROM asgn a JOIN e ON e.vec_id = a.vec_id
+       |    JOIN cent c ON a.cell = c.cell)
+       |SELECT w.vec_id, w.cell, w.csim AS centroid_sim FROM wcs w
+       |WHERE NOT EXISTS (SELECT 1 FROM wcs b
+       |  WHERE b.cell = w.cell AND b.vec_id <> w.vec_id
+       |    AND round(list_dot_product(w.v, b.v)
+       |      / (sqrt(list_dot_product(w.v, w.v))
+       |         * sqrt(list_dot_product(b.v, b.v))), 6) > 0.95
+       |    AND (b.csim < w.csim
+       |         OR (b.csim = w.csim AND b.vec_id < w.vec_id)))
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // BM25 full-text retrieval: top-5 documents per query for a fixed
   // 4-query batch over the documents corpus. Hash-exact vs DuckDB by
   // construction — dyadic k1/b, graft_ln (platform-libm idf), and the
@@ -2545,7 +2655,7 @@ object ExtQueries {
        |      CAST($clfScoreSql AS BIGINT) AS clf_score FROM t),
        |  r AS (SELECT doc_id, source, clf_score,
        |      CAST(ROW_NUMBER() OVER (PARTITION BY source
-       |          ORDER BY clf_score DESC, doc_id) AS INTEGER)
+       |          ORDER BY clf_score DESC, doc_id) AS BIGINT)
        |        AS src_rank,
        |      CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
        |        AS n_group

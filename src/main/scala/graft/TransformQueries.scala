@@ -279,7 +279,14 @@ object TransformQueries {
   // (r9: basename-keyed paths left the sweep reading stale sf0.01
   // artifacts, 128/130).
   // ---------------------------------------------------------------------
-  private def rtDir(dir: String): String = "/tmp/graft_rt/current"
+  // Keyed by SPARK_GRAFT_RT_DIR so concurrent runs on one host (parallel
+  // bench + verify, two users, different SFs) can isolate their scratch
+  // artifacts; the oracle SQL below renders the SAME env value into its
+  // read path at dump time (Verify writes oracle_sql.json in this JVM),
+  // so query and oracle always agree on the artifact location. Without
+  // the override: single-run-per-host, overwritten per run.
+  private def rtDir(dir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_RT_DIR", "/tmp/graft_rt/current")
 
   /** CSV round-trip: project 4 customer columns, write with ';' (K3),
     * sniff the delimiter back (S2) and read (S1). Types are re-cast after
@@ -298,10 +305,10 @@ object TransformQueries {
   }
 
   val tCsvRoundtripSql: String =
-    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
-      |  CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
-      |FROM read_csv('/tmp/graft_rt/current/customer_csv/*.csv',
-      |              delim=';', header=true)""".stripMargin
+    s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       |  CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+       |FROM read_csv('${rtDir("")}/customer_csv/*.csv',
+       |              delim=';', header=true)""".stripMargin
 
   /** Keyed-store round-trip: write orders through the DSv2 write path
     * (shard-per-task JSON lines + schema sidecar), scan back through the
@@ -321,11 +328,11 @@ object TransformQueries {
   }
 
   val tKeyedPushdownSql: String =
-    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-      |FROM read_json('/tmp/graft_rt/current/orders_keyed/shard-*.json',
-      |               format='newline_delimited')
-      |WHERE o_orderstatus = 'F'
-      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+       |FROM read_json('${rtDir("")}/orders_keyed/shard-*.json',
+       |               format='newline_delimited')
+       |WHERE o_orderstatus = 'F'
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
 
   // ---------------------------------------------------------------------
   // S9 — scrape-manifest roundtrip: land the first 100 documents as

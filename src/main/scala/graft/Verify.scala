@@ -37,7 +37,17 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A filtered run must never masquerade as the full contract: a stray
+    // SPARK_GRAFT_ONLY in a CI/driver env would otherwise dump a partial
+    // oracle_sql.json indistinguishable from the complete one. Write the
+    // partial dump under a distinct name and warn loudly.
+    if (only.isDefined) {
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY is set — dumping PARTIAL " +
+        s"contract (${SparkEntry.oracleSql.count(kv => selected(kv._1))}/" +
+        s"${SparkEntry.oracleSql.size} queries) as oracle_sql.partial.json")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.partial.json"), json)
+    } else Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -771,16 +771,6 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
       : Expression = copy(child = newChild)
 }
 
-/** Natural log via `java.lang.Math.log` — the HotSpot intrinsic that (on
-  * this JVM/libm pairing, bit-asserted by NativeExprsSpec) agrees with
-  * glibc's `log` and therefore with DuckDB's `ln`. Spark's own `Log`
-  * expression calls `StrictMath.log` (fdlibm), which is 1 ulp off the
-  * platform result for some arguments (e.g. `ln(3.0)`:
-  * `...7aad030a` fdlibm vs `...7aad030b` glibc) — enough to break a
-  * hash-exact oracle. Every log-scored operator (BM25 idf, LM log-prob)
-  * routes through this expression so Spark and the DuckDB twin compute
-  * the identical double. Domain edges follow `Math.log`: ln(0) = -Inf,
-  * ln(<0) = NaN (no NULL conversion — the caller guards its domain). */
 /** Order-preserving total-order LONG encoding of a double — the classic
   * sortable-bits trick: non-negative doubles keep their raw IEEE bits
   * (which already sort correctly), negative ones flip the magnitude
@@ -824,6 +814,16 @@ case class DoubleOrderBits(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** Natural log via `java.lang.Math.log` — the HotSpot intrinsic that (on
+  * this JVM/libm pairing, bit-asserted by NativeExprsSpec) agrees with
+  * glibc's `log` and therefore with DuckDB's `ln`. Spark's own `Log`
+  * expression calls `StrictMath.log` (fdlibm), which is 1 ulp off the
+  * platform result for some arguments (e.g. `ln(3.0)`:
+  * `...7aad030a` fdlibm vs `...7aad030b` glibc) — enough to break a
+  * hash-exact oracle. Every log-scored operator (BM25 idf, LM log-prob)
+  * routes through this expression so Spark and the DuckDB twin compute
+  * the identical double. Domain edges follow `Math.log`: ln(0) = -Inf,
+  * ln(<0) = NaN (no NULL conversion — the caller guards its domain). */
 case class GraftLn(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -1075,87 +1075,38 @@ object SimilarityOps {
     * pair stage stays LINEAR (n · targetCellSize comparisons).
     *
     * The centroid table is therefore no longer driver-literal-foldable
-    * (its size grows with the corpus): centroids live in a BROADCAST
-    * frame — the n/128-row table fits a broadcast well past 10⁸-vector
-    * corpora — and the nearest-cell argmin is the
-    * [[semanticDecontaminate]] shape: corpus × centroids through one
-    * BroadcastNestedLoopJoin, per-vector `min(struct(d2, cell, csim))`
-    * grouped aggregate whose map-side partials collapse the n·k join
-    * output to one row per vector before the only assignment shuffle.
-    * Beyond broadcastable centroid counts (≫10⁶ cells), swap the
-    * assignment for the IVF sign-bucket equi-join ([[annTopKSelf]]'s
-    * blocking) — the pair stage is unchanged.
+    * (its size grows with the corpus), and the nearest-cell argmin is
+    * TIERED on k (see [[semDedupAssignFrame]]): the exact broadcast
+    * BNLJ while the centroid table broadcasts (but its n·k flops are
+    * O(n²/targetCellSize) — quadratic in the corpus), and the
+    * linear-work hyperplane-bucket equi-join ([[annTopKSelf]]'s
+    * blocking) above that, which trades exact-nearest for
+    * candidate-nearest assignment (the IVF trade) while leaving the
+    * pair stage unchanged. `assignMode = "auto"` switches at k = 65536;
+    * `"broadcast"`/`"bucketed"` pin a tier (the bucketed tier needs
+    * `dim`, and its `bits`/`tables` size the candidate sets).
     *
     * Same arithmetic contract as [[semDedup]] (d2 = v·v − 2·v·c + c·c
     * left-to-right, ties to the lowest cell, cosine rounded to 6, drop
     * rule by (centroid_sim, id) dominance), so the DuckDB oracle mirrors
-    * it with a dynamically-derived LIMIT. Returns the SURVIVOR set as
+    * it with a dynamically-derived LIMIT — in BOTH tiers: the bucketed
+    * candidate generation is deterministic seeded-hyperplane arithmetic
+    * that the oracle reproduces bit-for-bit (`x_dedup_semantic_lsh`).
+    * Returns the SURVIVOR set as
     * `(idCol, vecCol: array<double>, cell, centroid_sim)`; callers
     * needing more columns join back on the id. */
   def semDedupScaled(df: DataFrame, idCol: String, vecCol: String,
                      targetCellSize: Int = 128, minCentroids: Int = 16,
-                     tau: Double = 0.99): DataFrame = {
+                     tau: Double = 0.99, assignMode: String = "auto",
+                     dim: Int = 0, bits: Int = 4, tables: Int = 8,
+                     seed: Long = 42L): DataFrame = {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")
-    require(targetCellSize >= 1 && minCentroids >= 1,
-      s"bad targetCellSize=$targetCellSize minCentroids=$minCentroids")
-    val n = df.count()
-    require(n > 0, "semDedupScaled needs a non-empty corpus")
-    val k = math.min(
-      math.max(minCentroids.toLong,
-        (n + targetCellSize - 1) / targetCellSize),
-      n).toInt
-    // spread BEFORE the n·k assignment: a replicated fixture lands as
-    // one ~100 MB parquet split, and the flop-heavy scoring pass would
-    // run on ONE core (the first sf10 probe spent minutes exactly so —
-    // 31 of 32 executor threads parked). No-op on real multi-split
-    // corpora, the Engine.spread contract.
-    val proj = graft.engine.Engine.spread(
-      df.select(col(idCol).cast("long").as("_aid"),
-        col(vecCol).cast("array<double>").as("_av")))
-    // lowest-id k vectors as the sampled centroids ([[sampleVectors]]'
-    // determinism contract) — TakeOrdered cut, then a row_number over
-    // the BOUNDED k-row set only to index the cells
-    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("_aid"))
-    val cents = proj.orderBy(col("_aid")).limit(k)
-      .withColumn("_cell", (row_number().over(wc) - lit(1)))
-      .select(col("_cell"), col("_av").as("_cv"))
-    // self-dots once per SIDE (n + k evaluations, the bruteForceTopK
-    // discipline); the n·k scoring pass computes ONLY the packed argmin
-    // key — no cosine, no rounding, no vectors in flight
-    val proj2 = proj.withColumn("_avv", dot(col("_av"), col("_av")))
-    val cents2 = cents.withColumn("_cvv", dot(col("_cv"), col("_cv")))
-    val dvc = dot(col("_av"), col("_cv"))
-    val d2 = col("_avv") - lit(2.0) * dvc + col("_cvv")
-    // Argmin over (d2, cell) as ONE fixed-width `min`: min(struct(...))
-    // and min_by both carry struct buffers, which are not
-    // mutable-fixed-width, so Spark silently plans a SortAggregate that
-    // SORTS the whole n·k join output (the first sf10 probe stalled
-    // exactly there, spilling 312M wide rows). Packing the
-    // order-preserving double bits (graft_dbits, codegen'd) with the
-    // cell index into a DECIMAL(38,0) — 19 digits of bits · k + cell
-    // ≪ 38 digits — keeps the lexicographic (d2, cell) order and
-    // hash-aggregates with map-side partials. Exact: dbits is a
-    // total-order bijection on doubles.
-    val enc = (call_function("graft_dbits", d2).cast("decimal(38,0)") *
-      lit(k) + col("_cell")).as("_enc")
-    val amin = proj2.crossJoin(broadcast(cents2))
-      .select(col("_aid"), enc)
-      .groupBy(col("_aid")).agg(min(col("_enc")).as("_e"))
-      .select(col("_aid"), (col("_e") % k).cast("int").as("cell"))
     // cell-dependent outputs attach per CORPUS ROW (n evaluations, not
-    // n·k): centroid_sim and the pair-stage norm — arithmetic identical
-    // to cosine(v, c) rounded to 6. Materialized so the pair stage's
-    // self-join reads the assignment once instead of recomputing the
-    // n·k scoring per side.
+    // n·k); materialized so the pair stage's self-join reads the
+    // assignment once instead of recomputing the scoring per side.
     val assigned = graft.engine.Engine.materialize(
-      proj2.join(amin, Seq("_aid"))
-        .join(broadcast(cents2.select(col("_cell").as("cell"),
-          col("_cv"), col("_cvv"))), Seq("cell"))
-        .select(col("_aid"), col("_av"),
-          sqrt(col("_avv")).as("_an"), col("cell"),
-          round(dot(col("_av"), col("_cv")) /
-            (sqrt(col("_avv")) * sqrt(col("_cvv"))), 6)
-            .as("centroid_sim")))
+      semDedupAssignFrame(df, idCol, vecCol, targetCellSize,
+        minCentroids, assignMode, dim, bits, tables, seed))
     val b = assigned.select(col("_aid").as("_bid"), col("_av").as("_bv"),
       col("_an").as("_bn"), col("cell").as("_bcell"),
       col("centroid_sim").as("_bcsim"))
@@ -1169,6 +1120,187 @@ object SimilarityOps {
         "left_anti")
       .select(col("_aid").as(idCol), col("_av").as(vecCol),
         col("cell"), col("centroid_sim"))
+  }
+
+  /** PRE-materialization assignment frame of [[semDedupScaled]] —
+    * `(_aid, _av, _an, cell, centroid_sim)`, one row per corpus vector.
+    * Package-private so PlanShapeSpec can pin the ASSIGNMENT plan shape
+    * directly: `Engine.materialize` truncates lineage to a
+    * `Scan ExistingRDD`, so any assertion on the registered query's
+    * final plan certifies only the post-checkpoint suffix (the r10
+    * suite-red lesson — the BNLJ pin failed against a plan that could
+    * not contain it by construction).
+    *
+    * Two assignment tiers, selected by `assignMode`:
+    *  - `"broadcast"` — the EXACT nearest-centroid argmin: corpus ×
+    *    centroids through one BroadcastNestedLoopJoin, n·k dot
+    *    products. Right while k = ⌈n/targetCellSize⌉ broadcasts
+    *    comfortably (k ≲ 6·10⁴ ⇒ n ≲ 8·10⁶ at the default cell size);
+    *    beyond that the flop count — O(n²/targetCellSize) — is the
+    *    scale killer the bucketed tier exists to remove.
+    *  - `"bucketed"` — the IVF-style sign-bucket equi-join
+    *    ([[annTopKSelf]]'s blocking): hash both sides into `tables`
+    *    independent hyperplane-LSH tables, take (vector, centroid)
+    *    CANDIDATE pairs from shared buckets only (an equi-join on
+    *    (table, bucket) carrying ids — no vectors in flight), argmin
+    *    over each vector's candidates, and resolve the rare
+    *    bucket-orphan vectors exactly against the centroid table with
+    *    the TINY orphan side broadcast (never the centroid table, which
+    *    this tier exists to keep un-broadcast). Work is
+    *    n · E[candidate cells] — linear in n for fixed table geometry;
+    *    size `bits` ≈ log₂(k / target-candidates-per-table) as k grows.
+    *    Assignment becomes approximate-nearest-centroid (the IVF
+    *    trade); the within-cell pair stage is UNCHANGED. Requires
+    *    `dim` (hyperplanes are driver-side plan literals).
+    *  - `"auto"` — broadcast while k ≤ 65536, bucketed above.
+    * Both tiers share the packed-decimal argmin (graft_dbits — hash
+    * aggregate, map-side partials) and the Euclidean-pmod cell decode. */
+  private[graft] def semDedupAssignFrame(
+      df: DataFrame, idCol: String, vecCol: String,
+      targetCellSize: Int, minCentroids: Int, assignMode: String,
+      dim: Int, bits: Int, tables: Int, seed: Long): DataFrame = {
+    require(targetCellSize >= 1 && minCentroids >= 1,
+      s"bad targetCellSize=$targetCellSize minCentroids=$minCentroids")
+    require(Set("auto", "broadcast", "bucketed")(assignMode),
+      s"assignMode must be auto|broadcast|bucketed: $assignMode")
+    val n = df.count()
+    require(n > 0, "semDedupScaled needs a non-empty corpus")
+    val k = math.min(
+      math.max(minCentroids.toLong,
+        (n + targetCellSize - 1) / targetCellSize),
+      n).toInt
+    val bucketed = assignMode == "bucketed" ||
+      (assignMode == "auto" && k > 65536)
+    if (bucketed) require(dim >= 1,
+      s"bucketed assignment needs the vector dim for its hyperplane " +
+      s"literals: dim=$dim")
+    // spread BEFORE the assignment: a replicated fixture lands as one
+    // ~100 MB parquet split, and the flop-heavy scoring pass would run
+    // on ONE core (the first sf10 probe spent minutes exactly so — 31
+    // of 32 executor threads parked). No-op on real multi-split
+    // corpora, the Engine.spread contract.
+    val proj = graft.engine.Engine.spread(
+      df.select(col(idCol).cast("long").as("_aid"),
+        col(vecCol).cast("array<double>").as("_av")))
+    // lowest-id k vectors as the sampled centroids ([[sampleVectors]]'
+    // determinism contract), indexed 0..k−1 by the TWO-PASS contiguous
+    // rank ([[graft.transform.Ids.assignContiguousIds]]) — r10 ran
+    // `row_number` over an unpartitioned window on the k-row set, a
+    // single-task stage whose input GROWS with the corpus (k = n/128);
+    // the two-pass form range-partitions by id, so no stage anywhere
+    // sees more than a partition's rows.
+    val cents = graft.transform.Ids
+      .assignContiguousIds(proj, col("_aid"), "_cellL", 0L)
+      .filter(col("_cellL") < k)
+      .select(col("_cellL").cast("int").as("_cell"),
+        col("_av").as("_cv"))
+    // self-dots once per SIDE (n + k evaluations, the bruteForceTopK
+    // discipline); the scoring pass computes ONLY the packed argmin
+    // key — no cosine, no rounding, no vectors in flight
+    val proj2 = proj.withColumn("_avv", dot(col("_av"), col("_av")))
+    val cents2 = cents.withColumn("_cvv", dot(col("_cv"), col("_cv")))
+    val amin =
+      if (bucketed)
+        semDedupAssignBucketed(proj2, cents2, k, dim, bits, tables, seed)
+      else semDedupAssignExact(proj2, cents2, k)
+    val centsSim = cents2.select(col("_cell").as("cell"),
+      col("_cv"), col("_cvv"))
+    // csim attach: one k-row join per corpus row — broadcast in the
+    // exact tier, a plain cell equi-join in the bucketed tier (whose
+    // premise is that k no longer broadcasts)
+    proj2.join(amin, Seq("_aid"))
+      .join(if (bucketed) centsSim else broadcast(centsSim), Seq("cell"))
+      .select(col("_aid"), col("_av"),
+        sqrt(col("_avv")).as("_an"), col("cell"),
+        round(dot(col("_av"), col("_cv")) /
+          (sqrt(col("_avv")) * sqrt(col("_cvv"))), 6)
+          .as("centroid_sim"))
+  }
+
+  /** Packed argmin key over (d2, cell) as ONE fixed-width `min`:
+    * min(struct(...)) and min_by both carry struct buffers, which are
+    * not mutable-fixed-width, so Spark silently plans a SortAggregate
+    * that SORTS the whole scored join output (the first sf10 probe
+    * stalled exactly there, spilling 312M wide rows). Packing the
+    * order-preserving double bits (graft_dbits, codegen'd) with the
+    * cell index into a DECIMAL(38,0) — 19 digits of bits · k + cell
+    * ≪ 38 digits — keeps the lexicographic (d2, cell) order and
+    * hash-aggregates with map-side partials. Exact: dbits is a
+    * total-order bijection on doubles. d2 = v·v − 2·v·c + c·c
+    * left-to-right (the oracle's operand order). */
+  private def semDedupEnc(k: Int): Column = {
+    val d2 = col("_avv") - lit(2.0) * dot(col("_av"), col("_cv")) +
+      col("_cvv")
+    (call_function("graft_dbits", d2).cast("decimal(38,0)") *
+      lit(k) + col("_cell")).as("_enc")
+  }
+
+  /** Cell decode with pmod, NOT `%`: for a vector nearly identical to
+    * its centroid, float rounding can make d2 slightly NEGATIVE, so
+    * graft_dbits — a total-order encoding — and hence the packed key
+    * `_e = dbits·k + cell` are negative too. Spark's decimal `%` is
+    * truncated (sign of the dividend), so `_e % k` would return
+    * `cell − k` and the inner join back to the centroid table would
+    * silently DROP the row (neither survivor nor suppressed) — the
+    * core dedup case, invisible to fixtures whose duplicates differ by
+    * a fat perturbation. Euclidean `pmod` recovers the true cell for
+    * either sign (`_e = dbits·k + cell`, `0 ≤ cell < k` exactly). */
+  private def semDedupDecode(k: Int): Column =
+    pmod(col("_e"), lit(k)).cast("int").as("cell")
+
+  /** Exact broadcast-tier assignment: corpus × centroids BNLJ, argmin
+    * collapsed to one row per vector by map-side grouped partials. */
+  private def semDedupAssignExact(proj2: DataFrame, cents2: DataFrame,
+                                  k: Int): DataFrame =
+    proj2.crossJoin(broadcast(cents2))
+      .select(col("_aid"), semDedupEnc(k))
+      .groupBy(col("_aid")).agg(min(col("_enc")).as("_e"))
+      .select(col("_aid"), semDedupDecode(k))
+
+  /** Bucketed-tier CANDIDATE pairs `(_aid, _cell)`: both sides hashed
+    * into `tables` hyperplane-LSH tables (driver-literal planes, the
+    * [[annTopKImpl]] geometry), candidates from shared buckets via an
+    * id-only equi-join on (table, bucket), deduped before any vector is
+    * re-attached. Package-private so PlanShapeSpec can pin the shape:
+    * no BroadcastNestedLoopJoin, no CartesianProduct — the n·k cross
+    * product never forms in this tier. */
+  private[graft] def semDedupCandidates(
+      proj2: DataFrame, cents2: DataFrame, dim: Int, bits: Int,
+      tables: Int, seed: Long): DataFrame = {
+    val allPlanes = (0 until tables)
+      .map(t => hyperplanes(dim, bits, seed + t))
+    def bucketRows(d: DataFrame, idc: String, vc: String): DataFrame =
+      d.select(col(idc),
+        posexplode(array(allPlanes.map(p =>
+          lshBucket(col(vc), p)): _*)))
+        .withColumnsRenamed(Map("pos" -> "_tbl", "col" -> "_bkt"))
+    bucketRows(proj2, "_aid", "_av")
+      .join(bucketRows(cents2, "_cell", "_cv"), Seq("_tbl", "_bkt"))
+      .select(col("_aid"), col("_cell"))
+      .dropDuplicates("_aid", "_cell")
+  }
+
+  /** Bucketed-tier assignment: argmin over each vector's candidate
+    * cells, then the rare bucket-orphan vectors (no shared bucket with
+    * any centroid) resolved exactly with the ORPHAN side broadcast into
+    * the BNLJ — the centroid table stays partitioned, as this tier
+    * requires. The candidate argmin is materialized once so the orphan
+    * anti-join does not recompute the bucket join. */
+  private def semDedupAssignBucketed(
+      proj2: DataFrame, cents2: DataFrame, k: Int, dim: Int, bits: Int,
+      tables: Int, seed: Long): DataFrame = {
+    val cand = semDedupCandidates(proj2, cents2, dim, bits, tables, seed)
+    val amin0 = graft.engine.Engine.materialize(
+      cand.join(proj2, Seq("_aid")).join(cents2, Seq("_cell"))
+        .select(col("_aid"), semDedupEnc(k))
+        .groupBy(col("_aid")).agg(min(col("_enc")).as("_e"))
+        .select(col("_aid"), semDedupDecode(k)))
+    val orphans = proj2.join(amin0, Seq("_aid"), "left_anti")
+    val fallback = broadcast(orphans).crossJoin(cents2)
+      .select(col("_aid"), semDedupEnc(k))
+      .groupBy(col("_aid")).agg(min(col("_enc")).as("_e"))
+      .select(col("_aid"), semDedupDecode(k))
+    amin0.unionByName(fallback)
   }
 
   /** Fixed-centroid SemDeDup — explicit `nCentroids` control for

@@ -419,6 +419,87 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "pair", "freq")
   }
 
+  /** Round-synchronized BATCHED greedy BPE — the depth-scaling form of
+    * [[bpeMerges]]. Classic BPE recounts the corpus-wide pair table
+    * after EVERY merge: one driver-synchronized vocabulary-sized job
+    * per merge, so 30k merges = 30k sequential rounds — the wall-clock
+    * wall a real tokenizer run hits first. Here each round takes the
+    * top-`window` pairs by (freq desc, pair asc) and applies every
+    * candidate that is INDEPENDENT of all higher-ranked candidates in
+    * the window: pair p's symbol set {x, y, xy} must be disjoint from
+    * each higher-ranked candidate's — sharing a symbol means one merge
+    * changes the other's occurrences, and a concat collision (xy equal
+    * to a symbol, or to another concat) means the merges would
+    * interfere through the symbol they create. Independent merges
+    * commute and their round-start frequencies are exact at
+    * application time, so one round applies ~window/3 merges for ONE
+    * recount — effective depth per wall-second grows with the window.
+    *
+    * Deviation from strictly-sequential BPE, by construction: a pair
+    * CREATED by a batch member (e.g. ("th","e") after ("t","h"))
+    * cannot enter the table until the next round, even if its
+    * frequency would have ranked it next — the standard trade of every
+    * synchronized-round BPE at scale. Exclusion is against all
+    * higher-RANKED window candidates (selected or not): that keeps the
+    * rule self-contained per candidate — SQL-expressible as one
+    * anti-join, no sequential closure — at the cost of occasionally
+    * skipping a pair whose only conflicts were themselves excluded.
+    *
+    * Output contract matches [[bpeMerges]]: (merge_rank, pair, freq),
+    * rank in application order (round-major, window rank within a
+    * round), freq the round-start count; application is the identical
+    * padded two-pass replace, in rank order, one projection per round. */
+  def bpeMergesBatched(df: DataFrame, textCol: String,
+                       rounds: Int, window: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(rounds > 0 && window > 0,
+      s"bad rounds=$rounds window=$window")
+    var words = graft.engine.Engine.materialize(
+      graft.engine.Engine.spread(df)
+        .select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
+        .select(concat(lit(" "),
+          array_join(transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))), " "),
+          lit(" ")).as("s"), col("f")))
+    val pairs = shingles(split(trim(col("s")), " "), 2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    def syms(p: String): Set[String] = {
+      val i = p.indexOf(' ')
+      Set(p.substring(0, i), p.substring(i + 1), p.replace(" ", ""))
+    }
+    var rank = 0
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
+      // window-sized driver collect by contract (window ≪ vocabulary)
+      val top = words.select(col("f"), explode(pairs).as("p"))
+        .groupBy(col("p")).agg(sum(col("f")).as("ff"))
+        .orderBy(desc("ff"), asc("p")).limit(window).collect()
+        .map(row => (row.getString(0), row.getLong(1)))
+      if (top.isEmpty) dry = true
+      else {
+        val sel = top.zipWithIndex.collect {
+          case ((p, ff), i) if top.take(i).forall { case (q, _) =>
+            syms(q).intersect(syms(p)).isEmpty } => (p, ff)
+        }
+        sel.foreach { case (p, ff) => merges += ((rank, p, ff)); rank += 1 }
+        val applied = sel.foldLeft(col("s")) { case (c, (p, _)) =>
+          val pat = " " + p + " "
+          val rep = " " + p.replace(" ", "") + " "
+          replace(replace(c, lit(pat), lit(rep)), lit(pat), lit(rep))
+        }
+        val prev = words
+        words = graft.engine.Engine.materialize(
+          prev.select(applied.as("s"), col("f")))
+        graft.engine.Engine.release(prev)
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "pair", "freq")
+  }
+
   /** Apply a learned BPE merge table (rank-ordered "a b" pairs — the
     * [[bpeMerges]] output) to a corpus and report per-document subword
     * stats: (id, n_words, n_subwords) — the fertility/compression
@@ -1410,7 +1491,12 @@ object TextOps {
     graft.transform.Ids.assignGroupedRanks(scored, groupCol,
         Seq(col("clf_score").desc, col(idCol).asc),
         rankName = "_rk", countName = "n_group")
-      .withColumn("src_rank", col("_rk").cast("int")).drop("_rk")
+      // src_rank stays LONG: this operator exists for mega-groups that
+      // are a double-digit share of a 100 TB corpus, where a group's
+      // row count exceeds Int.MaxValue — an int cast would wrap
+      // silently (non-ANSI) or throw (ANSI) exactly at the scale the
+      // two-pass rank machinery is built for.
+      .withColumnRenamed("_rk", "src_rank")
       .withColumn("kept", col("src_rank") <=
         expr(s"(n_group * $keepPpm + 999999) div 1000000"))
       .select(col(idCol), col(groupCol), col("clf_score"),

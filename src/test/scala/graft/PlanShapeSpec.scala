@@ -311,18 +311,62 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the materialized (doc,bucket,count) relation:\n$p")
   }
 
-  test("semDedupScaled: broadcast centroid assignment, no cartesian, " +
-      "anti-join keyed on cell (r9 weak #2 closed)") {
+  test("semDedupScaled exact tier: BNLJ pinned on the PRE-materialization " +
+      "assignment frame; registered plan anti-joins on cell") {
+    // Engine.materialize truncates lineage to `Scan ExistingRDD`, so the
+    // assignment BNLJ is invisible in the REGISTERED query's final plan
+    // BY CONSTRUCTION (the r10 red-suite lesson): hidden-stage shapes
+    // must be pinned on the package-private pre-materialization frame.
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val af = graft.ext.SimilarityOps.semDedupAssignFrame(emb, "vec_id",
+      "embedding", targetCellSize = 128, minCentroids = 16,
+      assignMode = "broadcast", dim = 0, bits = 4, tables = 8,
+      seed = 42L)
+    val ap = plan(af)
+    // centroids reach the corpus as a broadcast (BNLJ over k rows); the
+    // argmin collapses n·k to n via grouped partials; never a cartesian
+    assert(ap.contains("BroadcastNestedLoopJoin"), ap)
+    assert(!ap.contains("CartesianProduct"), ap)
+    // no single-partition window anywhere in the assignment (the r10
+    // centroid indexer ran row_number over an UNPARTITIONED window on
+    // the k-row set, whose input grows with the corpus)
+    assert(!ap.contains("Window"), ap)
+    // the registered query's final plan: pair stage is a hash/merge
+    // anti-join on the cell key — never a cross product of corpus rows
     val df = ExtQueries.xDedupSemantic(spark, fixtureDir)
     df.collect()
     val p = plan(df)
-    // centroids reach the corpus as a broadcast (BNLJ over k rows), the
-    // argmin collapses n·k to n via grouped partials, and the pair
-    // stage is a hash/merge anti-join on the cell key — never a second
-    // cross product over corpus rows
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semDedupScaled bucketed tier: candidate stage is an id-only " +
+      "equi-join on (table, bucket) — no BNLJ, no cartesian") {
+    // the beyond-broadcast assignment tier: the n·k cross product must
+    // never form; candidates come from shared LSH buckets via a plain
+    // shuffle equi-join carrying (table, bucket, id) rows only
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val e = emb.select(
+      org.apache.spark.sql.functions.col("vec_id").cast("long")
+        .as("_aid"),
+      org.apache.spark.sql.functions.col("embedding")
+        .cast("array<double>").as("_av"))
+    val cents = e.filter(org.apache.spark.sql.functions.col("_aid") < 16)
+      .select(org.apache.spark.sql.functions.col("_aid").cast("int")
+        .as("_cell"),
+        org.apache.spark.sql.functions.col("_av").as("_cv"))
+    val cand = graft.ext.SimilarityOps.semDedupCandidates(
+      e, cents, dim = 64, bits = 4, tables = 8, seed = 42L)
+    val cp = plan(cand)
+    assert(!cp.contains("BroadcastNestedLoopJoin"), cp)
+    assert(!cp.contains("CartesianProduct"), cp)
+    assert(cp.contains("_bkt"), cp)
+    // and the registered bucketed query keeps the anti-join pair stage
+    val df = ExtQueries.xDedupSemanticLsh(spark, fixtureDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("quality gate: no window over the corpus frame (r9 weak #3 closed)") {

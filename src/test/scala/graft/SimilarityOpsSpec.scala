@@ -359,6 +359,91 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("semDedupScaled: negative-d2 cell decode keeps the row (pmod, " +
+      "not truncated %)") {
+    import spark.implicits._
+    // For a vector nearly identical to its centroid, the left-to-right
+    // d2 = v·v − 2·v·c + c·c can round NEGATIVE; graft_dbits is then
+    // negative and so is the packed key dbits·k + cell. A truncated `%`
+    // decode returns cell − k and the row silently VANISHES from the
+    // assignment (neither survivor nor suppressed). Find — with the
+    // exact sequential double arithmetic graft_dot uses — a
+    // perturbation whose d2 goes negative, and assert the row stays.
+    def sdot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def d2(a: Array[Double], c: Array[Double]): Double =
+      sdot(a, a) - 2.0 * sdot(a, c) + sdot(c, c)
+    val c0 = Array.tabulate(64)(i => 5.0 + 0.01 * i) // far cluster
+    val c1 = Array.tabulate(64)(i => 0.1 + 0.001 * i)
+    // at |eps| ~ 1e-9 the exact d2 (Σeps² ≈ 2e-17) sits far below the
+    // sequential-sum rounding noise (~ulp(1.1)·√64 ≈ 1e-15), so the
+    // float sign is effectively a coin flip — a short seeded search
+    // deterministically lands a negative one
+    val x = (for (scale <- Iterator(1e-9, 1e-10, 1e-8);
+                  s <- (0 until 500).iterator) yield {
+      val rnd = new scala.util.Random(s)
+      c1.map(v => v + (rnd.nextDouble() - 0.5) * scale)
+    }).find(cand => d2(cand, c1) < 0.0)
+      .getOrElse(fail("fixture search found no negative-d2 perturbation"))
+    assert(d2(x, c1) < 0.0 && d2(x, c0) > 1.0) // argmin is cell 1
+    val corpus = Seq((0L, c0), (1L, c1), (2L, x)).toDF("id", "v")
+    val af = SimilarityOps.semDedupAssignFrame(corpus, "id", "v",
+      targetCellSize = 1000000, minCentroids = 2,
+      assignMode = "broadcast", dim = 0, bits = 4, tables = 8,
+      seed = 42L)
+    val cells = af.select("_aid", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells.size == 3, s"row lost from the assignment: $cells")
+    assert(cells(2L) == 1, s"negative-d2 row decoded the wrong cell: $cells")
+    // and end to end: the near-identical pair dedupes normally (id 2
+    // dominated by id 1 — csim tie at round-6, lower id survives)
+    val kept = SimilarityOps.semDedupScaled(corpus, "id", "v",
+        targetCellSize = 1000000, minCentroids = 2, tau = 0.95)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L))
+  }
+
+  test("semDedupScaled bucketed tier: orphan fallback assigns every row") {
+    import spark.implicits._
+    // -c flips EVERY hyperplane sign vs c, so it shares no bucket with
+    // the single centroid in any table — the orphan fallback must still
+    // assign it (exactly) rather than dropping it from the corpus.
+    val c = Array.tabulate(64)(i => 0.3 + 0.002 * i)
+    val corpus = Seq((0L, c), (1L, c.map(-_))).toDF("id", "v")
+    val af = SimilarityOps.semDedupAssignFrame(corpus, "id", "v",
+      targetCellSize = 1000000, minCentroids = 1,
+      assignMode = "bucketed", dim = 64, bits = 4, tables = 8,
+      seed = 42L)
+    val cells = af.select("_aid", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == Map(0L -> 0, 1L -> 0), s"got $cells")
+  }
+
+  test("semDedupScaled bucketed tier: full coverage, valid cells, " +
+      "layout-independent") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = emb.count()
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.semDedupAssignFrame(d, "vec_id", "v",
+        targetCellSize = 128, minCentroids = 16,
+        assignMode = "bucketed", dim = 64, bits = 4, tables = 8,
+        seed = 42L)
+    val af = run(emb)
+    val rows = af.select("_aid", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    // every vector assigned exactly once (no orphan loss, no duplicate
+    // assignment from the candidate union), every cell in range
+    assert(rows.length == n, s"${rows.length} of $n assigned")
+    assert(rows.map(_._1).distinct.length == n)
+    assert(rows.forall { case (_, cl) => cl >= 0 && cl < 16 })
+    val again = run(emb.repartition(7)).select("_aid", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("kmeansLloydFx separates two obvious clusters and is layout-exact") {
     import spark.implicits._
     // ids 0/1 seed the two centroids; points sit near (0,0) and (10,10).

@@ -347,7 +347,7 @@ class SparkPropertySpec extends SparkSpec {
     val out = TextOps.qualityTopFraction(rows.toDF("id", "grp", "txt"),
         "id", "txt", "grp", keepPpm = ppm)
       .collect().map(r => r.getLong(0) ->
-        ((r.getInt(3), r.getLong(4), r.getBoolean(5)))).toMap
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
     val stop = Set("the", "a", "an", "and", "or", "of", "to", "in",
       "is", "it")
     def score(t: String): Long = {
@@ -362,7 +362,7 @@ class SparkPropertySpec extends SparkSpec {
       val n = ranked.size.toLong
       val cut = (n * ppm + 999999L) / 1000000L
       ranked.zipWithIndex.foreach { case ((id, _), i) =>
-        val expected = ((i + 1, n, (i + 1) <= cut))
+        val expected = ((i + 1L, n, (i + 1) <= cut))
         assert(out(id) == expected,
           s"id=$id got=${out(id)} want=$expected")
       }

@@ -284,6 +284,38 @@ class TextOpsSpec extends SparkSpec {
     assert(merges(2) == (2, "e r", 2L))
   }
 
+  test("bpeMergesBatched at window=1 equals classic sequential bpeMerges") {
+    import spark.implicits._
+    // window 1 admits one candidate per round (nothing ranks above it),
+    // so every round IS a classic merge step — the batched trainer must
+    // reproduce the sequential merge table rank-for-rank
+    val df = Seq("low low low", "lower lower", "newest newest wide")
+      .toDF("text")
+    val seqT = TextOps.bpeMerges(df, "text", numMerges = 6)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val batT = TextOps.bpeMergesBatched(df, "text", rounds = 6, window = 1)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(batT == seqT)
+  }
+
+  test("bpeMergesBatched: within-round independence, distinct pairs, " +
+      "contiguous ranks") {
+    import spark.implicits._
+    val df = Seq("low lower lowest", "newer newest news",
+      "wide wider widest", "the then there these").toDF("text")
+    val out = TextOps.bpeMergesBatched(df, "text", rounds = 3, window = 12)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).toSeq == out.indices.toSeq) // contiguous ranks
+    val pairs = out.map(_._2)
+    assert(pairs.distinct.length == pairs.length) // a merged pair never recurs
+    // beats sequential depth-per-round: >1 merge somewhere in 3 rounds
+    assert(out.length > 3, s"batching yielded no depth: ${out.toSeq}")
+  }
+
   test("bpeEncodeStats applies the learned merges in rank order") {
     import spark.implicits._
     val df = Seq((1L, "low low low"), (2L, "lower lower"),
@@ -730,13 +762,13 @@ class TextOpsSpec extends SparkSpec {
     val out = TextOps.qualityTopFraction(docs, "id", "txt", "src",
         keepPpm = 300000L)
       .collect().map(r => r.getLong(0) ->
-        ((r.getInt(3), r.getLong(4), r.getBoolean(5)))).toMap
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
     // g1: n=3, ceil(3*0.3)=1 kept — the tie-min id
-    assert(out(1L) == ((1, 3L, true)))
-    assert(out(2L) == ((2, 3L, false)))
-    assert(out(3L) == ((3, 3L, false)))
+    assert(out(1L) == ((1L, 3L, true)))
+    assert(out(2L) == ((2L, 3L, false)))
+    assert(out(3L) == ((3L, 3L, false)))
     // g2: n=1, ceil(0.3)=1 — every group keeps at least one
-    assert(out(10L) == ((1, 1L, true)))
+    assert(out(10L) == ((1L, 1L, true)))
   }
 
   test("dsirSelect: target-like docs outrank off-target; empty visible") {
