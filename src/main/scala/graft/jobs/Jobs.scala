@@ -180,8 +180,9 @@ object SplitJob {
 /** The LLM-ingest pipeline as ONE streaming DAG (SURVEY §2.9 + §2.10
   * composed): quality quarantine → optional history dedup (Bloom
   * projection + stream-static anti-join) → benchmark decontamination →
-  * phrase blocklist → optional LM fluency gate → deterministic split →
-  * K9 keyed upsert. Every transform stage is a stateless codegen'd
+  * phrase blocklist → optional LM fluency gate → optional CCNet
+  * head/middle/tail banding (plan-literal NLL percentile bounds) →
+  * deterministic split → K9 keyed upsert. Every transform stage is a stateless codegen'd
   * projection, filter, or stream-static join (incrementalDedupWith,
   * flagRows, isContaminated, containsBlockedPhrase, lmNllStruct,
   * hashSplit) — no streaming aggregation state anywhere — so identical
@@ -197,8 +198,11 @@ object SplitJob {
   *       <benchParquet|-> <phrasesFile|-> <storeDir> <quarantineDir>
   *       <checkpointDir> [testFrac=0.05] [validFrac=0.05]
   *       [lmRefParquet|-] [maxMeanNll=+inf] [historyParquet|-]
+  *       [nllT1|-] [nllT2|-] [dropNllTail=false]
   * rulesSpec uses [[QualityGateJob.parseRule]] syntax; '-' disables the
-  * corresponding stage. */
+  * corresponding stage. nllT1/nllT2 are the CCNet head/middle/tail NLL
+  * bounds (batch-computed percentile cuts — the x_text_ppl_thresh
+  * shape); both must be given, and they require lmRefParquet. */
 object StreamIngestJob {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
@@ -214,7 +218,9 @@ object StreamIngestJob {
                      validFrac: Double = 0.05,
                      lmModel: Option[TextOps.LmModel] = None,
                      maxMeanNll: Double = Double.PositiveInfinity,
-                     dedupIndex: Option[(Array[Byte], DataFrame)] = None)
+                     dedupIndex: Option[(Array[Byte], DataFrame)] = None,
+                     nllBand: Option[(Double, Double)] = None,
+                     dropNllTail: Boolean = false)
       : DataFrame = {
     // History dedup first — cheapest stage to give less downstream
     // work (tier 1 is a Bloom projection; tier 2 the stream-legal
@@ -241,7 +247,32 @@ object StreamIngestJob {
           s.getField("n_bigrams").cast("double")) /
           lit(1073741824.0)) <= maxMeanNll)
     }
-    Split.hashSplit(fluent, idCol,
+    // CCNet head/middle/tail banding, stream-legal: the (t1, t2) NLL
+    // percentile bounds are computed BATCH-side on a trusted corpus
+    // (TextOps.nllBucketsByThreshold — the x_text_ppl_thresh shape) and
+    // fold into the plan as literals, so the bucketing is the same pure
+    // codegen'd when-chain projection here as in the batch query. Docs
+    // with no bigrams band as 'middle' (a degenerate doc is evidence of
+    // neither fluency band; the quality rules own degenerate-doc
+    // policy, mirroring the fluency gate's pass-through). `dropNllTail`
+    // applies CCNet's harshest disposition; otherwise the band rides to
+    // the store for downstream sampling.
+    val banded = nllBand.fold(fluent) { case (t1, t2) =>
+      val m = lmModel.getOrElse(throw new IllegalArgumentException(
+        "nllBand requires lmModel: the bounds are percentile cuts of " +
+          "its NLL scores"))
+      val s = TextOps.lmNllStruct(col(textCol), m)
+      val mean = (s.getField("sfx").cast("double") /
+        s.getField("n_bigrams").cast("double")) / lit(1073741824.0)
+      val labeled = fluent.withColumn("ppl_bucket",
+        when(s.isNull, lit("middle"))
+          .when(mean <= lit(t1), lit("head"))
+          .when(mean <= lit(t2), lit("middle"))
+          .otherwise(lit("tail")))
+      if (dropNllTail) labeled.filter(col("ppl_bucket") =!= "tail")
+      else labeled
+    }
+    Split.hashSplit(banded, idCol,
       Seq("test" -> testFrac, "valid" -> validFrac))
   }
 
@@ -256,7 +287,9 @@ object StreamIngestJob {
                       validFrac: Double = 0.05,
                       lmModel: Option[TextOps.LmModel] = None,
                       maxMeanNll: Double = Double.PositiveInfinity,
-                      dedupIndex: Option[(Array[Byte], DataFrame)] = None)
+                      dedupIndex: Option[(Array[Byte], DataFrame)] = None,
+                      nllBand: Option[(Double, Double)] = None,
+                      dropNllTail: Boolean = false)
       : (DataFrame, DataFrame) = {
     val flagged = Checks.flagRows(df, rules)
     val bad = flagged.filter(size(col("violations")) > 0)
@@ -264,7 +297,7 @@ object StreamIngestJob {
       .drop("violations")
     (bad, cleanTransform(clean, idCol, textCol, benchGramHashes,
       blockedPhrases, testFrac, validFrac, lmModel, maxMeanNll,
-      dedupIndex))
+      dedupIndex, nllBand, dropNllTail))
   }
 
   /** One micro-batch's sink work, keyed by the streaming engine's
@@ -294,10 +327,12 @@ object StreamIngestJob {
             testFrac: Double, validFrac: Double,
             lmModel: Option[TextOps.LmModel],
             maxMeanNll: Double,
-            dedupIndex: Option[(Array[Byte], DataFrame)]): Unit = {
+            dedupIndex: Option[(Array[Byte], DataFrame)],
+            nllBand: Option[(Double, Double)] = None,
+            dropNllTail: Boolean = false): Unit = {
     val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
       benchGramHashes, blockedPhrases, testFrac, validFrac,
-      lmModel, maxMeanNll, dedupIndex)
+      lmModel, maxMeanNll, dedupIndex, nllBand, dropNllTail)
     // writeParquet's own empty guard skips the write — no second
     // isEmpty pass over the routed-transform plan here
     Sinks.writeParquet(bad, s"$quarantineDir/batch_id=$batchId",
@@ -326,6 +361,8 @@ object StreamIngestJob {
             lmModel: Option[TextOps.LmModel] = None,
             maxMeanNll: Double = Double.PositiveInfinity,
             dedupIndex: Option[(Array[Byte], DataFrame)] = None,
+            nllBand: Option[(Double, Double)] = None,
+            dropNllTail: Boolean = false,
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -336,7 +373,8 @@ object StreamIngestJob {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, rules,
           benchGramHashes, blockedPhrases, store, quarantineDir,
-          testFrac, validFrac, lmModel, maxMeanNll, dedupIndex)
+          testFrac, validFrac, lmModel, maxMeanNll, dedupIndex,
+          nllBand, dropNllTail)
       }
       .start()
 
@@ -368,6 +406,13 @@ object StreamIngestJob {
       TextOps.lmTrainHashed(Sources.readParquet(spark, p), textCol))
     val dedupIndex = rest.lift(4).filter(_ != "-").map(p =>
       DedupOps.buildDedupIndex(Sources.readParquet(spark, p), textCol))
+    val nllBand = (rest.lift(5).filter(_ != "-"),
+        rest.lift(6).filter(_ != "-")) match {
+      case (Some(t1), Some(t2)) => Some((t1.toDouble, t2.toDouble))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "nllT1 and nllT2 must be given together")
+    }
     val q = start(stream, idCol, textCol, rules, grams, phrases,
       new graft.sinks.Upsert.FileStore(storeDir), quarantineDir, cp,
       testFrac = rest.headOption.map(_.toDouble).getOrElse(0.05),
@@ -375,7 +420,9 @@ object StreamIngestJob {
       lmModel = lmModel,
       maxMeanNll = rest.lift(3).map(_.toDouble)
         .getOrElse(Double.PositiveInfinity),
-      dedupIndex = dedupIndex)
+      dedupIndex = dedupIndex,
+      nllBand = nllBand,
+      dropNllTail = rest.lift(7).exists(_.toBoolean))
     q.awaitTermination()
   }
   def main(args: Array[String]): Unit =

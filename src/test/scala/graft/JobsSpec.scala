@@ -234,6 +234,54 @@ class JobsSpec extends SparkSpec {
     assert(storedIds == twinIds, s"store=$storedIds twin=$twinIds")
   }
 
+  test("ingest CCNet band stage labels head/middle/tail from literal " +
+      "bounds and drops the tail, stream == batch twin") {
+    import spark.implicits._
+    import graft.jobs.StreamIngestJob
+    import graft.ext.TextOps
+    val base = s"$ws/si_band"
+    val (landing, storeDir, quarantine, cp) =
+      (s"$base/landing", s"$base/store", s"$base/quarantine", s"$base/cp")
+    val ddl = "doc_id LONG, text STRING"
+    val ref = Seq("the spark engine runs the query",
+      "the engine runs the spark job").toDF("text")
+    ref.write.mode("overwrite").parquet(s"$base/ref")
+    val model = TextOps.lmTrainHashed(ref, "text")
+    val docs = Seq(
+      (1L, "the spark engine runs the job"),   // fluent → head
+      (2L, "the engine runs the query"),       // fluent → head
+      (3L, "the spark query zq runs"),         // one OOV bigram → middle
+      (4L, "zq xv bnw ql zzt prw mmx"))        // all OOV → tail, dropped
+    val scores = TextOps.streamLmScore(docs.toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) < scores(3L) && scores(3L) < scores(4L))
+    // bounds between the observed score clusters — the batch side would
+    // derive these with nllBucketsByThreshold; here they are the same
+    // kind of plan literal, picked to make the banding unambiguous
+    val t1 = (math.max(scores(1L), scores(2L)) + scores(3L)) / 2
+    val t2 = (scores(3L) + scores(4L)) / 2
+    docs.toDF("doc_id", "text").write.parquet(landing)
+    StreamIngestJob.run(spark, Array(landing, ddl, "doc_id", "text",
+      "not_null:text", "-", "-", storeDir, quarantine, cp,
+      "0.05", "0.05", s"$base/ref", "Infinity", "-",
+      t1.toString, t2.toString, "true"))
+    val stored = new java.io.File(storeDir).listFiles()
+      .map(f => f.getName.stripSuffix(".json") ->
+        Files.readString(f.toPath)).toMap
+    assert(stored.keySet == Set("1", "2", "3"), s"stored ${stored.keySet}")
+    // the band label rides to the store with the row
+    assert(stored("1").contains("\"ppl_bucket\":\"head\""), stored("1"))
+    assert(stored("3").contains("\"ppl_bucket\":\"middle\""), stored("3"))
+    val (_, twinKept) = StreamIngestJob.routedTransform(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      Seq(graft.transform.Checks.notNull("text")), Array.empty, Seq.empty,
+      lmModel = Some(model), nllBand = Some((t1, t2)), dropNllTail = true)
+    val twin = twinKept.select("doc_id", "ppl_bucket").collect()
+      .map(r => r.getLong(0).toString -> r.getString(1)).toMap
+    assert(twin == Map("1" -> "head", "2" -> "head", "3" -> "middle"))
+  }
+
   test("ingest history-dedup stage drops re-crawls, stream == batch twin") {
     import spark.implicits._
     import graft.jobs.StreamIngestJob
