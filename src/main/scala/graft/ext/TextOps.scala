@@ -743,18 +743,34 @@ object TextOps {
     * aggregation via AQE exchange reuse. */
   def lmScore(docs: DataFrame, ref: DataFrame, idCol: String,
               textCol: String): DataFrame = {
-    val uni = ref.select(explode(tokens(col(textCol))).as("_w1"))
-      .groupBy(col("_w1")).agg(count(lit(1)).as("_c1"))
+    // All joins and exchanges are keyed on 8-byte HASHES (xxhash64
+    // token hashes + the Horner window combine — the identical keys
+    // lmTrainHashed ships in the stream-twin model), never gram
+    // STRINGS: the r11 sf10 probe measured the string-keyed form
+    // shuffling corpus-sized bigram text through both count joins —
+    // the exact antipattern the span ops' longs-only discipline (and
+    // its PlanShapeSpec pin) exists to prevent. Identical output
+    // absent 64-bit collisions (the lmTrainHashed contract; it
+    // refuses lossy models driver-side, and vocabularies are ~2³²
+    // types away from birthday range).
+    val hts = call_function("graft_hash_tokens", tokens(col(textCol)))
+    val uni = ref.select(explode(hts).as("_h1"))
+      .groupBy(col("_h1")).agg(count(lit(1)).as("_c1"))
     val bi = ref
-      .select(explode(shingles(tokens(col(textCol)), 2)).as("_g"))
-      .groupBy(col("_g")).agg(count(lit(1)).as("_c12"))
+      .select(explode(call_function("graft_window_hashes", hts,
+        lit(2))).as("_hg"))
+      .groupBy(col("_hg")).agg(count(lit(1)).as("_c12"))
     val vdf = uni.agg((count(lit(1)) + lit(1)).cast("double").as("_v"))
     val dg = graft.engine.Engine.spread(docs)
-      .select(col(idCol).as("_id"),
-        explode(shingles(tokens(col(textCol)), 2)).as("_g"))
-      .withColumn("_w1", element_at(split(col("_g"), " "), 1))
-      .join(uni, Seq("_w1"), "left")
-      .join(bi, Seq("_g"), "left")
+      .select(col(idCol).as("_id"), hts.as("_ht"))
+      .select(col("_id"), col("_ht"),
+        posexplode(call_function("graft_window_hashes", col("_ht"),
+          lit(2))))
+      .withColumnsRenamed(Map("pos" -> "_p", "col" -> "_hg"))
+      .select(col("_id"),
+        element_at(col("_ht"), col("_p") + 1).as("_h1"), col("_hg"))
+      .join(uni, Seq("_h1"), "left")
+      .join(bi, Seq("_hg"), "left")
       .crossJoin(broadcast(vdf))
     val p = (coalesce(col("_c12"), lit(0L)).cast("double") + lit(1.0)) /
       (coalesce(col("_c1"), lit(0L)).cast("double") + col("_v"))
@@ -787,8 +803,14 @@ object TextOps {
   def scoreTiles(scored: DataFrame, idCol: String, scoreCol: String,
                  k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // Score ONCE: the two-pass rank's range sampling + shuffle would
+    // otherwise re-evaluate the caller's whole scoring chain per pass
+    // (the r11 sf10 probe measured the LM-scored tile cut paying the
+    // 50M-bigram scoring join ~3×). The scored frame is narrow by
+    // contract; checkpointing it makes every downstream pass a scan.
+    val base = graft.engine.Engine.materialize(scored)
     val ranked = graft.transform.Ids.assignContiguousIds(
-      scored, struct(col(scoreCol), col(idCol)), "_rk0", 0L)
+      base, struct(col(scoreCol), col(idCol)), "_rk0", 0L)
     val n = ranked.agg(count(lit(1)).as("_n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("_rk", col("_rk0") + 1)
@@ -822,12 +844,16 @@ object TextOps {
     * Appends `bucket` plus the band edges `nll_t1`/`nll_t2`. */
   def nllBucketsByThreshold(scored: DataFrame,
                             nllCol: String): DataFrame = {
-    val bounds = scored.agg(
+    // Score ONCE (the scoreTiles discipline): the percentile aggregate
+    // and the bucketing projection both consume the scored frame —
+    // unpersisted, the caller's scoring chain runs twice.
+    val base = graft.engine.Engine.materialize(scored)
+    val bounds = base.agg(
         percentile(col(nllCol).cast("double"),
           array(lit(1.0 / 3), lit(2.0 / 3))).as("_pb"))
       .select(element_at(col("_pb"), 1).as("nll_t1"),
         element_at(col("_pb"), 2).as("nll_t2"))
-    scored.crossJoin(broadcast(bounds))
+    base.crossJoin(broadcast(bounds))
       .withColumn("bucket",
         when(col(nllCol) <= col("nll_t1"), "head")
           .when(col(nllCol) <= col("nll_t2"), "middle")
@@ -1486,8 +1512,12 @@ object TextOps {
                          keepPpm: Long = 300000L): DataFrame = {
     require(keepPpm >= 1 && keepPpm <= 1000000L,
       s"keepPpm must be in [1, 1000000]: $keepPpm")
-    val scored = qualityClassify(df, textCol)
-      .select(col(idCol), col(groupCol), col("clf_score"))
+    // Score ONCE (the scoreTiles discipline): the grouped-rank range
+    // sampling + shuffle would re-evaluate the classifier's token/regex
+    // chain per pass; checkpoint the narrow (id, group, score) frame.
+    val scored = graft.engine.Engine.materialize(
+      qualityClassify(df, textCol)
+        .select(col(idCol), col(groupCol), col("clf_score")))
     graft.transform.Ids.assignGroupedRanks(scored, groupCol,
         Seq(col("clf_score").desc, col(idCol).asc),
         rankName = "_rk", countName = "n_group")
@@ -1530,6 +1560,25 @@ object TextOps {
     * grouped sum; the budget cut is a TakeOrdered (no global window)
     * with the ranking window over the bounded `budget`-row set.
     * Nothing all-pairs, nothing driver-side beyond `m` longs. */
+  /** PRE-materialization corpus `(doc, bucket, count)` relation of
+    * [[dsirSelect]] — package-private so PlanShapeSpec can pin the
+    * hidden stage's shape directly (exactly ONE tokenize/explode): the
+    * registered query's final plan starts at the checkpoint's
+    * `Scan ExistingRDD`, so its own "zero Generates" pin certifies only
+    * that the CONSUMERS never re-explode, not how the relation itself
+    * was built (the r10 lineage-truncation blind spot). */
+  private[graft] def dsirDocBuckets(corpus: DataFrame, idCol: String,
+                                    textCol: String, m: Int): DataFrame = {
+    def bucket(tok: Column): Column =
+      pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"),
+        lit(m.toLong))
+    graft.engine.Engine.spread(corpus)
+      .select(col(idCol).as("_id"),
+        explode(tokens(col(textCol))).as("_t"))
+      .select(col("_id"), bucket(col("_t")).as("_bkt"))
+      .groupBy(col("_id"), col("_bkt")).agg(count(lit(1)).as("_cnt"))
+  }
+
   def dsirSelect(corpus: DataFrame, target: DataFrame,
                  idCol: String, textCol: String, targetTextCol: String,
                  numBuckets: Int = 64, budget: Int = 500): DataFrame = {
@@ -1554,11 +1603,7 @@ object TextOps {
     // this the unpersisted plan re-explodes the corpus once per use
     val tt = tc.agg(coalesce(sum(col("_ct")), lit(0L)).as("_tt"))
     val docB = graft.engine.Engine.materialize(
-      graft.engine.Engine.spread(corpus)
-        .select(col(idCol).as("_id"),
-          explode(tokens(col(textCol))).as("_t"))
-        .select(col("_id"), bucket(col("_t")).as("_bkt"))
-        .groupBy(col("_id"), col("_bkt")).agg(count(lit(1)).as("_cnt")))
+      dsirDocBuckets(corpus, idCol, textCol, m))
     val rc = docB.groupBy(col("_bkt")).agg(sum(col("_cnt")).as("_cr"))
     val rt = rc.agg(coalesce(sum(col("_cr")), lit(0L)).as("_tr"))
     val grid = spark.range(m.toLong).select(col("id").as("_bkt"))

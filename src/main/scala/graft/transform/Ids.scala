@@ -27,11 +27,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object Ids {
 
+  /** Partition count for the two-pass rank shuffle: AT LEAST the
+    * cluster width. The input's own partition count is a floor, not a
+    * cap — a narrow input (one parquet split after a pruned scan, a
+    * single-file table) would otherwise serialize the range sort AND
+    * every upstream expression it drags along onto one task (the sf10
+    * probe measured exactly that: a 500k-row quality-scoring chain
+    * evaluating on 1 of 32 threads for minutes). Ranks are a pure
+    * function of the sort key, so the width never changes results. */
+  private def rankWidth(df: DataFrame): Int =
+    math.max(df.rdd.getNumPartitions,
+      df.sparkSession.sparkContext.defaultParallelism).max(1)
+
   def assignContiguousIds(df: DataFrame, orderCol: Column,
                           idName: String = "new_id",
                           start: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val n = df.rdd.getNumPartitions.max(1)
+    val n = rankWidth(df)
     val sorted = df.repartitionByRange(n, orderCol)
       .sortWithinPartitions(orderCol)
     val rdd = sorted.rdd
@@ -94,7 +106,7 @@ object Ids {
                          rankName: String = "grp_rank",
                          countName: String = "n_group"): DataFrame = {
     val spark = df.sparkSession
-    val n = df.rdd.getNumPartitions.max(1)
+    val n = rankWidth(df)
     val gi = df.schema.fieldIndex(groupCol)
     val sortKeys = col(groupCol) +: orderCols
     val sorted = df.repartitionByRange(n, sortKeys: _*)

@@ -309,6 +309,15 @@ class PlanShapeSpec extends SparkSpec {
       s"token streams must each tokenize once ($generates Generates):\n$p")
     assert(p.contains("Scan ExistingRDD"),
       s"expected the materialized (doc,bucket,count) relation:\n$p")
+    // the final plan starts at the checkpoint, so the pin above only
+    // certifies the CONSUMERS — pin the HIDDEN stage too: the
+    // pre-materialization (doc, bucket, count) relation tokenizes the
+    // corpus exactly once (r10 lineage-truncation audit)
+    val db = plan(graft.ext.TextOps.dsirDocBuckets(docs, "doc_id",
+      "text", 64))
+    val dbGen = db.linesIterator.count(_.contains("Generate"))
+    assert(dbGen == 1,
+      s"bucket relation must explode exactly once ($dbGen):\n$db")
   }
 
   test("semDedupScaled exact tier: BNLJ pinned on the PRE-materialization " +

@@ -444,6 +444,20 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("semDedupScaled assignMode guards: unknown mode and bucketed " +
+      "without dim are loud") {
+    import spark.implicits._
+    val df = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.semDedupScaled(df, "id", "v", assignMode = "magic")
+    }
+    intercept[IllegalArgumentException] {
+      // bucketed needs the vector dim for its hyperplane literals
+      SimilarityOps.semDedupScaled(df, "id", "v", assignMode = "bucketed")
+    }
+  }
+
   test("kmeansLloydFx separates two obvious clusters and is layout-exact") {
     import spark.implicits._
     // ids 0/1 seed the two centroids; points sit near (0,0) and (10,10).
