@@ -1040,7 +1040,8 @@ object ExtQueries {
       lit(" ref "), (idCol * 104729).cast("string"))
 
   def xTextRedact(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    // spread: the regex-chain projection must not inherit a 1-split scan
+    graft.engine.Engine.spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         TextOps.redactPii(contactBlurb(col("doc_id"), col("text")))
           .as("redacted"))

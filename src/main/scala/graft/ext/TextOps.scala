@@ -52,8 +52,13 @@ object TextOps {
 
   /** Per-document quality metrics (length / punctuation / stopword ratios
     * — the standard cheap filters of LLM data pipelines). One projection,
-    * no shuffle. */
-  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    * no shuffle — but SPREAD first: a projection inherits the scan's
+    * split count, and a narrow input (one parquet file, a pruned
+    * upstream stage) would run the whole regex/token chain on one task
+    * (the r11 sf1/sf10 lesson — Engine.spread is a no-op on real
+    * multi-split corpora). */
+  def qualityMetrics(df0: DataFrame, textCol: String): DataFrame = {
+    val df = graft.engine.Engine.spread(df0)
     val text = col(textCol)
     val toks = tokens(text)
     val nChars = length(text)
@@ -90,7 +95,8 @@ object TextOps {
   /** Language ID: score each language by marker-token hits; predict the
     * alphabetically-first language achieving the max score (deterministic
     * tie-break, mirrored exactly in the oracle SQL). */
-  def languageId(df: DataFrame, textCol: String): DataFrame = {
+  def languageId(df0: DataFrame, textCol: String): DataFrame = {
+    val df = graft.engine.Engine.spread(df0) // narrow-scan guard
     val toks = tokens(col(textCol))
     val scored = LangMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
       acc.withColumn(s"score_$lang",
@@ -149,7 +155,8 @@ object TextOps {
     * alphabetically-first max scorer. More robust than marker words for
     * running text; still a single narrow projection (each `contains` is a
     * codegen'd substring scan). */
-  def languageIdTrigram(df: DataFrame, textCol: String): DataFrame = {
+  def languageIdTrigram(df0: DataFrame, textCol: String): DataFrame = {
+    val df = graft.engine.Engine.spread(df0) // narrow-scan guard
     val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
     val scored = TrigramProfiles.foldLeft(df) { case (acc, (lang, grams)) =>
       acc.withColumn(s"tg_score_$lang",
@@ -884,7 +891,7 @@ object TextOps {
     // ceil_div(max(n - chunk, 0), stride) + 1 chunks for n >= 1
     val nChunks = ((greatest(n - lit(chunkTokens), lit(0)) +
       lit(stride - 1)) / lit(stride)).cast("int") + lit(1)
-    df.filter(n >= 1)
+    graft.engine.Engine.spread(df).filter(n >= 1)
       .select(col(idCol), toks.as("_toks"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
       .select(col(idCol), col("chunk_id"),
@@ -1310,11 +1317,12 @@ object TextOps {
     * hits, distinct tokens, all-digit tokens, and an over-length
     * penalty `max(0, n_tokens − lenCap)`. Scale shape: one narrow
     * codegen'd projection — no joins, no shuffles, no state. */
-  def qualityClassify(df: DataFrame, textCol: String,
+  def qualityClassify(df0: DataFrame, textCol: String,
                       wStop: Long = 3L, wDistinct: Long = 1L,
                       wDigit: Long = -2L, wOverlen: Long = -1L,
                       bias: Long = -40L,
                       lenCap: Int = 150): DataFrame = {
+    val df = graft.engine.Engine.spread(df0) // narrow-scan guard
     val toks = tokens(col(textCol))
     val stopHits = size(filter(toks,
       t => t.isin(EnglishStopwords: _*))).cast("long")

@@ -39,25 +39,29 @@ class TextOpsSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq(("the cat sat on the mat",  // 6 tokens, stopwords the,the
         "good"), ("!!!", "bad")).toDF("text", "tag")
+    // keyed by tag: spread repartitions, collect order is not input order
     val m = TextOps.qualityMetrics(df, "text").collect()
-    val good = m(0)
+      .map(r => r.getAs[String]("tag") -> r).toMap
+    val good = m("good")
     assert(good.getAs[Long]("n_tokens") == 6)
     assert(good.getAs[Double]("stopword_ratio") == 2.0 / 6.0)
     assert(good.getAs[Boolean]("quality_ok"))
-    val bad = m(1)
+    val bad = m("bad")
     assert(bad.getAs[Long]("n_tokens") == 0)
     assert(!bad.getAs[Boolean]("quality_ok"))
   }
 
   test("languageId: marker votes with alphabetical-first tie-break") {
     import spark.implicits._
-    val df = Seq("the cat and the dog", "el perro y la casa que es",
-      "der hund und die katze ist").toDF("text")
+    // keyed by id: Engine.spread (the narrow-scan guard) repartitions,
+    // so collect order is not input order
+    val df = Seq((0, "the cat and the dog"),
+      (1, "el perro y la casa que es"),
+      (2, "der hund und die katze ist")).toDF("id", "text")
     val out = TextOps.languageId(df, "text")
-      .select("pred_lang").collect().map(_.getString(0))
-    assert(out(0) == "en")
-    assert(out(1) == "es")
-    assert(out(2) == "de")
+      .select("id", "pred_lang").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(0 -> "en", 1 -> "es", 2 -> "de"))
   }
 
   test("assignPackedBins: contiguous bins per partition key, budget honored") {
@@ -77,14 +81,15 @@ class TextOpsSpec extends SparkSpec {
   test("languageIdTrigram classifies real-language snippets") {
     import spark.implicits._
     val df = Seq(
-      "the quick brown fox is running through the woods and the fields",
-      "la casa de mis padres que está en los montes es muy grande",
-      "der schnelle braune fuchs springt über die faulen hunde im schnee",
-      "le chien de mon père est dans le jardin avec les enfants")
-      .toDF("text")
+      (0, "the quick brown fox is running through the woods and the fields"),
+      (1, "la casa de mis padres que está en los montes es muy grande"),
+      (2, "der schnelle braune fuchs springt über die faulen hunde im schnee"),
+      (3, "le chien de mon père est dans le jardin avec les enfants"))
+      .toDF("id", "text")
     val out = TextOps.languageIdTrigram(df, "text")
-      .select("pred_lang_trigram").collect().map(_.getString(0))
-    assert(out.toSeq == Seq("en", "es", "de", "fr"))
+      .select("id", "pred_lang_trigram").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(0 -> "en", 1 -> "es", 2 -> "de", 3 -> "fr"))
   }
 
   test("cleanText strips URLs/emails/control chars and normalizes") {
