@@ -755,7 +755,9 @@ object ExtQueries {
   // whole pipeline is one regex projection mirrored in DuckDB.
   // ---------------------------------------------------------------------
   def xTextClean(s: SparkSession, dir: String): DataFrame = {
-    val dirty = t(s, dir, "documents").withColumn("t",
+    // spread: the regex-chain projection must not inherit a 1-split scan
+    val dirty = graft.engine.Engine.spread(t(s, dir, "documents"))
+      .withColumn("t",
       concat(col("text"),
         when(col("doc_id") % 3 === 0, lit(" visit http://ex.com/page now"))
           .when(col("doc_id") % 3 === 1,
@@ -3136,4 +3138,124 @@ object ExtQueries {
       |  (n_embedded * 1000000) // n_docs AS cov_ppm,
       |  n_orphan_vecs
       |FROM per CROSS JOIN orph ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // KMV distinct-count sketch vs the exact answer (SketchOps.kmvSketch):
+  // per-source distinct-token estimates from k-long state. The exact
+  // side here exists only to verify the estimator — production runs the
+  // sketch alone. The DuckDB twin reproduces the sketch itself (distinct
+  // portable hashes, ROW_NUMBER ascending, k-th value), so the hash
+  // compare covers the estimator arithmetic end to end.
+  // ---------------------------------------------------------------------
+  def xSketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sk = graft.ext.SketchOps.kmvSketch(docs, "source", "text", k = 256)
+    val exact = docs.select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("_t"))
+      .select(col("source"), graft.ext.SketchOps.h60(col("_t")).as("_h"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    sk.join(exact, Seq("source"))
+      .withColumn("err_ppm",
+        expr("abs(est_distinct - n_exact) * 1000000 div n_exact"))
+      .select(col("source"), col("n_exact"), col("n_seen"),
+        col("est_distinct"), col("err_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val xSketchDistinctSql: String =
+    s"""WITH tok AS (SELECT source, unnest($toksSql) AS t FROM documents),
+       |  h AS (SELECT DISTINCT source,
+       |      ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |  r AS (SELECT source, h,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM h),
+       |  ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |    FROM h GROUP BY source),
+       |  km AS (SELECT source,
+       |      CAST(COUNT(CASE WHEN rn <= 256 THEN 1 END) AS INTEGER)
+       |        AS n_seen,
+       |      MAX(CASE WHEN rn <= 256 THEN h END) AS kth
+       |    FROM r GROUP BY source),
+       |  est AS (SELECT km.source, n_exact, n_seen,
+       |      CASE WHEN n_seen < 256 THEN CAST(n_seen AS BIGINT)
+       |           ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
+       |             / CAST(kth AS DOUBLE)) AS BIGINT) END AS est_distinct
+       |    FROM km JOIN ex USING (source))
+       |SELECT source, n_exact, n_seen, est_distinct,
+       |  abs(est_distinct - n_exact) * 1000000 // n_exact AS err_ppm
+       |FROM est ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Count-min sketch point queries vs exact counts (SketchOps.cmsSketch):
+  // the 4x64 counter grid estimates each probe token's frequency as the
+  // min over its depth cells — never an undercount. Probes are the
+  // top-20 tokens by exact count (ties -> token asc, deterministic);
+  // the twin rebuilds the identical grid from the portable hash.
+  // ---------------------------------------------------------------------
+  def xSketchCms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sketch = graft.ext.SketchOps.cmsSketch(docs, "text",
+      depth = 4, width = 64)
+    val exact = docs
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    val probes = exact.orderBy(col("n_exact").desc, col("token")).limit(20)
+    graft.ext.SketchOps.cmsEstimate(sketch, probes, "token",
+        depth = 4, width = 64)
+      .withColumn("overcount", col("cms_est") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  val xSketchCmsSql: String =
+    s"""WITH tok AS (SELECT unnest($toksSql) AS t FROM documents),
+       |  fan AS (SELECT t, unnest(range(4)) AS j FROM tok),
+       |  g AS (SELECT j,
+       |      ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 15))
+       |        ::BIGINT % 64 AS cell,
+       |      CAST(COUNT(*) AS BIGINT) AS cnt
+       |    FROM fan GROUP BY 1, 2),
+       |  ex AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |    FROM tok GROUP BY t),
+       |  pr AS (SELECT token, n_exact FROM ex
+       |    ORDER BY n_exact DESC, token LIMIT 20),
+       |  pf AS (SELECT token, n_exact, unnest(range(4)) AS j FROM pr),
+       |  pe AS (SELECT token, n_exact, j,
+       |      ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token),
+       |        1, 15))::BIGINT % 64 AS cell
+       |    FROM pf),
+       |  est AS (SELECT token, n_exact,
+       |      MIN(COALESCE(cnt, 0)) AS cms_est
+       |    FROM pe LEFT JOIN g USING (j, cell) GROUP BY token, n_exact)
+       |SELECT token, n_exact, cms_est, cms_est - n_exact AS overcount
+       |FROM est ORDER BY n_exact DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Vocabulary coverage curve (SketchOps.vocabCoverage): token mass
+  // captured by a frequency-ranked top-k vocabulary at each cut — the
+  // "how big a tokenizer vocab do we need" question. The Spark side
+  // ranks via the two-pass contiguous-id machinery (no vocab-wide
+  // window); the twin's ROW_NUMBER order (count desc, token asc) is the
+  // same deterministic total order.
+  // ---------------------------------------------------------------------
+  def xVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SketchOps.vocabCoverage(t(s, dir, "documents"), "text",
+        Seq(100, 300, 1000, 3000, 10000))
+      .orderBy(col("top_k"))
+
+  val xVocabCoverageSql: String =
+    s"""WITH tok AS (SELECT unnest($toksSql) AS t FROM documents),
+       |  v AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+       |    FROM tok GROUP BY t),
+       |  r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk
+       |    FROM v),
+       |  ks(top_k) AS (VALUES (100), (300), (1000), (3000), (10000)),
+       |  cov AS (SELECT top_k,
+       |      CAST(SUM(CASE WHEN rk <= top_k THEN c ELSE 0 END) AS BIGINT)
+       |        AS covered_tokens,
+       |      CAST(SUM(c) AS BIGINT) AS total_tokens
+       |    FROM r CROSS JOIN ks GROUP BY top_k)
+       |SELECT top_k, covered_tokens, total_tokens,
+       |  covered_tokens * 1000000 // total_tokens AS coverage_ppm
+       |FROM cov ORDER BY top_k""".stripMargin
 }

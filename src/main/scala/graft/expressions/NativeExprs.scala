@@ -82,6 +82,11 @@ object NativeExprs {
       case other => throw new IllegalArgumentException(
         s"graft_gram(arr, dimLiteral), got $other")
     })
+    reg("graft_kmin", {
+      case Seq(c, Literal(k: Int, IntegerType)) => KMinDistinct(c, k)
+      case other => throw new IllegalArgumentException(
+        s"graft_kmin(bigint, kLiteral), got $other")
+    })
     reg("graft_lm_nll", {
       case Seq(c, Literal(uk: ArrayData, ArrayType(LongType, _)),
                Literal(uv: ArrayData, ArrayType(LongType, _)),

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.SketchOps
+
+/** Sketch family (SURVEY §2.14): KMV distinct counting, count-min
+  * frequency, vocabulary coverage. The laws here are the
+  * partition-independence and never-undercount contracts the scaladocs
+  * claim; the engine-vs-DuckDB bit-exactness is CORRECTNESS's job. */
+class SketchOpsSpec extends SparkSpec {
+
+  private def docs = graft.engine.Engine.table(spark, fixtureDir,
+    "documents")
+
+  // -------------------------------------------------------- KMV
+
+  test("kmvSketch: under-full sketch reports the exact distinct count") {
+    import spark.implicits._
+    val df = Seq((1, "a b c a b"), (1, "c d"), (2, "x y"))
+      .toDF("g", "text")
+    val out = SketchOps.kmvSketch(df, "g", "text", k = 256).collect()
+      .map(r => r.getAs[Int]("g") ->
+        (r.getAs[Int]("n_seen"), r.getAs[Long]("est_distinct"))).toMap
+    assert(out(1) == (4, 4L)) // a b c d
+    assert(out(2) == (2, 2L))
+  }
+
+  test("kmvSketch: estimate is partition-layout independent") {
+    val base = docs.select(col("source"), col("text"))
+    val a = SketchOps.kmvSketch(base.repartition(1), "source", "text",
+      k = 32).collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val b = SketchOps.kmvSketch(base.repartition(7, col("text")),
+      "source", "text", k = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
+  test("kmvSketch: k=256 estimate lands within the theoretical band") {
+    // σ/μ ≈ 1/√(k−2) ≈ 6.3% at k=256; a deterministic fixture either
+    // passes or fails reproducibly — 25% is a 4σ guard against a BROKEN
+    // estimator (off by 2× fails), not a statistical coin flip.
+    val exact = docs.select(col("source"),
+        explode(graft.ext.TextOps.tokens(col("text"))).as("t"))
+      .select(col("source"), SketchOps.h60(col("t")).as("h"))
+      .distinct().groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = SketchOps.kmvSketch(docs, "source", "text", k = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (g, e) =>
+      val x = exact(g).toDouble
+      assert(math.abs(e - x) / x <= 0.25,
+        s"source $g: est $e vs exact $x")
+    }
+  }
+
+  test("KMinDistinct buffer: duplicate-blind, capped, merge == union") {
+    import spark.implicits._
+    // values engineered so group hashing is irrelevant: feed longs
+    // directly through the SQL function on a one-group frame
+    val vals = Seq(5L, 3L, 9L, 3L, 1L, 7L, 5L, 2L, 8L, 1L)
+    val df = vals.toDF("v")
+    val out = df.repartition(3).agg(
+        call_function("graft_kmin", col("v"), lit(4)).as("m"))
+      .collect()(0).getSeq[Long](0)
+    assert(out == Seq(1L, 2L, 3L, 5L)) // 4 smallest distinct, sorted
+  }
+
+  // -------------------------------------------------------- CMS
+
+  test("cmsSketch: estimates never undercount and hit exact for top-20") {
+    val sketch = SketchOps.cmsSketch(docs, "text")
+    val exact = docs
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+    val probes = exact.orderBy(col("n_exact").desc, col("token")).limit(20)
+    val est = SketchOps.cmsEstimate(sketch, probes, "token").collect()
+    assert(est.length == 20)
+    est.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("n_exact"),
+        s"CMS undercounted ${r.getAs[String]("token")}")
+    }
+  }
+
+  test("cmsSketch: every depth row sums to the total token count") {
+    val total = docs.select(
+        size(graft.ext.TextOps.tokens(col("text"))).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val rows = SketchOps.cmsSketch(docs, "text")
+      .groupBy("j").agg(sum(col("cnt")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set(0, 1, 2, 3))
+    rows.values.foreach(s => assert(s == total))
+  }
+
+  // -------------------------------------------------------- coverage
+
+  test("vocabCoverage equals the window-rank naive mirror") {
+    val ks = Seq(3, 10, 100000)
+    val got = SketchOps.vocabCoverage(docs, "text", ks)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("covered_tokens"), r.getAs[Long]("coverage_ppm")))
+      .toMap
+    // naive mirror: explicit global window rank
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("t"))
+    val vocab = docs
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+    val total = vocab.agg(sum("c")).collect()(0).getLong(0)
+    ks.foreach { k =>
+      val cov = vocab.filter(col("rk") <= k)
+        .agg(coalesce(sum("c"), lit(0L))).collect()(0).getLong(0)
+      assert(got(k) == (cov, cov * 1000000L / total), s"k=$k")
+    }
+    // the cut beyond the vocabulary covers everything
+    assert(got(100000)._2 == 1000000L)
+    // monotone in k
+    assert(got(3)._1 <= got(10)._1 && got(10)._1 <= got(100000)._1)
+  }
+
+  // -------------------------------------------------------- plan pins
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("kmvSketch plans one ObjectHashAggregate pair — no distinct " +
+      "Expand, no corpus-distinct shuffle") {
+    val p = plan(SketchOps.kmvSketch(docs, "source", "text", k = 256))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Expand"), p)
+    // exactly one KEYED exchange — the (group) partial->final hop; the
+    // narrow-scan spread's RoundRobin repartition doesn't count
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("vocabCoverage: no window anywhere (two-pass rank instead)") {
+    val p = plan(SketchOps.vocabCoverage(docs, "text", Seq(10, 100)))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("cmsEstimate: grid side broadcasts") {
+    val sketch = SketchOps.cmsSketch(docs, "text")
+    val probes = docs
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .limit(5)
+    val p = plan(SketchOps.cmsEstimate(sketch, probes, "token"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
