@@ -3231,6 +3231,61 @@ object ExtQueries {
        |FROM est ORDER BY n_exact DESC, token""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Weighted sampling without replacement (Split.weightedSample): 200
+  // docs drawn with probability proportional to token count — the
+  // "uniform over tokens" sample LM evals want. The md5-derived uniform
+  // and the fixed-point ln-key make the drawn SET engine-exact; the
+  // twin replays the same keys and the same (key desc, id) cut.
+  // ---------------------------------------------------------------------
+  def xSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("weight",
+      TextOps.tokenCount(col("text")).cast("long") + lit(1L))
+    graft.transform.Split.weightedSample(d, "doc_id", "weight", 200)
+      .select(col("doc_id"), col("source"), col("weight"),
+        col("sample_score_fx"))
+      .orderBy(col("doc_id"))
+  }
+
+  val xSampleWeightedSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len($toksSql) AS BIGINT) + 1 AS weight FROM documents),
+       |  k AS (SELECT doc_id, source, weight,
+       |      CAST(FLOOR(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+       |          1, 15))::BIGINT + 1) / 1152921504606846976.0)
+       |        * 1073741824.0 / weight) AS BIGINT) AS sample_score_fx
+       |    FROM d WHERE weight > 0),
+       |  top AS (SELECT * FROM k
+       |    ORDER BY sample_score_fx DESC, doc_id LIMIT 200)
+       |SELECT doc_id, source, weight, sample_score_fx FROM top
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Winnowing fingerprints (TextOps.winnowFingerprints): min-hash of
+  // each 4-window over 4-token shingle hashes — any shared 7-token run
+  // between documents lands one identical fingerprint in both. The
+  // selection depends on hash VALUES, so the twin recomputes the same
+  // portable md5 hashes and takes the same minima.
+  // ---------------------------------------------------------------------
+  def xTextWinnow(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 4)
+      .orderBy(col("doc_id"), col("fp"))
+
+  val xTextWinnowSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  g AS (SELECT doc_id, list_transform(range(1, len(toks) - 2),
+       |      i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+       |        || toks[i+2] || ' ' || toks[i+3]), 1, 15))::BIGINT) AS hs
+       |    FROM tok WHERE len(toks) >= 4),
+       |  wmin AS (SELECT doc_id,
+       |      unnest(list_transform(
+       |        range(1, greatest(len(hs) - 4, 0) + 2),
+       |        i -> list_min(hs[i : i + least(4, len(hs)) - 1]))) AS fp
+       |    FROM g)
+       |SELECT DISTINCT doc_id, fp FROM wmin
+       |ORDER BY doc_id, fp""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Vocabulary coverage curve (SketchOps.vocabCoverage): token mass
   // captured by a frequency-ranked top-k vocabulary at each cut — the
   // "how big a tokenizer vocab do we need" question. The Spark side

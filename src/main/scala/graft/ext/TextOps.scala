@@ -190,6 +190,42 @@ object TextOps {
     * so it is oracle-checkable end-to-end. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    * algorithm): hash every k-token shingle, then keep the MINIMUM hash
+    * of each w-length window of consecutive shingle hashes. The
+    * guarantee that makes this the local-similarity fingerprint (vs
+    * [[fingerprint]]'s whole-document identity): any shared run of
+    * w + k − 1 tokens between two documents contributes at least one
+    * IDENTICAL fingerprint to both — so overlap detection needs only an
+    * equi-join on the fingerprint column — while only ~2/(w+1) of
+    * positions are kept. Hashes are the portable 60-bit md5
+    * ([[SketchOps.h60]]), so the DuckDB twin selects the exact same
+    * minima — the selection is hash-VALUE-dependent and would diverge
+    * under any engine-private hash.
+    *
+    * Scale shape: one narrow per-document projection (shingle → hash →
+    * sliding min → distinct) then an explode; no shuffle, no state, no
+    * cross-document work — fingerprint joins downstream are the usual
+    * band-bucket discipline. Documents shorter than k tokens have no
+    * shingles and yield no rows.
+    *
+    * Output: (id, fp) rows, one per distinct selected fingerprint. */
+  def winnowFingerprints(df0: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: bad k/w $k/$w")
+    val df = graft.engine.Engine.spread(df0) // narrow-scan guard
+    val toks = tokens(col(textCol))
+    val hs = transform(shingles(toks, k),
+      g => SketchOps.h60(g))
+    df.filter(size(toks) >= k)
+      .select(col(idCol), hs.as("_hs"))
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("_hs")) - w, lit(0))),
+          i => array_min(slice(col("_hs"), i + 1,
+            least(lit(w), size(col("_hs")))))))).as("fp"))
+  }
+
   /** Tiny built-in polarity lexicon (hand-written, integer-weighted so
     * cross-engine sums are exact — float dictionary weights would make
     * the aggregate order-dependent). Swap in a domain lexicon via the

@@ -229,4 +229,35 @@ object Split {
       .drop("_cid", "_comp")
     hashSplit(withRep, "_rep", fractions, rest).drop("_rep")
   }
+
+  /** Weighted sampling WITHOUT replacement, Efraimidis–Spirakis 2006:
+    * row i gets key `uᵢ^(1/wᵢ)` with uᵢ uniform; the n largest keys are
+    * a weight-proportional sample. Deterministic twist: uᵢ is the
+    * portable 60-bit md5 hash of the id mapped into (0, 1] — so the
+    * sample, like every sampler here, is a pure function of the data
+    * (same rows on every run, layout, and engine), yet weight-biased
+    * the way inclusion probabilities demand (w ∝ token count ⇒ the
+    * sample is uniform over TOKENS, the LM-training notion of "uniform").
+    *
+    * Engine-exact ordering: keys compare by `ln(u)/w`, computed as
+    * `floor(ln(u)·2³⁰ / w)` — `(h+1)/2⁶⁰` is an exact power-of-two
+    * scaling, `ln` agrees bit-for-bit across engines on this libm (the
+    * `graft_ln` contract, proven by the DSIR/BM25/PMI oracles), the
+    * multiply and divide are each correctly rounded, and `floor` pins
+    * the BIGINT; ties break by id. Plan shape: one narrow projection +
+    * a TakeOrdered — no shuffle, no window, weight-biased top-n at any
+    * scale. Rows with w ≤ 0 are excluded (zero inclusion mass). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"weightedSample: n must be >= 1: $n")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
+    val scoreFx = floor(call_function("graft_ln", u) *
+      lit(1073741824.0) / col(weightCol).cast("double")).cast("long")
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_score_fx", scoreFx)
+      .orderBy(col("sample_score_fx").desc, col(idCol))
+      .limit(n)
+  }
 }

@@ -236,4 +236,41 @@ class SplitSpec extends SparkSpec {
     assert(Set(out(1L), out(2L), out(3L)).size == 1, "chain must co-split")
     assert(out(7L) == out(15L), "pair must co-split")
   }
+
+  test("weightedSample: without replacement, weight-biased, layout-free") {
+    import spark.implicits._
+    // 100 heavy rows (w=10) among 900 light (w=1): heavy mass is
+    // 1000/1900 ≈ 53%, so a 200-row sample should hold far more heavy
+    // rows than their 10% population share — deterministic fixture,
+    // this either passes or fails reproducibly.
+    val df = (0L until 1000L)
+      .map(i => (i, if (i < 100) 10L else 1L)).toDF("id", "w")
+    val out = graft.transform.Split.weightedSample(df, "id", "w", 200)
+      .select("id").collect().map(_.getLong(0))
+    assert(out.length == 200)
+    assert(out.distinct.length == 200, "sample must be w/o replacement")
+    val heavy = out.count(_ < 100L)
+    assert(heavy > 40, s"heavy rows under-represented: $heavy/200")
+    // partition-layout independence
+    val out2 = graft.transform.Split
+      .weightedSample(df.repartition(7, col("w")), "id", "w", 200)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out2 == out.toSet)
+  }
+
+  test("weightedSample: non-positive weights are excluded; top-n plan") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (2L, -3L), (3L, 5L), (4L, 5L)).toDF("id", "w")
+    val got = graft.transform.Split.weightedSample(df, "id", "w", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 4L))
+    // plan pin on a real scan: a local Seq constant-folds into a
+    // LocalRelation whose row count lets EliminateLimits drop the
+    // limit, and the top-k plan has nothing to do
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select(col("doc_id"), lit(1L).as("w"))
+    val p = graft.transform.Split.weightedSample(docs, "doc_id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -827,4 +827,52 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(re == score)
   }
+
+  test("winnowFingerprints: shared w+k-1 run guarantees a shared print") {
+    import spark.implicits._
+    // k=4, w=4: any shared 7-token run must land one identical
+    // fingerprint in both documents (the Schleimer et al. correctness
+    // property) — contexts around the run differ completely.
+    val run = "alpha beta gamma delta epsilon zeta eta"
+    val df = Seq(
+      (1L, s"one two three $run four five six seven eight"),
+      (2L, s"red blue green $run yellow purple orange pink"),
+      (3L, "totally different words everywhere here now ok")
+    ).toDF("id", "text")
+    val fps = TextOps.winnowFingerprints(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run lost")
+    assert((fps(1L) & fps(3L)).isEmpty, "no shared 7-run, no shared fp")
+  }
+
+  test("winnowFingerprints: short-doc edges and determinism") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"),             // < k tokens: no shingles, no rows
+      (2L, "a b c d"),           // exactly k: one shingle, one print
+      (3L, "a b c d e")          // two shingles, window covers both
+    ).toDF("id", "text")
+    val fps = TextOps.winnowFingerprints(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!fps.contains(1L))
+    assert(fps(2L).size == 1)
+    assert(fps(3L).size == 1, "one window over 2 shingles -> its min")
+    // identical docs produce identical fingerprint sets
+    val dup = Seq((10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val d = TextOps.winnowFingerprints(dup, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(d(10L) == d(11L))
+  }
+
+  test("winnowFingerprints: per-doc projection, no keyed shuffle") {
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+    val p = TextOps.winnowFingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
