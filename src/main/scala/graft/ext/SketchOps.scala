@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   *  - [[vocabCoverage]]: tokenizer-design coverage curve (what token
   *    mass does a top-k vocabulary capture) without a corpus- or
   *    vocab-wide window.
+  *
+  * [[kmvSketch]] and [[cmsSketch]] are STREAM-LEGAL: both are grouped
+  * aggregations whose state is bounded (k longs / the d×w grid) and
+  * whose merge is associative, so they maintain themselves
+  * incrementally in a Structured Streaming aggregation — the live
+  * distinct/frequency monitors of the ingest DAG (StreamingSpec pins
+  * micro-batch == batch equality for both).
   */
 object SketchOps {
 

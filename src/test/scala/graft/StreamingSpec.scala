@@ -544,4 +544,59 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getLong(4) == ts("2026-01-01 10:00:00").getTime * 1000L)
     assert(rows(1).getDouble(5) == 1.5)
   }
+
+  test("cmsSketch is stream-legal: incremental grid equals the batch " +
+      "twin across micro-batches") {
+    // counts are associative, so the CMS grid maintains itself in a
+    // streaming aggregation — the live token-frequency monitor of the
+    // ingest DAG. Two micro-batches, then grid == batch run on the union.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = graft.ext.SketchOps.cmsSketch(
+        stream.toDF().withColumnRenamed("value", "text"), "text")
+      .writeStream.format("memory").queryName("s_cms")
+      .outputMode("complete").start()
+    stream.addData("the cat sat", "on the mat")
+    q.processAllAvailable()
+    stream.addData("the end of the tale", "cat cat cat")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_cms").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ext.SketchOps.cmsSketch(
+        Seq("the cat sat", "on the mat", "the end of the tale",
+          "cat cat cat").toDF("text"), "text").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("kmvSketch is stream-legal: the bounded KMinDistinct buffer " +
+      "rides the state store; estimate equals the batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val toDocs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumnRenamed("_1", "g").withColumnRenamed("_2", "text")
+    val q = graft.ext.SketchOps.kmvSketch(
+        toDocs(stream.toDF()), "g", "text", k = 4)
+      .writeStream.format("memory").queryName("s_kmv")
+      .outputMode("complete").start()
+    stream.addData(("a", "x y z"), ("b", "p q"))
+    q.processAllAvailable()
+    stream.addData(("a", "z w v u t"), ("b", "p q"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_kmv").collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getLong(2))).toMap
+    val batch = graft.ext.SketchOps.kmvSketch(
+        toDocs(Seq(("a", "x y z"), ("b", "p q"), ("a", "z w v u t"),
+          ("b", "p q")).toDF()), "g", "text", k = 4).collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    // group a saw 7 distinct tokens through a k=4 sketch: estimating,
+    // not counting; group b's 2 distinct report exactly
+    assert(streamed("a")._1 == 4)
+    assert(streamed("b") == ((2, 2L)))
+  }
 }
