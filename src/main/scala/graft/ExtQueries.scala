@@ -3238,8 +3238,11 @@ object ExtQueries {
   // twin replays the same keys and the same (key desc, id) cut.
   // ---------------------------------------------------------------------
   def xSampleWeighted(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").withColumn("weight",
-      TextOps.tokenCount(col("text")).cast("long") + lit(1L))
+    // spread: the tokenize-for-weight projection must not inherit a
+    // 1-split scan (weightedSample itself is projection + TakeOrdered)
+    val d = graft.engine.Engine.spread(t(s, dir, "documents"))
+      .withColumn("weight",
+        TextOps.tokenCount(col("text")).cast("long") + lit(1L))
     graft.transform.Split.weightedSample(d, "doc_id", "weight", 200)
       .select(col("doc_id"), col("source"), col("weight"),
         col("sample_score_fx"))
