@@ -3149,9 +3149,15 @@ object ExtQueries {
   // ---------------------------------------------------------------------
   def xSketchDistinct(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sk = graft.ext.SketchOps.kmvSketch(docs, "source", "text", k = 256)
+    // 3-gram units: the fixture's token vocabulary (31 types) never
+    // fills a k=256 sketch, so the token variant would only ever take
+    // the under-full exact path; the ~1.1-1.4k distinct 3-grams per
+    // source keep the k-th-minimum ESTIMATOR on the oracle's hook
+    val sk = graft.ext.SketchOps.kmvSketch(docs, "source", "text",
+      k = 256, gramN = 3)
     val exact = docs.select(col("source"),
-        explode(TextOps.tokens(col("text"))).as("_t"))
+        explode(coalesce(TextOps.shingles(TextOps.tokens(col("text")), 3),
+          array().cast("array<string>"))).as("_t"))
       .select(col("source"), graft.ext.SketchOps.h60(col("_t")).as("_h"))
       .distinct()
       .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
@@ -3163,8 +3169,17 @@ object ExtQueries {
       .orderBy(col("source"))
   }
 
+  /** 3-gram unit in DuckDB form (contract: [[TextOps.shingles]] with
+    * n = 3 — space-joined token triples). */
+  private val grams3Sql: String =
+    s"""(SELECT doc_id, source, unnest(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t
+       |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents) z
+       |  WHERE len(toks) >= 3)""".stripMargin
+
   val xSketchDistinctSql: String =
-    s"""WITH tok AS (SELECT source, unnest($toksSql) AS t FROM documents),
+    s"""WITH tok AS (SELECT source, t FROM $grams3Sql g3),
        |  h AS (SELECT DISTINCT source,
        |      ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
        |  r AS (SELECT source, h,
@@ -3229,6 +3244,67 @@ object ExtQueries {
        |    FROM pe LEFT JOIN g USING (j, cell) GROUP BY token, n_exact)
        |SELECT token, n_exact, cms_est, cms_est - n_exact AS overcount
        |FROM est ORDER BY n_exact DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Exact heavy hitters at sketch cost (SketchOps.heavyHitters): the
+  // CMS grid (a driver-bounded plan literal) pre-filters the 3-gram
+  // stream — no false negatives since CMS never undercounts — and the
+  // exact count removes collision false positives. Result is PROVABLY
+  // the exact HAVING >= 6 answer, so the twin just runs that. Width
+  // 8192 (the grid is still only 256 KB of plan literal): pruning
+  // power needs width ≳ distinct-units / heavy-ratio, and the 64-wide
+  // monitoring grid saturates above the threshold on every cell.
+  // ---------------------------------------------------------------------
+  def xSketchHeavy(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SketchOps.heavyHitters(t(s, dir, "documents"), "text",
+        minCount = 6L, width = 8192, gramN = 3)
+      .orderBy(desc("n_exact"), asc("gram"))
+
+  val xSketchHeavySql: String =
+    s"""WITH tok AS (SELECT t FROM $grams3Sql g3)
+       |SELECT t AS gram, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |FROM tok GROUP BY t HAVING COUNT(*) >= 6
+       |ORDER BY n_exact DESC, gram""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Corpus-overlap matrix from KMV sketches (SketchOps.kmvOverlapMatrix):
+  // every source pair's Jaccard and union-cardinality estimates derived
+  // from the per-source k-min arrays alone — the corpus is read once,
+  // the pair stage touches only k-long arrays. The twin rebuilds the
+  // same sketches and replays the same set algebra cell by cell.
+  // ---------------------------------------------------------------------
+  def xSketchOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SketchOps.kmvOverlapMatrix(t(s, dir, "documents"),
+        "source", "text", k = 256, gramN = 3)
+      .orderBy(col("src_a"), col("src_b"))
+
+  val xSketchOverlapSql: String =
+    s"""WITH tok AS (SELECT source, t FROM $grams3Sql g3),
+       |  h AS (SELECT DISTINCT source,
+       |      ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |  r AS (SELECT source, h,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM h),
+       |  sk AS (SELECT source, list(h ORDER BY h) AS mins
+       |    FROM r WHERE rn <= 256 GROUP BY source),
+       |  p AS (SELECT a.source AS src_a, b.source AS src_b,
+       |      a.mins AS ma, b.mins AS mb
+       |    FROM sk a JOIN sk b ON a.source < b.source),
+       |  c AS (SELECT src_a, src_b, ma, mb,
+       |      list_sort(list_distinct(list_concat(ma, mb)))[1:256] AS u
+       |    FROM p),
+       |  m AS (SELECT src_a, src_b,
+       |      CAST(len(u) AS INTEGER) AS k_union,
+       |      CAST(len(list_intersect(list_intersect(u, ma), mb))
+       |        AS INTEGER) AS n_shared,
+       |      CASE WHEN len(u) < 256 THEN CAST(len(u) AS BIGINT)
+       |           ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
+       |             / CAST(u[256] AS DOUBLE)) AS BIGINT) END
+       |        AS union_est_distinct
+       |    FROM c)
+       |SELECT src_a, src_b, k_union, n_shared, union_est_distinct,
+       |  CAST(n_shared AS BIGINT) * 1000000 // k_union AS jaccard_ppm
+       |FROM m ORDER BY src_a, src_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // Weighted sampling without replacement (Split.weightedSample): 200

@@ -43,6 +43,16 @@ object SketchOps {
 
   private final val Pow2_60 = 1152921504606846976.0 // exact double
 
+  /** The countable unit: tokens (gramN = 1) or space-joined gramN-token
+    * shingles — n-grams are what dedup/novelty sketches count, and on
+    * low-diversity corpora they are also what keeps the sketch regime
+    * non-trivial (a 31-type token vocabulary never fills a k=256
+    * sketch; its 3-gram space does). */
+  private def units(textCol: Column, gramN: Int): Column =
+    if (gramN <= 1) TextOps.tokens(textCol)
+    else coalesce(TextOps.shingles(TextOps.tokens(textCol), gramN),
+      array().cast("array<string>"))
+
   /** KMV distinct-token sketch per group: the k smallest distinct
     * token-hash values, the k-th of which estimates the group's
     * distinct-token count as `(k−1)·2⁶⁰ / h₍ₖ₎`; groups with fewer
@@ -60,22 +70,62 @@ object SketchOps {
     *
     * Output: group, `n_seen` (min(k, distinct) — sketch fill), and
     * `est_distinct`. */
-  def kmvSketch(df0: DataFrame, groupCol: String, textCol: String,
-                k: Int = 256): DataFrame = {
-    require(k >= 2, s"kmvSketch: k must be >= 2: $k")
+  /** The raw per-group k-min arrays — the mergeable sketch itself;
+    * [[kmvSketch]] decodes it to an estimate, [[kmvOverlapMatrix]]
+    * set-operates on it. */
+  def kmvMins(df0: DataFrame, groupCol: String, textCol: String,
+              k: Int, gramN: Int): DataFrame = {
+    require(k >= 2, s"kmvMins: k must be >= 2: $k")
     val df = graft.engine.Engine.spread(df0)
-    val hashes = df.select(col(groupCol),
-        explode(TextOps.tokens(col(textCol))).as("_t"))
+    df.select(col(groupCol),
+        explode(units(col(textCol), gramN)).as("_t"))
       .select(col(groupCol), h60(col("_t")).as("_h"))
-    hashes.groupBy(col(groupCol))
+      .groupBy(col(groupCol))
       .agg(call_function("graft_kmin", col("_h"), lit(k)).as("_mins"))
+  }
+
+  /** KMV estimate from a k-min array: exact when under-full (the
+    * sketch IS the distinct set), `(k−1)·2⁶⁰/h₍ₖ₎` when full. */
+  def kmvEstimate(mins: Column, k: Int): Column =
+    when(size(mins) < k, size(mins).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble * Pow2_60) /
+        element_at(mins, k).cast("double")).cast("long"))
+
+  def kmvSketch(df0: DataFrame, groupCol: String, textCol: String,
+                k: Int = 256, gramN: Int = 1): DataFrame =
+    kmvMins(df0, groupCol, textCol, k, gramN)
       .select(col(groupCol),
         size(col("_mins")).as("n_seen"),
-        when(size(col("_mins")) < k,
-            size(col("_mins")).cast("long"))
-          .otherwise(floor(lit((k - 1).toDouble * Pow2_60) /
-            element_at(col("_mins"), k).cast("double")).cast("long"))
-          .as("est_distinct"))
+        kmvEstimate(col("_mins"), k).as("est_distinct"))
+
+  /** Pairwise corpus-overlap matrix from per-group KMV sketches — the
+    * "how much does source A duplicate source B" audit WITHOUT any
+    * cross-source join of actual content. The k-mins of A ∪ B are
+    * exactly the k smallest of `mins(A) ∪ mins(B)` (k-min-of-union =
+    * k-min of the k-min unions), so the union sketch, the Jaccard
+    * estimator ρ = |U ∩ A ∩ B| / |U| (Beyer et al. 2007), and the
+    * union-cardinality estimate all derive from the G tiny sketch rows
+    * alone: the corpus is read ONCE to build per-group sketches, and
+    * the G²/2 pair stage touches only k-long arrays. Integer/exact-
+    * double arithmetic end to end — the DuckDB twin reproduces every
+    * cell. */
+  def kmvOverlapMatrix(df0: DataFrame, groupCol: String,
+                       textCol: String, k: Int = 256,
+                       gramN: Int = 1): DataFrame = {
+    val sk = kmvMins(df0, groupCol, textCol, k, gramN)
+    val a = sk.select(col(groupCol).as("src_a"), col("_mins").as("_ma"))
+    val b = sk.select(col(groupCol).as("src_b"), col("_mins").as("_mb"))
+    val u = slice(array_sort(array_distinct(
+      concat(col("_ma"), col("_mb")))), 1, k)
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("_u", u)
+      .select(col("src_a"), col("src_b"),
+        size(col("_u")).as("k_union"),
+        size(array_intersect(array_intersect(col("_u"), col("_ma")),
+          col("_mb"))).as("n_shared"),
+        kmvEstimate(col("_u"), k).as("union_est_distinct"))
+      .withColumn("jaccard_ppm",
+        expr("cast(n_shared as bigint) * 1000000 div k_union"))
   }
 
   /** Count-min sketch of the corpus token-frequency distribution:
@@ -91,11 +141,12 @@ object SketchOps {
     * never holds the vocabulary. Returns the grid (`j`, `cell`,
     * `cnt`); probe with [[cmsEstimate]]. */
   def cmsSketch(df0: DataFrame, textCol: String,
-                depth: Int = 4, width: Int = 64): DataFrame = {
+                depth: Int = 4, width: Int = 64,
+                gramN: Int = 1): DataFrame = {
     require(depth >= 1 && width >= 2,
       s"cmsSketch: bad depth/width $depth/$width")
     val df = graft.engine.Engine.spread(df0)
-    df.select(explode(TextOps.tokens(col(textCol))).as("_t"))
+    df.select(explode(units(col(textCol), gramN)).as("_t"))
       .select(col("_t"),
         explode(array((0 until depth).map(lit): _*)).as("j"))
       .select(col("j"), pmod(
@@ -103,6 +154,39 @@ object SketchOps {
           lit(width.toLong)).as("cell"))
       .groupBy(col("j"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** EXACT heavy hitters (all units with global count ≥ minCount) at
+    * sketch cost: the CMS grid — d·w longs, a driver-bounded plan
+    * literal like the Bloom/LM/centroid tiers — never undercounts, so
+    * filtering the unit stream by the LITERAL-grid estimate before the
+    * exact count drops no true heavy hitter (no false negatives), and
+    * the exact count then removes the collision false positives. The
+    * only keyed shuffle carries candidate occurrences — collision mass
+    * bounded by d·w cells at T/width expected each — instead of the
+    * whole vocabulary; the candidate filter itself is a codegen'd
+    * narrow projection (element_at over literal arrays). Result is
+    * PROVABLY equal to the exact `HAVING count ≥ minCount` — the
+    * DuckDB twin just runs that. */
+  def heavyHitters(df0: DataFrame, textCol: String, minCount: Long,
+                   depth: Int = 4, width: Int = 64,
+                   gramN: Int = 1): DataFrame = {
+    require(minCount >= 1, s"heavyHitters: bad minCount $minCount")
+    val grid = Array.fill(depth)(new Array[Long](width))
+    cmsSketch(df0, textCol, depth, width, gramN).collect()
+      .foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    val df = graft.engine.Engine.spread(df0)
+    val unit = col("_t")
+    val est = (0 until depth).map { j =>
+      element_at(lit(grid(j)),
+        (pmod(h60(concat(lit(s"$j:"), unit)), lit(width.toLong)) +
+          lit(1L)).cast("int"))
+    }.reduce(least(_, _))
+    df.select(explode(units(col(textCol), gramN)).as("_t"))
+      .filter(est >= minCount)
+      .groupBy(col("_t")).agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") >= minCount)
+      .select(col("_t").as("gram"), col("n_exact"))
   }
 
   /** Point-query a [[cmsSketch]] grid for each probe token: the

@@ -26,13 +26,30 @@ object TextOps {
   def tokens(text: Column): Column =
     array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
+  /** Let-binding over Columns: evaluate `x` ONCE per row and hand it to
+    * `f` as a bound lambda variable. A raw Column tree referenced inside
+    * a higher-order lambda body is INLINED there and re-evaluated per
+    * ELEMENT — `transform(sequence(...), i => slice(toks, ...))` with
+    * `toks = tokens(col)` re-ran the whole regex tokenizer size(toks)
+    * times per row (measured 4.3 s vs 0.3 s for the bare tokenize on 5k
+    * sf0.1 docs, paid by every minhash/decontaminate/repetition/sketch
+    * plan). A lambda VARIABLE, by contrast, is an O(1) slot lookup, and
+    * nested lambdas capture outer lambda variables — so wrapping the
+    * consumer in a single-element-array `transform` is a true `let`,
+    * the only stable public-API way to introduce one. */
+  private[graft] def bindOnce(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), f), 1)
+
   /** Word n-gram shingles over a token array (building block for MinHash /
-    * Jaccard dedup). Documents shorter than n shingle to an empty array. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    * Jaccard dedup). Documents shorter than n shingle to an empty array.
+    * The token array is [[bindOnce let-bound]], so callers may pass their
+    * tokenizer tree directly without per-element re-evaluation. */
+  def shingles(toks: Column, n: Int): Column = bindOnce(toks) { a =>
+    when(size(a) >= n,
+      transform(sequence(lit(0), size(a) - n),
+        i => concat_ws(" ", slice(a, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Token count — whitespace/punct-delimited word count. */
   def tokenCount(text: Column): Column = size(tokens(text))

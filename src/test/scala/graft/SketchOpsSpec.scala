@@ -93,6 +93,88 @@ class SketchOpsSpec extends SparkSpec {
     rows.values.foreach(s => assert(s == total))
   }
 
+  // -------------------------------------------------------- heavy hitters
+
+  private def naiveHeavy(minCount: Long, gramN: Int) = {
+    val toks = graft.ext.TextOps.tokens(col("text"))
+    val units = if (gramN <= 1) toks
+      else coalesce(graft.ext.TextOps.shingles(toks, gramN),
+        array().cast("array<string>"))
+    docs.select(explode(units).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") >= minCount)
+  }
+
+  test("heavyHitters equals the naive exact HAVING — wide and " +
+      "saturated grids alike") {
+    // width=4 forces every cell over threshold: the pre-filter prunes
+    // NOTHING, so equality exercises the no-false-negatives half of the
+    // proof; width=8192 actually prunes and exercises the
+    // collision-false-positive removal half.
+    for (w <- Seq(4, 8192)) {
+      val got = SketchOps.heavyHitters(docs, "text", minCount = 6L,
+          width = w, gramN = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = naiveHeavy(6L, 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"width=$w: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("heavyHitters: grid probe is a plan literal — no join, one " +
+      "keyed exchange carrying candidates only") {
+    val p = plan(SketchOps.heavyHitters(docs, "text", minCount = 6L,
+      width = 8192, gramN = 3))
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    // the candidate filter runs BEFORE the exchange (map side)
+    assert(p.indexOf("Filter") < p.indexOf("Exchange hashpartitioning"), p)
+  }
+
+  // -------------------------------------------------------- overlap
+
+  test("kmvOverlapMatrix: under-full sketches give exact set algebra") {
+    import spark.implicits._
+    val df = Seq((1, "a b c d"), (2, "c d e f"), (3, "x y"))
+      .toDF("g", "text")
+    val out = SketchOps.kmvOverlapMatrix(df, "g", "text", k = 256)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Int]("k_union"), r.getAs[Int]("n_shared"),
+          r.getAs[Long]("union_est_distinct"),
+          r.getAs[Long]("jaccard_ppm"))).toMap
+    assert(out.keySet == Set((1, 2), (1, 3), (2, 3)))
+    assert(out((1, 2)) == (6, 2, 6L, 2L * 1000000L / 6L)) // {c,d} of {a..f}
+    assert(out((1, 3)) == (6, 0, 6L, 0L))
+    assert(out((2, 3)) == (6, 0, 6L, 0L))
+  }
+
+  test("kmvOverlapMatrix: identical sources read as full overlap") {
+    import spark.implicits._
+    val df = Seq((1, "p q r s t"), (2, "p q r s t")).toDF("g", "text")
+    val row = SketchOps.kmvOverlapMatrix(df, "g", "text", k = 8)
+      .collect()(0)
+    assert(row.getAs[Long]("jaccard_ppm") == 1000000L)
+    assert(row.getAs[Int]("n_shared") == row.getAs[Int]("k_union"))
+  }
+
+  test("kmvOverlapMatrix: partition-layout independent") {
+    val base = docs.select(col("source"), col("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.kmvOverlapMatrix(df, "source", "text", k = 64, gramN = 3)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("union_est_distinct"),
+            r.getAs[Long]("jaccard_ppm"))).toMap
+    assert(run(base.repartition(1)) ==
+      run(base.repartition(7, col("text"))))
+  }
+
+  test("kmvOverlapMatrix: pair stage broadcasts the sketch side") {
+    val p = plan(SketchOps.kmvOverlapMatrix(docs, "source", "text",
+      k = 64, gramN = 3))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   // -------------------------------------------------------- coverage
 
   test("vocabCoverage equals the window-rank naive mirror") {
