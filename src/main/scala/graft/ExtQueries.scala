@@ -3307,6 +3307,65 @@ object ExtQueries {
        |FROM m ORDER BY src_a, src_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // HyperLogLog distinct estimates (SketchOps.hllSketch): registers,
+  // harmonic denominator, and estimate reproduced bit-for-bit by the
+  // twin — integer register algebra end to end, one shared double
+  // literal for the estimator numerator. Two slices so BOTH estimator
+  // branches are on the oracle's hook: the full corpus lands in the
+  // normal harmonic regime, the doc_id%50 slice leaves most registers
+  // empty and takes the linear-counting branch.
+  // ---------------------------------------------------------------------
+  private val HllP = 8
+  def xSketchHll(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val full = graft.ext.SketchOps
+      .hllSketch(docs, "source", "text", p = HllP, gramN = 3)
+      .withColumn("slice", lit("all"))
+    val sparse = graft.ext.SketchOps
+      .hllSketch(docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "source", "text", p = HllP, gramN = 3)
+      .withColumn("slice", lit("sparse"))
+    full.unionByName(sparse)
+      .select(col("slice"), col("source"), col("n_zero_registers"),
+        col("t_harmonic"), col("est_distinct"))
+      .orderBy(col("slice"), col("source"))
+  }
+
+  val xSketchHllSql: String = {
+    val m = 1 << HllP
+    val w = 60 - HllP
+    val pow2w = 1L << w
+    val perEmpty = 1L << (w + 1)
+    val num = graft.ext.SketchOps.hllNumerator(HllP)
+    s"""WITH g3 AS (SELECT doc_id, source, t FROM $grams3Sql z),
+       |  sel AS (SELECT 'all' AS slice, source, t FROM g3
+       |    UNION ALL
+       |    SELECT 'sparse', source, t FROM g3 WHERE doc_id % 50 = 0),
+       |  h AS (SELECT slice, source,
+       |      ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM sel),
+       |  r AS (SELECT slice, source,
+       |      CAST(h // $pow2w AS INTEGER) AS j, h % $pow2w AS y FROM h),
+       |  rh AS (SELECT slice, source, j,
+       |      CASE WHEN y = 0 THEN ${w + 1}
+       |           ELSE ${w + 1} - length(bin(y)) END AS rho FROM r),
+       |  mx AS (SELECT slice, source, j, MAX(rho) AS mj FROM rh
+       |    GROUP BY slice, source, j),
+       |  ag AS (SELECT slice, source, COUNT(*) AS np,
+       |      CAST(SUM(1::BIGINT << (${w + 1} - mj)) AS BIGINT) AS tp
+       |    FROM mx GROUP BY slice, source),
+       |  e AS (SELECT slice, source, ($m - np) AS v,
+       |      tp + ($m - np) * $perEmpty AS t_harmonic FROM ag),
+       |  f AS (SELECT slice, source, v, t_harmonic,
+       |      $num / CAST(t_harmonic AS DOUBLE) AS eraw FROM e)
+       |SELECT slice, source, CAST(v AS INTEGER) AS n_zero_registers,
+       |  t_harmonic,
+       |  CASE WHEN v > 0 AND eraw <= ${2.5 * m}
+       |       THEN CAST(FLOOR($m.0 * ln($m.0 / v)) AS BIGINT)
+       |       ELSE CAST(FLOOR(eraw) AS BIGINT) END AS est_distinct
+       |FROM f ORDER BY slice, source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Weighted sampling without replacement (Split.weightedSample): 200
   // docs drawn with probability proportional to token count — the
   // "uniform over tokens" sample LM evals want. The md5-derived uniform

@@ -93,6 +93,61 @@ class SketchOpsSpec extends SparkSpec {
     rows.values.foreach(s => assert(s == total))
   }
 
+  // -------------------------------------------------------- HLL
+
+  test("hllSketch: p=8 estimate lands within the theoretical band") {
+    // σ/μ ≈ 1.04/√m ≈ 6.5% at m=256; 26% is a 4σ broken-estimator
+    // guard on a deterministic fixture, not a coin flip
+    val exact = docs.select(col("source"),
+        explode(graft.ext.TextOps.shingles(
+          graft.ext.TextOps.tokens(col("text")), 3)).as("t"))
+      .select(col("source"), SketchOps.h60(col("t")).as("h"))
+      .distinct().groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = SketchOps.hllSketch(docs, "source", "text", p = 8,
+        gramN = 3)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Long]("est_distinct")).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (g, e) =>
+      val x = exact(g).toDouble
+      assert(math.abs(e - x) / x <= 0.26, s"source $g: est $e vs $x")
+    }
+  }
+
+  test("hllSketch: duplicate-blind and partition-layout independent") {
+    val base = docs.select(col("source"), col("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.hllSketch(df, "source", "text", p = 6, gramN = 3)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Int]("n_zero_registers"),
+            r.getAs[Long]("t_harmonic"),
+            r.getAs[Long]("est_distinct"))).toMap
+    val once = run(base.repartition(1))
+    assert(once == run(base.repartition(7, col("text"))))
+    assert(once == run(base.union(base))) // set semantics: max-merge
+  }
+
+  test("hllRegisters merge by elementwise max (the sketch IS mergeable)") {
+    import spark.implicits._
+    val a = Seq((1, "alpha beta gamma delta")).toDF("g", "text")
+    val b = Seq((1, "gamma delta epsilon zeta eta")).toDF("g", "text")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.hllRegisters(df, "g", "text", 4, 1)
+        .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    val merged = (regs(a).toSeq ++ regs(b).toSeq)
+      .groupBy(_._1).map { case (j, vs) => j -> vs.map(_._2).max }
+    assert(regs(a.union(b)) == merged)
+  }
+
+  test("hllSketch: no distinct Expand, two keyed exchanges " +
+      "(register fold + register-table decode)") {
+    val p = plan(SketchOps.hllSketch(docs, "source", "text", p = 8,
+      gramN = 3))
+    assert(!p.contains("Expand"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+  }
+
   // -------------------------------------------------------- heavy hitters
 
   private def naiveHeavy(minCount: Long, gramN: Int) = {

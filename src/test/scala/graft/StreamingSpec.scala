@@ -570,6 +570,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("hllRegisters is stream-legal: max-merged registers ride the " +
+      "state store; decoded estimate equals the batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val toDocs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumnRenamed("_1", "g").withColumnRenamed("_2", "text")
+    val q = graft.ext.SketchOps.hllRegisters(
+        toDocs(stream.toDF()), "g", "text", p = 4, gramN = 1)
+      .writeStream.format("memory").queryName("s_hll")
+      .outputMode("complete").start()
+    stream.addData(("a", "x y z"), ("b", "p q"))
+    q.processAllAvailable()
+    stream.addData(("a", "z w v u t"), ("b", "p q"))
+    q.processAllAvailable(); q.stop()
+    val streamed = graft.ext.SketchOps.hllEstimate(
+        spark.table("s_hll"), "g", 4).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val batch = graft.ext.SketchOps.hllSketch(
+        toDocs(Seq(("a", "x y z"), ("b", "p q"), ("a", "z w v u t"),
+          ("b", "p q")).toDF()), "g", "text", p = 4).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(streamed == batch)
+  }
+
   test("kmvSketch is stream-legal: the bounded KMinDistinct buffer " +
       "rides the state store; estimate equals the batch twin") {
     import spark.implicits._
