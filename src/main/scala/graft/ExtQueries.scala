@@ -3307,6 +3307,40 @@ object ExtQueries {
        |FROM m ORDER BY src_a, src_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // All-pairs tf-idf cosine with L2 prefix filtering (Bayardo 2007,
+  // DedupOps.allPairsCosine): the twin computes the DEFINITION — the
+  // full posting self-join with no pruning — so this row PROVES the
+  // prefix filter drops no qualifying pair. Threshold 3/5, 3-gram
+  // terms, fixed-point idf (floor(ln(N/df)·1000)).
+  // ---------------------------------------------------------------------
+  def xDedupApss(s: SparkSession, dir: String): DataFrame =
+    graft.ext.DedupOps.allPairsCosine(t(s, dir, "documents"),
+        "doc_id", "text", tNum = 3, tDen = 5, gramN = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val xDedupApssSql: String =
+    s"""WITH g3 AS (SELECT doc_id, source, t FROM $grams3Sql z),
+       |  tf AS (SELECT doc_id AS id, t, COUNT(*) AS tf
+       |    FROM g3 GROUP BY doc_id, t),
+       |  dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |  w AS (SELECT id, tf.t, tf.tf * CAST(FLOOR(ln(
+       |        (SELECT COUNT(*) FROM documents)::DOUBLE / df) * 1000)
+       |        AS BIGINT) AS w
+       |    FROM tf JOIN dfr ON tf.t = dfr.t),
+       |  wp AS (SELECT id, t, w FROM w WHERE w > 0),
+       |  n AS (SELECT id, SUM(w * w) AS nsq FROM wp GROUP BY id),
+       |  d AS (SELECT a.id AS ia, b.id AS ib,
+       |      CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+       |    FROM wp a JOIN wp b ON a.t = b.t AND a.id < b.id
+       |    GROUP BY a.id, b.id),
+       |  sc AS (SELECT ia, ib, dot,
+       |      ROUND(dot / (SQRT(na.nsq::DOUBLE) * SQRT(nb.nsq::DOUBLE)), 6)
+       |        AS score
+       |    FROM d JOIN n na ON na.id = ia JOIN n nb ON nb.id = ib)
+       |SELECT ia AS id_a, ib AS id_b, dot, score FROM sc
+       |WHERE score >= 0.6 ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // HyperLogLog distinct estimates (SketchOps.hllSketch): registers,
   // harmonic denominator, and estimate reproduced bit-for-bit by the
   // twin — integer register algebra end to end, one shared double

@@ -724,4 +724,102 @@ object DedupOps {
         lit(0).as("dist"))
     crossIds.unionByName(sameIds)
   }
+
+  /** All-pairs cosine similarity over sparse TF-IDF n-gram vectors with
+    * L2 PREFIX FILTERING (Bayardo, Ma & Srikant, WWW 2007) — the
+    * term-based near-dup miner, complementary to MinHash (set overlap)
+    * and the embedding family (dense vectors): finds every document
+    * pair whose tf-idf cosine ≥ `tNum/tDen`, without the full
+    * posting-list self-join.
+    *
+    * Scale shape: candidate pairs come from joining the PREFIX posting
+    * list against the full one. Each document orders its terms by
+    * (document-frequency asc, term asc) — rarest first — and indexes
+    * only the leading terms while the remaining suffix could still,
+    * alone, reach the threshold: row i is indexed iff
+    * `suffix²(i−1) · tDen² ≥ tNum² · ‖x‖²` — EXACT integer arithmetic,
+    * no float in the bound, so the pruning proof (a qualifying pair
+    * must share at least one indexed term: if every shared term sat in
+    * x's un-indexed tail, dot ≤ ‖x_tail‖·‖y‖ < t·‖x‖·‖y‖) holds
+    * bit-for-bit. The heavy common-term postings thus never meet each
+    * other — only a rare-prefix entry can open a candidate — and the
+    * exact verification join touches candidates only. The DuckDB
+    * oracle computes the DEFINITION (full posting self-join, no
+    * pruning), so the CORRECTNESS row proves the filter drops nothing.
+    *
+    * Determinism: weights are fixed-point longs
+    * `tf · floor(ln(N/df)·idfScale)` (platform-libm [[graft_ln]], one
+    * float op per distinct df value, floored before any sum), dots and
+    * norms² are exact integer sums, and only the final
+    * `round(dot/(‖a‖·‖b‖), 6)` touches doubles — the embedding
+    * family's engine-parity discipline. Terms with idf weight 0
+    * (df ≈ N) drop out on both sides.
+    *
+    * Output: (id_a, id_b, dot, score), id_a < id_b. */
+  def allPairsCosine(df0: DataFrame, idCol: String, textCol: String,
+                     tNum: Int, tDen: Int, gramN: Int = 3,
+                     idfScale: Long = 1000L): DataFrame = {
+    val (w, norms, prefix) =
+      apssPostings(df0, idCol, textCol, tNum, tDen, gramN, idfScale)
+    val full = w.select(col("_t"), col("_id").as("_fid"))
+    val cand = prefix.join(full, Seq("_t"))
+      .filter(col("_pid") =!= col("_fid"))
+      .select(least(col("_pid"), col("_fid")).as("_a"),
+        greatest(col("_pid"), col("_fid")).as("_b"))
+      .distinct()
+    val dots = cand
+      .join(w.select(col("_id").as("_a"), col("_t"), col("_w").as("_wa")),
+        Seq("_a"))
+      .join(w.select(col("_id").as("_b"), col("_t"), col("_w").as("_wb")),
+        Seq("_b", "_t"))
+      .groupBy(col("_a"), col("_b")).agg(sum(col("_wa") * col("_wb")).as("dot"))
+    dots
+      .join(norms.select(col("_id").as("_a"), col("_nsq").as("_na")), Seq("_a"))
+      .join(norms.select(col("_id").as("_b"), col("_nsq").as("_nb")), Seq("_b"))
+      .withColumn("score", round(col("dot").cast("double") /
+        (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))), 6))
+      .filter(col("score") >= lit(tNum.toDouble / tDen.toDouble))
+      .select(col("_a").as("id_a"), col("_b").as("id_b"),
+        col("dot"), col("score"))
+  }
+
+  /** The (weights, norms², prefix-postings) relations of
+    * [[allPairsCosine]] — package-private so tests can assert the
+    * prefix index is a strict subset of the postings (the bound
+    * actually prunes) without reconstructing the fixed-point
+    * arithmetic. */
+  private[graft] def apssPostings(
+      df0: DataFrame, idCol: String, textCol: String,
+      tNum: Int, tDen: Int, gramN: Int, idfScale: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(tNum > 0 && tDen > 0 && tNum < tDen,
+      s"threshold must be a rational in (0,1): $tNum/$tDen")
+    val docs = graft.engine.Engine.spread(df0)
+    val nDocs = docs.count()
+    require(nDocs > 0, "allPairsCosine needs a non-empty corpus")
+    val toks = TextOps.tokens(col(textCol))
+    val grams = if (gramN <= 1) toks else TextOps.shingles(toks, gramN)
+    val tf = docs.select(col(idCol).cast("long").as("_id"),
+        explode(grams).as("_t"))
+      .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_tf"))
+    val dfRel = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val w = tf.join(dfRel, Seq("_t"))
+      .select(col("_id"), col("_t"), col("_df"),
+        (col("_tf") * floor(call_function("graft_ln",
+          lit(nDocs.toDouble) / col("_df").cast("double")) *
+          lit(idfScale)).cast("long")).as("_w"))
+      .filter(col("_w") > 0)
+    val norms = w.groupBy(col("_id"))
+      .agg(sum(col("_w") * col("_w")).as("_nsq"))
+    // prefix membership: rarest-first order, cumulative weight mass;
+    // per-DOC window — partitions by id, no corpus-wide frame
+    val ord = Window.partitionBy(col("_id"))
+      .orderBy(col("_df").asc, col("_t").asc)
+    val prefix = w.join(norms, Seq("_id"))
+      .withColumn("_cum", sum(col("_w") * col("_w")).over(ord))
+      .filter((col("_nsq") - (col("_cum") - col("_w") * col("_w"))) *
+        lit(tDen.toLong * tDen) >= lit(tNum.toLong * tNum) * col("_nsq"))
+      .select(col("_t"), col("_id").as("_pid"))
+    (w, norms, prefix)
+  }
 }

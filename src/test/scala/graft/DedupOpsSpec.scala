@@ -319,4 +319,74 @@ class DedupOpsSpec extends SparkSpec {
           .map("%02x".format(_)).mkString))
     assert(positives < 20, s"Bloom should pass ~10 dups, saw $positives")
   }
+
+  // ------------------------------------------------- all-pairs cosine
+
+  test("allPairsCosine equals the unpruned definition (prefix filter " +
+      "drops nothing)") {
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+    for ((tn, td) <- Seq((2, 5), (3, 5), (4, 5))) {
+      val got = DedupOps.allPairsCosine(docs, "doc_id", "text", tn, td,
+          gramN = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      // naive mirror: full posting self-join, same fixed-point weights
+      val n = docs.count()
+      val toks = TextOps.tokens(col("text"))
+      val tf = docs.select(col("doc_id").as("_id"),
+          explode(TextOps.shingles(toks, 3)).as("_t"))
+        .groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
+      val dfr = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+      val w = tf.join(dfr, "_t")
+        .select(col("_id"), col("_t"),
+          (col("_tf") * floor(call_function("graft_ln",
+            lit(n.toDouble) / col("_df").cast("double")) * 1000L)
+            .cast("long")).as("_w"))
+        .filter(col("_w") > 0)
+      val norms = w.groupBy("_id").agg(sum(col("_w") * col("_w")).as("_n"))
+      val want = w.select(col("_id").as("_a"), col("_t"), col("_w").as("_wa"))
+        .join(w.select(col("_id").as("_b"), col("_t"), col("_w").as("_wb")),
+          Seq("_t"))
+        .filter(col("_a") < col("_b"))
+        .groupBy("_a", "_b").agg(sum(col("_wa") * col("_wb")).as("dot"))
+        .join(norms.select(col("_id").as("_a"), col("_n").as("_na")), Seq("_a"))
+        .join(norms.select(col("_id").as("_b"), col("_n").as("_nb")), Seq("_b"))
+        .withColumn("score", round(col("dot").cast("double") /
+          (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))),
+          6))
+        .filter(col("score") >= lit(tn.toDouble / td))
+        .collect().map(r => (r.getAs[Long]("_a"), r.getAs[Long]("_b")) ->
+          (r.getAs[Long]("dot"), r.getAs[Double]("score"))).toMap
+      assert(got == want, s"t=$tn/$td: ${got.size} vs ${want.size} pairs")
+      assert(want.nonEmpty, s"vacuous fixture at t=$tn/$td")
+    }
+  }
+
+  test("allPairsCosine: the prefix index is a strict subset of the " +
+      "postings, and shrinks as the threshold rises") {
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+    def counts(tn: Int, td: Int) = {
+      val (w, _, prefix) = DedupOps.apssPostings(docs, "doc_id", "text",
+        tn, td, 3, 1000L)
+      (prefix.count(), w.count())
+    }
+    val (p35, full) = counts(3, 5)
+    val (p45, _) = counts(4, 5)
+    assert(p35 < full, s"prefix $p35 !< postings $full")
+    assert(p45 <= p35, s"tighter threshold grew the prefix: $p45 > $p35")
+    // monotone output sanity on the same corpus
+    val loose = DedupOps.allPairsCosine(docs, "doc_id", "text", 2, 5,
+      gramN = 3).count()
+    val tight = DedupOps.allPairsCosine(docs, "doc_id", "text", 4, 5,
+      gramN = 3).count()
+    assert(tight <= loose && loose > 0)
+  }
+
+  test("allPairsCosine plan: no cartesian product, id-partitioned window") {
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+    val p = DedupOps.allPairsCosine(docs, "doc_id", "text", 3, 5, gramN = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
