@@ -3485,4 +3485,221 @@ object ExtQueries {
        |SELECT top_k, covered_tokens, total_tokens,
        |  covered_tokens * 1000000 // total_tokens AS coverage_ppm
        |FROM cov ORDER BY top_k""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Bloom membership sketch + cross-source FPR audit (SketchOps
+  // .bloomWords/bloomProbe): each source's 3-gram set folds into a
+  // 16384-bit filter (261 words of 63 bits — DuckDB's checked `<<`
+  // rules out sign-bit slabs); every OTHER source's distinct grams
+  // probe it, the cross-source membership screen of the decontamination
+  // family. n_false_neg is PROVABLY 0 (Bloom never forgets) and stays
+  // in the output so the oracle hash pins the proof; the build uses all
+  // gram occurrences while the twin builds from the DISTINCT gram set —
+  // identical filters, since bit-OR is idempotent.
+  // ---------------------------------------------------------------------
+  private val BloomM = 16384
+  private val BloomD = 3
+  def xSketchBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sketch = graft.ext.SketchOps.bloomWords(docs, "source", "text",
+        mBits = BloomM, depth = BloomD, gramN = 3)
+      .withColumnRenamed("source", "bloom_src")
+    val grams = docs.select(col("source"),
+        explode(coalesce(TextOps.shingles(TextOps.tokens(col("text")), 3),
+          array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val probes = grams.select(col("source").as("probe_src"), col("gram"))
+      .join(docs.select(col("source").as("bloom_src")).distinct(),
+        col("probe_src") =!= col("bloom_src"))
+    val probed = graft.ext.SketchOps.bloomProbe(sketch, probes,
+      "bloom_src", "gram", mBits = BloomM, depth = BloomD)
+    val truth = grams.select(col("source").as("bloom_src"), col("gram"),
+      lit(1).as("_present"))
+    probed.join(truth, Seq("bloom_src", "gram"), "left")
+      .na.fill(0, Seq("_present"))
+      .groupBy(col("probe_src"), col("bloom_src"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("_present")).cast("long").as("n_present"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("bloom_hit") && col("_present") === 0, 1L)
+          .otherwise(0L)).as("n_false_pos"),
+        sum(when(!col("bloom_hit") && col("_present") === 1, 1L)
+          .otherwise(0L)).as("n_false_neg"))
+      .withColumn("fpr_ppm",
+        when(col("n_probes") > col("n_present"),
+          expr("n_false_pos * 1000000 div (n_probes - n_present)"))
+          .otherwise(lit(0L)))
+      .orderBy(col("probe_src"), col("bloom_src"))
+  }
+
+  val xSketchBloomSql: String =
+    s"""WITH g3 AS (SELECT doc_id, source, t FROM $grams3Sql z),
+       |  gr AS (SELECT DISTINCT source, t AS gram FROM g3),
+       |  fan AS (SELECT source, gram, unnest(range($BloomD)) AS j
+       |    FROM gr),
+       |  pos AS (SELECT source,
+       |      ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram),
+       |        1, 15))::BIGINT % $BloomM AS p FROM fan),
+       |  words AS (SELECT source AS bloom_src, p // 63 AS word,
+       |      bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS bits
+       |    FROM pos GROUP BY 1, 2),
+       |  pr AS (SELECT a.source AS probe_src, b.bloom_src, a.gram
+       |    FROM gr a
+       |    JOIN (SELECT DISTINCT source AS bloom_src FROM documents) b
+       |      ON a.source <> b.bloom_src),
+       |  pf AS (SELECT probe_src, bloom_src, gram,
+       |      unnest(range($BloomD)) AS j FROM pr),
+       |  pp AS (SELECT probe_src, bloom_src, gram,
+       |      ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram),
+       |        1, 15))::BIGINT % $BloomM AS p FROM pf),
+       |  pb AS (SELECT pp.probe_src, pp.bloom_src, pp.gram,
+       |      CASE WHEN (COALESCE(w.bits, 0) &
+       |          (1::BIGINT << CAST(pp.p % 63 AS INTEGER))) <> 0
+       |        THEN 1 ELSE 0 END AS bitset
+       |    FROM pp LEFT JOIN words w
+       |      ON w.bloom_src = pp.bloom_src AND w.word = pp.p // 63),
+       |  hit AS (SELECT probe_src, bloom_src, gram,
+       |      MIN(bitset) = 1 AS bloom_hit FROM pb GROUP BY 1, 2, 3),
+       |  wt AS (SELECT h.probe_src, h.bloom_src, h.bloom_hit,
+       |      CASE WHEN g.gram IS NOT NULL THEN 1 ELSE 0 END AS present
+       |    FROM hit h LEFT JOIN gr g
+       |      ON g.source = h.bloom_src AND g.gram = h.gram)
+       |SELECT probe_src, bloom_src,
+       |  CAST(COUNT(*) AS BIGINT) AS n_probes,
+       |  CAST(SUM(present) AS BIGINT) AS n_present,
+       |  CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(SUM(CASE WHEN bloom_hit AND present = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_false_pos,
+       |  CAST(SUM(CASE WHEN present = 1 AND NOT bloom_hit
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+       |  CAST(CASE WHEN COUNT(*) > SUM(present)
+       |    THEN SUM(CASE WHEN bloom_hit AND present = 0 THEN 1 ELSE 0 END)
+       |      * 1000000 // (COUNT(*) - SUM(present))
+       |    ELSE 0 END AS BIGINT) AS fpr_ppm
+       |FROM wt GROUP BY probe_src, bloom_src
+       |ORDER BY probe_src, bloom_src""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ANN recall audit (recall@5 of the LSH tier vs the brute-force
+  // truth): the production "is my index good enough to ship" metric —
+  // measured IN the engine, per query, before anyone swaps the exact
+  // scan for the bucketed one. Both sides are top-k lists (queries × k
+  // rows); the audit itself is list-sized joins and never re-touches
+  // the corpus. Both tiers are already bit-exact against DuckDB
+  // (x_sim_topk / x_sim_ann), so the recall numbers are too.
+  // ---------------------------------------------------------------------
+  def xSimRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val truth = SimilarityOps.bruteForceTopK(q, emb,
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = SimilarityOps.annTopK(q, emb,
+        "vec_id", "embedding", k = 5, dim = 64, bits = 4, tables = 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val nTruth = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"))
+    val nAnn = ann.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ann"))
+    val nHit = truth.join(ann, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    nTruth.join(nAnn, Seq("query_id"), "left")
+      .join(nHit, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_ann", "n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_truth"))
+      .orderBy(col("query_id"))
+  }
+
+  val xSimRecallSql: String = {
+    val perTable = lshBucketsSql(dim = 64, bits = 4, tables = 8,
+      seed = 42L)
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |    WHERE vec_id < 10),
+       |  bsc AS (SELECT query_id, vec_id AS neighbor_id,
+       |      round(list_dot_product(qv, v)
+       |        / (sqrt(list_dot_product(qv, qv))
+       |           * sqrt(list_dot_product(v, v))), 6) AS score
+       |    FROM q, e WHERE vec_id <> query_id),
+       |  tr AS (SELECT query_id, neighbor_id FROM (
+       |      SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rnk FROM bsc)
+       |    WHERE rnk <= 5),
+       |  eb AS ($perTable),
+       |  cand AS (SELECT DISTINCT b.vec_id AS query_id,
+       |      c.vec_id AS neighbor_id
+       |    FROM eb b JOIN eb c ON b.tbl = c.tbl AND b.bkt = c.bkt
+       |    WHERE b.vec_id < 10 AND c.vec_id <> b.vec_id),
+       |  asc2 AS (SELECT cand.query_id, cand.neighbor_id,
+       |      round(list_dot_product(qv.v, cv.v)
+       |        / (sqrt(list_dot_product(qv.v, qv.v))
+       |           * sqrt(list_dot_product(cv.v, cv.v))), 6) AS score
+       |    FROM cand
+       |    JOIN e qv ON qv.vec_id = cand.query_id
+       |    JOIN e cv ON cv.vec_id = cand.neighbor_id),
+       |  ar AS (SELECT query_id, neighbor_id FROM (
+       |      SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rnk FROM asc2)
+       |    WHERE rnk <= 5),
+       |  t AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+       |    FROM tr GROUP BY query_id),
+       |  a AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann
+       |    FROM ar GROUP BY query_id),
+       |  h AS (SELECT tr.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |    FROM tr JOIN ar USING (query_id, neighbor_id)
+       |    GROUP BY tr.query_id)
+       |SELECT t.query_id, n_truth,
+       |  COALESCE(n_ann, 0) AS n_ann, COALESCE(n_hit, 0) AS n_hit,
+       |  COALESCE(n_hit, 0) * 1000000 // n_truth AS recall_ppm
+       |FROM t LEFT JOIN a ON t.query_id = a.query_id
+       |LEFT JOIN h ON t.query_id = h.query_id
+       |ORDER BY t.query_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash-estimator accuracy audit (DedupOps.minhashEstimateAudit):
+  // per pair on the bounded doc_id < 60 slice, the 16-permutation
+  // portable-md5 signature agreement (the quantity LSH thresholds on)
+  // vs the exact shingle Jaccard, with |error| in ppm. The portable
+  // permutation family h60("p:" + shingle) lets the twin reproduce
+  // every signature component, so the estimator itself — not just its
+  // candidates — is on the oracle's hook.
+  // ---------------------------------------------------------------------
+  def xDedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 60 && TextOps.tokenCount(col("text")) >= 2)
+    DedupOps.minhashEstimateAudit(docs, "doc_id", "text",
+        n = 2, numPerm = 16)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val xDedupMinhashEstSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks
+       |             FROM documents WHERE doc_id < 60),
+       |  $shingleCteSql,
+       |  pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      $jaccardSql AS jaccard
+       |    FROM t a JOIN t b ON a.doc_id < b.doc_id),
+       |  g AS (SELECT doc_id, unnest(sh) AS g FROM t),
+       |  fan AS (SELECT doc_id, g, unnest(range(16)) AS p FROM g),
+       |  h AS (SELECT doc_id, p,
+       |      MIN(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || g),
+       |        1, 15))::BIGINT) AS mh
+       |    FROM fan GROUP BY doc_id, p),
+       |  agree AS (SELECT pr.id_a, pr.id_b, pr.jaccard,
+       |      CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END)
+       |        AS BIGINT) AS n_agree
+       |    FROM pr JOIN h ha ON ha.doc_id = pr.id_a
+       |    JOIN h hb ON hb.doc_id = pr.id_b AND hb.p = ha.p
+       |    GROUP BY pr.id_a, pr.id_b, pr.jaccard)
+       |SELECT id_a, id_b, jaccard, n_agree,
+       |  n_agree * 1000000 // 16 AS est_ppm,
+       |  abs(n_agree * 1000000 // 16
+       |    - CAST(FLOOR(jaccard * 1000000.0) AS BIGINT)) AS err_ppm
+       |FROM agree ORDER BY id_a, id_b""".stripMargin
 }

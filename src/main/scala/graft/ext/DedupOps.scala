@@ -61,6 +61,56 @@ object DedupOps {
         lit(n))
         .as("_sh"))
 
+  /** MinHash-estimator accuracy audit (Broder 1997): per candidate
+    * pair, the fraction of `numPerm` seeded permutation minima that
+    * agree — the estimator the LSH tier thresholds on — next to the
+    * EXACT shingle Jaccard, with the absolute error in ppm. This is
+    * the measurement you run before trusting a banding threshold: the
+    * estimator's standard error is √(J(1−J)/P), and the audit makes
+    * that abstract bound concrete on the corpus at hand.
+    *
+    * Unlike the production signature ([[minhashSignature]], seeded
+    * xxhash64 — engine-private), the permutations here are the
+    * PORTABLE md5 family `h60("p:" + shingle)`, so a DuckDB twin
+    * reproduces every signature component and the audit is
+    * hash-oracled end to end, not rows-only.
+    *
+    * Scale shape: the signature build is one grouped min over
+    * (doc, permutation) — numPerm longs per doc on the wire; the audit
+    * joins the candidate-pair list (caller-bounded, e.g. one LSH
+    * bucket or a sampled slice) against that id-sized relation twice.
+    * Deliberately all-pairs on the bounded slice, like
+    * [[jaccardPairs]]. */
+  def minhashEstimateAudit(df: DataFrame, idCol: String,
+                           textCol: String, n: Int = 2,
+                           numPerm: Int = 16): DataFrame = {
+    require(numPerm >= 1, s"minhashEstimateAudit: bad numPerm $numPerm")
+    val pairs = jaccardPairs(df, idCol, textCol, n)
+    val sig = df.select(col(idCol).as("_id"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("_g"))
+      .select(col("_id"),
+        explode(array((0 until numPerm).map(lit): _*)).as("p"),
+        col("_g"))
+      .select(col("_id"), col("p"),
+        SketchOps.h60(concat(col("p").cast("string"), lit(":"),
+          col("_g"))).as("_h"))
+      .groupBy(col("_id"), col("p")).agg(min(col("_h")).as("_mh"))
+    val a = sig.select(col("_id").as("id_a"), col("p"),
+      col("_mh").as("_ha"))
+    val b = sig.select(col("_id").as("id_b"), col("p"),
+      col("_mh").as("_hb"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b", "p"))
+      .groupBy(col("id_a"), col("id_b"), col("jaccard"))
+      .agg(sum(when(col("_ha") === col("_hb"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .withColumn("est_ppm",
+        expr(s"n_agree * 1000000 div $numPerm"))
+      .withColumn("err_ppm",
+        abs(col("est_ppm") -
+          floor(col("jaccard") * lit(1000000.0)).cast("long")))
+  }
+
   /** All-pairs n-gram Jaccard similarity (id_a < id_b). Exact — and
     * deliberately O(n²): this is the verification/oracle twin of the LSH
     * path. Bound the input (e.g. one LSH bucket, or a sampled slice) before

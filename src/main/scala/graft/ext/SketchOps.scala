@@ -333,4 +333,69 @@ object SketchOps {
       .withColumn("coverage_ppm",
         expr("covered_tokens * 1000000 div total_tokens"))
   }
+
+  /** The d seeded Bloom bit positions of a unit: `pmod(h60("j:" + u), m)`
+    * for j < depth — the same salted-hash anatomy as [[cmsSketch]], so
+    * the DuckDB twin reproduces every position. */
+  private def bloomPositions(unit: Column, mBits: Int,
+                             depth: Int): Column =
+    explode(array((0 until depth).map(j =>
+      pmod(h60(concat(lit(s"$j:"), unit)), lit(mBits.toLong))): _*))
+
+  /** Bloom-filter membership sketch per group, as a relation: the m-bit
+    * filter is (≤ ⌈m/63⌉) `(group, word, bits)` rows, each word a
+    * 63-bit slab folded with `bit_or` — ONE grouped aggregation with
+    * full map-side partials, so at most ⌈m/63⌉ longs per (task, group)
+    * cross the network regardless of corpus size (Bloom 1970; the same
+    * filter family [[graft.ext.DedupOps]] ships as a plan literal for
+    * incremental dedup — here the filter is built IN the engine, as
+    * data, so it can be grouped, stored, and streamed). `bit_or` is
+    * associative and the state is bounded, so the face is STREAM-LEGAL:
+    * a streaming grouped aggregate maintains the identical words
+    * incrementally (StreamingSpec pins micro-batch == batch).
+    *
+    * Membership of unit u sets depth bits `pmod(h60("j:" + u), m)` —
+    * salted exactly like the CMS rows, reproduced bit-for-bit by the
+    * oracle. Slabs are 63 bits (shifts 0..62, masks always positive)
+    * because DuckDB's checked `<<` raises on `1::BIGINT << 63` —
+    * sign-bit slabs would be inexpressible on the oracle side. */
+  def bloomWords(df0: DataFrame, groupCol: String, textCol: String,
+                 mBits: Int, depth: Int, gramN: Int): DataFrame = {
+    require(mBits >= 63 && depth >= 1,
+      s"bloomWords: bad m/depth $mBits/$depth")
+    val df = graft.engine.Engine.spread(df0)
+    df.select(col(groupCol), explode(units(col(textCol), gramN)).as("_t"))
+      .select(col(groupCol), bloomPositions(col("_t"), mBits, depth)
+        .as("_pos"))
+      .select(col(groupCol), (col("_pos") / 63L).cast("long").as("word"),
+        call_function("shiftleft", lit(1L),
+            pmod(col("_pos"), lit(63L)).cast("int"))
+          .as("_mask"))
+      .groupBy(col(groupCol), col("word"))
+      .agg(call_function("bit_or", col("_mask")).as("bits"))
+  }
+
+  /** Probe a [[bloomWords]] sketch: for each probe row, `bloom_hit` is
+    * true iff ALL depth salted bits are set in the filter of that
+    * probe's group. The sketch side is ≤ groups·m/64 rows — broadcast;
+    * the probe stream fans out ×depth and collapses back with a grouped
+    * `min`, so the only shuffle is probe-sized. Missing words read as
+    * 0 (bit absent). No false negatives, by construction: a unit that
+    * was fed to the filter build always probes true. */
+  def bloomProbe(sketch: DataFrame, probes: DataFrame, groupCol: String,
+                 unitCol: String, mBits: Int, depth: Int): DataFrame = {
+    val fan = probes
+      .select(col("*"), bloomPositions(col(unitCol), mBits, depth)
+        .as("_pos"))
+      .select(col("*"), (col("_pos") / 63L).cast("long").as("word"),
+        call_function("shiftleft", lit(1L),
+            pmod(col("_pos"), lit(63L)).cast("int"))
+          .as("_mask"))
+    fan.join(broadcast(sketch), Seq(groupCol, "word"), "left")
+      .select(probes.columns.map(col) :+
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("_mask")) ===
+          col("_mask")).cast("int").as("_bitset"): _*)
+      .groupBy(probes.columns.map(col): _*)
+      .agg((min(col("_bitset")) === 1).as("bloom_hit"))
+  }
 }

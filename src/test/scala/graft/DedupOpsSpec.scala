@@ -389,4 +389,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("minhashEstimateAudit: clones agree on every permutation; " +
+      "disjoint pairs agree on none; error bounded by granularity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // clone of 1
+      (3L, "entirely different words about completely other things here"))
+      .toDF("id", "text")
+    val out = DedupOps.minhashEstimateAudit(df, "id", "text",
+        n = 2, numPerm = 16).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("n_agree"), r.getAs[Long]("est_ppm"),
+          r.getAs[Double]("jaccard"), r.getAs[Long]("err_ppm"))).toMap
+    // identical shingle sets -> identical signatures, est exactly 1
+    val clone = out((1L, 2L))
+    assert(clone._1 == 16L && clone._2 == 1000000L && clone._3 == 1.0
+      && clone._4 == 0L)
+    // disjoint shingle sets -> min over disjoint hash sets; agreement
+    // only by md5 collision (none on this fixture), est exactly 0
+    val disj = out((1L, 3L))
+    assert(disj._3 == 0.0 && disj._1 == 0L && disj._4 == 0L)
+    // estimator granularity: est_ppm is a multiple of 1e6/16
+    assert(out.values.forall(v => v._2 % 62500L == 0L))
+  }
 }

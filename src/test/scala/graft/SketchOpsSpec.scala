@@ -286,4 +286,53 @@ class SketchOpsSpec extends SparkSpec {
     val p = plan(SketchOps.cmsEstimate(sketch, probes, "token"))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  // -------------------------------------------------------- Bloom
+
+  test("bloomWords/bloomProbe: no false negatives — every built unit " +
+      "probes true; bounded word count; duplicate-blind") {
+    import spark.implicits._
+    val df = Seq(("a", "x y z x y"), ("a", "z w"), ("b", "p q"))
+      .toDF("g", "text")
+    val sk = SketchOps.bloomWords(df, "g", "text",
+      mBits = 630, depth = 3, gramN = 1)
+    // word index bounded by ceil(m/63); bits never 0 (every row is a
+    // folded slab, empty slabs simply don't exist as rows)
+    val rows = sk.collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 10))
+    assert(rows.forall(r => r.getLong(2) != 0L))
+    // duplicate-blind: the same corpus repeated builds the SAME filter
+    val sk2 = SketchOps.bloomWords(df.union(df), "g", "text",
+      mBits = 630, depth = 3, gramN = 1)
+    assert(sk.collect().toSet == sk2.collect().toSet)
+    // membership: every unit that went in probes true in its own group
+    val probes = df.select(col("g"),
+      explode(graft.ext.TextOps.tokens(col("text"))).as("u")).distinct()
+    val probed = SketchOps.bloomProbe(sk, probes, "g", "u",
+      mBits = 630, depth = 3)
+    assert(probed.collect().forall(_.getAs[Boolean]("bloom_hit")))
+    // a never-seen unit in an m >> n filter probes false
+    val miss = SketchOps.bloomProbe(sk,
+      Seq(("a", "never_seen_token_42")).toDF("g", "u"), "g", "u",
+      mBits = 630, depth = 3).collect()
+    assert(miss.length == 1 && !miss(0).getAs[Boolean]("bloom_hit"))
+  }
+
+  test("bloomWords: partition-layout independent; probe side " +
+      "broadcasts the sketch") {
+    val base = docs.select(col("source"), col("text"))
+    val a = SketchOps.bloomWords(base.repartition(1), "source", "text",
+      mBits = 16384, depth = 3, gramN = 3).collect().toSet
+    val b = SketchOps.bloomWords(base.repartition(13, col("text")),
+      "source", "text", mBits = 16384, depth = 3, gramN = 3)
+      .collect().toSet
+    assert(a == b)
+    val sk = SketchOps.bloomWords(base, "source", "text",
+      mBits = 16384, depth = 3, gramN = 3)
+    val probes = docs.select(col("source"), lit("x y z").as("u"))
+      .distinct()
+    val p = plan(SketchOps.bloomProbe(sk, probes, "source", "u",
+      mBits = 16384, depth = 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

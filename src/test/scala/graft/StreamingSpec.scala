@@ -626,4 +626,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("a")._1 == 4)
     assert(streamed("b") == ((2, 2L)))
   }
+
+  test("bloomWords is stream-legal: bit_or slabs ride the state store; " +
+      "incremental filter equals the batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val toDocs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumnRenamed("_1", "g").withColumnRenamed("_2", "text")
+    val q = graft.ext.SketchOps.bloomWords(
+        toDocs(stream.toDF()), "g", "text",
+        mBits = 630, depth = 3, gramN = 1)
+      .writeStream.format("memory").queryName("s_bloom")
+      .outputMode("complete").start()
+    stream.addData(("a", "x y z"), ("b", "p q"))
+    q.processAllAvailable()
+    stream.addData(("a", "z w v"), ("b", "p q"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_bloom").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ext.SketchOps.bloomWords(
+        toDocs(Seq(("a", "x y z"), ("b", "p q"), ("a", "z w v"),
+          ("b", "p q")).toDF()), "g", "text",
+        mBits = 630, depth = 3, gramN = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
 }
