@@ -57,6 +57,16 @@ object NativeExprs {
         s"graft_shingle_hashes(arr, intLiteral), got $other")
     })
     reg("graft_hash_tokens", { case Seq(c) => TokenHashes(c) })
+    reg("graft_shingle_h60", {
+      case Seq(c, Literal(n: Int, IntegerType)) => ShingleH60(c, n)
+      case other => throw new IllegalArgumentException(
+        s"graft_shingle_h60(arr, intLiteral), got $other")
+    })
+    reg("graft_min_windows", {
+      case Seq(c, Literal(w: Int, IntegerType)) => MinWindows(c, w)
+      case other => throw new IllegalArgumentException(
+        s"graft_min_windows(arr, intLiteral), got $other")
+    })
     reg("graft_window_hashes", {
       case Seq(c, Literal(n: Int, IntegerType)) => WindowHashes(c, n)
       case other => throw new IllegalArgumentException(
@@ -167,6 +177,89 @@ object NativeExprs {
     }
     InternalRow(sfx, n - 1)
   }
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Shared eval core for [[ShingleH60]] — the portable-hash family's
+    * hot loop. For each n-token window, md5 of the space-joined window
+    * (concat_ws semantics: null elements skipped, no doubled
+    * separator) and the top 60 bits of the digest as a long — EXACTLY
+    * `conv(substring(md5(concat_ws(' ', w)), 1, 15), 16, 10)`: the
+    * first 15 hex chars are digest bytes 0..6 plus the high nibble of
+    * byte 7. Fewer than n tokens → empty array (the [[ShingleHashes]]
+    * convention). */
+  def shingleH60(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                 n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = arr.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) =
+        if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = md5Local.get()
+    val out = new Array[Long](cnt)
+    var s = 0
+    while (s < cnt) {
+      md.reset()
+      var first = true
+      var j = s
+      while (j < s + n) {
+        val t = toks(j)
+        if (t != null) {
+          if (!first) md.update(' '.toByte)
+          md.update(t)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(s) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Shared eval core for [[MinWindows]]: per-window minima over a
+    * long array via the monotonic-deque algorithm — O(n) amortized vs
+    * the O(n·w) of per-window `array_min(slice(...))`, and compiled vs
+    * interpreted. Windows follow the slice convention of the lambda
+    * form it replaces: for i in 0..max(n−w, 0), min of
+    * `arr[i .. min(i+w, n)−1]` — full w-windows when n ≥ w, ONE ragged
+    * whole-array window when 0 < n < w, empty output for empty input.
+    * Input must be null-free (`graft_shingle_h60` /
+    * `graft_hash_tokens` output). */
+  def minWindows(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                 w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val cnt = math.max(n - w, 0) + 1
+    val out = new Array[Long](cnt)
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(dq(tail - 1)) >= v) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = arr.getLong(dq(head))
+      i += 1
+    }
+    if (n < w) out(0) = arr.getLong(dq(head))
+    new GenericArrayData(out)
+  }
 }
 
 /** Distinct hashed word-n-gram shingles straight from token hashes
@@ -204,6 +297,68 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.expressions.NativeExprs.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Portable 60-bit md5 hashes of every n-token window
+  * (`array<string>` → `array<long>`): semantically identical to
+  * `transform(shingles(toks, n), g => h60(g))` — the winnowing /
+  * portable-sketch hot path — but the string assembly AND the md5 run
+  * in one compiled loop instead of two interpreted lambda walks per
+  * element (the r11 sf1 probe measured the lambda form at ~8× compute
+  * for 10× data on `x_text_winnow`). The hash VALUES are unchanged
+  * (`conv(substring(md5(g),1,15),16,10)` over the space-joined gram),
+  * so every DuckDB twin reproduces them bit-for-bit. */
+case class ShingleH60(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_h60 expects array<string>, got $dt")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_h60"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.shingleH60(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.NativeExprs.shingleH60($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Sliding-window minima over `array<long>` (`graft_min_windows`):
+  * the window-selection half of winnowing, compiled — see
+  * [[NativeExprs.minWindows]] for the exact window convention it
+  * shares with the `transform(sequence, i => array_min(slice))`
+  * lambda form it replaces. */
+case class MinWindows(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_min_windows expects array<bigint>, got $dt")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_min_windows"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.minWindows(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.NativeExprs.minWindows($c, $w)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

@@ -290,6 +290,53 @@ class CodegenHealthSpec extends SparkSpec {
     }
   }
 
+  test("graft_shingle_h60 is bit-identical to the transform+h60 " +
+      "lambda form it replaces") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "one", "", "wörld café 日本語 mixed unicode tokens here")
+      .toDF("text")
+    df.createOrReplaceTempView("cg_sh60")
+    for (k <- Seq(2, 3, 4)) {
+      val rows = spark.sql(
+        s"""SELECT graft_shingle_h60(toks, $k) AS fast,
+           |  transform(
+           |    CASE WHEN size(toks) >= $k THEN
+           |      transform(sequence(0, size(toks) - $k),
+           |        i -> array_join(slice(toks, i + 1, $k), ' '))
+           |    ELSE array() END,
+           |    g -> CAST(conv(substring(md5(g), 1, 15), 16, 10)
+           |      AS BIGINT)) AS slow
+           |FROM (SELECT array_remove(split(lower(text),
+           |  '[^a-z0-9]+'), '') AS toks FROM cg_sh60)""".stripMargin)
+        .collect()
+      rows.foreach(r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k"))
+    }
+  }
+
+  test("graft_min_windows matches the array_min(slice) lambda form, " +
+      "full and ragged windows") {
+    import spark.implicits._
+    val df = Seq(
+      Array(5L, 3L, 8L, 1L, 9L, 2L, 7L),
+      Array(4L, 4L, 4L),
+      Array(9L),
+      Array(1L, 2L)).toDF("hs")
+    df.createOrReplaceTempView("cg_minw")
+    for (w <- Seq(1, 2, 4, 10)) {
+      val rows = spark.sql(
+        s"""SELECT graft_min_windows(hs, $w) AS fast,
+           |  transform(sequence(0, greatest(size(hs) - $w, 0)),
+           |    i -> array_min(slice(hs, i + 1,
+           |      least($w, size(hs))))) AS slow
+           |FROM cg_minw""".stripMargin).collect()
+      rows.foreach(r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"w=$w"))
+    }
+  }
+
   test("codegen results match interpreted eval on the stacked shapes") {
     import spark.implicits._
     val df = Seq((Array(11L, 22L, 33L, 44L, 55L), Array("a", "bb")))
@@ -300,6 +347,8 @@ class CodegenHealthSpec extends SparkSpec {
         |       graft_minhash_sig(toks, 4) AS mh,
         |       graft_shingle_hashes(toks, 2) AS sg,
         |       graft_hash_tokens(strs) AS th,
+        |       graft_shingle_h60(strs, 2) AS s60,
+        |       graft_min_windows(toks, 2) AS mw,
         |       graft_ln(CAST(element_at(toks, 1) AS DOUBLE)) AS ln
         |FROM cg_probe2""".stripMargin
     val generated = spark.sql(sql).collect()
