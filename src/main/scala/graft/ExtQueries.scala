@@ -1010,6 +1010,46 @@ object ExtQueries {
        |WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Cluster-cohesion audit (DedupOps.clusterCohesion): per multi-member
+  // near-dup cluster, min/mean pairwise Jaccard among members — the
+  // "did transitive closure over-merge by chaining" alarm. Clusters
+  // come from the same cached minhash-0.8 component closure as
+  // x_dedup_cc; the twin re-derives them recursively and replays the
+  // pair algebra in integer ppm.
+  // ---------------------------------------------------------------------
+  def xDedupCohesion(s: SparkSession, dir: String): DataFrame =
+    DedupOps.clusterCohesion(clonedDocs(s, dir), "doc_id", "text",
+        clonedDocsComponents(s, dir), n = 2)
+      .orderBy(col("component"))
+
+  val xDedupCohesionSql: String =
+    s"""WITH $ccCtesSql,
+       |  m AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+       |    FROM comp GROUP BY component HAVING COUNT(*) >= 2),
+       |  mem AS (SELECT comp.doc_id, comp.component
+       |    FROM comp JOIN m USING (component)),
+       |  ts AS (SELECT mem.doc_id, mem.component, t.sh
+       |    FROM mem JOIN t ON t.doc_id = mem.doc_id),
+       |  pj AS (SELECT a.component,
+       |      CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+       |        THEN CAST(FLOOR(
+       |          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh)))
+       |          * 1000000.0) AS BIGINT)
+       |        ELSE NULL END AS j_ppm
+       |    FROM ts a JOIN ts b
+       |      ON a.component = b.component AND a.doc_id < b.doc_id),
+       |  agg AS (SELECT component,
+       |      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |      MIN(j_ppm) AS min_jaccard_ppm,
+       |      CAST(SUM(j_ppm) AS BIGINT) // COUNT(*) AS avg_jaccard_ppm
+       |    FROM pj GROUP BY component)
+       |SELECT agg.component, m.n_members, n_pairs, min_jaccard_ppm,
+       |  avg_jaccard_ppm
+       |FROM agg JOIN m USING (component)
+       |ORDER BY component""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Fuzzy matching at edit distance ≤ 1 over customer names, via
   // deletion-neighborhood blocking + levenshtein verification
   // (DedupOps.fuzzyPairsEdit1). The oracle is the NAIVE all-pairs

@@ -111,6 +111,53 @@ object DedupOps {
           floor(col("jaccard") * lit(1000000.0)).cast("long")))
   }
 
+  /** Duplicate-cluster cohesion audit: per multi-member component of
+    * the near-dup graph, the minimum and mean pairwise shingle Jaccard
+    * among its members — the "did transitive closure over-merge"
+    * measurement. Banding admits pairs at the threshold; CHAINS of such
+    * pairs can pull documents into one cluster whose extremes share
+    * almost nothing (A~B~C with J(A,C) ≈ 0), and min_jaccard_ppm is
+    * exactly that alarm: clusters whose floor sits far below the edge
+    * threshold were merged by chaining, not similarity.
+    *
+    * Scale shape: singleton components (the overwhelming majority) are
+    * dropped before anything shingles — only members of multi-document
+    * clusters tokenize; the pair stage joins within components, so its
+    * cost is Σ |cluster|², bounded by the same band discipline that
+    * built the edges (a pathological mega-cluster is itself the
+    * finding). Integer ppm floors keep the aggregate engine-exact. */
+  def clusterCohesion(df: DataFrame, idCol: String, textCol: String,
+                      components: DataFrame, n: Int = 2): DataFrame = {
+    val multi = components.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    val member = components.join(multi.select(col("component")),
+      Seq("component"))
+    val sh = shingleSets(df, idCol, textCol, n)
+      .join(member.select(col("id").as("_id"), col("component")),
+        Seq("_id"))
+    val a = sh.select(col("component"), col("_id").as("id_a"),
+      col("_sh").as("sh_a"))
+    val b = sh.select(col("component").as("_cb"), col("_id").as("id_b"),
+      col("_sh").as("sh_b"))
+    val jppm = floor(
+      (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double")) *
+        lit(1000000.0)).cast("long")
+    a.join(b, col("component") === col("_cb") &&
+        col("id_a") < col("id_b"))
+      .select(col("component"),
+        when(size(array_union(col("sh_a"), col("sh_b"))) > 0, jppm)
+          .as("j_ppm"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("j_ppm")).as("min_jaccard_ppm"),
+        expr("sum(j_ppm) div count(1)").as("avg_jaccard_ppm"))
+      .join(multi, Seq("component"))
+      .select(col("component"), col("n_members"), col("n_pairs"),
+        col("min_jaccard_ppm"), col("avg_jaccard_ppm"))
+  }
+
   /** All-pairs n-gram Jaccard similarity (id_a < id_b). Exact — and
     * deliberately O(n²): this is the verification/oracle twin of the LSH
     * path. Bound the input (e.g. one LSH bucket, or a sampled slice) before

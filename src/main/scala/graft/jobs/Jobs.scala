@@ -198,11 +198,15 @@ object SplitJob {
   *       <benchParquet|-> <phrasesFile|-> <storeDir> <quarantineDir>
   *       <checkpointDir> [testFrac=0.05] [validFrac=0.05]
   *       [lmRefParquet|-] [maxMeanNll=+inf] [historyParquet|-]
-  *       [nllT1|-] [nllT2|-] [dropNllTail=false]
+  *       [nllT1|-] [nllT2|-] [dropNllTail=false] [monitorDir|-]
+  *       [monitorGroupCol|-]
   * rulesSpec uses [[QualityGateJob.parseRule]] syntax; '-' disables the
   * corresponding stage. nllT1/nllT2 are the CCNet head/middle/tail NLL
   * bounds (batch-computed percentile cuts — the x_text_ppl_thresh
-  * shape); both must be given, and they require lmRefParquet. */
+  * shape); both must be given, and they require lmRefParquet.
+  * monitorDir enables the live HLL distinct-token monitor over kept
+  * rows ([[StreamIngestJob.mergeMonitor]]); monitorGroupCol '-'
+  * monitors the whole stream as one group. */
 object StreamIngestJob {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
@@ -300,6 +304,71 @@ object StreamIngestJob {
       dedupIndex, nllBand, dropNllTail))
   }
 
+  private[graft] def monitorPath(dir: String, v: Long): String =
+    s"$dir/v=$v"
+
+  private[graft] def monitorVersions(spark: SparkSession,
+                                     dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+  }
+
+  /** Fold one micro-batch into the live distinct-token monitor: the
+    * per-group HLL register table ([[SketchOps.hllRegisters]]) of the
+    * batch max-merges into the latest snapshot and lands as a new
+    * `v=<batchId>` version (older versions pruned after the write).
+    *
+    * Replay-idempotent WITHOUT any transactional machinery, because
+    * the sketch union is IDEMPOTENT: a replayed batch max-merges rows
+    * the snapshot already contains, reproducing the identical
+    * registers — the same argument that makes Bloom/KMV/HLL
+    * duplicate-blind makes them replay-blind. The one mechanical
+    * hazard — a replay reads the very version it rewrites — is pinned
+    * by materializing the snapshot first. State is ≤ 2ᵖ rows per
+    * group at any corpus size; estimates decode on demand via
+    * [[monitorEstimate]], so the monitor adds one register-table-sized
+    * job per micro-batch. */
+  private[graft] def mergeMonitor(batch: DataFrame, batchId: Long,
+      groupCol: String, textCol: String, dir: String,
+      p: Int = 8, gramN: Int = 1): Unit = {
+    val spark = batch.sparkSession
+    val fresh = graft.ext.SketchOps.hllRegisters(
+      batch, groupCol, textCol, p, gramN)
+    val versions = monitorVersions(spark, dir)
+    val merged =
+      if (versions.isEmpty) fresh
+      else {
+        val v = versions.max
+        val old0 = Sources.readParquet(spark, monitorPath(dir, v))
+        val old = if (v == batchId) graft.engine.Engine.materialize(old0)
+                  else old0
+        old.unionByName(fresh)
+          .groupBy(col(groupCol), col("_j"))
+          .agg(max(col("_mj")).as("_mj"))
+      }
+    Sinks.writeParquet(merged, monitorPath(dir, batchId), "replace")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    versions.filter(_ != batchId).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(monitorPath(dir, v)), true))
+  }
+
+  /** Decode the monitor's latest snapshot to per-group live distinct
+    * estimates (the [[SketchOps.hllEstimate]] face); None before the
+    * first non-empty micro-batch. */
+  def monitorEstimate(spark: SparkSession, dir: String,
+                      groupCol: String, p: Int = 8): Option[DataFrame] =
+    monitorVersions(spark, dir) match {
+      case Nil => None
+      case vs => Some(graft.ext.SketchOps.hllEstimate(
+        Sources.readParquet(spark, monitorPath(dir, vs.max)),
+        groupCol, p))
+    }
+
   /** One micro-batch's sink work, keyed by the streaming engine's
     * batchId — package-private so replay idempotency is directly
     * testable (JobsSpec re-runs a batch under the same id and asserts
@@ -329,7 +398,8 @@ object StreamIngestJob {
             maxMeanNll: Double,
             dedupIndex: Option[(Array[Byte], DataFrame)],
             nllBand: Option[(Double, Double)] = None,
-            dropNllTail: Boolean = false): Unit = {
+            dropNllTail: Boolean = false,
+            monitor: Option[(String, String)] = None): Unit = {
     val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
       benchGramHashes, blockedPhrases, testFrac, validFrac,
       lmModel, maxMeanNll, dedupIndex, nllBand, dropNllTail)
@@ -337,8 +407,19 @@ object StreamIngestJob {
     // isEmpty pass over the routed-transform plan here
     Sinks.writeParquet(bad, s"$quarantineDir/batch_id=$batchId",
       "replace")
-    if (!kept.isEmpty)
+    if (!kept.isEmpty) {
       graft.sinks.Upsert.keyedUpsert(kept, idCol, store)
+      // Live distinct monitor over what actually LANDS in the store;
+      // groupCol "-" monitors the whole stream as one group.
+      monitor.foreach { case (dir, groupCol) =>
+        val (g, frame) =
+          if (groupCol == "-")
+            ("_monitor_group",
+              kept.withColumn("_monitor_group", lit("all")))
+          else (groupCol, kept)
+        mergeMonitor(frame, batchId, g, textCol, dir)
+      }
+    }
     ()
   }
 
@@ -363,6 +444,7 @@ object StreamIngestJob {
             dedupIndex: Option[(Array[Byte], DataFrame)] = None,
             nllBand: Option[(Double, Double)] = None,
             dropNllTail: Boolean = false,
+            monitor: Option[(String, String)] = None,
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -374,7 +456,7 @@ object StreamIngestJob {
         processBatch(batch, batchId, idCol, textCol, rules,
           benchGramHashes, blockedPhrases, store, quarantineDir,
           testFrac, validFrac, lmModel, maxMeanNll, dedupIndex,
-          nllBand, dropNllTail)
+          nllBand, dropNllTail, monitor)
       }
       .start()
 
@@ -422,7 +504,9 @@ object StreamIngestJob {
         .getOrElse(Double.PositiveInfinity),
       dedupIndex = dedupIndex,
       nllBand = nllBand,
-      dropNllTail = rest.lift(7).exists(_.toBoolean))
+      dropNllTail = rest.lift(7).exists(_.toBoolean),
+      monitor = rest.lift(8).filter(_ != "-").map(dir =>
+        (dir, rest.lift(9).getOrElse("-"))))
     q.awaitTermination()
   }
   def main(args: Array[String]): Unit =

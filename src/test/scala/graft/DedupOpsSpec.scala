@@ -390,6 +390,37 @@ class DedupOpsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("clusterCohesion: clone clusters read 1.0; a chained cluster's " +
+      "min falls below the edge threshold; singletons never shingle") {
+    import spark.implicits._
+    // A~B and B~C are near-dups, A~C share almost nothing: the classic
+    // transitive-closure chain. D/E are exact clones. F is a singleton.
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta iota kappa"),
+      (3L, "iota kappa lambda mu nu xi omicron pi"),
+      (4L, "the same exact clone text here"),
+      (5L, "the same exact clone text here"),
+      (6L, "a lonely unrelated document about nothing"))
+      .toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comps = DedupOps.connectedComponents(pairs)
+    val out = DedupOps.clusterCohesion(df, "id", "text", comps)
+      .collect()
+      .map(r => r.getAs[Long]("component") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("min_jaccard_ppm"),
+          r.getAs[Long]("avg_jaccard_ppm"))).toMap
+    assert(out.keySet == Set(1L, 4L)) // singleton 6 absent
+    val (nm, np, mn, av) = out(1L)
+    assert(nm == 3L && np == 3L)
+    // the A-C extreme shares only "iota kappa": far below any sane
+    // near-dup threshold, while the mean stays moderate
+    assert(mn < 200000L, s"min=$mn")
+    assert(av > mn)
+    assert(out(4L) == ((2L, 1L, 1000000L, 1000000L)))
+  }
+
   test("minhashEstimateAudit: clones agree on every permutation; " +
       "disjoint pairs agree on none; error bounded by granularity") {
     import spark.implicits._

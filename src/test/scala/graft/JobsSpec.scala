@@ -194,6 +194,56 @@ class JobsSpec extends SparkSpec {
     assert(parts == Seq(7L, 8L), s"partitions: $parts")
   }
 
+  test("live HLL distinct monitor: estimate equals the batch sketch of " +
+      "all kept rows; replay under the same batchId changes nothing") {
+    import spark.implicits._
+    import graft.jobs.StreamIngestJob
+    import graft.transform.Checks
+    val base = s"$ws/si_monitor"
+    val store = new graft.sinks.Upsert.FileStore(s"$base/store")
+    val monitorDir = s"$base/monitor"
+    val rules = Seq(Checks.notNull("text"))
+    def runBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamIngestJob.processBatch(df, id, "doc_id", "text", rules,
+        Array.empty[Long], Seq.empty, store, s"$base/quarantine",
+        0.05, 0.05, None, Double.PositiveInfinity, None,
+        monitor = Some((monitorDir, "-")))
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "beta delta"),
+      (3L, null: String)).toDF("doc_id", "text")
+    val b2 = Seq((4L, "gamma epsilon zeta"), (5L, "alpha eta"))
+      .toDF("doc_id", "text")
+    runBatch(b1, 0L)
+    runBatch(b2, 1L)
+    def estimate(): (Int, Long, Long) = {
+      val rows = StreamIngestJob.monitorEstimate(spark, monitorDir,
+        "_monitor_group").get.collect()
+      assert(rows.length == 1)
+      (rows(0).getAs[Int]("n_zero_registers"),
+        rows(0).getAs[Long]("t_harmonic"),
+        rows(0).getAs[Long]("est_distinct"))
+    }
+    val afterTwo = estimate()
+    // the incremental monitor equals the one-shot batch sketch over
+    // everything that passed the gate (rows 1,2,4,5 — not the null)
+    val batchTwin = graft.ext.SketchOps.hllSketch(
+        b1.unionByName(b2).filter(col("text").isNotNull)
+          .withColumn("_monitor_group", lit("all")),
+        "_monitor_group", "text").collect()
+    assert(batchTwin.length == 1)
+    assert(afterTwo == (batchTwin(0).getAs[Int]("n_zero_registers"),
+      batchTwin(0).getAs[Long]("t_harmonic"),
+      batchTwin(0).getAs[Long]("est_distinct")))
+    // 8 distinct tokens, far under-full registers -> linear counting
+    // reports nearly exactly
+    assert(afterTwo._3 >= 7L && afterTwo._3 <= 9L, afterTwo.toString)
+    // replay the last micro-batch id: sketch union is idempotent, so
+    // the monitor must decode to the identical estimate
+    runBatch(b2, 1L)
+    assert(estimate() == afterTwo)
+    // only one version directory survives pruning
+    assert(StreamIngestJob.monitorVersions(spark, monitorDir) == Seq(1L))
+  }
+
   test("ingest fluency gate drops reference-unlike docs, stream == batch twin") {
     import spark.implicits._
     import graft.jobs.StreamIngestJob
