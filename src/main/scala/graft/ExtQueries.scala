@@ -1493,6 +1493,19 @@ object ExtQueries {
   // ---------------------------------------------------------------------
   private val (bpeRounds, bpeWindow) = (16, 40)
 
+  /** Trained merge table, computed ONCE per (session, dir) and shared
+    * by the three tokenizer-chain queries (`x_text_bpe_encode` /
+    * `x_text_fertility` both re-applied the full driver-loop trainer —
+    * the ccCache argument, for the second-most-expensive subtree). */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[String]]()
+  private def trainedMerges(s: SparkSession, dir: String): Seq[String] =
+    bpeCache.computeIfAbsent((s, dir), _ =>
+      TextOps.bpeMergesBatched(t(s, dir, "documents"), "text",
+          rounds = bpeRounds, window = bpeWindow)
+        .orderBy(col("merge_rank"))
+        .select(col("pair")).collect().map(_.getString(0)).toSeq)
+
   def xTextBpe(s: SparkSession, dir: String): DataFrame =
     TextOps.bpeMergesBatched(t(s, dir, "documents"), "text",
         rounds = bpeRounds, window = bpeWindow)
@@ -1563,15 +1576,10 @@ object ExtQueries {
   // CTEs) and applies the identical padded two-pass replaces through
   // one list_reduce over the rank-ordered pair list.
   // ---------------------------------------------------------------------
-  def xTextBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val merges = TextOps.bpeMergesBatched(docs, "text",
-        rounds = bpeRounds, window = bpeWindow)
-      .orderBy(col("merge_rank"))
-      .select(col("pair")).collect().map(_.getString(0)).toSeq
-    TextOps.bpeEncodeStats(docs, "doc_id", "text", merges)
+  def xTextBpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeEncodeStats(t(s, dir, "documents"), "doc_id", "text",
+        trainedMerges(s, dir))
       .orderBy(col("doc_id"))
-  }
 
   val xTextBpeEncodeSql: String = {
     val spaced = "' ' || array_to_string(list_transform(" +
@@ -1592,6 +1600,72 @@ object ExtQueries {
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(n) AS BIGINT) AS n_subwords
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Tokenizer fertility report: per source, subwords-per-word and
+  // chars-per-subword of the TRAINED tokenizer (the merge table is the
+  // bpeCache one the encode query shares) — the metric that decides
+  // whether a vocabulary is big enough for a corpus slice before a
+  // training run prices it in. Integer-ppm ratios; docs that tokenize
+  // to nothing count toward n_docs/n_chars but contribute no words.
+  // ---------------------------------------------------------------------
+  def xTextFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val enc = TextOps.bpeEncodeStats(docs, "doc_id", "text",
+      trainedMerges(s, dir))
+    docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("_chars"))
+      .join(enc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_words", "n_subwords"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("_chars")).as("n_chars"))
+      .withColumn("fertility_ppm",
+        when(col("n_words") > 0,
+          expr("n_subwords * 1000000 div n_words")).otherwise(lit(0L)))
+      .withColumn("chars_per_subword_ppm",
+        when(col("n_subwords") > 0,
+          expr("n_chars * 1000000 div n_subwords")).otherwise(lit(0L)))
+      .orderBy(col("source"))
+  }
+
+  val xTextFertilitySql: String = {
+    val spaced = "' ' || array_to_string(list_transform(" +
+      "range(1, len(w) + 1), i -> substr(w, CAST(i AS INTEGER), 1)), ' ')" +
+      " || ' '"
+    s"""WITH ${bpeStageCtes(bpeRounds, bpeWindow)},
+       |  mseq AS MATERIALIZED (SELECT COALESCE(list(pr ORDER BY rnd, rnk),
+       |      CAST([] AS VARCHAR[])) AS ms FROM selall),
+       |  dw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |  enc AS (SELECT doc_id,
+       |      len(string_split(trim(list_reduce(list_prepend($spaced,
+       |        (SELECT ms FROM mseq)),
+       |        (acc, x) -> replace(replace(acc,
+       |          ' ' || x || ' ', ' ' || replace(x, ' ', '') || ' '),
+       |          ' ' || x || ' ', ' ' || replace(x, ' ', '') || ' '))),
+       |        ' ')) AS n
+       |    FROM dw),
+       |  pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |      CAST(SUM(n) AS BIGINT) AS n_subwords
+       |    FROM enc GROUP BY doc_id),
+       |  j AS (SELECT d.source,
+       |      CAST(length(d.text) AS BIGINT) AS chars,
+       |      COALESCE(pd.n_words, 0) AS w, COALESCE(pd.n_subwords, 0) AS sw
+       |    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+       |  agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |      CAST(SUM(w) AS BIGINT) AS n_words,
+       |      CAST(SUM(sw) AS BIGINT) AS n_subwords,
+       |      CAST(SUM(chars) AS BIGINT) AS n_chars
+       |    FROM j GROUP BY source)
+       |SELECT source, n_docs, n_words, n_subwords, n_chars,
+       |  CASE WHEN n_words > 0 THEN n_subwords * 1000000 // n_words
+       |       ELSE 0 END AS fertility_ppm,
+       |  CASE WHEN n_subwords > 0 THEN n_chars * 1000000 // n_subwords
+       |       ELSE 0 END AS chars_per_subword_ppm
+       |FROM agg ORDER BY source""".stripMargin
   }
 
   // ---------------------------------------------------------------------
