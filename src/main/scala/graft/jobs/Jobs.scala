@@ -199,14 +199,16 @@ object SplitJob {
   *       <checkpointDir> [testFrac=0.05] [validFrac=0.05]
   *       [lmRefParquet|-] [maxMeanNll=+inf] [historyParquet|-]
   *       [nllT1|-] [nllT2|-] [dropNllTail=false] [monitorDir|-]
-  *       [monitorGroupCol|-]
+  *       [monitorGroupCol|-] [freqMonitorDir|-]
   * rulesSpec uses [[QualityGateJob.parseRule]] syntax; '-' disables the
   * corresponding stage. nllT1/nllT2 are the CCNet head/middle/tail NLL
   * bounds (batch-computed percentile cuts — the x_text_ppl_thresh
   * shape); both must be given, and they require lmRefParquet.
   * monitorDir enables the live HLL distinct-token monitor over kept
   * rows ([[StreamIngestJob.mergeMonitor]]); monitorGroupCol '-'
-  * monitors the whole stream as one group. */
+  * monitors the whole stream as one group. freqMonitorDir enables the
+  * live CMS token-frequency monitor ([[StreamIngestJob
+  * .mergeCmsMonitor]] — version-ledger idempotence). */
 object StreamIngestJob {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
@@ -369,6 +371,53 @@ object StreamIngestJob {
         groupCol, p))
     }
 
+  /** Fold one micro-batch into the live token-FREQUENCY monitor (the
+    * [[SketchOps.cmsSketch]] grid). A CMS is ADDITIVE, not idempotent
+    * — a replayed batch would double-count — so here exactly-once
+    * comes from the VERSION LEDGER instead of the sketch algebra: a
+    * batch whose `v=<batchId>` snapshot already exists is already
+    * folded in and is skipped. (Contrast [[mergeMonitor]], where the
+    * max-merge itself absorbs replays and no guard is needed — the
+    * two monitors are the two idempotence strategies of the
+    * foreachBatch sink pattern.) Crash windows: before the write, the
+    * replay re-merges from v=batchId−1 — same grid; after the write
+    * but before the checkpoint commit, the ledger says done — skip.
+    * State is ≤ depth·width cells at any corpus size. */
+  private[graft] def mergeCmsMonitor(batch: DataFrame, batchId: Long,
+      textCol: String, dir: String,
+      depth: Int = 4, width: Int = 1024, gramN: Int = 1): Unit = {
+    val spark = batch.sparkSession
+    val versions = monitorVersions(spark, dir)
+    if (versions.contains(batchId)) return
+    val fresh = graft.ext.SketchOps.cmsSketch(
+      batch, textCol, depth, width, gramN)
+    val merged =
+      if (versions.isEmpty) fresh
+      else Sources.readParquet(spark, monitorPath(dir, versions.max))
+        .unionByName(fresh)
+        .groupBy(col("j"), col("cell"))
+        .agg(sum(col("cnt")).as("cnt"))
+    Sinks.writeParquet(merged, monitorPath(dir, batchId), "replace")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    versions.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(monitorPath(dir, v)), true))
+  }
+
+  /** Point-query the frequency monitor's latest grid for the probe
+    * tokens ([[SketchOps.cmsEstimate]] face — never undercounts);
+    * None before the first non-empty micro-batch. */
+  def cmsMonitorEstimate(spark: SparkSession, dir: String,
+                         probes: DataFrame, tokenCol: String,
+                         depth: Int = 4, width: Int = 1024)
+      : Option[DataFrame] =
+    monitorVersions(spark, dir) match {
+      case Nil => None
+      case vs => Some(graft.ext.SketchOps.cmsEstimate(
+        Sources.readParquet(spark, monitorPath(dir, vs.max)),
+        probes, tokenCol, depth, width))
+    }
+
   /** One micro-batch's sink work, keyed by the streaming engine's
     * batchId — package-private so replay idempotency is directly
     * testable (JobsSpec re-runs a batch under the same id and asserts
@@ -399,7 +448,8 @@ object StreamIngestJob {
             dedupIndex: Option[(Array[Byte], DataFrame)],
             nllBand: Option[(Double, Double)] = None,
             dropNllTail: Boolean = false,
-            monitor: Option[(String, String)] = None): Unit = {
+            monitor: Option[(String, String)] = None,
+            freqMonitorDir: Option[String] = None): Unit = {
     val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
       benchGramHashes, blockedPhrases, testFrac, validFrac,
       lmModel, maxMeanNll, dedupIndex, nllBand, dropNllTail)
@@ -419,6 +469,8 @@ object StreamIngestJob {
           else (groupCol, kept)
         mergeMonitor(frame, batchId, g, textCol, dir)
       }
+      freqMonitorDir.foreach(dir =>
+        mergeCmsMonitor(kept, batchId, textCol, dir))
     }
     ()
   }
@@ -445,6 +497,7 @@ object StreamIngestJob {
             nllBand: Option[(Double, Double)] = None,
             dropNllTail: Boolean = false,
             monitor: Option[(String, String)] = None,
+            freqMonitorDir: Option[String] = None,
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -456,7 +509,7 @@ object StreamIngestJob {
         processBatch(batch, batchId, idCol, textCol, rules,
           benchGramHashes, blockedPhrases, store, quarantineDir,
           testFrac, validFrac, lmModel, maxMeanNll, dedupIndex,
-          nllBand, dropNllTail, monitor)
+          nllBand, dropNllTail, monitor, freqMonitorDir)
       }
       .start()
 
@@ -506,7 +559,8 @@ object StreamIngestJob {
       nllBand = nllBand,
       dropNllTail = rest.lift(7).exists(_.toBoolean),
       monitor = rest.lift(8).filter(_ != "-").map(dir =>
-        (dir, rest.lift(9).getOrElse("-"))))
+        (dir, rest.lift(9).getOrElse("-"))),
+      freqMonitorDir = rest.lift(10).filter(_ != "-"))
     q.awaitTermination()
   }
   def main(args: Array[String]): Unit =

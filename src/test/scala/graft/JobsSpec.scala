@@ -244,6 +244,44 @@ class JobsSpec extends SparkSpec {
     assert(StreamIngestJob.monitorVersions(spark, monitorDir) == Seq(1L))
   }
 
+  test("live CMS frequency monitor: additive grid equals the batch " +
+      "sketch; replay is skipped by the version ledger") {
+    import spark.implicits._
+    import graft.jobs.StreamIngestJob
+    import graft.transform.Checks
+    val base = s"$ws/si_cms_monitor"
+    val store = new graft.sinks.Upsert.FileStore(s"$base/store")
+    val dir = s"$base/freq"
+    val rules = Seq(Checks.notNull("text"))
+    def runBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamIngestJob.processBatch(df, id, "doc_id", "text", rules,
+        Array.empty[Long], Seq.empty, store, s"$base/quarantine",
+        0.05, 0.05, None, Double.PositiveInfinity, None,
+        freqMonitorDir = Some(dir))
+    val b1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "alpha delta"), (4L, null: String))
+      .toDF("doc_id", "text")
+    runBatch(b1, 0L)
+    runBatch(b2, 1L)
+    val probes = Seq("alpha", "beta", "gamma", "delta", "absent")
+      .toDF("token")
+    def estimates(): Map[String, Long] =
+      StreamIngestJob.cmsMonitorEstimate(spark, dir, probes, "token")
+        .get.collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("cms_est")).toMap
+    val got = estimates()
+    // width 1024 over 4 tokens: no collisions — estimates are exact
+    // counts over kept rows (the null-text doc was quarantined)
+    assert(got == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L,
+      "delta" -> 1L, "absent" -> 0L), got.toString)
+    // a replayed batch id is already in the ledger: counts must NOT
+    // double (the additive sketch can't absorb replays on its own)
+    runBatch(b2, 1L)
+    assert(estimates() == got)
+    assert(StreamIngestJob.monitorVersions(spark, dir) == Seq(1L))
+  }
+
   test("ingest fluency gate drops reference-unlike docs, stream == batch twin") {
     import spark.implicits._
     import graft.jobs.StreamIngestJob

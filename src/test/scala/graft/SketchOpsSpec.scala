@@ -318,6 +318,17 @@ class SketchOpsSpec extends SparkSpec {
     assert(miss.length == 1 && !miss(0).getAs[Boolean]("bloom_hit"))
   }
 
+  test("bloomWords plans one keyed exchange with map-side partial " +
+      "bit_or — no Expand, no distinct") {
+    val p = plan(SketchOps.bloomWords(docs, "source", "text",
+      mBits = 16384, depth = 3, gramN = 3))
+    assert(!p.contains("Expand"), p)
+    // one partial->final hop on (group, word); the narrow-scan spread's
+    // RoundRobin repartition doesn't count
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_bit_or") || p.contains("bit_or"), p)
+  }
+
   test("bloomWords: partition-layout independent; probe side " +
       "broadcasts the sketch") {
     val base = docs.select(col("source"), col("text"))
