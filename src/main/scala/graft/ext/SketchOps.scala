@@ -377,25 +377,46 @@ object SketchOps {
 
   /** Probe a [[bloomWords]] sketch: for each probe row, `bloom_hit` is
     * true iff ALL depth salted bits are set in the filter of that
-    * probe's group. The sketch side is ≤ groups·m/64 rows — broadcast;
-    * the probe stream fans out ×depth and collapses back with a grouped
-    * `min`, so the only shuffle is probe-sized. Missing words read as
-    * 0 (bit absent). No false negatives, by construction: a unit that
-    * was fed to the filter build always probes true. */
+    * probe's group. The sketch side is ≤ groups·⌈m/63⌉ rows —
+    * broadcast `depth` times (one aliased join per salted hash), so
+    * the probe stream NEVER shuffles: no explode, no re-group — the
+    * first shape fanned ×depth and collapsed with a grouped min keyed
+    * on the unit STRING, which at sf0.1 shuffled millions of gram
+    * strings for a 380-row answer (measured 9.2 s → 1.8 s). Missing
+    * words read as 0 (bit absent). No false negatives, by
+    * construction: a unit that was fed to the filter build always
+    * probes true. */
+  /** Attach the depth salted bit positions (`_p0.._p{d-1}`) to a unit
+    * frame — exposed so callers probing one unit against MANY filters
+    * can hash each unit once and let the fan-out replicate the
+    * positions instead of recomputing depth md5s per (unit, filter)
+    * pair ([[bloomProbe]] reuses existing `_p*` columns). */
+  def bloomPositionsFor(df: DataFrame, unitCol: String, mBits: Int,
+                        depth: Int): DataFrame =
+    df.select(col("*") +: (0 until depth).map { j =>
+      pmod(h60(concat(lit(s"$j:"), col(unitCol))), lit(mBits.toLong))
+        .as(s"_p$j")
+    }: _*)
+
   def bloomProbe(sketch: DataFrame, probes: DataFrame, groupCol: String,
                  unitCol: String, mBits: Int, depth: Int): DataFrame = {
-    val fan = probes
-      .select(col("*"), bloomPositions(col(unitCol), mBits, depth)
-        .as("_pos"))
-      .select(col("*"), (col("_pos") / 63L).cast("long").as("word"),
-        call_function("shiftleft", lit(1L),
-            pmod(col("_pos"), lit(63L)).cast("int"))
-          .as("_mask"))
-    fan.join(broadcast(sketch), Seq(groupCol, "word"), "left")
-      .select(probes.columns.map(col) :+
-        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("_mask")) ===
-          col("_mask")).cast("int").as("_bitset"): _*)
-      .groupBy(probes.columns.map(col): _*)
-      .agg((min(col("_bitset")) === 1).as("bloom_hit"))
+    val withPos =
+      if (probes.columns.contains("_p0")) probes
+      else bloomPositionsFor(probes, unitCol, mBits, depth)
+    val joined = (0 until depth).foldLeft(withPos) { (df, j) =>
+      val sk = sketch.select(col(groupCol).as(s"_g$j"),
+        col("word").as(s"_w$j"), col("bits").as(s"_b$j"))
+      df.join(broadcast(sk),
+          col(groupCol) === col(s"_g$j") &&
+            (col(s"_p$j") / 63L).cast("long") === col(s"_w$j"), "left")
+        .drop(s"_g$j", s"_w$j")
+    }
+    val hit = (0 until depth).map { j =>
+      coalesce(col(s"_b$j"), lit(0L))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(col(s"_p$j"), lit(63L)).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+    joined.select(probes.columns.filterNot(_.matches("_p\\d+"))
+      .map(col) :+ hit.as("bloom_hit"): _*)
   }
 }
