@@ -856,7 +856,7 @@ object DedupOps {
   def allPairsCosine(df0: DataFrame, idCol: String, textCol: String,
                      tNum: Int, tDen: Int, gramN: Int = 3,
                      idfScale: Long = 1000L): DataFrame = {
-    val (w, norms, prefix) =
+    val (w, norms, prefix, classes) =
       apssPostings(df0, idCol, textCol, tNum, tDen, gramN, idfScale)
     val full = w.select(col("_t"), col("_id").as("_fid"))
     val cand = prefix.join(full, Seq("_t"))
@@ -870,52 +870,103 @@ object DedupOps {
       .join(w.select(col("_id").as("_b"), col("_t"), col("_w").as("_wb")),
         Seq("_b", "_t"))
       .groupBy(col("_a"), col("_b")).agg(sum(col("_wa") * col("_wb")).as("dot"))
-    dots
+    val repPairs = dots
       .join(norms.select(col("_id").as("_a"), col("_nsq").as("_na")), Seq("_a"))
       .join(norms.select(col("_id").as("_b"), col("_nsq").as("_nb")), Seq("_b"))
       .withColumn("score", round(col("dot").cast("double") /
         (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))), 6))
       .filter(col("score") >= lit(tNum.toDouble / tDen.toDouble))
-      .select(col("_a").as("id_a"), col("_b").as("id_b"),
+    // Expansion back to ORIGINAL ids (the duplicate-mass half): a
+    // qualifying representative pair fans out to every cross pair of
+    // the two identity classes, and every multi-member class whose
+    // vector is non-empty contributes all its intra pairs at
+    // dot = ‖x‖² — with the SAME score expression evaluated, not an
+    // assumed 1.0, so the rounding matches the definition bit-for-bit.
+    val mem = classes.select(col("_rid"), col("_oid"))
+    val inter = repPairs
+      .join(mem.select(col("_rid").as("_a"), col("_oid").as("_ia")),
+        Seq("_a"))
+      .join(mem.select(col("_rid").as("_b"), col("_oid").as("_ib")),
+        Seq("_b"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
         col("dot"), col("score"))
+    val intra = norms // only classes with a non-empty vector can pair
+      .join(mem.select(col("_rid").as("_id"), col("_oid").as("_ia")),
+        Seq("_id"))
+      .join(mem.select(col("_rid").as("_id"), col("_oid").as("_ib")),
+        Seq("_id"))
+      .filter(col("_ia") < col("_ib"))
+      .withColumn("dot", col("_nsq"))
+      .withColumn("score", round(col("dot").cast("double") /
+        (sqrt(col("_nsq").cast("double")) *
+          sqrt(col("_nsq").cast("double"))), 6))
+      .filter(col("score") >= lit(tNum.toDouble / tDen.toDouble))
+      .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+        col("dot"), col("score"))
+    inter.unionByName(intra)
   }
 
-  /** The (weights, norms², prefix-postings) relations of
-    * [[allPairsCosine]] — package-private so tests can assert the
-    * prefix index is a strict subset of the postings (the bound
-    * actually prunes) without reconstructing the fixed-point
-    * arithmetic. */
+  /** The (weights, norms², prefix-postings, identity-classes)
+    * relations of [[allPairsCosine]] — package-private so tests can
+    * assert the prefix index is a strict subset of the postings (the
+    * bound actually prunes) without reconstructing the fixed-point
+    * arithmetic.
+    *
+    * Duplicate-mass discipline (the r9 fuzzy-match lesson — dedup
+    * operators meet duplicate-heavy corpora BY DEFINITION, and the
+    * sf1 record caught the naive shape failing with executor OOM
+    * after 500 s under 10× replication): the miner runs over ONE
+    * REPRESENTATIVE per distinct normalized text, so exact-duplicate
+    * mass multiplies only the final expansion join, never the
+    * quadratic candidate/dot stages. The tf-idf weights still match
+    * the full-corpus definition exactly: identical texts have
+    * identical tf vectors, and df/N are computed over ALL documents
+    * by summing class sizes — so every representative's weight,
+    * norm², and prefix bound is bit-equal to the naive pipeline's.
+    *
+    * Terms ride as 8-byte WINDOW HASHES end to end (the
+    * lmTrainHashed contract — identical output absent 64-bit
+    * collisions, which the string-keyed DuckDB twin hash-verifies),
+    * and the weight/norm relations are MATERIALIZED: they feed 4 and
+    * 3 consumers whose aliased branches defeat exchange reuse
+    * (hash keys + materialization: 10.9 → ~5.5 s solo at sf0.1; the
+    * distinct-text tier then costs ~2-3 s back on a duplicate-FREE
+    * corpus — the same trade the fuzzy-match rewrite recorded — and
+    * buys sf1-under-replication going from executor OOM at 500 s to
+    * 10.9 s clean). */
   private[graft] def apssPostings(
       df0: DataFrame, idCol: String, textCol: String,
       tNum: Int, tDen: Int, gramN: Int, idfScale: Long)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(tNum > 0 && tDen > 0 && tNum < tDen,
       s"threshold must be a rational in (0,1): $tNum/$tDen")
     val docs = graft.engine.Engine.spread(df0)
+      .select(col(idCol).cast("long").as("_oid"),
+        col(textCol).as("_txt"))
     val nDocs = docs.count()
     require(nDocs > 0, "allPairsCosine needs a non-empty corpus")
-    // Terms ride as 8-byte WINDOW HASHES end to end (the spans-family /
-    // lmTrainHashed discipline): every stage of this op — tf, df, the
-    // prefix index, the candidate join, the dot join — is keyed on the
-    // term, and gram STRINGS as keys made the term exchanges the whole
-    // cost (with the shared-relation materialization below: 10.9 → 5.4 s at sf0.1). Identical output absent
-    // 64-bit window-hash collisions, which is the same contract the LM
-    // family ships under; the DuckDB twin keys on gram strings and
-    // hash-verifies exactly that.
-    val toks = TextOps.tokens(col(textCol))
+    // identity classes: (_fp, _oid) + per-class representative (min
+    // id) and size; `classes` carries (_rid, _oid, _sz) for expansion
+    val fp = graft.engine.Engine.materialize(
+      docs.select(col("_oid"), TextOps.fingerprint(col("_txt")).as("_fp")))
+    val reps = fp.groupBy(col("_fp"))
+      .agg(min(col("_oid")).as("_rid"), count(lit(1)).as("_sz"))
+    val classes = graft.engine.Engine.materialize(
+      fp.join(reps, Seq("_fp"))
+        .select(col("_rid"), col("_oid"), col("_sz")))
+    val repDocs = classes.filter(col("_oid") === col("_rid"))
+      .join(docs.withColumnRenamed("_oid", "_rid"), Seq("_rid"))
+    val toks = TextOps.tokens(col("_txt"))
     val grams = call_function("graft_window_hashes",
       call_function("graft_hash_tokens", toks), lit(math.max(gramN, 1)))
-    val tf = docs.select(col(idCol).cast("long").as("_id"),
+    val tf = repDocs.select(col("_rid").as("_id"), col("_sz"),
         explode(grams).as("_t"))
-      .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_tf"))
-    val dfRel = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
-    // The weight relation feeds FOUR consumers (prefix construction,
-    // the candidate join's full-postings side, and both sides of the
-    // dot join) and the norms feed three — aliased branches defeat
-    // exchange reuse, so without a lineage cut each consumer re-ran
-    // tokenize → explode → tf → df from the scan (the oracle twin's
-    // own MATERIALIZED discipline, applied engine-side;
-    // with the hash-key swap above: 10.9 → 5.4 s at sf0.1).
+      .groupBy(col("_id"), col("_sz"), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+    // FULL-corpus document frequency: every duplicate counts, via the
+    // class sizes — keeps idf identical to the unpruned definition
+    val dfRel = tf.groupBy(col("_t")).agg(sum(col("_sz")).as("_df"))
     val w = graft.engine.Engine.materialize(
       tf.join(dfRel, Seq("_t"))
         .select(col("_id"), col("_t"), col("_df"),
@@ -935,6 +986,6 @@ object DedupOps {
       .filter((col("_nsq") - (col("_cum") - col("_w") * col("_w"))) *
         lit(tDen.toLong * tDen) >= lit(tNum.toLong * tNum) * col("_nsq"))
       .select(col("_t"), col("_id").as("_pid"))
-    (w, norms, prefix)
+    (w, norms, prefix, classes)
   }
 }

@@ -362,11 +362,66 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("allPairsCosine under duplicate mass: clone expansion equals " +
+      "the naive definition run over every copy") {
+    // The sf1 probe caught the naive shape OOMing under 10x exact
+    // replication; the distinct-text tier must expand to EXACTLY the
+    // pairs the unpruned definition produces over the full corpus —
+    // intra-class pairs at dot = ‖x‖², cross-class pairs replicated,
+    // idf computed over ALL copies (df sums class sizes).
+    val base = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .filter(col("doc_id") < 40).select(col("doc_id"), col("text"))
+    val docs = base
+      .unionAll(base.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+    val got = DedupOps.allPairsCosine(docs, "doc_id", "text", 3, 5,
+        gramN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val n = docs.count()
+    val toks = TextOps.tokens(col("text"))
+    val tf = docs.select(col("doc_id").as("_id"),
+        explode(TextOps.shingles(toks, 3)).as("_t"))
+      .groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
+    val dfr = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+    val w = tf.join(dfr, "_t")
+      .select(col("_id"), col("_t"),
+        (col("_tf") * floor(call_function("graft_ln",
+          lit(n.toDouble) / col("_df").cast("double")) * 1000L)
+          .cast("long")).as("_w"))
+      .filter(col("_w") > 0)
+    val norms = w.groupBy("_id").agg(sum(col("_w") * col("_w")).as("_n"))
+    val want = w.select(col("_id").as("_a"), col("_t"), col("_w").as("_wa"))
+      .join(w.select(col("_id").as("_b"), col("_t"), col("_w").as("_wb")),
+        Seq("_t"))
+      .filter(col("_a") < col("_b"))
+      .groupBy("_a", "_b").agg(sum(col("_wa") * col("_wb")).as("dot"))
+      .join(norms.select(col("_id").as("_a"), col("_n").as("_na")), Seq("_a"))
+      .join(norms.select(col("_id").as("_b"), col("_n").as("_nb")), Seq("_b"))
+      .withColumn("score", round(col("dot").cast("double") /
+        (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))),
+        6))
+      .filter(col("score") >= lit(0.6))
+      .collect().map(r => (r.getAs[Long]("_a"), r.getAs[Long]("_b")) ->
+        (r.getAs[Long]("dot"), r.getAs[Double]("score"))).toMap
+    assert(got == want, {
+      val miss = want.keySet -- got.keySet
+      val extra = got.keySet -- want.keySet
+      s"missing=${miss.take(5)} extra=${extra.take(5)} " +
+        s"(${got.size} vs ${want.size})"
+    })
+    // the clone structure actually exercised both expansion tiers
+    assert(want.keys.exists { case (a, b) => b - a == 1000L }) // intra
+    assert(want.size > 20)
+  }
+
   test("allPairsCosine: the prefix index is a strict subset of the " +
       "postings, and shrinks as the threshold rises") {
     val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
     def counts(tn: Int, td: Int) = {
-      val (w, _, prefix) = DedupOps.apssPostings(docs, "doc_id", "text",
+      val (w, _, prefix, _) = DedupOps.apssPostings(docs, "doc_id", "text",
         tn, td, 3, 1000L)
       (prefix.count(), w.count())
     }
