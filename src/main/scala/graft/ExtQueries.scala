@@ -2117,6 +2117,68 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // DoReMi-style domain mixture weights (TextOps.mixtureWeights): train
+  // the bigram LM on the trusted slice (src0, the x_text_lmscore
+  // framing), aggregate fixed-point NLL at DOMAIN grain, upweight
+  // domains with excess NLL over the corpus mean — exact integer
+  // arithmetic end to end, so the twin reproduces every ppm. The sc CTE
+  // is the x_text_lmscore scoring chain verbatim, carried at source
+  // grain (contract: TextOps.lmFixedStream — the Spark side shares the
+  // identical chain between the two queries by construction).
+  // ---------------------------------------------------------------------
+  def xMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextOps.mixtureWeights(d, d.filter(col("source") === "src0"),
+        "source", "text")
+      .orderBy(col("source"))
+  }
+
+  val xMixWeightsSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, $toksSql AS toks
+       |    FROM documents),
+       |  grams AS (SELECT doc_id, source, unnest(
+       |      list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS g
+       |    FROM tok WHERE len(toks) >= 2),
+       |  uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+       |      SELECT unnest(toks) AS w1 FROM tok WHERE source = 'src0')
+       |    GROUP BY w1),
+       |  vs AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS v FROM uni),
+       |  bi AS (SELECT g, COUNT(*) AS c12 FROM grams
+       |    WHERE source = 'src0' GROUP BY g),
+       |  sc AS (SELECT d.source,
+       |      CAST(FLOOR((0.0 - ln(
+       |        (CAST(COALESCE(c12, 0) AS DOUBLE) + 1.0)
+       |          / (CAST(COALESCE(c1, 0) AS DOUBLE) + v)))
+       |        * 1073741824.0) AS BIGINT) AS fx
+       |    FROM grams d
+       |    LEFT JOIN uni ON string_split(d.g, ' ')[1] = uni.w1
+       |    LEFT JOIN bi ON d.g = bi.g
+       |    CROSS JOIN vs),
+       |  per AS (SELECT source, CAST(SUM(fx) AS BIGINT) AS sfx,
+       |      CAST(COUNT(*) AS BIGINT) AS n_bigrams
+       |    FROM sc GROUP BY source),
+       |  nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |    FROM documents GROUP BY source),
+       |  tot AS (SELECT CAST(SUM(sfx) AS BIGINT) AS tsfx,
+       |      CAST(SUM(n_bigrams) AS BIGINT) AS tnb FROM per),
+       |  td AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tdn FROM nd),
+       |  base AS (SELECT per.source, n_docs, n_bigrams,
+       |      sfx // n_bigrams AS nll_fx,
+       |      GREATEST(CAST(0 AS BIGINT),
+       |        sfx // n_bigrams - tsfx // tnb) AS excess_fx,
+       |      n_docs * 1000000 // tdn AS share_ppm,
+       |      (n_docs * 1000000 // tdn)
+       |        * (1073741824 + GREATEST(CAST(0 AS BIGINT),
+       |            sfx // n_bigrams - tsfx // tnb)) AS raw
+       |    FROM per JOIN nd USING (source) CROSS JOIN tot CROSS JOIN td),
+       |  sr AS (SELECT CAST(SUM(raw) AS BIGINT) AS sraw FROM base)
+       |SELECT source, n_docs, n_bigrams, nll_fx, excess_fx, share_ppm,
+       |  CAST(CAST(raw AS HUGEINT) * 1000000 // sraw AS BIGINT)
+       |    AS weight_ppm
+       |FROM base CROSS JOIN sr ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Duplication report: the cluster-size histogram of the near-dup
   // graph — the first number a data engineer asks of a corpus ("how
   // much duplication, in what shape?"). Sizes come from the same

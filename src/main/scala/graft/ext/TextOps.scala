@@ -802,7 +802,22 @@ object TextOps {
     * cross-joined aggregate, and its subtree shares the unigram
     * aggregation via AQE exchange reuse. */
   def lmScore(docs: DataFrame, ref: DataFrame, idCol: String,
-              textCol: String): DataFrame = {
+              textCol: String): DataFrame =
+    lmFixedStream(docs, ref, idCol, textCol)
+      .groupBy(col("_id"))
+      .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("n_bigrams"))
+      .select(col("_id").as(idCol), col("n_bigrams"),
+        ((col("_sfx").cast("double") / col("n_bigrams").cast("double")) /
+          lit(1073741824.0)).as("mean_nll"))
+
+  /** The per-bigram-occurrence fixed-point NLL stream `(_id, _fx)`
+    * behind [[lmScore]] and [[mixtureWeights]] — one row per scored
+    * bigram of `docs`, keyed by `keyCol` (document id for per-doc
+    * scoring, domain for mixture reweighting; the aggregation grain is
+    * the ONLY thing the two consumers disagree on, so the whole train/
+    * join/score chain is shared here and cannot drift between them). */
+  private def lmFixedStream(docs: DataFrame, ref: DataFrame,
+                            keyCol: String, textCol: String): DataFrame = {
     // All joins and exchanges are keyed on 8-byte HASHES (xxhash64
     // token hashes + the Horner window combine — the identical keys
     // lmTrainHashed ships in the stream-twin model), never gram
@@ -822,7 +837,7 @@ object TextOps {
       .groupBy(col("_hg")).agg(count(lit(1)).as("_c12"))
     val vdf = uni.agg((count(lit(1)) + lit(1)).cast("double").as("_v"))
     val dg = graft.engine.Engine.spread(docs)
-      .select(col(idCol).as("_id"), hts.as("_ht"))
+      .select(col(keyCol).as("_id"), hts.as("_ht"))
       .select(col("_id"), col("_ht"),
         posexplode(call_function("graft_window_hashes", col("_ht"),
           lit(2))))
@@ -837,11 +852,61 @@ object TextOps {
     val fixed = floor((lit(0.0) - call_function("graft_ln", p)) *
       lit(1073741824.0)).cast("long")
     dg.select(col("_id"), fixed.as("_fx"))
+  }
+
+  /** Domain mixture reweighting — the DoReMi signal (Xie et al. 2023,
+    * arXiv:2305.10429) in its first-order form: upweight domains whose
+    * text the reference LM finds HARD (excess per-bigram NLL above the
+    * corpus-wide mean), starting from each domain's natural share.
+    * DoReMi's exponentiated-gradient tilt `share·exp(excess/τ)` is
+    * linearized to `share·(1 + excess)` (the first Taylor term, τ = 1)
+    * so every weight is EXACT integer arithmetic end to end — the same
+    * trade [[graft.transform.Split]] documents for its samplers. Scoring
+    * reuses [[lmFixedStream]] verbatim (train on `ref`, score `docs`,
+    * fixed-point floor(nll·2³⁰) per bigram), so the mixture weights are
+    * by construction consistent with [[lmScore]]'s per-document numbers.
+    *
+    * Output, one row per domain: `n_docs`, `n_bigrams`, `nll_fx`
+    * (domain mean per-bigram NLL, fixed-point 2³⁰, integer-div of two
+    * longs), `excess_fx` (max(0, nll_fx − corpus nll_fx)), `share_ppm`
+    * (document share), and `weight_ppm` — the normalized mixture weight
+    * `share·(2³⁰ + excess_fx)` rescaled to parts-per-million via
+    * DECIMAL(38,0) integral division (the raw products reach ~2⁵⁵;
+    * ×10⁶ overflows BIGINT, so normalization runs in decimal).
+    *
+    * Scale shape: the corpus explodes to bigrams ONCE and aggregates
+    * straight to G domain rows with map-side partials (no per-doc
+    * intermediate — the grain IS the domain); everything after is
+    * arithmetic over the G-row frame, with the three 1-row totals
+    * (corpus NLL, corpus docs, raw-weight sum) riding as broadcast
+    * cross joins. Domains are the unit of data governance, so G is
+    * thousands at most — the weight table is a driver-scale artifact
+    * computed from one corpus pass. */
+  def mixtureWeights(docs: DataFrame, ref: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    val per = lmFixedStream(docs, ref, groupCol, textCol)
       .groupBy(col("_id"))
       .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("n_bigrams"))
-      .select(col("_id").as(idCol), col("n_bigrams"),
-        ((col("_sfx").cast("double") / col("n_bigrams").cast("double")) /
-          lit(1073741824.0)).as("mean_nll"))
+    val nd = docs.groupBy(col(groupCol).as("_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("_sfx")).as("_tsfx"),
+      sum(col("n_bigrams")).as("_tnb"))
+    val td = nd.agg(sum(col("n_docs")).as("_td"))
+    val base = per.join(nd, Seq("_id"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(td))
+      .withColumn("nll_fx", expr("_sfx div n_bigrams"))
+      .withColumn("excess_fx",
+        greatest(lit(0L), col("nll_fx") - expr("_tsfx div _tnb")))
+      .withColumn("share_ppm", expr("n_docs * 1000000 div _td"))
+      .withColumn("_raw",
+        col("share_ppm") * (lit(1073741824L) + col("excess_fx")))
+    val sraw = base.agg(sum(col("_raw")).as("_sraw"))
+    base.crossJoin(broadcast(sraw))
+      .withColumn("weight_ppm",
+        expr("cast(_raw as decimal(38,0)) * 1000000 div _sraw"))
+      .select(col("_id").as(groupCol), col("n_docs"), col("n_bigrams"),
+        col("nll_fx"), col("excess_fx"), col("share_ppm"),
+        col("weight_ppm"))
   }
 
   /** Exact k-tile assignment over a scored frame — NTILE(k) ordered by

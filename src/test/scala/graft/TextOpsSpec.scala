@@ -497,6 +497,48 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L)._2 < out(2L)._2)
   }
 
+  test("mixtureWeights: exact integer weights, hard domain upweighted") {
+    import spark.implicits._
+    // ref "a b a b": uni a→2 b→2 (V = 3); bigrams "a b"→2, "b a"→1.
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      ("easy", "a b a b"), ("easy", "a b a b"), // fluent, 3 bigrams each
+      ("hard", "z z z")                         // OOV, 2 bigrams
+    ).toDF("src", "text")
+    def fx(p: Double): Long =
+      math.floor(-math.log(p) * 1073741824.0).toLong
+    val sfxEasy = 2 * (2 * fx(3.0 / 5.0) + fx(2.0 / 5.0))
+    val sfxHard = 2 * fx(1.0 / 3.0)
+    val nllEasy = sfxEasy / 6
+    val nllHard = sfxHard / 2
+    val refFx = (sfxEasy + sfxHard) / 8
+    val exEasy = math.max(0L, nllEasy - refFx)
+    val exHard = math.max(0L, nllHard - refFx)
+    val rawEasy = 666666L * (1073741824L + exEasy)
+    val rawHard = 333333L * (1073741824L + exHard)
+    def wppm(raw: Long): Long =
+      (BigInt(raw) * 1000000 / (BigInt(rawEasy) + BigInt(rawHard))).toLong
+    val out = graft.ext.TextOps.mixtureWeights(docs, ref, "src", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val e = out("easy"); val h = out("hard")
+    assert(e.getAs[Long]("n_docs") == 2 && h.getAs[Long]("n_docs") == 1)
+    assert(e.getAs[Long]("n_bigrams") == 6 &&
+      h.getAs[Long]("n_bigrams") == 2)
+    assert(e.getAs[Long]("nll_fx") == nllEasy &&
+      h.getAs[Long]("nll_fx") == nllHard)
+    assert(e.getAs[Long]("excess_fx") == exEasy &&
+      h.getAs[Long]("excess_fx") == exHard)
+    assert(e.getAs[Long]("share_ppm") == 666666L &&
+      h.getAs[Long]("share_ppm") == 333333L)
+    assert(e.getAs[Long]("weight_ppm") == wppm(rawEasy) &&
+      h.getAs[Long]("weight_ppm") == wppm(rawHard))
+    // the OOV domain is upweighted ABOVE its natural share; weights
+    // still form a (floor-rounded) distribution
+    assert(h.getAs[Long]("weight_ppm") > 333333L)
+    val tot = e.getAs[Long]("weight_ppm") + h.getAs[Long]("weight_ppm")
+    assert(tot <= 1000000L && tot >= 999998L)
+  }
+
   test("bm25TopK matches a hand-computed reference on a tiny corpus") {
     import spark.implicits._
     val docs = Seq(
