@@ -3766,6 +3766,44 @@ object ExtQueries {
        |ORDER BY probe_src, bloom_src""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Log₂-histogram quantile sketch (SketchOps.logHistSketch +
+  // histQuantiles): p50/p90/p99 of event value per event type from a
+  // mergeable relative-error-bucket histogram — HDR-histogram buckets
+  // in exact integer arithmetic (fixed-point ×100, bit-length via
+  // bin(), no transcendental), so the twin replays the sketch bucket
+  // for bucket and the decode rank for rank. True quantile is within
+  // a 2^-6 relative factor of est by the bucket-width guarantee.
+  // ---------------------------------------------------------------------
+  def xSketchQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val sk = graft.ext.SketchOps.logHistSketch(t(s, dir, "events"),
+      "event_type", "value", mBits = 6, scale = 100.0)
+    graft.ext.SketchOps.histQuantiles(sk, "event_type",
+        Seq(50, 90, 99), scale = 100.0)
+      .orderBy(col("event_type"), col("p"))
+  }
+
+  val xSketchQuantilesSql: String =
+    s"""WITH v AS (SELECT event_type,
+       |      CAST(FLOOR(value * 100.0) AS BIGINT) AS i
+       |    FROM events WHERE FLOOR(value * 100.0) >= 1),
+       |  b AS (SELECT event_type,
+       |      i - i % (1::BIGINT << GREATEST(0, LENGTH(bin(i)) - 7))
+       |        AS bucket FROM v),
+       |  s AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT)
+       |      AS cnt FROM b GROUP BY 1, 2),
+       |  c AS (SELECT event_type, bucket, cnt,
+       |      SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+       |        AS cum,
+       |      SUM(cnt) OVER (PARTITION BY event_type) AS n FROM s),
+       |  f AS (SELECT event_type, p, CAST(n AS BIGINT) AS n,
+       |      MIN(bucket) AS bucket_lo
+       |    FROM c CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) ps
+       |    WHERE cum >= (n * p + 99) // 100 GROUP BY 1, 2, 3)
+       |SELECT event_type, CAST(p AS BIGINT) AS p, n, bucket_lo,
+       |  CAST(bucket_lo AS DOUBLE) / 100.0 AS est
+       |FROM f ORDER BY event_type, p""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ANN recall audit (recall@5 of the LSH tier vs the brute-force
   // truth): the production "is my index good enough to ship" metric —
   // measured IN the engine, per query, before anyone swaps the exact

@@ -419,4 +419,76 @@ object SketchOps {
     joined.select(probes.columns.filterNot(_.matches("_p\\d+"))
       .map(col) :+ hit.as("bloom_hit"): _*)
   }
+
+  /** Log₂-bucket quantile sketch — the HDR-histogram discipline
+    * (Tene, HdrHistogram; the same relative-error-bucket family as
+    * DDSketch, Masson et al. 2019) with NO transcendental anywhere:
+    * a value is fixed-pointed to `i = floor(v·scale)` (one
+    * correctly-rounded IEEE multiply — identical in every engine) and
+    * bucketed by clearing all but its top `mBits+1` significant bits,
+    * `b = i − i mod 2^max(0, bitlen(i)−1−mBits)`, so bucket width is
+    * RELATIVE: every value in a bucket satisfies
+    * `b ≤ i < b·(1+2^−mBits)`. Bit-length rides the engine-portable
+    * `length(bin(i))` (the [[hllSketch]] trick), making the whole
+    * sketch EXACT integer arithmetic the DuckDB twin reproduces bucket
+    * for bucket. Positive-domain by contract (log buckets need
+    * positive support): rows with `i < 1` are excluded — shift or
+    * split by sign upstream if the domain crosses zero.
+    *
+    * Scale shape: one narrow codegen'd projection, then ONE grouped
+    * count on (group, bucket) with map-side partials — state per group
+    * is ≤ 2^mBits buckets per octave × ~40 octaves of long range
+    * (≈ 2.6k longs at mBits = 6 vs quantile-exact's full value sort).
+    * Merging two sketches is adding counts (associative, commutative),
+    * so the sketch is STREAM-LEGAL: it maintains itself incrementally
+    * as a Structured Streaming grouped aggregation like the KMV/CMS
+    * monitors. */
+  def logHistSketch(df0: DataFrame, groupCol: String, valueCol: String,
+                    mBits: Int = 6, scale: Double = 100.0): DataFrame = {
+    require(mBits >= 1 && mBits <= 40,
+      s"logHistSketch: bad mBits $mBits")
+    require(scale > 0, s"logHistSketch: bad scale $scale")
+    val df = graft.engine.Engine.spread(df0)
+    df.select(col(groupCol),
+        floor(col(valueCol) * lit(scale)).cast("long").as("_i"))
+      .filter(col("_i") >= 1L)
+      .select(col(groupCol), col("_i"),
+        greatest(lit(0),
+          length(bin(col("_i"))) - lit(1 + mBits)).as("_s"))
+      .select(col(groupCol),
+        expr("_i - _i % shiftleft(cast(1 as bigint), _s)").as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile decode over a [[logHistSketch]]: for each group and each
+    * requested percentile p ∈ ps, the smallest bucket whose cumulative
+    * count reaches rank `⌈n·p/100⌉` (the `quantile_disc` convention),
+    * with the rank computed as pure integer `(n·p + 99) div 100`. The
+    * cumulative window runs over the SKETCH — partitions are bounded
+    * by the bucket count (~2.6k at mBits = 6), never the corpus — the
+    * one place a per-group running window is scale-legal by
+    * construction. Output per (group, p): `n` (positive-domain row
+    * count), `bucket_lo` (the fixed-point bucket lower bound; the true
+    * p-quantile lies in `[bucket_lo, bucket_lo·(1+2^−mBits))`), and
+    * `est = bucket_lo/scale`. */
+  def histQuantiles(sketch: DataFrame, groupCol: String, ps: Seq[Int],
+                    scale: Double = 100.0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"histQuantiles: bad percentiles $ps")
+    import org.apache.spark.sql.expressions.Window
+    val cum = sketch
+      .withColumn("_cum", sum(col("cnt"))
+        .over(Window.partitionBy(col(groupCol)).orderBy(col("bucket"))))
+      .withColumn("_n", sum(col("cnt"))
+        .over(Window.partitionBy(col(groupCol))))
+    val pdf = sketch.sparkSession.range(1)
+      .select(explode(lit(ps.map(_.toLong).toArray)).as("p"))
+    cum.crossJoin(broadcast(pdf))
+      .filter(col("_cum") >= expr("(_n * p + 99) div 100"))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(col("bucket")).as("bucket_lo"), max(col("_n")).as("n"))
+      .select(col(groupCol), col("p"), col("n"), col("bucket_lo"),
+        (col("bucket_lo").cast("double") / lit(scale)).as("est"))
+  }
 }

@@ -329,6 +329,80 @@ class SketchOpsSpec extends SparkSpec {
     assert(p.contains("partial_bit_or") || p.contains("bit_or"), p)
   }
 
+  // ------------------------------------------- log-hist quantiles
+
+  test("logHistSketch: buckets clear all but the top mBits+1 " +
+      "significant bits; non-positive rows excluded by contract") {
+    import spark.implicits._
+    // scale=1 on integer-valued doubles: i = v exactly.
+    val df = Seq(("g", 37.0), ("g", 100.0), ("g", 3.0), ("g", 0.0),
+      ("g", -5.0)).toDF("g", "v")
+    val out = SketchOps.logHistSketch(df, "g", "v", mBits = 2,
+        scale = 1.0).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cnt")).toMap
+    // 37 = 100101b (len 6, shift 3) -> 100000b = 32
+    // 100 = 1100100b (len 7, shift 4) -> 1100000b = 96
+    // 3 = 11b (len 2 <= mBits+1) -> exact bucket 3
+    assert(out == Map(32L -> 1L, 96L -> 1L, 3L -> 1L))
+  }
+
+  test("histQuantiles: rank/bucket decode equals a Scala mirror of " +
+      "the integer arithmetic on 1..100") {
+    import spark.implicits._
+    val m = 3
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val sk = SketchOps.logHistSketch(df, "g", "v", mBits = m,
+      scale = 1.0)
+    val out = SketchOps.histQuantiles(sk, "g", Seq(50, 90, 99, 100),
+        scale = 1.0).collect()
+      .map(r => r.getAs[Long]("p") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("bucket_lo"),
+          r.getAs[Double]("est"))).toMap
+    def bucket(i: Long): Long = {
+      val sh = math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(i))
+        - 1 - m)
+      i - i % (1L << sh)
+    }
+    val buckets = (1L to 100L).map(bucket)
+    def expect(p: Int): Long = {
+      val r = (100L * p + 99) / 100
+      buckets.sorted.apply((r - 1).toInt)
+    }
+    for (p <- Seq(50, 90, 99, 100)) {
+      val (n, lo, est) = out(p.toLong)
+      assert(n == 100L && lo == expect(p) && est == lo.toDouble, s"p$p")
+    }
+    // relative-error guarantee: bucket_lo <= true disc quantile
+    // < bucket_lo * (1 + 2^-m)
+    for (p <- Seq(50, 90, 99, 100)) {
+      val trueQ = (1 to 100).sorted.apply(
+        (math.ceil(100.0 * p / 100).toInt - 1)).toDouble
+      val lo = out(p.toLong)._2.toDouble
+      assert(lo <= trueQ && trueQ < lo * (1.0 + math.pow(2, -m)),
+        s"p$p: lo=$lo true=$trueQ")
+    }
+  }
+
+  test("logHistSketch: mergeable (union sketch = summed counts) and " +
+      "partition-layout independent; one keyed exchange, no window") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => ("g", i * 7.0 % 300 + 1)).toDF("g", "v")
+    val b = (1 to 40).map(i => ("g", i * 13.0 % 300 + 1)).toDF("g", "v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.logHistSketch(df, "g", "v", mBits = 4, scale = 10.0)
+        .collect()
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cnt")).toMap
+    val (ma, mb, mu) = (m(a), m(b), m(a.unionAll(b)))
+    assert(mu == (ma.keySet ++ mb.keySet).map(k =>
+      k -> (ma.getOrElse(k, 0L) + mb.getOrElse(k, 0L))).toMap)
+    val re = m(a.repartition(17, col("v")))
+    assert(re == ma)
+    val p = plan(SketchOps.logHistSketch(a, "g", "v", mBits = 4,
+      scale = 10.0))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("bloomWords: partition-layout independent; probe side " +
       "broadcasts the sketch") {
     val base = docs.select(col("source"), col("text"))

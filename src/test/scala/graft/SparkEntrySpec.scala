@@ -19,7 +19,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 146)
-    assert(SparkEntry.oracleSql.size == 146)
+    assert(SparkEntry.queries.size == 148)
+    assert(SparkEntry.oracleSql.size == 148)
   }
 }
