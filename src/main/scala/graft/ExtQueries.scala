@@ -1383,6 +1383,43 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Per-doc duplicated-window fraction on the cloned corpus (the
+  // measurement half of Lee et al. 2021; TextOps.dupWindowFraction):
+  // planted clones read 1000000 ppm, unique docs report exactly the
+  // mass of their naturally-repeating 5-grams. Exact integer counting
+  // shared with the removal path via graft_strip_covered.
+  // ---------------------------------------------------------------------
+  def xTextDupfrac(s: SparkSession, dir: String): DataFrame =
+    TextOps.dupWindowFraction(clonedDocs(s, dir), "doc_id", "text",
+        n = 5, minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  val xTextDupfracSql: String = {
+    val n = 5
+    s"""WITH corpus AS ($clonedDocsSql),
+       |  tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |  w AS (SELECT doc_id,
+       |      unnest(range(1, len(toks) - $n + 2)) AS st,
+       |      unnest(list_transform(range(1, len(toks) - $n + 2),
+       |        i -> array_to_string(toks[i : i + $n - 1], ' '))) AS gram
+       |    FROM tok WHERE len(toks) >= $n),
+       |  dup AS (SELECT gram FROM w GROUP BY gram
+       |    HAVING COUNT(DISTINCT doc_id) >= 2),
+       |  cov AS (SELECT doc_id, CAST(COUNT(DISTINCT i) AS BIGINT)
+       |      AS n_dup FROM (SELECT doc_id,
+       |        unnest(range(st, st + $n)) AS i
+       |      FROM w WHERE gram IN (SELECT gram FROM dup))
+       |    GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       |  CASE WHEN len(toks) > 0
+       |    THEN COALESCE(n_dup, 0) * 1000000 // len(toks)
+       |    ELSE 0 END AS dup_ppm
+       |FROM tok t LEFT JOIN cov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Gopher-style repetition signals per document: duplicate/top token and
   // bigram fractions — exact integer-count divisions, so the doubles are
   // bit-identical across engines.

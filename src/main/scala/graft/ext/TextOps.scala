@@ -665,17 +665,7 @@ object TextOps {
     require(n >= 1 && minDocs >= 2, s"bad n=$n / minDocs=$minDocs")
     val toks = graft.engine.Engine.spread(df)
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
-    val w = toks.filter(size(col("_toks")) >= n)
-      .select(col("_id"), posexplode(call_function("graft_window_hashes",
-        call_function("graft_hash_tokens", col("_toks")), lit(n))))
-      .withColumnsRenamed(Map("pos" -> "_st", "col" -> "_gh"))
-    val dup = w.groupBy(col("_gh"))
-      .agg(count_distinct(col("_id")).as("_nd"))
-      .filter(col("_nd") >= minDocs).select(col("_gh"))
-    val starts = w.join(dup, Seq("_gh"))
-      .groupBy(col("_id"))
-      .agg(sort_array(collect_list(col("_st"))).as("_sts"))
-    toks.join(starts, Seq("_id"), "left")
+    toks.join(dupWindowStarts(toks, n, minDocs), Seq("_id"), "left")
       .select(col("_id"), call_function("graft_strip_covered",
         col("_toks"),
         coalesce(col("_sts"), array().cast("array<int>")), lit(n))
@@ -683,6 +673,60 @@ object TextOps {
       .filter(size(col("_kept")) > 0)
       .select(col("_id").as(idCol),
         array_join(col("_kept"), sep).as(textCol))
+  }
+
+  /** Shared duplicated-window stage behind [[removeRepeatedSpans]] and
+    * [[dupWindowFraction]]: from a `(_id, _toks)` frame, the per-doc
+    * sorted start positions `(_id, _sts)` of every word n-gram window
+    * occurring in ≥ `minDocs` distinct documents. Windows shuffle ONCE
+    * as fixed-width (window-hash, id, start) triples; the duplicate
+    * aggregation and the coverage join stay AQE's strategy choice (the
+    * duplicated-gram set is NOT assumed tiny); starts collapse to one
+    * sorted array per document with map-side partials. */
+  private def dupWindowStarts(toks: DataFrame, n: Int,
+                              minDocs: Int): DataFrame = {
+    val w = toks.filter(size(col("_toks")) >= n)
+      .select(col("_id"), posexplode(call_function("graft_window_hashes",
+        call_function("graft_hash_tokens", col("_toks")), lit(n))))
+      .withColumnsRenamed(Map("pos" -> "_st", "col" -> "_gh"))
+    val dup = w.groupBy(col("_gh"))
+      .agg(count_distinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs).select(col("_gh"))
+    w.join(dup, Seq("_gh"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(col("_st"))).as("_sts"))
+  }
+
+  /** Per-document duplicated-window fraction — the MEASUREMENT half of
+    * Lee et al. 2021 ([[removeRepeatedSpans]] is the removal half):
+    * for each document, the count and ppm fraction of token positions
+    * covered by at least one word n-gram window occurring in ≥
+    * `minDocs` distinct documents — the paper's "fraction of tokens in
+    * duplicated n-grams", the number a curation pipeline reports per
+    * slice and thresholds on BEFORE deciding to strip spans or drop
+    * documents.
+    *
+    * Counting is exact and shared with the removal path by
+    * construction: covered = n_tokens − |graft_strip_covered(toks)|
+    * rides the same O(tokens + starts) two-pointer sweep, so the audit
+    * can never disagree with what removal would actually cut.
+    * `dup_ppm = covered·10⁶ div n_tokens` keeps the row engine-exact.
+    * Docs shorter than n tokens have no windows and report 0; scale
+    * shape is [[dupWindowStarts]]'s plus one id-keyed join. */
+  def dupWindowFraction(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"bad n=$n / minDocs=$minDocs")
+    val toks = graft.engine.Engine.spread(df)
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
+    toks.join(dupWindowStarts(toks, n, minDocs), Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(call_function("graft_strip_covered",
+          col("_toks"),
+          coalesce(col("_sts"), array().cast("array<int>")), lit(n))))
+          .cast("long").as("n_dup_tokens"))
+      .withColumn("dup_ppm", when(col("n_tokens") > 0L,
+        expr("n_dup_tokens * 1000000 div n_tokens")).otherwise(lit(0L)))
   }
 
   /** Cross-document boilerplate removal — the C4 rule (Raffel et al.

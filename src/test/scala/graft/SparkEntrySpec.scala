@@ -19,7 +19,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 148)
-    assert(SparkEntry.oracleSql.size == 148)
+    assert(SparkEntry.queries.size == 149)
+    assert(SparkEntry.oracleSql.size == 149)
   }
 }

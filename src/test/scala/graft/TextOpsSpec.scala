@@ -261,6 +261,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L) == "short text")
   }
 
+  test("dupWindowFraction: exact per-doc coverage; agrees with the " +
+      "removal path by construction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "alpha beta gamma delta unique two"),
+      (3L, "totally different text entirely here"),
+      (4L, "alpha beta gamma delta"),              // fully covered
+      (5L, "short text")                            // < n tokens → 0
+    ).toDF("id", "text")
+    val out = TextOps.dupWindowFraction(df, "id", "text",
+        n = 4, minDocs = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_tokens"),
+          r.getAs[Long]("dup_ppm"))).toMap
+    // docs 1/2: positions 0-4 covered ("alpha beta gamma delta" +
+    // "beta gamma delta unique") → 5 of 6 tokens
+    assert(out(1L) == (6L, 5L, 833333L) && out(2L) == (6L, 5L, 833333L))
+    assert(out(3L) == (5L, 0L, 0L))
+    assert(out(4L) == (4L, 4L, 1000000L))
+    assert(out(5L) == (2L, 0L, 0L))
+    // audit == removal: n_tokens − n_dup_tokens equals the kept stream
+    val kept = TextOps.removeRepeatedSpans(df, "id", "text",
+        n = 4, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    for ((id, (n, d, _)) <- out)
+      assert(kept.getOrElse(id, 0) == (n - d).toInt, s"doc $id")
+  }
+
   test("bpeMerges releases superseded iterates as it goes") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
