@@ -652,4 +652,44 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(streamed == batch)
   }
+
+  test("logHistSketch is stream-legal: incremental bucket counts " +
+      "equal the batch twin; decode reads the live sketch") {
+    // the quantile-monitor face: counts are associative, so the log2
+    // histogram maintains itself in a streaming aggregation and
+    // histQuantiles decodes the complete-mode sink at any time.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, Double)]
+    val toDocs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumnRenamed("_1", "g").withColumnRenamed("_2", "v")
+    val q = graft.ext.SketchOps.logHistSketch(
+        toDocs(stream.toDF()), "g", "v", mBits = 3, scale = 10.0)
+      .writeStream.format("memory").queryName("s_lh")
+      .outputMode("complete").start()
+    val batch1 = (1 to 40).map(i => ("a", i * 3.7 % 50 + 1))
+    val batch2 = (1 to 30).map(i => ("a", i * 7.3 % 50 + 1)) ++
+      Seq(("b", 2.0), ("b", 900.0))
+    stream.addData(batch1); q.processAllAvailable()
+    stream.addData(batch2); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_lh").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ext.SketchOps.logHistSketch(
+        toDocs((batch1 ++ batch2).toDF()), "g", "v",
+        mBits = 3, scale = 10.0).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // decode over the live sink equals decode over the batch sketch
+    val dq = graft.ext.SketchOps.histQuantiles(
+        spark.table("s_lh"), "g", Seq(50, 99), scale = 10.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getLong(3)).toMap
+    val db = graft.ext.SketchOps.histQuantiles(
+        graft.ext.SketchOps.logHistSketch(
+          toDocs((batch1 ++ batch2).toDF()), "g", "v",
+          mBits = 3, scale = 10.0), "g", Seq(50, 99), scale = 10.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getLong(3)).toMap
+    assert(dq == db)
+  }
 }
