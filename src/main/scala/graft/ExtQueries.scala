@@ -2550,6 +2550,53 @@ object ExtQueries {
       |ORDER BY prev_type, next_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // PageRank over the transition graph (EventOps.stationaryRank): 8
+  // power-iteration rounds at damping 0.85, exact ppm integer
+  // arithmetic — the twin materializes every round as its own CTE pair
+  // (contrib + dangling mass) and replays the identical floors, the
+  // BPE-oracle discipline for driver-loop operators.
+  // ---------------------------------------------------------------------
+  def xEventsPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.ext.EventOps.stationaryRank(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type", alphaPct = 85, rounds = 8)
+      .orderBy(desc("rank_ppm"), col("event_type"))
+
+  val xEventsPagerankSql: String = {
+    val roundCtes = (1 to 8).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |      CAST(SUM((85 * rk * w) // 100000000) AS BIGINT) AS c
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |    GROUP BY 1),
+         |  d$i AS (SELECT CAST(COALESCE(SUM(rk), 0) AS BIGINT) AS dm
+         |    FROM r${i - 1} WHERE node NOT IN (SELECT src FROM e)),
+         |  r$i AS (SELECT nodes.node,
+         |      (15 * 1000000) // (100 * nn.n) + COALESCE(c, 0)
+         |        + (85 * dm) // (100 * nn.n) AS rk
+         |    FROM nodes CROSS JOIN nn CROSS JOIN d$i
+         |    LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH seq AS (SELECT user_id, event_type AS next_type,
+       |    LAG(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |  tc AS (SELECT prev_type, next_type,
+       |      CAST(COUNT(*) AS BIGINT) AS n
+       |    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |  nodes AS (SELECT prev_type AS node FROM tc
+       |    UNION SELECT next_type FROM tc),
+       |  nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |  ow AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS o
+       |    FROM tc GROUP BY 1),
+       |  e AS (SELECT prev_type AS src, next_type AS dst,
+       |      n * 1000000 // o AS w FROM tc JOIN ow USING (prev_type)),
+       |  r0 AS (SELECT node, 1000000 // nn.n AS rk
+       |    FROM nodes CROSS JOIN nn),
+       |  $roundCtes
+       |SELECT node AS event_type, CAST(rk AS BIGINT) AS rank_ppm
+       |FROM r8 ORDER BY rank_ppm DESC, event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Training-sequence assembly: per-(user, day) ordered event-type
   // chains — one shuffle on the grouping the trainer reads anyway;
   // ordering pinned by the unique (ts, event_id) prefix.

@@ -65,6 +65,79 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** PageRank over the observed transition graph (Page et al. 1999) —
+    * where user journeys concentrate in steady state, the graph-rank
+    * quality signal web-curation pipelines attach to sources (CCNet /
+    * RefinedWeb rank domains by link centrality the same way). Runs
+    * `rounds` power-iteration rounds at damping `alphaPct`/100 with
+    * uniform teleport and uniform dangling-mass redistribution.
+    *
+    * EXACT integer arithmetic end to end so the DuckDB twin replays
+    * every round bit for bit: ranks live in ppm (Σ ≈ 10⁶ minus floor
+    * losses), edge weights are `n·10⁶ div outdeg` ppm, a round is
+    * `rank'(v) = (100−α)·10⁶ div (100·N) + Σᵤ (α·rank(u)·w(u,v)) div
+    * 10⁸ + (α·danglingMass) div (100·N)` — every product bounded by
+    * 85·10⁶·10⁶ < 2⁶³.
+    *
+    * Scale shape — the standard relational PageRank, web-graph-sized
+    * inputs intended: the edge relation is built ONCE (one shuffle on
+    * src for outdegree) and each round is one src-keyed join + one
+    * dst-keyed partial-agg shuffle of (node, long) pairs, with the
+    * dangling mass a broadcast 1-row anti-join aggregate and N a
+    * broadcast literal frame. Rank lineage is cut per round via
+    * [[graft.engine.Engine.materialize]] (the connectedComponents
+    * discipline), superseded iterates released eagerly. Rounds are
+    * FIXED (not convergence-probed): deterministic cost, deterministic
+    * oracle — PageRank at α = 0.85 contracts the error by α per round,
+    * so 8 rounds pin ranks to well under one ppm of movement on graphs
+    * whose diameter fits the round budget. */
+  def stationaryRank(events: DataFrame, userCol: String, tsCol: String,
+                     idCol: String, typeCol: String,
+                     alphaPct: Int = 85, rounds: Int = 8): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99,
+      s"stationaryRank: bad alphaPct $alphaPct")
+    require(rounds >= 1 && rounds <= 64,
+      s"stationaryRank: bad rounds $rounds")
+    val tc = transitionCounts(events, userCol, tsCol, idCol, typeCol)
+    val nodes = graft.engine.Engine.materialize(
+      tc.select(col("prev_type").as("node"))
+        .unionAll(tc.select(col("next_type")))
+        .distinct())
+    val outW = tc.groupBy(col("prev_type")).agg(sum(col("n")).as("_out"))
+    val edges = graft.engine.Engine.materialize(
+      tc.join(outW, Seq("prev_type"))
+        .select(col("prev_type").as("src"), col("next_type").as("dst"),
+          expr("n * 1000000 div _out").as("w_ppm")))
+    val srcs = graft.engine.Engine.materialize(
+      edges.select(col("src").as("node")).distinct())
+    val nn = broadcast(nodes.agg(count(lit(1)).as("_nn")))
+    var rank = graft.engine.Engine.materialize(
+      nodes.crossJoin(nn).select(col("node"),
+        expr("1000000 div _nn").as("rank_ppm")))
+    for (_ <- 1 to rounds) {
+      val contrib = edges
+        .join(rank.select(col("node").as("src"), col("rank_ppm")),
+          Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"($alphaPct * rank_ppm * w_ppm) div 100000000")
+            .as("_c"))
+        .groupBy(col("node")).agg(sum(col("_c")).as("_c"))
+      val dangling = broadcast(rank.join(srcs, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank_ppm")), lit(0L)).as("_dm")))
+      val prev = rank
+      rank = graft.engine.Engine.materialize(
+        nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(nn).crossJoin(dangling)
+          .select(col("node"),
+            (expr(s"(${100 - alphaPct} * 1000000) div (100 * _nn)") +
+              coalesce(col("_c"), lit(0L)) +
+              expr(s"($alphaPct * _dm) div (100 * _nn)"))
+              .as("rank_ppm")))
+      graft.engine.Engine.release(prev)
+    }
+    rank.select(col("node").as(typeCol), col("rank_ppm"))
+  }
+
   /** Hourly anomaly flags for one event type — the ops-monitoring
     * staple: count events per hour, z-score each hour against the
     * corpus of observed hours, flag |z| beyond `zMax`. Moments are

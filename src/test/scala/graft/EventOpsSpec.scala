@@ -155,4 +155,39 @@ class EventOpsSpec extends SparkSpec {
     // rank 2 is the zero-scoring ubiquitous term (ties → lexicographic)
     assert(out((1L, 2)) == "common")
   }
+
+  test("stationaryRank equals a Scala mirror of the integer rounds; " +
+      "sink accrues rank; ranks stay a near-distribution") {
+    import spark.implicits._
+    // one user, journey a a b a b c: transitions a→a, a→b(×2), b→a,
+    // b→c; c is dangling (no out-edges).
+    val seq = Seq("a", "a", "b", "a", "b", "c")
+    val events = seq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts(s"2024-01-01 00:0$i:00"), 1L, t, 0.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ext.EventOps.stationaryRank(events, "user_id",
+        "ts", "event_id", "event_type", alphaPct = 85, rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // mirror: edges a→a w=333333, a→b w=666666, b→a w=500000,
+    // b→c w=500000 (ppm of outdeg); N=3
+    val w = Map(("a", "a") -> 333333L, ("a", "b") -> 666666L,
+      ("b", "a") -> 500000L, ("b", "c") -> 500000L)
+    var r = Map("a" -> 333333L, "b" -> 333333L, "c" -> 333333L)
+    for (_ <- 1 to 8) {
+      val dm = r("c") // c is the only dangling node
+      r = Seq("a", "b", "c").map { v =>
+        val contrib = w.collect { case ((s, d), wp) if d == v =>
+          85L * r(s) * wp / 100000000L }.sum
+        v -> (15L * 1000000L / (100L * 3L) + contrib +
+          85L * dm / (100L * 3L))
+      }.toMap
+    }
+    assert(out == r, s"got $out want $r")
+    // floors only ever lose mass; teleport keeps everything positive
+    assert(out.values.sum <= 1000000L && out.values.sum > 990000L)
+    assert(out.values.forall(_ > 0L))
+    // b receives the heaviest inflow (two-thirds of a's walk) — it
+    // outranks the dangling sink c
+    assert(out("b") > out("c"))
+  }
 }
