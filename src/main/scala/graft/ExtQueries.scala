@@ -1383,6 +1383,51 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // T5-style span corruption (TextOps.spanCorrupt): encoder/decoder
+  // training pairs from hash-deterministic masking — the twin rebuilds
+  // the identical mask from the same md5 positions and replays the
+  // run-collapse with windows (the Spark side is a window-free pure
+  // projection; the oracle does not need to be scale-true).
+  // ---------------------------------------------------------------------
+  def xTextSpancorrupt(s: SparkSession, dir: String): DataFrame =
+    TextOps.spanCorrupt(t(s, dir, "documents"), "doc_id", "text",
+        ratePermille = 150)
+      .orderBy(col("doc_id"))
+
+  val xTextSpancorruptSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |  tp AS (SELECT doc_id, unnest(range(0, len(toks))) AS i,
+       |      unnest(toks) AS tk FROM tok),
+       |  f AS (SELECT doc_id, i, tk,
+       |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |        CAST(i AS VARCHAR)), 1, 15))::BIGINT % 1000) < 150 AS m
+       |    FROM tp),
+       |  r AS (SELECT doc_id, i, tk, m,
+       |      m AND NOT COALESCE(LAG(m) OVER
+       |        (PARTITION BY doc_id ORDER BY i), FALSE) AS st FROM f),
+       |  k AS (SELECT *, SUM(CASE WHEN st THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY doc_id ORDER BY i) AS kk FROM r),
+       |  agg AS (SELECT doc_id,
+       |      string_agg(CASE WHEN NOT m THEN tk
+       |          WHEN st THEN '<extra_id_' || CAST(kk - 1 AS VARCHAR)
+       |            || '>' END, ' ' ORDER BY i)
+       |        FILTER (WHERE NOT m OR st) AS input_text,
+       |      string_agg(CASE WHEN st THEN '<extra_id_' ||
+       |            CAST(kk - 1 AS VARCHAR) || '> ' || tk
+       |          ELSE tk END, ' ' ORDER BY i)
+       |        FILTER (WHERE m) AS target_text,
+       |      CAST(COALESCE(MAX(kk), 0) AS BIGINT) AS n_spans,
+       |      CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+       |        AS n_masked
+       |    FROM k GROUP BY doc_id)
+       |SELECT t.doc_id, COALESCE(input_text, '') AS input_text,
+       |  COALESCE(target_text, '') AS target_text,
+       |  COALESCE(n_spans, 0) AS n_spans,
+       |  COALESCE(n_masked, 0) AS n_masked
+       |FROM tok t LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Per-doc duplicated-window fraction on the cloned corpus (the
   // measurement half of Lee et al. 2021; TextOps.dupWindowFraction):
   // planted clones read 1000000 ppm, unique docs report exactly the

@@ -54,6 +54,65 @@ object TextOps {
   /** Token count — whitespace/punct-delimited word count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) as a
+    * DETERMINISTIC pure projection: token position i of document d is
+    * masked iff `h60(d‖':'‖i) mod 1000 < ratePermille` (the portable
+    * md5 hash, so the mask — and therefore the training pair —
+    * reproduces bit-for-bit in any engine, on any cluster layout, and
+    * across re-runs); contiguous masked runs collapse to one numbered
+    * sentinel `<extra_id_k>` in the encoder input and expand to
+    * `sentinel + masked tokens` in the decoder target. iid Bernoulli
+    * masking (mean run 1/(1−p)) stands in for T5's mean-3 geometric
+    * span prior — the run-collapse mechanics are identical, only the
+    * span-length distribution differs.
+    *
+    * Scale shape: NO shuffle anywhere — one codegen'd tokenize, one
+    * per-position hash-flag array, then a single O(tokens) fold per
+    * row (`functions.aggregate`, token array and flag array let-bound
+    * so neither re-evaluates per element). Stateless and stream-legal:
+    * the pair is a pure function of (id, text). Output: id,
+    * `input_text`, `target_text`, `n_spans`, `n_masked`. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  ratePermille: Int = 150): DataFrame = {
+    require(ratePermille >= 1 && ratePermille <= 999,
+      s"spanCorrupt: bad ratePermille $ratePermille")
+    val id = col(idCol)
+    val result = bindOnce(tokens(col(textCol))) { toks =>
+      val idx = when(size(toks) > 0, sequence(lit(0), size(toks) - 1))
+        .otherwise(array().cast("array<int>"))
+      bindOnce(transform(idx, i =>
+          pmod(conv(substring(md5(concat(id.cast("string"), lit(":"),
+            i.cast("string"))), 1, 15), 16, 10).cast("long"),
+            lit(1000L)) < lit(ratePermille))) { flags =>
+        val init = struct(lit("").as("inp"), lit("").as("tgt"),
+          lit(0).as("k"), lit(false).as("prev"), lit(0).as("nm"))
+        aggregate(idx, init, (st, i) => {
+          val m = element_at(flags, i + 1)
+          val tk = element_at(toks, i + 1)
+          val start = m && !st("prev")
+          val sent = concat(lit("<extra_id_"), st("k").cast("string"),
+            lit(">"))
+          struct(
+            when(!m, concat(st("inp"), lit(" "), tk))
+              .when(start, concat(st("inp"), lit(" "), sent))
+              .otherwise(st("inp")).as("inp"),
+            when(start, concat(st("tgt"), lit(" "), sent, lit(" "), tk))
+              .when(m, concat(st("tgt"), lit(" "), tk))
+              .otherwise(st("tgt")).as("tgt"),
+            when(start, st("k") + 1).otherwise(st("k")).as("k"),
+            m.as("prev"),
+            when(m, st("nm") + 1).otherwise(st("nm")).as("nm"))
+        })
+      }
+    }
+    df.select(col(idCol), result.as("_r"))
+      .select(col(idCol),
+        ltrim(col("_r.inp")).as("input_text"),
+        ltrim(col("_r.tgt")).as("target_text"),
+        col("_r.k").cast("long").as("n_spans"),
+        col("_r.nm").cast("long").as("n_masked"))
+  }
+
   /** A BPE-ish sub-word count: alphanumeric runs are split into chunks of
     * at most 4 characters (a cheap stand-in for byte-pair tokenizers whose
     * tokens average ~4 chars). Deterministic and oracle-expressible:

@@ -19,7 +19,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 150)
-    assert(SparkEntry.oracleSql.size == 150)
+    assert(SparkEntry.queries.size == 151)
+    assert(SparkEntry.oracleSql.size == 151)
   }
 }

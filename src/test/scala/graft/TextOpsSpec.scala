@@ -290,6 +290,49 @@ class TextOpsSpec extends SparkSpec {
       assert(kept.getOrElse(id, 0) == (n - d).toInt, s"doc $id")
   }
 
+  test("spanCorrupt: lossless pair (substituting target spans into " +
+      "input reproduces the token stream); no shuffle; deterministic") {
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .limit(50)
+    val out = graft.ext.TextOps.spanCorrupt(docs, "doc_id", "text", 150)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    val orig = docs.select(col("doc_id"),
+        concat_ws(" ", graft.ext.TextOps.tokens(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinel = "<extra_id_(\\d+)>".r
+    for ((id, (inp, tgt, nSpans, nMasked)) <- rows) {
+      // parse target into span k -> tokens
+      val parts = sentinel.split(tgt).map(_.trim)
+      val keys = sentinel.findAllMatchIn(tgt).map(_.group(1).toInt).toSeq
+      assert(keys == (0 until nSpans.toInt), s"doc $id sentinel order")
+      val spans = keys.zip(parts.drop(1)).toMap
+      val rebuilt = sentinel.replaceAllIn(inp,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spans(m.group(1).toInt)))
+        .replaceAll(" +", " ").trim
+      assert(rebuilt == orig(id), s"doc $id round-trip")
+      // masked token count == total span tokens
+      val spanToks = spans.values.map(
+        s => if (s.isEmpty) 0 else s.split(" ").length).sum
+      assert(spanToks == nMasked.toInt, s"doc $id mask count")
+    }
+    // corpus mask rate lands near 15% (binomial, thousands of trials)
+    val tot = orig.values.map(_.split(" ").length).sum.toDouble
+    val masked = rows.values.map(_._4).sum.toDouble
+    assert(masked / tot > 0.10 && masked / tot < 0.20, masked / tot)
+    // pure projection: no Exchange in the executed plan
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    // determinism across plans/layouts
+    val again = graft.ext.TextOps.spanCorrupt(
+        docs.repartition(7), "doc_id", "text", 150)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(again == rows)
+  }
+
   test("bpeMerges releases superseded iterates as it goes") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
