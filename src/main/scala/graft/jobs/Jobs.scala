@@ -208,7 +208,9 @@ object SplitJob {
   * rows ([[StreamIngestJob.mergeMonitor]]); monitorGroupCol '-'
   * monitors the whole stream as one group. freqMonitorDir enables the
   * live CMS token-frequency monitor ([[StreamIngestJob
-  * .mergeCmsMonitor]] — version-ledger idempotence). */
+  * .mergeCmsMonitor]] — version-ledger idempotence); lenMonitorDir
+  * the live doc-length quantile monitor ([[StreamIngestJob
+  * .mergeLengthMonitor]], same ledger). */
 object StreamIngestJob {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
@@ -404,6 +406,51 @@ object StreamIngestJob {
       fs.delete(new org.apache.hadoop.fs.Path(monitorPath(dir, v)), true))
   }
 
+  /** Fold one micro-batch into the live DOC-LENGTH QUANTILE monitor
+    * (the [[SketchOps.logHistSketch]] log₂ histogram over per-doc
+    * token counts) — the length-drift signal: a crawl source that
+    * suddenly ships truncated or concatenated pages moves p50/p99
+    * within one micro-batch. Bucket counts are ADDITIVE like the CMS
+    * grid, so exactly-once rides the same version ledger (a batch
+    * whose `v=<batchId>` snapshot exists is already folded in); state
+    * is bounded by the bucket count per group at any corpus size.
+    * Decode on demand via [[lengthMonitorQuantiles]]. */
+  private[graft] def mergeLengthMonitor(batch: DataFrame, batchId: Long,
+      groupCol: String, textCol: String, dir: String,
+      mBits: Int = 6): Unit = {
+    val spark = batch.sparkSession
+    val versions = monitorVersions(spark, dir)
+    if (versions.contains(batchId)) return
+    val fresh = graft.ext.SketchOps.logHistSketch(
+      batch.withColumn("_len",
+        TextOps.tokenCount(col(textCol)).cast("double")),
+      groupCol, "_len", mBits, scale = 1.0)
+    val merged =
+      if (versions.isEmpty) fresh
+      else Sources.readParquet(spark, monitorPath(dir, versions.max))
+        .unionByName(fresh)
+        .groupBy(col(groupCol), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+    Sinks.writeParquet(merged, monitorPath(dir, batchId), "replace")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    versions.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(monitorPath(dir, v)), true))
+  }
+
+  /** Decode the length monitor's latest snapshot to live per-group
+    * length percentiles ([[SketchOps.histQuantiles]] face); None
+    * before the first non-empty micro-batch. */
+  def lengthMonitorQuantiles(spark: SparkSession, dir: String,
+      groupCol: String, ps: Seq[Int] = Seq(50, 90, 99))
+      : Option[DataFrame] =
+    monitorVersions(spark, dir) match {
+      case Nil => None
+      case vs => Some(graft.ext.SketchOps.histQuantiles(
+        Sources.readParquet(spark, monitorPath(dir, vs.max)),
+        groupCol, ps, scale = 1.0))
+    }
+
   /** Point-query the frequency monitor's latest grid for the probe
     * tokens ([[SketchOps.cmsEstimate]] face — never undercounts);
     * None before the first non-empty micro-batch. */
@@ -449,7 +496,8 @@ object StreamIngestJob {
             nllBand: Option[(Double, Double)] = None,
             dropNllTail: Boolean = false,
             monitor: Option[(String, String)] = None,
-            freqMonitorDir: Option[String] = None): Unit = {
+            freqMonitorDir: Option[String] = None,
+            lenMonitorDir: Option[String] = None): Unit = {
     val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
       benchGramHashes, blockedPhrases, testFrac, validFrac,
       lmModel, maxMeanNll, dedupIndex, nllBand, dropNllTail)
@@ -471,6 +519,12 @@ object StreamIngestJob {
       }
       freqMonitorDir.foreach(dir =>
         mergeCmsMonitor(kept, batchId, textCol, dir))
+      // Live length-quantile monitor over kept rows, whole-stream
+      // group (the per-source variant is monitor's groupCol pattern).
+      lenMonitorDir.foreach(dir =>
+        mergeLengthMonitor(
+          kept.withColumn("_monitor_group", lit("all")),
+          batchId, "_monitor_group", textCol, dir))
     }
     ()
   }
@@ -498,6 +552,7 @@ object StreamIngestJob {
             dropNllTail: Boolean = false,
             monitor: Option[(String, String)] = None,
             freqMonitorDir: Option[String] = None,
+            lenMonitorDir: Option[String] = None,
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -509,7 +564,7 @@ object StreamIngestJob {
         processBatch(batch, batchId, idCol, textCol, rules,
           benchGramHashes, blockedPhrases, store, quarantineDir,
           testFrac, validFrac, lmModel, maxMeanNll, dedupIndex,
-          nllBand, dropNllTail, monitor, freqMonitorDir)
+          nllBand, dropNllTail, monitor, freqMonitorDir, lenMonitorDir)
       }
       .start()
 
@@ -560,7 +615,8 @@ object StreamIngestJob {
       dropNllTail = rest.lift(7).exists(_.toBoolean),
       monitor = rest.lift(8).filter(_ != "-").map(dir =>
         (dir, rest.lift(9).getOrElse("-"))),
-      freqMonitorDir = rest.lift(10).filter(_ != "-"))
+      freqMonitorDir = rest.lift(10).filter(_ != "-"),
+      lenMonitorDir = rest.lift(11).filter(_ != "-"))
     q.awaitTermination()
   }
   def main(args: Array[String]): Unit =

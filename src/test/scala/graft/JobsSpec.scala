@@ -282,6 +282,41 @@ class JobsSpec extends SparkSpec {
     assert(StreamIngestJob.monitorVersions(spark, dir) == Seq(1L))
   }
 
+  test("live length-quantile monitor: folded buckets equal the batch " +
+      "sketch; replay is skipped by the version ledger") {
+    import spark.implicits._
+    import graft.jobs.StreamIngestJob
+    import graft.transform.Checks
+    val base = s"$ws/si_len_monitor"
+    val store = new graft.sinks.Upsert.FileStore(s"$base/store")
+    val dir = s"$base/len"
+    val rules = Seq(Checks.notNull("text"))
+    def runBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamIngestJob.processBatch(df, id, "doc_id", "text", rules,
+        Array.empty[Long], Seq.empty, store, s"$base/quarantine",
+        0.05, 0.05, None, Double.PositiveInfinity, None,
+        lenMonitorDir = Some(dir))
+    val b1 = Seq((1L, "one two three"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "x y"), (4L, null: String)).toDF("doc_id", "text")
+    runBatch(b1, 0L)
+    runBatch(b2, 1L)
+    def quantiles(): Map[Long, Long] =
+      StreamIngestJob.lengthMonitorQuantiles(spark, dir,
+          "_monitor_group", Seq(50, 99))
+        .get.collect()
+        .map(r => r.getLong(1) -> r.getAs[Long]("bucket_lo")).toMap
+    val got = quantiles()
+    // kept lengths {3, 8, 2} (null-text doc quarantined); mBits=6 is
+    // exact for small ints: p50 rank ceil(0.5*3)=2 -> value 3,
+    // p99 rank 3 -> value 8
+    assert(got == Map(50L -> 3L, 99L -> 8L), got.toString)
+    // replayed batch id: already in the ledger, counts must not double
+    runBatch(b2, 1L)
+    assert(quantiles() == got)
+    assert(StreamIngestJob.monitorVersions(spark, dir) == Seq(1L))
+  }
+
   test("ingest fluency gate drops reference-unlike docs, stream == batch twin") {
     import spark.implicits._
     import graft.jobs.StreamIngestJob
