@@ -2261,6 +2261,38 @@ object ExtQueries {
        |FROM base CROSS JOIN sr ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Exact token-budget apportionment (Split.allocateBudget over the
+  // mixture weights): Hamilton largest-remainder split of a 10⁹-token
+  // budget — sum(alloc) == budget EXACTLY, every unit accounted. The
+  // twin re-derives the weights (the x_mix_weights chain verbatim as a
+  // CTE) and replays the quota/remainder integer algebra in HUGEINT.
+  // ---------------------------------------------------------------------
+  def xMixAllocate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.transform.Split.allocateBudget(
+        TextOps.mixtureWeights(d, d.filter(col("source") === "src0"),
+          "source", "text"),
+        "source", "weight_ppm", 1000000000L)
+      .orderBy(col("source"))
+  }
+
+  val xMixAllocateSql: String =
+    s"""WITH mw AS ($xMixWeightsSql),
+       |  tw AS (SELECT CAST(SUM(weight_ppm) AS BIGINT) AS tw FROM mw),
+       |  b AS (SELECT source, weight_ppm,
+       |      CAST(weight_ppm AS HUGEINT) * 1000000000 AS q FROM mw),
+       |  f AS (SELECT source, weight_ppm, q % tw AS rem,
+       |      CAST((q - q % tw) // tw AS BIGINT) AS fl
+       |    FROM b CROSS JOIN tw),
+       |  fs AS (SELECT CAST(SUM(fl) AS BIGINT) AS fsum FROM f),
+       |  rk AS (SELECT *, ROW_NUMBER() OVER
+       |      (ORDER BY rem DESC, source) AS rk FROM f)
+       |SELECT source, weight_ppm,
+       |  fl + CASE WHEN rk <= 1000000000 - fsum THEN 1 ELSE 0 END
+       |    AS alloc
+       |FROM rk CROSS JOIN fs ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Duplication report: the cluster-size histogram of the near-dup
   // graph — the first number a data engineer asks of a corpus ("how
   // much duplication, in what shape?"). Sizes come from the same

@@ -260,4 +260,43 @@ object Split {
       .orderBy(col("sample_score_fx").desc, col(idCol))
       .limit(n)
   }
+
+  /** EXACT budget apportionment across groups — Hamilton's
+    * largest-remainder method over integer weights (e.g.
+    * [[graft.ext.TextOps.mixtureWeights]]' `weight_ppm`): every group
+    * gets `⌊budget·w/Σw⌋` and the leftover units go one each to the
+    * largest remainders (ties → group order), so `Σ alloc == budget`
+    * EXACTLY — the invariant float scaling breaks (per-domain rounding
+    * drift in a token-budget table silently over- or under-trains the
+    * mix by whole documents). Arithmetic is exact end to end: the
+    * quota rides DECIMAL(38,0) (budget·w can pass 2⁶³ at 100 TB token
+    * budgets), the floor comes from the subtract-remainder form
+    * `(q − q mod Σw)/Σw` — exact decimal division, never a rounded
+    * one — and the remainder comparison stays decimal.
+    *
+    * Scale: the input is the WEIGHT TABLE (one row per domain,
+    * thousands at most — the [[graft.ext.TextOps.mixtureWeights]]
+    * contract), so the remainder-rank window is bounded by
+    * construction, like the [[graft.ext.SketchOps.histQuantiles]]
+    * decode. */
+  def allocateBudget(weights: DataFrame, groupCol: String,
+                     weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"allocateBudget: bad budget $budget")
+    import org.apache.spark.sql.expressions.Window
+    val tot = weights.agg(sum(col(weightCol)).as("_tw"))
+    val base = weights
+      .select(col(groupCol), col(weightCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("_q",
+        col(weightCol).cast("decimal(38,0)") * lit(budget))
+      .withColumn("_rem", expr("_q % _tw"))
+      .withColumn("_fl", expr("cast((_q - _rem) / _tw as bigint)"))
+    val fsum = base.agg(sum(col("_fl")).as("_fsum"))
+    base.crossJoin(broadcast(fsum))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_rem").desc, col(groupCol))))
+      .select(col(groupCol), col(weightCol),
+        (col("_fl") + when(col("_rk") <= lit(budget) - col("_fsum"),
+          lit(1L)).otherwise(lit(0L))).as("alloc"))
+  }
 }

@@ -273,4 +273,38 @@ class SplitSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("allocateBudget: largest-remainder apportionment, sum == budget " +
+      "exactly, ties break on group order") {
+    import spark.implicits._
+    def alloc(ws: Seq[(String, Long)], budget: Long): Map[String, Long] =
+      graft.transform.Split.allocateBudget(
+          ws.toDF("g", "w"), "g", "w", budget)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc"))
+        .toMap
+    // quotas 3.33333/3.33333/3.33334 of 10: one leftover unit goes to
+    // the largest remainder (c)
+    val a = alloc(Seq(("a", 333333L), ("b", 333333L), ("c", 333334L)), 10L)
+    assert(a == Map("a" -> 3L, "b" -> 3L, "c" -> 4L), a.toString)
+    // equal remainders: leftover goes by group order (a before b)
+    val b = alloc(Seq(("a", 1L), ("b", 1L)), 3L)
+    assert(b == Map("a" -> 2L, "b" -> 1L), b.toString)
+    // exact-sum invariant under awkward budgets and weights; every
+    // alloc within 1 of its real-valued quota (Hamilton's guarantee)
+    val ws = Seq(("s0", 17L), ("s1", 3L), ("s2", 80L), ("s3", 900L))
+    for (budget <- Seq(0L, 1L, 7L, 999L, 1000000007L)) {
+      val out = alloc(ws, budget)
+      assert(out.values.sum == budget, s"budget $budget: $out")
+      val tw = ws.map(_._2).sum.toDouble
+      for ((g, w) <- ws) {
+        val quota = budget * w / tw
+        assert(math.abs(out(g) - quota) < 1.0 + 1e-9,
+          s"budget $budget group $g quota $quota got ${out(g)}")
+      }
+    }
+    // decimal path: budget*weight past 2^63 still exact
+    val big = alloc(Seq(("x", 999999L), ("y", 1L)), 4000000000000000000L)
+    assert(big.values.sum == 4000000000000000000L)
+    assert(big("y") == 4000000000000L)
+  }
 }
