@@ -4046,6 +4046,75 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // ANN MRR audit (reciprocal rank of the TRUE nearest neighbor inside
+  // the ANN top-5, per query): recall@k says whether the index finds
+  // the neighborhood; MRR says whether it puts the right answer FIRST
+  // — the ranking-quality half of the ship/no-ship gate. Exact
+  // integers (mrr_ppm = 10⁶ div rank, 0 on a miss); both tiers already
+  // bit-exact vs DuckDB, so the audit is too.
+  // ---------------------------------------------------------------------
+  def xSimMrr(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val truth1 = SimilarityOps.bruteForceTopK(q, emb,
+        "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id").as("truth_id"))
+    val ann = SimilarityOps.annTopK(q, emb,
+        "vec_id", "embedding", k = 5, dim = 64, bits = 4, tables = 8)
+      .select(col("query_id"), col("neighbor_id").as("truth_id"),
+        col("rnk").cast("long").as("ann_rank"))
+    truth1.join(ann, Seq("query_id", "truth_id"), "left")
+      .na.fill(0L, Seq("ann_rank"))
+      .withColumn("mrr_ppm", when(col("ann_rank") > 0,
+        expr("1000000 div ann_rank")).otherwise(lit(0L)))
+      .orderBy(col("query_id"))
+  }
+
+  val xSimMrrSql: String = {
+    val perTable = lshBucketsSql(dim = 64, bits = 4, tables = 8,
+      seed = 42L)
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |    WHERE vec_id < 10),
+       |  bsc AS (SELECT query_id, vec_id AS neighbor_id,
+       |      round(list_dot_product(qv, v)
+       |        / (sqrt(list_dot_product(qv, qv))
+       |           * sqrt(list_dot_product(v, v))), 6) AS score
+       |    FROM q, e WHERE vec_id <> query_id),
+       |  tr AS (SELECT query_id, neighbor_id AS truth_id FROM (
+       |      SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rnk FROM bsc)
+       |    WHERE rnk = 1),
+       |  eb AS ($perTable),
+       |  cand AS (SELECT DISTINCT b.vec_id AS query_id,
+       |      c.vec_id AS neighbor_id
+       |    FROM eb b JOIN eb c ON b.tbl = c.tbl AND b.bkt = c.bkt
+       |    WHERE b.vec_id < 10 AND c.vec_id <> b.vec_id),
+       |  asc2 AS (SELECT cand.query_id, cand.neighbor_id,
+       |      round(list_dot_product(qv.v, cv.v)
+       |        / (sqrt(list_dot_product(qv.v, qv.v))
+       |           * sqrt(list_dot_product(cv.v, cv.v))), 6) AS score
+       |    FROM cand
+       |    JOIN e qv ON qv.vec_id = cand.query_id
+       |    JOIN e cv ON cv.vec_id = cand.neighbor_id),
+       |  ar AS (SELECT query_id, neighbor_id, rnk FROM (
+       |      SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rnk FROM asc2)
+       |    WHERE rnk <= 5)
+       |SELECT tr.query_id, truth_id,
+       |  CAST(COALESCE(ar.rnk, 0) AS BIGINT) AS ann_rank,
+       |  CASE WHEN ar.rnk IS NOT NULL THEN 1000000 // ar.rnk
+       |    ELSE 0 END AS mrr_ppm
+       |FROM tr LEFT JOIN ar ON ar.query_id = tr.query_id
+       |  AND ar.neighbor_id = tr.truth_id
+       |ORDER BY tr.query_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // MinHash-estimator accuracy audit (DedupOps.minhashEstimateAudit):
   // per pair on the bounded doc_id < 60 slice, the 16-permutation
   // portable-md5 signature agreement (the quantity LSH thresholds on)

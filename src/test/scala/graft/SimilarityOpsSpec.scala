@@ -740,4 +740,30 @@ class SimilarityOpsSpec extends SparkSpec {
       bench.filter(col("bid") < 0L), "id", "vec", "bid", "bvec", 0.95)
     assert(none.count() == 0L)
   }
+
+  test("MRR audit: reciprocal-rank algebra; a perfect index scores " +
+      "1e6 everywhere") {
+    val out = graft.ExtQueries.xSimMrr(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("ann_rank"), r.getAs[Long]("mrr_ppm")))
+    assert(out.length == 10)
+    for ((q, (rk, mrr)) <- out) {
+      if (rk == 0L) assert(mrr == 0L, s"q$q")
+      else assert(mrr == 1000000L / rk, s"q$q rank $rk mrr $mrr")
+    }
+    // perfect index (the brute tier audited against itself): the true
+    // NN is always at rank 1
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val truth1 = SimilarityOps.bruteForceTopK(q, emb,
+        "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id").as("truth_id"))
+    val self = SimilarityOps.bruteForceTopK(q, emb,
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id").as("truth_id"),
+        col("rnk"))
+    val joined = truth1.join(self, Seq("query_id", "truth_id"))
+      .collect().map(_.getAs[Int]("rnk"))
+    assert(joined.length == 5 && joined.forall(_ == 1))
+  }
 }
