@@ -1383,6 +1383,37 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Feature-hashing document embedding (TextOps.hashEmbed): text →
+  // 64-dim signed-count vector with no model; exact integer counts
+  // per dimension, L2 weights from the sqrt of an exact integer so
+  // the twin reproduces both columns bit-for-bit. Bounded to
+  // doc_id < 50 — the audit slice convention — to keep the dump
+  // row-count sane (50 docs × ≤64 dims).
+  // ---------------------------------------------------------------------
+  def xTextHashembed(s: SparkSession, dir: String): DataFrame =
+    TextOps.hashEmbed(
+        t(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", dim = 64)
+      .orderBy(col("doc_id"), col("j"))
+
+  val xTextHashembedSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t
+       |    FROM documents WHERE doc_id < 50),
+       |  hv AS (SELECT doc_id,
+       |      ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS j,
+       |      CASE WHEN ('0x' || substr(md5('s:' || t), 1, 15))::BIGINT
+       |        % 2 = 0 THEN 1 ELSE -1 END AS s
+       |    FROM tok),
+       |  w AS (SELECT doc_id, j, CAST(SUM(s) AS BIGINT) AS w
+       |    FROM hv GROUP BY 1, 2 HAVING SUM(s) <> 0),
+       |  n AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+       |    FROM w GROUP BY 1)
+       |SELECT w.doc_id, j, w,
+       |  CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS wn
+       |FROM w JOIN n USING (doc_id)
+       |ORDER BY doc_id, j""".stripMargin
+
+  // ---------------------------------------------------------------------
   // T5-style span corruption (TextOps.spanCorrupt): encoder/decoder
   // training pairs from hash-deterministic masking — the twin rebuilds
   // the identical mask from the same md5 positions and replays the

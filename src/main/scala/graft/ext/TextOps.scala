@@ -54,6 +54,50 @@ object TextOps {
   /** Token count — whitespace/punct-delimited word count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Feature-hashing document embedding (the hashing trick,
+    * Weinberger et al. 2009) — text → dense vector WITHOUT a model,
+    * the bridge from the text family into the similarity/dedup family
+    * for corpora that ship no embedding column: token t contributes
+    * sign(h60("s:"+t) mod 2) to dimension h60(t) mod dim; the vector
+    * is L2-normalized so cosine downstream is a plain dot product.
+    * Sparse relational output, one row per NON-ZERO dimension:
+    * `(id, j, w, wn)` with `w` the exact signed integer count and
+    * `wn = w / √Σw²` — the norm is the sqrt of an EXACT integer, so
+    * both doubles come from one correctly-rounded op chain and the
+    * DuckDB twin reproduces them bit-for-bit.
+    *
+    * Scale shape: explode → one grouped sum on (id, j) with map-side
+    * partials (fixed-width long keys), one id-grain norm aggregate,
+    * one id-keyed join — no vocabulary relation, no model artifact,
+    * partition-layout independent.
+    *
+    * Zero-vector contract: a document whose every dimension cancels
+    * exactly (signed counts sum to 0 — possible for short docs at
+    * small dim) has NO rows in the sparse output; cosine against the
+    * zero vector is undefined, so vanishing is the honest behavior —
+    * treat absence as "no signal", like an empty token stream. */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+                dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"hashEmbed: bad dim $dim")
+    val h = (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sgn = (t: Column) =>
+      when(pmod(h(concat(lit("s:"), t)), lit(2L)) === 0L, lit(1L))
+        .otherwise(lit(-1L))
+    val w = graft.engine.Engine.spread(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .select(col(idCol), pmod(h(col("_t")), lit(dim.toLong)).as("j"),
+        sgn(col("_t")).as("_s"))
+      .groupBy(col(idCol), col("j")).agg(sum(col("_s")).as("w"))
+      .filter(col("w") =!= 0L)
+    val norm = w.groupBy(col(idCol))
+      .agg(sum(col("w") * col("w")).as("_n2"))
+    w.join(norm, Seq(idCol))
+      .select(col(idCol), col("j"), col("w"),
+        (col("w").cast("double") / sqrt(col("_n2").cast("double")))
+          .as("wn"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4) as a
     * DETERMINISTIC pure projection: token position i of document d is
     * masked iff `h60(d‖':'‖i) mod 1000 < ratePermille` (the portable

@@ -290,6 +290,49 @@ class TextOpsSpec extends SparkSpec {
       assert(kept.getOrElse(id, 0) == (n - d).toInt, s"doc $id")
   }
 
+  test("hashEmbed: unit norm, identical texts → identical vectors, " +
+      "layout-independent, exact signed counts") {
+    import spark.implicits._
+    // NB "alpha beta gamma alpha" at dim=16 is the measured zero-vector
+    // cancellation case (all three tokens share a bucket, signs cancel)
+    // — covered below; the main fixture uses a richer vocabulary.
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta alpha"),
+      (2L, "alpha beta gamma delta epsilon zeta alpha"), // clone of 1
+      (3L, "totally different words here")).toDF("id", "text")
+    val out = graft.ext.TextOps.hashEmbed(df, "id", "text", dim = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("w"), r.getAs[Double]("wn")))
+      .toMap
+    // clones embed identically
+    val v1 = out.collect { case ((1L, j), v) => j -> v }.toMap
+    val v2 = out.collect { case ((2L, j), v) => j -> v }.toMap
+    assert(v1 == v2 && v1.nonEmpty, out.toString)
+    // each vector has unit L2 norm
+    for (id <- Seq(1L, 2L, 3L)) {
+      val n = out.collect { case ((`id`, _), (_, wn)) => wn * wn }.sum
+      assert(math.abs(n - 1.0) < 1e-12, s"doc $id norm $n")
+    }
+    // every w is a nonzero signed integer count bounded by the token
+    // count
+    assert(v1.values.forall { case (w, _) => w != 0 && math.abs(w) <= 7 })
+    // zero-vector contract: full cancellation vanishes from the sparse
+    // output (measured: these 3 tokens share one bucket at dim=16 and
+    // the signs cancel 2-1-1)
+    val zero = graft.ext.TextOps.hashEmbed(
+      Seq((9L, "alpha beta gamma alpha")).toDF("id", "text"),
+      "id", "text", dim = 16)
+    assert(zero.count() == 0L)
+    // layout independence
+    val re = graft.ext.TextOps.hashEmbed(
+        df.repartition(5, col("text")), "id", "text", dim = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("w"), r.getAs[Double]("wn")))
+      .toMap
+    assert(re == out)
+  }
+
   test("spanCorrupt: lossless pair (substituting target spans into " +
       "input reproduces the token stream); no shuffle; deterministic") {
     val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
