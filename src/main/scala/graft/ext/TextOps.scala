@@ -120,6 +120,26 @@ object TextOps {
                   ratePermille: Int = 150): DataFrame = {
     require(ratePermille >= 1 && ratePermille <= 999,
       s"spanCorrupt: bad ratePermille $ratePermille")
+    val r = call_function("graft_span_corrupt",
+      coalesce(tokens(col(textCol)), array().cast("array<string>")),
+      col(idCol).cast("string"), lit(ratePermille))
+    df.select(col(idCol), r.as("_r"))
+      .select(col(idCol),
+        col("_r.inp").as("input_text"),
+        col("_r.tgt").as("target_text"),
+        col("_r.k").cast("long").as("n_spans"),
+        col("_r.nm").cast("long").as("n_masked"))
+  }
+
+  /** The interpreted `functions.aggregate` twin of [[spanCorrupt]] —
+    * retained as the equivalence pin for the compiled
+    * `graft_span_corrupt` (the winnowing discipline: the lambda form
+    * IS the spec; CodegenHealthSpec asserts value equality on the
+    * fixture corpus). The sf10 probe measured the fold at 72.6 s over
+    * 500k docs — one boxed lambda call per token — which is why the
+    * registered path compiles it. */
+  private[graft] def spanCorruptFold(df: DataFrame, idCol: String,
+      textCol: String, ratePermille: Int): DataFrame = {
     val id = col(idCol)
     val result = bindOnce(tokens(col(textCol))) { toks =>
       val idx = when(size(toks) > 0, sequence(lit(0), size(toks) - 1))

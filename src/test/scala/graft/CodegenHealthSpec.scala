@@ -337,6 +337,25 @@ class CodegenHealthSpec extends SparkSpec {
     }
   }
 
+  test("graft_span_corrupt equals the aggregate-fold lambda twin on " +
+      "the fixture corpus, multiple rates") {
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .limit(120)
+    for (rate <- Seq(1, 150, 500, 999)) {
+      val fast = graft.ext.TextOps.spanCorrupt(
+          docs, "doc_id", "text", rate)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val slow = graft.ext.TextOps.spanCorruptFold(
+          docs, "doc_id", "text", rate)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(fast == slow, s"rate=$rate")
+    }
+  }
+
   test("codegen results match interpreted eval on the stacked shapes") {
     import spark.implicits._
     val df = Seq((Array(11L, 22L, 33L, 44L, 55L), Array("a", "bb")))
