@@ -653,6 +653,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("spanCorrupt runs unchanged on a stream (pure projection) " +
+      "and equals the batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .limit(60).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = graft.ext.TextOps.spanCorrupt(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 150)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.ext.TextOps.spanCorrupt(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", 150)
+      .writeStream.format("memory").queryName("s_corrupt")
+      .outputMode("append").start()
+    stream.addData(docs.take(30)); q.processAllAvailable()
+    stream.addData(docs.drop(30)); q.processAllAvailable(); q.stop()
+    val got = spark.table("s_corrupt").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expected) // mask is a pure function of (id, text)
+  }
+
   test("logHistSketch is stream-legal: incremental bucket counts " +
       "equal the batch twin; decode reads the live sketch") {
     // the quantile-monitor face: counts are associative, so the log2
