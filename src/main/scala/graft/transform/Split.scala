@@ -276,13 +276,14 @@ object Split {
     *
     * Scale: the input is the WEIGHT TABLE (one row per domain,
     * thousands at most — the [[graft.ext.TextOps.mixtureWeights]]
-    * contract), so the remainder-rank window is bounded by
-    * construction, like the [[graft.ext.SketchOps.histQuantiles]]
-    * decode. */
+    * contract). The leftover-unit rank is computed as a broadcast
+    * non-equi self-join count over that tiny table ("how many rows
+    * strictly ahead of mine"), NOT a global window — identical
+    * largest-remainder semantics (rank = ahead + 1, ties → group
+    * order) with no single-partition WindowExec anywhere. */
   def allocateBudget(weights: DataFrame, groupCol: String,
                      weightCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"allocateBudget: bad budget $budget")
-    import org.apache.spark.sql.expressions.Window
     val tot = weights.agg(sum(col(weightCol)).as("_tw"))
     val base = weights
       .select(col(groupCol), col(weightCol))
@@ -292,11 +293,17 @@ object Split {
       .withColumn("_rem", expr("_q % _tw"))
       .withColumn("_fl", expr("cast((_q - _rem) / _tw as bigint)"))
     val fsum = base.agg(sum(col("_fl")).as("_fsum"))
+    val other = base.select(col(groupCol).as("_bg"),
+      col("_rem").as("_brem"))
     base.crossJoin(broadcast(fsum))
-      .withColumn("_rk", row_number().over(
-        Window.orderBy(col("_rem").desc, col(groupCol))))
+      .join(broadcast(other),
+        col("_brem") > col("_rem") ||
+          (col("_brem") === col("_rem") && col("_bg") < col(groupCol)),
+        "left")
+      .groupBy(col(groupCol), col(weightCol), col("_fl"), col("_fsum"))
+      .agg(count(col("_bg")).as("_ahead"))
       .select(col(groupCol), col(weightCol),
-        (col("_fl") + when(col("_rk") <= lit(budget) - col("_fsum"),
+        (col("_fl") + when(col("_ahead") < lit(budget) - col("_fsum"),
           lit(1L)).otherwise(lit(0L))).as("alloc"))
   }
 }

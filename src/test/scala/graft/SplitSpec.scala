@@ -306,5 +306,11 @@ class SplitSpec extends SparkSpec {
     val big = alloc(Seq(("x", 999999L), ("y", 1L)), 4000000000000000000L)
     assert(big.values.sum == 4000000000000000000L)
     assert(big("y") == 4000000000000L)
+    // rank rides a broadcast self-join count: no Window anywhere (the
+    // single-partition WindowExec warning class is structurally absent)
+    val p = graft.transform.Split.allocateBudget(
+        ws.toDF("g", "w"), "g", "w", 999L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
   }
 }
