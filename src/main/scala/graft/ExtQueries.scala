@@ -2298,11 +2298,23 @@ object ExtQueries {
   // twin re-derives the weights (the x_mix_weights chain verbatim as a
   // CTE) and replays the quota/remainder integer algebra in HUGEINT.
   // ---------------------------------------------------------------------
+  private val mixCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, Long)]]()
+  /** Collected (source, weight_ppm) rows of [[xMixWeights]], cached
+    * per (session, dir) — the weight table is driver-scale by the
+    * mixtureWeights contract, so the allocator rides one collection
+    * instead of re-running the corpus LM chain (the bpeCache argument
+    * applied to the chain's second consumer). */
+  private def mixWeightRows(s: SparkSession,
+                            dir: String): Seq[(String, Long)] =
+    mixCache.computeIfAbsent((s, dir), _ =>
+      xMixWeights(s, dir).select(col("source"), col("weight_ppm"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+
   def xMixAllocate(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    import s.implicits._
     graft.transform.Split.allocateBudget(
-        TextOps.mixtureWeights(d, d.filter(col("source") === "src0"),
-          "source", "text"),
+        mixWeightRows(s, dir).toDF("source", "weight_ppm"),
         "source", "weight_ppm", 1000000000L)
       .orderBy(col("source"))
   }
