@@ -2169,6 +2169,86 @@ object ExtQueries {
       |FROM u3 ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // First/last-touch attribution: per purchase, the user's first and
+  // last preceding click plus the touch count. One user-keyed range
+  // join + one conversion-keyed min/max-struct aggregate; the oracle
+  // replays the tie rule ((ts, id) order both ways) through windows.
+  // ---------------------------------------------------------------------
+  def xEventsAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.ext.EventOps.touchAttribution(t(s, dir, "events"), "user_id",
+        "ts", "event_type", "event_id", "purchase", "click")
+      .orderBy(col("event_id"))
+
+  val xEventsAttributionSql: String =
+    """WITH conv AS (SELECT event_id, user_id, ts AS conv_ts
+      |    FROM events WHERE event_type = 'purchase'),
+      |  tch AS (SELECT event_id AS tid, user_id, ts AS tts
+      |    FROM events WHERE event_type = 'click'),
+      |  j AS (SELECT c.event_id, c.user_id, c.conv_ts, t.tid, t.tts
+      |    FROM conv c LEFT JOIN tch t
+      |      ON t.user_id = c.user_id AND t.tts <= c.conv_ts),
+      |  f AS (SELECT event_id, tid AS first_touch_id,
+      |      tts AS first_touch_ts FROM (
+      |    SELECT event_id, tid, tts, ROW_NUMBER() OVER (
+      |        PARTITION BY event_id ORDER BY tts, tid) AS rn
+      |    FROM j WHERE tid IS NOT NULL) WHERE rn = 1),
+      |  l AS (SELECT event_id, tid AS last_touch_id,
+      |      tts AS last_touch_ts FROM (
+      |    SELECT event_id, tid, tts, ROW_NUMBER() OVER (
+      |        PARTITION BY event_id ORDER BY tts DESC, tid DESC) AS rn
+      |    FROM j WHERE tid IS NOT NULL) WHERE rn = 1),
+      |  g AS (SELECT event_id, user_id, conv_ts,
+      |      CAST(COUNT(tid) AS BIGINT) AS n_touches
+      |    FROM j GROUP BY 1, 2, 3)
+      |SELECT g.event_id, g.user_id, g.conv_ts, g.n_touches,
+      |  f.first_touch_id, f.first_touch_ts,
+      |  l.last_touch_id, l.last_touch_ts
+      |FROM g LEFT JOIN f USING (event_id) LEFT JOIN l USING (event_id)
+      |ORDER BY g.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Key-skew audit (Profile.keySkew) over four candidate shuffle keys:
+  // exact integer Gini / max-share / skew-ratio / p50/p99 group sizes,
+  // window-free ranks. The oracle replays the rank + HUGEINT algebra.
+  // ---------------------------------------------------------------------
+  def xProfileSkew(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Profile.keySkew(t(s, dir, "events"),
+        Seq("user_id", "event_type"))
+      .unionAll(graft.transform.Profile.keySkew(t(s, dir, "documents"),
+        Seq("source", "lang")))
+      .orderBy(col("key_col"))
+
+  private def skewCteSql(table: String, key: String): String =
+    s"""(WITH c AS (SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS n
+       |    FROM $table GROUP BY 1),
+       |  r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, k) AS rk FROM c),
+       |  tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |      CAST(SUM(n) AS BIGINT) AS n_rows,
+       |      CAST(MAX(n) AS BIGINT) AS max_n,
+       |      SUM(CAST(rk AS HUGEINT) * n) AS six FROM r),
+       |  q AS (SELECT
+       |      MAX(CASE WHEN rk = (n_keys * 50 + 99) // 100 THEN n END)
+       |        AS p50_n,
+       |      MAX(CASE WHEN rk = (n_keys * 99 + 99) // 100 THEN n END)
+       |        AS p99_n
+       |    FROM r CROSS JOIN tt)
+       |SELECT '$key' AS key_col, n_keys, n_rows, max_n,
+       |  CAST(CAST(max_n AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+       |    AS max_share_ppm,
+       |  CAST(CAST(max_n AS HUGEINT) * n_keys * 1000000 // n_rows
+       |    AS BIGINT) AS skew_ratio_ppm,
+       |  CAST((2 * six - CAST(n_keys + 1 AS HUGEINT) * n_rows) * 1000000
+       |    // (CAST(n_keys AS HUGEINT) * n_rows) AS BIGINT) AS gini_ppm,
+       |  p50_n, p99_n
+       |FROM tt CROSS JOIN q)""".stripMargin
+
+  val xProfileSkewSql: String =
+    Seq(("events", "user_id"), ("events", "event_type"),
+        ("documents", "source"), ("documents", "lang"))
+      .map { case (tb, k) => skewCteSql(tb, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+
+  // ---------------------------------------------------------------------
   // Weekly cohort retention over events: first-activity-week cohorts ×
   // week offsets, counted on the distinct (user, week) activity
   // relation. Pure calendar/integer arithmetic — hash-exact.

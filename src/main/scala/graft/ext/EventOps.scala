@@ -241,4 +241,49 @@ object EventOps {
       .select((col("_u").as(userCol) +: stepCols :+
         col("steps_completed")): _*)
   }
+
+  /** First/last-touch attribution — for every conversion event, the
+    * user's FIRST and LAST preceding touch event (`touch.ts ≤
+    * conversion.ts`) plus the touch count: the standard
+    * marketing-attribution pair, and in a training-data pipeline the
+    * provenance question "which acquisition path produced this
+    * conversion". Ties at the same timestamp resolve deterministically
+    * through struct order: first = (min ts, then min id), last =
+    * (max ts, then max id). Conversions with no preceding touch stay
+    * visible with null touch columns and `n_touches = 0`.
+    *
+    * Scale shape: both event slices project to (id, user, ts) triples
+    * before anything joins — the props/payload columns never shuffle.
+    * ONE user-keyed range join fans each conversion out to its
+    * preceding touches, and ONE conversion-keyed aggregate (min-struct /
+    * max-struct / count, all with map-side partials) collapses the
+    * fan-out back to conversion grain. Per-user cost is
+    * |conversions_u|·|touches_u| — bounded by per-user activity, the
+    * same contract as [[transitionCounts]]; a single pathological user
+    * is an AQE skew-split, not a plan change. (A backward as-of join
+    * would avoid the fan-out for last-touch alone, but first-touch and
+    * the count need the full preceding set anyway — one fan-out
+    * serving all three beats two extra joins.) */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String,
+                       convType: String, touchType: String): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("event_id"), col(userCol).as("_u"),
+        col(tsCol).as("conv_ts"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(idCol).as("_tid"), col(userCol).as("_tu"),
+        col(tsCol).as("_tts"))
+    conv.join(touch,
+        col("_u") === col("_tu") && col("_tts") <= col("conv_ts"), "left")
+      .groupBy(col("event_id"), col("_u"), col("conv_ts"))
+      .agg(count(col("_tid")).as("n_touches"),
+        min(struct(col("_tts"), col("_tid"))).as("_f"),
+        max(struct(col("_tts"), col("_tid"))).as("_l"))
+      .select(col("event_id"), col("_u").as(userCol), col("conv_ts"),
+        col("n_touches"),
+        col("_f._tid").as("first_touch_id"),
+        col("_f._tts").as("first_touch_ts"),
+        col("_l._tid").as("last_touch_id"),
+        col("_l._tts").as("last_touch_ts"))
+  }
 }

@@ -251,4 +251,67 @@ object Profile {
       .agg(count(lit(1)).as("n"))
       .select(col("bucket"), (col("bucket") * width).as("lo"), col("n"))
   }
+
+  /** Key-skew audit — the "will this key melt a shuffle" report, one
+    * row per candidate key column, everything in EXACT integers:
+    * `n_keys`, `n_rows`, `max_n` (heaviest key's row count),
+    * `max_share_ppm` (heaviest key's share of all rows),
+    * `skew_ratio_ppm` (max/mean group size, ppm — 10⁶ = perfectly
+    * uniform), `gini_ppm` (Gini coefficient of the group-size
+    * distribution: 0 = uniform, →10⁶ = one key holds everything), and
+    * the exact `p50_n`/`p99_n` group sizes at the integer ranks
+    * `(n_keys·p + 99) div 100` (the [[graft.ext.SketchOps]] quantile
+    * rank convention). This is the pre-flight a 100 TB join/groupBy
+    * wants BEFORE the salting/AQE-skew decision, measured on the real
+    * key rather than guessed.
+    *
+    * Scale shape, per key column: ONE grouped count (map-side partials)
+    * reduces the corpus to the key-sized `(key, n)` relation; the
+    * ascending rank over it comes from [[Ids.assignContiguousIds]]'s
+    * two-pass range-partitioned machinery — a near-unique key column
+    * (billions of keys) never funnels through the single-partition
+    * window a naive `row_number() OVER (ORDER BY n)` plans. The Gini
+    * numerator Σ rank·n runs in DECIMAL(38,0) (rank and size can both
+    * be ~2³⁰⁺ at corpus scale; their product overflows BIGINT), and the
+    * tie order inside equal sizes cannot change it (equal addends,
+    * same rank set). Totals ride as a 1-row broadcast.
+    *
+    * Columns audit independently (one pass per key column — mixed key
+    * types forbid a shared melt without lossy casts; key VALUES never
+    * appear in the output for the same reason). */
+  def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keySkew: at least one key column")
+    keyCols.map { kc =>
+      val counts = df.groupBy(col(kc).as("_k"))
+        .agg(count(lit(1)).as("_n"))
+      val ranked = graft.engine.Engine.materialize(
+        Ids.assignContiguousIds(counts, struct(col("_n"), col("_k")),
+          "_rk0", 1L))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val tot = ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("_n")).as("n_rows"),
+        max(col("_n")).as("max_n"),
+        sum(dec(col("_rk0")) * dec(col("_n"))).as("_six"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("_r50", expr("(n_keys * 50 + 99) div 100"))
+        .withColumn("_r99", expr("(n_keys * 99 + 99) div 100"))
+        .groupBy(col("n_keys"), col("n_rows"), col("max_n"), col("_six"))
+        .agg(max(when(col("_rk0") === col("_r50"), col("_n"))).as("p50_n"),
+          max(when(col("_rk0") === col("_r99"), col("_n"))).as("p99_n"))
+        .select(lit(kc).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_n"),
+          // ppm ratios in DECIMAL(38,0): max_n·n_keys·10⁶ passes 2⁶³
+          // long before any 100 TB corpus does.
+          expr("cast(cast(max_n as decimal(38,0)) * 1000000" +
+            " div n_rows as bigint)").as("max_share_ppm"),
+          expr("cast(cast(max_n as decimal(38,0)) * n_keys * 1000000" +
+            " div n_rows as bigint)").as("skew_ratio_ppm"),
+          expr("cast((2 * _six - cast(n_keys + 1 as decimal(38,0))" +
+            " * n_rows) * 1000000" +
+            " div (cast(n_keys as decimal(38,0)) * n_rows) as bigint)")
+            .as("gini_ppm"),
+          col("p50_n"), col("p99_n"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -190,4 +190,40 @@ class EventOpsSpec extends SparkSpec {
     // outranks the dangling sink c
     assert(out("b") > out("c"))
   }
+
+  test("touchAttribution: first/last preceding touch, ties, no-touch row") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      // user 1: clicks at 09:00, 10:00; purchase at 10:30; click AFTER
+      // at 11:00 must not attribute
+      (1L, ts("2024-01-01 09:00:00"), 101L, "click"),
+      (1L, ts("2024-01-01 10:00:00"), 102L, "click"),
+      (1L, ts("2024-01-01 10:30:00"), 103L, "purchase"),
+      (1L, ts("2024-01-01 11:00:00"), 104L, "click"),
+      // user 1 second purchase at 12:00: all three clicks precede it
+      (1L, ts("2024-01-01 12:00:00"), 105L, "purchase"),
+      // user 2: two clicks at the SAME instant as the purchase — the
+      // <= rule admits both; ties resolve (min id first, max id last)
+      (2L, ts("2024-01-01 08:00:00"), 201L, "click"),
+      (2L, ts("2024-01-01 08:00:00"), 202L, "click"),
+      (2L, ts("2024-01-01 08:00:00"), 203L, "purchase"),
+      // user 3: purchase with no click anywhere
+      (3L, ts("2024-01-01 09:00:00"), 301L, "purchase"),
+      // unrelated event types never attribute
+      (1L, ts("2024-01-01 09:30:00"), 106L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.touchAttribution(events, "user_id", "ts",
+        "event_type", "event_id", "purchase", "click")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_touches"),
+          Option(r.getAs[java.lang.Long]("first_touch_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("last_touch_id")).map(_.toLong)))
+      .toMap
+    assert(got(103L) == ((2L, Some(101L), Some(102L))))
+    assert(got(105L) == ((3L, Some(101L), Some(104L))))
+    assert(got(203L) == ((2L, Some(201L), Some(202L))))
+    assert(got(301L) == ((0L, None, None)))
+    assert(got.size == 4)
+  }
 }

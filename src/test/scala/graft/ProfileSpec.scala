@@ -121,4 +121,48 @@ class ProfileSpec extends SparkSpec {
     assert(got == Seq((0L, 0.0, 2L), (1L, 10.0, 1L), (2L, 20.0, 1L),
       (4L, 40.0, 2L))) // 99.0 and 1e6 clamp into the top bucket
   }
+
+  test("keySkew: hand-computed gini/share/quantiles on known group sizes") {
+    import spark.implicits._
+    // sizes per key: a=1, b=1, c=2, d=4 → ascending ranks 1..4
+    val df = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(4)("d")).toDF("k")
+    val r = Profile.keySkew(df, Seq("k")).collect()(0)
+    assert(r.getAs[String]("key_col") == "k")
+    assert(r.getAs[Long]("n_keys") == 4L && r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("max_n") == 4L)
+    assert(r.getAs[Long]("max_share_ppm") == 500000L)   // 4/8
+    assert(r.getAs[Long]("skew_ratio_ppm") == 2000000L) // max 4 vs mean 2
+    // Σ rank·n = 1+2+6+16 = 25; gini = (50 − 5·8)/(4·8) = 10/32
+    assert(r.getAs[Long]("gini_ppm") == 312500L)
+    // rank conventions: p50 → rank (4·50+99)//100 = 2 → size 1;
+    // p99 → rank (4·99+99)//100 = 4 → size 4
+    assert(r.getAs[Long]("p50_n") == 1L && r.getAs[Long]("p99_n") == 4L)
+  }
+
+  test("keySkew: uniform keys give gini 0 and skew ratio 10^6") {
+    import spark.implicits._
+    val df = (1 to 12).map(i => s"k${i % 4}").toDF("k")
+    val r = Profile.keySkew(df, Seq("k")).collect()(0)
+    assert(r.getAs[Long]("gini_ppm") == 0L)
+    assert(r.getAs[Long]("skew_ratio_ppm") == 1000000L)
+    assert(r.getAs[Long]("max_share_ppm") == 250000L)
+    assert(r.getAs[Long]("p50_n") == 3L && r.getAs[Long]("p99_n") == 3L)
+  }
+
+  test("keySkew: multiple key columns, one row each, layout-independent") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 1), ("b", 2), ("c", 2), ("c", 3))
+      .toDF("s", "n")
+    val rows = Profile.keySkew(df.repartition(7), Seq("s", "n")).collect()
+      .map(r => r.getAs[String]("key_col") -> r).toMap
+    assert(rows.keySet == Set("s", "n"))
+    assert(rows("s").getAs[Long]("n_keys") == 3L)
+    assert(rows("n").getAs[Long]("n_keys") == 3L)
+    assert(rows("s").getAs[Long]("max_n") == 2L)
+    // single-partition input gives identical numbers
+    val one = Profile.keySkew(df.coalesce(1), Seq("s")).collect()(0)
+    assert(one.getAs[Long]("gini_ppm")
+      == rows("s").getAs[Long]("gini_ppm"))
+  }
 }
