@@ -3102,6 +3102,51 @@ object ExtQueries {
        |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Naive Bayes quality classifier TRAINED in-engine: trusted slice
+  // (lang = 'en') vs rest, per-token fixed-point log-odds, per-doc
+  // score = prior + Σ occurrence weights, keep = score > 0. The twin
+  // retrains the identical counts on token strings and replays the
+  // ln/floor algebra bit-for-bit.
+  // ---------------------------------------------------------------------
+  def xQualityNb(s: SparkSession, dir: String): DataFrame =
+    TextOps.nbQualityScore(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  val xQualityNbSql: String =
+    s"""WITH b AS (SELECT doc_id, (lang = 'en') AS pos, text
+       |    FROM documents),
+       |  tk AS (SELECT doc_id, pos, unnest($toksSql) AS tkn FROM b),
+       |  cnt AS (SELECT tkn,
+       |      CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |      CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+       |    FROM tk GROUP BY tkn),
+       |  tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+       |      CAST(SUM(cp) AS BIGINT) AS np,
+       |      CAST(SUM(cn) AS BIGINT) AS nn FROM cnt),
+       |  nd AS (SELECT
+       |      CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+       |      CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS dn
+       |    FROM b),
+       |  lam AS (SELECT tkn, CAST(FLOOR(
+       |      (ln(CAST(cp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+       |       - ln(CAST(cn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE)))
+       |      * 1073741824.0) AS BIGINT) AS lam
+       |    FROM cnt CROSS JOIN tot),
+       |  sc AS (SELECT doc_id, CAST(SUM(lam) AS BIGINT) AS sl,
+       |      CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |    FROM tk JOIN lam USING (tkn) GROUP BY doc_id),
+       |  pr AS (SELECT CAST(FLOOR(
+       |      (ln(CAST(dp AS DOUBLE)) - ln(CAST(dn AS DOUBLE)))
+       |      * 1073741824.0) AS BIGINT) AS prior FROM nd)
+       |SELECT b.doc_id,
+       |  COALESCE(n_tokens, 0) AS n_tokens,
+       |  prior + COALESCE(sl, 0) AS score_fx,
+       |  (prior + COALESCE(sl, 0)) > 0 AS keep
+       |FROM b LEFT JOIN sc USING (doc_id) CROSS JOIN pr
+       |ORDER BY b.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Per-source quality gate: keep the top 30% of each source by
   // classifier score (exact integer ceil cut, rank ties by doc_id) —
   // the per-domain curation step a global threshold gets wrong.

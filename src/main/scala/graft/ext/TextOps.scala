@@ -1627,6 +1627,75 @@ object TextOps {
       .withColumn("keep", col("clf_score") > 0L)
   }
 
+  /** Multinomial Naive Bayes quality classifier TRAINED in-engine
+    * (McCallum & Nigam 1998) — the train side [[qualityClassify]]
+    * deliberately outsources. This is the GPT-3/CCNet-recipe quality
+    * gate (Brown et al. 2020 §A; Wenzek et al. 2020): label a trusted
+    * slice positive, the rest negative, learn per-token log-odds, and
+    * keep documents the classifier scores positive. Trains on and
+    * scores the SAME frame (the self-gating form), so every scored
+    * token is in the vocabulary by construction.
+    *
+    * Exactness: per-token weight λ_t = ln((c⁺_t+1)/(N⁺+V)) −
+    * ln((c⁻_t+1)/(N⁻+V)) in fixed point `floor(λ·2³⁰)` (platform-libm
+    * `graft_ln` over exact-integer operands — the [[lmScore]]
+    * contract), prior = `floor((ln d⁺ − ln d⁻)·2³⁰)`; a document's
+    * score is the prior plus the SUM of its occurrences' fixed-point
+    * weights — integer addition, order-free, bit-identical on any
+    * layout/engine. Both classes must be non-empty (an empty class
+    * puts ±∞ in the prior, exactly as undefined as NB itself is
+    * there). Empty documents stay visible at `score_fx = prior`.
+    *
+    * Scale shape: the corpus tokenizes once into an (id, class,
+    * token-hash) stream (xxhash64 keys — gram strings never shuffle,
+    * the [[lmScore]] discipline); training reduces it to the
+    * VOCABULARY-sized (hash, c⁺, c⁻) relation in one grouped count
+    * with map-side partials; the weight table joins back as a
+    * dimension join (AQE broadcasts while it fits); per-doc scoring is
+    * one id-keyed aggregate, partials intact. The 1-row totals
+    * (N⁺, N⁻, V, d⁺, d⁻) ride as broadcast cross joins. No window, no
+    * driver-side state, nothing corpus-sized crosses the network
+    * twice. */
+  def nbQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                     trusted: Column): DataFrame = {
+    val base = graft.engine.Engine.spread(docs)
+      .select(col(idCol).as("_id"), col(textCol).as("_tx"),
+        trusted.cast("boolean").as("_pos"))
+    val tk = base.select(col("_id"), col("_pos"),
+      explode(call_function("graft_hash_tokens",
+        tokens(col("_tx")))).as("_h"))
+    val cnt = tk.groupBy(col("_h")).agg(
+      sum(when(col("_pos"), 1L).otherwise(0L)).as("_cp"),
+      sum(when(col("_pos"), 0L).otherwise(1L)).as("_cn"))
+    val tot = cnt.agg(count(lit(1)).as("_v"),
+      sum(col("_cp")).as("_np"), sum(col("_cn")).as("_nn"))
+    val nd = base.agg(
+      sum(when(col("_pos"), 1L).otherwise(0L)).as("_dp"),
+      sum(when(col("_pos"), 0L).otherwise(1L)).as("_dn"))
+    def ln(c: Column): Column = call_function("graft_ln", c)
+    val lam = cnt.crossJoin(broadcast(tot))
+      .select(col("_h"),
+        floor((ln((col("_cp") + 1).cast("double") /
+            (col("_np") + col("_v")).cast("double")) -
+          ln((col("_cn") + 1).cast("double") /
+            (col("_nn") + col("_v")).cast("double"))) *
+          lit(1073741824.0)).cast("long").as("_lam"))
+    val perDoc = tk.join(lam, Seq("_h"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_lam")).as("_s"), count(lit(1)).as("_nt"))
+    val prior = nd.select(
+      floor((ln(col("_dp").cast("double")) -
+        ln(col("_dn").cast("double"))) *
+        lit(1073741824.0)).cast("long").as("_prior"))
+    base.select(col("_id"))
+      .join(perDoc, Seq("_id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("_id").as(idCol),
+        coalesce(col("_nt"), lit(0L)).as("n_tokens"),
+        (col("_prior") + coalesce(col("_s"), lit(0L))).as("score_fx"))
+      .withColumn("keep", col("score_fx") > 0L)
+  }
+
   /** Corpus-law statistics: Zipf rank-frequency fit + Heaps-style
     * vocabulary counts — the one-row diagnostic dataset papers report
     * to show a corpus "looks like natural language" (log-log slope near

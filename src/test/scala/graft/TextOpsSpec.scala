@@ -1032,4 +1032,49 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("nbQualityScore equals an in-memory NB mirror; empty doc at prior") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "clean prose text good good", true),
+      (3L, "spam junk junk buy", false),
+      (4L, "good prose with junk", false),
+      (5L, "", true))
+    val df = rows.toDF("id", "text", "trusted").repartition(5)
+    val got = TextOps.nbQualityScore(df, "id", "text", col("trusted"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    // mirror: same tokenizer (lowercase [^a-z0-9]+ split), add-one NB
+    val toks = rows.map { case (id, tx, tr) =>
+      (id, tx.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq,
+        tr)
+    }
+    val pos = toks.filter(_._3).flatMap(_._2)
+    val neg = toks.filterNot(_._3).flatMap(_._2)
+    val vocab = (pos ++ neg).distinct
+    val (np, nn, v) = (pos.size.toLong, neg.size.toLong,
+      vocab.size.toLong)
+    val cp = pos.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cn = neg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def lam(t: String): Long = math.floor(
+      (math.log((cp.getOrElse(t, 0L) + 1).toDouble / (np + v)) -
+        math.log((cn.getOrElse(t, 0L) + 1).toDouble / (nn + v))) *
+        1073741824.0).toLong
+    val dp = toks.count(_._3).toLong
+    val dn = toks.count(!_._3).toLong
+    val prior = math.floor(
+      (math.log(dp.toDouble) - math.log(dn.toDouble)) *
+        1073741824.0).toLong
+    toks.foreach { case (id, ts, _) =>
+      val want = (ts.size.toLong, prior + ts.map(lam).sum)
+      assert(got(id) == ((want._1, want._2, want._2 > 0L)),
+        s"doc $id: ${got(id)} != $want")
+    }
+    // empty doc visible, score exactly the prior
+    assert(got(5L)._1 == 0L && got(5L)._2 == prior)
+    // trusted-looking text keeps, junk-looking drops
+    assert(got(1L)._3 && !got(3L)._3)
+  }
 }
