@@ -2310,6 +2310,62 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Interpolated Kneser-Ney bigram scoring (TextOps.knScore): train on
+  // the src0 slice with D = 3/4 (exact rational — every term a ratio
+  // of integers), score every document. The twin re-derives c1/c12/
+  // continuation counts on token strings and replays the double
+  // algebra in the identical order, so each mean NLL is bit-exact.
+  // ---------------------------------------------------------------------
+  def xTextKneser(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextOps.knScore(d, d.filter(col("source") === "src0"),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val xTextKneserSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, $toksSql AS toks
+       |    FROM documents),
+       |  grams AS (SELECT doc_id, source, g.w1 AS w1, g.w2 AS w2 FROM (
+       |    SELECT doc_id, source, unnest(list_transform(
+       |        range(1, len(toks)),
+       |        i -> {w1: toks[i], w2: toks[i+1]})) AS g
+       |    FROM tok WHERE len(toks) >= 2)),
+       |  uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+       |      SELECT unnest(toks) AS w1 FROM tok WHERE source = 'src0')
+       |    GROUP BY w1),
+       |  bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |    FROM grams WHERE source = 'src0' GROUP BY w1, w2),
+       |  n1f AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f
+       |    FROM bi GROUP BY w1),
+       |  n1b AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+       |    FROM bi GROUP BY w2),
+       |  tv AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bi) AS t,
+       |      (SELECT CAST(COUNT(*) + 1 AS BIGINT) FROM uni) AS v),
+       |  sc AS (SELECT doc_id, CAST(FLOOR((0.0 - ln(
+       |      CASE WHEN COALESCE(c1, 0) > 0 AND COALESCE(n1f, 0) > 0
+       |      THEN CAST(GREATEST(COALESCE(c12, 0) * 4 - 3, 0) AS DOUBLE)
+       |          / CAST(COALESCE(c1, 0) * 4 AS DOUBLE)
+       |        + (CAST(COALESCE(n1f, 0) * 3 AS DOUBLE)
+       |           / CAST(COALESCE(c1, 0) * 4 AS DOUBLE))
+       |          * (CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+       |             / CAST(t + v AS DOUBLE))
+       |      ELSE CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+       |           / CAST(t + v AS DOUBLE) END))
+       |      * 1073741824.0) AS BIGINT) AS fx
+       |    FROM grams d
+       |    LEFT JOIN uni ON d.w1 = uni.w1
+       |    LEFT JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+       |    LEFT JOIN n1f ON d.w1 = n1f.w1
+       |    LEFT JOIN n1b ON d.w2 = n1b.w2
+       |    CROSS JOIN tv)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  (CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE)
+       |     / CAST(COUNT(*) AS DOUBLE)) / 1073741824.0 AS kn_nll
+       |FROM sc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // DoReMi-style domain mixture weights (TextOps.mixtureWeights): train
   // the bigram LM on the trusted slice (src0, the x_text_lmscore
   // framing), aggregate fixed-point NLL at DOMAIN grain, upweight

@@ -1076,6 +1076,91 @@ object TextOps {
         col("weight_ppm"))
   }
 
+  /** Interpolated Kneser–Ney bigram fluency scoring (Kneser & Ney
+    * 1995; the interpolated form of Chen & Goodman 1999 §2.7) — the
+    * smoothing that actually ships in n-gram LMs, next to [[lmScore]]'s
+    * add-one baseline: instead of flattening everything toward 1/V, it
+    * discounts observed bigrams by a fixed D and backs off to the
+    * CONTINUATION probability (how many distinct histories a word
+    * follows — "francisco" is frequent but predictable, "report" is
+    * not).
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+    *              + D·N1+(w1•)/c(w1) · Pc(w2)          if c(w1) > 0
+    *   Pc(w2)   = (N1+(•w2) + 1)/(T + V)               (add-one so
+    *              unseen words keep support; T = distinct bigram
+    *              types, V = distinct unigrams + 1 — the [[lmScore]]
+    *              convention); full backoff to Pc when the history is
+    *              unseen OR continues nothing (N1+(w1•) = 0, which
+    *              also forces c(w1w2) = 0 — a history seen only
+    *              doc-finally), keeping every probability > 0.
+    *
+    * D = 3/4 exactly: every term is a ratio of INTEGERS (the discount
+    * multiplies through as `max(4c−3, 0)/(4c₁)` and `3·N1+(w1•)/(4c₁)`)
+    * so both engines evaluate identical double divisions in an
+    * identical order, then the per-bigram NLL pins to fixed point
+    * `floor(−ln(P)·2³⁰)` and per-doc sums are order-free BIGINTs — the
+    * [[lmScore]] exactness contract, unchanged.
+    *
+    * Scale shape, also unchanged from [[lmScore]]: the model relations
+    * are vocabulary-sized — (w1: c1, N1+(w1•)) merged into ONE
+    * dimension table, (w1w2: c12), (w2: N1+(•w2)) — keyed by 8-byte
+    * xxhash64 hashes (gram strings never shuffle); the scored corpus
+    * explodes to bigrams once, takes three dimension joins (AQE
+    * broadcasts while they fit), and aggregates straight back to doc
+    * grain with map-side partials. T and V ride as a 1-row broadcast
+    * cross join. */
+  def knScore(docs: DataFrame, ref: DataFrame, idCol: String,
+              textCol: String): DataFrame = {
+    val hts = call_function("graft_hash_tokens", tokens(col(textCol)))
+    val uni = ref.select(explode(hts).as("_h1"))
+      .groupBy(col("_h1")).agg(count(lit(1)).as("_c1"))
+    val rb = ref.select(hts.as("_ht"))
+      .select(col("_ht"), posexplode(call_function(
+        "graft_window_hashes", col("_ht"), lit(2))))
+      .withColumnsRenamed(Map("pos" -> "_p", "col" -> "_hg"))
+      .select(element_at(col("_ht"), col("_p") + 1).as("_b1"),
+        element_at(col("_ht"), col("_p") + 2).as("_b2"), col("_hg"))
+    val bi = rb.groupBy(col("_hg")).agg(count(lit(1)).as("_c12"),
+      min(col("_b1")).as("_b1"), min(col("_b2")).as("_b2"))
+    val n1f = bi.groupBy(col("_b1").as("_h1"))
+      .agg(count(lit(1)).as("_n1f"))
+    val n1b = bi.groupBy(col("_b2").as("_h2"))
+      .agg(count(lit(1)).as("_n1b"))
+    val hist = uni.join(n1f, Seq("_h1"), "left") // (w1: c1, N1+(w1·))
+    val tv = bi.agg(count(lit(1)).as("_t"))
+      .crossJoin(uni.agg((count(lit(1)) + lit(1)).as("_v")))
+    val dg = graft.engine.Engine.spread(docs)
+      .select(col(idCol).as("_id"), hts.as("_ht"))
+      .select(col("_id"), col("_ht"), posexplode(call_function(
+        "graft_window_hashes", col("_ht"), lit(2))))
+      .withColumnsRenamed(Map("pos" -> "_p", "col" -> "_hg"))
+      .select(col("_id"),
+        element_at(col("_ht"), col("_p") + 1).as("_h1"),
+        element_at(col("_ht"), col("_p") + 2).as("_h2"), col("_hg"))
+      .join(hist, Seq("_h1"), "left")
+      .join(bi.select(col("_hg"), col("_c12")), Seq("_hg"), "left")
+      .join(n1b, Seq("_h2"), "left")
+      .crossJoin(broadcast(tv))
+    val pc = (coalesce(col("_n1b"), lit(0L)) + lit(1L)).cast("double") /
+      (col("_t") + col("_v")).cast("double")
+    val den = (coalesce(col("_c1"), lit(0L)) * 4).cast("double")
+    val p = when(coalesce(col("_c1"), lit(0L)) > 0L &&
+        coalesce(col("_n1f"), lit(0L)) > 0L,
+      greatest(coalesce(col("_c12"), lit(0L)) * 4 - lit(3L), lit(0L))
+        .cast("double") / den +
+        (coalesce(col("_n1f"), lit(0L)) * 3).cast("double") / den * pc)
+      .otherwise(pc)
+    val fx = floor((lit(0.0) - call_function("graft_ln", p)) *
+      lit(1073741824.0)).cast("long")
+    dg.select(col("_id"), fx.as("_fx"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("n_bigrams"))
+      .select(col("_id").as(idCol), col("n_bigrams"),
+        ((col("_sfx").cast("double") / col("n_bigrams").cast("double")) /
+          lit(1073741824.0)).as("kn_nll"))
+  }
+
   /** Exact k-tile assignment over a scored frame — NTILE(k) ordered by
     * `(scoreCol, idCol)`, WITHOUT the partition-less window that NTILE
     * plans (Spark moves every row to ONE task for an unpartitioned

@@ -1033,6 +1033,49 @@ class TextOpsSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("knScore: continuation beats raw frequency on unseen histories " +
+    "(the Kneser-Ney signature); exact in-memory mirror") {
+    import spark.implicits._
+    // "francisco" is FREQUENT but always follows "san" (1 continuation
+    // history); "report" is rarer but follows many histories.
+    val ref = Seq(
+      (100L, "san francisco san francisco san francisco san francisco"),
+      (101L, "annual report quarterly report final report"),
+      (102L, "the report says san francisco grew")
+    ).toDF("doc_id", "text")
+    // both scored bigrams have an UNSEEN history word → full backoff
+    // to the continuation distribution
+    val docs = Seq(
+      (1L, "zzz francisco"),
+      (2L, "zzz report"),
+      (3L, "one")  // <2 tokens: no bigrams, drops (lmScore contract)
+    ).toDF("doc_id", "text")
+    val got = TextOps.knScore(docs, ref, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L)
+    // KN: despite c(francisco)=5 > c(report)=4, report has 3 distinct
+    // histories vs francisco's 1 → report is MORE likely after novelty
+    assert(got(2L)._2 < got(1L)._2,
+      s"report ${got(2L)._2} should beat francisco ${got(1L)._2}")
+    // exact mirror: Pc(w2) = (N1+(·w2)+1)/(T+V)
+    val refToks = Seq(
+      "san francisco san francisco san francisco san francisco",
+      "annual report quarterly report final report",
+      "the report says san francisco grew")
+      .map(_.split(" ").toSeq)
+    val bigrams = refToks.flatMap(ts => ts.zip(ts.tail))
+    val t = bigrams.distinct.size.toLong
+    val v = refToks.flatten.distinct.size.toLong + 1L
+    val n1b = bigrams.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+    def nll(w: String): Double = {
+      val p = (n1b.getOrElse(w, 0) + 1).toDouble / (t + v).toDouble
+      math.floor(-math.log(p) * 1073741824.0) / 1073741824.0
+    }
+    assert(got(1L)._2 == nll("francisco"))
+    assert(got(2L)._2 == nll("report"))
+  }
+
   test("nbQualityScore equals an in-memory NB mirror; empty doc at prior") {
     import spark.implicits._
     val rows = Seq(
