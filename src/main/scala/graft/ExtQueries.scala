@@ -3229,6 +3229,32 @@ object ExtQueries {
        |FROM r ORDER BY source, src_rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Sign random projection 64 → 16 dims (SimilarityOps.signProject):
+  // deterministic ±1 JL matrix from the portable md5 convention, all
+  // arithmetic fixed-point BIGINT. The twin re-derives every sign and
+  // component exactly.
+  // ---------------------------------------------------------------------
+  def xEmbedProject(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.signProject(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dOut = 16)
+      .orderBy(col("vec_id"), col("dim"))
+
+  val xEmbedProjectSql: String =
+    """WITH c AS (SELECT vec_id, s.i AS i,
+      |    CAST(FLOOR(CAST(s.x AS DOUBLE) * 16777216.0) AS BIGINT) AS xq
+      |  FROM (SELECT vec_id, unnest(list_transform(
+      |      range(1, len(embedding) + 1),
+      |      k -> {i: k - 1, x: embedding[k]})) AS s FROM embeddings)),
+      |  d AS (SELECT unnest(range(0, 16)) AS j)
+      |SELECT vec_id, CAST(j AS INTEGER) AS dim,
+      |  CAST(SUM((1 - 2 * (('0x' || substr(
+      |      md5('sp:' || j || ':' || i), 1, 15))::BIGINT % 2)) * xq)
+      |    AS BIGINT) AS comp
+      |FROM c CROSS JOIN d
+      |GROUP BY vec_id, j
+      |ORDER BY vec_id, dim""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Int8 scalar quantization of the embedding table: corpus-wide
   // per-dim (min, max) → plan-literal quantizer → shuffle-free coding
   // projection; per-vector code checksum/extremes + fixed-point

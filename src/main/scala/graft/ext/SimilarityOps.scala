@@ -968,6 +968,47 @@ object SimilarityOps {
       codeMax.cast("int").as("code_max"), errSum.as("err_fx"))
   }
 
+  /** Sign random projection (Achlioptas 2003's ±1 database-friendly
+    * Johnson–Lindenstrauss family; Charikar 2002 context): project
+    * `dIn`-dim embeddings to `dOut` dims with a DETERMINISTIC ±1
+    * matrix — `sign(j,i) = 1 − 2·(h60("sp:j:i") mod 2)`, the portable
+    * md5 convention ([[graft.ext.SketchOps.h60]]) — so the projection
+    * is a pure function of the vector, identical on any engine, run,
+    * or layout, with no materialized matrix to ship. Dot products (and
+    * so cosines) are preserved in expectation with error O(1/√dOut);
+    * at dIn = 64 → dOut = 16 this is the 4× ANN-scan-size lever next
+    * to [[quantizeInt8]]'s int8 coding.
+    *
+    * Exactness: components pin to fixed point FIRST
+    * (`xq = floor(x·2²⁴)`, one correctly-rounded double multiply from
+    * the float), then everything is ±1·integer BIGINT sums — order-free,
+    * bit-identical everywhere. Output is the sparse relational form
+    * (id, dim, comp) — dOut rows per vector.
+    *
+    * Scale shape: the per-vector fan-out (d·dOut sign-weighted terms —
+    * the projection's inherent flop count) happens INSIDE tasks; the
+    * map-side partial aggregation collapses each (vector, out-dim) to
+    * one row before the exchange, so the only shuffle carries n·dOut
+    * longs — the PROJECTED size, not the input size. No window, no
+    * driver state, no matrix broadcast (signs compute inline,
+    * codegen'd md5 on a ~10-byte string). */
+  def signProject(vecs: DataFrame, idCol: String, vecCol: String,
+                  dOut: Int): DataFrame = {
+    require(dOut >= 1, s"dOut must be >= 1: $dOut")
+    graft.engine.Engine.spread(vecs)
+      .select(col(idCol).as("_vid"), posexplode(col(vecCol)))
+      .withColumnsRenamed(Map("pos" -> "_i", "col" -> "_x"))
+      .select(col("_vid"), col("_i"),
+        floor(col("_x").cast("double") * lit(16777216.0)).cast("long")
+          .as("_xq"),
+        explode(lit((0 until dOut).toArray)).as("_j"))
+      .groupBy(col("_vid"), col("_j"))
+      .agg(sum((lit(1L) - lit(2L) *
+          (SketchOps.h60(concat_ws(":", lit("sp"), col("_j"),
+            col("_i"))) % 2)) * col("_xq")).as("comp"))
+      .select(col("_vid").as(idCol), col("_j").as("dim"), col("comp"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998): greedily pick `k` of the top-`nCand` candidates,
     * each step maximizing `λ·rel(q,d) − (1−λ)·max_{s∈chosen} sim(d,s)`

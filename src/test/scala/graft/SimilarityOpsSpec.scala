@@ -766,4 +766,55 @@ class SimilarityOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Int]("rnk"))
     assert(joined.length == 5 && joined.forall(_ == 1))
   }
+
+  test("signProject: exact in-memory mirror, JL cosine preservation, " +
+    "layout independence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = SimilarityOps.signProject(df, "vec_id", "embedding", 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == 40 * 16)
+    // mirror: sign(j,i) from the portable md5 60-bit convention
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    def proj(v: Array[Float]): Array[Long] =
+      Array.tabulate(16) { j =>
+        v.zipWithIndex.map { case (x, i) =>
+          val s = 1L - 2L * (h60(s"sp:$j:$i") % 2L)
+          s * math.floor(x.toDouble * 16777216.0).toLong
+        }.sum
+      }
+    vecs.foreach { case (id, v) =>
+      val want = proj(v)
+      (0 until 16).foreach(j => assert(got((id, j)) == want(j),
+        s"vec $id dim $j"))
+    }
+    // JL sanity: projected cosine tracks original cosine (error
+    // O(1/sqrt(16)) — assert a loose band over all pairs)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val pairs = for (a <- 0 until 10; b <- (a + 1) until 10) yield (a, b)
+    val errs = pairs.map { case (a, b) =>
+      val o = cos(vecs(a)._2.map(_.toDouble), vecs(b)._2.map(_.toDouble))
+      val p = cos(proj(vecs(a)._2).map(_.toDouble),
+        proj(vecs(b)._2).map(_.toDouble))
+      math.abs(o - p)
+    }
+    assert(errs.max < 0.6 && errs.sum / errs.size < 0.25,
+      s"JL drift too large: mean=${errs.sum / errs.size} max=${errs.max}")
+    // layout independence: same values from a repartitioned input
+    val again = SimilarityOps.signProject(df.repartition(13), "vec_id",
+        "embedding", 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
 }
