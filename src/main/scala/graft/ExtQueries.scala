@@ -3229,6 +3229,53 @@ object ExtQueries {
        |FROM r ORDER BY source, src_rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Triangle census of the cosine similarity graph
+  // (GraphOps.triangleStats): edges = round-6 cosine >= 0.2 pairs over
+  // the bounded vec_id < 200 slice (the exact-tier posture — the
+  // operator itself takes ANY edge table); per-node triangle counts +
+  // exact integer clustering coefficient. The twin enumerates each
+  // id-ordered triangle once and replays the ppm algebra in HUGEINT.
+  // ---------------------------------------------------------------------
+  def xGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("_va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("_vb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+      .filter(round(SimilarityOps.cosine(col("_va"), col("_vb")), 6)
+        >= 0.2)
+      .select(col("ia"), col("ib"))
+    graft.ext.GraphOps.triangleStats(pairs, "ia", "ib")
+      .orderBy(col("node"))
+  }
+
+  val xGraphTrianglesSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 200),
+      |  p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+      |    FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |    WHERE round(list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v))
+      |         * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2),
+      |  deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |      SELECT ia AS node FROM p UNION ALL SELECT ib FROM p)
+      |    GROUP BY node),
+      |  tr AS (SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
+      |    FROM p e1
+      |    JOIN p e2 ON e1.ia = e2.ia AND e1.ib < e2.ib
+      |    JOIN p e3 ON e3.ia = e1.ib AND e3.ib = e2.ib),
+      |  pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |    FROM (SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+      |          UNION ALL SELECT c FROM tr) GROUP BY node)
+      |SELECT deg.node, degree,
+      |  COALESCE(n_triangles, 0) AS n_triangles,
+      |  CASE WHEN degree >= 2 THEN CAST(
+      |      2 * CAST(COALESCE(n_triangles, 0) AS HUGEINT) * 1000000
+      |      // (CAST(degree AS HUGEINT) * (degree - 1)) AS BIGINT)
+      |    ELSE 0 END AS clustering_ppm
+      |FROM deg LEFT JOIN pn USING (node) ORDER BY deg.node""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Sign random projection 64 → 16 dims (SimilarityOps.signProject):
   // deterministic ±1 JL matrix from the portable md5 convention, all
   // arithmetic fixed-point BIGINT. The twin re-derives every sign and

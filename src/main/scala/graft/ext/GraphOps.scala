@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational graph statistics over an edge table — the similarity /
+  * near-dup / transition graphs this engine mines are graphs, and the
+  * first structural questions about them (is this cluster a clique or
+  * a chain? is the graph transitive enough to trust closure?) are
+  * triangle questions. Everything here is pure joins + aggregates over
+  * (src, dst) pairs: no vertex program, no iteration, no driver state.
+  */
+object GraphOps {
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * UNDIRECTED edge table (either orientation, duplicates and self
+    * loops tolerated — edges canonicalize first).
+    *
+    * Algorithm: orient every edge from its (degree, id)-smaller
+    * endpoint to its larger one — a total order, so each triangle
+    * {a,b,c} materializes exactly once as the wedge (a→b, a→c) closed
+    * by (b→c) with a < b < c in the order. The wedge self-join fans
+    * out Σᵤ d⁺(u)² pairs where d⁺ is the ORIENTED out-degree, which
+    * the (degree, id) orientation caps at O(√m) — total work O(m^1.5)
+    * regardless of degree skew. This is the standard defense against
+    * "the curse of the last reducer" (Suri & Vassilvitskii, WWW 2011;
+    * Schank & Wagner 2005): a celebrity node of degree 10⁷ contributes
+    * ~no wedges because its edges all point INTO it.
+    *
+    * Scale shape: degree = one grouped count over the exploded
+    * endpoint stream; orientation = two id-keyed dimension joins; the
+    * wedge join is keyed on the shared endpoint and the closing join
+    * on the (v, w) pair — every exchange carries id pairs/triples
+    * only. Per-triangle credit to all three corners is a 3-row explode
+    * + grouped count. The clustering coefficient is exact integer ppm:
+    * `2·tri·10⁶ div (deg·(deg−1))` in DECIMAL(38,0) (a 2³⁰-degree hub
+    * would overflow the BIGINT product).
+    *
+    * Output, one row per node: `node`, `degree`, `n_triangles`,
+    * `clustering_ppm` (0 for degree < 2 — undefined, pinned to 0). */
+  def triangleStats(edges0: DataFrame, aCol: String,
+                    bCol: String): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol), col(bCol)).as("_lo"),
+        greatest(col(aCol), col(bCol)).as("_hi"))
+      .filter(col("_lo") =!= col("_hi"))
+      .distinct()
+    val deg = e.select(explode(array(col("_lo"), col("_hi"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val withDeg = e
+      .join(deg.select(col("node").as("_lo"), col("degree").as("_dl")),
+        Seq("_lo"))
+      .join(deg.select(col("node").as("_hi"), col("degree").as("_dh")),
+        Seq("_hi"))
+      .withColumn("_fwd",
+        struct(col("_dl"), col("_lo")) < struct(col("_dh"), col("_hi")))
+    // oriented edge (src → dst) with the dst's (degree, id) carried for
+    // the wedge ordering
+    val oriented = withDeg.select(
+      when(col("_fwd"), col("_lo")).otherwise(col("_hi")).as("_src"),
+      when(col("_fwd"), col("_hi")).otherwise(col("_lo")).as("_dst"),
+      when(col("_fwd"), col("_dh")).otherwise(col("_dl")).as("_dd"))
+    val o1 = oriented.select(col("_src"), col("_dst").as("_v"),
+      col("_dd").as("_vd"))
+    val o2 = oriented.select(col("_src"), col("_dst").as("_w"),
+      col("_dd").as("_wd"))
+    val wedges = o1.join(o2, Seq("_src"))
+      .filter(struct(col("_vd"), col("_v")) <
+        struct(col("_wd"), col("_w")))
+      .select(col("_src").as("_a"), col("_v"), col("_w"))
+    val closing = oriented.select(col("_src").as("_v"),
+      col("_dst").as("_w"))
+    val tris = wedges.join(closing, Seq("_v", "_w"))
+    val perNode = tris
+      .select(explode(array(col("_a"), col("_v"), col("_w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .select(col("node"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2L,
+          expr("cast(2 * cast(n_triangles as decimal(38,0)) * 1000000" +
+            " div (cast(degree as decimal(38,0)) * (degree - 1))" +
+            " as bigint)"))
+          .otherwise(lit(0L)).as("clustering_ppm"))
+  }
+}

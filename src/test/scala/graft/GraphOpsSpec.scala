@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("triangleStats: clique, path, pendant; dup/reversed/self edges " +
+    "canonicalize; per-node counts and exact cc ppm") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}  +  path 5-6-7  +  pendant 8 off node 1
+    // with noise: duplicates, reversed orientations, a self loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (8L, 1L),
+      (2L, 1L), (3L, 1L), // reversed duplicates
+      (1L, 2L),           // exact duplicate
+      (6L, 6L)            // self loop
+    ).toDF("a", "b")
+    val got = GraphOps.triangleStats(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // node 1: K4 degree 3 + pendant = 4; its 3 triangles over
+    // C(4,2)=6 wedges → cc = 500000
+    assert(got(1L) == ((4L, 3L, 500000L)))
+    // nodes 2,3,4: degree 3, 3 triangles, cc = 3/3 = 10^6
+    Seq(2L, 3L, 4L).foreach(n => assert(got(n) == ((3L, 3L, 1000000L))))
+    // path: middle node degree 2, no triangle, cc 0; ends degree 1
+    assert(got(6L) == ((2L, 0L, 0L)))
+    assert(got(5L) == ((1L, 0L, 0L)) && got(7L) == ((1L, 0L, 0L)))
+    assert(got(8L) == ((1L, 0L, 0L)))
+    // total triangle credit = 3 per triangle, 4 triangles in K4
+    assert(got.values.map(_._2).sum == 3L * 4L)
+  }
+
+  test("triangleStats: orientation bound never double-counts under " +
+    "skewed degrees; layout-independent") {
+    import spark.implicits._
+    // star center 0 wired to 1..10, plus rim edges (i, i+1) for
+    // i in 1..9 → 9 triangles (0, i, i+1); center degree 10
+    val star = (1L to 10L).map(i => (0L, i)) ++
+      (1L to 9L).map(i => (i, i + 1))
+    val df = star.toDF("a", "b")
+    val got = GraphOps.triangleStats(df.repartition(7), "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == ((10L, 9L)))
+    // 9 triangles, each crediting 3 corners
+    assert(got.values.map(_._2).sum == 27L)
+    // interior rim nodes touch two triangles, the rim ends one
+    assert(got(5L)._2 == 2L && got(1L)._2 == 1L && got(10L)._2 == 1L)
+    // center cc: 9 triangles over C(10,2)=45 wedges = 200000 ppm
+    val cc = GraphOps.triangleStats(df, "a", "b")
+      .filter(col("node") === 0L).collect()(0).getLong(3)
+    assert(cc == 200000L)
+  }
+}
