@@ -4066,6 +4066,83 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Containment near-dup pairs (DedupOps.containmentPairs): the
+  // asymmetric |A∩B|/|A| screen over a corpus with planted TRUNCATED
+  // twins (first half of each of the first 30 docs) — the case Jaccard
+  // structurally misses (J ~ 0.5, containment ~ 1). Exact tier, both
+  // directions, integer ppm; the twin replays string-shingle set
+  // algebra.
+  // ---------------------------------------------------------------------
+  def xDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          expr("substring(text, 1, cast(length(text) div 2 as int))")
+            .as("text")))
+    DedupOps.containmentPairs(corpus, "doc_id", "text",
+        n = 2, tauPpm = 600000L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val xDedupContainmentSql: String =
+    s"""WITH corpus AS (
+       |    SELECT doc_id, text FROM documents WHERE doc_id < 100
+       |    UNION ALL
+       |    SELECT doc_id + 20000 AS doc_id,
+       |      substr(text, 1, CAST(length(text) // 2 AS INTEGER)) AS text
+       |    FROM documents WHERE doc_id < 30),
+       |  tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |  $shingleCteSql,
+       |  pj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(a.sh) AS BIGINT) AS n_a,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter
+       |    FROM t a JOIN t b ON a.doc_id <> b.doc_id)
+       |SELECT id_a, id_b, n_a, n_inter,
+       |  n_inter * 1000000 // n_a AS containment_ppm
+       |FROM pj WHERE n_inter * 1000000 // n_a >= 600000
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Per-group weighted sampling without replacement
+  // (Split.weightedSamplePerGroup): 5 docs per source chosen ∝ token
+  // count via per-group Efraimidis-Spirakis keys, ranked by the
+  // window-free two-pass grouped rank. The twin replays the score and
+  // a per-group window.
+  // ---------------------------------------------------------------------
+  def xSampleGroupWeighted(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("weight",
+        TextOps.tokenCount(col("text")).cast("long") + 1)
+      .select(col("doc_id"), col("source"), col("weight"))
+    graft.transform.Split.weightedSamplePerGroup(d, "source", "doc_id",
+        "weight", 5)
+      .select(col("doc_id"), col("source"), col("weight"),
+        col("sample_score_fx"), col("sample_rank"), col("n_group"))
+      .orderBy(col("doc_id"))
+  }
+
+  val xSampleGroupWeightedSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len($toksSql) AS BIGINT) + 1 AS weight FROM documents),
+       |  k AS (SELECT doc_id, source, weight,
+       |      CAST(FLOOR(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+       |          1, 15))::BIGINT + 1) / 1152921504606846976.0)
+       |        * 1073741824.0 / weight) AS BIGINT) AS sample_score_fx
+       |    FROM d WHERE weight > 0),
+       |  r AS (SELECT *,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY sample_score_fx DESC, doc_id) AS BIGINT)
+       |        AS sample_rank,
+       |      CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+       |        AS n_group
+       |    FROM k)
+       |SELECT doc_id, source, weight, sample_score_fx, sample_rank,
+       |  n_group
+       |FROM r WHERE sample_rank <= 5 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Winnowing fingerprints (TextOps.winnowFingerprints): min-hash of
   // each 4-window over 4-token shingle hashes — any shared 7-token run
   // between documents lands one identical fingerprint in both. The

@@ -174,6 +174,44 @@ object DedupOps {
           .as("jaccard"))
   }
 
+  /** Containment near-dup pairs — the ASYMMETRIC overlap
+    * `C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|` (Broder 1997's "roughly
+    * contained in"): the duplication Jaccard structurally misses. A
+    * short document embedded verbatim in a long one (a quote farm, a
+    * template wrapping real content, a truncated crawl twin) has
+    * containment ≈ 1 while Jaccard ≈ |A|/|B| → 0 — so a Jaccard
+    * threshold never fires. Emits BOTH directions (C(A→B) and C(B→A)
+    * differ by construction) for every ordered pair at or above
+    * `tauPpm`, with exact integer ppm (`inter·10⁶ div |A|`).
+    *
+    * Scale shape: documents reduce to DISTINCT hashed shingle sets
+    * (codegen'd window hashes — no shingle strings in flight), explode
+    * once to (id, hash) pairs, and candidates come from ONE shingle-
+    * keyed equi-join + one (a, b)-keyed count — ids-only exchanges.
+    * Like [[jaccardPairs]], this is the exact, oracle-comparable tier:
+    * candidate mass is Σ df(shingle)² over shared shingles, so the
+    * production screen bounds it (slice by id, or drop ubiquitous
+    * shingles above a df cap — the standard prefix-filter move —
+    * before the join); the LSH route for containment needs the
+    * asymmetric-transform trick and is out of scope here. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 2, tauPpm: Long = 600000L): DataFrame = {
+    val ex = hashedShingleSets(df, idCol, textCol, n)
+      .select(col("_id"), explode(col("_sh")).as("_h"))
+    val sizes = ex.groupBy(col("_id").as("id_a"))
+      .agg(count(lit(1)).as("n_a"))
+    ex.select(col("_id").as("id_a"), col("_h"))
+      .join(ex.select(col("_id").as("id_b"), col("_h")), Seq("_h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes, Seq("id_a"))
+      .withColumn("containment_ppm", expr("n_inter * 1000000 div n_a"))
+      .filter(col("containment_ppm") >= tauPpm)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_inter"),
+        col("containment_ppm"))
+  }
+
   /** MinHash signature of an `array<string>` shingle column: each shingle
     * is string-hashed once (native [[graft.expressions.TokenHashes]] —
     * analysis REJECTS non-string arrays loudly; pre-hashed `array<long>`

@@ -261,6 +261,40 @@ object Split {
       .limit(n)
   }
 
+  /** Per-GROUP Efraimidis–Spirakis weighted sampling without
+    * replacement: the k best exponential keys `u^(1/w)` within each
+    * group — "k documents per domain, chosen ∝ token count", the
+    * grouped form of [[weightedSample]] (same deterministic md5
+    * uniform, same engine-exact `floor(ln(u)·2³⁰/w)` fixed-point
+    * ordering, ties by id), so a sample is reproducible across runs,
+    * engines, and layouts, and a group's selection is independent of
+    * every other group's contents.
+    *
+    * Scale shape: the score is a narrow projection; the per-group
+    * top-k comes from [[Ids.assignGroupedRanks]]'s two-pass
+    * range-partitioned rank — a mega-group SPANS partitions instead of
+    * funneling through the single-task window `row_number() OVER
+    * (PARTITION BY group)` plans when one domain is half the corpus.
+    * Appends `sample_score_fx`, `sample_rank`, `n_group`; keeps rows
+    * with rank ≤ k. Zero/negative weights are excluded (a zero weight
+    * must never be drawn; its u^(1/w) limit is 0). */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String,
+                             idCol: String, weightCol: String,
+                             k: Int): DataFrame = {
+    require(k >= 1, s"weightedSamplePerGroup: k must be >= 1: $k")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
+    val scoreFx = floor(call_function("graft_ln", u) *
+      lit(1073741824.0) / col(weightCol).cast("double")).cast("long")
+    val scored = df.filter(col(weightCol) > 0)
+      .withColumn("sample_score_fx", scoreFx)
+    Ids.assignGroupedRanks(scored, groupCol,
+        Seq(col("sample_score_fx").desc, col(idCol)),
+        "sample_rank", "n_group")
+      .filter(col("sample_rank") <= k)
+  }
+
   /** EXACT budget apportionment across groups — Hamilton's
     * largest-remainder method over integer weights (e.g.
     * [[graft.ext.TextOps.mixtureWeights]]' `weight_ppm`): every group

@@ -500,4 +500,32 @@ class DedupOpsSpec extends SparkSpec {
     // estimator granularity: est_ppm is a multiple of 1e6/16
     assert(out.values.forall(v => v._2 % 62500L == 0L))
   }
+
+  test("containmentPairs: asymmetric — catches the embedded doc that " +
+    "Jaccard misses; exact dups fire both ways") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta"), // prefix of 1: contained
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (4L, "totally different words here")
+    ).toDF("id", "text")
+    val got = DedupOps.containmentPairs(docs, "id", "text",
+        n = 2, tauPpm = 600000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // doc 2 (3 bigrams) fully inside docs 1 and 3 → 10^6 both
+    assert(got((2L, 1L)) == ((3L, 3L, 1000000L)))
+    assert(got((2L, 3L)) == ((3L, 3L, 1000000L)))
+    // the reverse direction is 3/7 — BELOW threshold (what Jaccard-like
+    // symmetric measures would also miss, but here by design)
+    assert(!got.contains((1L, 2L)))
+    // exact duplicates contain each other
+    assert(got((1L, 3L))._3 == 1000000L && got((3L, 1L))._3 == 1000000L)
+    // the unrelated doc pairs with nothing
+    assert(got.keys.forall { case (a, b) => a != 4L && b != 4L })
+    assert(got.size == 4)
+  }
 }

@@ -313,4 +313,43 @@ class SplitSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p)
   }
+
+  test("weightedSamplePerGroup: equals a window mirror, exact per-group " +
+    "k, zero weights excluded, layout-independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 200L).map(i =>
+      (i, s"g${i % 5}", if (i % 17 == 0) 0L else rnd.nextInt(50) + 1L))
+      .toDF("id", "g", "w")
+    val got = Split.weightedSamplePerGroup(df, "g", "id", "w", 7)
+      .collect()
+      .map(r => (r.getAs[Long]("id"),
+        (r.getAs[String]("g"), r.getAs[Long]("sample_rank"))))
+      .toMap
+    // window mirror over the same engine-computed scores
+    val h = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
+    val sc = floor(call_function("graft_ln", u) *
+      lit(1073741824.0) / col("w").cast("double")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("_s").desc, col("id"))
+    val mirror = df.filter(col("w") > 0).withColumn("_s", sc)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 7)
+      .collect()
+      .map(r => (r.getAs[Long]("id"),
+        (r.getAs[String]("g"), r.getAs[Int]("_rk").toLong)))
+      .toMap
+    assert(got == mirror)
+    // per-group exactly min(k, group size) survivors; k=7 < every group
+    assert(got.values.groupBy(_._1).forall(_._2.size == 7))
+    // zero-weight rows (id % 17 == 0) never sampled
+    assert(got.keys.forall(_ % 17 != 0))
+    // layout independence
+    val again = Split.weightedSamplePerGroup(df.repartition(13), "g",
+        "id", "w", 7)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == got.keySet)
+  }
 }
