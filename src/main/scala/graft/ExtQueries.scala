@@ -3236,27 +3236,35 @@ object ExtQueries {
   // exact integer clustering coefficient. The twin enumerates each
   // id-ordered triangle once and replays the ppm algebra in HUGEINT.
   // ---------------------------------------------------------------------
-  def xGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+  /** Cosine ≥ 0.2 similarity edges over the bounded vec_id < 200
+    * slice — the shared fixture graph of the graph-ops queries. */
+  private def cosineEdges(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("_va"))
     val b = e.select(col("vec_id").as("ib"), col("embedding").as("_vb"))
-    val pairs = a.join(b, col("ia") < col("ib"))
+    a.join(b, col("ia") < col("ib"))
       .filter(round(SimilarityOps.cosine(col("_va"), col("_vb")), 6)
         >= 0.2)
       .select(col("ia"), col("ib"))
-    graft.ext.GraphOps.triangleStats(pairs, "ia", "ib")
-      .orderBy(col("node"))
   }
 
-  val xGraphTrianglesSql: String =
-    """WITH e AS (SELECT vec_id,
+  /** DuckDB form of [[cosineEdges]] — yields `p(ia, ib)`. */
+  private val cosineEdgesCteSql: String =
+    """e AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings WHERE vec_id < 200),
       |  p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
       |    FROM e a JOIN e b ON a.vec_id < b.vec_id
       |    WHERE round(list_dot_product(a.v, b.v)
       |      / (sqrt(list_dot_product(a.v, a.v))
-      |         * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2),
+      |         * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2)""".stripMargin
+
+  def xGraphTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ext.GraphOps.triangleStats(cosineEdges(s, dir), "ia", "ib")
+      .orderBy(col("node"))
+
+  val xGraphTrianglesSql: String =
+    s"""WITH $cosineEdgesCteSql,
       |  deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
       |      SELECT ia AS node FROM p UNION ALL SELECT ib FROM p)
       |    GROUP BY node),
@@ -3274,6 +3282,40 @@ object ExtQueries {
       |      // (CAST(degree AS HUGEINT) * (degree - 1)) AS BIGINT)
       |    ELSE 0 END AS clustering_ppm
       |FROM deg LEFT JOIN pn USING (node) ORDER BY deg.node""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 7-core of the same similarity graph (GraphOps.kCore): iterative
+  // peeling to the maximal subgraph of min-degree >= 7 — the density
+  // screen over a similarity cluster. The engine peels to FIXPOINT
+  // (edge-count convergence probe); the twin unrolls 8 peel rounds
+  // (the fixture converges in <= 4 at every shipped sf — margin 2x;
+  // an unconverged unroll would differ from the engine and FAIL the
+  // hash, so the margin is self-auditing).
+  // ---------------------------------------------------------------------
+  def xGraphKcore(s: SparkSession, dir: String): DataFrame =
+    graft.ext.GraphOps.kCore(cosineEdges(s, dir), "ia", "ib", k = 7)
+      .orderBy(col("node"))
+
+  val xGraphKcoreSql: String = {
+    // MATERIALIZED per round (the x_events_pagerank twin discipline):
+    // an inlined 8-round unroll re-evaluates the whole edge pipeline
+    // per reference and exhausts file handles on the parquet scan.
+    val rounds = (0 until 8).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+         |      SELECT ia AS node FROM p$r UNION ALL SELECT ib FROM p$r)
+         |    GROUP BY node),
+         |  p${r + 1} AS MATERIALIZED (SELECT ia, ib FROM p$r
+         |    WHERE ia IN (SELECT node FROM d$r WHERE d >= 7)
+         |      AND ib IN (SELECT node FROM d$r WHERE d >= 7))"""
+        .stripMargin
+    }.mkString(",\n  ")
+    s"""WITH $cosineEdgesCteSql,
+       |  p0 AS MATERIALIZED (SELECT ia, ib FROM p),
+       |  $rounds
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+       |  SELECT ia AS node FROM p8 UNION ALL SELECT ib FROM p8)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // Sign random projection 64 → 16 dims (SimilarityOps.signProject):

@@ -83,4 +83,61 @@ object GraphOps {
             " as bigint)"))
           .otherwise(lit(0L)).as("clustering_ppm"))
   }
+
+  /** k-core of an undirected graph — iterative peeling to the maximal
+    * subgraph in which every node keeps degree ≥ k (Seidman 1983): the
+    * density screen that separates a genuinely cohesive near-dup /
+    * similarity cluster from a sprawl of pendant chains that
+    * transitive closure happily glues together. Output: the surviving
+    * nodes with their WITHIN-CORE degree.
+    *
+    * Each peel round is one grouped degree count + two semi-joins
+    * (edges keep only endpoints still ≥ k) — every exchange carries
+    * (node) or (lo, hi) ids only. Rounds materialize with eager
+    * release of the previous frame (the [[graft.ext.DedupOps
+    * .connectedComponents]] discipline: iterative lineage must be cut,
+    * or round r replays rounds 1..r−1). Convergence probe: the edge
+    * count only ever DECREASES, and a round that drops no node drops
+    * no edge — equal consecutive counts ⇔ fixpoint, one cheap count
+    * per round on a checkpoint-backed frame. Peeling needs at most
+    * #nodes rounds in theory but collapses geometrically in practice;
+    * `maxIter` is the runaway bound, hitting it raises rather than
+    * returning a non-fixpoint. */
+  def kCore(edges0: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1: $k")
+    val eng = graft.engine.Engine
+    var edges = eng.materialize(edges0
+      .select(least(col(aCol), col(bCol)).as("_lo"),
+        greatest(col(aCol), col(bCol)).as("_hi"))
+      .filter(col("_lo") =!= col("_hi"))
+      .distinct())
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("_lo"), col("_hi"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("_d"))
+    var prev = edges.count()
+    var round = 0
+    var done = prev == 0L
+    while (!done) {
+      if (round >= maxIter)
+        throw new IllegalStateException(
+          s"kCore: no fixpoint within $maxIter rounds ($prev edges live)")
+      val keep = degrees(edges).filter(col("_d") >= k).select(col("node"))
+      val next = eng.materialize(edges
+        .join(keep.select(col("node").as("_lo")), Seq("_lo"), "left_semi")
+        .join(keep.select(col("node").as("_hi")), Seq("_hi"), "left_semi"))
+      val c = next.count()
+      if (c == prev) {
+        eng.release(next) // identical content; keep the older frame
+        done = true
+      } else {
+        eng.release(edges)
+        edges = next
+        prev = c
+        done = c == 0L
+      }
+      round += 1
+    }
+    degrees(edges).select(col("node"), col("_d").as("core_degree"))
+  }
 }

@@ -55,4 +55,30 @@ class GraphOpsSpec extends SparkSpec {
       .filter(col("node") === 0L).collect()(0).getLong(3)
     assert(cc == 200000L)
   }
+
+  test("kCore: cascading peel — chain collapses, clique and cycle " +
+    "survive; k above max degree empties") {
+    import spark.implicits._
+    // K5 on {1..5} with a pendant chain 5-10-11-12 hanging off it
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val chain = Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    val g = (k5 ++ chain).toDF("a", "b")
+    val core3 = GraphOps.kCore(g, "a", "b", k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the chain peels away over MULTIPLE rounds (12 → 11 → 10), the
+    // clique survives at within-core degree 4 (node 5 loses its pendant)
+    assert(core3 == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L,
+      5L -> 4L))
+    // k = 5 exceeds the max degree after peeling → empty core
+    assert(GraphOps.kCore(g, "a", "b", k = 5).isEmpty)
+    // a pure path fully cascades at k = 2; a cycle survives intact
+    val path = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    assert(GraphOps.kCore(path, "a", "b", k = 2).isEmpty)
+    val cycle = ((1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq :+
+      ((6L, 1L))).toDF("a", "b")
+    val c2 = GraphOps.kCore(cycle, "a", "b", k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == (1L to 6L).map(_ -> 2L).toMap)
+  }
 }
