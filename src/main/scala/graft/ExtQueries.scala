@@ -2249,6 +2249,42 @@ object ExtQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
 
   // ---------------------------------------------------------------------
+  // Per-user inter-arrival burstiness (EventOps.interArrivalStats):
+  // exact microsecond gaps, DECIMAL(38,0) moments, one double sqrt on
+  // the final scalars — the bot-vs-organic signal. Twin replays the
+  // window lag + HUGEINT moment algebra + the identical double
+  // formula.
+  // ---------------------------------------------------------------------
+  def xEventsBurstiness(s: SparkSession, dir: String): DataFrame =
+    graft.ext.EventOps.interArrivalStats(t(s, dir, "events"),
+        "user_id", "ts", "event_id")
+      .orderBy(col("user_id"))
+
+  val xEventsBurstinessSql: String =
+    """WITH g AS (SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events),
+      |  m AS (SELECT user_id,
+      |      CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |      SUM(CAST(gap AS HUGEINT)) AS sg,
+      |      SUM(CAST(gap AS HUGEINT) * gap) AS sgg,
+      |      CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+      |      CAST(MAX(gap) AS BIGINT) AS max_gap_us
+      |    FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+      |  d AS (SELECT *,
+      |      CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+      |      CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mm,
+      |      sqrt(CAST(CAST(n_gaps AS HUGEINT) * sgg - sg * sg
+      |        AS DOUBLE)) / CAST(n_gaps AS DOUBLE) AS ss
+      |    FROM m)
+      |SELECT user_id, n_gaps, mean_gap_us, min_gap_us, max_gap_us,
+      |  CASE WHEN ss + mm > 0.0
+      |    THEN CAST(FLOOR((ss - mm) / (ss + mm) * 1000000.0) AS BIGINT)
+      |    ELSE -1000000 END AS burst_ppm
+      |FROM d ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Weekly cohort retention over events: first-activity-week cohorts ×
   // week offsets, counted on the distinct (user, week) activity
   // relation. Pure calendar/integer arithmetic — hash-exact.

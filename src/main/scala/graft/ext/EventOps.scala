@@ -242,6 +242,56 @@ object EventOps {
         col("steps_completed")): _*)
   }
 
+  /** Per-user inter-arrival statistics + Goh–Barabási burstiness
+    * (Goh & Barabási 2008): `B = (σ − μ)/(σ + μ)` over the gaps
+    * between a user's consecutive events — −1 = perfectly regular
+    * (bot-like timer traffic), 0 = Poisson, → 1 = bursty human
+    * sessions. The standard organic-vs-automated signal over an event
+    * log, next to the hourly anomaly detector.
+    *
+    * Exactness: gaps are exact integer MICROSECONDS
+    * (`unix_micros(ts)` deltas), the three moments (n, Σg, Σg²)
+    * accumulate in DECIMAL(38,0) (order-free; Σg² over µs gaps passes
+    * 2⁶³ fast), and the single double computation happens once on the
+    * final scalars — `σ = √(n·Σg² − (Σg)²)/n`, mirrored verbatim by
+    * the twin, then pinned to ppm. Degenerate users (one gap of 0, or
+    * all simultaneous events: σ + μ = 0) pin to −10⁶ (perfectly
+    * regular) rather than NaN.
+    *
+    * Scale shape: ONE user-partitioned window for the lag (parallel
+    * across users — never an unpartitioned window) feeding ONE grouped
+    * aggregate with map-side partials. Users with < 2 events drop
+    * (no gaps to measure). */
+  def interArrivalStats(events: DataFrame, userCol: String,
+                        tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("_us"), col(idCol))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    events.select(col(userCol), unix_micros(col(tsCol)).as("_us"),
+        col(idCol))
+      .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(dec(col("_gap"))).as("_sg"),
+        sum(dec(col("_gap")) * dec(col("_gap"))).as("_sgg"),
+        min(col("_gap")).as("min_gap_us"),
+        max(col("_gap")).as("max_gap_us"))
+      .withColumn("mean_gap_us", expr("cast(_sg div n_gaps as bigint)"))
+      .withColumn("_m", col("_sg").cast("double") /
+        col("n_gaps").cast("double"))
+      .withColumn("_s",
+        sqrt((dec(col("n_gaps")) * col("_sgg") - col("_sg") * col("_sg"))
+          .cast("double")) / col("n_gaps").cast("double"))
+      .withColumn("burst_ppm",
+        when(col("_s") + col("_m") > 0.0,
+          floor((col("_s") - col("_m")) / (col("_s") + col("_m")) *
+            lit(1000000.0)).cast("long"))
+          .otherwise(lit(-1000000L)))
+      .select(col(userCol), col("n_gaps"), col("mean_gap_us"),
+        col("min_gap_us"), col("max_gap_us"), col("burst_ppm"))
+  }
+
   /** First/last-touch attribution — for every conversion event, the
     * user's FIRST and LAST preceding touch event (`touch.ts ≤
     * conversion.ts`) plus the touch count: the standard

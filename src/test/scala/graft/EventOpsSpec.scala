@@ -191,6 +191,40 @@ class EventOpsSpec extends SparkSpec {
     assert(out("b") > out("c"))
   }
 
+  test("interArrivalStats: regular clock pins to -1e6, bursty user " +
+    "positive, degenerate zero gaps pinned, singletons drop") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val events = (
+      // user 1: perfect 60 s clock (bot) → sigma 0, B = -1
+      (1L to 5L).map(i => (1L, at(i * 60), 100L + i)) ++
+      // user 2: bursts — gaps 1, 1, 10000 s
+      Seq((2L, at(0), 201L), (2L, at(1), 202L), (2L, at(2), 203L),
+        (2L, at(10002), 204L)) ++
+      // user 3: all simultaneous → gaps 0, sigma + mu = 0 → pinned
+      Seq((3L, at(5), 301L), (3L, at(5), 302L)) ++
+      // user 4: single event → no gaps, absent
+      Seq((4L, at(9), 401L))
+    ).toDF("user_id", "ts", "event_id")
+    val got = EventOps.interArrivalStats(events, "user_id", "ts",
+        "event_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(5))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((4L, 60000000L, -1000000L)))
+    // user 2 exact mirror: gaps in µs
+    val g = Seq(1000000L, 1000000L, 10000000000L)
+    val (n, sg) = (g.size.toLong, g.sum)
+    val sgg = g.map(x => BigInt(x) * BigInt(x)).sum
+    val m = sg.toDouble / n
+    val s = math.sqrt((BigInt(n) * sgg - BigInt(sg) * BigInt(sg)).toDouble) / n
+    val want = math.floor((s - m) / (s + m) * 1000000.0).toLong
+    assert(got(2L) == ((3L, sg / n, want)) && want > 0L)
+    assert(got(3L) == ((1L, 0L, -1000000L)))
+  }
+
   test("touchAttribution: first/last preceding touch, ties, no-touch row") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
