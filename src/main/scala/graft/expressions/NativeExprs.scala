@@ -120,6 +120,14 @@ object NativeExprs {
       case other => throw new IllegalArgumentException(
         s"graft_any_in_set(arr, bigintArrayLiteral), got $other")
     })
+    reg("graft_dict_sum", {
+      case Seq(c, Literal(ks: ArrayData, ArrayType(LongType, _)),
+               Literal(vs: ArrayData, ArrayType(LongType, _)),
+               Literal(d: Long, LongType)) =>
+        DictSumFixed(c, ks.toLongArray(), vs.toLongArray(), d)
+      case other => throw new IllegalArgumentException(
+        "graft_dict_sum(arr, keysLit, valsLit, defaultLit), got " + other)
+    })
   }
 
   /** NFC-normalize a UTF8String, returning the INPUT object untouched
@@ -182,6 +190,26 @@ object NativeExprs {
       i += 1
     }
     InternalRow(sfx, n - 1)
+  }
+
+  /** Shared eval core for [[DictSumFixed]]: Σ dict(h) over the hash
+    * array with `default` for misses, plus the element count — one
+    * binary search per element against the sorted literal key table.
+    * The generic "fold a plan-literal dictionary over a token stream"
+    * primitive behind the streaming NB gate (and any future
+    * literal-weight linear model). */
+  def dictSumFixed(hs: org.apache.spark.sql.catalyst.util.ArrayData,
+                   keys: Array[Long], vals: Array[Long],
+                   default: Long): InternalRow = {
+    val n = hs.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val k = java.util.Arrays.binarySearch(keys, hs.getLong(i))
+      sum += (if (k >= 0) vals(k) else default)
+      i += 1
+    }
+    InternalRow(sum, n)
   }
 
   private val md5Local =
@@ -991,6 +1019,52 @@ case class LmNllFixed(child: Expression, uniKeys: Array[Long],
          |InternalRow $r = graft.expressions.NativeExprs.lmNllFixed(
          |  $c, $uk, $uv, $bk, $bv, $v);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Fold a plan-literal (hash → long) dictionary over a token-hash
+  * array: `struct(sum, n)` where `sum = Σ dict(h)` with `default` for
+  * misses — one binary search per element, pure projection, no join,
+  * no shuffle, no state, so it is stream-legal by construction. The
+  * primitive behind `TextOps.streamNbScore` (per-token fixed-point
+  * log-odds summed per document) and generically any literal-weight
+  * linear model over hashed features. Same literal-table discipline as
+  * [[LmNllFixed]]; same honest caveat — 64-bit collisions can alias a
+  * lookup, the string-keyed batch op stays the authority. */
+case class DictSumFixed(child: Expression, keys: Array[Long],
+                        vals: Array[Long], default: Long)
+    extends UnaryExpression {
+
+  require(keys.length == vals.length,
+    "graft_dict_sum: key/value arrays must align")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_dict_sum expects array<bigint> hashes, got $dt")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum", LongType, nullable = false),
+    StructField("n", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_dict_sum"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.dictSumFixed(input.asInstanceOf[ArrayData],
+      keys, vals, default)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ks = ctx.addReferenceObj("graftDictKs", keys, "long[]")
+      val vs = ctx.addReferenceObj("graftDictVs", vals, "long[]")
+      s"""
+         |${ev.value} = graft.expressions.NativeExprs.dictSumFixed(
+         |  $c, $ks, $vs, ${default}L);
        """.stripMargin
     })
 

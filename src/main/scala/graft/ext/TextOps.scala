@@ -1446,6 +1446,78 @@ object TextOps {
           col("_lm.n_bigrams").cast("double")) /
           lit(1073741824.0)).as("mean_nll"))
 
+  /** Trained NB quality model as plan-literal tables: sorted token-hash
+    * keys, fixed-point log-odds values, the class prior, and the
+    * unseen-token default — everything [[streamNbScore]] folds into a
+    * projection. */
+  final case class NbModel(keys: Array[Long], vals: Array[Long],
+                           priorFx: Long, defaultFx: Long)
+
+  /** Train the hashed NB quality model for [[streamNbScore]] — the SAME
+    * counts and fixed-point algebra as [[nbQualityScore]] (xxhash64
+    * token keys, `Math.log` ≡ graft_ln, floor(λ·2³⁰)), collected
+    * driver-side and sorted for binary search. Bounded collect BY
+    * CONTRACT: the weight table is vocabulary-sized (the
+    * [[lmTrainHashed]] bound). Unseen tokens (possible on a stream,
+    * impossible in the self-gating batch op) score the principled
+    * zero-count log-odds `ln(N⁻+V) − ln(N⁺+V)`, shipped as the
+    * dictionary default. Fails loudly on a 64-bit key collision. */
+  def nbTrainHashed(docs: DataFrame, textCol: String,
+                    trusted: Column): NbModel = {
+    def hashWord(w: String): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), 42L)
+    val cnt = docs
+      .select(trusted.cast("boolean").as("_pos"),
+        explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col("_w"))
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("_cp"),
+        sum(when(col("_pos"), 0L).otherwise(1L)).as("_cn"))
+      .collect()
+      .map(r => (hashWord(r.getString(0)), r.getLong(1), r.getLong(2)))
+    val nd = docs.agg(
+      sum(when(trusted.cast("boolean"), 1L).otherwise(0L)),
+      sum(when(trusted.cast("boolean"), 0L).otherwise(1L)))
+      .collect()(0)
+    val (dp, dn) = (nd.getLong(0), nd.getLong(1))
+    require(dp > 0 && dn > 0,
+      s"nbTrainHashed: both classes must be non-empty (got +$dp/-$dn)")
+    val v = cnt.length.toLong
+    val np = cnt.map(_._2).sum
+    val nn = cnt.map(_._3).sum
+    def lam(cp: Long, cn: Long): Long = math.floor(
+      (math.log((cp + 1).toDouble / (np + v).toDouble) -
+        math.log((cn + 1).toDouble / (nn + v).toDouble)) *
+        1073741824.0).toLong
+    val sorted = cnt.sortBy(_._1)
+    sorted.iterator.sliding(2).withPartial(false).foreach { w =>
+      require(w.head._1 != w.last._1,
+        "graft nb: 64-bit token key collision — refusing a lossy model")
+    }
+    NbModel(sorted.map(_._1), sorted.map(t => lam(t._2, t._3)),
+      math.floor((math.log(dp.toDouble) - math.log(dn.toDouble)) *
+        1073741824.0).toLong,
+      lam(0L, 0L))
+  }
+
+  /** STREAM-SAFE [[nbQualityScore]]: identical output schema and —
+    * scoring the model's own training corpus, absent hash collisions —
+    * identical values, but as a PURE PROJECTION: the weight table rides
+    * the plan as sorted literal arrays and `graft_dict_sum` folds it
+    * over the token hashes in one pass (no join, no shuffle, no state),
+    * so the trained quality gate can sit in the streaming ingest DAG
+    * beside the LM fluency gate. Empty documents stay visible at the
+    * prior, matching the batch op. */
+  def streamNbScore(df: DataFrame, idCol: String, textCol: String,
+                    model: NbModel): DataFrame =
+    df.withColumn("_nb", call_function("graft_dict_sum",
+        call_function("graft_hash_tokens", tokens(col(textCol))),
+        lit(model.keys), lit(model.vals), lit(model.defaultFx)))
+      .select(col(idCol),
+        col("_nb.n").cast("long").as("n_tokens"),
+        (col("_nb.sum") + lit(model.priorFx)).as("score_fx"))
+      .withColumn("keep", col("score_fx") > 0L)
+
   /** Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009, §3.3, with
     * Lucene's non-negative `ln(1 + (N-df+0.5)/(df+0.5))` idf): rank the
     * top `k` documents for each query in a SMALL query table (broadcast

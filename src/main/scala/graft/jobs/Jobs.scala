@@ -228,7 +228,8 @@ object StreamIngestJob {
                      maxMeanNll: Double = Double.PositiveInfinity,
                      dedupIndex: Option[(Array[Byte], DataFrame)] = None,
                      nllBand: Option[(Double, Double)] = None,
-                     dropNllTail: Boolean = false)
+                     dropNllTail: Boolean = false,
+                     nbModel: Option[TextOps.NbModel] = None)
       : DataFrame = {
     // History dedup first — cheapest stage to give less downstream
     // work (tier 1 is a Bloom projection; tier 2 the stream-legal
@@ -280,7 +281,17 @@ object StreamIngestJob {
       if (dropNllTail) labeled.filter(col("ppl_bucket") =!= "tail")
       else labeled
     }
-    Split.hashSplit(banded, idCol,
+    // Trained NB quality gate (the x_quality_nb model as plan
+    // literals): keep docs the classifier scores positive — one
+    // graft_dict_sum fold per row, a pure stream-safe projection like
+    // the LM gate. Empty docs score exactly the prior.
+    val qualified = nbModel.fold(banded) { m =>
+      banded.filter((call_function("graft_dict_sum",
+        call_function("graft_hash_tokens", TextOps.tokens(col(textCol))),
+        lit(m.keys), lit(m.vals), lit(m.defaultFx)).getField("sum") +
+        lit(m.priorFx)) > 0L)
+    }
+    Split.hashSplit(qualified, idCol,
       Seq("test" -> testFrac, "valid" -> validFrac))
   }
 
@@ -297,7 +308,8 @@ object StreamIngestJob {
                       maxMeanNll: Double = Double.PositiveInfinity,
                       dedupIndex: Option[(Array[Byte], DataFrame)] = None,
                       nllBand: Option[(Double, Double)] = None,
-                      dropNllTail: Boolean = false)
+                      dropNllTail: Boolean = false,
+                      nbModel: Option[TextOps.NbModel] = None)
       : (DataFrame, DataFrame) = {
     val flagged = Checks.flagRows(df, rules)
     val bad = flagged.filter(size(col("violations")) > 0)
@@ -305,7 +317,7 @@ object StreamIngestJob {
       .drop("violations")
     (bad, cleanTransform(clean, idCol, textCol, benchGramHashes,
       blockedPhrases, testFrac, validFrac, lmModel, maxMeanNll,
-      dedupIndex, nllBand, dropNllTail))
+      dedupIndex, nllBand, dropNllTail, nbModel))
   }
 
   private[graft] def monitorPath(dir: String, v: Long): String =
@@ -497,10 +509,11 @@ object StreamIngestJob {
             dropNllTail: Boolean = false,
             monitor: Option[(String, String)] = None,
             freqMonitorDir: Option[String] = None,
-            lenMonitorDir: Option[String] = None): Unit = {
+            lenMonitorDir: Option[String] = None,
+            nbModel: Option[TextOps.NbModel] = None): Unit = {
     val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
       benchGramHashes, blockedPhrases, testFrac, validFrac,
-      lmModel, maxMeanNll, dedupIndex, nllBand, dropNllTail)
+      lmModel, maxMeanNll, dedupIndex, nllBand, dropNllTail, nbModel)
     // writeParquet's own empty guard skips the write — no second
     // isEmpty pass over the routed-transform plan here
     Sinks.writeParquet(bad, s"$quarantineDir/batch_id=$batchId",
@@ -554,7 +567,8 @@ object StreamIngestJob {
             freqMonitorDir: Option[String] = None,
             lenMonitorDir: Option[String] = None,
             trigger: org.apache.spark.sql.streaming.Trigger =
-              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+            nbModel: Option[TextOps.NbModel] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -564,7 +578,8 @@ object StreamIngestJob {
         processBatch(batch, batchId, idCol, textCol, rules,
           benchGramHashes, blockedPhrases, store, quarantineDir,
           testFrac, validFrac, lmModel, maxMeanNll, dedupIndex,
-          nllBand, dropNllTail, monitor, freqMonitorDir, lenMonitorDir)
+          nllBand, dropNllTail, monitor, freqMonitorDir, lenMonitorDir,
+          nbModel)
       }
       .start()
 
@@ -616,7 +631,17 @@ object StreamIngestJob {
       monitor = rest.lift(8).filter(_ != "-").map(dir =>
         (dir, rest.lift(9).getOrElse("-"))),
       freqMonitorDir = rest.lift(10).filter(_ != "-"),
-      lenMonitorDir = rest.lift(11).filter(_ != "-"))
+      lenMonitorDir = rest.lift(11).filter(_ != "-"),
+      // Trained NB quality gate: labeled corpus parquet + the boolean
+      // trusted-flag column, trained batch-side like the LM model.
+      nbModel = (rest.lift(12).filter(_ != "-"),
+          rest.lift(13).filter(_ != "-")) match {
+        case (Some(p), Some(flag)) => Some(TextOps.nbTrainHashed(
+          Sources.readParquet(spark, p), textCol, col(flag)))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "nbRefPath and nbTrustedCol must be given together")
+      })
     q.awaitTermination()
   }
   def main(args: Array[String]): Unit =

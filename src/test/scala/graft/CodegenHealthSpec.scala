@@ -202,6 +202,33 @@ class CodegenHealthSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
   }
 
+  test("graft_dict_sum compiles stacked and matches interpreted eval") {
+    import spark.implicits._
+    val model = graft.ext.TextOps.nbTrainHashed(
+      Seq(("good text", true), ("bad junk", false)).toDF("text", "pos"),
+      "text", col("pos"))
+    val df = Seq("good text", "bad junk", "novel words", "")
+      .toDF("text")
+    def ds = call_function("graft_dict_sum",
+      call_function("graft_hash_tokens",
+        graft.ext.TextOps.tokens(col("text"))),
+      lit(model.keys), lit(model.vals), lit(model.defaultFx))
+    assertNoCodegenErrors {
+      // fused nested shape: both operands of one AND predicate
+      val stacked = df.filter(ds.getField("n") >= 0 &&
+        ds.getField("sum") + lit(model.priorFx) > Long.MinValue)
+      assert(stacked.count() == 4)
+    }
+    val sql = df.select(ds.as("s"))
+    val generated = sql.collect()
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = sql.collect()
+      assert(generated.toSeq == interpreted.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
   test("graft_bloom_contains compiles stacked; no false negatives") {
     import spark.implicits._
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)

@@ -357,6 +357,45 @@ class JobsSpec extends SparkSpec {
     assert(storedIds == twinIds, s"store=$storedIds twin=$twinIds")
   }
 
+  test("ingest NB quality gate drops classifier-negative docs, " +
+      "stream == batch twin") {
+    import spark.implicits._
+    import graft.jobs.StreamIngestJob
+    import graft.ext.TextOps
+    import org.apache.spark.sql.functions.col
+    val base = s"$ws/si_nb"
+    val (landing, storeDir, quarantine, cp) =
+      (s"$base/landing", s"$base/store", s"$base/quarantine", s"$base/cp")
+    val ddl = "doc_id LONG, text STRING"
+    // labeled corpus: trusted prose vs junk
+    val labeled = Seq(
+      ("good clean prose text", true),
+      ("clean prose text good good", true),
+      ("spam junk junk buy", false),
+      ("buy spam now junk", false)).toDF("text", "trusted")
+    labeled.write.mode("overwrite").parquet(s"$base/labeled")
+    val model = TextOps.nbTrainHashed(labeled, "text", col("trusted"))
+    val docs = Seq(
+      (1L, "good clean prose"),   // classifier-positive → kept
+      (2L, "spam junk buy"),      // classifier-negative → gated
+      (3L, "clean text good"))    // positive → kept
+    docs.toDF("doc_id", "text").write.parquet(landing)
+    StreamIngestJob.run(spark, Array(landing, ddl, "doc_id", "text",
+      "not_null:text", "-", "-", storeDir, quarantine, cp,
+      "0.05", "0.05", "-", "Infinity", "-", "-", "-", "false",
+      "-", "-", "-", "-", s"$base/labeled", "trusted"))
+    val storedIds = new java.io.File(storeDir).listFiles()
+      .map(_.getName.stripSuffix(".json")).toSet
+    val (_, twinKept) = StreamIngestJob.routedTransform(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      Seq(graft.transform.Checks.notNull("text")), Array.empty,
+      Seq.empty, nbModel = Some(model))
+    val twinIds = twinKept.select("doc_id").collect()
+      .map(_.getLong(0).toString).toSet
+    assert(twinIds == Set("1", "3"), s"twin kept $twinIds")
+    assert(storedIds == twinIds, s"store=$storedIds twin=$twinIds")
+  }
+
   test("ingest CCNet band stage labels head/middle/tail from literal " +
       "bounds and drops the tail, stream == batch twin") {
     import spark.implicits._

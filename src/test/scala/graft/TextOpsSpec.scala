@@ -1076,6 +1076,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L)._2 == nll("report"))
   }
 
+  test("streamNbScore == nbQualityScore on the training corpus; pure " +
+    "projection; unseen tokens take the zero-count default") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "clean prose text good good", true),
+      (3L, "spam junk junk buy", false),
+      (4L, "good prose with junk", false),
+      (5L, "", true)).toDF("id", "text", "trusted")
+    val model = TextOps.nbTrainHashed(df, "text", col("trusted"))
+    val batch = TextOps.nbQualityScore(df, "id", "text", col("trusted"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val streamed = TextOps.streamNbScore(df, "id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(streamed == batch)
+    // stream-legality: the scorer is a projection — no exchange at all
+    val plan = TextOps.streamNbScore(df, "id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // a NEW doc of entirely unseen tokens scores n·default + prior
+    val novel = Seq((9L, "qqq www eee")).toDF("id", "text")
+    val s = TextOps.streamNbScore(novel, "id", "text", model)
+      .collect()(0)
+    assert(s.getLong(2) == 3L * model.defaultFx + model.priorFx)
+  }
+
   test("nbQualityScore equals an in-memory NB mirror; empty doc at prior") {
     import spark.implicits._
     val rows = Seq(
