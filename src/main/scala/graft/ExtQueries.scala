@@ -3194,6 +3194,45 @@ object ExtQueries {
        |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Quantile normalization of the classifier score per source
+  // (Sanitize.quantileNormalize): each doc's score remaps to the
+  // POOLED score at the same relative rank, so per-source
+  // distributions become comparable before any global threshold.
+  // Window-free two-pass ranks; the twin replays both rank passes +
+  // the HUGEINT target-rank algebra.
+  // ---------------------------------------------------------------------
+  def xQualityQnorm(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.qualityClassify(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("source"), col("clf_score"))
+    graft.transform.Sanitize.quantileNormalize(scored, "source",
+        "doc_id", "clf_score")
+      .select(col("doc_id"), col("source"), col("clf_score"),
+        col("grp_rank"), col("n_group"), col("norm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val xQualityQnormSql: String =
+    s"""WITH tk AS (SELECT doc_id, source, $toksSql AS toks
+       |    FROM documents),
+       |  t AS (SELECT doc_id, source,
+       |      CAST($clfScoreSql AS BIGINT) AS clf_score FROM tk),
+       |  r AS (SELECT clf_score AS norm_score, ROW_NUMBER() OVER (
+       |      ORDER BY clf_score, doc_id) AS prk FROM t),
+       |  n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM t),
+       |  g AS (SELECT *,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY clf_score, doc_id) AS BIGINT) AS grp_rank,
+       |      CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+       |        AS n_group
+       |    FROM t),
+       |  m AS (SELECT g.*,
+       |      CAST((CAST(grp_rank AS HUGEINT) * nn + n_group - 1)
+       |        // n_group AS BIGINT) AS trk
+       |    FROM g CROSS JOIN n)
+       |SELECT doc_id, source, clf_score, grp_rank, n_group, norm_score
+       |FROM m JOIN r ON r.prk = m.trk ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Naive Bayes quality classifier TRAINED in-engine: trusted slice
   // (lang = 'en') vs rest, per-token fixed-point log-odds, per-doc
   // score = prior + Σ occurrence weights, keep = score > 0. The twin

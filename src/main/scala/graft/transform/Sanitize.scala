@@ -169,4 +169,44 @@ object Sanitize {
     }
     df.select(cols.toIndexedSeq: _*)
   }
+
+  /** Quantile normalization of a per-group score distribution onto the
+    * POOLED distribution (Bolstad et al. 2003's microarray recipe,
+    * here the cross-source score-calibration step): a document's
+    * normalized score is the pooled score found at the same relative
+    * rank — `ceil(rank_g · N / n_g)` — so every group's normalized
+    * distribution becomes (a rank-preserving resample of) the pooled
+    * one, and a "keep score ≥ t" cut stops meaning different things
+    * for sources whose classifiers drift apart. Rank-preserving within
+    * each group by construction; EXACT integers end to end (the rank
+    * product rides DECIMAL(38,0) — rank·N passes 2⁶³ at corpus scale;
+    * scores themselves are the caller's integers, never interpolated).
+    *
+    * Scale shape: both rank passes are the two-pass range-partitioned
+    * machinery ([[Ids.assignContiguousIds]]/[[Ids.assignGroupedRanks]])
+    * — neither the pooled nor any mega-group ordering ever meets a
+    * single-partition window — and the remap is ONE long-keyed
+    * equi-join of the corpus against the narrow (rank, score) pooled
+    * relation. Ties order by `idCol` in both passes, so the map is a
+    * deterministic bijection on ranks.
+    *
+    * Appends `grp_rank`, `n_group`, and `norm_score` (same type as
+    * `scoreCol`). */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        scoreCol: String): DataFrame = {
+    val pooledRanked = graft.engine.Engine.materialize(
+      Ids.assignContiguousIds(df,
+        struct(col(scoreCol), col(idCol)), "_prk", 1L))
+    val pooled = pooledRanked
+      .select(col("_prk").as("_trk"), col(scoreCol).as("norm_score"))
+    val n = pooledRanked.agg(count(lit(1)).as("_n"))
+    val granked = Ids.assignGroupedRanks(df, groupCol,
+      Seq(col(scoreCol), col(idCol)), "grp_rank", "n_group")
+    granked.crossJoin(broadcast(n))
+      .withColumn("_trk",
+        expr("cast((cast(grp_rank as decimal(38,0)) * _n + n_group - 1)" +
+          " div n_group as bigint)"))
+      .join(pooled, Seq("_trk"))
+      .drop("_trk", "_n")
+  }
 }

@@ -140,4 +140,40 @@ class SanitizeSpec extends SparkSpec {
       .collect().map(_.getDouble(0)).toSeq
     assert(re == flagged)
   }
+
+  test("quantileNormalize: equal-size groups land on identical " +
+    "distributions; rank-preserving; extremes map to pooled extremes") {
+    import spark.implicits._
+    // group a scores low (0..9), group b scores high (100..109):
+    // after normalization both must carry the SAME value multiset
+    val df = ((0 until 10).map(i => (i.toLong, "a", i.toLong * 10)) ++
+      (0 until 10).map(i => (100L + i, "b", 1000L + i))).toDF(
+      "id", "g", "score")
+    val out = Sanitize.quantileNormalize(df, "g", "id", "score")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("g"),
+        r.getAs[Long]("score"), r.getAs[Long]("grp_rank"),
+        r.getAs[Long]("norm_score")))
+    val byG = out.groupBy(_._2)
+    val aVals = byG("a").map(_._5).sorted.toSeq
+    val bVals = byG("b").map(_._5).sorted.toSeq
+    assert(aVals == bVals, s"a=$aVals b=$bVals")
+    // each group sees every SECOND pooled value (rank·20/10 even ranks)
+    val pooled = df.collect().map(_.getLong(2)).sorted
+    assert(aVals == (1 to 10).map(i => pooled(2 * i - 1)).toSeq)
+    // rank-preserving within the group
+    byG.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sorted.toSeq)
+    }
+    // the group maximum maps to the pooled maximum
+    assert(out.filter(_._4 == 10L).forall(_._5 == pooled.last))
+    // layout independence
+    val again = Sanitize.quantileNormalize(df.repartition(7), "g",
+        "id", "score").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("norm_score"))
+      .toMap
+    assert(again == out.map(t => t._1 -> t._5).toMap)
+  }
 }

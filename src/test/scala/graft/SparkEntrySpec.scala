@@ -19,7 +19,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 164)
-    assert(SparkEntry.oracleSql.size == 164)
+    assert(SparkEntry.queries.size == 165)
+    assert(SparkEntry.oracleSql.size == 165)
   }
 }
