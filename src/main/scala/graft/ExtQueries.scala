@@ -3244,8 +3244,12 @@ object ExtQueries {
         col("lang") === "en")
       .orderBy(col("doc_id"))
 
-  val xQualityNbSql: String =
-    s"""WITH b AS (SELECT doc_id, (lang = 'en') AS pos, text
+  /** Shared NB scoring chain (contract in [[TextOps.nbQualityScore]]):
+    * yields `nbscored(doc_id, pos, n_tokens, score_fx)` — used
+    * verbatim by BOTH the classifier oracle and the AUC oracle so the
+    * twins cannot drift. */
+  private val nbScoreCtesSql: String =
+    s"""b AS (SELECT doc_id, (lang = 'en') AS pos, text
        |    FROM documents),
        |  tk AS (SELECT doc_id, pos, unnest($toksSql) AS tkn FROM b),
        |  cnt AS (SELECT tkn,
@@ -3269,13 +3273,55 @@ object ExtQueries {
        |    FROM tk JOIN lam USING (tkn) GROUP BY doc_id),
        |  pr AS (SELECT CAST(FLOOR(
        |      (ln(CAST(dp AS DOUBLE)) - ln(CAST(dn AS DOUBLE)))
-       |      * 1073741824.0) AS BIGINT) AS prior FROM nd)
-       |SELECT b.doc_id,
-       |  COALESCE(n_tokens, 0) AS n_tokens,
-       |  prior + COALESCE(sl, 0) AS score_fx,
-       |  (prior + COALESCE(sl, 0)) > 0 AS keep
-       |FROM b LEFT JOIN sc USING (doc_id) CROSS JOIN pr
-       |ORDER BY b.doc_id""".stripMargin
+       |      * 1073741824.0) AS BIGINT) AS prior FROM nd),
+       |  nbscored AS (SELECT b.doc_id, b.pos,
+       |      COALESCE(n_tokens, 0) AS n_tokens,
+       |      prior + COALESCE(sl, 0) AS score_fx
+       |    FROM b LEFT JOIN sc USING (doc_id) CROSS JOIN pr)""".stripMargin
+
+  val xQualityNbSql: String =
+    s"""WITH $nbScoreCtesSql
+       |SELECT doc_id, n_tokens, score_fx, score_fx > 0 AS keep
+       |FROM nbscored ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Exact ROC AUC of the NB quality score against the trusted labels
+  // (Profile.aucExact): the Mann-Whitney rank identity with exact
+  // integer midranks — no curve discretization, no score collection,
+  // no window. The twin re-derives the scores (shared nbscored CTE)
+  // and replays the rank/midrank/HUGEINT algebra.
+  // ---------------------------------------------------------------------
+  def xQualityAuc(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = TextOps.nbQualityScore(d, "doc_id", "text",
+        col("lang") === "en")
+      .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+        Seq("doc_id"))
+    graft.transform.Profile.aucExact(scored, "score_fx", "doc_id",
+      "label")
+  }
+
+  val xQualityAucSql: String =
+    s"""WITH $nbScoreCtesSql,
+       |  r AS (SELECT pos, score_fx, ROW_NUMBER() OVER (
+       |      ORDER BY score_fx, doc_id) AS rk FROM nbscored),
+       |  runs AS (SELECT score_fx, MIN(rk) AS f, MAX(rk) AS l
+       |    FROM r GROUP BY score_fx),
+       |  agg AS (SELECT
+       |      CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+       |        AS n_pos,
+       |      CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+       |        AS n_neg,
+       |      SUM(CASE WHEN pos THEN CAST(f + l AS HUGEINT)
+       |          ELSE 0 END) AS r2
+       |    FROM r JOIN runs USING (score_fx))
+       |SELECT n_pos, n_neg,
+       |  CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT)
+       |    AS u2,
+       |  CAST((r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+       |    // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+       |    AS auc_ppm
+       |FROM agg""".stripMargin
 
   // ---------------------------------------------------------------------
   // Per-source quality gate: keep the top 30% of each source by

@@ -252,6 +252,50 @@ object Profile {
       .select(col("bucket"), (col("bucket") * width).as("lo"), col("n"))
   }
 
+  /** Exact ROC AUC by the Mann–Whitney rank identity — the "is my
+    * quality classifier any good" number, computed at corpus scale
+    * with NO score collection, NO curve discretization, and exact tie
+    * handling: `AUC = (Σ_pos midrank − n₊(n₊+1)/2) / (n₊·n₋)`, where a
+    * tie group's midrank is `(first + last)/2` of its rank run.
+    * Everything stays integral by carrying DOUBLED midranks
+    * (`first + last`), so the result is an exact integer ppm —
+    * bit-identical on any engine/layout — alongside the raw pair
+    * counts.
+    *
+    * Scale shape: ONE global rank over (score, id) via the two-pass
+    * range-partitioned machinery (a billion distinct scores never
+    * meet a single-partition window), ONE score-grain grouped agg for
+    * each tie run's (min, max) rank, ONE score-keyed join back, and a
+    * 1-row final aggregate. No prefix sum, no window, no driver state.
+    * Output: one row — `n_pos`, `n_neg`, `u2` (2·Mann–Whitney U),
+    * `auc_ppm`. Degenerate inputs (a class empty) raise downstream of
+    * the integral division by zero in ANSI mode; callers own the
+    * "evaluate only when both classes exist" guard. */
+  def aucExact(df: DataFrame, scoreCol: String, idCol: String,
+               labelCol: String): DataFrame = {
+    val ranked = graft.engine.Engine.materialize(
+      Ids.assignContiguousIds(
+        df.select(col(scoreCol).as("_sc"), col(idCol).as("_id"),
+          col(labelCol).cast("boolean").as("_pos")),
+        struct(col("_sc"), col("_id")), "_rk", 1L))
+    val runs = ranked.groupBy(col("_sc"))
+      .agg(min(col("_rk")).as("_first"), max(col("_rk")).as("_last"))
+    ranked.join(runs, Seq("_sc"))
+      .agg(
+        sum(when(col("_pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("_pos"), 0L).otherwise(1L)).as("n_neg"),
+        sum(when(col("_pos"),
+          (col("_first") + col("_last")).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("_r2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("cast(_r2 - cast(n_pos as decimal(38,0)) * (n_pos + 1)" +
+          " as decimal(38,0))").as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        col("u2").cast("long").as("u2"),
+        expr("cast(u2 * 1000000 div (2 * cast(n_pos as decimal(38,0))" +
+          " * n_neg) as bigint)").as("auc_ppm"))
+  }
+
   /** Key-skew audit — the "will this key melt a shuffle" report, one
     * row per candidate key column, everything in EXACT integers:
     * `n_keys`, `n_rows`, `max_n` (heaviest key's row count),

@@ -122,6 +122,31 @@ class ProfileSpec extends SparkSpec {
       (4L, 40.0, 2L))) // 99.0 and 1e6 clamp into the top bucket
   }
 
+  test("aucExact: perfect separation 1e6, all-tied 5e5, hand-computed " +
+    "tie case, layout-independent") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Long, Boolean)]): (Long, Long, Long) = {
+      val r = Profile.aucExact(rows.toDF("id", "s", "y").repartition(5),
+        "s", "id", "y").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(3))
+    }
+    // perfect: every positive above every negative
+    val perfect = (1L to 4L).map(i => (i, 100L + i, true)) ++
+      (5L to 10L).map(i => (i, i, false))
+    assert(auc(perfect.toSeq) == ((4L, 6L, 1000000L)))
+    // anti-perfect
+    val anti = perfect.map { case (i, s, y) => (i, -s, y) }
+    assert(auc(anti.toSeq)._3 == 0L)
+    // all scores tied: midrank gives exactly 1/2
+    val tied = (1L to 10L).map(i => (i, 7L, i % 2 == 0))
+    assert(auc(tied.toSeq) == ((5L, 5L, 500000L)))
+    // hand case: pos scores {3, 1}, neg {2, 1}.
+    // pairs: (3>2)=1, (3>1)=1, (1<2)=0, (1==1)=0.5 → AUC = 2.5/4
+    val hand = Seq((1L, 3L, true), (2L, 1L, true),
+      (3L, 2L, false), (4L, 1L, false))
+    assert(auc(hand)._3 == 625000L)
+  }
+
   test("keySkew: hand-computed gini/share/quantiles on known group sizes") {
     import spark.implicits._
     // sizes per key: a=1, b=1, c=2, d=4 → ascending ranks 1..4
