@@ -3239,10 +3239,21 @@ object ExtQueries {
   // retrains the identical counts on token strings and replays the
   // ln/floor algebra bit-for-bit.
   // ---------------------------------------------------------------------
+  /** NB-scored corpus, computed ONCE per (session, dir) and shared by
+    * `x_quality_nb` and `x_quality_auc` (the ccCache/bpeCache
+    * argument: the scoring chain is the expensive subtree and its
+    * input is immutable within a session). Checkpoint-backed, so
+    * reuse replays no lineage. */
+  private val nbCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def nbScored(s: SparkSession, dir: String): DataFrame =
+    nbCache.computeIfAbsent((s, dir), _ =>
+      graft.engine.Engine.materialize(
+        TextOps.nbQualityScore(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")))
+
   def xQualityNb(s: SparkSession, dir: String): DataFrame =
-    TextOps.nbQualityScore(t(s, dir, "documents"), "doc_id", "text",
-        col("lang") === "en")
-      .orderBy(col("doc_id"))
+    nbScored(s, dir).orderBy(col("doc_id"))
 
   /** Shared NB scoring chain (contract in [[TextOps.nbQualityScore]]):
     * yields `nbscored(doc_id, pos, n_tokens, score_fx)` — used
@@ -3293,8 +3304,7 @@ object ExtQueries {
   // ---------------------------------------------------------------------
   def xQualityAuc(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val scored = TextOps.nbQualityScore(d, "doc_id", "text",
-        col("lang") === "en")
+    val scored = nbScored(s, dir)
       .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
         Seq("doc_id"))
     graft.transform.Profile.aucExact(scored, "score_fx", "doc_id",
