@@ -3334,6 +3334,42 @@ object ExtQueries {
        |FROM agg""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Calibration table (reliability diagram) of the NB score: score
+  // deciles via the NTILE-exact window-free tile machinery, per-tile
+  // positive rate in exact ppm — monotone pos_ppm across tiles is the
+  // "ranking is informative" read, pos_ppm vs score the calibration
+  // read. Shares the cached scored frame with x_quality_nb/_auc.
+  // ---------------------------------------------------------------------
+  def xQualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = nbScored(s, dir)
+      .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+        Seq("doc_id"))
+    TextOps.scoreTiles(scored, "doc_id", "score_fx", k = 10)
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        min(col("score_fx")).as("min_score_fx"),
+        max(col("score_fx")).as("max_score_fx"))
+      .withColumn("pos_ppm", expr("n_pos * 1000000 div n"))
+      .orderBy(col("tile"))
+  }
+
+  val xQualityCalibrationSql: String =
+    s"""WITH $nbScoreCtesSql,
+       |  lt AS (SELECT doc_id, pos, score_fx,
+       |      NTILE(10) OVER (ORDER BY score_fx, doc_id) AS tile
+       |    FROM nbscored)
+       |SELECT CAST(tile AS INTEGER) AS tile,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(MIN(score_fx) AS BIGINT) AS min_score_fx,
+       |  CAST(MAX(score_fx) AS BIGINT) AS max_score_fx,
+       |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS pos_ppm
+       |FROM lt GROUP BY tile ORDER BY tile""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Per-source quality gate: keep the top 30% of each source by
   // classifier score (exact integer ceil cut, rank ties by doc_id) —
   // the per-domain curation step a global threshold gets wrong.
