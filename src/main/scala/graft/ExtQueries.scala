@@ -947,6 +947,58 @@ object ExtQueries {
       |FROM u ORDER BY doc_id, frame_no""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Media near-dup pairs by shared frame fingerprints
+  // (Multimodal.frameDedupPairs): synthetic media over docs < 100 plus
+  // CLIPPED twins (first half of the payload, +20000) — clips share
+  // every aligned sampled frame, so min-normalized overlap stays ~10^6
+  // while a byte-level hash of the whole payload misses them. The twin
+  // replays the chunk/md5/overlap algebra.
+  // ---------------------------------------------------------------------
+  def xMediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          expr("substring(text, 1, cast(length(text) div 2 as int))")
+            .as("text")))
+    Multimodal.frameDedupPairs(
+        Multimodal.withSyntheticMedia(corpus, "doc_id", "text"),
+        "doc_id", "media", frameBytes = 32, stride = 4,
+        tauPpm = 500000L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val xMediaDedupSql: String =
+    """WITH corpus AS (
+      |    SELECT doc_id, text FROM documents WHERE doc_id < 100
+      |    UNION ALL
+      |    SELECT doc_id + 20000 AS doc_id,
+      |      substr(text, 1, CAST(length(text) // 2 AS INTEGER)) AS text
+      |    FROM documents WHERE doc_id < 30),
+      |  t AS (SELECT doc_id, text,
+      |    CAST(ceil(length(text) / 32.0) AS BIGINT) AS nf FROM corpus),
+      |  fp AS (SELECT DISTINCT doc_id, fmd5 FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |        range(0, greatest(nf - 1, 0) + 1, 4),
+      |        i -> md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32))))
+      |      AS fmd5
+      |    FROM t)),
+      |  sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      |    FROM fp GROUP BY doc_id),
+      |  pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      CAST(COUNT(*) AS BIGINT) AS n_shared
+      |    FROM fp a JOIN fp b
+      |      ON a.fmd5 = b.fmd5 AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+      |  n_shared * 1000000 // least(sa.n, sb.n) AS overlap_ppm
+      |FROM pr JOIN sz sa ON sa.doc_id = id_a
+      |  JOIN sz sb ON sb.doc_id = id_b
+      |WHERE n_shared * 1000000 // least(sa.n, sb.n) >= 500000
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Connected components over the minhash-0.8 near-dup graph: pairwise
   // edges collapsed into duplicate CLUSTERS (the keep-one-per-cluster
   // prerequisite). Spark runs iterative min-label propagation; the

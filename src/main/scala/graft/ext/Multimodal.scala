@@ -107,4 +107,45 @@ object Multimodal {
           i => substring(col(mediaCol), i * frameBytes + 1, lit(frameBytes)))))
       .withColumnsRenamed(Map("pos" -> "frame_no", "col" -> "frame"))
   }
+
+  /** Media near-dup pairs by SHARED FRAME FINGERPRINTS — the video/
+    * audio dedup move (same payload re-encoded, clipped, or trimmed
+    * still shares sampled frames; byte-level hashes of the container
+    * do not): pairs whose overlap coefficient
+    * `|fp(A) ∩ fp(B)| / min(|fp(A)|, |fp(B)|)` reaches `tauPpm` —
+    * min-normalized so a CLIP of a longer video still scores ~10⁶
+    * (the containment argument at media grain). Emits each unordered
+    * pair once (`id_a < id_b`) with both frame counts, the shared
+    * count, and exact-ppm overlap.
+    *
+    * Scale shape: payloads reduce to DISTINCT (id, frame-md5) rows —
+    * the fingerprint, not the frame bytes, is what shuffles — then ONE
+    * fingerprint-keyed equi-join + one pair-keyed count, ids-and-
+    * hashes-only exchanges (the [[graft.ext.DedupOps.containmentPairs]]
+    * shape). A real pipeline swaps [[sampleFrames]]' chunking for
+    * keyframe offsets and drops ubiquitous fingerprints (black frames)
+    * above a df cap before the join; the pair algebra is unchanged. */
+  def frameDedupPairs(df: DataFrame, idCol: String, mediaCol: String,
+                      frameBytes: Int = 32, stride: Int = 4,
+                      tauPpm: Long = 500000L): DataFrame = {
+    val fps = sampleFrames(df, idCol, mediaCol, frameBytes, stride)
+      .select(col(idCol).as("_id"), md5(col("frame")).as("_fp"))
+      .distinct()
+    val sizes = fps.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val pairs = fps.select(col("_id").as("id_a"), col("_fp"))
+      .join(fps.select(col("_id").as("id_b"), col("_fp")), Seq("_fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("n_b")),
+        Seq("id_b"))
+      .withColumn("overlap_ppm",
+        expr("n_shared * 1000000 div least(n_a, n_b)"))
+      .filter(col("overlap_ppm") >= tauPpm)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("overlap_ppm"))
+  }
 }

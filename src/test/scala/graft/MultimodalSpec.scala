@@ -89,4 +89,43 @@ class MultimodalSpec extends SparkSpec {
     val f0 = new String(frames(0).getAs[Array[Byte]]("frame"), "UTF-8")
     assert(f0 == ("abcdefgh" * 20).substring(0, 32))
   }
+
+  test("frameDedupPairs: identical payloads and clips pair at 1e6, " +
+    "diverging tails fall below threshold, disjoint ones never pair") {
+    import spark.implicits._
+    // frameBytes=32, stride=4 → one sampled frame per 128 bytes. Every
+    // 32-byte block carries an explicit (tag, block) label so frames
+    // are globally unique unless bytes genuinely coincide.
+    def body(tag: String, blocks: Int): String =
+      (0 until blocks).map(b => s"$tag-b$b".padTo(32, '.')).mkString
+    val long = body("d1", 32)           // 1024 bytes, 8 sampled frames
+    val clip = long.substring(0, 512)   // 4 frames, all shared with long
+    val other = body("d4", 32)          // same shape, no shared frame
+    val near = long.substring(0, 128) + body("d5", 28) // shares frame 0
+    val df = Seq((1L, long), (2L, long), (3L, clip), (4L, other),
+      (5L, near)).toDF("id", "t")
+      .withColumn("media", encode(col("t"), "UTF-8"))
+    val got = Multimodal.frameDedupPairs(df, "id", "media",
+        frameBytes = 32, stride = 4, tauPpm = 500000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // exact duplicate: all 8 frames shared
+    assert(got((1L, 2L)) == ((8L, 8L, 8L, 1000000L)))
+    // the clip: 4/4 of ITS frames shared → min-normalized 10^6
+    assert(got((1L, 3L)) == ((8L, 4L, 4L, 1000000L)))
+    assert(got((2L, 3L)) == ((8L, 4L, 4L, 1000000L)))
+    // diverging tail: 1/8 shared with long, 1/4 with the clip — both
+    // below the 0.5 threshold; disjoint payload never pairs
+    assert(!got.contains((1L, 5L)) && !got.contains((3L, 5L)))
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+    assert(got.size == 3)
+    // below-threshold evidence is real: rerun at tau 0
+    val all = Multimodal.frameDedupPairs(df, "id", "media",
+        frameBytes = 32, stride = 4, tauPpm = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    assert(all((1L, 5L)) == 1L && all((3L, 5L)) == 1L)
+  }
 }
