@@ -3785,7 +3785,12 @@ object ExtQueries {
         "embedding", k = 4, dim = 64, iters = 2)
       .orderBy(col("vec_id"))
 
-  val xEmbedKmeansSql: String = {
+  /** Shared kmeans-round CTE chain (contract in
+    * [[SimilarityOps.kmeansLloydFx]], k = 4, dim = 64, iters = 2):
+    * yields `d2(vec_id, c, dfx)` — every vector's fixed-point distance
+    * to every FINAL centroid. Used by both the clustering oracle and
+    * the silhouette oracle so the two twins score the same model. */
+  private val kmeansCtesSql: String = {
     // per-dim fixed-point squared-distance term vs a centroid list `cv`
     val dTerm =
       """CAST(list_sum(list_transform(range(64), i ->
@@ -3794,7 +3799,7 @@ object ExtQueries {
         |          * (v[CAST(i+1 AS INTEGER)]
         |            - cv[CAST(i+1 AS INTEGER)])
         |          * 1073741824.0) AS BIGINT))) AS BIGINT)""".stripMargin
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |  c0 AS (SELECT CAST(vec_id AS INTEGER) AS c, v AS cv FROM e
@@ -3813,13 +3818,46 @@ object ExtQueries {
        |      list(CAST(sfx // n AS DOUBLE) / 1073741824.0 ORDER BY i)
        |        AS cv
        |    FROM s1 GROUP BY cl),
-       |  d2 AS (SELECT e.vec_id, c1.c, $dTerm AS dfx FROM e, c1),
+       |  d2 AS (SELECT e.vec_id, c1.c, $dTerm AS dfx FROM e, c1)"""
+      .stripMargin
+  }
+
+  val xEmbedKmeansSql: String =
+    s"""WITH $kmeansCtesSql,
        |  a2 AS (SELECT vec_id, c AS cluster, dfx AS dist_fx FROM d2
        |    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY dfx, c) = 1)
        |SELECT vec_id, cluster, dist_fx FROM a2
        |ORDER BY vec_id""".stripMargin
-  }
+
+  // ---------------------------------------------------------------------
+  // Simplified silhouette of the kmeans clustering
+  // (SimilarityOps.silhouetteFx): a = distance to own centroid, b =
+  // nearest other centroid, s = (b-a)/max(a,b) in exact ppm — the
+  // "did k make sense" audit over the same centroid table as
+  // x_embed_kmeans. Twin = shared kmeans CTEs + a two-row-per-vec
+  // rank pivot.
+  // ---------------------------------------------------------------------
+  def xEmbedSilhouette(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.silhouetteFx(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4, dim = 64, iters = 2)
+      .orderBy(col("vec_id"))
+
+  val xEmbedSilhouetteSql: String =
+    s"""WITH $kmeansCtesSql,
+       |  rr AS (SELECT vec_id, c, dfx, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dfx, c) AS rn FROM d2),
+       |  f AS (SELECT vec_id,
+       |      MAX(CASE WHEN rn = 1 THEN c END) AS cluster,
+       |      MAX(CASE WHEN rn = 1 THEN dfx END) AS a_fx,
+       |      MAX(CASE WHEN rn = 2 THEN dfx END) AS b_fx
+       |    FROM rr WHERE rn <= 2 GROUP BY vec_id)
+       |SELECT vec_id, cluster, a_fx, b_fx,
+       |  CASE WHEN greatest(a_fx, b_fx) > 0
+       |    THEN CAST(CAST(b_fx - a_fx AS HUGEINT) * 1000000
+       |      // greatest(a_fx, b_fx) AS BIGINT)
+       |    ELSE 0 END AS silhouette_ppm
+       |FROM f ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Curriculum staging: rarity-weighted integer difficulty, global

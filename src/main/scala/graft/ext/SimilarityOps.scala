@@ -694,11 +694,23 @@ object SimilarityOps {
       s"k/dim/iters must be >= 1: $k/$dim/$iters")
     val vecs = df.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
-    def assign(cents: Seq[(Int, Array[Double])]): DataFrame =
-      vecs.withColumn("_best",
-          element_at(array_sort(kmeansCellsFx(col("_v"), cents, dim)), 1))
-        .select(col("_id"), col("_best").getField("c").as("cluster"),
-          col("_best").getField("d").as("dist_fx"))
+    val cents = kmeansCentroidsFx(df, idCol, vecCol, k, dim, iters)
+    vecs.withColumn("_best",
+        element_at(array_sort(kmeansCellsFx(col("_v"), cents, dim)), 1))
+      .select(col("_id").as(idCol), col("_best").getField("c")
+        .as("cluster"), col("_best").getField("d").as("dist_fx"))
+  }
+
+  /** The trained centroid table of [[kmeansLloydFx]]'s rounds (driver-
+    * tiny: k·dim doubles) — shared with [[silhouetteFx]] so the audit
+    * scores the SAME model the clustering query ships. */
+  private[graft] def kmeansCentroidsFx(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int,
+      iters: Int): Seq[(Int, Array[Double])] = {
+    require(k >= 1 && iters >= 1 && dim >= 1,
+      s"k/dim/iters must be >= 1: $k/$dim/$iters")
+    val vecs = df.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
     val init = vecs.orderBy(col("_id")).limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
@@ -717,8 +729,40 @@ object SimilarityOps {
       }.sortBy(_._1)
       round += 1
     }
-    assign(cents).select(col("_id").as(idCol), col("cluster"),
-      col("dist_fx"))
+    cents
+  }
+
+  /** Simplified (centroid-based) silhouette of the [[kmeansLloydFx]]
+    * clustering (Rousseeuw 1987's coefficient in the
+    * O(n·k) centroid form — Hruschka et al. 2004 — instead of the
+    * O(n²) pairwise one): per vector, `a` = fixed-point distance to
+    * its OWN centroid, `b` = distance to the nearest OTHER centroid,
+    * `s = (b − a)/max(a, b)` in exact integer ppm (positive = well
+    * placed, ≈ 0 = on a boundary, negative = likely mis-clustered).
+    * The standard "did k make sense" audit, sharing the exact centroid
+    * table with the clustering query so audit and model cannot drift.
+    *
+    * Scale shape: centroids are plan literals; the whole audit is ONE
+    * narrow codegen'd projection per row (the k·dim argmin cell array,
+    * sorted, first two entries) — no join, no shuffle, no window; the
+    * ppm ratio runs in DECIMAL(38,0). */
+  def silhouetteFx(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, dim: Int, iters: Int = 2): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2: $k")
+    val cents = kmeansCentroidsFx(df, idCol, vecCol, k, dim, iters)
+    df.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_c",
+        array_sort(kmeansCellsFx(col("_v"), cents, dim)))
+      .select(col("_id").as(idCol),
+        element_at(col("_c"), 1).getField("c").as("cluster"),
+        element_at(col("_c"), 1).getField("d").as("a_fx"),
+        element_at(col("_c"), 2).getField("d").as("b_fx"))
+      .withColumn("silhouette_ppm",
+        when(greatest(col("a_fx"), col("b_fx")) > 0L,
+          expr("cast(cast(b_fx - a_fx as decimal(38,0)) * 1000000" +
+            " div greatest(a_fx, b_fx) as bigint)"))
+          .otherwise(lit(0L)))
   }
 
   /** (fixed-point distance, cluster) structs against literal centroids —

@@ -767,6 +767,42 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(joined.length == 5 && joined.forall(_ == 1))
   }
 
+  test("silhouetteFx: tight clusters score high, boundary points low; " +
+    "agrees with kmeansLloydFx on cluster and own-distance") {
+    import spark.implicits._
+    // two tight clusters far apart + one point midway; k=2 seeds from
+    // vec_id 0 (cluster A) and 1 (cluster B — put one B member first)
+    val dim = 4
+    def v(base: Double, eps: Double) =
+      Array.fill(dim)((base + eps).toFloat)
+    val vecs = Seq(
+      (0L, v(0.0, 0.00)), (1L, v(1.0, 0.00)),
+      (2L, v(0.0, 0.01)), (3L, v(0.0, -0.01)),
+      (4L, v(1.0, 0.01)), (5L, v(1.0, -0.01)),
+      (6L, v(0.5, 0.0))) // midway: boundary point
+      .toDF("vec_id", "embedding")
+    val sil = SimilarityOps.silhouetteFx(vecs, "vec_id", "embedding",
+        k = 2, dim = dim, iters = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // tight members: a tiny, b huge → s near 1e6
+    Seq(0L, 2L, 3L).foreach(i => assert(sil(i)._4 > 900000L, s"vec $i"))
+    Seq(1L, 4L, 5L).foreach(i => assert(sil(i)._4 > 900000L, s"vec $i"))
+    // the midway point scores far lower than any tight member
+    assert(sil(6L)._4 < 500000L && sil(6L)._4 < sil(0L)._4 - 400000L,
+      s"boundary ${sil(6L)}")
+    // cluster + own-centroid distance agree with the clustering query
+    val km = SimilarityOps.kmeansLloydFx(vecs, "vec_id", "embedding",
+        k = 2, dim = dim, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    sil.foreach { case (id, (cl, a, b, _)) =>
+      assert(km(id) == ((cl, a)), s"vec $id: kmeans ${km(id)} vs ($cl, $a)")
+      assert(b >= a)
+    }
+  }
+
   test("signProject: exact in-memory mirror, JL cosine preservation, " +
     "layout independence") {
     import spark.implicits._
