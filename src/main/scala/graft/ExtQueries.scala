@@ -3386,6 +3386,49 @@ object ExtQueries {
        |FROM agg""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Confusion matrix + precision/recall/F1 of the NB gate at its
+  // natural threshold (score > 0), in exact ppm — ONE aggregate over
+  // the cached scored frame. F1 = 2TP*1e6 div (2TP+FP+FN) exactly.
+  // ---------------------------------------------------------------------
+  def xQualityConfusion(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    nbScored(s, dir)
+      .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+        Seq("doc_id"))
+      .agg(
+        sum(when(col("keep") && col("label"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("keep") && !col("label"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("keep") && col("label"), 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!col("keep") && !col("label"), 1L).otherwise(0L))
+          .as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+        expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
+        expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_ppm"))
+  }
+
+  val xQualityConfusionSql: String =
+    s"""WITH $nbScoreCtesSql,
+       |  cm AS (SELECT
+       |      CAST(SUM(CASE WHEN score_fx > 0 AND pos
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |      CAST(SUM(CASE WHEN score_fx > 0 AND NOT pos
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |      CAST(SUM(CASE WHEN score_fx <= 0 AND pos
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |      CAST(SUM(CASE WHEN score_fx <= 0 AND NOT pos
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |    FROM nbscored)
+       |SELECT tp, fp, fn, tn,
+       |  tp * 1000000 // (tp + fp) AS precision_ppm,
+       |  tp * 1000000 // (tp + fn) AS recall_ppm,
+       |  2 * tp * 1000000 // (2 * tp + fp + fn) AS f1_ppm
+       |FROM cm""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Calibration table (reliability diagram) of the NB score: score
   // deciles via the NTILE-exact window-free tile machinery, per-tile
   // positive rate in exact ppm — monotone pos_ppm across tiles is the
@@ -3547,20 +3590,71 @@ object ExtQueries {
         "embedding", dOut = 16)
       .orderBy(col("vec_id"), col("dim"))
 
-  val xEmbedProjectSql: String =
-    """WITH c AS (SELECT vec_id, s.i AS i,
+  /** Shared sign-projection CTE (contract in
+    * [[SimilarityOps.signProject]], dOut = 16): yields
+    * `proj(vec_id, dim, comp)`. */
+  private val signProjCteSql: String =
+    """pc AS (SELECT vec_id, s.i AS i,
       |    CAST(FLOOR(CAST(s.x AS DOUBLE) * 16777216.0) AS BIGINT) AS xq
       |  FROM (SELECT vec_id, unnest(list_transform(
       |      range(1, len(embedding) + 1),
       |      k -> {i: k - 1, x: embedding[k]})) AS s FROM embeddings)),
-      |  d AS (SELECT unnest(range(0, 16)) AS j)
-      |SELECT vec_id, CAST(j AS INTEGER) AS dim,
-      |  CAST(SUM((1 - 2 * (('0x' || substr(
-      |      md5('sp:' || j || ':' || i), 1, 15))::BIGINT % 2)) * xq)
-      |    AS BIGINT) AS comp
-      |FROM c CROSS JOIN d
-      |GROUP BY vec_id, j
-      |ORDER BY vec_id, dim""".stripMargin
+      |  pdm AS (SELECT unnest(range(0, 16)) AS j),
+      |  proj AS (SELECT vec_id, CAST(j AS INTEGER) AS dim,
+      |      CAST(SUM((1 - 2 * (('0x' || substr(
+      |        md5('sp:' || j || ':' || i), 1, 15))::BIGINT % 2)) * xq)
+      |        AS BIGINT) AS comp
+      |    FROM pc CROSS JOIN pdm
+      |    GROUP BY vec_id, j)""".stripMargin
+
+  val xEmbedProjectSql: String =
+    s"""WITH $signProjCteSql
+       |SELECT vec_id, dim, comp FROM proj
+       |ORDER BY vec_id, dim""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Project -> shortlist -> exact rerank (SimilarityOps.signProjectTopK):
+  // the JL projection as an ANN accelerator — coarse integer dot in
+  // 16 dims shortlists 20 per query, the exact round-6 cosine reranks
+  // to top-5. Twin replays the projection, the HUGEINT dot, and both
+  // windows.
+  // ---------------------------------------------------------------------
+  def xSimProjectAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.signProjectTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, dOut = 16, shortlist = 20)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val xSimProjectAnnSql: String =
+    s"""WITH $signProjCteSql,
+       |  qp AS (SELECT vec_id AS query_id, dim, comp AS qc FROM proj
+       |    WHERE vec_id < 10),
+       |  pd AS (SELECT query_id, p.vec_id AS neighbor_id,
+       |      SUM(CAST(qc AS HUGEINT) * comp) AS pdot
+       |    FROM qp JOIN proj p USING (dim)
+       |    WHERE p.vec_id <> query_id
+       |    GROUP BY query_id, p.vec_id),
+       |  cand AS (SELECT query_id, neighbor_id FROM pd
+       |    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY pdot DESC, neighbor_id) <= 20),
+       |  e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  sc AS (SELECT query_id, neighbor_id,
+       |      round(list_dot_product(q.v, c.v)
+       |        / (sqrt(list_dot_product(q.v, q.v))
+       |           * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+       |    FROM cand
+       |    JOIN e q ON q.vec_id = cand.query_id
+       |    JOIN e c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk,
+       |  neighbor_id, score
+       |FROM sc
+       |QUALIFY rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
   // Int8 scalar quantization of the embedding table: corpus-wide

@@ -1053,6 +1053,64 @@ object SimilarityOps {
       .select(col("_vid").as(idCol), col("_j").as("dim"), col("comp"))
   }
 
+  /** Project → shortlist → exact rerank: the production pattern that
+    * makes [[signProject]] an ANN accelerator — score candidates with
+    * the dOut-dim ±1-projected INTEGER dot product (dOut/d of the
+    * exact scan's flops; JL preserves the ordering approximately),
+    * keep a per-query shortlist, then rerank ONLY the shortlist with
+    * the exact round-6 cosine ([[bruteForceTopK]]'s contract), so the
+    * reported top-k scores are identical to the exact tier's wherever
+    * the shortlist contains them.
+    *
+    * Everything deterministic and engine-exact: projected components
+    * are order-free fixed-point BIGINTs, the shortlist dot rides
+    * DECIMAL(38,0) (a 2³⁰-scale component squared times dOut passes
+    * 2⁶³), shortlist ties break by neighbor id, rerank ties by
+    * (round-6 score desc, id).
+    *
+    * Scale shape: the coarse stage joins SPARSE (id, dim, comp) rows
+    * on `dim` and collapses to (query, neighbor) partials map-side —
+    * the only corpus-sized exchange carries projected partial sums,
+    * never raw vectors; full vectors re-attach by id ONLY for the
+    * per-query shortlist (the ids-only discipline). Per-query windows
+    * are bounded by the shortlist length. */
+  def signProjectTopK(queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      dOut: Int = 16, shortlist: Int = 20): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1: $shortlist/$k")
+    val qp = signProject(queries, idCol, vecCol, dOut)
+      .select(col(idCol).as("query_id"), col("dim"),
+        col("comp").as("_qc"))
+    val cp = signProject(corpus, idCol, vecCol, dOut)
+      .select(col(idCol).as("neighbor_id"), col("dim"),
+        col("comp").as("_cc"))
+    val pd = qp.join(cp, Seq("dim"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_qc").cast("decimal(38,0)") *
+        col("_cc").cast("decimal(38,0)")).as("_pdot"))
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(desc("_pdot"), asc("neighbor_id"))
+    val cand = pd.withColumn("_prnk", row_number().over(sw))
+      .filter(col("_prnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"), norm(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"), norm(col(vecCol)).as("_cn"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("neighbor_id"))
+    cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6)
+          .as("score"))
+      .withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("score"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998): greedily pick `k` of the top-`nCand` candidates,
     * each step maximizing `λ·rel(q,d) − (1−λ)·max_{s∈chosen} sim(d,s)`

@@ -767,6 +767,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(joined.length == 5 && joined.forall(_ == 1))
   }
 
+  test("signProjectTopK: useful recall vs brute force; exact scores on " +
+    "shared pairs; deterministic") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", 5)
+      .collect().map(r => ((r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")), r.getAs[Double]("score"))).toMap
+    def run() = SimilarityOps.signProjectTopK(queries, emb,
+        "vec_id", "embedding", k = 5, dOut = 16, shortlist = 20)
+      .collect().map(r => ((r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")), r.getAs[Double]("score"))).toMap
+    val proj = run()
+    assert(proj.size == exact.size) // full top-k emitted per query
+    val recall = (exact.keySet & proj.keySet).size.toDouble / exact.size
+    // 16-dim JL shortlist of 20 over 64-dim uniform vectors: coarse,
+    // but must beat random (5/500 per slot)
+    assert(recall >= 0.3, s"recall $recall too low")
+    // wherever both tiers report a pair, the RERANKED score is the
+    // exact round-6 cosine — identical by construction
+    (exact.keySet & proj.keySet).foreach { pair =>
+      assert(exact(pair) == proj(pair), s"score drift on $pair")
+    }
+    assert(run() == proj)
+  }
+
   test("silhouetteFx: tight clusters score high, boundary points low; " +
     "agrees with kmeansLloydFx on cluster and own-distance") {
     import spark.implicits._
