@@ -2259,6 +2259,50 @@ object ExtQueries {
       |ORDER BY g.event_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // k-anonymity audit (Profile.kAnonymity): re-identification exposure
+  // of two quasi-identifier sets — (event_type, hour) over events and
+  // (source, lang) over documents — min equivalence class + exact-ppm
+  // share of under-k rows. The pre-export privacy review beside PII
+  // redaction (which fixes direct identifiers, not quasi-identifiers).
+  // ---------------------------------------------------------------------
+  def xPrivacyKanon(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("hour", hour(col("ts")))
+    graft.transform.Profile.kAnonymity(ev,
+        Seq("event_type", "hour"), k = 60L)
+      .unionAll(graft.transform.Profile.kAnonymity(
+        t(s, dir, "documents"), Seq("source", "lang"), k = 5L))
+      .orderBy(col("qi"))
+  }
+
+  val xPrivacyKanonSql: String =
+    """(WITH g AS (SELECT event_type, hour(ts) AS h,
+      |      CAST(COUNT(*) AS BIGINT) AS n
+      |    FROM events GROUP BY 1, 2)
+      |  SELECT 'event_type,hour' AS qi, CAST(60 AS BIGINT) AS k,
+      |    CAST(SUM(n) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |    CAST(MIN(n) AS BIGINT) AS min_k,
+      |    CAST(SUM(CASE WHEN n < 60 THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_below_k,
+      |    CAST(CAST(SUM(CASE WHEN n < 60 THEN n ELSE 0 END) AS HUGEINT)
+      |      * 1000000 // SUM(n) AS BIGINT) AS below_ppm
+      |  FROM g)
+      |UNION ALL
+      |(WITH g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      |    FROM documents GROUP BY 1, 2)
+      |  SELECT 'source,lang' AS qi, CAST(5 AS BIGINT) AS k,
+      |    CAST(SUM(n) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |    CAST(MIN(n) AS BIGINT) AS min_k,
+      |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_below_k,
+      |    CAST(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS HUGEINT)
+      |      * 1000000 // SUM(n) AS BIGINT) AS below_ppm
+      |  FROM g)
+      |ORDER BY qi""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Key-skew audit (Profile.keySkew) over four candidate shuffle keys:
   // exact integer Gini / max-share / skew-ratio / p50/p99 group sizes,
   // window-free ranks. The oracle replays the rank + HUGEINT algebra.

@@ -252,6 +252,37 @@ object Profile {
       .select(col("bucket"), (col("bucket") * width).as("lo"), col("n"))
   }
 
+  /** k-anonymity audit (Sweeney 2002) — for a quasi-identifier column
+    * set, the re-identification exposure of a dataset before release:
+    * every row whose QI combination is shared by fewer than k rows is
+    * a linkage-attack candidate. One row out: `qi` (the audited column
+    * set), `k`, `n_rows`, `n_groups`, `min_k` (the smallest
+    * equivalence class — the dataset's actual k-anonymity), `n_below_k`
+    * (rows in classes smaller than k) and `below_ppm` (exact integer
+    * share). The audit a privacy review runs BEFORE an export — next
+    * to [[graft.transform.Sanitize]]'s redaction, which fixes direct
+    * identifiers but not quasi-identifiers.
+    *
+    * Scale shape: ONE grouped count over the QI tuple (map-side
+    * partials) reduces the corpus to its equivalence classes, then one
+    * 1-row aggregate over the class-sized relation. No window, no
+    * driver state. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 1, s"kAnonymity: bad args $qiCols/$k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(sum(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("_n")).as("min_k"),
+        sum(when(col("_n") < k, col("_n")).otherwise(0L))
+          .as("n_below_k"))
+      .select(lit(qiCols.mkString(",")).as("qi"), lit(k).as("k"),
+        col("n_rows"), col("n_groups"), col("min_k"), col("n_below_k"),
+        expr("cast(cast(n_below_k as decimal(38,0)) * 1000000" +
+          " div n_rows as bigint)").as("below_ppm"))
+  }
+
   /** Exact ROC AUC by the Mann–Whitney rank identity — the "is my
     * quality classifier any good" number, computed at corpus scale
     * with NO score collection, NO curve discretization, and exact tie

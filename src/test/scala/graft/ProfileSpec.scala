@@ -122,6 +122,28 @@ class ProfileSpec extends SparkSpec {
       (4L, 40.0, 2L))) // 99.0 and 1e6 clamp into the top bucket
   }
 
+  test("kAnonymity: min class, under-k mass, fully-anonymous and " +
+    "fully-unique extremes") {
+    import spark.implicits._
+    // classes: (a,x)=4 rows, (a,y)=2, (b,x)=1
+    val df = (Seq.fill(4)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq(("b", "x"))).toDF("q1", "q2")
+    val r = Profile.kAnonymity(df, Seq("q1", "q2"), k = 3L).collect()(0)
+    assert(r.getString(0) == "q1,q2" && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 7L && r.getLong(3) == 3L) // rows, groups
+    assert(r.getLong(4) == 1L)                        // min_k
+    assert(r.getLong(5) == 3L)                        // 2 + 1 below k=3
+    assert(r.getLong(6) == 3000000L / 7L)             // exact floor ppm
+    // k = 1: nothing can be below → exposure 0
+    val ok = Profile.kAnonymity(df, Seq("q1", "q2"), k = 1L).collect()(0)
+    assert(ok.getLong(5) == 0L && ok.getLong(6) == 0L)
+    // fully-unique QI: everything below any k >= 2
+    val uniq = (1 to 5).map(i => (s"u$i", i)).toDF("q1", "q2")
+    val ur = Profile.kAnonymity(uniq, Seq("q1"), k = 2L).collect()(0)
+    assert(ur.getLong(4) == 1L && ur.getLong(5) == 5L &&
+      ur.getLong(6) == 1000000L)
+  }
+
   test("aucExact: perfect separation 1e6, all-tied 5e5, hand-computed " +
     "tie case, layout-independent") {
     import spark.implicits._
