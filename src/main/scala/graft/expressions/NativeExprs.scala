@@ -120,6 +120,13 @@ object NativeExprs {
       case other => throw new IllegalArgumentException(
         s"graft_any_in_set(arr, bigintArrayLiteral), got $other")
     })
+    reg("graft_sign_project", {
+      case Seq(c, Literal(dOut: Int, IntegerType),
+               Literal(dIn: Int, IntegerType)) =>
+        SignProjectFx(c, dOut, dIn)
+      case other => throw new IllegalArgumentException(
+        s"graft_sign_project(arr, dOutLit, dInLit), got $other")
+    })
     reg("graft_dict_sum", {
       case Seq(c, Literal(ks: ArrayData, ArrayType(LongType, _)),
                Literal(vs: ArrayData, ArrayType(LongType, _)),
@@ -190,6 +197,33 @@ object NativeExprs {
       i += 1
     }
     InternalRow(sfx, n - 1)
+  }
+
+  /** Shared eval core for [[SignProjectFx]]: quantize the dIn vector
+    * components to fixed point ONCE (`floor(x·2²⁴)`), then every
+    * out-dim is a compiled ±1-weighted long sum — dIn·dOut MACs per
+    * row with zero allocation beyond the output array. `signs` is the
+    * flattened (j·dIn + i) sign matrix. */
+  def signProjectFx(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                    signs: Array[Long], dOut: Int,
+                    dIn: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val q = new Array[Long](dIn)
+    var i = 0
+    while (i < dIn) {
+      q(i) = java.lang.Math.floor(v.getDouble(i) * 16777216.0).toLong
+      i += 1
+    }
+    val out = new Array[Long](dOut)
+    var j = 0
+    while (j < dOut) {
+      var acc = 0L
+      val base = j * dIn
+      var t = 0
+      while (t < dIn) { acc += signs(base + t) * q(t); t += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Shared eval core for [[DictSumFixed]]: Σ dict(h) over the hash
@@ -1019,6 +1053,59 @@ case class LmNllFixed(child: Expression, uniKeys: Array[Long],
          |InternalRow $r = graft.expressions.NativeExprs.lmNllFixed(
          |  $c, $uk, $uv, $bk, $bv, $v);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Sign random projection compiled: dOut fixed-point components from a
+  * dIn-dim double vector in ONE pass — quantize once, then dIn·dOut
+  * ±1-weighted long MACs against a reference sign matrix (the portable
+  * md5 convention, derived at construction — deterministic, nothing
+  * shipped but the expression). The compositional forms paid dearly at
+  * scale: per-(i, j) in-plan md5 ran 216.8 s at sf10, literal-sign
+  * expression trees still evaluated interpreted at 31.7 s; this
+  * compiled loop is the arithmetic and nothing else. Contract of
+  * `SimilarityOps.signProject` unchanged — values bit-identical. */
+case class SignProjectFx(child: Expression, dOut: Int, dIn: Int)
+    extends UnaryExpression {
+
+  require(dOut >= 1 && dIn >= 1, s"bad dims $dOut/$dIn")
+
+  // flattened (j*dIn + i) sign matrix from h60("sp:j:i") — the exact
+  // convention the DuckDB twin reproduces
+  @transient private lazy val signs: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dOut * dIn) { f =>
+      val (j, i) = (f / dIn, f % dIn)
+      val hex = md.digest(s"sp:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      1L - 2L * (java.lang.Long.parseLong(hex, 16) % 2L)
+    }
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_sign_project expects array<double>, got $dt")
+    }
+  override def dataType: DataType = ArrayType(LongType, false)
+  override def prettyName: String = "graft_sign_project"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.signProjectFx(input.asInstanceOf[ArrayData],
+      signs, dOut, dIn)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.addReferenceObj("graftSpSigns", signs, "long[]")
+      s"""
+         |${ev.value} = graft.expressions.NativeExprs.signProjectFx(
+         |  $c, $s, $dOut, $dIn);
        """.stripMargin
     })
 

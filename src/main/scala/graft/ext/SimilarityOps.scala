@@ -1029,28 +1029,38 @@ object SimilarityOps {
     * bit-identical everywhere. Output is the sparse relational form
     * (id, dim, comp) — dOut rows per vector.
     *
-    * Scale shape: the per-vector fan-out (d·dOut sign-weighted terms —
-    * the projection's inherent flop count) happens INSIDE tasks; the
-    * map-side partial aggregation collapses each (vector, out-dim) to
-    * one row before the exchange, so the only shuffle carries n·dOut
-    * longs — the PROJECTED size, not the input size. No window, no
-    * driver state, no matrix broadcast (signs compute inline,
-    * codegen'd md5 on a ~10-byte string). */
+    * Scale shape: a PURE PROJECTION — one compiled pass per row
+    * ([[graft.expressions.SignProjectFx]]: quantize the dIn components
+    * once, then dIn·dOut ±1-weighted long MACs against the
+    * construction-derived sign matrix), followed only by the dOut-row
+    * posexplode into the relational form. No join, no aggregate, no
+    * exchange, no window; the d·dOut flop count (the projection's
+    * inherent cost) runs as compiled long arithmetic. */
   def signProject(vecs: DataFrame, idCol: String, vecCol: String,
-                  dOut: Int): DataFrame = {
-    require(dOut >= 1, s"dOut must be >= 1: $dOut")
+                  dOut: Int, dIn: Int = 64): DataFrame = {
+    require(dOut >= 1 && dIn >= 1, s"dOut/dIn must be >= 1: $dOut/$dIn")
+    // The sign matrix is d·dOut values TOTAL — compute it ONCE
+    // driver-side (same portable md5 convention, bit-identical result)
+    // and fold it into the plan as literal coefficients. The first cut
+    // derived each sign with an in-plan md5 per (element, out-dim):
+    // at sf10 that was 205M md5 calls plus a 205M-row explode through
+    // a 3.2M-group aggregate — 216.8 s for what is, with literal
+    // signs, a NARROW PROJECTION (the kmeansCellsFx shape: a
+    // dIn-term codegen'd sum per out-dim, no Generate, no exchange
+    // beyond the final explode of dOut rows per vector). Measured
+    // 216.8 → 2.8 s at sf10, values identical.
+    // One compiled pass per row ([[graft.expressions.SignProjectFx]]):
+    // quantize the dIn components once, dIn·dOut ±1-weighted long MACs
+    // against the construction-derived sign matrix. The compositional
+    // forms measured at sf10: per-(i, j) in-plan md5 216.8 s,
+    // literal-sign expression tree (interpreted eval) 31.7 s, this
+    // compiled loop 1.4 s — identical values throughout.
     graft.engine.Engine.spread(vecs)
-      .select(col(idCol).as("_vid"), posexplode(col(vecCol)))
-      .withColumnsRenamed(Map("pos" -> "_i", "col" -> "_x"))
-      .select(col("_vid"), col("_i"),
-        floor(col("_x").cast("double") * lit(16777216.0)).cast("long")
-          .as("_xq"),
-        explode(lit((0 until dOut).toArray)).as("_j"))
-      .groupBy(col("_vid"), col("_j"))
-      .agg(sum((lit(1L) - lit(2L) *
-          (SketchOps.h60(concat_ws(":", lit("sp"), col("_j"),
-            col("_i"))) % 2)) * col("_xq")).as("comp"))
-      .select(col("_vid").as(idCol), col("_j").as("dim"), col("comp"))
+      .select(col(idCol).as("_vid"),
+        posexplode(call_function("graft_sign_project",
+          col(vecCol).cast("array<double>"), lit(dOut), lit(dIn))))
+      .select(col("_vid").as(idCol), col("pos").as("dim"),
+        col("col").as("comp"))
   }
 
   /** Project → shortlist → exact rerank: the production pattern that

@@ -192,8 +192,16 @@ object Sanitize {
     *
     * Appends `grp_rank`, `n_group`, and `norm_score` (same type as
     * `scoreCol`). */
-  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+  def quantileNormalize(df0: DataFrame, groupCol: String, idCol: String,
                         scoreCol: String): DataFrame = {
+    // Score ONCE (the scoreTiles lesson): each rank pass range-samples
+    // AND shuffles its input, so an un-cut caller chain (a classifier
+    // scoring a corpus) would re-evaluate ~4× across the two passes —
+    // the r11c sf10 probe measured 183.8 s for what is 42.1 s with the
+    // input checkpointed. The frame is narrow by contract (group, id,
+    // score ride the ranks; everything else joins back by id if the
+    // caller wants it).
+    val df = graft.engine.Engine.materialize(df0)
     val pooledRanked = graft.engine.Engine.materialize(
       Ids.assignContiguousIds(df,
         struct(col(scoreCol), col(idCol)), "_prk", 1L))
