@@ -1082,8 +1082,11 @@ object SimilarityOps {
     * on `dim` and collapses to (query, neighbor) partials map-side —
     * the only corpus-sized exchange carries projected partial sums,
     * never raw vectors; full vectors re-attach by id ONLY for the
-    * per-query shortlist (the ids-only discipline). Per-query windows
-    * are bounded by the shortlist length. */
+    * per-query shortlist (the ids-only discipline). Both per-query
+    * windows carry LITERAL rank bounds, so InferWindowGroupLimit
+    * inserts the Partial map-side prune — every partition forwards at
+    * most `shortlist` (resp. k) rows per query to the window shuffle;
+    * a corpus-sized query partition never ships (plan-pinned). */
   def signProjectTopK(queries: DataFrame, corpus: DataFrame,
                       idCol: String, vecCol: String, k: Int,
                       dOut: Int = 16, shortlist: Int = 20): DataFrame = {

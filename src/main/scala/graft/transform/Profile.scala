@@ -298,10 +298,13 @@ object Profile {
     * meet a single-partition window), ONE score-grain grouped agg for
     * each tie run's (min, max) rank, ONE score-keyed join back, and a
     * 1-row final aggregate. No prefix sum, no window, no driver state.
-    * Output: one row — `n_pos`, `n_neg`, `u2` (2·Mann–Whitney U),
-    * `auc_ppm`. Degenerate inputs (a class empty) raise downstream of
-    * the integral division by zero in ANSI mode; callers own the
-    * "evaluate only when both classes exist" guard. */
+    * Output: one row — `n_pos`, `n_neg`, `u2` (2·Mann–Whitney U,
+    * reported as BIGINT for the oracle's sake: it wraps past
+    * n₊·n₋ > 2⁶² — `auc_ppm` itself is computed in DECIMAL(38,0) and
+    * stays exact at any scale), `auc_ppm`. Degenerate inputs (a class
+    * empty) raise downstream of the integral division by zero in ANSI
+    * mode; callers own the "evaluate only when both classes exist"
+    * guard. */
   def aucExact(df: DataFrame, scoreCol: String, idCol: String,
                labelCol: String): DataFrame = {
     val ranked = graft.engine.Engine.materialize(

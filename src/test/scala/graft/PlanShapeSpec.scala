@@ -428,4 +428,29 @@ class PlanShapeSpec extends SparkSpec {
       .findAllIn(p).length
     assert(exchanges <= 1, s"expected at most one hash exchange:\n$p")
   }
+
+  test("signProjectTopK: both per-query windows get the Partial " +
+    "map-side WindowGroupLimit prune (no corpus-sized query partition " +
+    "ships)") {
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+    val df = graft.ext.SimilarityOps.signProjectTopK(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+      emb, "vec_id", "embedding", k = 5, dOut = 16, shortlist = 20)
+    val p = plan(df)
+    // literal rank bound → InferWindowGroupLimit inserts the Partial
+    // map-side prune on the COARSE window (the one whose per-query
+    // partition is corpus-sized): each partition forwards <= shortlist
+    // rows per query to the window shuffle instead of its whole
+    // candidate set. The rerank window's input is already
+    // shortlist-sized, so a Final-only limit there is fine.
+    val partials = "WindowGroupLimit .*Partial".r.findAllIn(p).length
+    assert(partials >= 1,
+      s"expected a Partial WindowGroupLimit on the coarse window:\n$p")
+    val finals = "WindowGroupLimit .*Final".r.findAllIn(p).length
+    assert(finals >= 2,
+      s"expected rank limits on both windows:\n$p")
+    // and the coarse stage never exchanges raw vectors: only the
+    // projected comps / pdot partials and ids cross the network
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
