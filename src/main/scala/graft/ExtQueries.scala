@@ -3430,6 +3430,53 @@ object ExtQueries {
        |FROM agg""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Label-noise candidates (confident-disagreement screen, the
+  // first-order form of Northcutt's confident learning): docs whose
+  // trusted label the classifier CONFIDENTLY contradicts — positives
+  // scoring at or below the corpus p10, negatives at or above the p90.
+  // Exact-percentile bounds ride as a broadcast 1-row frame (the
+  // winsorize pattern; quantile_cont is the proven DuckDB pairing);
+  // the screen itself is a narrow projection over the cached scored
+  // frame. These are the rows a curation pass re-audits first.
+  // ---------------------------------------------------------------------
+  def xQualityLabelNoise(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = nbScored(s, dir)
+      .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+        Seq("doc_id"))
+    val bounds = scored.agg(percentile(col("score_fx").cast("double"),
+        array(lit(0.1), lit(0.9))).as("_b"))
+      .select(element_at(col("_b"), 1).as("_lo"),
+        element_at(col("_b"), 2).as("_hi"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("noise_side",
+        when(col("label") && col("score_fx").cast("double") <= col("_lo"),
+          lit("labeled_pos_scored_neg"))
+          .when(!col("label") &&
+            col("score_fx").cast("double") >= col("_hi"),
+            lit("labeled_neg_scored_pos")))
+      .filter(col("noise_side").isNotNull)
+      .select(col("doc_id"), col("label"), col("score_fx"),
+        col("noise_side"))
+      .orderBy(col("doc_id"))
+  }
+
+  val xQualityLabelNoiseSql: String =
+    s"""WITH $nbScoreCtesSql,
+       |  qb AS (SELECT
+       |      quantile_cont(CAST(score_fx AS DOUBLE), 0.1) AS lo,
+       |      quantile_cont(CAST(score_fx AS DOUBLE), 0.9) AS hi
+       |    FROM nbscored)
+       |SELECT doc_id, pos AS label, score_fx,
+       |  CASE WHEN pos AND CAST(score_fx AS DOUBLE) <= lo
+       |      THEN 'labeled_pos_scored_neg'
+       |    ELSE 'labeled_neg_scored_pos' END AS noise_side
+       |FROM nbscored CROSS JOIN qb
+       |WHERE (pos AND CAST(score_fx AS DOUBLE) <= lo)
+       |   OR (NOT pos AND CAST(score_fx AS DOUBLE) >= hi)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Confusion matrix + precision/recall/F1 of the NB gate at its
   // natural threshold (score > 0), in exact ppm — ONE aggregate over
   // the cached scored frame. F1 = 2TP*1e6 div (2TP+FP+FN) exactly.

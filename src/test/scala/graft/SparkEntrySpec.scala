@@ -19,7 +19,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 172)
-    assert(SparkEntry.oracleSql.size == 172)
+    assert(SparkEntry.queries.size == 173)
+    assert(SparkEntry.oracleSql.size == 173)
   }
 }
