@@ -954,28 +954,17 @@ object ExtQueries {
   // while a byte-level hash of the whole payload misses them. The twin
   // replays the chunk/md5/overlap algebra.
   // ---------------------------------------------------------------------
-  def xMediaDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val corpus = d.filter(col("doc_id") < 100)
-      .select(col("doc_id"), col("text"))
-      .unionAll(d.filter(col("doc_id") < 30)
-        .select((col("doc_id") + 20000).as("doc_id"),
-          expr("substring(text, 1, cast(length(text) div 2 as int))")
-            .as("text")))
+  def xMediaDedup(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameDedupPairs(
-        Multimodal.withSyntheticMedia(corpus, "doc_id", "text"),
+        Multimodal.withSyntheticMedia(truncatedTwinDocs(s, dir),
+          "doc_id", "text"),
         "doc_id", "media", frameBytes = 32, stride = 4,
         tauPpm = 500000L)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   val xMediaDedupSql: String =
-    """WITH corpus AS (
-      |    SELECT doc_id, text FROM documents WHERE doc_id < 100
-      |    UNION ALL
-      |    SELECT doc_id + 20000 AS doc_id,
-      |      substr(text, 1, CAST(length(text) // 2 AS INTEGER)) AS text
-      |    FROM documents WHERE doc_id < 30),
+    s"""WITH corpus AS (
+      |    $truncatedTwinSql),
       |  t AS (SELECT doc_id, text,
       |    CAST(ceil(length(text) / 32.0) AS BIGINT) AS nf FROM corpus),
       |  fp AS (SELECT DISTINCT doc_id, fmd5 FROM (
@@ -3433,47 +3422,41 @@ object ExtQueries {
   // Label-noise candidates (confident-disagreement screen, the
   // first-order form of Northcutt's confident learning): docs whose
   // trusted label the classifier CONFIDENTLY contradicts — positives
-  // scoring at or below the corpus p10, negatives at or above the p90.
-  // Exact-percentile bounds ride as a broadcast 1-row frame (the
-  // winsorize pattern; quantile_cont is the proven DuckDB pairing);
-  // the screen itself is a narrow projection over the cached scored
-  // frame. These are the rows a curation pass re-audits first.
+  // in the BOTTOM score decile, negatives in the TOP. Deciles come
+  // from the NTILE-exact integer tile machinery, NOT an interpolated
+  // percentile threshold: a float bound used for set membership can
+  // flip tied rows across engines by one ulp (review catch), whereas
+  // the (score, id)-ranked tile is a pure integer and bit-stable.
+  // These are the rows a curation pass re-audits first.
   // ---------------------------------------------------------------------
   def xQualityLabelNoise(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val scored = nbScored(s, dir)
       .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
         Seq("doc_id"))
-    val bounds = scored.agg(percentile(col("score_fx").cast("double"),
-        array(lit(0.1), lit(0.9))).as("_b"))
-      .select(element_at(col("_b"), 1).as("_lo"),
-        element_at(col("_b"), 2).as("_hi"))
-    scored.crossJoin(broadcast(bounds))
+    TextOps.scoreTiles(scored, "doc_id", "score_fx", k = 10)
       .withColumn("noise_side",
-        when(col("label") && col("score_fx").cast("double") <= col("_lo"),
+        when(col("label") && col("tile") === 1,
           lit("labeled_pos_scored_neg"))
-          .when(!col("label") &&
-            col("score_fx").cast("double") >= col("_hi"),
+          .when(!col("label") && col("tile") === 10,
             lit("labeled_neg_scored_pos")))
       .filter(col("noise_side").isNotNull)
       .select(col("doc_id"), col("label"), col("score_fx"),
-        col("noise_side"))
+        col("tile"), col("noise_side"))
       .orderBy(col("doc_id"))
   }
 
   val xQualityLabelNoiseSql: String =
     s"""WITH $nbScoreCtesSql,
-       |  qb AS (SELECT
-       |      quantile_cont(CAST(score_fx AS DOUBLE), 0.1) AS lo,
-       |      quantile_cont(CAST(score_fx AS DOUBLE), 0.9) AS hi
+       |  lt AS (SELECT doc_id, pos, score_fx,
+       |      NTILE(10) OVER (ORDER BY score_fx, doc_id) AS tile
        |    FROM nbscored)
        |SELECT doc_id, pos AS label, score_fx,
-       |  CASE WHEN pos AND CAST(score_fx AS DOUBLE) <= lo
-       |      THEN 'labeled_pos_scored_neg'
+       |  CAST(tile AS INTEGER) AS tile,
+       |  CASE WHEN pos AND tile = 1 THEN 'labeled_pos_scored_neg'
        |    ELSE 'labeled_neg_scored_pos' END AS noise_side
-       |FROM nbscored CROSS JOIN qb
-       |WHERE (pos AND CAST(score_fx AS DOUBLE) <= lo)
-       |   OR (NOT pos AND CAST(score_fx AS DOUBLE) >= hi)
+       |FROM lt
+       |WHERE (pos AND tile = 1) OR (NOT pos AND tile = 10)
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -4557,26 +4540,36 @@ object ExtQueries {
   // directions, integer ppm; the twin replays string-shingle set
   // algebra.
   // ---------------------------------------------------------------------
-  def xDedupContainment(s: SparkSession, dir: String): DataFrame = {
+  /** docs < 100 ∪ half-length truncations of docs < 30 (ids +20000):
+    * the planted-containment fixture shared by `x_dedup_containment`
+    * and `x_media_dedup` — one recipe, one SQL twin, no drift. */
+  private def truncatedTwinDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val corpus = d.filter(col("doc_id") < 100)
-      .select(col("doc_id"), col("text"))
+    d.filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
       .unionAll(d.filter(col("doc_id") < 30)
         .select((col("doc_id") + 20000).as("doc_id"),
           expr("substring(text, 1, cast(length(text) div 2 as int))")
             .as("text")))
-    DedupOps.containmentPairs(corpus, "doc_id", "text",
-        n = 2, tauPpm = 600000L)
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** DuckDB form of [[truncatedTwinDocs]]. LAZY: xMediaDedupSql is
+    * declared earlier in the object and initializes first — a plain
+    * val here would interpolate as null there (Scala val order). */
+  private lazy val truncatedTwinSql: String =
+    """SELECT doc_id, text FROM documents WHERE doc_id < 100
+      |    UNION ALL
+      |    SELECT doc_id + 20000 AS doc_id,
+      |      substr(text, 1, CAST(length(text) // 2 AS INTEGER)) AS text
+      |    FROM documents WHERE doc_id < 30""".stripMargin
+
+  def xDedupContainment(s: SparkSession, dir: String): DataFrame =
+    DedupOps.containmentPairs(truncatedTwinDocs(s, dir), "doc_id",
+        "text", n = 2, tauPpm = 600000L)
+      .orderBy(col("id_a"), col("id_b"))
 
   val xDedupContainmentSql: String =
     s"""WITH corpus AS (
-       |    SELECT doc_id, text FROM documents WHERE doc_id < 100
-       |    UNION ALL
-       |    SELECT doc_id + 20000 AS doc_id,
-       |      substr(text, 1, CAST(length(text) // 2 AS INTEGER)) AS text
-       |    FROM documents WHERE doc_id < 30),
+       |    $truncatedTwinSql),
        |  tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
        |  $shingleCteSql,
        |  pj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -207,12 +207,14 @@ object NativeExprs {
   def signProjectFx(v: org.apache.spark.sql.catalyst.util.ArrayData,
                     signs: Array[Long], dOut: Int,
                     dIn: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    // loud, not an ArrayIndexOutOfBounds deep in generated code: a
-    // ragged corpus mixing shorter vectors must fail with the contract
-    if (v.numElements() < dIn)
+    // loud, not an ArrayIndexOutOfBounds deep in generated code — and
+    // EXACT, not >=: a longer vector would silently project only its
+    // prefix here while the string-twin projects every component
+    // (review catch), so a ragged corpus must fail with the contract
+    if (v.numElements() != dIn)
       throw new IllegalArgumentException(
         s"graft_sign_project: vector has ${v.numElements()} components," +
-          s" expected >= $dIn")
+          s" expected exactly $dIn")
     val q = new Array[Long](dIn)
     var i = 0
     while (i < dIn) {

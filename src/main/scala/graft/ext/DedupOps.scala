@@ -196,8 +196,13 @@ object DedupOps {
     * asymmetric-transform trick and is out of scope here. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 2, tauPpm: Long = 600000L): DataFrame = {
-    val ex = hashedShingleSets(df, idCol, textCol, n)
-      .select(col("_id"), explode(col("_sh")).as("_h"))
+    // Shingle ONCE: three consumers below (sizes + both join sides)
+    // would otherwise re-run the tokenize→shingle→hash chain — the
+    // same re-evaluation class the r11c sf10 probe measured 4× costs
+    // on in the rank ops (review catch).
+    val ex = graft.engine.Engine.materialize(
+      hashedShingleSets(df, idCol, textCol, n)
+        .select(col("_id"), explode(col("_sh")).as("_h")))
     val sizes = ex.groupBy(col("_id").as("id_a"))
       .agg(count(lit(1)).as("n_a"))
     ex.select(col("_id").as("id_a"), col("_h"))

@@ -128,9 +128,13 @@ object Multimodal {
   def frameDedupPairs(df: DataFrame, idCol: String, mediaCol: String,
                       frameBytes: Int = 32, stride: Int = 4,
                       tauPpm: Long = 500000L): DataFrame = {
-    val fps = sampleFrames(df, idCol, mediaCol, frameBytes, stride)
-      .select(col(idCol).as("_id"), md5(col("frame")).as("_fp"))
-      .distinct()
+    // Fingerprint ONCE: sizes + both join sides read this frame — the
+    // materialize keeps the chunk/md5 pass from running three times
+    // over the payload bytes (review catch, the rank-op lesson).
+    val fps = graft.engine.Engine.materialize(
+      sampleFrames(df, idCol, mediaCol, frameBytes, stride)
+        .select(col(idCol).as("_id"), md5(col("frame")).as("_fp"))
+        .distinct())
     val sizes = fps.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val pairs = fps.select(col("_id").as("id_a"), col("_fp"))
       .join(fps.select(col("_id").as("id_b"), col("_fp")), Seq("_fp"))

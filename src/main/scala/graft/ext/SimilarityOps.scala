@@ -750,6 +750,12 @@ object SimilarityOps {
                    k: Int, dim: Int, iters: Int = 2): DataFrame = {
     require(k >= 2, s"silhouette needs k >= 2: $k")
     val cents = kmeansCentroidsFx(df, idCol, vecCol, k, dim, iters)
+    // a cluster that EMPTIES during a Lloyd round drops from the
+    // centroid table — with < 2 survivors there is no "nearest other
+    // centroid" and element_at(_, 2) would go null instead of loud
+    require(cents.length >= 2,
+      s"silhouette: only ${cents.length} cluster(s) survived the " +
+        "Lloyd rounds — no second centroid to measure separation against")
     df.select(col(idCol).as("_id"),
         col(vecCol).cast("array<double>").as("_v"))
       .withColumn("_c",

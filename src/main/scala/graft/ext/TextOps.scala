@@ -1500,6 +1500,16 @@ object TextOps {
       lam(0L, 0L))
   }
 
+  /** The raw NB score struct `(sum, n)` + prior as a column — the ONE
+    * authority both [[streamNbScore]] and the ingest gate
+    * ([[graft.jobs.StreamIngestJob]]) build on, so the two can never
+    * drift from each other (review catch: the gate had its own copy of
+    * this expression). */
+  def nbScoreCol(textCol: Column, model: NbModel): Column =
+    call_function("graft_dict_sum",
+      call_function("graft_hash_tokens", tokens(textCol)),
+      lit(model.keys), lit(model.vals), lit(model.defaultFx))
+
   /** STREAM-SAFE [[nbQualityScore]]: identical output schema and —
     * scoring the model's own training corpus, absent hash collisions —
     * identical values, but as a PURE PROJECTION: the weight table rides
@@ -1510,9 +1520,7 @@ object TextOps {
     * prior, matching the batch op. */
   def streamNbScore(df: DataFrame, idCol: String, textCol: String,
                     model: NbModel): DataFrame =
-    df.withColumn("_nb", call_function("graft_dict_sum",
-        call_function("graft_hash_tokens", tokens(col(textCol))),
-        lit(model.keys), lit(model.vals), lit(model.defaultFx)))
+    df.withColumn("_nb", nbScoreCol(col(textCol), model))
       .select(col(idCol),
         col("_nb.n").cast("long").as("n_tokens"),
         (col("_nb.sum") + lit(model.priorFx)).as("score_fx"))

@@ -283,13 +283,13 @@ object StreamIngestJob {
     }
     // Trained NB quality gate (the x_quality_nb model as plan
     // literals): keep docs the classifier scores positive — one
-    // graft_dict_sum fold per row, a pure stream-safe projection like
-    // the LM gate. Empty docs score exactly the prior.
+    // graft_dict_sum fold per row (TextOps.nbScoreCol, the same
+    // authority streamNbScore uses), a pure stream-safe projection
+    // like the LM gate. Empty docs score exactly the prior.
     val qualified = nbModel.fold(banded) { m =>
-      banded.filter((call_function("graft_dict_sum",
-        call_function("graft_hash_tokens", TextOps.tokens(col(textCol))),
-        lit(m.keys), lit(m.vals), lit(m.defaultFx)).getField("sum") +
-        lit(m.priorFx)) > 0L)
+      banded.filter(
+        (TextOps.nbScoreCol(col(textCol), m).getField("sum") +
+          lit(m.priorFx)) > 0L)
     }
     Split.hashSplit(qualified, idCol,
       Seq("test" -> testFrac, "valid" -> validFrac))
