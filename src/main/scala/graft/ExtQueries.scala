@@ -953,6 +953,12 @@ object ExtQueries {
   // every aligned sampled frame, so min-normalized overlap stays ~10^6
   // while a byte-level hash of the whole payload misses them. The twin
   // replays the chunk/md5/overlap algebra.
+  //
+  // ASCII-fixture assumption (shared with x_frame_sample): the engine
+  // chunks the UTF-8 media PAYLOAD by bytes; the twin chunks the text
+  // by characters (length/substr). Identical only while the fixture
+  // generator emits ASCII-only text, where chars == bytes — if it ever
+  // emits non-ASCII, switch the twin to octet_length + BLOB slicing.
   // ---------------------------------------------------------------------
   def xMediaDedup(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameDedupPairs(
@@ -3478,10 +3484,16 @@ object ExtQueries {
           .as("fn"),
         sum(when(!col("keep") && !col("label"), 1L).otherwise(0L))
           .as("tn"))
+      // Denominator guards (r11 advice): a gate that keeps nothing
+      // (tp+fp=0) or a corpus with no positives (tp+fn=0) must yield
+      // NULL ratios, not an ANSI divide-by-zero. Twin mirrors the CASE.
       .select(col("tp"), col("fp"), col("fn"), col("tn"),
-        expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
-        expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
-        expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_ppm"))
+        expr("case when tp + fp > 0 then tp * 1000000 div (tp + fp) end")
+          .as("precision_ppm"),
+        expr("case when tp + fn > 0 then tp * 1000000 div (tp + fn) end")
+          .as("recall_ppm"),
+        expr("case when 2 * tp + fp + fn > 0 then" +
+          " 2 * tp * 1000000 div (2 * tp + fp + fn) end").as("f1_ppm"))
   }
 
   val xQualityConfusionSql: String =
@@ -3497,9 +3509,12 @@ object ExtQueries {
        |        THEN 1 ELSE 0 END) AS BIGINT) AS tn
        |    FROM nbscored)
        |SELECT tp, fp, fn, tn,
-       |  tp * 1000000 // (tp + fp) AS precision_ppm,
-       |  tp * 1000000 // (tp + fn) AS recall_ppm,
-       |  2 * tp * 1000000 // (2 * tp + fp + fn) AS f1_ppm
+       |  CASE WHEN tp + fp > 0
+       |    THEN tp * 1000000 // (tp + fp) END AS precision_ppm,
+       |  CASE WHEN tp + fn > 0
+       |    THEN tp * 1000000 // (tp + fn) END AS recall_ppm,
+       |  CASE WHEN 2 * tp + fp + fn > 0
+       |    THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
        |FROM cm""".stripMargin
 
   // ---------------------------------------------------------------------

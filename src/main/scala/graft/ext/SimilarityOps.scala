@@ -1088,7 +1088,13 @@ object SimilarityOps {
     * on `dim` and collapses to (query, neighbor) partials map-side —
     * the only corpus-sized exchange carries projected partial sums,
     * never raw vectors; full vectors re-attach by id ONLY for the
-    * per-query shortlist (the ids-only discipline). Both per-query
+    * per-query shortlist (the ids-only discipline). NOTE (r11 advice):
+    * the coarse stage is still an ALL-PAIRS scorer — it cuts per-pair
+    * flops to dOut/dIn but the |Q|·|C| pair count is unchanged, so the
+    * win holds only for bounded query sets (the bench posture). For
+    * large |Q|, put a bucketed candidate screen in front — e.g.
+    * [[annTopK]]'s LSH hyperplane buckets or [[signBuckets]] — and run
+    * this project→rerank chain per bucket. Both per-query
     * windows carry LITERAL rank bounds, so InferWindowGroupLimit
     * inserts the Partial map-side prune — every partition forwards at
     * most `shortlist` (resp. k) rows per query to the window shuffle;
