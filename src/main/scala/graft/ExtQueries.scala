@@ -2298,15 +2298,16 @@ object ExtQueries {
       |ORDER BY qi""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Key-skew audit (Profile.keySkew) over four candidate shuffle keys:
-  // exact integer Gini / max-share / skew-ratio / p50/p99 group sizes,
-  // window-free ranks. The oracle replays the rank + HUGEINT algebra.
+  // Key-skew audit (Profile.keySkewAcross) over four candidate shuffle
+  // keys: exact integer Gini / max-share / skew-ratio / p50/p99 group
+  // sizes, window-free ranks. One melted corpus pass per TABLE (r11 was
+  // one pass per KEY COLUMN) and one shared rank machinery for all four
+  // columns. The oracle replays the rank + HUGEINT algebra.
   // ---------------------------------------------------------------------
   def xProfileSkew(s: SparkSession, dir: String): DataFrame =
-    graft.transform.Profile.keySkew(t(s, dir, "events"),
-        Seq("user_id", "event_type"))
-      .unionAll(graft.transform.Profile.keySkew(t(s, dir, "documents"),
-        Seq("source", "lang")))
+    graft.transform.Profile.keySkewAcross(Seq(
+        t(s, dir, "events") -> Seq("user_id", "event_type"),
+        t(s, dir, "documents") -> Seq("source", "lang")))
       .orderBy(col("key_col"))
 
   private def skewCteSql(table: String, key: String): String =

@@ -343,53 +343,92 @@ object Profile {
     * wants BEFORE the salting/AQE-skew decision, measured on the real
     * key rather than guessed.
     *
-    * Scale shape, per key column: ONE grouped count (map-side partials)
-    * reduces the corpus to the key-sized `(key, n)` relation; the
-    * ascending rank over it comes from [[Ids.assignContiguousIds]]'s
-    * two-pass range-partitioned machinery — a near-unique key column
-    * (billions of keys) never funnels through the single-partition
-    * window a naive `row_number() OVER (ORDER BY n)` plans. The Gini
-    * numerator Σ rank·n runs in DECIMAL(38,0) (rank and size can both
-    * be ~2³⁰⁺ at corpus scale; their product overflows BIGINT), and the
-    * tie order inside equal sizes cannot change it (equal addends,
-    * same rank set). Totals ride as a 1-row broadcast.
-    *
-    * Columns audit independently (one pass per key column — mixed key
-    * types forbid a shared melt without lossy casts; key VALUES never
-    * appear in the output for the same reason). */
-  def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "keySkew: at least one key column")
-    keyCols.map { kc =>
-      val counts = df.groupBy(col(kc).as("_k"))
-        .agg(count(lit(1)).as("_n"))
-      val ranked = graft.engine.Engine.materialize(
-        Ids.assignContiguousIds(counts, struct(col("_n"), col("_k")),
-          "_rk0", 1L))
-      val dec = (c: Column) => c.cast("decimal(38,0)")
-      val tot = ranked.agg(
-        count(lit(1)).as("n_keys"),
-        sum(col("_n")).as("n_rows"),
-        max(col("_n")).as("max_n"),
-        sum(dec(col("_rk0")) * dec(col("_n"))).as("_six"))
-      ranked.crossJoin(broadcast(tot))
-        .withColumn("_r50", expr("(n_keys * 50 + 99) div 100"))
-        .withColumn("_r99", expr("(n_keys * 99 + 99) div 100"))
-        .groupBy(col("n_keys"), col("n_rows"), col("max_n"), col("_six"))
-        .agg(max(when(col("_rk0") === col("_r50"), col("_n"))).as("p50_n"),
-          max(when(col("_rk0") === col("_r99"), col("_n"))).as("p99_n"))
-        .select(lit(kc).as("key_col"), col("n_keys"), col("n_rows"),
-          col("max_n"),
-          // ppm ratios in DECIMAL(38,0): max_n·n_keys·10⁶ passes 2⁶³
-          // long before any 100 TB corpus does.
-          expr("cast(cast(max_n as decimal(38,0)) * 1000000" +
-            " div n_rows as bigint)").as("max_share_ppm"),
-          expr("cast(cast(max_n as decimal(38,0)) * n_keys * 1000000" +
-            " div n_rows as bigint)").as("skew_ratio_ppm"),
-          expr("cast((2 * _six - cast(n_keys + 1 as decimal(38,0))" +
-            " * n_rows) * 1000000" +
-            " div (cast(n_keys as decimal(38,0)) * n_rows) as bigint)")
-            .as("gini_ppm"),
-          col("p50_n"), col("p99_n"))
-    }.reduce(_ unionAll _)
+    * Scale shape: ONE corpus pass for ALL k candidate columns — the
+    * keys are melted with `stack` into a `(key_col, key_string)`
+    * relation (k rows per input row, but the grouped count's map-side
+    * partials reduce each partition to key-sized state before the
+    * exchange, so the single scan dominates at 100 TB, not the melt
+    * fan-out). Per-column ascending ranks over the key-sized counts
+    * come from [[Ids.assignGroupedRanks]]'s two-pass range-partitioned
+    * machinery — a near-unique key column (billions of keys) never
+    * funnels through the single-partition window a naive
+    * `row_number() OVER (ORDER BY n)` plans, and a mega-column's keys
+    * span many partitions. The Gini numerator Σ rank·n runs in
+    * DECIMAL(38,0) (rank and size can both be ~2³⁰⁺ at corpus scale;
+    * their product overflows BIGINT), and the tie order inside equal
+    * sizes cannot change it (equal addends, same rank set) — which is
+    * also why melting through `cast(key AS STRING)` is safe: the cast
+    * must be INJECTIVE per column (true for integral/string/date/
+    * timestamp/decimal keys; Spark's double rendering is injective
+    * too), but the string ORDER may differ from the typed order, and
+    * only tie-breaking inside equal n depends on it. Key VALUES never
+    * appear in the output. Per-column totals are key_col-sized and
+    * broadcast. */
+  def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    keySkewAcross(Seq(df -> keyCols))
+
+  /** ONE corpus pass per input frame, ONE shared scan-reduced count —
+    * the (key_col, key_string, n) relation [[keySkewAcross]] ranks.
+    * Package-private so PlanShapeSpec can pin the one-FileScan shape
+    * directly (the downstream rank machinery is checkpoint-backed, so
+    * the final query's executedPlan no longer shows the scan). */
+  private[graft] def meltedKeyCounts(df: DataFrame,
+                                     keyCols: Seq[String]): DataFrame = {
+    val stackArgs = keyCols.map(kc =>
+      s"'${kc.replace("'", "\\'")}', cast(`$kc` as string)")
+      .mkString(", ")
+    df.select(expr(s"stack(${keyCols.size}, $stackArgs)")
+        .as(Seq("key_col", "_k")))
+      .groupBy(col("key_col"), col("_k"))
+      .agg(count(lit(1)).as("_n"))
+  }
+
+  /** [[keySkew]] over SEVERAL frames at once — e.g. the pre-flight for
+    * a join audits both sides' key columns in one call. Each frame is
+    * scanned once ([[meltedKeyCounts]]); the melted key-sized count
+    * relations union and the two-pass rank machinery + per-column
+    * aggregates run ONCE for all columns of all frames, so adding an
+    * audited column costs a melt row per input row, not another rank
+    * pipeline. Key-column NAMES must be distinct across inputs (they
+    * are the output's grouping identity). */
+  def keySkewAcross(inputs: Seq[(DataFrame, Seq[String])]): DataFrame = {
+    require(inputs.nonEmpty && inputs.forall(_._2.nonEmpty),
+      "keySkew: at least one key column per input")
+    val allNames = inputs.flatMap(_._2)
+    require(allNames.distinct.size == allNames.size,
+      s"keySkew: key column names must be distinct across inputs, " +
+        s"got $allNames")
+    val counts = inputs.map { case (df, kc) => meltedKeyCounts(df, kc) }
+      .reduce(_ unionAll _)
+    val ranked = graft.engine.Engine.materialize(
+      Ids.assignGroupedRanks(counts, "key_col",
+        Seq(col("_n"), col("_k")), "_rk0", "_ng"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tot = ranked.groupBy(col("key_col")).agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("_n")).as("n_rows"),
+      max(col("_n")).as("max_n"),
+      sum(dec(col("_rk0")) * dec(col("_n"))).as("_six"))
+    ranked.select(col("key_col"), col("_k"), col("_n"), col("_rk0"))
+      .join(broadcast(tot), Seq("key_col"))
+      .withColumn("_r50", expr("(n_keys * 50 + 99) div 100"))
+      .withColumn("_r99", expr("(n_keys * 99 + 99) div 100"))
+      .groupBy(col("key_col"), col("n_keys"), col("n_rows"),
+        col("max_n"), col("_six"))
+      .agg(max(when(col("_rk0") === col("_r50"), col("_n"))).as("p50_n"),
+        max(when(col("_rk0") === col("_r99"), col("_n"))).as("p99_n"))
+      .select(col("key_col"), col("n_keys"), col("n_rows"),
+        col("max_n"),
+        // ppm ratios in DECIMAL(38,0): max_n·n_keys·10⁶ passes 2⁶³
+        // long before any 100 TB corpus does.
+        expr("cast(cast(max_n as decimal(38,0)) * 1000000" +
+          " div n_rows as bigint)").as("max_share_ppm"),
+        expr("cast(cast(max_n as decimal(38,0)) * n_keys * 1000000" +
+          " div n_rows as bigint)").as("skew_ratio_ppm"),
+        expr("cast((2 * _six - cast(n_keys + 1 as decimal(38,0))" +
+          " * n_rows) * 1000000" +
+          " div (cast(n_keys as decimal(38,0)) * n_rows) as bigint)")
+          .as("gini_ppm"),
+        col("p50_n"), col("p99_n"))
   }
 }

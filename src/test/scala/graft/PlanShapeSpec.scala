@@ -453,4 +453,35 @@ class PlanShapeSpec extends SparkSpec {
     // projected comps / pdot partials and ids cross the network
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("keySkew melt: ONE FileScan feeds all key columns' counts " +
+      "(r12 single-pass rewrite)") {
+    // The registered query's final plan starts at the rank machinery's
+    // checkpoint, so the scan shape is pinned on the package-private
+    // pre-materialization counts frame (the hidden-stage discipline).
+    val ev = graft.engine.Engine.table(spark, fixtureDir, "events")
+    val mc = graft.transform.Profile.meltedKeyCounts(ev,
+      Seq("user_id", "event_type"))
+    mc.collect()
+    // AQE prints Final AND Initial plans — count nodes in the final only
+    val p = plan(mc).split("== Initial Plan ==")(0)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1,
+      s"melted counts must scan the corpus exactly once ($scans):\n$p")
+    // map-side partial aggregation before the one exchange — the melt
+    // fan-out (k rows per input row) reduces to key-sized state
+    // per partition before anything shuffles
+    assert(p.contains("HashAggregate"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"one grouped-count exchange expected ($exchanges):\n$p")
+    // and the results still equal the per-column two-scan form
+    val a = graft.transform.Profile.keySkew(ev,
+        Seq("user_id", "event_type"))
+      .orderBy("key_col").collect().toSeq
+    val b = Seq("user_id", "event_type").map(k =>
+        graft.transform.Profile.keySkew(ev, Seq(k)))
+      .reduce(_ unionAll _).orderBy("key_col").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -212,4 +212,23 @@ class ProfileSpec extends SparkSpec {
     assert(one.getAs[Long]("gini_ppm")
       == rows("s").getAs[Long]("gini_ppm"))
   }
+
+  test("keySkewAcross: several frames share one rank machinery, " +
+      "numbers equal the per-frame calls") {
+    import spark.implicits._
+    val d1 = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("s", "uid")
+    val d2 = (1 to 9).map(i => s"src${i % 3}").toDF("source")
+    val got = Profile.keySkewAcross(Seq(
+        d1 -> Seq("s", "uid"), d2 -> Seq("source")))
+      .orderBy("key_col").collect().toSeq
+    val want = (Seq("s", "uid").map(k => Profile.keySkew(d1, Seq(k))) :+
+        Profile.keySkew(d2, Seq("source")))
+      .reduce(_ unionAll _).orderBy("key_col").collect().toSeq
+    assert(got == want)
+    // key-column names must be distinct across inputs
+    intercept[IllegalArgumentException] {
+      Profile.keySkewAcross(Seq(d1 -> Seq("s"), d2.withColumnRenamed(
+        "source", "s") -> Seq("s")))
+    }
+  }
 }
