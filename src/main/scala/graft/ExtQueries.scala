@@ -1032,6 +1032,35 @@ object ExtQueries {
        |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // CROSS-RUN incremental clustering (the daily-crawl cadence): day 1 =
+  // the documents table, clustered and its labels persisted; day 2 = the
+  // 50 clones arriving as a new batch. The engine generates only
+  // batch-touching candidate pairs against the day-1 band index
+  // (DedupOps.incrementalNearDupPairsMinhash) and merges them into the
+  // persisted labels by frontier contraction
+  // (DedupOps.incrementalComponents) — history is never re-clustered.
+  // The oracle is the FULL recluster over the two-day corpus (the same
+  // recursive closure as x_dedup_cc), so the green row IS the
+  // incremental == full-recluster equivalence proof.
+  // ---------------------------------------------------------------------
+  def xDedupIncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    val day1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val day2 = day1.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val day1Labels = DedupOps.connectedComponents(
+      DedupOps.nearDupPairsMinhash(day1, "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8))
+    val newPairs = DedupOps.incrementalNearDupPairsMinhash(day2, day1,
+      "doc_id", "text", shingleN = 2, numPerm = 64, bands = 16,
+      threshold = 0.8)
+    DedupOps.incrementalComponents(day1Labels, newPairs)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val xDedupIncrementalCcSql: String = xDedupCcSql
+
+  // ---------------------------------------------------------------------
   // Cluster resolution end-to-end: keep the best copy per near-dup
   // cluster, preferring LONGEST text (planted clones tie on identical
   // text → lowest id, the original, survives). The oracle resolves the

@@ -53,8 +53,8 @@ object DedupOps {
     * ever materialized. This is the MinHash-pipeline form: ~10× cheaper
     * than string shingling, and set-Jaccard over hashed shingles equals
     * string-shingle Jaccard up to 64-bit hash collisions. */
-  private def hashedShingleSets(df: DataFrame, idCol: String,
-                                textCol: String, n: Int): DataFrame =
+  private[graft] def hashedShingleSets(df: DataFrame, idCol: String,
+                                       textCol: String, n: Int): DataFrame =
     graft.engine.Engine.spread(df).select(col(idCol).as("_id"),
       call_function("graft_shingle_hashes",
         call_function("graft_hash_tokens", TextOps.tokens(col(textCol))),
@@ -800,6 +800,133 @@ object DedupOps {
       "graft_bloom_contains", col("_fp"), lit(bloomBytes)))
       .join(histFp, col("_fp") === col("_hfp"), "left_anti")
     definitelyNew.unionByName(candidates).drop("_fp")
+  }
+
+  /** Near-dup candidate pairs of a NEW batch against an existing corpus
+    * snapshot — the cross-run companion of [[nearDupPairsMinhash]] for
+    * the daily-crawl cadence: emits only pairs TOUCHING the batch
+    * (new↔new and new↔old; old↔old pairs were the previous run's
+    * output), banded-candidate-generated and exact-Jaccard-verified
+    * like the full-corpus op.
+    *
+    * Scale shape: the history side reduces to its (band, hash, id)
+    * index — in production PERSIST that index alongside the corpus (it
+    * is signature-sized, append-only across days, and this op never
+    * needs history text except for the exact verification join on the
+    * candidate ids). The band join's left side is batch-sized, so the
+    * per-day cost is O(batch) band probes + O(candidates) verification,
+    * never a full-corpus self-join. Ids must be globally unique across
+    * days (the [[incrementalComponents]] contract). */
+  def incrementalNearDupPairsMinhash(newDf: DataFrame, history: DataFrame,
+                                     idCol: String, textCol: String,
+                                     shingleN: Int = 2, numPerm: Int = 64,
+                                     bands: Int = 16,
+                                     threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    def shingled(df: DataFrame) =
+      hashedShingleSets(df, idCol, textCol, shingleN)
+        .filter(size(col("_sh")) > 0)
+    // Signature in its OWN projection before banding: bandHashes
+    // references its input once per band-row element (64 element_at's),
+    // and under the Generate there is no subexpression elimination — an
+    // inlined sig call would be recomputed 64× per document (measured:
+    // 48 s → 0.9 s for the band join at sf0.1).
+    def banded(sh: DataFrame) = sh
+      .select(col("_id"),
+        call_function("graft_minhash_sig", col("_sh"), lit(numPerm))
+          .as("_sig"))
+      .select(col("_id"),
+        posexplode(bandHashes(col("_sig"), bands, r)))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bh"))
+    // Shingle ONCE per side: the band probe and the verification join
+    // both read the sets (the materialize-before-reuse discipline).
+    val shNew = graft.engine.Engine.materialize(shingled(newDf))
+    val shHist = graft.engine.Engine.materialize(shingled(history))
+    val bNew = banded(shNew)
+    val probe = bNew.select(col("_band"), col("_bh"),
+      col("_id").as("id_a"))
+    val index = banded(shHist).unionByName(bNew)
+      .select(col("_band"), col("_bh"), col("_id").as("id_b"))
+    val shAll = shHist.unionByName(shNew)
+    val pairs = probe.join(index, Seq("_band", "_bh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(shAll.select(col("_id").as("id_a"), col("_sh").as("sh_a")),
+        Seq("id_a"))
+      .join(shAll.select(col("_id").as("id_b"), col("_sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Cross-run INCREMENTAL connected components — the missing piece
+    * between [[incrementalDedup]] (exact fingerprints vs history) and
+    * the daily near-dup cadence: merge a new batch's pair graph into a
+    * PERSISTED clustering without re-running the closure over history.
+    *
+    * `historyLabels` is a previous [[connectedComponents]] output
+    * (`id`, `component` with component = min member id — the invariant
+    * this op both requires and preserves); `newPairs` are the edges
+    * touching this run (from [[incrementalNearDupPairsMinhash]], or any
+    * pair source). Ids must be globally unique across runs.
+    *
+    * Algorithm — contraction to the frontier: each endpoint maps to its
+    * history label (itself when unlabeled), collapsing every existing
+    * component to ONE supernode, so the iterative closure runs on a
+    * graph with at most 2·|newPairs| nodes regardless of history size.
+    * Because old labels are the min ids of their components, the min
+    * over merged supernodes IS the global min over the merged member
+    * sets — the result is bit-equal to a full re-cluster over
+    * (history pairs ∪ new pairs), which is exactly what the
+    * `x_dedup_incremental_cc` oracle row proves (its DuckDB twin
+    * computes the full-recluster closure from scratch).
+    *
+    * Scale shape: two broadcast-sized joins against the frontier remap
+    * (touched components only — AQE broadcasts it when the batch is
+    * small) update the billion-row history label table in ONE pass;
+    * untouched components coalesce through unchanged. No history
+    * shuffle, no history closure. */
+  def incrementalComponents(historyLabels: DataFrame, newPairs: DataFrame,
+                            srcCol: String = "id_a",
+                            dstCol: String = "id_b",
+                            maxIter: Int = 25): DataFrame = {
+    val hist = historyLabels.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    // Materialized: the edge list feeds the contraction AND the
+    // new-node discovery below.
+    val e = graft.engine.Engine.materialize(
+      newPairs.select(col(srcCol).cast("long").as("_a"),
+        col(dstCol).cast("long").as("_b")))
+    val la = hist.select(col("id").as("_a"), col("component").as("_ca"))
+    val lb = hist.select(col("id").as("_b"), col("component").as("_cb"))
+    val contracted = e
+      .join(la, Seq("_a"), "left")
+      .join(lb, Seq("_b"), "left")
+      .select(coalesce(col("_ca"), col("_a")).as("id_a"),
+        coalesce(col("_cb"), col("_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val remap = connectedComponents(contracted, maxIter = maxIter)
+      .select(col("id").as("_rold"), col("component").as("_rnew"))
+    val hUpd = hist.join(remap, hist("component") === remap("_rold"),
+        "left")
+      .select(hist("id"),
+        coalesce(col("_rnew"), hist("component")).as("component"))
+    val newNodes = e.select(col("_a").as("id"))
+      .unionByName(e.select(col("_b").as("id")))
+      .distinct()
+      .join(hist.select(col("id")), Seq("id"), "left_anti")
+    val nUpd = newNodes.join(remap, newNodes("id") === remap("_rold"),
+        "left")
+      .select(newNodes("id"),
+        coalesce(col("_rnew"), newNodes("id")).as("component"))
+    hUpd.unionByName(nUpd)
   }
 
   /** Fuzzy-match pairs at edit distance ≤ 1 via deletion-neighborhood

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.ext.DedupOps
+
+/** Stage-timing probe for x_dedup_incremental_cc: separates the day-1
+  * history SETUP (full LSH + CC over the documents table — in
+  * production these labels are already persisted) from the actual
+  * per-day incremental cost (batch-touching pair generation + frontier
+  * contraction merge). r12 triage with this probe caught the inlined
+  * minhash-sig band expansion (48 s → 0.9 s band join at sf0.1). */
+object IncProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = graft.engine.Engine.session(
+      "graft-inc-probe", Some("local[32]"), 32)
+    def tm[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val day1 = graft.engine.Engine.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val day2 = day1.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val day1Pairs = tm("day1 pairs (setup, materialize)") {
+      graft.engine.Engine.materialize(
+        DedupOps.nearDupPairsMinhash(day1, "doc_id", "text", 2, 64, 16, 0.8))
+    }
+    val day1Labels = tm("day1 CC (setup)") {
+      DedupOps.connectedComponents(day1Pairs)
+    }
+    val newPairs = tm("incremental pairs (materialize)") {
+      graft.engine.Engine.materialize(
+        DedupOps.incrementalNearDupPairsMinhash(day2, day1,
+          "doc_id", "text", 2, 64, 16, 0.8))
+    }
+    println("[probe] newPairs rows: " + newPairs.count())
+    val out = tm("incrementalComponents + collect") {
+      DedupOps.incrementalComponents(day1Labels, newPairs).collect().length
+    }
+    println("[probe] out rows: " + out)
+    spark.stop()
+  }
+}

@@ -320,6 +320,64 @@ class DedupOpsSpec extends SparkSpec {
     assert(positives < 20, s"Bloom should pass ~10 dups, saw $positives")
   }
 
+  test("incrementalComponents == full recluster: merges, extensions, " +
+      "new clusters, unlabeled-old endpoints") {
+    import spark.implicits._
+    // day-1 graph: {1,2}, {3,4}, {5,6}; 7/8 were day-1 singletons (no
+    // pairs → NOT in the label table)
+    val day1Pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val day1Labels = DedupOps.connectedComponents(day1Pairs)
+    // day-2 pairs exercise every case: (2,3) merges two existing
+    // components; (6,9) attaches a new node to an old component;
+    // (9,10) chains new-new off that; (11,12) is a brand-new cluster;
+    // (8,13) pairs an UNLABELED old doc with a new one; (1,2) re-crawls
+    // an existing in-component edge (must be a no-op)
+    val day2Pairs = Seq((2L, 3L), (6L, 9L), (9L, 10L), (11L, 12L),
+      (8L, 13L), (1L, 2L)).toDF("id_a", "id_b")
+    val got = DedupOps.incrementalComponents(day1Labels, day2Pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = DedupOps.connectedComponents(
+        day1Pairs.unionAll(day2Pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full,
+      s"incremental must equal full recluster:\n got=$got\nfull=$full")
+    // spot-check the semantics, not just the equivalence
+    val m = got.toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(m(_) == 1L), "merged to min id 1")
+    assert(Seq(5L, 6L, 9L, 10L).forall(m(_) == 5L), "extension keeps 5")
+    assert(m(11L) == 11L && m(12L) == 11L, "new cluster labels at 11")
+    assert(m(8L) == 8L && m(13L) == 8L, "unlabeled-old endpoint works")
+    assert(!m.contains(7L), "never-paired docs stay out of the labels")
+  }
+
+  test("incrementalNearDupPairsMinhash = the full-corpus pairs that " +
+      "touch the batch") {
+    val hist = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // batch: clones of history docs (certain near-dups) + novel text
+    val batch = hist.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val toPairs = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = toPairs(DedupOps.incrementalNearDupPairsMinhash(
+      batch, hist, "doc_id", "text", shingleN = 2, numPerm = 64,
+      bands = 16, threshold = 0.8))
+    val full = toPairs(DedupOps.nearDupPairsMinhash(
+      hist.unionAll(batch), "doc_id", "text", shingleN = 2,
+      numPerm = 64, bands = 16, threshold = 0.8))
+    val batchIds = batch.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val expected = full.filter { case (a, b) =>
+      batchIds.contains(a) || batchIds.contains(b) }
+    assert(got == expected,
+      s"batch-touching pairs must match the full run: got ${got.size}," +
+        s" expected ${expected.size}")
+    assert(got.nonEmpty, "planted clones must pair")
+    // every planted clone must pair with its original (J = 1.0)
+    assert((0L until 20L).forall(i => got.contains((i, i + 10000L))),
+      "each clone pairs with its original")
+  }
+
   // ------------------------------------------------- all-pairs cosine
 
   test("allPairsCosine equals the unpruned definition (prefix filter " +
