@@ -1369,6 +1369,193 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // The FULL batch curation pipeline as ONE call (jobs.CurationJob —
+  // the r11 verdict's composed-job ask): over the cloned corpus,
+  // rule quarantine (n_chars ∉ [60, 100k]) → langid gate (keep 'en') →
+  // Gopher repetition gate (0.65/0.06) → exact dedup (min id per
+  // fingerprint) → MinHash-0.8 near-dup drop → trigram decontamination
+  // vs docs 10-19 → trained-NB quality gate (lang='en' trusted) →
+  // bigram-LM fluency gate (src0 model, mean NLL ≤ 3.65) → md5 split.
+  // Output is the per-document DISPOSITION (first failing stage or the
+  // split) — every input row exactly once; the twin replays all nine
+  // stages in the same order, so the green row proves the composition,
+  // not just the pieces.
+  // ---------------------------------------------------------------------
+  def xCuration(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.CurationJob
+    import graft.transform.Checks
+    val d = t(s, dir, "documents")
+    val base = d.select(col("doc_id"), col("text"), col("n_chars"))
+    val corpus = base.unionAll(base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+        col("n_chars")))
+    val cfg = CurationJob.Config(
+      idCol = "doc_id", textCol = "text",
+      rules = Seq(Checks.inRange("n_chars", 60.0, 100000.0)),
+      allowedLangs = Seq("en"),
+      maxDupTokenFrac = 0.65, maxTopBigramFrac = 0.06,
+      exactDedup = true,
+      nearDupThreshold = 0.8,
+      benchGramHashes = DedupOps.benchmarkGramHashes(
+        d.filter(col("doc_id") >= 10 && col("doc_id") < 20), "text"),
+      nbModel = Some(TextOps.nbTrainHashed(d, "text",
+        col("lang") === "en")),
+      lmModel = Some(TextOps.lmTrainHashed(
+        d.filter(col("source") === "src0"), "text")),
+      maxMeanNll = 3.65)
+    CurationJob.disposition(corpus, cfg).orderBy(col("doc_id"))
+  }
+
+  val xCurationSql: String = {
+    val scoreExprs = TextOps.LangMarkers.map { case (l, ms) =>
+      val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(toks, x -> list_contains($list, x)))" +
+        s" AS BIGINT) AS score_$l"
+    }.mkString(",\n    ")
+    val langs = TextOps.LangMarkers.map(_._1)
+    val maxExpr = langs.map(l => s"score_$l")
+      .mkString("greatest(", ", ", ")")
+    val predExpr = langs.map(l => s"WHEN score_$l = m THEN '$l'")
+      .mkString("CASE ", " ", " END")
+    s"""WITH corpus AS (
+       |    SELECT doc_id, text, n_chars FROM documents
+       |    UNION ALL
+       |    SELECT doc_id + 10000 AS doc_id, text, n_chars
+       |    FROM documents WHERE doc_id < 50),
+       |  ctok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |  quar AS (SELECT doc_id FROM corpus
+       |    WHERE n_chars IS NOT NULL
+       |      AND (n_chars < 60 OR n_chars > 100000)),
+       |  lsc AS (SELECT doc_id,
+       |    $scoreExprs
+       |  FROM ctok),
+       |  lmx AS (SELECT *, $maxExpr AS m FROM lsc),
+       |  nonlang AS (SELECT doc_id FROM lmx
+       |    WHERE ($predExpr) <> 'en'),
+       |  tg AS (SELECT doc_id, unnest(toks) AS g FROM ctok),
+       |  tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+       |  tsr AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |      MAX(c) AS mx, COUNT(*) AS d FROM tc GROUP BY 1),
+       |  bgl AS (SELECT doc_id,
+       |      unnest(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS g FROM ctok),
+       |  bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bgl GROUP BY 1, 2),
+       |  bsr AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |      MAX(c) AS mx, COUNT(*) AS d FROM bc GROUP BY 1),
+       |  repbad AS (SELECT tsr.doc_id
+       |    FROM tsr LEFT JOIN bsr ON tsr.doc_id = bsr.doc_id
+       |    WHERE (1.0 - CAST(tsr.d AS DOUBLE) / tsr.n) > 0.65
+       |       OR COALESCE(CAST(bsr.mx AS DOUBLE) / bsr.n, 0.0) > 0.06),
+       |  s4 AS (SELECT c.doc_id, c.text FROM corpus c
+       |    WHERE c.doc_id NOT IN (SELECT doc_id FROM quar)
+       |      AND c.doc_id NOT IN (SELECT doc_id FROM nonlang)
+       |      AND c.doc_id NOT IN (SELECT doc_id FROM repbad)),
+       |  ek AS (SELECT doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+       |    FROM s4),
+       |  exdup AS (SELECT doc_id FROM ek WHERE rn > 1),
+       |  sht AS (SELECT doc_id,
+       |      list_distinct(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |    FROM ctok WHERE len(toks) >= 2),
+       |  sh5 AS (SELECT s.doc_id, s.sh FROM sht s
+       |    JOIN ek ON s.doc_id = ek.doc_id WHERE ek.rn = 1),
+       |  losers AS (SELECT DISTINCT b.doc_id FROM sh5 a JOIN sh5 b
+       |    ON a.doc_id < b.doc_id
+       |    WHERE $jaccardSql >= 0.8),
+       |  ctri AS (SELECT doc_id,
+       |      unnest(list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+       |    FROM ctok),
+       |  dtok AS (SELECT doc_id, source, $toksSql AS toks
+       |    FROM documents),
+       |  btri AS (SELECT DISTINCT
+       |      unnest(list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+       |    FROM dtok WHERE doc_id >= 10 AND doc_id < 20),
+       |  contam AS (SELECT DISTINCT doc_id FROM ctri
+       |    WHERE g IN (SELECT g FROM btri)),
+       |  b AS (SELECT doc_id, (lang = 'en') AS pos, text
+       |    FROM documents),
+       |  tkd AS (SELECT doc_id, pos, unnest($toksSql) AS tkn FROM b),
+       |  cnt AS (SELECT tkn,
+       |      CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |      CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+       |    FROM tkd GROUP BY tkn),
+       |  tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+       |      CAST(SUM(cp) AS BIGINT) AS np,
+       |      CAST(SUM(cn) AS BIGINT) AS nn FROM cnt),
+       |  nd AS (SELECT
+       |      CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+       |      CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS dn
+       |    FROM b),
+       |  lam AS (SELECT tkn, CAST(FLOOR(
+       |      (ln(CAST(cp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+       |       - ln(CAST(cn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE)))
+       |      * 1073741824.0) AS BIGINT) AS lam
+       |    FROM cnt CROSS JOIN tot),
+       |  pr AS (SELECT CAST(FLOOR(
+       |      (ln(CAST(dp AS DOUBLE)) - ln(CAST(dn AS DOUBLE)))
+       |      * 1073741824.0) AS BIGINT) AS prior FROM nd),
+       |  ctk AS (SELECT doc_id, unnest(toks) AS tkn FROM ctok),
+       |  csc AS (SELECT doc_id, CAST(SUM(lam) AS BIGINT) AS sl
+       |    FROM ctk JOIN lam USING (tkn) GROUP BY doc_id),
+       |  lowq AS (SELECT c.doc_id
+       |    FROM corpus c LEFT JOIN csc ON c.doc_id = csc.doc_id
+       |    CROSS JOIN pr
+       |    WHERE prior + COALESCE(sl, 0) <= 0),
+       |  dgrams AS (SELECT doc_id, source,
+       |      unnest(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS g
+       |    FROM dtok WHERE len(toks) >= 2),
+       |  uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+       |      SELECT unnest(toks) AS w1 FROM dtok WHERE source = 'src0')
+       |    GROUP BY w1),
+       |  vs AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS v FROM uni),
+       |  bi AS (SELECT g, COUNT(*) AS c12 FROM dgrams
+       |    WHERE source = 'src0' GROUP BY g),
+       |  cgr AS (SELECT doc_id,
+       |      unnest(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS g
+       |    FROM ctok WHERE len(toks) >= 2),
+       |  lsc2 AS (SELECT doc_id,
+       |      CAST(FLOOR((0.0 - ln(
+       |        (CAST(COALESCE(c12, 0) AS DOUBLE) + 1.0)
+       |          / (CAST(COALESCE(c1, 0) AS DOUBLE) + v)))
+       |        * 1073741824.0) AS BIGINT) AS fx
+       |    FROM cgr d
+       |    LEFT JOIN uni ON string_split(d.g, ' ')[1] = uni.w1
+       |    LEFT JOIN bi ON d.g = bi.g
+       |    CROSS JOIN vs),
+       |  influent AS (SELECT doc_id FROM lsc2 GROUP BY doc_id
+       |    HAVING (CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE)) / 1073741824.0 > 3.65)
+       |SELECT doc_id, CASE
+       |    WHEN doc_id IN (SELECT doc_id FROM quar)
+       |      THEN 'quarantined'
+       |    WHEN doc_id IN (SELECT doc_id FROM nonlang)
+       |      THEN 'non_target_lang'
+       |    WHEN doc_id IN (SELECT doc_id FROM repbad)
+       |      THEN 'repetitive'
+       |    WHEN doc_id IN (SELECT doc_id FROM exdup)
+       |      THEN 'exact_dup'
+       |    WHEN doc_id IN (SELECT doc_id FROM losers)
+       |      THEN 'near_dup'
+       |    WHEN doc_id IN (SELECT doc_id FROM contam)
+       |      THEN 'contaminated'
+       |    WHEN doc_id IN (SELECT doc_id FROM lowq)
+       |      THEN 'low_quality'
+       |    WHEN doc_id IN (SELECT doc_id FROM influent)
+       |      THEN 'influent'
+       |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+       |      THEN 'test'
+       |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+       |      THEN 'valid'
+       |    ELSE 'train' END AS status
+       |FROM corpus ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Graded contamination report vs the doc<20 "benchmark": per-doc
   // distinct-trigram count, benchmark-overlap count, and the exact
   // overlap fraction — the numbers a threshold-based decontamination

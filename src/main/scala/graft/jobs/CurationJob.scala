@@ -1,0 +1,206 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Engine
+import graft.ext.{DedupOps, TextOps}
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.transform.{Checks, Split}
+
+/** The end-to-end batch CURATION pipeline as one call — the engine's
+  * headline use-case composed from the individually-oracled stages
+  * (r11 verdict ask #5): rule quarantine → language gate → Gopher
+  * repetition gate → exact dedup → MinHash near-dup dedup → benchmark
+  * decontamination → trained-NB quality gate → LM fluency gate →
+  * deterministic split. [[StreamIngestJob]] is the streaming sibling
+  * (stateless stages only); this batch form adds the stages that need
+  * cross-document state (language stats aside, the two dedup stages).
+  *
+  * The contract is the per-document DISPOSITION table: every input row
+  * appears EXACTLY once with either the first stage that dropped it or
+  * its final split — nothing is silently discarded, and the stage
+  * ordering is part of the proven semantics (`x_curation`'s DuckDB twin
+  * replays the stages in the same order).
+  *
+  * Scale shape: all per-document gates (rules, langid, contamination,
+  * NB, LM — each a plan-literal projection) plus the repetition-stats
+  * join compute in ONE materialized pass over the corpus; the two dedup
+  * stages then operate on id+text only (exact: one fingerprint
+  * groupBy; near-dup: the banded LSH pipeline) and rejoin as id-only
+  * keep-lists. Stage ORDER matters only for the dedup populations —
+  * a document dropped by an earlier gate must not survive as a
+  * cluster's keeper — which is exactly how the populations are wired.
+  */
+object CurationJob {
+
+  /** Stage configuration. Gates default OFF (empty/None/∞) so a config
+    * names exactly what it runs. */
+  case class Config(
+    idCol: String,
+    textCol: String,
+    rules: Seq[Checks.Rule] = Nil,
+    allowedLangs: Seq[String] = Nil,
+    maxDupTokenFrac: Double = 1.0,
+    maxTopBigramFrac: Double = 1.0,
+    exactDedup: Boolean = true,
+    nearDupThreshold: Double = 0.0, // 0 = off
+    shingleN: Int = 2, numPerm: Int = 64, bands: Int = 16,
+    benchGramHashes: Array[Long] = Array.empty,
+    nbModel: Option[TextOps.NbModel] = None,
+    lmModel: Option[TextOps.LmModel] = None,
+    maxMeanNll: Double = Double.PositiveInfinity,
+    testFrac: Double = 0.05, validFrac: Double = 0.05)
+
+  /** Disposition statuses in stage order (kept rows carry their split
+    * name instead). */
+  val Stages: Seq[String] = Seq("quarantined", "non_target_lang",
+    "repetitive", "exact_dup", "near_dup", "contaminated", "low_quality",
+    "influent")
+
+  /** Per-document disposition: `(idCol, status)`, one row per input
+    * row, status = first failing stage or the split name. */
+  def disposition(df: DataFrame, cfg: Config): DataFrame = {
+    val id = col(cfg.idCol)
+    val text = col(cfg.textCol)
+    // ---- one wide pass: every per-document flag ------------------
+    val flagged = Checks.flagRows(df, cfg.rules)
+      .withColumn("_quar", size(col("violations")) > 0)
+      .drop("violations")
+    val withLang =
+      if (cfg.allowedLangs.isEmpty) flagged.withColumn("_badlang", lit(false))
+      else TextOps.languageId(flagged, cfg.textCol)
+        .withColumn("_badlang", !col("pred_lang").isin(cfg.allowedLangs: _*))
+        .drop("pred_lang" +: TextOps.LangMarkers.map(l => s"score_${l._1}"): _*)
+    val repGateOn = cfg.maxDupTokenFrac < 1.0 || cfg.maxTopBigramFrac < 1.0
+    val withRep =
+      if (!repGateOn) withLang.withColumn("_rep", lit(false))
+      else {
+        val rv = TextOps.repetitionStats(df, cfg.idCol, cfg.textCol)
+          .filter(col("dup_token_frac") > cfg.maxDupTokenFrac ||
+            col("top_bigram_frac") > cfg.maxTopBigramFrac)
+          .select(col(cfg.idCol).as("_rvid"))
+        withLang.join(rv, id === col("_rvid"), "left")
+          .withColumn("_rep", col("_rvid").isNotNull).drop("_rvid")
+      }
+    val contamFlag: Column =
+      if (cfg.benchGramHashes.isEmpty) lit(false)
+      else DedupOps.isContaminated(text, cfg.benchGramHashes)
+    val lowqFlag: Column = cfg.nbModel.fold(lit(false)) { m =>
+      (TextOps.nbScoreCol(text, m).getField("sum") + lit(m.priorFx)) <= 0L
+    }
+    val influentFlag: Column = cfg.lmModel.fold(lit(false)) { m =>
+      val s = TextOps.lmNllStruct(text, m)
+      s.isNotNull &&
+        ((s.getField("sfx").cast("double") /
+          s.getField("n_bigrams").cast("double")) /
+          lit(1073741824.0)) > cfg.maxMeanNll
+    }
+    // Materialized: feeds the dedup populations AND the final
+    // disposition projection — the NB/LM dictionary folds and the
+    // repetition join must run once, not once per consumer.
+    val pre = Engine.materialize(withRep
+      .withColumn("_contam", contamFlag)
+      .withColumn("_lowq", lowqFlag)
+      .withColumn("_influent", influentFlag))
+    // ---- dedup stages on the surviving population ----------------
+    val s4 = pre.filter(!col("_quar") && !col("_badlang") && !col("_rep"))
+    val (withKeeps, dedupCase) = {
+      var acc = pre
+      var cases = List.empty[(Column, String)]
+      var pop = s4
+      if (cfg.exactDedup) {
+        // id-only keep list, materialized: it feeds BOTH the next
+        // stage's population filter and the disposition join
+        val keep = Engine.materialize(
+          DedupOps.exactByText(pop, cfg.idCol, cfg.textCol)
+            .select(id.as("_ekid")))
+        pop = pop.join(keep, id === col("_ekid"), "left_semi")
+        acc = acc.join(keep, id === col("_ekid"), "left")
+        cases ::= (col("_ekid").isNull, "exact_dup")
+      }
+      if (cfg.nearDupThreshold > 0.0) {
+        val keep = DedupOps.dedupeNearMinhash(pop, cfg.idCol, cfg.textCol,
+            cfg.shingleN, cfg.numPerm, cfg.bands, cfg.nearDupThreshold)
+          .select(id.as("_nkid"))
+        acc = acc.join(keep, id === col("_nkid"), "left")
+        cases ::= (col("_nkid").isNull, "near_dup")
+      }
+      (acc, cases.reverse)
+    }
+    // ---- disposition in stage order ------------------------------
+    val split = Split.hashSplit(withKeeps, cfg.idCol,
+      Seq("test" -> cfg.testFrac, "valid" -> cfg.validFrac))
+    val gateCases: Seq[(Column, String)] =
+      Seq((col("_quar"), "quarantined"),
+        (col("_badlang"), "non_target_lang"),
+        (col("_rep"), "repetitive")) ++ dedupCase ++
+      Seq((col("_contam"), "contaminated"),
+        (col("_lowq"), "low_quality"),
+        (col("_influent"), "influent"))
+    val status = gateCases.foldRight(col("split")) {
+      case ((cond, name), elseC) => when(cond, lit(name)).otherwise(elseC)
+    }
+    split.select(id, status.as("status"))
+  }
+
+  /** The curated corpus: input columns + `split`, survivors only. */
+  def curate(df: DataFrame, cfg: Config): DataFrame = {
+    val disp = disposition(df, cfg)
+      .filter(!col("status").isin(Stages: _*))
+      .select(col(cfg.idCol).as("_disp_id"), col("status").as("split"))
+    df.join(disp, col(cfg.idCol) === col("_disp_id")).drop("_disp_id")
+  }
+
+  /** args: <inTable> <dispositionOut> <curatedOut> <idCol> <textCol>
+    *       <rulesSpec> <allowedLangs,csv|-> <benchParquet|->
+    *       [maxDupTokenFrac=1.0] [maxTopBigramFrac=1.0]
+    *       [nearDupThreshold=0] [nbRefParquet|-] [nbTrustedCol|-]
+    *       [lmRefParquet|-] [maxMeanNll=+inf] [testFrac=0.05]
+    *       [validFrac=0.05]
+    * rulesSpec uses [[QualityGateJob.parseRule]] syntax; '-' disables
+    * the corresponding stage. */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(in, dispOut, curatedOut, idCol, textCol, rulesSpec,
+      langsCsv, benchPath, rest @ _*) = args
+    val docs = Sources.readParquet(spark, in)
+    val cfg = Config(
+      idCol = idCol, textCol = textCol,
+      rules = rulesSpec.split(";").toSeq.filter(_.nonEmpty)
+        .map(QualityGateJob.parseRule),
+      allowedLangs =
+        if (langsCsv == "-") Nil
+        else langsCsv.split(",").toSeq.filter(_.nonEmpty),
+      benchGramHashes =
+        if (benchPath == "-") Array.empty[Long]
+        else DedupOps.benchmarkGramHashes(
+          Sources.readParquet(spark, benchPath), textCol),
+      maxDupTokenFrac = rest.headOption.map(_.toDouble).getOrElse(1.0),
+      maxTopBigramFrac = rest.lift(1).map(_.toDouble).getOrElse(1.0),
+      nearDupThreshold = rest.lift(2).map(_.toDouble).getOrElse(0.0),
+      nbModel = (rest.lift(3).filter(_ != "-"),
+          rest.lift(4).filter(_ != "-")) match {
+        case (Some(p), Some(flag)) => Some(TextOps.nbTrainHashed(
+          Sources.readParquet(spark, p), textCol, col(flag)))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "nbRefParquet and nbTrustedCol must be given together")
+      },
+      lmModel = rest.lift(5).filter(_ != "-").map(p =>
+        TextOps.lmTrainHashed(Sources.readParquet(spark, p), textCol)),
+      maxMeanNll = rest.lift(6).map(_.toDouble)
+        .getOrElse(Double.PositiveInfinity),
+      testFrac = rest.lift(7).map(_.toDouble).getOrElse(0.05),
+      validFrac = rest.lift(8).map(_.toDouble).getOrElse(0.05))
+    val disp = Engine.materialize(disposition(docs, cfg))
+    Sinks.writeParquet(disp, dispOut)
+    val kept = disp.filter(!col("status").isin(Stages: _*))
+      .select(col(idCol).as("_disp_id"), col("status").as("split"))
+    Sinks.writeParquet(
+      docs.join(kept, col(idCol) === col("_disp_id")).drop("_disp_id"),
+      curatedOut)
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-curation")(run(_, args))
+}

@@ -545,6 +545,54 @@ class JobsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan)
   }
 
+  test("curation job: disposition covers every row once, curate matches " +
+      "it, the main writes both outputs") {
+    import graft.jobs.CurationJob
+    import graft.transform.Checks
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+    val cfg = CurationJob.Config(
+      idCol = "doc_id", textCol = "text",
+      rules = Seq(Checks.inRange("n_chars", 60.0, 100000.0)),
+      allowedLangs = Seq("en"),
+      maxDupTokenFrac = 0.65, maxTopBigramFrac = 0.06,
+      exactDedup = true, nearDupThreshold = 0.8,
+      benchGramHashes = graft.ext.DedupOps.benchmarkGramHashes(
+        docs.filter(col("doc_id") < 10), "text"),
+      nbModel = Some(graft.ext.TextOps.nbTrainHashed(docs, "text",
+        col("lang") === "en")))
+    val disp = CurationJob.disposition(docs, cfg).collect()
+    val n = docs.count()
+    assert(disp.length == n, "every input row appears exactly once")
+    assert(disp.map(_.getLong(0)).distinct.length == n)
+    val statuses = disp.map(_.getString(1)).toSet
+    // stage coverage on this config: quarantine, lang, repetition,
+    // contamination and the NB gate must all fire at sf0.001; splits
+    // must be present (the survivors)
+    Seq("non_target_lang", "contaminated", "low_quality", "train")
+      .foreach(st => assert(statuses.contains(st), s"missing $st"))
+    assert(statuses.subsetOf(
+      (CurationJob.Stages ++ Seq("train", "valid", "test")).toSet))
+    // curate = survivors with their split, nothing else
+    val curated = CurationJob.curate(docs, cfg)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keptFromDisp = disp
+      .filter(r => !CurationJob.Stages.contains(r.getString(1)))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(curated == keptFromDisp)
+    // the spark-submit face: both outputs land as parquet
+    docs.write.mode("overwrite").parquet(s"$ws/cur/in")
+    CurationJob.run(spark, Array(s"$ws/cur/in", s"$ws/cur/disp",
+      s"$ws/cur/kept", "doc_id", "text", "range:n_chars:60:100000",
+      "en", "-", "0.65", "0.06", "0.8"))
+    val dispOut = spark.read.parquet(s"$ws/cur/disp")
+    assert(dispOut.count() == n)
+    val keptOut = spark.read.parquet(s"$ws/cur/kept")
+    assert(keptOut.columns.contains("split"))
+    assert(keptOut.count() ==
+      dispOut.filter(!col("status").isin(CurationJob.Stages: _*)).count())
+  }
+
   test("the DAG file is syntactically valid python") {
     val dag = "airflow/dags/graft_pipeline_dag.py"
     assert(Files.exists(Paths.get(dag)), s"missing $dag")
