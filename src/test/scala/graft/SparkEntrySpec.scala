@@ -19,7 +19,8 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    assert(SparkEntry.queries.size == 173)
-    assert(SparkEntry.oracleSql.size == 173)
+    // r12: +x_dedup_incremental_cc, +x_curation
+    assert(SparkEntry.queries.size == 175)
+    assert(SparkEntry.oracleSql.size == 175)
   }
 }
