@@ -52,7 +52,7 @@ object ApssProbe {
     }
     println("[apss] PRUNED candidate pairs: " + cand)
     val unpruned = w.groupBy(col("_t")).agg(count(lit(1)).as("n"))
-      .agg(sum(expr("n * (n - 1) / 2"))).collect()(0).getLong(0)
+      .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
     println("[apss] unpruned bound Sigma C(df_rep,2): " + unpruned)
     val out = tm("full x_dedup_apss shape (count-forced)") {
       graft.ext.DedupOps.allPairsCosine(docs, "doc_id", "text",

@@ -34,8 +34,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None, skip=None,
+         threads=None) -> int:
     con = duckdb.connect()
+    if threads:
+        con.execute(f"PRAGMA threads={int(threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -46,6 +49,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         # contract under a distinct name so it can't impersonate the full one)
         oracle = json.load(open(f"{out_dir}/oracle_sql.partial.json"))
         print(f"NOTE: using PARTIAL contract ({len(oracle)} queries)")
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+    if skip:
+        oracle = {k: v for k, v in oracle.items() if k not in skip}
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -89,4 +96,19 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional: --only a,b,c | --skip a,b,c | --threads N (for parallel
+    # sharding of the extended sf0.1 sweep — the CC-family twins cost
+    # the ORACLE ~35 min each and shard one-per-process)
+    only = skip = threads = None
+    args = sys.argv[3:]
+    while args:
+        flag, val, args = args[0], args[1], args[2:]
+        if flag == "--only":
+            only = set(val.split(","))
+        elif flag == "--skip":
+            skip = set(val.split(","))
+        elif flag == "--threads":
+            threads = val
+        else:
+            raise SystemExit(f"unknown flag {flag}")
+    sys.exit(main(sys.argv[1], sys.argv[2], only, skip, threads))
