@@ -350,6 +350,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(!m.contains(7L), "never-paired docs stay out of the labels")
   }
 
+  test("incrementalComponents == full recluster on seeded random " +
+      "graphs and random day splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    (1 to 4).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = (0 until n * 2).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // random day split — any edge may land in either day, including
+      // duplicate re-crawls of day-1 edges in day 2
+      val (d1, d2raw) = edges.partition(_ => rnd.nextBoolean())
+      val d2 = d2raw ++ d1.filter(_ => rnd.nextInt(4) == 0) // re-crawls
+      // skip degenerate trials (either day empty)
+      if (d1.nonEmpty && d2.nonEmpty) {
+        val day1 = d1.toDF("id_a", "id_b")
+        val day2 = d2.toDF("id_a", "id_b")
+        val got = DedupOps.incrementalComponents(
+            DedupOps.connectedComponents(day1), day2)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val full = DedupOps.connectedComponents(day1.unionAll(day2))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == full, s"trial $trial: n=$n |d1|=${d1.size} " +
+          s"|d2|=${d2.size}\n got=$got\nfull=$full")
+      }
+    }
+  }
+
   test("incrementalNearDupPairsMinhash = the full-corpus pairs that " +
       "touch the batch") {
     val hist = graft.engine.Engine.table(spark, fixtureDir, "documents")
