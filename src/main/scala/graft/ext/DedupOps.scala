@@ -888,11 +888,16 @@ object DedupOps {
     * `x_dedup_incremental_cc` oracle row proves (its DuckDB twin
     * computes the full-recluster closure from scratch).
     *
-    * Scale shape: two broadcast-sized joins against the frontier remap
-    * (touched components only — AQE broadcasts it when the batch is
-    * small) update the billion-row history label table in ONE pass;
-    * untouched components coalesce through unchanged. No history
-    * shuffle, no history closure. */
+    * Scale shape — history is SCANNED, never shuffled: the batch's
+    * endpoint set (frontier-sized by the daily-batch contract)
+    * broadcasts into one map-side LEFT-SEMI over the history label
+    * table, and everything else joins frontier-sized relations against
+    * frontier-sized relations. (The naive `e LEFT JOIN history` shape
+    * would sort-merge BOTH sides — Spark can only broadcast the
+    * non-preserved side of an outer join, and that side is the huge
+    * one.) The final label update is one broadcast remap join over
+    * history (remap is touched-components-sized); untouched components
+    * coalesce through unchanged. No history closure anywhere. */
   def incrementalComponents(historyLabels: DataFrame, newPairs: DataFrame,
                             srcCol: String = "id_a",
                             dstCol: String = "id_b",
@@ -904,8 +909,20 @@ object DedupOps {
     val e = graft.engine.Engine.materialize(
       newPairs.select(col(srcCol).cast("long").as("_a"),
         col(dstCol).cast("long").as("_b")))
-    val la = hist.select(col("id").as("_a"), col("component").as("_ca"))
-    val lb = hist.select(col("id").as("_b"), col("component").as("_cb"))
+    val endpoints = graft.engine.Engine.materialize(
+      e.select(col("_a").as("id"))
+        .unionByName(e.select(col("_b").as("id")))
+        .distinct())
+    // Frontier slice of history: ONE map-side semi join (endpoints
+    // broadcast; history streams through without an exchange).
+    // Materialized: feeds the two endpoint-label joins AND the
+    // new-node anti-join.
+    val histTouched = graft.engine.Engine.materialize(
+      hist.join(broadcast(endpoints), Seq("id"), "left_semi"))
+    val la = histTouched.select(col("id").as("_a"),
+      col("component").as("_ca"))
+    val lb = histTouched.select(col("id").as("_b"),
+      col("component").as("_cb"))
     val contracted = e
       .join(la, Seq("_a"), "left")
       .join(lb, Seq("_b"), "left")
@@ -914,16 +931,17 @@ object DedupOps {
       .filter(col("id_a") =!= col("id_b"))
     val remap = connectedComponents(contracted, maxIter = maxIter)
       .select(col("id").as("_rold"), col("component").as("_rnew"))
-    val hUpd = hist.join(remap, hist("component") === remap("_rold"),
-        "left")
+    val hUpd = hist.join(broadcast(remap),
+        hist("component") === remap("_rold"), "left")
       .select(hist("id"),
         coalesce(col("_rnew"), hist("component")).as("component"))
-    val newNodes = e.select(col("_a").as("id"))
-      .unionByName(e.select(col("_b").as("id")))
-      .distinct()
-      .join(hist.select(col("id")), Seq("id"), "left_anti")
-    val nUpd = newNodes.join(remap, newNodes("id") === remap("_rold"),
-        "left")
+    // endpoints minus the touched history slice — frontier-sized on
+    // BOTH sides (an anti-join against full history could not
+    // broadcast the preserved side and would shuffle history).
+    val newNodes = endpoints
+      .join(histTouched.select(col("id")), Seq("id"), "left_anti")
+    val nUpd = newNodes.join(broadcast(remap),
+        newNodes("id") === remap("_rold"), "left")
       .select(newNodes("id"),
         coalesce(col("_rnew"), newNodes("id")).as("component"))
     hUpd.unionByName(nUpd)

@@ -454,6 +454,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("incrementalComponents: history label update is broadcast-" +
+      "joined — history never sort-merge-shuffles") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // history = a parquet-backed label table (the persisted-labels
+    // shape); batch pairs are frontier-sized
+    val hist = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select(col("doc_id").as("id"), (col("doc_id") - col("doc_id") % 2)
+        .as("component"))
+    val pairs = spark.range(5).select(
+      (col("id") * 2).as("id_a"),
+      (lit(90000L) + col("id") * 2).as("id_b"))
+    val out = graft.ext.DedupOps.incrementalComponents(hist, pairs)
+    out.collect()
+    val p = plan(out).split("== Initial Plan ==")(0)
+    // the remap join over the full history must broadcast (remap is
+    // touched-components-sized); nothing in the visible plan may
+    // sort-merge — a SortMergeJoin here means history shuffled. The
+    // frontier semi join is inside a materialize (hidden stage) and is
+    // pinned by its explicit broadcast() hint, which the planner must
+    // honor or fail.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"history must never shuffle in the incremental update:\n$p")
+  }
+
   test("keySkew melt: ONE FileScan feeds all key columns' counts " +
       "(r12 single-pass rewrite)") {
     // The registered query's final plan starts at the rank machinery's
