@@ -130,12 +130,29 @@ with DAG(
         [RUN_DIR + "/split", DATA_ROOT + "/warehouse/documents",
          "replace"],
     )
+    # The r12 composed alternative to the dedupe -> split chain: ONE
+    # CurationJob task runs quarantine -> langid -> repetition -> exact
+    # + near-dup dedup -> decontamination -> NB/LM quality gates ->
+    # split and emits BOTH the per-document disposition table (audit
+    # trail: every input row, first failing stage or split) and the
+    # curated corpus. Informational here next to the step-by-step
+    # chain; a deployment picks one or the other.
+    curate = spark_task(
+        "curate",
+        "graft.jobs.CurationJob",
+        [RUN_DIR + "/documents", RUN_DIR + "/curation_disposition",
+         RUN_DIR + "/curated", "doc_id", "text",
+         "not_null:text;non_negative:n_chars", "en",
+         DATA_ROOT + "/benchmarks/eval_set",
+         "0.65", "0.06", "0.8"],
+    )
 
     # Profile runs informationally in parallel; the data path is gated:
     # nothing downstream starts until the quality rules pass.
     ingest >> [profile, quality_gate]
     crawl >> scrape_ingest >> quality_gate
     quality_gate >> dedupe >> split >> load
+    quality_gate >> curate
 
 
 with DAG(
