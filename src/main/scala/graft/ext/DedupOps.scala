@@ -821,34 +821,69 @@ object DedupOps {
                                      idCol: String, textCol: String,
                                      shingleN: Int = 2, numPerm: Int = 64,
                                      bands: Int = 16,
-                                     threshold: Double = 0.5): DataFrame = {
-    require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    val r = numPerm / bands
-    def shingled(df: DataFrame) =
-      hashedShingleSets(df, idCol, textCol, shingleN)
-        .filter(size(col("_sh")) > 0)
-    // Signature in its OWN projection before banding: bandHashes
-    // references its input once per band-row element (64 element_at's),
-    // and under the Generate there is no subexpression elimination — an
-    // inlined sig call would be recomputed 64× per document (measured:
-    // 48 s → 0.9 s for the band join at sf0.1).
-    def banded(sh: DataFrame) = sh
-      .select(col("_id"),
+                                     threshold: Double = 0.5): DataFrame =
+    incrementalNearDupPairsWithIndex(newDf,
+      graft.engine.Engine.materialize(
+        buildNearDupIndex(history, idCol, textCol, shingleN, numPerm)),
+      idCol, textCol, shingleN, numPerm, bands, threshold)
+
+  /** The PERSISTABLE near-dup index of a corpus snapshot —
+    * `(_id, _sh hashed-shingle set, _sig minhash signature)`, one row
+    * per document with a non-empty shingle set. Write it to parquet at
+    * the end of each daily run ([[buildDedupIndex]]'s pattern for the
+    * exact tier); the next day's [[incrementalNearDupPairsWithIndex]]
+    * reads it back instead of re-shingling the whole archive, and the
+    * day's own index rows append with a plain union — the index is
+    * append-only across runs because signatures are a pure function of
+    * the text. Band hashes are NOT stored: they derive from `_sig` by
+    * a cheap projection ([[bandHashes]]), so one persisted index
+    * serves any banding scheme with the same `numPerm`. */
+  def buildNearDupIndex(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 2,
+                        numPerm: Int = 64): DataFrame =
+    hashedShingleSets(df, idCol, textCol, shingleN)
+      .filter(size(col("_sh")) > 0)
+      // Signature in its OWN projection (here, at build time — never
+      // inlined into bandHashes): bandHashes references its input once
+      // per band-row element (64 element_at's), and under the Generate
+      // there is no subexpression elimination — an inlined sig call
+      // would be recomputed 64x per document (measured: 48 s -> 0.9 s
+      // for the band join at sf0.1).
+      .select(col("_id"), col("_sh"),
         call_function("graft_minhash_sig", col("_sh"), lit(numPerm))
           .as("_sig"))
+
+  /** [[incrementalNearDupPairsMinhash]] over a PREBUILT history index
+    * ([[buildNearDupIndex]], typically read back from parquet) — the
+    * production entry point for the daily cadence: per day it pays one
+    * index build for the BATCH only, one batch-vs-archive band probe
+    * (banding is a projection over stored signatures), and one
+    * candidate-sized verification join over the stored shingle sets.
+    * The archive is never re-shingled. */
+  def incrementalNearDupPairsWithIndex(newDf: DataFrame,
+                                       histIndex: DataFrame,
+                                       idCol: String, textCol: String,
+                                       shingleN: Int = 2,
+                                       numPerm: Int = 64,
+                                       bands: Int = 16,
+                                       threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    def banded(ix: DataFrame) = ix
       .select(col("_id"),
         posexplode(bandHashes(col("_sig"), bands, r)))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bh"))
-    // Shingle ONCE per side: the band probe and the verification join
-    // both read the sets (the materialize-before-reuse discipline).
-    val shNew = graft.engine.Engine.materialize(shingled(newDf))
-    val shHist = graft.engine.Engine.materialize(shingled(history))
-    val bNew = banded(shNew)
+    // Index the batch ONCE: the band probe and the verification join
+    // both read it (the materialize-before-reuse discipline).
+    val ixNew = graft.engine.Engine.materialize(
+      buildNearDupIndex(newDf, idCol, textCol, shingleN, numPerm))
+    val bNew = banded(ixNew)
     val probe = bNew.select(col("_band"), col("_bh"),
       col("_id").as("id_a"))
-    val index = banded(shHist).unionByName(bNew)
+    val index = banded(histIndex).unionByName(bNew)
       .select(col("_band"), col("_bh"), col("_id").as("id_b"))
-    val shAll = shHist.unionByName(shNew)
+    val shAll = histIndex.select(col("_id"), col("_sh"))
+      .unionByName(ixNew.select(col("_id"), col("_sh")))
     val pairs = probe.join(index, Seq("_band", "_bh"))
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),

@@ -378,6 +378,35 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup index persists to parquet and reproduces the " +
+      "recompute path exactly (the daily-cadence round trip)") {
+    val hist = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val batch = hist.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val toPairs = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // day 1 writes its index; day 2 reads it back
+    val ixPath = s"/tmp/graft_ndix_${System.nanoTime()}"
+    DedupOps.buildNearDupIndex(hist, "doc_id", "text")
+      .write.parquet(ixPath)
+    val viaIndex = toPairs(DedupOps.incrementalNearDupPairsWithIndex(
+      batch, spark.read.parquet(ixPath), "doc_id", "text",
+      shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8))
+    val recomputed = toPairs(DedupOps.incrementalNearDupPairsMinhash(
+      batch, hist, "doc_id", "text", shingleN = 2, numPerm = 64,
+      bands = 16, threshold = 0.8))
+    assert(viaIndex == recomputed)
+    assert(viaIndex.nonEmpty, "planted clones must pair")
+    // append-only across days: index ∪ batch index = next day's index
+    val day2Ix = spark.read.parquet(ixPath).unionByName(
+      DedupOps.buildNearDupIndex(batch, "doc_id", "text"))
+    assert(day2Ix.count() ==
+      DedupOps.buildNearDupIndex(hist.unionAll(batch), "doc_id", "text")
+        .count())
+  }
+
   test("incrementalNearDupPairsMinhash = the full-corpus pairs that " +
       "touch the batch") {
     val hist = graft.engine.Engine.table(spark, fixtureDir, "documents")
