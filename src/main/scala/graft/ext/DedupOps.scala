@@ -901,6 +901,48 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Ids of batch rows that near-dup-match ANY document in the history
+    * index at `threshold` Jaccard — the HISTORY-GATE face of
+    * [[incrementalNearDupPairsWithIndex]]: only batch-vs-archive
+    * matches (intra-batch duplicates are a different stage's job), and
+    * only the batch ids come back. This is the near-dup sibling of the
+    * exact [[incrementalDedupWith]] tier for the streaming-ingest DAG:
+    * inside `foreachBatch` the micro-batch is a plain batch frame, the
+    * index is a static one, and the whole chain is
+    * projection → band equi-join → candidate-sized verify → distinct —
+    * no state across micro-batches (the index updates between runs,
+    * like the Bloom/gram/LM constants). */
+  def nearDupMatchedIds(batch: DataFrame, histIndex: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleN: Int = 2, numPerm: Int = 64,
+                        bands: Int = 16,
+                        threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    def banded(ix: DataFrame) = ix
+      .select(col("_id"),
+        posexplode(bandHashes(col("_sig"), bands, r)))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bh"))
+    val ixNew = graft.engine.Engine.materialize(
+      buildNearDupIndex(batch, idCol, textCol, shingleN, numPerm))
+    val probe = banded(ixNew).select(col("_band"), col("_bh"),
+      col("_id").as("id_a"))
+    val index = banded(histIndex).select(col("_band"), col("_bh"),
+      col("_id").as("id_b"))
+    probe.join(index, Seq("_band", "_bh"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(ixNew.select(col("_id").as("id_a"), col("_sh").as("sh_a")),
+        Seq("id_a"))
+      .join(histIndex.select(col("_id").as("id_b"),
+        col("_sh").as("sh_b")), Seq("id_b"))
+      .filter(
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          >= threshold)
+      .select(col("id_a").as("_nd_id")).distinct()
+  }
+
   /** Cross-run INCREMENTAL connected components — the missing piece
     * between [[incrementalDedup]] (exact fingerprints vs history) and
     * the daily near-dup cadence: merge a new batch's pair graph into a

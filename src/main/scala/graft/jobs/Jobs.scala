@@ -210,7 +210,12 @@ object SplitJob {
   * live CMS token-frequency monitor ([[StreamIngestJob
   * .mergeCmsMonitor]] — version-ledger idempotence); lenMonitorDir
   * the live doc-length quantile monitor ([[StreamIngestJob
-  * .mergeLengthMonitor]], same ledger). */
+  * .mergeLengthMonitor]], same ledger). Trailing optional pair
+  * `[nearDupIndexParquet|-] [nearDupThreshold=0.8]` enables the
+  * near-dup history gate: rows minhash-matching the persisted
+  * [[graft.ext.DedupOps.buildNearDupIndex]] archive index at or above
+  * the threshold are dropped, the near-dup sibling of the exact
+  * Bloom+anti-join tier. */
 object StreamIngestJob {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
@@ -229,14 +234,27 @@ object StreamIngestJob {
                      dedupIndex: Option[(Array[Byte], DataFrame)] = None,
                      nllBand: Option[(Double, Double)] = None,
                      dropNllTail: Boolean = false,
-                     nbModel: Option[TextOps.NbModel] = None)
+                     nbModel: Option[TextOps.NbModel] = None,
+                     nearDupIndex: Option[(DataFrame, Double)] = None)
       : DataFrame = {
     // History dedup first — cheapest stage to give less downstream
     // work (tier 1 is a Bloom projection; tier 2 the stream-legal
     // static anti-join). Index built once per history snapshot via
     // DedupOps.buildDedupIndex, like the other plan constants.
-    val novel = dedupIndex.fold(df) { case (bytes, histFp) =>
+    val novelExact = dedupIndex.fold(df) { case (bytes, histFp) =>
       DedupOps.incrementalDedupWith(df, textCol, bytes, histFp)
+    }
+    // NEAR-dup history gate (r12): drop rows that near-dup-match the
+    // archive's persisted near-dup index (DedupOps.buildNearDupIndex —
+    // the minhash sibling of the exact tier above). Runs inside
+    // foreachBatch where the micro-batch is a plain batch frame, so
+    // the band join + candidate verify are ordinary batch joins
+    // against a STATIC index; no streaming state. Exact survivors
+    // feed it, so the band probe never wastes buckets on re-crawls.
+    val novel = nearDupIndex.fold(novelExact) { case (ix, thr) =>
+      val matched = DedupOps.nearDupMatchedIds(novelExact, ix,
+        idCol, textCol, threshold = thr)
+      novelExact.join(matched, col(idCol) === col("_nd_id"), "left_anti")
     }
     val decon =
       if (benchGramHashes.isEmpty) novel
@@ -309,7 +327,8 @@ object StreamIngestJob {
                       dedupIndex: Option[(Array[Byte], DataFrame)] = None,
                       nllBand: Option[(Double, Double)] = None,
                       dropNllTail: Boolean = false,
-                      nbModel: Option[TextOps.NbModel] = None)
+                      nbModel: Option[TextOps.NbModel] = None,
+                      nearDupIndex: Option[(DataFrame, Double)] = None)
       : (DataFrame, DataFrame) = {
     val flagged = Checks.flagRows(df, rules)
     val bad = flagged.filter(size(col("violations")) > 0)
@@ -317,7 +336,7 @@ object StreamIngestJob {
       .drop("violations")
     (bad, cleanTransform(clean, idCol, textCol, benchGramHashes,
       blockedPhrases, testFrac, validFrac, lmModel, maxMeanNll,
-      dedupIndex, nllBand, dropNllTail, nbModel))
+      dedupIndex, nllBand, dropNllTail, nbModel, nearDupIndex))
   }
 
   private[graft] def monitorPath(dir: String, v: Long): String =
@@ -510,10 +529,12 @@ object StreamIngestJob {
             monitor: Option[(String, String)] = None,
             freqMonitorDir: Option[String] = None,
             lenMonitorDir: Option[String] = None,
-            nbModel: Option[TextOps.NbModel] = None): Unit = {
+            nbModel: Option[TextOps.NbModel] = None,
+            nearDupIndex: Option[(DataFrame, Double)] = None): Unit = {
     val (bad, kept) = routedTransform(batch, idCol, textCol, rules,
       benchGramHashes, blockedPhrases, testFrac, validFrac,
-      lmModel, maxMeanNll, dedupIndex, nllBand, dropNllTail, nbModel)
+      lmModel, maxMeanNll, dedupIndex, nllBand, dropNllTail, nbModel,
+      nearDupIndex)
     // writeParquet's own empty guard skips the write — no second
     // isEmpty pass over the routed-transform plan here
     Sinks.writeParquet(bad, s"$quarantineDir/batch_id=$batchId",
@@ -568,7 +589,8 @@ object StreamIngestJob {
             lenMonitorDir: Option[String] = None,
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-            nbModel: Option[TextOps.NbModel] = None)
+            nbModel: Option[TextOps.NbModel] = None,
+            nearDupIndex: Option[(DataFrame, Double)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -579,7 +601,7 @@ object StreamIngestJob {
           benchGramHashes, blockedPhrases, store, quarantineDir,
           testFrac, validFrac, lmModel, maxMeanNll, dedupIndex,
           nllBand, dropNllTail, monitor, freqMonitorDir, lenMonitorDir,
-          nbModel)
+          nbModel, nearDupIndex)
       }
       .start()
 
@@ -641,7 +663,13 @@ object StreamIngestJob {
         case (None, None) => None
         case _ => throw new IllegalArgumentException(
           "nbRefPath and nbTrustedCol must be given together")
-      })
+      },
+      // Near-dup history gate: a PERSISTED DedupOps.buildNearDupIndex
+      // parquet (the daily run's append-only artifact), read as-is —
+      // the archive is never re-shingled here.
+      nearDupIndex = rest.lift(14).filter(_ != "-").map(p =>
+        (Sources.readParquet(spark, p),
+          rest.lift(15).map(_.toDouble).getOrElse(0.8))))
     q.awaitTermination()
   }
   def main(args: Array[String]): Unit =

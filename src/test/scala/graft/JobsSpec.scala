@@ -474,6 +474,44 @@ class JobsSpec extends SparkSpec {
     assert(storedIds == twinIds)
   }
 
+  test("ingest NEAR-dup history gate drops near-re-crawls the exact " +
+      "tier misses, stream == batch twin") {
+    import spark.implicits._
+    import graft.jobs.StreamIngestJob
+    import graft.ext.DedupOps
+    val base = s"$ws/si_neardup"
+    val (landing, storeDir, quarantine, cp) =
+      (s"$base/landing", s"$base/store", s"$base/quarantine", s"$base/cp")
+    val archived = "the quick brown fox jumps over the lazy dog " +
+      "while the sun sets slowly behind the tall green hills tonight"
+    val history = Seq((900L, archived)).toDF("doc_id", "text")
+    // the daily run's persisted index artifact
+    DedupOps.buildNearDupIndex(history, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/nd_index")
+    val docs = Seq(
+      (1L, "a genuinely new crawl document about different things " +
+        "entirely with no overlap in its phrasing at all today"),
+      // near-re-crawl: one word changed → exact fingerprint differs,
+      // shingle Jaccard stays far above 0.5 → near-dup gate drops it
+      (2L, archived.replace("slowly", "quickly")),
+      (3L, archived)) // exact re-crawl — also caught by the near gate
+    docs.toDF("doc_id", "text").write.parquet(landing)
+    StreamIngestJob.run(spark, Array(landing, "doc_id LONG, text STRING",
+      "doc_id", "text", "not_null:text", "-", "-", storeDir, quarantine,
+      cp, "0.05", "0.05", "-", "Infinity", "-", "-", "-", "false", "-",
+      "-", "-", "-", "-", "-", s"$base/nd_index", "0.5"))
+    val storedIds = new java.io.File(storeDir).listFiles()
+      .map(_.getName.stripSuffix(".json")).toSet
+    val (_, twinKept) = StreamIngestJob.routedTransform(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      Seq(graft.transform.Checks.notNull("text")), Array.empty, Seq.empty,
+      nearDupIndex = Some((spark.read.parquet(s"$base/nd_index"), 0.5)))
+    val twinIds = twinKept.select("doc_id").collect()
+      .map(_.getLong(0).toString).toSet
+    assert(twinIds == Set("1"), s"twin kept $twinIds")
+    assert(storedIds == twinIds)
+  }
+
   test("incremental ingest processes only newly landed files per run") {
     val base = s"$ws/incr"
     val (landing, out, cp) = (s"$base/landing", s"$base/table", s"$base/cp")
