@@ -135,6 +135,35 @@ object NativeExprs {
       case other => throw new IllegalArgumentException(
         "graft_dict_sum(arr, keysLit, valsLit, defaultLit), got " + other)
     })
+    reg("graft_gram_stats", { case Seq(c) => GramStats(c) })
+  }
+
+  /** Multiplicity stats of a hashed-gram MULTISET in one compiled pass:
+    * `[n, d, mx]` = total grams, distinct grams, max multiplicity — the
+    * inputs of the Gopher repetition fractions
+    * ([[graft.ext.TextOps.repetitionStats]]), computed per ROW so the
+    * repetition gate is a scan-bound projection instead of a corpus-wide
+    * explode + two grouped aggregations. Sort-and-scan (no per-row hash
+    * map): O(n log n) on primitive longs, zero boxing, zero allocation
+    * beyond the working copy. Null elements count as hash 0L (the
+    * [[ShingleHashes]] convention). Empty input → `[0, 0, 0]`. */
+  def gramStats(arr: ArrayData): ArrayData = {
+    val len = arr.numElements()
+    if (len == 0) return new GenericArrayData(Array(0L, 0L, 0L))
+    val hs = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      hs(i) = if (arr.isNullAt(i)) 0L else arr.getLong(i); i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var d = 1L; var mx = 1L; var run = 1L
+    i = 1
+    while (i < len) {
+      if (hs(i) == hs(i - 1)) { run += 1; if (run > mx) mx = run }
+      else { d += 1; run = 1 }
+      i += 1
+    }
+    new GenericArrayData(Array(len.toLong, d, mx))
   }
 
   /** NFC-normalize a UTF8String, returning the INPUT object untouched
@@ -537,6 +566,33 @@ case class MinWindows(child: Expression, w: Int)
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.expressions.NativeExprs.minWindows($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Per-row gram-multiset stats (`graft_gram_stats`): `array<bigint>`
+  * hashed grams → `[n, d, mx]` — see [[NativeExprs.gramStats]]. The
+  * static-helper call stays inside whole-stage codegen (one virtual
+  * call per row, primitive in/out), like [[SpanCorruptExpr]]. */
+case class GramStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_stats expects array<bigint>, got $dt")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.gramStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.NativeExprs.gramStats($c)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

@@ -244,10 +244,31 @@ object DedupOps {
   /** MinHash-LSH near-duplicate pairs: banded candidate generation, exact
     * shingle-Jaccard verification.
     *
-    * Pipeline: tokenize → shingle → signature (narrow projections) →
-    * explode band hashes → self-join per bucket (shuffles only
-    * (band, hash, id) triples) → distinct pairs → verify with exact
-    * Jaccard on the candidates only → threshold.
+    * Pipeline: one REPRESENTATIVE per distinct normalized text →
+    * tokenize → shingle → signature (narrow projections over the
+    * representatives only) → explode band hashes → self-join per bucket
+    * (shuffles only (band, hash, id) triples) → distinct pairs → verify
+    * with exact Jaccard on the candidates only → threshold → expand
+    * representative pairs back to original ids.
+    *
+    * Duplicate-mass discipline (the APSS/[[allPairsCosine]] lesson,
+    * r12 verdict ask #2): dedup operators meet duplicate-heavy corpora
+    * BY DEFINITION, and the naive shape shingles/signs every raw row —
+    * at sf10 (100× exact-clone replication) the day-1 setup of the
+    * incremental family spent its 127 s almost entirely re-signing
+    * clones. Identity classes come from [[graft.ext.TextOps.fingerprint]]
+    * (equal fingerprints ⇒ equal token arrays ⇒ equal shingle sets), the
+    * class representative's text is picked MAP-SIDE by `min_by` partial
+    * aggregation — clone mass collapses before the exchange — and only
+    * representatives reach the signature/band/verify stages, so those
+    * scale with DISTINCT mass. Expansion is two id-only joins: a
+    * qualifying representative pair fans out to every cross pair of its
+    * two classes (same jaccard — identical texts have identical shingle
+    * sets), and every multi-member class with a non-empty shingle set
+    * contributes its intra pairs at jaccard exactly 1.0 — bit-equal to
+    * the naive all-rows pipeline, which is what the `x_dedup_minhash`
+    * oracle row (threshold where LSH provably equals exact all-pairs,
+    * over a corpus WITH planted clones) keeps proving.
     *
     * numPerm/bands defaults (64 perms, 16 bands × 4 rows) put the LSH
     * S-curve threshold at (1/16)^(1/4) ≈ 0.5 — pairs above ~0.5 Jaccard
@@ -260,14 +281,26 @@ object DedupOps {
                           threshold: Double = 0.5): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
-    val shing = hashedShingleSets(df, idCol, textCol, shingleN)
-      .filter(size(col("_sh")) > 0)
-    // The signature projection runs exactly ONCE (candidate generation);
-    // the band self-join shuffles only (band, hash, id) triples, and the
-    // surviving candidate pairs are verified with EXACT shingle-set
-    // Jaccard (the standard LSH generate-then-verify pipeline) on the
-    // hashed sets. At persistent-pipeline scale, persist `shing` across
-    // the three references.
+    val docs = graft.engine.Engine.spread(df)
+      .select(col(idCol).as("_oid"), col(textCol).as("_txt"))
+    // Identity classes: one shuffle on the text fingerprint carrying
+    // (fp, id, one-text-per-class-per-partition thanks to the min_by
+    // map-side partial); `classes` (rep id ↔ original id) is the only
+    // relation the expansion joins need.
+    val reps = graft.engine.Engine.materialize(
+      docs.groupBy(graft.ext.TextOps.fingerprint(col("_txt")).as("_fp"))
+        .agg(min(col("_oid")).as("_rid"),
+          min_by(col("_txt"), col("_oid")).as("_txt")))
+    val classes = graft.engine.Engine.materialize(
+      docs.select(col("_oid"),
+          graft.ext.TextOps.fingerprint(col("_txt")).as("_fp"))
+        .join(reps.select(col("_fp"), col("_rid")), Seq("_fp"))
+        .select(col("_rid"), col("_oid")))
+    // Shingle/sign the representatives ONLY. Materialized: feeds the
+    // signature projection and both sides of the verification join.
+    val shing = graft.engine.Engine.materialize(
+      hashedShingleSets(reps, "_rid", "_txt", shingleN)
+        .filter(size(col("_sh")) > 0))
     val sigs = shing.select(col("_id"),
       call_function("graft_minhash_sig", col("_sh"), lit(numPerm))
         .as("_sig"))
@@ -280,7 +313,7 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+    val repPairs = pairs
       .join(shing.select(col("_id").as("id_a"), col("_sh").as("sh_a")),
         Seq("id_a"))
       .join(shing.select(col("_id").as("id_b"), col("_sh").as("sh_b")),
@@ -290,6 +323,23 @@ object DedupOps {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Expansion back to original ids — id-only joins, the only stages
+    // duplicate mass multiplies.
+    val inter = repPairs
+      .join(classes.select(col("_rid").as("id_a"), col("_oid").as("_ia")),
+        Seq("id_a"))
+      .join(classes.select(col("_rid").as("id_b"), col("_oid").as("_ib")),
+        Seq("id_b"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
+    val intra = shing.select(col("_id").as("_rid")) // non-empty sets only
+      .join(classes.select(col("_rid"), col("_oid").as("_ia")), Seq("_rid"))
+      .join(classes.select(col("_rid"), col("_oid").as("_ib")), Seq("_rid"))
+      .filter(col("_ia") < col("_ib"))
+      .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+        lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= threshold)
+    inter.unionByName(intra)
   }
 
   /** Apply MinHash-LSH dedup: drop the higher-id member of every near-dup

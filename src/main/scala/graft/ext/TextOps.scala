@@ -453,31 +453,54 @@ object TextOps {
     * Documents without tokens are absent; without bigrams (single-token)
     * the bigram fractions are 0.
     *
-    * Scale shape: explode → two grouped aggregations per granularity
-    * (token, bigram), each ONE shuffle on (id, gram) then (id) with
-    * map-side partials; all divisions on exact integer counts, so the
-    * doubles reproduce bit-for-bit across engines. */
+    * Scale shape (r13 rewrite): the fractions are per-document functions
+    * of the token array, so they compute as ONE codegen'd projection
+    * ([[repetitionFracsCol]] over the native `graft_gram_stats` — no
+    * explode, no shuffle, no join; scan-bound at any corpus size where
+    * the old shape paid two (id, gram) exchanges per granularity). Gram
+    * multiplicities are counted over 64-bit token/window hashes instead
+    * of token strings — identical output absent hash collisions, which
+    * the string-keyed DuckDB twin hash-verifies (the lmTrainHashed
+    * contract). Divisions stay on exact integer counts, so the doubles
+    * reproduce bit-for-bit across engines. */
   def repetitionStats(df: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
-    val in = graft.engine.Engine.spread(df)
-    def fracs(gram: Column, dupName: String, topName: String): DataFrame =
-      in.select(col(idCol).as("_id"), explode(gram).as("_g"))
-        .groupBy(col("_id"), col("_g")).agg(count(lit(1)).as("_c"))
-        .groupBy(col("_id")).agg(
-          sum(col("_c")).as("_n"), max(col("_c")).as("_mx"),
-          count(lit(1)).as("_d"))
-        .select(col("_id"),
-          (lit(1.0) - col("_d").cast("double") / col("_n")).as(dupName),
-          (col("_mx").cast("double") / col("_n")).as(topName))
-    val tok = fracs(tokens(col(textCol)), "dup_token_frac",
-      "top_token_frac")
-    val bg = fracs(shingles(tokens(col(textCol)), 2), "dup_bigram_frac",
-      "top_bigram_frac")
-    tok.join(bg, Seq("_id"), "left")
-      .select(col("_id").as(idCol),
-        col("dup_token_frac"), col("top_token_frac"),
-        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
-        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+                      textCol: String): DataFrame =
+    graft.engine.Engine.spread(df)
+      .select(col(idCol), repetitionFracsCol(col(textCol)).as("_rf"))
+      .filter(col("_rf").getField("n_tokens") > 0)
+      .select(col(idCol),
+        col("_rf").getField("dup_token_frac").as("dup_token_frac"),
+        col("_rf").getField("top_token_frac").as("top_token_frac"),
+        col("_rf").getField("dup_bigram_frac").as("dup_bigram_frac"),
+        col("_rf").getField("top_bigram_frac").as("top_bigram_frac"))
+
+  /** The [[repetitionStats]] fractions as ONE per-row struct column
+    * `(n_tokens, dup_token_frac, top_token_frac, dup_bigram_frac,
+    * top_bigram_frac)` — the projection form that lets a composed
+    * pipeline ([[graft.jobs.CurationJob]]) evaluate the repetition gate
+    * inside its single materialized wide pass instead of paying a
+    * separate corpus scan + join. Token-less/null documents get null
+    * fields (callers gate on `n_tokens > 0` / coalesce); single-token
+    * documents get bigram fractions 0.0 — exactly the grouped form's
+    * absent-row / left-join semantics. */
+  def repetitionFracsCol(text: Column): Column = {
+    val ts = call_function("graft_gram_stats",
+      call_function("graft_hash_tokens", tokens(text)))
+    val bs = call_function("graft_gram_stats",
+      call_function("graft_window_hashes",
+        call_function("graft_hash_tokens", tokens(text)), lit(2)))
+    val (tn, td, tmx) =
+      (element_at(ts, 1), element_at(ts, 2), element_at(ts, 3))
+    val (bn, bd, bmx) =
+      (element_at(bs, 1), element_at(bs, 2), element_at(bs, 3))
+    struct(
+      tn.as("n_tokens"),
+      (lit(1.0) - td.cast("double") / tn).as("dup_token_frac"),
+      (tmx.cast("double") / tn).as("top_token_frac"),
+      when(bn > 0, lit(1.0) - bd.cast("double") / bn).otherwise(lit(0.0))
+        .as("dup_bigram_frac"),
+      when(bn > 0, bmx.cast("double") / bn).otherwise(lit(0.0))
+        .as("top_bigram_frac"))
   }
 
   /** Phrase-blocklist predicate — the safety/content-filter stage of a

@@ -24,9 +24,11 @@ import graft.transform.{Checks, Split}
   * ordering is part of the proven semantics (`x_curation`'s DuckDB twin
   * replays the stages in the same order).
   *
-  * Scale shape: all per-document gates (rules, langid, contamination,
-  * NB, LM — each a plan-literal projection) plus the repetition-stats
-  * join compute in ONE materialized pass over the corpus; the two dedup
+  * Scale shape: ALL per-document gates (rules, langid, repetition,
+  * contamination, NB, LM — each a plan-literal or native-expression
+  * projection, the repetition fractions per-row via
+  * `graft_gram_stats`) compute in ONE materialized pass over the
+  * corpus — no gate pays its own corpus scan or join; the two dedup
   * stages then operate on id+text only (exact: one fingerprint
   * groupBy; near-dup: the banded LSH pipeline) and rejoin as id-only
   * keep-lists. Stage ORDER matters only for the dedup populations —
@@ -77,12 +79,16 @@ object CurationJob {
     val withRep =
       if (!repGateOn) withLang.withColumn("_rep", lit(false))
       else {
-        val rv = TextOps.repetitionStats(df, cfg.idCol, cfg.textCol)
-          .filter(col("dup_token_frac") > cfg.maxDupTokenFrac ||
-            col("top_bigram_frac") > cfg.maxTopBigramFrac)
-          .select(col(cfg.idCol).as("_rvid"))
-        withLang.join(rv, id === col("_rvid"), "left")
-          .withColumn("_rep", col("_rvid").isNotNull).drop("_rvid")
+        // Fused into the wide pass (r12 verdict ask #4): the fractions
+        // are a per-row projection (TextOps.repetitionFracsCol), so the
+        // gate costs zero extra scans/joins. Token-less/null docs have
+        // null fractions — coalesce keeps them un-flagged, exactly the
+        // old repetitionStats-join-miss semantics.
+        val rf = TextOps.repetitionFracsCol(text)
+        withLang.withColumn("_rep", coalesce(
+          rf.getField("dup_token_frac") > cfg.maxDupTokenFrac ||
+            rf.getField("top_bigram_frac") > cfg.maxTopBigramFrac,
+          lit(false)))
       }
     val contamFlag: Column =
       if (cfg.benchGramHashes.isEmpty) lit(false)
@@ -121,9 +127,13 @@ object CurationJob {
         cases ::= (col("_ekid").isNull, "exact_dup")
       }
       if (cfg.nearDupThreshold > 0.0) {
-        val keep = DedupOps.dedupeNearMinhash(pop, cfg.idCol, cfg.textCol,
-            cfg.shingleN, cfg.numPerm, cfg.bands, cfg.nearDupThreshold)
-          .select(id.as("_nkid"))
+        // Materialized like the exact keep list: the full LSH band-join
+        // pipeline must run once, not once per downstream consumer
+        // (curate() reads disposition's plan twice — filter + join).
+        val keep = Engine.materialize(
+          DedupOps.dedupeNearMinhash(pop, cfg.idCol, cfg.textCol,
+              cfg.shingleN, cfg.numPerm, cfg.bands, cfg.nearDupThreshold)
+            .select(id.as("_nkid")))
         acc = acc.join(keep, id === col("_nkid"), "left")
         cases ::= (col("_nkid").isNull, "near_dup")
       }

@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.Engine
 import graft.ext.DedupOps
@@ -109,6 +109,96 @@ object IncrementalIngestJob {
   }
   def main(args: Array[String]): Unit =
     Jobs.withSession("graft-ingest-incremental")(run(_, args))
+}
+
+/** Incremental NEAR-DUP dedup with durable cross-run state — the job
+  * that CLOSES the daily-cadence loop (r12 verdict ask #3): the pieces
+  * ([[DedupOps.buildNearDupIndex]] persistable index,
+  * [[DedupOps.incrementalNearDupPairsWithIndex]] batch-vs-archive
+  * pairs, [[DedupOps.incrementalComponents]] frontier-contraction label
+  * merge) existed but every caller had to re-wire the end-of-run
+  * persist; this job makes it the standard step, per the reference's
+  * daily cadence (`wikipedia_dag.py:20`).
+  *
+  * Per run: read state (missing paths = day 1 = empty state), generate
+  * the batch's pairs against the archive index, merge labels, then
+  * persist — the batch's index rows APPEND (the index is append-only
+  * across runs: signatures are pure functions of the text), the merged
+  * labels REPLACE (materialized first, so the overwrite never reads the
+  * files it replaces), and the kept batch rows (id == its component
+  * min, or untouched by any pair) land at `keptOut`. Replaying day 1
+  * then day 2 leaves state identical to one batch run over both days —
+  * pinned by the JobsSpec two-day replay test.
+  *
+  * Scale shape: per day one index build for the BATCH only, one
+  * batch-sized band probe against the archive index, a candidate-sized
+  * verification join, and a frontier-bounded label merge (history
+  * scanned, never shuffled) — the archive is never re-shingled and
+  * never re-clustered.
+  *
+  * args: <batchIn> <stateDir> <keptOut> <idCol> <textCol>
+  *       [shingleN=2] [numPerm=64] [bands=16] [threshold=0.5]
+  * state layout: <stateDir>/index (parquet, append-only),
+  *               <stateDir>/labels (parquet, replaced each run). */
+object IncrementalDedupJob {
+
+  /** One gate+merge step over in-memory state — the testable core.
+    * Returns (batch index rows, merged labels, kept batch rows); the
+    * labels frame is already materialized (safe to overwrite the
+    * source it was read from). */
+  def step(batch: DataFrame, histIndex: DataFrame, histLabels: DataFrame,
+           idCol: String, textCol: String,
+           shingleN: Int = 2, numPerm: Int = 64, bands: Int = 16,
+           threshold: Double = 0.5)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val pairs = DedupOps.incrementalNearDupPairsWithIndex(
+      batch, histIndex, idCol, textCol, shingleN, numPerm, bands,
+      threshold)
+    val labels = Engine.materialize(
+      DedupOps.incrementalComponents(histLabels, pairs))
+    val newIndexRows = DedupOps.buildNearDupIndex(
+      batch, idCol, textCol, shingleN, numPerm)
+    // Keep = not the non-min member of any cluster: a batch row whose
+    // component label is an (older, smaller) archive id drops; a fresh
+    // row (absent from the label table) keeps.
+    val losers = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as("_drop"))
+    val kept = batch.join(losers,
+      col(idCol).cast("long") === col("_drop"), "left_anti")
+    (newIndexRows, labels, kept)
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val Array(in, stateDir, keptOut, idCol, textCol, rest @ _*) = args
+    val shingleN = rest.headOption.map(_.toInt).getOrElse(2)
+    val numPerm = rest.lift(1).map(_.toInt).getOrElse(64)
+    val bands = rest.lift(2).map(_.toInt).getOrElse(16)
+    val threshold = rest.lift(3).map(_.toDouble).getOrElse(0.5)
+    val indexPath = s"$stateDir/index"
+    val labelsPath = s"$stateDir/labels"
+    val batch = Sources.readParquet(spark, in)
+    // Day-1 fallbacks carry the right SCHEMA (readParquetOrEmpty's
+    // zero-column frame would fail the downstream column resolution):
+    // the index schema comes from the op itself, labels are (id,
+    // component) longs — the connectedComponents contract.
+    def readOr(path: String, fallback: => DataFrame): DataFrame =
+      try spark.read.parquet(path)
+      catch { case _: org.apache.spark.sql.AnalysisException => fallback }
+    val histIndex = readOr(indexPath, DedupOps.buildNearDupIndex(
+      batch.limit(0), idCol, textCol, shingleN, numPerm))
+    val histLabels = readOr(labelsPath, batch.limit(0)
+      .select(col(idCol).cast("long").as("id"),
+        col(idCol).cast("long").as("component")))
+    val (newIndexRows, labels, kept) = step(batch, histIndex, histLabels,
+      idCol, textCol, shingleN, numPerm, bands, threshold)
+    Sinks.writeParquet(newIndexRows, indexPath, behavior = "append")
+    Sinks.writeParquet(labels, labelsPath)
+    Sinks.writeParquet(kept, keptOut)
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-dedupe-incremental")(run(_, args))
 }
 
 /** Quality gate: run declarative [[graft.transform.Checks]] rules on a

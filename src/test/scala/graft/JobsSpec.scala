@@ -631,6 +631,58 @@ class JobsSpec extends SparkSpec {
       dispOut.filter(!col("status").isin(CurationJob.Stages: _*)).count())
   }
 
+  test("incremental dedup job: two-day replay leaves state equal to a " +
+      "one-shot batch over both days") {
+    import graft.ext.DedupOps
+    import graft.jobs.IncrementalDedupJob
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") < 300)
+    // Day 1 carries its own clone mass (+20000); day 2 adds fresh docs
+    // plus clones of DAY-1 docs (+10000) — cross-day near-dups, and
+    // (i, 10000+i, 20000+i) triangles that exercise the cross-run label
+    // merge. Ids globally unique across days (the contract).
+    val day1 = base.filter(col("doc_id") < 150)
+      .unionAll(base.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val day2 = base.filter(col("doc_id") >= 150)
+      .unionAll(base.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    day1.write.mode("overwrite").parquet(s"$ws/inc/day1")
+    day2.write.mode("overwrite").parquet(s"$ws/inc/day2")
+    val jobArgs = Seq("doc_id", "text", "2", "64", "16", "0.8")
+    IncrementalDedupJob.run(spark, (Seq(s"$ws/inc/day1", s"$ws/inc/state",
+      s"$ws/inc/kept1") ++ jobArgs).toArray)
+    IncrementalDedupJob.run(spark, (Seq(s"$ws/inc/day2", s"$ws/inc/state",
+      s"$ws/inc/kept2") ++ jobArgs).toArray)
+    // State invariant: day-2 labels == one-shot clustering of both days.
+    val all = day1.unionAll(day2)
+    val oneShot = DedupOps.connectedComponents(
+        DedupOps.nearDupPairsMinhash(all, "doc_id", "text", 2, 64, 16, 0.8))
+      .select(col("id").cast("long"), col("component").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val labels = spark.read.parquet(s"$ws/inc/state/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(labels.nonEmpty && labels.sameElements(oneShot),
+      "two-day replayed labels must be bit-equal to the one-shot closure")
+    // Index invariant: append-only, one row per non-empty-shingle doc
+    // of BOTH days, no doc indexed twice.
+    val index = spark.read.parquet(s"$ws/inc/state/index")
+    assert(index.count() ==
+      DedupOps.buildNearDupIndex(all, "doc_id", "text").count())
+    assert(index.select("_id").distinct().count() == index.count())
+    // Kept semantics: a clone whose keeper is already in the archive
+    // never survives its own day; day-1 keeps its cluster minima.
+    val kept1 = spark.read.parquet(s"$ws/inc/kept1")
+    val kept2 = spark.read.parquet(s"$ws/inc/kept2")
+    assert(kept1.filter(col("doc_id") >= 20000).count() == 0)
+    assert(kept2.filter(col("doc_id") >= 10000).count() == 0)
+    assert(kept2.count() < day2.count())
+    // Every kept-2 row is its final component's min (or untouched).
+    val losers = labels.filter { case (id, c) => id != c }.map(_._1).toSet
+    assert(kept2.collect().map(_.getLong(0)).forall(id => !losers(id)))
+  }
+
   test("the DAG file is syntactically valid python") {
     val dag = "airflow/dags/graft_pipeline_dag.py"
     assert(Files.exists(Paths.get(dag)), s"missing $dag")
