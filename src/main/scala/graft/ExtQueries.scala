@@ -1503,7 +1503,11 @@ object ExtQueries {
        |  lowq AS (SELECT c.doc_id
        |    FROM corpus c LEFT JOIN csc ON c.doc_id = csc.doc_id
        |    CROSS JOIN pr
-       |    WHERE prior + COALESCE(sl, 0) <= 0),
+       |    -- text IS NOT NULL mirrors the engine's null semantics:
+       |    -- nbScoreCol yields NULL for NULL text and when() treats
+       |    -- NULL as not-low-quality, while a bare COALESCE would
+       |    -- score a NULL-text doc prior-only here.
+       |    WHERE prior + COALESCE(sl, 0) <= 0 AND c.text IS NOT NULL),
        |  dgrams AS (SELECT doc_id, source,
        |      unnest(list_transform(range(1, len(toks)),
        |        i -> toks[i] || ' ' || toks[i+1])) AS g

@@ -358,11 +358,12 @@ object Profile {
     * their product overflows BIGINT), and the tie order inside equal
     * sizes cannot change it (equal addends, same rank set) — which is
     * also why melting through `cast(key AS STRING)` is safe: the cast
-    * must be INJECTIVE per column (true for integral/string/date/
-    * timestamp/decimal keys; Spark's double rendering is injective
-    * too), but the string ORDER may differ from the typed order, and
-    * only tie-breaking inside equal n depends on it. Key VALUES never
-    * appear in the output. Per-column totals are key_col-sized and
+    * must be INJECTIVE per column — [[meltedKeyCounts]] enforces the
+    * type whitelist and IEEE-normalizes float/double keys (so
+    * -0.0/0.0 and NaN payloads group exactly as Spark's typed
+    * grouping would) — but the string ORDER may differ from the typed
+    * order, and only tie-breaking inside equal n depends on it. Key
+    * VALUES never appear in the output. Per-column totals are key_col-sized and
     * broadcast. */
   def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame =
     keySkewAcross(Seq(df -> keyCols))
@@ -371,12 +372,38 @@ object Profile {
     * the (key_col, key_string, n) relation [[keySkewAcross]] ranks.
     * Package-private so PlanShapeSpec can pin the one-FileScan shape
     * directly (the downstream rank machinery is checkpoint-backed, so
-    * the final query's executedPlan no longer shows the scan). */
+    * the final query's executedPlan no longer shows the scan).
+    *
+    * The string melt must be INJECTIVE per column, and is — the
+    * supported key types are enforced here (exotic keys like
+    * binary/array/map, where a string render can merge or reorder
+    * values, are rejected loudly). Float/double keys are IEEE-normalized
+    * BEFORE the render (`+ 0.0` turns -0.0 into +0.0; every NaN payload
+    * renders 'NaN'), so the melted grouping matches Spark's typed
+    * grouping, which normalizes both (NormalizeFloatingNumbers). */
   private[graft] def meltedKeyCounts(df: DataFrame,
                                      keyCols: Seq[String]): DataFrame = {
-    val stackArgs = keyCols.map(kc =>
-      s"'${kc.replace("'", "\\'")}', cast(`$kc` as string)")
-      .mkString(", ")
+    import org.apache.spark.sql.types._
+    def supported(dt: DataType): Boolean = dt match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+           LongType | FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    val stackArgs = keyCols.map { kc =>
+      val dt = df.schema(kc).dataType
+      require(supported(dt),
+        s"keySkew: unsupported key column type `$kc`: ${dt.simpleString}" +
+          " (the string melt must be injective; supported:" +
+          " string/numeric/boolean/date/timestamp/decimal)")
+      val rendered = dt match {
+        case FloatType | DoubleType =>
+          s"cast((cast(`$kc` as double) + 0.0d) as string)"
+        case _ => s"cast(`$kc` as string)"
+      }
+      s"'${kc.replace("'", "\\'")}', $rendered"
+    }.mkString(", ")
     df.select(expr(s"stack(${keyCols.size}, $stackArgs)")
         .as(Seq("key_col", "_k")))
       .groupBy(col("key_col"), col("_k"))

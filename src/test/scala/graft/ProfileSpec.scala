@@ -197,6 +197,32 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("p50_n") == 3L && r.getAs[Long]("p99_n") == 3L)
   }
 
+  test("keySkew: float keys group -0.0 with 0.0 and all NaNs together " +
+      "(typed-grouping parity); exotic key types are rejected loudly") {
+    import spark.implicits._
+    // typed grouping would see TWO keys here: {0.0 (×3), 1.0 (×1)} —
+    // the melt must not split -0.0 from 0.0 nor NaN payloads from
+    // each other.
+    val df = Seq(0.0, -0.0, 0.0, 1.0).toDF("k")
+    val r = Profile.keySkew(df, Seq("k")).collect()(0)
+    assert(r.getAs[Long]("n_keys") == 2L, "-0.0 must melt into 0.0")
+    assert(r.getAs[Long]("max_n") == 3L)
+    val nan1 = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val dfn = Seq(Double.NaN, nan1, 2.0).toDF("k")
+    val rn = Profile.keySkew(dfn, Seq("k")).collect()(0)
+    assert(rn.getAs[Long]("n_keys") == 2L, "NaN payloads must merge")
+    // float column goes through the same normalization
+    val dff = Seq(0.0f, -0.0f).toDF("k")
+    assert(Profile.keySkew(dff, Seq("k")).collect()(0)
+      .getAs[Long]("n_keys") == 1L)
+    // non-injective string renders (array/binary) are rejected
+    val bad = Seq(Array(1L, 2L)).toDF("k")
+    val ex = intercept[IllegalArgumentException] {
+      Profile.keySkew(bad, Seq("k")).collect()
+    }
+    assert(ex.getMessage.contains("unsupported key column type"))
+  }
+
   test("keySkew: multiple key columns, one row each, layout-independent") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 1), ("b", 2), ("c", 2), ("c", 3))

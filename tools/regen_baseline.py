@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
 """Regenerate src/main/scala/graft/BenchBaseline.scala from bench runs.
 
-Usage: python3 tools/regen_baseline.py <run1.json> [run2.json ...]
+Usage: python3 tools/regen_baseline.py <label> <run1.json> [run2.json ...]
 
 Takes the per-query MIN across the given graft.Bench JSON outputs
 (quiet-box min-of-N convention) and rewrites the BenchBaseline map.
+<label> is the provenance line baked into the header (e.g. "Round 13
+(fifth regen)") so the committed source never carries a stale round tag.
 """
 import json
 import sys
@@ -17,7 +19,7 @@ HEADER = '''package graft
   * each round from the recorded quiet-box runs (tools/regen_baseline.py,
   * min-of-N); queries without an entry (newly added this round) fall back
   * to the absolute >2 s rule.
-  * Round 12 (fourth regen): all entries from %s quiet-box full-suite
+  * %s: all entries from %s quiet-box full-suite
   * runs recorded with NO co-tenant load (the r11 verdict's clean-artifact
   * ask).
   */
@@ -26,14 +28,16 @@ object BenchBaseline {
 '''
 
 
-def main(paths):
+def main(label, paths):
     mins = {}
     for p in paths:
         with open(p) as f:
             d = json.load(f)
         for q, s in d["queries"].items():
             mins[q] = min(mins.get(q, 1e9), s)
-    out = HEADER % len(paths)
+    if not mins:
+        raise SystemExit("no queries found in the given runs")
+    out = HEADER % (label, len(paths))
     rows = [f'    "{q}" -> {s:.4f},' for q, s in sorted(mins.items())]
     rows[-1] = rows[-1].rstrip(",")
     out += "\n".join(rows) + ")\n}\n"
@@ -43,4 +47,7 @@ def main(paths):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    if len(sys.argv) < 3:
+        raise SystemExit(
+            "usage: regen_baseline.py <label> <run1.json> [run2.json ...]")
+    main(sys.argv[1], sys.argv[2:])

@@ -102,6 +102,9 @@ if __name__ == "__main__":
     only = skip = threads = None
     args = sys.argv[3:]
     while args:
+        if len(args) < 2:
+            raise SystemExit(f"flag {args[0]} needs a value "
+                             "(usage: --only a,b | --skip a,b | --threads N)")
         flag, val, args = args[0], args[1], args[2:]
         if flag == "--only":
             only = set(val.split(","))
