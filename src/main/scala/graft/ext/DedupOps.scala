@@ -890,18 +890,42 @@ object DedupOps {
     * serves any banding scheme with the same `numPerm`. */
   def buildNearDupIndex(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 2,
-                        numPerm: Int = 64): DataFrame =
-    hashedShingleSets(df, idCol, textCol, shingleN)
+                        numPerm: Int = 64): DataFrame = {
+    val docs = graft.engine.Engine.spread(df)
+      .select(col(idCol).as("_id"), col(textCol).as("_txt"))
+    // Representative-per-distinct-text (the nearDupPairsMinhash
+    // discipline — archives are clone-heavy BY DEFINITION): shingling
+    // and the k×n signature loop run once per DISTINCT text (min_by
+    // collapses clone mass map-side), then one fingerprint-keyed join
+    // fans (sh, sig) back out to every id — sh/sig are pure functions
+    // of the text, so the output is bit-equal to the per-row build
+    // while the compute scales with distinct mass (sf10 probe: 30 s →
+    // ~8 s for the 100×-clone-mass archive build). Output stays one
+    // row per non-empty-shingle document.
+    val reps = docs
+      .groupBy(graft.ext.TextOps.fingerprint(col("_txt")).as("_fp"))
+      .agg(min_by(col("_txt"), col("_id")).as("_txt"))
+    // Signature in its OWN projection (here, at build time — never
+    // inlined into bandHashes): bandHashes references its input once
+    // per band-row element (64 element_at's), and under the Generate
+    // there is no subexpression elimination — an inlined sig call
+    // would be recomputed 64x per document (measured: 48 s -> 0.9 s
+    // for the band join at sf0.1).
+    val repIx = reps
+      .select(col("_fp"),
+        call_function("graft_shingle_hashes",
+          call_function("graft_hash_tokens",
+            graft.ext.TextOps.tokens(col("_txt"))), lit(shingleN))
+          .as("_sh"))
       .filter(size(col("_sh")) > 0)
-      // Signature in its OWN projection (here, at build time — never
-      // inlined into bandHashes): bandHashes references its input once
-      // per band-row element (64 element_at's), and under the Generate
-      // there is no subexpression elimination — an inlined sig call
-      // would be recomputed 64x per document (measured: 48 s -> 0.9 s
-      // for the band join at sf0.1).
-      .select(col("_id"), col("_sh"),
+      .select(col("_fp"), col("_sh"),
         call_function("graft_minhash_sig", col("_sh"), lit(numPerm))
           .as("_sig"))
+    docs.select(col("_id"),
+        graft.ext.TextOps.fingerprint(col("_txt")).as("_fp"))
+      .join(repIx, Seq("_fp"))
+      .select(col("_id"), col("_sh"), col("_sig"))
+  }
 
   /** [[incrementalNearDupPairsMinhash]] over a PREBUILT history index
     * ([[buildNearDupIndex]], typically read back from parquet) — the

@@ -31,9 +31,17 @@ object IncProbe {
     val day1Labels = tm("day1 CC (setup)") {
       DedupOps.connectedComponents(day1Pairs)
     }
-    val newPairs = tm("incremental pairs (materialize)") {
+    // Split the convenience form into its two halves: the history
+    // index build is DAY-1 SETUP (production persists it, buildNearDup
+    // Index is append-only across days); only the probe+verify against
+    // the prebuilt index is the recurring per-day cost.
+    val histIx = tm("history index build (amortized: persisted)") {
       graft.engine.Engine.materialize(
-        DedupOps.incrementalNearDupPairsMinhash(day2, day1,
+        DedupOps.buildNearDupIndex(day1, "doc_id", "text", 2, 64))
+    }
+    val newPairs = tm("incremental pairs vs prebuilt index (per-day)") {
+      graft.engine.Engine.materialize(
+        DedupOps.incrementalNearDupPairsWithIndex(day2, histIx,
           "doc_id", "text", 2, 64, 16, 0.8))
     }
     println("[probe] newPairs rows: " + newPairs.count())
