@@ -8,12 +8,66 @@ same parquet tables, then compare against the Spark parquet result —
 columns sorted by name, rows sorted by all columns, exact value equality
 (floats compared bit-for-bit after round-tripping through float64).
 """
-import json, sys, math
+import hashlib, json, os, re, sys, math
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# --- CC-family oracle memoization -----------------------------------
+# The six CC-family twins (x_dedup_cc/_cohesion/_resolve/_sizes,
+# x_split_leakage, x_dedup_incremental_cc) share the ccCtesSql block
+# verbatim; its all-pairs jaccard `edges` and recursive-closure `comp`
+# CTEs cost DuckDB ~35 min EACH at sf0.1 (the r12 sweep's 2.2 h long
+# pole was one twin). Memoize both relations as per-fixture parquet —
+# keyed on md5(fixture path + block text), so any change to the twin
+# SQL or the fixture invalidates the cache — and rewrite each affected
+# twin to read the cache. Values are exact BIGINTs; the parquet
+# round-trip is lossless, so rewritten twins stay bit-faithful.
+CC_COMP_RE = re.compile(
+    r"comp AS \(SELECT src AS doc_id, MIN\(dst\) AS component\s*"
+    r"FROM reach GROUP BY src\)")
+CC_EDGES_RE = re.compile(
+    r"edges AS \(SELECT a\.doc_id AS id_a, b\.doc_id AS id_b.*?"
+    r">= 0\.8\),", re.DOTALL)
+
+
+def cc_cache(con, oracle, sf_dir):
+    sample = next((s for s in oracle.values()
+                   if CC_COMP_RE.search(s) and CC_EDGES_RE.search(s)),
+                  None)
+    if sample is None:
+        return oracle
+    block = sample[sample.index("WITH ") + 5:CC_COMP_RE.search(sample).end()]
+    key = hashlib.md5((os.path.realpath(sf_dir) + "\x00" + block)
+                      .encode()).hexdigest()[:16]
+    cdir = os.path.join("/tmp/graft_oracle_cache", key)
+    edges_pq = os.path.join(cdir, "cc_edges.parquet")
+    comp_pq = os.path.join(cdir, "cc_comp.parquet")
+    if not (os.path.exists(edges_pq) and os.path.exists(comp_pq)):
+        os.makedirs(cdir, exist_ok=True)
+        print(f"NOTE: building CC-oracle cache at {cdir} "
+              "(one-time per fixture)")
+        con.execute(f"COPY (WITH {block} SELECT * FROM edges) TO "
+                    f"'{edges_pq}' (FORMAT parquet)")
+        # comp builds FROM the cached edges (halves the build cost)
+        block2 = CC_EDGES_RE.sub(
+            f"edges AS (SELECT * FROM read_parquet('{edges_pq}')),", block)
+        con.execute(f"COPY (WITH {block2} SELECT * FROM comp) TO "
+                    f"'{comp_pq}' (FORMAT parquet)")
+    else:
+        print(f"NOTE: using CC-oracle cache at {cdir}")
+    out = {}
+    for name, sql in oracle.items():
+        if block in sql:
+            sql = CC_EDGES_RE.sub(
+                f"edges AS (SELECT * FROM read_parquet('{edges_pq}')),",
+                sql)
+            sql = CC_COMP_RE.sub(
+                f"comp AS (SELECT * FROM read_parquet('{comp_pq}'))", sql)
+        out[name] = sql
+    return out
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -35,7 +89,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str, only=None, skip=None,
-         threads=None) -> int:
+         threads=None, no_cc_cache=False) -> int:
     con = duckdb.connect()
     if threads:
         con.execute(f"PRAGMA threads={int(threads)}")
@@ -53,6 +107,8 @@ def main(sf_dir: str, out_dir: str, only=None, skip=None,
         oracle = {k: v for k, v in oracle.items() if k in only}
     if skip:
         oracle = {k: v for k, v in oracle.items() if k not in skip}
+    if not no_cc_cache:
+        oracle = cc_cache(con, oracle, sf_dir)
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -100,11 +156,16 @@ if __name__ == "__main__":
     # sharding of the extended sf0.1 sweep — the CC-family twins cost
     # the ORACLE ~35 min each and shard one-per-process)
     only = skip = threads = None
+    no_cc_cache = False
     args = sys.argv[3:]
     while args:
+        if args[0] == "--no-cc-cache":
+            no_cc_cache, args = True, args[1:]
+            continue
         if len(args) < 2:
-            raise SystemExit(f"flag {args[0]} needs a value "
-                             "(usage: --only a,b | --skip a,b | --threads N)")
+            raise SystemExit(f"flag {args[0]} needs a value (usage: "
+                             "--only a,b | --skip a,b | --threads N "
+                             "| --no-cc-cache)")
         flag, val, args = args[0], args[1], args[2:]
         if flag == "--only":
             only = set(val.split(","))
@@ -114,4 +175,5 @@ if __name__ == "__main__":
             threads = val
         else:
             raise SystemExit(f"unknown flag {flag}")
-    sys.exit(main(sys.argv[1], sys.argv[2], only, skip, threads))
+    sys.exit(main(sys.argv[1], sys.argv[2], only, skip, threads,
+                  no_cc_cache))
