@@ -121,7 +121,7 @@ with DAG(
     split = spark_task(
         "split",
         "graft.jobs.SplitJob",
-        [RUN_DIR + "/deduped", RUN_DIR + "/split", "doc_id",
+        [RUN_DIR + "/novel", RUN_DIR + "/split", "doc_id",
          "0.05", "0.05"],
     )
     load = spark_task(
@@ -147,11 +147,28 @@ with DAG(
          "0.65", "0.06", "0.8"],
     )
 
+    # The r13 daily-cadence state closer: gate the day's batch against
+    # the PERSISTED near-dup archive (index + component labels live
+    # OUTSIDE the per-run dir — they accumulate across days), append
+    # the batch's index rows, persist merged labels, land the kept rows.
+    # Day 1 bootstraps from the missing state paths. This is the
+    # cross-run near-dup sibling of the in-run `dedupe` stage: `dedupe`
+    # collapses duplicates WITHIN a day, `incremental_dedupe` drops
+    # re-crawls of anything EVER seen and keeps the archive clustering
+    # current without re-clustering history.
+    incremental_dedupe = spark_task(
+        "incremental_dedupe",
+        "graft.jobs.IncrementalDedupJob",
+        [RUN_DIR + "/deduped", DATA_ROOT + "/state/neardup",
+         RUN_DIR + "/novel", "doc_id", "text",
+         "2", "64", "16", "0.85"],
+    )
+
     # Profile runs informationally in parallel; the data path is gated:
     # nothing downstream starts until the quality rules pass.
     ingest >> [profile, quality_gate]
     crawl >> scrape_ingest >> quality_gate
-    quality_gate >> dedupe >> split >> load
+    quality_gate >> dedupe >> incremental_dedupe >> split >> load
     quality_gate >> curate
 
 

@@ -407,6 +407,57 @@ class DedupOpsSpec extends SparkSpec {
         .count())
   }
 
+  test("nearDupPairsMinhash representative tier is bit-equal to the " +
+      "naive per-row LSH pipeline on a clone-heavy corpus") {
+    val base = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    // multi-member identity classes: docs < 30 twice-cloned, < 10 thrice
+    val corpus = base
+      .unionAll(base.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+    // the naive pipeline the rewrite replaced: every ROW is shingled,
+    // signed, banded and verified
+    val shing = DedupOps.hashedShingleSets(corpus, "doc_id", "text", 2)
+      .filter(size(col("_sh")) > 0)
+    val sigs = shing.select(col("_id"),
+      call_function("graft_minhash_sig", col("_sh"), lit(64)).as("_sig"))
+    val banded = sigs.select(col("_id"),
+        posexplode(DedupOps.bandHashes(col("_sig"), 16, 4)))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bh"))
+    val cand = banded.select(col("_band"), col("_bh"),
+        col("_id").as("id_a"))
+      .join(banded.select(col("_band"), col("_bh"), col("_id").as("id_b")),
+        Seq("_band", "_bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    val naive = cand
+      .join(shing.select(col("_id").as("id_a"), col("_sh").as("sh_a")),
+        Seq("id_a"))
+      .join(shing.select(col("_id").as("id_b"), col("_sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    val toSet = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = toSet(DedupOps.nearDupPairsMinhash(corpus, "doc_id",
+      "text", 2, 64, 16, 0.5))
+    val want = toSet(naive)
+    assert(got == want,
+      s"rep-tier pairs must equal naive pairs: got ${got.size}, " +
+        s"want ${want.size}")
+    // the clone structure actually exercised the expansion: intra-class
+    // triangles (i, i+1000, i+2000) for i < 10 all at jaccard 1.0
+    assert((0L until 10L).forall(i =>
+      got.contains((i, i + 1000L, 1.0)) &&
+        got.contains((i, i + 2000L, 1.0)) &&
+        got.contains((i + 1000L, i + 2000L, 1.0))))
+  }
+
   test("incrementalNearDupPairsMinhash = the full-corpus pairs that " +
       "touch the batch") {
     val hist = graft.engine.Engine.table(spark, fixtureDir, "documents")
