@@ -61,10 +61,16 @@ object CurationJob {
     "repetitive", "exact_dup", "near_dup", "contaminated", "low_quality",
     "influent")
 
-  /** Per-document disposition: `(idCol, status)`, one row per input
-    * row, status = first failing stage or the split name. */
-  def disposition(df: DataFrame, cfg: Config): DataFrame = {
-    val id = col(cfg.idCol)
+  /** The single wide gate pass BEFORE materialization — every
+    * per-document flag (`_quar`, `_badlang`, `_rep`, `_contam`,
+    * `_lowq`, `_influent`) as ONE projection chain over the corpus:
+    * rules, langid, the per-row repetition fractions and the
+    * plan-literal contamination/NB/LM folds are all scan-bound, so the
+    * whole frame is one FileScan with zero exchanges (pinned in
+    * PlanShapeSpec). Package-private because [[disposition]]
+    * materializes it (the final plan starts at the checkpoint, hiding
+    * the scan shape — the keySkew hidden-stage discipline). */
+  private[graft] def gateFrame(df: DataFrame, cfg: Config): DataFrame = {
     val text = col(cfg.textCol)
     // ---- one wide pass: every per-document flag ------------------
     val flagged = Checks.flagRows(df, cfg.rules)
@@ -103,13 +109,21 @@ object CurationJob {
           s.getField("n_bigrams").cast("double")) /
           lit(1073741824.0)) > cfg.maxMeanNll
     }
-    // Materialized: feeds the dedup populations AND the final
-    // disposition projection — the NB/LM dictionary folds and the
-    // repetition join must run once, not once per consumer.
-    val pre = Engine.materialize(withRep
+    withRep
       .withColumn("_contam", contamFlag)
       .withColumn("_lowq", lowqFlag)
-      .withColumn("_influent", influentFlag))
+      .withColumn("_influent", influentFlag)
+  }
+
+  /** Per-document disposition: `(idCol, status)`, one row per input
+    * row, status = first failing stage or the split name. */
+  def disposition(df: DataFrame, cfg: Config): DataFrame = {
+    val id = col(cfg.idCol)
+    // Materialized: feeds the dedup populations AND the final
+    // disposition projection — the NB/LM dictionary folds and the
+    // per-row repetition fractions must run once, not once per
+    // consumer.
+    val pre = Engine.materialize(gateFrame(df, cfg))
     // ---- dedup stages on the surviving population ----------------
     val s4 = pre.filter(!col("_quar") && !col("_badlang") && !col("_rep"))
     val (withKeeps, dedupCase) = {

@@ -479,6 +479,48 @@ class PlanShapeSpec extends SparkSpec {
       s"history must never shuffle in the incremental update:\n$p")
   }
 
+  test("curation gate frame: ONE FileScan, ZERO exchanges feed all six " +
+      "per-document gates (r13 repetition fusion)") {
+    import graft.jobs.CurationJob
+    import graft.transform.Checks
+    import org.apache.spark.sql.functions.col
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+    val cfg = CurationJob.Config(
+      idCol = "doc_id", textCol = "text",
+      rules = Seq(Checks.inRange("n_chars", 60.0, 100000.0)),
+      allowedLangs = Seq("en"),
+      maxDupTokenFrac = 0.65, maxTopBigramFrac = 0.06,
+      benchGramHashes = graft.ext.DedupOps.benchmarkGramHashes(
+        docs.filter(col("doc_id") < 10), "text"),
+      nbModel = Some(graft.ext.TextOps.nbTrainHashed(docs, "text",
+        col("lang") === "en")),
+      lmModel = Some(graft.ext.TextOps.lmTrainHashed(
+        docs.filter(col("source") === "src0"), "text")),
+      maxMeanNll = 3.65)
+    val gf = CurationJob.gateFrame(docs, cfg)
+    gf.collect()
+    val p = plan(gf).split("== Initial Plan ==")(0)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1,
+      s"all gates must share ONE corpus scan ($scans):\n$p")
+    // Engine.spread's RoundRobin fan-out is the one permitted exchange
+    // (it spreads a small scan across cores; no key, no grouped state) —
+    // any HASH/RANGE partitioning here would mean a gate smuggled in a
+    // grouped aggregation or join.
+    val keyed = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("RoundRobinPartitioning"))
+    assert(keyed == 0,
+      s"the gate pass is a pure projection — no keyed shuffle ($keyed):\n$p")
+    // every gate column is present and at least one row trips each of
+    // the scan-bound gates on this fixture
+    val flags = Seq("_quar", "_badlang", "_rep", "_contam", "_lowq",
+      "_influent")
+    flags.foreach(f => assert(gf.columns.contains(f), f))
+    Seq("_quar", "_badlang", "_contam", "_lowq").foreach { f =>
+      assert(gf.filter(col(f)).limit(1).count() == 1, s"$f never fires")
+    }
+  }
+
   test("keySkew melt: ONE FileScan feeds all key columns' counts " +
       "(r12 single-pass rewrite)") {
     // The registered query's final plan starts at the rank machinery's
