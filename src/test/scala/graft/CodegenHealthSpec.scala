@@ -364,6 +364,51 @@ class CodegenHealthSpec extends SparkSpec {
     }
   }
 
+  test("graft_gram_stats: [n, distinct, max-multiplicity] on hand " +
+      "cases; matches the groupBy twin; null/empty conventions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(7L, 7L, 7L, 3L, 3L, 9L)), // n=6 d=3 mx=3
+      (2L, Array(5L)),                     // n=1 d=1 mx=1
+      (3L, Array.empty[Long]),             // empty -> [0,0,0]
+      (4L, Array(1L, 2L, 3L, 4L))          // all distinct
+    ).toDF("id", "hs")
+    df.createOrReplaceTempView("cg_gs")
+    val got = spark.sql(
+        "SELECT id, graft_gram_stats(hs) AS s FROM cg_gs ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(6L, 3L, 3L))
+    assert(got(2L) == Seq(1L, 1L, 1L))
+    assert(got(3L) == Seq(0L, 0L, 0L))
+    assert(got(4L) == Seq(4L, 4L, 1L))
+    // null input -> null (UnaryExpression null propagation)
+    assert(spark.sql("SELECT graft_gram_stats(CAST(NULL AS ARRAY<BIGINT>))")
+      .collect()(0).isNullAt(0))
+    // fixture-scale agreement with the explode+groupBy definition
+    val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .limit(150)
+      .select(col("doc_id"), expr("graft_hash_tokens(" +
+        "array_remove(split(lower(text), '[^a-z0-9]+'), ''))").as("hs"))
+    docs.createOrReplaceTempView("cg_gs2")
+    val rows = spark.sql(
+      """SELECT f.doc_id FROM
+        |  (SELECT doc_id, graft_gram_stats(hs) AS s FROM cg_gs2
+        |   WHERE size(hs) > 0) f
+        |JOIN
+        |  (SELECT doc_id, array(CAST(SUM(c) AS BIGINT),
+        |       CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT)) AS s
+        |   FROM (SELECT doc_id, g, COUNT(*) AS c
+        |         FROM (SELECT doc_id, explode(hs) AS g FROM cg_gs2)
+        |         GROUP BY doc_id, g)
+        |   GROUP BY doc_id) slow
+        |ON f.doc_id = slow.doc_id AND f.s = slow.s""".stripMargin)
+      .count()
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM cg_gs2 WHERE size(hs) > 0").collect()(0)
+      .getLong(0)
+    assert(rows == n, s"gram stats must match the groupBy twin ($rows/$n)")
+  }
+
   test("graft_span_corrupt equals the aggregate-fold lambda twin on " +
       "the fixture corpus, multiple rates") {
     val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
