@@ -65,6 +65,11 @@ with DAG(
     schedule=timedelta(days=1),
     start_date=datetime(2023, 1, 1),
     catchup=False,
+    # incremental_dedupe mutates SHARED durable state (state/neardup
+    # index + labels): overlapping runs would race the append/replace —
+    # last writer wins and the loser's label merge is silently lost.
+    # Cross-run state requires serialized runs.
+    max_active_runs=1,
 ) as dag:
     # For continuously-landing directories, swap IngestJob for
     # graft.jobs.IncrementalIngestJob (streaming file source +

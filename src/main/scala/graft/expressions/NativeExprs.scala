@@ -135,7 +135,11 @@ object NativeExprs {
       case other => throw new IllegalArgumentException(
         "graft_dict_sum(arr, keysLit, valsLit, defaultLit), got " + other)
     })
-    reg("graft_gram_stats", { case Seq(c) => GramStats(c) })
+    reg("graft_gram_stats", {
+      case Seq(c) => GramStats(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_gram_stats(arr), got $other")
+    })
   }
 
   /** Multiplicity stats of a hashed-gram MULTISET in one compiled pass:

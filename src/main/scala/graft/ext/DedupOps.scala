@@ -940,17 +940,32 @@ object DedupOps {
                                        shingleN: Int = 2,
                                        numPerm: Int = 64,
                                        bands: Int = 16,
-                                       threshold: Double = 0.5): DataFrame = {
+                                       threshold: Double = 0.5): DataFrame =
+    // Index the batch ONCE: the band probe and the verification join
+    // both read it (the materialize-before-reuse discipline).
+    incrementalNearDupPairsBetweenIndexes(
+      graft.engine.Engine.materialize(
+        buildNearDupIndex(newDf, idCol, textCol, shingleN, numPerm)),
+      histIndex, numPerm, bands, threshold)
+
+  /** [[incrementalNearDupPairsWithIndex]] when the BATCH index is also
+    * prebuilt (and materialized by the caller) — the shape
+    * [[graft.jobs.IncrementalDedupJob]] needs: it appends the batch's
+    * index rows to the archive at end-of-run anyway, so building them
+    * twice would pay the tokenize → shingle → signature pipeline once
+    * per consumer. */
+  def incrementalNearDupPairsBetweenIndexes(ixNew: DataFrame,
+                                            histIndex: DataFrame,
+                                            numPerm: Int = 64,
+                                            bands: Int = 16,
+                                            threshold: Double = 0.5)
+      : DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
     def banded(ix: DataFrame) = ix
       .select(col("_id"),
         posexplode(bandHashes(col("_sig"), bands, r)))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bh"))
-    // Index the batch ONCE: the band probe and the verification join
-    // both read it (the materialize-before-reuse discipline).
-    val ixNew = graft.engine.Engine.materialize(
-      buildNearDupIndex(newDf, idCol, textCol, shingleN, numPerm))
     val bNew = banded(ixNew)
     val probe = bNew.select(col("_band"), col("_bh"),
       col("_id").as("id_a"))

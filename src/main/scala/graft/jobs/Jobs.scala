@@ -145,28 +145,62 @@ object IncrementalDedupJob {
   /** One gate+merge step over in-memory state — the testable core.
     * Returns (batch index rows, merged labels, kept batch rows); the
     * labels frame is already materialized (safe to overwrite the
-    * source it was read from). */
+    * source it was read from), the index rows are the batch's
+    * (materialized — the pair stage shares them, never rebuilt).
+    *
+    * Keep rule — ARCHIVE PREFERENCE, not id order: a batch row drops
+    * when its cluster touches ANY archived document (the archive copy
+    * already shipped on an earlier day and cannot be unshipped — ids
+    * are globally unique but NOT monotone across days, so "id ==
+    * component min" alone would let a smaller-id re-crawl duplicate
+    * its archived twin), or when it is not the minimum-id batch member
+    * of a batch-only cluster. Rows untouched by any pair keep.
+    * All of this computes on frontier-sized relations: the only
+    * history contact is one broadcast semi-join slice of the label
+    * table. */
   def step(batch: DataFrame, histIndex: DataFrame, histLabels: DataFrame,
            idCol: String, textCol: String,
            shingleN: Int = 2, numPerm: Int = 64, bands: Int = 16,
            threshold: Double = 0.5)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
-    val pairs = DedupOps.incrementalNearDupPairsWithIndex(
-      batch, histIndex, idCol, textCol, shingleN, numPerm, bands,
-      threshold)
+    val ixNew = Engine.materialize(DedupOps.buildNearDupIndex(
+      batch, idCol, textCol, shingleN, numPerm))
+    val pairs = Engine.materialize(
+      DedupOps.incrementalNearDupPairsBetweenIndexes(ixNew, histIndex,
+        numPerm, bands, threshold))
     val labels = Engine.materialize(
       DedupOps.incrementalComponents(histLabels, pairs))
-    val newIndexRows = DedupOps.buildNearDupIndex(
-      batch, idCol, textCol, shingleN, numPerm)
-    // Keep = not the non-min member of any cluster: a batch row whose
-    // component label is an (older, smaller) archive id drops; a fresh
-    // row (absent from the label table) keeps.
-    val losers = labels.filter(col("id") =!= col("component"))
+    // Endpoints split into batch-side and archive-side WITHOUT touching
+    // the (huge) batch or history relations: the batch side of every
+    // pair is id_a's provenance... not recorded — recover it from the
+    // batch index (id-only, frontier ∩ index via broadcast semi).
+    val ends = pairs.select(col("id_a").cast("long").as("id"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("id")))
+      .distinct()
+    val batchEnds = Engine.materialize(
+      ixNew.select(col("_id").cast("long").as("id"))
+        .join(broadcast(ends), Seq("id"), "left_semi"))
+    val archEnds = ends.join(broadcast(batchEnds), Seq("id"), "left_anti")
+    // Components with an archived member (frontier-sized): every batch
+    // member of those clusters is a re-crawl.
+    val archComps = labels.join(broadcast(archEnds), Seq("id"),
+        "left_semi")
+      .select(col("component")).distinct()
+    // Batch members' labels (frontier-sized slice of the label table).
+    val bLabels = Engine.materialize(
+      labels.join(broadcast(batchEnds), Seq("id"), "left_semi"))
+    val dropArch = bLabels.join(broadcast(archComps), Seq("component"),
+      "left_semi").select(col("id"))
+    val minB = bLabels.groupBy(col("component"))
+      .agg(min(col("id")).as("_mn"))
+    val dropNonMin = bLabels.join(minB, Seq("component"))
+      .filter(col("id") =!= col("_mn")).select(col("id"))
+    val losers = dropArch.unionByName(dropNonMin).distinct()
       .select(col("id").as("_drop"))
     val kept = batch.join(losers,
       col(idCol).cast("long") === col("_drop"), "left_anti")
-    (newIndexRows, labels, kept)
+    (ixNew, labels, kept)
   }
 
   def run(spark: SparkSession, args: Array[String]): Unit = {
@@ -179,23 +213,39 @@ object IncrementalDedupJob {
     val indexPath = s"$stateDir/index"
     val labelsPath = s"$stateDir/labels"
     val batch = Sources.readParquet(spark, in)
-    // Day-1 fallbacks carry the right SCHEMA (readParquetOrEmpty's
-    // zero-column frame would fail the downstream column resolution):
-    // the index schema comes from the op itself, labels are (id,
-    // component) longs — the connectedComponents contract.
-    def readOr(path: String, fallback: => DataFrame): DataFrame =
-      try spark.read.parquet(path)
-      catch { case _: org.apache.spark.sql.AnalysisException => fallback }
+    // Day-1 bootstrap ONLY on a genuinely-absent path (an explicit FS
+    // existence check): a read that fails on an EXISTING path must
+    // propagate — swallowing it as "day 1" would compute batch-only
+    // labels and then REPLACE the accumulated archive labels with
+    // them, permanently destroying the cross-run clustering.
+    // Fallbacks carry the right SCHEMA (a zero-column frame would fail
+    // downstream column resolution): index schema from the op itself,
+    // labels (id, component) longs — the connectedComponents contract.
+    def readOr(path: String, fallback: => DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(path) else fallback
+    }
     val histIndex = readOr(indexPath, DedupOps.buildNearDupIndex(
       batch.limit(0), idCol, textCol, shingleN, numPerm))
     val histLabels = readOr(labelsPath, batch.limit(0)
       .select(col(idCol).cast("long").as("id"),
         col(idCol).cast("long").as("component")))
-    val (newIndexRows, labels, kept) = step(batch, histIndex, histLabels,
+    val (ixNew, labels, kept) = step(batch, histIndex, histLabels,
       idCol, textCol, shingleN, numPerm, bands, threshold)
-    Sinks.writeParquet(newIndexRows, indexPath, behavior = "append")
+    // Idempotent append (the DAG promises re-runnable stages, retries=1):
+    // a retry after a partially-complete previous attempt must not
+    // double-append the batch's rows — anti-join against what the
+    // index ALREADY holds (this run read it before any write).
+    val novelIndexRows = ixNew.join(
+      histIndex.select(col("_id")), Seq("_id"), "left_anti")
+    Sinks.writeParquet(novelIndexRows, indexPath, behavior = "append")
     Sinks.writeParquet(labels, labelsPath)
-    Sinks.writeParquet(kept, keptOut)
+    // Direct write, bypassing the empty-guard: the kept path is the
+    // next DAG stage's INPUT — a day whose whole batch was re-crawls
+    // (the job working perfectly) must still land an empty table, not
+    // break the parquet-path handoff.
+    kept.write.mode("overwrite").parquet(keptOut)
   }
   def main(args: Array[String]): Unit =
     Jobs.withSession("graft-dedupe-incremental")(run(_, args))

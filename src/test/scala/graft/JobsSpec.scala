@@ -638,13 +638,18 @@ class JobsSpec extends SparkSpec {
     val docs = graft.engine.Engine.table(spark, fixtureDir, "documents")
       .select(col("doc_id"), col("text"))
     val base = docs.filter(col("doc_id") < 300)
-    // Day 1 carries its own clone mass (+20000); day 2 adds fresh docs
-    // plus clones of DAY-1 docs (+10000) — cross-day near-dups, and
-    // (i, 10000+i, 20000+i) triangles that exercise the cross-run label
-    // merge. Ids globally unique across days (the contract).
+    // Day 1 carries its own clone mass (+20000) and twenty docs whose
+    // text re-arrives on day 2 under SMALLER ids (the 50200-50219
+    // shifted copies of base 200-219 — ids are globally unique but NOT
+    // monotone across days); day 2 adds fresh docs (including base
+    // 200-219 themselves) plus clones of DAY-1 docs (+10000) —
+    // cross-day near-dups and (i, 10000+i, 20000+i) triangles that
+    // exercise the cross-run label merge.
     val day1 = base.filter(col("doc_id") < 150)
       .unionAll(base.filter(col("doc_id") < 15)
         .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id").between(200, 219))
+        .select((col("doc_id") + 50000).as("doc_id"), col("text")))
     val day2 = base.filter(col("doc_id") >= 150)
       .unionAll(base.filter(col("doc_id") < 30)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
@@ -671,16 +676,35 @@ class JobsSpec extends SparkSpec {
     assert(index.count() ==
       DedupOps.buildNearDupIndex(all, "doc_id", "text").count())
     assert(index.select("_id").distinct().count() == index.count())
-    // Kept semantics: a clone whose keeper is already in the archive
-    // never survives its own day; day-1 keeps its cluster minima.
+    // Kept semantics — ARCHIVE PREFERENCE: a re-crawl of anything
+    // already archived never survives its own day, regardless of id
+    // order. The +10000 clones (bigger ids) drop, and so do base
+    // 200-219 (SMALLER ids than their archived 50200+ twins — the
+    // id-min rule alone would wrongly keep them).
     val kept1 = spark.read.parquet(s"$ws/inc/kept1")
     val kept2 = spark.read.parquet(s"$ws/inc/kept2")
-    assert(kept1.filter(col("doc_id") >= 20000).count() == 0)
+    assert(kept1.filter(col("doc_id").between(20000, 20014)).count() == 0,
+      "day-1 clones of day-1 docs drop")
+    assert(kept1.filter(col("doc_id") >= 50000).count() > 0,
+      "day-1 shifted originals keep (nothing archived matches them)")
     assert(kept2.filter(col("doc_id") >= 10000).count() == 0)
+    assert(kept2.filter(col("doc_id").between(200, 219)).count() == 0,
+      "smaller-id re-crawls of archived docs must drop")
     assert(kept2.count() < day2.count())
-    // Every kept-2 row is its final component's min (or untouched).
+    // Every kept-2 row is either untouched by any pair or the min of a
+    // batch-only cluster — never a loser of the final clustering.
     val losers = labels.filter { case (id, c) => id != c }.map(_._1).toSet
     assert(kept2.collect().map(_.getLong(0)).forall(id => !losers(id)))
+    // Idempotent retry: re-running day 2 must not double-append index
+    // rows nor change labels or kept.
+    IncrementalDedupJob.run(spark, (Seq(s"$ws/inc/day2", s"$ws/inc/state",
+      s"$ws/inc/kept2b") ++ jobArgs).toArray)
+    val index2 = spark.read.parquet(s"$ws/inc/state/index")
+    assert(index2.count() == index.count(), "retry must not double-append")
+    val labels2 = spark.read.parquet(s"$ws/inc/state/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(labels2.sameElements(labels), "retry must not change labels")
+    assert(spark.read.parquet(s"$ws/inc/kept2b").count() == kept2.count())
   }
 
   test("the DAG file is syntactically valid python") {

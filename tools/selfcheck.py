@@ -40,8 +40,17 @@ def cc_cache(con, oracle, sf_dir):
     if sample is None:
         return oracle
     block = sample[sample.index("WITH ") + 5:CC_COMP_RE.search(sample).end()]
-    key = hashlib.md5((os.path.realpath(sf_dir) + "\x00" + block)
-                      .encode()).hexdigest()[:16]
+    # Content-aware key: the fixture's parquet (name, size, mtime_ns)
+    # fingerprints join the path + CTE text, so regenerating the data
+    # IN PLACE invalidates the cache instead of silently reusing a
+    # closure computed over the old corpus.
+    sig = [os.path.realpath(sf_dir), block]
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            st = os.stat(p)
+            sig.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("\x00".join(sig).encode()).hexdigest()[:16]
     cdir = os.path.join("/tmp/graft_oracle_cache", key)
     edges_pq = os.path.join(cdir, "cc_edges.parquet")
     comp_pq = os.path.join(cdir, "cc_comp.parquet")
@@ -49,13 +58,20 @@ def cc_cache(con, oracle, sf_dir):
         os.makedirs(cdir, exist_ok=True)
         print(f"NOTE: building CC-oracle cache at {cdir} "
               "(one-time per fixture)")
+        # Build under process-private names, publish with atomic
+        # renames: concurrent shards (--only one-twin-per-process) may
+        # race here, and a reader must never see a half-written file.
+        tmp_e = f"{edges_pq}.tmp.{os.getpid()}"
+        tmp_c = f"{comp_pq}.tmp.{os.getpid()}"
         con.execute(f"COPY (WITH {block} SELECT * FROM edges) TO "
-                    f"'{edges_pq}' (FORMAT parquet)")
-        # comp builds FROM the cached edges (halves the build cost)
+                    f"'{tmp_e}' (FORMAT parquet)")
+        # comp builds FROM the just-built edges (halves the build cost)
         block2 = CC_EDGES_RE.sub(
-            f"edges AS (SELECT * FROM read_parquet('{edges_pq}')),", block)
+            f"edges AS (SELECT * FROM read_parquet('{tmp_e}')),", block)
         con.execute(f"COPY (WITH {block2} SELECT * FROM comp) TO "
-                    f"'{comp_pq}' (FORMAT parquet)")
+                    f"'{tmp_c}' (FORMAT parquet)")
+        os.replace(tmp_e, edges_pq)
+        os.replace(tmp_c, comp_pq)
     else:
         print(f"NOTE: using CC-oracle cache at {cdir}")
     out = {}
