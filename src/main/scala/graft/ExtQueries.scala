@@ -2078,6 +2078,27 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Deterministic corpus shuffle + sharding (Split.shuffleShards): the
+  // seeded pseudo-random training order, shard and within-shard key
+  // both pure functions of (seed, id). The oracle recomputes the md5
+  // keys and the hex-bucket shard assignment; hash compare certifies
+  // the exact epoch order a trainer would consume.
+  // ---------------------------------------------------------------------
+  def xSampleShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Split
+      .shuffleShards(t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", "ep0", nShards = 8)
+      .orderBy(col("shard"), col("shuffle_key"))
+
+  val xSampleShuffleSql: String =
+    """SELECT doc_id,
+      |  md5('ep0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      |  CAST(('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)),
+      |    1, 4))::BIGINT % 8 AS INTEGER) AS shard
+      |FROM documents
+      |ORDER BY shard, shuffle_key""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Embedding covariance via the custom typed aggregate (graft_gram):
   // one corpus pass folds (n, Σx, Σxxᵀ) into a fixed-point buffer;
   // the DuckDB twin recomputes every floor(x_i·x_j·2³⁰) sum over the

@@ -58,6 +58,41 @@ object Split {
     df.withColumn("split", assigned)
   }
 
+  /** Deterministic corpus shuffle + sharding — the LAST step before a
+    * curated corpus ships to a trainer: a crawl-ordered corpus induces
+    * domain/time correlation within training batches, so the standard
+    * recipe (Pythia, OLMo reproducibility cards) is a SEEDED
+    * pseudo-random total order plus a fixed shard count, both pure
+    * functions of (seed, id) so the same corpus + seed yields the same
+    * epoch order on any engine, cluster, or input layout — and a new
+    * seed per epoch is a fresh permutation with zero state.
+    *
+    * Appends `shuffle_key` (md5 of seed:id — the within-shard sort key)
+    * and `shard` (first 4 hex chars mod nShards — balanced in
+    * expectation like every hash bucket). The write pattern that makes
+    * the order physical is
+    * `df.repartition(nShards, col("shard"))
+    *    .sortWithinPartitions("shuffle_key")` — one shuffle keyed by
+    * shard, each output file internally ordered; trainers stream shards
+    * in key order. No global sort, no rank pass, no driver state.
+    *
+    * Deliberately NOT a global row_number: a contiguous global position
+    * would cost the two-pass rank machinery per epoch and buys nothing —
+    * trainers consume (shard, within-shard order), which the hex key
+    * already totally determines (md5 collisions aside, and ties only
+    * affect neighbors within a batch). */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    require(!seed.contains(":"),
+      s"seed must not contain ':' (the seed:id separator): $seed")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 4), 16, 10)
+          .cast("long"), lit(nShards.toLong)).cast("int"))
+  }
+
   /** Keep a deterministic `fraction` of rows by id hash (65536 buckets —
     * resolution 1/65536). Same id set survives on every run/engine. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {

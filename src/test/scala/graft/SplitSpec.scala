@@ -58,6 +58,44 @@ class SplitSpec extends SparkSpec {
     assert(counts.getOrElse("b", 0L) > 0L, s"split b emptied: $counts")
   }
 
+  test("shuffleShards: deterministic across layouts/runs, disjoint " +
+      "cover, seed changes the permutation, balanced-ish shards") {
+    val df = spark.range(2000).toDF("id")
+    val a = Split.shuffleShards(df, "id", "ep0", 8)
+      .orderBy(col("shard"), col("shuffle_key"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val b = Split.shuffleShards(df.repartition(13), "id", "ep0", 8)
+      .orderBy(col("shard"), col("shuffle_key"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(a.toSeq == b.toSeq, "layout must not change the epoch order")
+    // every row exactly once, shards in range
+    assert(a.map(_._1).sorted.toSeq == (0L until 2000L).toSeq)
+    assert(a.forall(t => t._3 >= 0 && t._3 < 8))
+    // hash buckets are balanced in expectation: no shard empty or >2x
+    val sizes = a.groupBy(_._3).map(_._2.length).toSeq
+    assert(sizes.size == 8 && sizes.max < 2 * sizes.min,
+      s"shard sizes $sizes")
+    // a new seed is a genuinely different permutation
+    val c = Split.shuffleShards(df, "id", "ep1", 8)
+      .orderBy(col("shard"), col("shuffle_key"))
+      .collect().map(_.getLong(0))
+    assert(c.toSeq != a.map(_._1).toSeq)
+    // the within-shard order is NOT id order (it actually shuffles)
+    val shard0 = a.filter(_._3 == 0).map(_._1)
+    assert(shard0.toSeq != shard0.sorted.toSeq)
+    // guards
+    intercept[IllegalArgumentException](
+      Split.shuffleShards(df, "id", "a:b", 8))
+    intercept[IllegalArgumentException](
+      Split.shuffleShards(df, "id", "s", 0))
+  }
+
+  test("shuffleShards is a narrow no-shuffle projection") {
+    val p = Split.shuffleShards(spark.range(100).toDF("id"), "id", "e", 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("hashSample boundary: fractions just under 1.0 keep ~everything") {
     // ceil(0.99999*65536) = 65536: a naive %04x gives "10000" (5 chars),
     // silently keeping only ~6% of rows.
