@@ -19,8 +19,8 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    // r12: +x_dedup_incremental_cc, +x_curation
-    assert(SparkEntry.queries.size == 175)
-    assert(SparkEntry.oracleSql.size == 175)
+    // r13: +x_sample_shuffle
+    assert(SparkEntry.queries.size == 176)
+    assert(SparkEntry.oracleSql.size == 176)
   }
 }
