@@ -2539,6 +2539,206 @@ object ExtQueries {
       |ORDER BY qi""".stripMargin
 
   // ---------------------------------------------------------------------
+  // l-diversity audit (Profile.lDiversity): the homogeneity-attack
+  // companion to x_privacy_kanon — distinct-l and entropy-l in one
+  // pass over the same two QI sets, sensitive = user_id / lang.
+  // Entropy is the tokenEntropy fixed-point recipe, so the twin (plain
+  // ln + floor in DuckDB) hashes exactly.
+  // ---------------------------------------------------------------------
+  def xPrivacyLdiv(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("hour", hour(col("ts")))
+    graft.transform.Profile.lDiversity(ev,
+        Seq("event_type", "hour"), "user_id", l = 3L)
+      .unionAll(graft.transform.Profile.lDiversity(
+        t(s, dir, "documents"), Seq("source"), "lang", l = 4L))
+      .orderBy(col("qi"))
+  }
+
+  val xPrivacyLdivSql: String = {
+    def block(qiLabel: String, qiSel: String, qiGrp: String,
+              sens: String, sensLabel: String, from: String,
+              l: Int): String =
+      s"""(WITH cell AS (SELECT $qiSel, $sens AS s,
+         |      CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM $from GROUP BY $qiGrp, s),
+         |  cls AS (SELECT $qiGrp,
+         |      CAST(SUM(c) AS BIGINT) AS n,
+         |      CAST(COUNT(*) AS BIGINT) AS d,
+         |      CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE)
+         |        * ln(CAST(c AS DOUBLE)) * 1073741824.0) AS BIGINT))
+         |        AS BIGINT) AS sfx
+         |    FROM cell GROUP BY $qiGrp),
+         |  hh AS (SELECT n, d,
+         |      CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1073741824.0) AS BIGINT)
+         |        - (sfx // n) AS hfx
+         |    FROM cls)
+         |  SELECT '$qiLabel' AS qi, '$sensLabel' AS sensitive,
+         |    CAST($l AS BIGINT) AS l,
+         |    CAST(SUM(n) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |    CAST(MIN(d) AS BIGINT) AS min_distinct,
+         |    CAST(SUM(CASE WHEN d < $l THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_below_l,
+         |    CAST(CAST(SUM(CASE WHEN d < $l THEN n ELSE 0 END) AS HUGEINT)
+         |      * 1000000 // SUM(n) AS BIGINT) AS below_ppm,
+         |    CAST(MIN(hfx) AS BIGINT) AS min_entropy_fx,
+         |    CAST(SUM(CASE WHEN hfx <
+         |        CAST(FLOOR(ln(CAST($l AS DOUBLE)) * 1073741824.0)
+         |          AS BIGINT)
+         |      THEN n ELSE 0 END) AS BIGINT) AS n_below_entropy,
+         |    CAST(CAST(SUM(CASE WHEN hfx <
+         |        CAST(FLOOR(ln(CAST($l AS DOUBLE)) * 1073741824.0)
+         |          AS BIGINT)
+         |      THEN n ELSE 0 END) AS HUGEINT)
+         |      * 1000000 // SUM(n) AS BIGINT) AS below_entropy_ppm
+         |  FROM hh)""".stripMargin
+    block("event_type,hour", "event_type, hour(ts) AS h", "event_type, h",
+      "user_id", "user_id", "events", 3) +
+      "\nUNION ALL\n" +
+      block("source", "source", "source", "lang", "lang",
+        "documents", 4) +
+      "\nORDER BY qi"
+  }
+
+  // ---------------------------------------------------------------------
+  // Z-order layout audit (LayoutOps.zOrderAudit): Morton-interleave
+  // l_partkey × l_suppkey onto a 256×256 grid, bucket by equal-width
+  // curve ranges, and report per-bucket footer extents + exact-ppm
+  // extent area vs the single-column-sort layout. The write-side data
+  // skipping decision, audited in-engine. Twin: the same shift/mask
+  // chain generated as DuckDB SQL.
+  // ---------------------------------------------------------------------
+  def xLayoutZorder(s: SparkSession, dir: String): DataFrame =
+    graft.ext.LayoutOps.zOrderAudit(t(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", bits = 8, nBuckets = 16)
+      .orderBy(col("layout"), col("bucket"))
+
+  val xLayoutZorderSql: String = {
+    val zv = graft.ext.LayoutOps.zValue2Sql("sx", "sy", 8)
+    s"""WITH b AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS xlo,
+       |    CAST(MAX(l_partkey) AS BIGINT) AS xhi,
+       |    CAST(MIN(l_suppkey) AS BIGINT) AS ylo,
+       |    CAST(MAX(l_suppkey) AS BIGINT) AS yhi
+       |  FROM lineitem),
+       |  s AS (SELECT
+       |    CASE WHEN xhi > xlo THEN
+       |      ((CAST(l_partkey AS BIGINT) - xlo) * 255) // (xhi - xlo)
+       |      ELSE 0 END AS sx,
+       |    CASE WHEN yhi > ylo THEN
+       |      ((CAST(l_suppkey AS BIGINT) - ylo) * 255) // (yhi - ylo)
+       |      ELSE 0 END AS sy
+       |  FROM lineitem, b),
+       |  z AS (SELECT sx, sy, $zv AS zv FROM s),
+       |  m AS (SELECT 'zorder' AS layout, zv // 4096 AS bucket, sx, sy
+       |      FROM z
+       |    UNION ALL
+       |    SELECT 'linear' AS layout, sx // 16 AS bucket, sx, sy FROM z)
+       |SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(MIN(sx) AS BIGINT) AS min_x, CAST(MAX(sx) AS BIGINT) AS max_x,
+       |  CAST(MIN(sy) AS BIGINT) AS min_y, CAST(MAX(sy) AS BIGINT) AS max_y,
+       |  CAST(CAST((MAX(sx) - MIN(sx) + 1) AS HUGEINT)
+       |    * (MAX(sy) - MIN(sy) + 1) * 1000000 // 65536 AS BIGINT)
+       |    AS area_ppm
+       |FROM m GROUP BY layout, bucket
+       |ORDER BY layout, bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Weak-supervision label aggregation (LabelOps): three heuristic
+  // labeling functions (language, length band w/ abstain, keyword)
+  // melt out of ONE documents scan; majority init → smoothed
+  // agreement-with-majority reliability → log-odds-weighted re-vote
+  // (one Dawid–Skene EM half-step). Two grains registered: the
+  // per-doc label table and the per-labeler reliability audit.
+  // ---------------------------------------------------------------------
+  private def lfVotes(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val vLang = when(col("lang") === "en", 1).otherwise(-1)
+    val vLen = when(col("n_chars") >= 300, 1)
+      .when(col("n_chars") < 150, -1).otherwise(0)
+    val vThe = when(locate(" the ",
+      concat(lit(" "), col("text"), lit(" "))) > 0, 1).otherwise(-1)
+    d.select(col("doc_id"), explode(array(
+        struct(lit("lf_lang").as("labeler"), vLang.as("vote")),
+        struct(lit("lf_len").as("labeler"), vLen.as("vote")),
+        struct(lit("lf_the").as("labeler"), vThe.as("vote")))).as("lv"))
+      .select(col("doc_id"), col("lv.labeler").as("labeler"),
+        col("lv.vote").as("vote"))
+  }
+
+  private val lfVotesSql: String =
+    """SELECT doc_id, 'lf_lang' AS labeler,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS vote
+      |  FROM documents
+      |UNION ALL
+      |SELECT doc_id, 'lf_len',
+      |    CASE WHEN n_chars >= 300 THEN 1
+      |      WHEN n_chars < 150 THEN -1 ELSE 0 END
+      |  FROM documents
+      |UNION ALL
+      |SELECT doc_id, 'lf_the',
+      |    CASE WHEN position(' the ' IN ' ' || text || ' ') > 0
+      |      THEN 1 ELSE -1 END
+      |  FROM documents""".stripMargin
+
+  private val lfAggSql: String =
+    s"""v AS ($lfVotesSql),
+       |  m AS (SELECT doc_id,
+       |      CAST(SUM(CASE WHEN vote <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |        AS n_votes,
+       |      CAST(SUM(vote) AS BIGINT) AS vote_sum
+       |    FROM v GROUP BY doc_id),
+       |  mm AS (SELECT doc_id, n_votes, vote_sum,
+       |      CAST(CASE WHEN vote_sum > 0 THEN 1
+       |        WHEN vote_sum < 0 THEN -1 ELSE 0 END AS INTEGER) AS maj
+       |    FROM m),
+       |  r AS (SELECT labeler,
+       |      CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |      CAST(SUM(CASE WHEN vote = maj THEN 1 ELSE 0 END) AS BIGINT)
+       |        AS n_agree
+       |    FROM v JOIN mm USING (doc_id)
+       |    WHERE vote <> 0 AND maj <> 0
+       |    GROUP BY labeler),
+       |  w AS (SELECT labeler, n_scored, n_agree,
+       |      CAST(CAST(n_agree + 1 AS HUGEINT) * 1000000
+       |        // (n_scored + 2) AS BIGINT) AS acc_ppm,
+       |      CAST(FLOOR(ln(CAST(n_agree + 1 AS DOUBLE)
+       |          / CAST(n_scored - n_agree + 1 AS DOUBLE))
+       |        * 1073741824.0) AS BIGINT) AS weight_fx
+       |    FROM r)""".stripMargin
+
+  def xLabelVote(s: SparkSession, dir: String): DataFrame =
+    graft.ext.LabelOps.aggregateLabels(lfVotes(s, dir), "doc_id",
+        "labeler", "vote")
+      .orderBy(col("doc_id"))
+
+  val xLabelVoteSql: String =
+    s"""WITH $lfAggSql,
+       |  sc AS (SELECT doc_id,
+       |      CAST(SUM(CAST(vote AS BIGINT) * weight_fx) AS BIGINT)
+       |        AS score_fx
+       |    FROM v JOIN w USING (labeler) GROUP BY doc_id)
+       |SELECT mm.doc_id, mm.n_votes, mm.maj,
+       |  COALESCE(sc.score_fx, 0) AS score_fx,
+       |  CAST(CASE WHEN COALESCE(sc.score_fx, 0) > 0 THEN 1
+       |    WHEN COALESCE(sc.score_fx, 0) < 0 THEN -1 ELSE 0 END
+       |    AS INTEGER) AS label
+       |FROM mm LEFT JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  def xLabelReliability(s: SparkSession, dir: String): DataFrame =
+    graft.ext.LabelOps.labelerReliability(lfVotes(s, dir), "doc_id",
+        "labeler", "vote")
+      .orderBy(col("labeler"))
+
+  val xLabelReliabilitySql: String =
+    s"""WITH $lfAggSql
+       |SELECT labeler, n_scored, n_agree, acc_ppm, weight_fx
+       |FROM w ORDER BY labeler""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Key-skew audit (Profile.keySkewAcross) over four candidate shuffle
   // keys: exact integer Gini / max-share / skew-ratio / p50/p99 group
   // sizes, window-free ranks. One melted corpus pass per TABLE (r11 was

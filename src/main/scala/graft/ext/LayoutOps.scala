@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout planning for data skipping — the write-side half of
+  * the 100 TB story. Every scan operator in this engine leans on
+  * parquet min/max pruning; whether pruning actually fires is decided
+  * when the data is WRITTEN, by how rows map to files. A table sorted
+  * by one column skips perfectly on that column and not at all on any
+  * other; interleaving the bits of several columns (the Morton /
+  * Z-order curve, Morton 1966 — the recipe behind lakehouse
+  * `OPTIMIZE ZORDER BY`) buys multi-column skipping at a bounded cost
+  * per column. These operators compute the curve value as a pure
+  * codegen'd projection, assign equal-width curve ranges as write
+  * buckets (what `repartitionByRange` on the curve value would do with
+  * known bounds), and AUDIT the result: per-bucket min/max extents of
+  * each dimension — exactly the footer stats a scan would prune on —
+  * against the same buckets under a single-column sort.
+  *
+  * Everything is exact integer arithmetic (grid scaling by integral
+  * division, bit surgery by shift/mask), so the audit hashes
+  * identically on any engine/layout.
+  */
+object LayoutOps {
+
+  /** Morton/Z-order interleave of two grid coordinates, each already
+    * scaled to [0, 2^bits): bit k of `x` lands at position 2k, bit k
+    * of `y` at 2k+1. A chain of 2·bits shift/mask/add terms — one
+    * codegen'd projection, no UDF. */
+  def zValue2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"zValue2: bits out of range: $bits")
+    (0 until bits).map { k =>
+      shiftleft(shiftright(x, k).bitwiseAND(lit(1L)), 2 * k) +
+        shiftleft(shiftright(y, k).bitwiseAND(lit(1L)), 2 * k + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Scale an integral column onto the [0, 2^bits) grid given explicit
+    * bounds columns: `(v - lo) * (2^bits - 1) div (hi - lo)`, with a
+    * degenerate single-value range pinned to cell 0. Integral `div`
+    * keeps it exact at any magnitude. */
+  private def gridCell(v: String, lo: String, hi: String,
+                       bits: Int): Column = {
+    val mask = (1L << bits) - 1
+    when(col(hi) > col(lo),
+      expr(s"(($v - $lo) * $mask) div ($hi - $lo)"))
+      .otherwise(lit(0L))
+  }
+
+  /** Z-order vs single-column-sort layout audit over two integral
+    * dimensions. Output, one row per (layout, bucket):
+    * `layout` ('zorder' | 'linear'), `bucket`, `n` (rows), grid-space
+    * extents `min_x/max_x/min_y/max_y` (the footer stats a reader
+    * would prune on), and `area_ppm` — the bucket's extent rectangle
+    * as an exact-integer ppm share of the full grid. 'linear' buckets
+    * by the x grid cell alone (the "table sorted by x" layout).
+    *
+    * How to read it: the curve property is that every z bucket's
+    * extents are BOUNDED IN BOTH dimensions (a contiguous curve range
+    * spans ~√nBuckets cells per axis), where the sorted layout is
+    * tight in x and spans the FULL y range — so a predicate on y
+    * alone skips ~(1 − 1/√nBuckets) of the z buckets and none of the
+    * sorted ones. `area_ppm` is the 2-D point-predicate cost (the
+    * chance a random point lands inside the bucket's pruning
+    * rectangle); on skewed or correlated keys — real tables — extent
+    * rectangles overlap, and the per-layout Σ area_ppm exposes that
+    * redundancy exactly.
+    *
+    * Scale shape: one bounds pass (4-value 1-row aggregate, broadcast
+    * back), then ONE corpus scan — scaling + interleave are a pure
+    * projection, the two layouts melt through one `stack` (the
+    * keySkew discipline: no second scan), and one grouped agg with
+    * map-side partials lands the bucket-grain audit. At write time the
+    * production path is `repartitionByRange(zvalue)` + file-per-range;
+    * the audit's buckets are those ranges, computed without a sort.
+    *
+    * `nBuckets` must divide 2^bits (so both layouts cut equal-width
+    * ranges and stay comparable). */
+  def zOrderAudit(df: DataFrame, xCol: String, yCol: String,
+                  bits: Int, nBuckets: Int): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"zOrderAudit: bits: $bits")
+    require(nBuckets >= 1 && (1L << bits) % nBuckets == 0,
+      s"zOrderAudit: nBuckets $nBuckets must divide 2^$bits")
+    val zDiv = (1L << (2 * bits)) / nBuckets
+    val lDiv = (1L << bits) / nBuckets
+    val bounds = df.agg(
+      min(col(xCol)).cast("long").as("_xlo"),
+      max(col(xCol)).cast("long").as("_xhi"),
+      min(col(yCol)).cast("long").as("_ylo"),
+      max(col(yCol)).cast("long").as("_yhi"))
+    val cells = df
+      .select(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("_sx", gridCell("_x", "_xlo", "_xhi", bits))
+      .withColumn("_sy", gridCell("_y", "_ylo", "_yhi", bits))
+      .withColumn("_z", zValue2(col("_sx"), col("_sy"), bits))
+    cells
+      .select(expr(s"stack(2, 'zorder', _z div $zDiv," +
+        s" 'linear', _sx div $lDiv) as (layout, bucket)"),
+        col("_sx"), col("_sy"))
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_sx")).as("min_x"), max(col("_sx")).as("max_x"),
+        min(col("_sy")).as("min_y"), max(col("_sy")).as("max_y"))
+      .withColumn("area_ppm",
+        expr("cast(cast((max_x - min_x + 1) as decimal(38,0))" +
+          " * (max_y - min_y + 1) * 1000000" +
+          s" div ${1L << (2 * bits)} as bigint)"))
+  }
+
+  /** The generated DuckDB twin of [[zValue2]]: the same shift/mask/add
+    * chain rendered as SQL over expressions `x` and `y`. */
+  def zValue2Sql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { k =>
+      s"((((($x) >> $k) & 1) << ${2 * k})" +
+        s" + (((($y) >> $k) & 1) << ${2 * k + 1}))"
+    }.mkString(" + ")
+}

@@ -283,6 +283,65 @@ object Profile {
           " div n_rows as bigint)").as("below_ppm"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    * companion: a QI equivalence class can be large (k-anonymous) yet
+    * still leak the SENSITIVE attribute if every member shares one
+    * value (the homogeneity attack). Audits both published variants in
+    * one pass: distinct l-diversity (each class holds ≥ l distinct
+    * sensitive values) and entropy l-diversity (each class's sensitive
+    * distribution has entropy ≥ ln l). One row out per call: `qi`,
+    * `sensitive`, `l`, `n_rows`, `n_groups`, `min_distinct` (the
+    * dataset's actual distinct-l), `n_below_l` / `below_ppm` (rows in
+    * classes with < l distinct sensitive values), `min_entropy_fx`
+    * (smallest class entropy, fixed-point 2³⁰) and `n_below_entropy` /
+    * `below_entropy_ppm` (rows in classes whose entropy < ln l).
+    *
+    * Engine-exact: class entropy follows [[graft.ext.TextOps.tokenEntropy]]'s
+    * fixed-point recipe — `H_fx = floor(ln(n)·2³⁰) − (Σ floor(c·ln c·2³⁰))
+    * div n` — every float rounds through one floor before any cross-row
+    * sum, so the audit hashes identically on any engine/layout.
+    *
+    * Scale shape: ONE grouped count over (QI, sensitive) with map-side
+    * partials, ONE grouped agg down to the classes, ONE 1-row summary.
+    * No window, no driver state. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 l: Long): DataFrame = {
+    require(qiCols.nonEmpty && l >= 1,
+      s"lDiversity: bad args $qiCols/$l")
+    require(!qiCols.contains(sensitiveCol),
+      s"lDiversity: sensitive column $sensitiveCol is in the QI set")
+    val fx = lit(1073741824.0) // 2^30
+    val lnlFx = floor(call_function("graft_ln", lit(l.toDouble)) * fx)
+      .cast("long")
+    val cells = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    val classes = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("_c")).as("_n"),
+        count(lit(1)).as("_d"),
+        sum(floor(col("_c").cast("double") *
+          call_function("graft_ln", col("_c").cast("double")) * fx)
+          .cast("long")).as("_sfx"))
+      .withColumn("_hfx",
+        floor(call_function("graft_ln", col("_n").cast("double")) * fx)
+          .cast("long") - expr("_sfx div _n"))
+    classes.agg(sum(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("_d")).as("min_distinct"),
+        sum(when(col("_d") < l, col("_n")).otherwise(0L)).as("n_below_l"),
+        min(col("_hfx")).as("min_entropy_fx"),
+        sum(when(col("_hfx") < lnlFx, col("_n")).otherwise(0L))
+          .as("n_below_entropy"))
+      .select(lit(qiCols.mkString(",")).as("qi"),
+        lit(sensitiveCol).as("sensitive"), lit(l).as("l"),
+        col("n_rows"), col("n_groups"), col("min_distinct"),
+        col("n_below_l"),
+        expr("cast(cast(n_below_l as decimal(38,0)) * 1000000" +
+          " div n_rows as bigint)").as("below_ppm"),
+        col("min_entropy_fx"), col("n_below_entropy"),
+        expr("cast(cast(n_below_entropy as decimal(38,0)) * 1000000" +
+          " div n_rows as bigint)").as("below_entropy_ppm"))
+  }
+
   /** Exact ROC AUC by the Mann–Whitney rank identity — the "is my
     * quality classifier any good" number, computed at corpus scale
     * with NO score collection, NO curve discretization, and exact tie

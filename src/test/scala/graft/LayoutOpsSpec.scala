@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.LayoutOps
+
+class LayoutOpsSpec extends SparkSpec {
+
+  test("zValue2: hand-computed Morton codes") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L),
+      (255L, 255L)).toDF("x", "y")
+    val got = df.select(LayoutOps.zValue2(col("x"), col("y"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // z(3,5): x=011 → bits at 0,2; y=101 → bits at 1,5 → 1+4+2+32 = 39
+    assert(got == Seq(0L, 1L, 2L, 3L, 39L, 65535L))
+  }
+
+  test("zValue2Sql mirrors zValue2 bit-for-bit (via Spark eval)") {
+    import spark.implicits._
+    val df = (0L until 64L).map(i => (i % 8, i / 8)).toDF("x", "y")
+    // the generated twin uses >>/<<//& only — valid Spark SQL too
+    val sql = LayoutOps.zValue2Sql("x", "y", 3)
+    val a = df.select(LayoutOps.zValue2(col("x"), col("y"), 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val b = df.selectExpr(s"cast($sql as bigint) as z")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("zOrderAudit: uniform grid — z buckets are quadrants bounded in " +
+    "BOTH dims, linear strips span the full y range") {
+    import spark.implicits._
+    // full 16x16 grid, bits=4 (mask 15, so sx == x), nBuckets=4
+    val grid = (for (x <- 0 to 15; y <- 0 to 15) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val out = LayoutOps.zOrderAudit(grid, "x", "y", bits = 4, nBuckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    val zb = out.filter(_._1 == "zorder").sortBy(_._2)
+    val lb = out.filter(_._1 == "linear").sortBy(_._2)
+    assert(zb.length == 4 && lb.length == 4)
+    // every bucket holds a quarter of the grid
+    assert(zb.forall(_._3 == 64L) && lb.forall(_._3 == 64L))
+    // z buckets: 8x8 quadrants — width 7 in BOTH dims
+    assert(zb.forall(b => b._5 - b._4 == 7L && b._7 - b._6 == 7L))
+    // linear buckets: 4-wide strips, FULL y range
+    assert(lb.forall(b => b._5 - b._4 == 3L && b._7 - b._6 == 15L))
+    // exact ppm: both rectangulations cover the grid once (64/256)
+    assert(zb.forall(_._8 == 250000L) && lb.forall(_._8 == 250000L))
+    // single-dim predicate y=0 skips 2 of 4 z buckets, 0 of 4 linear
+    assert(zb.count(b => b._6 <= 0L && 0L <= b._7) == 2)
+    assert(lb.count(b => b._6 <= 0L && 0L <= b._7) == 4)
+  }
+
+  test("zOrderAudit: degenerate single-value dimension pins cell 0; " +
+    "bad nBuckets rejected") {
+    import spark.implicits._
+    val df = Seq((5L, 1L), (5L, 9L), (5L, 3L)).toDF("x", "y")
+    val out = LayoutOps.zOrderAudit(df, "x", "y", bits = 4, nBuckets = 2)
+      .collect()
+    assert(out.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+    intercept[IllegalArgumentException] {
+      LayoutOps.zOrderAudit(df, "x", "y", bits = 4, nBuckets = 3)
+    }
+  }
+}

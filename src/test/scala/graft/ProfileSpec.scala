@@ -144,6 +144,39 @@ class ProfileSpec extends SparkSpec {
       ur.getLong(6) == 1000000L)
   }
 
+  test("lDiversity: homogeneous class caught despite k-anonymity, " +
+    "entropy variant, hand-computed fixed points") {
+    import spark.implicits._
+    // classes by q: a = {s1 x3, s2 x1} (d=2), b = {s1 x4} (d=1, the
+    // homogeneity attack: 4-anonymous but zero diversity), c = {s1,s2,s3}
+    val df = (Seq.fill(3)(("a", "s1")) ++ Seq(("a", "s2")) ++
+      Seq.fill(4)(("b", "s1")) ++
+      Seq(("c", "s1"), ("c", "s2"), ("c", "s3"))).toDF("q", "s")
+    val r = Profile.lDiversity(df, Seq("q"), "s", l = 2L).collect()(0)
+    assert(r.getString(0) == "q" && r.getString(1) == "s" &&
+      r.getLong(2) == 2L)
+    assert(r.getLong(3) == 11L && r.getLong(4) == 3L) // n_rows, n_groups
+    assert(r.getLong(5) == 1L)                        // min_distinct (b)
+    assert(r.getLong(6) == 4L)                        // b's 4 rows below l=2
+    assert(r.getLong(7) == 4000000L / 11L)
+    // entropy fixed points: b is 0; a = floor(ln4*2^30) - floor(3ln3*2^30)div4
+    val fx = 1073741824.0
+    val hA = math.floor(math.log(4.0) * fx).toLong -
+      math.floor(3.0 * math.log(3.0) * fx).toLong / 4L
+    assert(r.getLong(8) == 0L) // min_entropy_fx = class b
+    // classes below ln(2): b (H=0) and a (H≈0.562 < ln2≈0.693) → 8 rows
+    val lnl = math.floor(math.log(2.0) * fx).toLong
+    assert(hA < lnl)
+    assert(r.getLong(9) == 8L && r.getLong(10) == 8000000L / 11L)
+    // l = 1: nothing is ever below (every class has ≥1 value, H ≥ 0 = ln 1)
+    val ok = Profile.lDiversity(df, Seq("q"), "s", l = 1L).collect()(0)
+    assert(ok.getLong(6) == 0L && ok.getLong(9) == 0L)
+    // sensitive column in the QI set must be rejected
+    intercept[IllegalArgumentException] {
+      Profile.lDiversity(df, Seq("q", "s"), "s", l = 2L)
+    }
+  }
+
   test("aucExact: perfect separation 1e6, all-tied 5e5, hand-computed " +
     "tie case, layout-independent") {
     import spark.implicits._

@@ -19,8 +19,9 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query names are unique and stable in count") {
-    // r13: +x_sample_shuffle
-    assert(SparkEntry.queries.size == 176)
-    assert(SparkEntry.oracleSql.size == 176)
+    // r13 second wave: +x_privacy_ldiv, x_layout_zorder, x_label_vote,
+    // x_label_reliability
+    assert(SparkEntry.queries.size == 180)
+    assert(SparkEntry.oracleSql.size == 180)
   }
 }
