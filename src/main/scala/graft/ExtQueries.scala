@@ -2728,6 +2728,20 @@ object ExtQueries {
        |FROM mm LEFT JOIN sc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // All-but-the-top projection (SimilarityOps.abttProject): the
+  // isotropy-restoring cleanup's per-vector signed projection onto the
+  // FIXED-POINT dominant covariance component — the eigensolve itself
+  // is oracle-checked here (pcaProject's float eigensolve has no SQL
+  // analog; this one replays as 8 unrolled HUGEINT CTE steps).
+  // ---------------------------------------------------------------------
+  def xEmbedAbtt(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.abttProject(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, iters = 8)
+      .orderBy(col("vec_id"))
+
+  val xEmbedAbttSql: String = SimilarityOps.abttProjectSql(64, 8)
+
   def xLabelReliability(s: SparkSession, dir: String): DataFrame =
     graft.ext.LabelOps.labelerReliability(lfVotes(s, dir), "doc_id",
         "labeler", "vote")

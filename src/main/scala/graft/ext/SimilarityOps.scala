@@ -1572,4 +1572,150 @@ object SimilarityOps {
         (-col("_m.nb")).as("bench_id"),
         (col("_m.s") > tau).as("contaminated"))
   }
+
+  /** Fixed-point dominant eigenvector of the corpus covariance — the
+    * ORACLE-CHECKABLE eigensolve [[pcaProject]]'s doc concedes it
+    * lacks: every step is exact integer arithmetic (BigInt, division
+    * truncating toward zero — the semantics Spark's `div` and DuckDB's
+    * `//` share), so the same unrolled iteration replays bit-for-bit
+    * in SQL. From the one-pass `graft_gram` buffer: `M_ij = G_ij/n −
+    * (S_i/n)(S_j/n)/2³⁰` (≈ cov·2³⁰), power iteration from the
+    * all-ones vector with L∞ normalization (`v ← (M v)·2³⁰ / max|Mv|`
+    * — no square roots, everything stays rational), a FIXED iteration
+    * count (parity needs identical steps, not convergence), and a
+    * deterministic sign fix (first nonzero coordinate positive).
+    * Returns (n, S, v_fx at 2³⁰ scale). */
+  private[graft] def topComponentFixed(
+      n: Long, sums: Seq[Long], gram: Seq[Long], dim: Int,
+      iters: Int): Array[BigInt] = {
+    require(n > 0, "topComponentFixed needs a non-empty corpus")
+    val fx = BigInt(1073741824L) // 2^30
+    val bn = BigInt(n)
+    val mu = sums.map(s => BigInt(s) / bn).toArray
+    val m = Array.tabulate(dim, dim) { (i, j) =>
+      BigInt(gram(i * dim + j)) / bn - (mu(i) * mu(j)) / fx
+    }
+    var v = Array.fill(dim)(fx)
+    var t = 0
+    while (t < iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = BigInt(0); var j = 0
+        while (j < dim) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val mx = w.map(_.abs).max
+      if (mx > 0) v = w.map(x => (x * fx) / mx)
+      t += 1
+    }
+    val firstNz = v.indexWhere(_ != 0)
+    if (firstNz >= 0 && v(firstNz) < 0) v = v.map(-_)
+    v
+  }
+
+  /** All-but-the-top embedding post-processing (Mu & Viswanath 2018,
+    * ICLR) — the projection step: isotropy-restoring cleanup removes
+    * the common mean and the dominant component(s) before any cosine
+    * is trusted; this operator computes each vector's signed
+    * projection onto the fixed-point dominant component,
+    * `proj = (x − μ)·v`, the quantity the cleanup subtracts
+    * (`x' = x − μ − proj·v`) and the audit ranks outliers by.
+    *
+    * Engine-exact end to end: the component comes from
+    * [[topComponentFixed]], and the per-vector projection is
+    * `(Σ_i floor(x_i·2³⁰)·v_i − Σ_i (S_i/n)·v_i) / 2³⁰` — per-element
+    * floors before any cross-row arithmetic, DECIMAL(38,0)
+    * accumulation, truncating division — so the output hashes
+    * identically on any engine/layout.
+    *
+    * Scale shape: ONE `graft_gram` corpus pass (dim²+dim+1 longs to
+    * the driver — tiny at any corpus scale), a driver-side d×d
+    * eigensolve, then the component folds into the plan as a literal
+    * array: the projection is explode → literal lookup → one grouped
+    * sum on the vector id. No join against anything corpus-sized. */
+  def abttProject(df: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, iters: Int = 8): DataFrame = {
+    require(dim >= 1 && iters >= 1, s"abttProject: bad dim/iters")
+    val g = df.agg(call_function("graft_gram",
+        col(vecCol).cast("array<double>"), lit(dim)).as("_g"))
+      .select(col("_g.n"), col("_g.sums"), col("_g.gram")).collect()(0)
+    val n = g.getLong(0)
+    val sums = g.getSeq[Long](1)
+    val v = topComponentFixed(n, sums, g.getSeq[Long](2), dim, iters)
+    val bn = BigInt(n)
+    val muv = sums.zip(v).map { case (s, vi) => (BigInt(s) / bn) * vi }
+      .foldLeft(BigInt(0))(_ + _)
+    val vLit = array(v.map(x => lit(x.toLong)): _*)
+    df.select(col(idCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
+      .select(col(idCol),
+        (floor(col("_x") * lit(1073741824.0)).cast("decimal(38,0)") *
+          element_at(vLit, col("_i") + 1).cast("decimal(38,0)")).as("_t"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_t")).as("_num"))
+      .select(col(idCol),
+        expr(s"cast((_num - cast('$muv' as decimal(38,0)))" +
+          " div 1073741824 as bigint)").as("proj_fx"))
+      .withColumn("proj",
+        col("proj_fx").cast("double") / lit(1073741824.0))
+  }
+
+  /** The generated DuckDB twin of [[topComponentFixed]] +
+    * [[abttProject]] over a table `embeddings(vec_id, embedding)` —
+    * the unrolled power iteration as `iters` CTE triples, HUGEINT
+    * arithmetic throughout (`//` truncates toward zero, matching the
+    * driver's BigInt ops). */
+  def abttProjectSql(dim: Int, iters: Int): String = {
+    val fx = "1073741824"
+    // AS MATERIALIZED is load-bearing: each step references its
+    // predecessor twice, and DuckDB's default CTE inlining would
+    // duplicate the whole upstream subtree 2^iters times.
+    val steps = (1 to iters).map { t =>
+      val pv = if (t == 1) "v0" else s"v${t - 1}"
+      s"""  w$t AS MATERIALIZED (SELECT mm.i, SUM(mm.m * $pv.v) AS w
+         |    FROM mm JOIN $pv ON $pv.i = mm.j GROUP BY mm.i),
+         |  x$t AS MATERIALIZED (SELECT MAX(ABS(w)) AS mx FROM w$t),
+         |  v$t AS MATERIALIZED (SELECT w$t.i,
+         |      CASE WHEN x$t.mx = 0 THEN $pv.v
+         |        ELSE (w$t.w * $fx) // x$t.mx END AS v
+         |    FROM w$t JOIN $pv ON $pv.i = w$t.i CROSS JOIN x$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    val vl = s"v$iters"
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n
+       |    FROM e),
+       |  idx AS (SELECT CAST(i AS INTEGER) AS i FROM range($dim) r(i)),
+       |  sm AS MATERIALIZED (SELECT i,
+       |      CAST(SUM(CAST(FLOOR(v[i + 1] * $fx.0) AS BIGINT))
+       |        AS HUGEINT) AS sf
+       |    FROM e, idx GROUP BY i),
+       |  g AS MATERIALIZED (SELECT i1.i AS i, i2.i AS j,
+       |      CAST(SUM(CAST(FLOOR(v[i1.i + 1] * v[i2.i + 1] * $fx.0)
+       |        AS BIGINT)) AS HUGEINT) AS gf
+       |    FROM e, idx i1, idx i2 GROUP BY 1, 2),
+       |  mm AS MATERIALIZED (SELECT g.i, g.j,
+       |      (g.gf // n) - (((si.sf // n) * (sj.sf // n)) // $fx) AS m
+       |    FROM g JOIN sm si ON si.i = g.i JOIN sm sj ON sj.i = g.j
+       |    CROSS JOIN ns),
+       |  v0 AS (SELECT i, CAST($fx AS HUGEINT) AS v FROM idx),
+       |$steps,
+       |  sg AS (SELECT CASE WHEN (SELECT v FROM $vl
+       |        WHERE i = (SELECT MIN(i) FROM $vl WHERE v <> 0)) < 0
+       |      THEN -1 ELSE 1 END AS sgn),
+       |  vf AS (SELECT i, v * sgn AS v FROM $vl CROSS JOIN sg),
+       |  muv AS (SELECT SUM((sm.sf // n) * vf.v) AS mv
+       |    FROM sm JOIN vf ON vf.i = sm.i CROSS JOIN ns),
+       |  p AS (SELECT e.vec_id,
+       |      SUM(CAST(CAST(FLOOR(e.v[vf.i + 1] * $fx.0) AS BIGINT)
+       |        AS HUGEINT) * vf.v) AS num
+       |    FROM e, vf GROUP BY e.vec_id)
+       |SELECT p.vec_id,
+       |  CAST((p.num - muv.mv) // $fx AS BIGINT) AS proj_fx,
+       |  CAST(CAST((p.num - muv.mv) // $fx AS BIGINT) AS DOUBLE)
+       |    / $fx.0 AS proj
+       |FROM p CROSS JOIN muv
+       |ORDER BY p.vec_id""".stripMargin
+  }
 }

@@ -879,4 +879,63 @@ class SimilarityOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(again == got)
   }
+
+  test("abttProject: fixed-point component tracks the dominant " +
+    "direction, projections center, layout-independent") {
+    import spark.implicits._
+    // corpus with one dominant axis: x-axis variance >> others, plus a
+    // common offset (the "common mean" ABTT removes)
+    val dim = 8
+    val rows = (0 until 200).map { i =>
+      val big = (i % 21).toDouble - 10.0           // dominant spread
+      val small = ((i * 7) % 5).toDouble / 10.0    // minor spread
+      (i.toLong, Array.tabulate(dim)(d =>
+        (if (d == 0) 3.0 + big else if (d == 1) 1.0 + small else 0.5f)
+          .toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = SimilarityOps.abttProject(df, "vec_id", "embedding", dim,
+      iters = 8).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 200)
+    // the signed projection of (x - mu) onto ~e0 is ~big - mean(big):
+    // ranking by proj must match ranking by the dominant coordinate
+    val byProj = out.toSeq.sortBy(_._2).map(_._1)
+    val byBig = rows.sortBy(r => (r._2(0).toDouble, r._1)).map(_._1)
+    // same extremes (ties inside equal big-values may reorder)
+    assert(rows(byProj.head.toInt)._2(0) == byBig.map(i => rows(i.toInt)._2(0)).min)
+    assert(rows(byProj.last.toInt)._2(0) == byBig.map(i => rows(i.toInt)._2(0)).max)
+    // centered projections roughly sum to zero (fixed-point truncation
+    // leaves at most a few ulps per row)
+    val total = out.values.map(BigInt(_)).sum
+    assert(total.abs < BigInt(200L * 4096L),
+      s"projections not centered: $total")
+    // layout independence: bit-identical from a repartitioned input
+    val again = SimilarityOps.abttProject(df.repartition(13), "vec_id",
+      "embedding", dim, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
+  test("abttProject building blocks: Spark decimal div truncates " +
+    "toward zero (the BigInt/DuckDB-`//` contract)") {
+    val r = spark.sql("SELECT cast(-7 as decimal(38,0)) div 2 AS a," +
+      " cast(7 as decimal(38,0)) div -2 AS b").collect()(0)
+    assert(r.getLong(0) == -3L && r.getLong(1) == -3L)
+    // and the driver-side mirror
+    assert(BigInt(-7) / BigInt(2) == BigInt(-3))
+  }
+
+  test("topComponentFixed: sign fix pins the first nonzero coordinate " +
+    "positive; degenerate zero matrix keeps the start vector") {
+    // 2x2, diagonal [4, 1] at 2^30 scale: gram = n * diag * fx
+    val fx = 1073741824L
+    val n = 4L
+    val gram = Seq(4 * n * fx, 0L, 0L, 1 * n * fx)
+    val v = SimilarityOps.topComponentFixed(n, Seq(0L, 0L), gram, 2, 8)
+    assert(v(0) == BigInt(fx)) // e0 dominant, normalized to 2^30
+    assert((v(1) * 1000 / v(0)).toInt.abs <= 1) // ~0 after 8 rounds
+    val vz = SimilarityOps.topComponentFixed(3L, Seq(0L, 0L),
+      Seq(0L, 0L, 0L, 0L), 2, 4)
+    assert(vz.toSeq == Seq(BigInt(fx), BigInt(fx))) // all-ones start
+  }
 }

@@ -20,8 +20,8 @@ class SparkEntrySpec extends SparkSpec {
 
   test("query names are unique and stable in count") {
     // r13 second wave: +x_privacy_ldiv, x_layout_zorder, x_label_vote,
-    // x_label_reliability
-    assert(SparkEntry.queries.size == 180)
-    assert(SparkEntry.oracleSql.size == 180)
+    // x_label_reliability, x_embed_abtt
+    assert(SparkEntry.queries.size == 181)
+    assert(SparkEntry.oracleSql.size == 181)
   }
 }
