@@ -1032,6 +1032,43 @@ object ExtQueries {
        |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Label-propagation communities over the same near-dup graph: the
+  // community structure CC can't see (a spurious bridge chains two
+  // genuine clusters into one component; LPA lets them keep separate
+  // labels). Synchronous, fixed 4 rounds, min-label tie-break — the
+  // twin unrolls the rounds as MATERIALIZED CTEs over the SHARED
+  // ccCtesSql block, so the cached `edges` relation serves it too.
+  // ---------------------------------------------------------------------
+  def xGraphLpa(s: SparkSession, dir: String): DataFrame =
+    graft.ext.GraphOps.labelPropagation(
+        DedupOps.nearDupPairsMinhash(clonedDocs(s, dir), "doc_id",
+          "text", shingleN = 2, numPerm = 64, bands = 16,
+          threshold = 0.8),
+        "id_a", "id_b", rounds = 4)
+      .select(col("id").as("doc_id"), col("community"))
+      .orderBy(col("doc_id"))
+
+  val xGraphLpaSql: String = {
+    val rounds = (1 to 4).map { r =>
+      val pl = if (r == 1) "l0" else s"l${r - 1}"
+      s"""  c$r AS MATERIALIZED (SELECT b.src, l.label,
+         |      CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM bidir b JOIN $pl l ON l.id = b.dst
+         |    GROUP BY 1, 2),
+         |  l$r AS MATERIALIZED (SELECT src AS id, label FROM (
+         |      SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src
+         |        ORDER BY c DESC, label ASC) AS rn FROM c$r) x
+         |    WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ccCtesSql,
+       |  l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label
+       |    FROM bidir),
+       |$rounds
+       |SELECT id AS doc_id, label AS community FROM l4
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // CROSS-RUN incremental clustering (the daily-crawl cadence): day 1 =
   // the documents table, clustered and its labels persisted; day 2 = the
   // 50 clones arriving as a new batch. The engine generates only
@@ -2741,6 +2778,79 @@ object ExtQueries {
       .orderBy(col("vec_id"))
 
   val xEmbedAbttSql: String = SimilarityOps.abttProjectSql(64, 8)
+
+  // ---------------------------------------------------------------------
+  // Balanced truncation-free packing (Split.balancedPack): snake-draft
+  // assignment on the (token-count desc, id) global rank — documents
+  // stay whole (vs x_text_pack's concat-and-chunk) and bin loads
+  // balance to within ~one document. Doc-grain output so the oracle
+  // pins the rank AND the bin.
+  // ---------------------------------------------------------------------
+  def xPackBalanced(s: SparkSession, dir: String): DataFrame = {
+    val withCounts = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.transform.Split.balancedPack(withCounts, "doc_id", "n_tokens",
+        nBins = 16)
+      .select(col("doc_id"), col("n_tokens"), col("pack_rank"),
+        col("pack_bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  val xPackBalancedSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |  r AS (SELECT doc_id, n_tokens,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id)
+       |        - 1 AS BIGINT) AS pack_rank
+       |    FROM t)
+       |SELECT doc_id, n_tokens, pack_rank,
+       |  CAST(CASE WHEN (pack_rank // 16) % 2 = 0 THEN pack_rank % 16
+       |    ELSE 15 - (pack_rank % 16) END AS BIGINT) AS pack_bin
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Per-dimension embedding health audit (SimilarityOps
+  // .embeddingMoments): exact fixed-point mean/var/sd + 3-sigma outlier
+  // mass per dimension — dead, exploding, and mean-offset dimensions
+  // read straight off the 64-row result.
+  // ---------------------------------------------------------------------
+  def xEmbedMoments(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.embeddingMoments(t(s, dir, "embeddings"), "embedding",
+        dim = 64)
+      .orderBy(col("i"))
+
+  val xEmbedMomentsSql: String =
+    """WITH e AS (SELECT
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |  ex AS MATERIALIZED (SELECT idx.i,
+      |      CAST(FLOOR(v[idx.i + 1] * 1073741824.0) AS BIGINT) AS xfx,
+      |      CAST(FLOOR(v[idx.i + 1] * v[idx.i + 1] * 1073741824.0)
+      |        AS BIGINT) AS gfx
+      |    FROM e, (SELECT CAST(i AS INTEGER) AS i FROM range(64) r(i))
+      |      idx),
+      |  m AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+      |      CAST(SUM(xfx) AS BIGINT) AS sfx,
+      |      CAST(SUM(gfx) AS BIGINT) AS g2
+      |    FROM ex GROUP BY i),
+      |  mm AS (SELECT i, n, sfx // n AS mean_fx,
+      |      GREATEST((g2 // n) - CAST((CAST(sfx // n AS HUGEINT)
+      |        * (sfx // n)) // 1073741824 AS BIGINT), 0) AS var_fx
+      |    FROM m),
+      |  sd AS (SELECT i, n, mean_fx, var_fx,
+      |      CAST(FLOOR(SQRT(CAST(CAST(var_fx AS HUGEINT) * 1073741824
+      |        AS DOUBLE))) AS BIGINT) AS sd_fx
+      |    FROM mm),
+      |  o AS (SELECT ex.i,
+      |      CAST(SUM(CASE WHEN ABS(ex.xfx - sd.mean_fx) > 3 * sd.sd_fx
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
+      |    FROM ex JOIN sd ON sd.i = ex.i GROUP BY ex.i)
+      |SELECT sd.i, sd.n, sd.mean_fx, sd.var_fx, sd.sd_fx, o.n_outlier,
+      |  CAST(CAST(o.n_outlier AS HUGEINT) * 1000000 // sd.n AS BIGINT)
+      |    AS outlier_ppm
+      |FROM sd JOIN o ON o.i = sd.i ORDER BY sd.i""".stripMargin
 
   def xLabelReliability(s: SparkSession, dir: String): DataFrame =
     graft.ext.LabelOps.labelerReliability(lfVotes(s, dir), "doc_id",

@@ -140,4 +140,64 @@ object GraphOps {
     }
     degrees(edges).select(col("node"), col("_d").as("core_degree"))
   }
+
+  /** Synchronous label propagation communities (Raghavan, Albert &
+    * Kumara 2007) over an UNDIRECTED pair table — the community
+    * question connected components can't answer: CC merges everything
+    * reachable, LPA lets weakly-bridged clusters keep separate labels,
+    * which is what a near-dup graph audit wants when one spurious pair
+    * chains two genuine clusters together.
+    *
+    * Determinism by construction (async LPA is famously run-order
+    * dependent; this is the synchronous variant with a total-order
+    * tie-break): every node starts labeled with its own id; each round
+    * all nodes SIMULTANEOUSLY adopt the most frequent label among
+    * their neighbors-with-self (self-loops make a node its own
+    * neighbor, damping label flapping), ties broken by the SMALLEST
+    * label; a FIXED round count rather than a convergence test (parity
+    * across engines needs identical steps — and sync LPA can 2-cycle
+    * on bipartite structures, so "run to convergence" is not even
+    * well-defined).
+    *
+    * Scale shape, per round: one dst-keyed join of the label relation
+    * to the edge list, one (node, label) grouped count with map-side
+    * partials, one per-node rank window (partition = node, bounded by
+    * the node's distinct neighbor labels ≤ degree). Labels materialize
+    * each round, so lineage stays flat and the edge relation computes
+    * once. 100 TB: LPA on joins is the textbook Pregel-free layout;
+    * degree skew lands in the window, whose partition is one node's
+    * label multiset — bounded by the (degree, id)-oriented input's
+    * max degree, not by cluster size. */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1: $rounds")
+    val eng = graft.engine.Engine
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val bidir = eng.materialize(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .unionAll(e.select(col("src"), col("src").as("dst")))
+        .unionAll(e.select(col("dst").as("src"), col("dst").as("dst")))
+        .distinct())
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("_c").desc, col("label").asc)
+    var t = 0
+    while (t < rounds) {
+      val next = eng.materialize(
+        bidir.join(labels.select(col("id").as("dst"), col("label")),
+            Seq("dst"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("_c"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("src").as("id"), col("label")))
+      eng.release(labels)
+      labels = next
+      t += 1
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
 }

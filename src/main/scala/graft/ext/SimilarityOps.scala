@@ -1659,6 +1659,58 @@ object SimilarityOps {
         col("proj_fx").cast("double") / lit(1073741824.0))
   }
 
+  /** Per-dimension embedding health audit — the feature-space
+    * pre-flight an ANN/clustering pipeline runs before trusting
+    * distances: per dimension `i`, the exact-fixed-point mean and
+    * variance, the standard deviation, and the 3σ-outlier mass. Dead
+    * dimensions (sd ≈ 0), exploding ones (outlier_ppm high), and
+    * mean-offset dimensions (|mean| ≫ 0 — what [[abttProject]]'s
+    * common-mean removal fixes) all read straight off the 64-row
+    * result.
+    *
+    * Engine-exact: per-element floors (`floor(x·2³⁰)`,
+    * `floor(x²·2³⁰)`) before any cross-row sum, truncating integer
+    * division for the moments, variance clamped at 0 (truncation can
+    * leave a constant dimension a few ulps negative), and
+    * `sd_fx = floor(sqrt(var_fx·2³⁰))` — the int→double cast and the
+    * sqrt are both correctly rounded IEEE ops, identical everywhere.
+    *
+    * Scale shape: ONE exploded corpus pass → dim-grain grouped agg
+    * (map-side partials), then the outlier pass re-reads the corpus
+    * against the broadcast 64-row moment table. Output: `i`, `n`,
+    * `mean_fx`, `var_fx`, `sd_fx`, `n_outlier`, `outlier_ppm`. */
+  def embeddingMoments(df: DataFrame, vecCol: String,
+                       dim: Int): DataFrame = {
+    require(dim >= 1, s"embeddingMoments: bad dim $dim")
+    val fx = 1073741824.0
+    val ex = df.select(
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
+      .select(col("_i"),
+        floor(col("_x") * lit(fx)).cast("long").as("_xfx"),
+        floor(col("_x") * col("_x") * lit(fx)).cast("long").as("_gfx"))
+    val mom = ex.groupBy(col("_i"))
+      .agg(count(lit(1)).as("n"), sum(col("_xfx")).as("_sfx"),
+        sum(col("_gfx")).as("_g2"))
+      .withColumn("mean_fx", expr("_sfx div n"))
+      .withColumn("var_fx",
+        greatest(expr("_g2 div n - cast((cast(mean_fx as decimal(38,0))" +
+          " * mean_fx) div 1073741824 as bigint)"), lit(0L)))
+      .withColumn("sd_fx",
+        expr("cast(floor(sqrt(cast(cast(var_fx as decimal(38,0))" +
+          " * 1073741824 as double))) as bigint)"))
+      .select(col("_i"), col("n"), col("mean_fx"), col("var_fx"),
+        col("sd_fx"))
+    ex.join(broadcast(mom), Seq("_i"))
+      .groupBy(col("_i"), col("n"), col("mean_fx"), col("var_fx"),
+        col("sd_fx"))
+      .agg(sum(when(abs(col("_xfx") - col("mean_fx")) >
+        lit(3L) * col("sd_fx"), 1L).otherwise(0L)).as("n_outlier"))
+      .select(col("_i").as("i"), col("n"), col("mean_fx"),
+        col("var_fx"), col("sd_fx"), col("n_outlier"),
+        expr("cast(cast(n_outlier as decimal(38,0)) * 1000000" +
+          " div n as bigint)").as("outlier_ppm"))
+  }
+
   /** The generated DuckDB twin of [[topComponentFixed]] +
     * [[abttProject]] over a table `embeddings(vec_id, embedding)` —
     * the unrolled power iteration as `iters` CTE triples, HUGEINT

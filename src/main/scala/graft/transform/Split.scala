@@ -93,6 +93,40 @@ object Split {
           .cast("long"), lit(nShards.toLong)).cast("int"))
   }
 
+  /** Deterministic balanced packing — the truncation-free counterpart
+    * of [[graft.ext.TextOps.assignPackedBins]] (concat-and-chunk splits
+    * documents across context boundaries; modern recipes keep each
+    * document whole and balance bin LOADS instead — Ding et al. 2024,
+    * "Fewer Truncations Improve Language Modeling", motivates the
+    * objective). Assignment is the snake-draft / zigzag rule on the
+    * (weight desc, id asc) global rank: round r = rank div nBins
+    * alternates direction, so each bin receives one item per round and
+    * consecutive rounds pair a bin's large pick with a small one —
+    * LPT-flavor balance (Graham 1969 context) as a PURE FUNCTION of
+    * (weights, ids, nBins): no sequential bin-load state, identical on
+    * any engine/layout, and expressible in one SQL window for the
+    * oracle.
+    *
+    * Scale shape: the global rank is [[Ids.assignContiguousIds]]'s
+    * two-pass range-partitioned machinery (no single-partition window);
+    * the zigzag is a narrow projection on the rank. Adds `pack_rank`
+    * and `pack_bin`. */
+  def balancedPack(df: DataFrame, idCol: String, weightCol: String,
+                   nBins: Int): DataFrame = {
+    require(nBins >= 1, s"balancedPack: nBins must be >= 1: $nBins")
+    val ranked = graft.transform.Ids.assignContiguousIds(df,
+      struct((-col(weightCol).cast("long")).as("_nw"), col(idCol)),
+      "pack_rank", 0L)
+    ranked
+      .withColumn("_round", expr(s"pack_rank div $nBins"))
+      .withColumn("_pos", pmod(col("pack_rank"), lit(nBins.toLong)))
+      .withColumn("pack_bin",
+        when(pmod(col("_round"), lit(2L)) === 0L, col("_pos"))
+          .otherwise(lit(nBins.toLong - 1L) - col("_pos"))
+          .cast("long"))
+      .drop("_round", "_pos")
+  }
+
   /** Keep a deterministic `fraction` of rows by id hash (65536 buckets —
     * resolution 1/65536). Same id set survives on every run/engine. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {

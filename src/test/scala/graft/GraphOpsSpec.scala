@@ -81,4 +81,30 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c2 == (1L to 6L).map(_ -> 2L).toMap)
   }
+
+  test("labelPropagation: bridged triangles keep separate communities " +
+    "(where CC merges), hand-traced rounds, layout-independent") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    def run(df: org.apache.spark.sql.DataFrame, rounds: Int) =
+      GraphOps.labelPropagation(df, "id_a", "id_b", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand trace round 1: all-distinct labels → min-label tie-break
+    // 1:{1,2,3}→1  2:{1,2,3}→1  3:{1,2,3,4}→1  4:{3,4,5,6}→3
+    // 5:{4,5,6}→4  6:{4,5,6}→4
+    assert(run(edges, 1) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // by round 3 the split is stable: left triangle 1, right triangle 4
+    // — CC would label ALL six nodes 1 through the bridge
+    val stable = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L)
+    assert(run(edges, 3) == stable)
+    assert(run(edges, 6) == stable)
+    assert(run(edges.repartition(7), 3) == stable)
+    // isolated self-pair keeps its own label
+    val plus = edges.unionAll(Seq((9L, 9L)).toDF("id_a", "id_b"))
+    assert(run(plus, 3)(9L) == 9L)
+  }
 }

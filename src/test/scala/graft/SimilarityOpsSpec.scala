@@ -925,6 +925,45 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(BigInt(-7) / BigInt(2) == BigInt(-3))
   }
 
+  test("embeddingMoments: hand moments, dead dimension, outlier mass, " +
+    "layout-independent") {
+    import spark.implicits._
+    // dim 0: values {0.5 x3, -0.5} → mean .25, var .1875
+    // dim 1: constant 0.25 → var 0, sd 0, no outliers
+    // dim 2: {0,0,0, 0.9} — 0.9 is beyond 3 sigma of the rest? sd of
+    // {0,0,0,.9}: mean .225, var .0759; just assert counts consistent
+    val rows = Seq(
+      (1L, Array(0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.5f, 0.25f, 0.0f)),
+      (3L, Array(0.5f, 0.25f, 0.0f)),
+      (4L, Array(-0.5f, 0.25f, 0.9f)))
+    val out = SimilarityOps.embeddingMoments(
+      rows.toDF("vec_id", "embedding"), "embedding", dim = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val fx = 1073741824.0
+    // dim 0 mean: (3*floor(.5 fx) + floor(-.5 fx)) div 4 = fx/4
+    assert(out(0)._2 == (fx / 4).toLong)
+    // dim 0 var_fx ≈ .1875 fx (within a few ulps of truncation)
+    assert(math.abs(out(0)._3 - 0.1875 * fx) <= 4)
+    // dim 1: constant → var 0 (clamped), sd 0, and NO outliers (the
+    // |x - mean| > 3 sd test is strict: 0 > 0 is false)
+    assert(out(1)._3 == 0L && out(1)._4 == 0L && out(1)._5 == 0L)
+    // sd_fx = floor(sqrt(var_fx * fx)) for dim 0
+    assert(out(0)._4 ==
+      math.floor(math.sqrt(out(0)._3.toDouble * fx)).toLong)
+    // n everywhere 4
+    assert(out.values.forall(_._1 == 4L))
+    // layout independence
+    val again = SimilarityOps.embeddingMoments(
+      rows.toDF("vec_id", "embedding").repartition(5), "embedding", 3)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(again == out)
+  }
+
   test("topComponentFixed: sign fix pins the first nonzero coordinate " +
     "positive; degenerate zero matrix keeps the start vector") {
     // 2x2, diagonal [4, 1] at 2^30 scale: gram = n * diag * fx

@@ -20,8 +20,9 @@ class SparkEntrySpec extends SparkSpec {
 
   test("query names are unique and stable in count") {
     // r13 second wave: +x_privacy_ldiv, x_layout_zorder, x_label_vote,
-    // x_label_reliability, x_embed_abtt
-    assert(SparkEntry.queries.size == 181)
-    assert(SparkEntry.oracleSql.size == 181)
+    // x_label_reliability, x_embed_abtt, x_graph_lpa, x_pack_balanced,
+    // x_embed_moments
+    assert(SparkEntry.queries.size == 184)
+    assert(SparkEntry.oracleSql.size == 184)
   }
 }

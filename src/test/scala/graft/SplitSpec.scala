@@ -390,4 +390,42 @@ class SplitSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("id")).toSet
     assert(again == got.keySet)
   }
+
+  test("balancedPack: snake-draft hand case, every doc whole, loads " +
+    "balanced, layout-independent") {
+    import spark.implicits._
+    // weights 8..1 into 2 bins: ranks 0..7 on (w desc, id), rounds
+    // alternate direction: r0→b0, r1→b1, r2→b1, r3→b0, r4→b0, ...
+    val df = (1L to 8L).map(i => (i, 9L - i)).toDF("id", "w")
+    val got = Split.balancedPack(df, "id", "w", nBins = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("pack_rank"), r.getAs[Long]("pack_bin")))).toMap
+    // id 1 has w=8 → rank 0 → bin 0; id 2 w=7 → rank 1 → bin 1;
+    // id 3 w=6 → rank 2, round 1 (odd) → bin 1; id 4 → rank 3 → bin 0...
+    assert(got(1L) == ((0L, 0L)) && got(2L) == ((1L, 1L)))
+    assert(got(3L) == ((2L, 1L)) && got(4L) == ((3L, 0L)))
+    assert(got(5L) == ((4L, 0L)) && got(6L) == ((5L, 1L)))
+    assert(got(7L) == ((6L, 1L)) && got(8L) == ((7L, 0L)))
+    // perfect balance on this fixture: 8+5+4+1 = 7+6+3+2 = 18
+    // and in general zigzag bounds the spread by ~one max item
+    val loads = got.toSeq.groupBy(_._2._2)
+      .map { case (b, xs) => b -> xs.map(x => 9L - x._1).sum }
+    assert(loads == Map(0L -> 18L, 1L -> 18L))
+    // wider fixture: spread stays under the max single weight
+    val big = (1L to 103L).map(i => (i, (i * 37L) % 50L + 1L))
+      .toDF("id", "w")
+    val bins = Split.balancedPack(big, "id", "w", nBins = 7)
+      .groupBy("pack_bin").agg(sum("w").as("load"))
+      .collect().map(_.getAs[Long]("load"))
+    assert(bins.length == 7 && bins.max - bins.min <= 50L,
+      s"spread too wide: ${bins.toSeq}")
+    // layout independence
+    val again = Split.balancedPack(big.repartition(11), "id", "w", 7)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("pack_bin")).toMap
+    val base = Split.balancedPack(big, "id", "w", 7)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("pack_bin")).toMap
+    assert(again == base)
+  }
 }
