@@ -2683,6 +2683,49 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Hilbert layout audit: the same extents contract as x_layout_zorder
+  // but with the xy2d curve (native graft_hilbert) as the multi-column
+  // layout — contiguous curve ranges are CONNECTED regions, so bucket
+  // extents tighten vs Morton's quadrant-seam jumps. The twin unrolls
+  // the walk as chained subqueries with two's-complement `&`.
+  // ---------------------------------------------------------------------
+  def xLayoutHilbert(s: SparkSession, dir: String): DataFrame =
+    graft.ext.LayoutOps.hilbertAudit(t(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", bits = 8, nBuckets = 16)
+      .orderBy(col("layout"), col("bucket"))
+
+  val xLayoutHilbertSql: String = {
+    val steps = graft.ext.LayoutOps.hilbertStepsSql("s", Seq.empty, 8)
+    s"""WITH b AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS xlo,
+       |    CAST(MAX(l_partkey) AS BIGINT) AS xhi,
+       |    CAST(MIN(l_suppkey) AS BIGINT) AS ylo,
+       |    CAST(MAX(l_suppkey) AS BIGINT) AS yhi
+       |  FROM lineitem),
+       |  s AS (SELECT
+       |    CASE WHEN xhi > xlo THEN
+       |      ((CAST(l_partkey AS BIGINT) - xlo) * 255) // (xhi - xlo)
+       |      ELSE 0 END AS sx,
+       |    CASE WHEN yhi > ylo THEN
+       |      ((CAST(l_suppkey AS BIGINT) - ylo) * 255) // (yhi - ylo)
+       |      ELSE 0 END AS sy
+       |  FROM lineitem, b),
+       |  z AS (SELECT sx, sy, hd FROM $steps zz),
+       |  m AS (SELECT 'hilbert' AS layout, hd // 4096 AS bucket, sx, sy
+       |      FROM z
+       |    UNION ALL
+       |    SELECT 'linear' AS layout, sx // 16 AS bucket, sx, sy FROM z)
+       |SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(MIN(sx) AS BIGINT) AS min_x, CAST(MAX(sx) AS BIGINT) AS max_x,
+       |  CAST(MIN(sy) AS BIGINT) AS min_y, CAST(MAX(sy) AS BIGINT) AS max_y,
+       |  CAST(CAST((MAX(sx) - MIN(sx) + 1) AS HUGEINT)
+       |    * (MAX(sy) - MIN(sy) + 1) * 1000000 // 65536 AS BIGINT)
+       |    AS area_ppm
+       |FROM m GROUP BY layout, bucket
+       |ORDER BY layout, bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Weak-supervision label aggregation (LabelOps): three heuristic
   // labeling functions (language, length band w/ abstain, keyword)
   // melt out of ONE documents scan; majority init → smoothed

@@ -85,6 +85,11 @@ object NativeExprs {
         s"graft_span_corrupt(toks, idStr, intLiteral), got $other")
     })
     reg("graft_ln", { case Seq(c) => GraftLn(c) })
+    reg("graft_hilbert", {
+      case Seq(x, y, Literal(b: Int, IntegerType)) => HilbertIndex(x, y, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_hilbert(bigint, bigint, bitsLiteral), got $other")
+    })
     reg("graft_dbits", { case Seq(c) => DoubleOrderBits(c) })
     reg("graft_nfc", { case Seq(c) => NfcNormalize(c) })
     reg("graft_bloom_contains", {
@@ -1342,6 +1347,83 @@ case class GraftLn(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+/** Hilbert-curve index of a 2-D grid cell (the canonical xy2d walk:
+  * per bit plane from the top, quadrant digit `(3·rx)⊕ry` joins the
+  * index and the frame reflects/swaps so the curve stays continuous —
+  * better worst-case locality than the Morton interleave, which jumps
+  * at quadrant seams; what lakehouse clustering uses when range scans
+  * matter more than code simplicity). Inputs are grid coordinates in
+  * [0, 2^bits); the walk is a fixed `bits`-step integer loop — state
+  * (x, y, d) per row, O(bits) — which is WHY this is a native
+  * expression: the Column-fold formulation duplicates the (x, y)
+  * expression trees ~4× per step (Catalyst re-inlines projections), a
+  * 4^bits blowup. The eval and codegen paths run the identical long
+  * arithmetic, and the DuckDB twin unrolls the same steps as
+  * materialized CTE columns — two's-complement `&`, so the reflected
+  * intermediate values (which may go negative for out-of-range
+  * inputs) agree bit-for-bit. */
+case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) if bits >= 1 && bits <= 31 =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_hilbert expects (bigint, bigint) with bits in [1,31], " +
+          s"got $other bits=$bits")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hilbert"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    var x = l.asInstanceOf[Long]
+    var y = r.asInstanceOf[Long]
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1L - x; y = s - 1L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx"); val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      s"""
+         |long $x = $a; long $y = $b; long $d = 0L;
+         |long $s = 1L << ${bits - 1};
+         |while ($s > 0L) {
+         |  long $rx = (($x & $s) > 0L) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0L) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    if ($rx == 1L) { $x = $s - 1L - $x; $y = $s - 1L - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |  $s >>= 1;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** POSITIONAL hashed word-n-gram windows (`array<long>` token hashes →

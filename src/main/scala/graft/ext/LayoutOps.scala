@@ -78,10 +78,26 @@ object LayoutOps {
     * `nBuckets` must divide 2^bits (so both layouts cut equal-width
     * ranges and stay comparable). */
   def zOrderAudit(df: DataFrame, xCol: String, yCol: String,
-                  bits: Int, nBuckets: Int): DataFrame = {
-    require(bits >= 1 && bits <= 20, s"zOrderAudit: bits: $bits")
+                  bits: Int, nBuckets: Int): DataFrame =
+    curveAudit(df, xCol, yCol, bits, nBuckets, "zorder",
+      zValue2(_, _, bits))
+
+  /** [[zOrderAudit]] with the Hilbert curve (native `graft_hilbert`,
+    * canonical xy2d walk) as the multi-column layout: a contiguous
+    * Hilbert range is a connected region — no quadrant-seam jumps —
+    * so bucket extents are never worse and usually tighter than the
+    * Morton ranges'. Same output contract, layout = 'hilbert'. */
+  def hilbertAudit(df: DataFrame, xCol: String, yCol: String,
+                   bits: Int, nBuckets: Int): DataFrame =
+    curveAudit(df, xCol, yCol, bits, nBuckets, "hilbert",
+      (x, y) => call_function("graft_hilbert", x, y, lit(bits)))
+
+  private def curveAudit(df: DataFrame, xCol: String, yCol: String,
+                         bits: Int, nBuckets: Int, curveName: String,
+                         curve: (Column, Column) => Column): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"curveAudit: bits: $bits")
     require(nBuckets >= 1 && (1L << bits) % nBuckets == 0,
-      s"zOrderAudit: nBuckets $nBuckets must divide 2^$bits")
+      s"curveAudit: nBuckets $nBuckets must divide 2^$bits")
     val zDiv = (1L << (2 * bits)) / nBuckets
     val lDiv = (1L << bits) / nBuckets
     val bounds = df.agg(
@@ -94,9 +110,9 @@ object LayoutOps {
       .crossJoin(broadcast(bounds))
       .withColumn("_sx", gridCell("_x", "_xlo", "_xhi", bits))
       .withColumn("_sy", gridCell("_y", "_ylo", "_yhi", bits))
-      .withColumn("_z", zValue2(col("_sx"), col("_sy"), bits))
+      .withColumn("_z", curve(col("_sx"), col("_sy")))
     cells
-      .select(expr(s"stack(2, 'zorder', _z div $zDiv," +
+      .select(expr(s"stack(2, '$curveName', _z div $zDiv," +
         s" 'linear', _sx div $lDiv) as (layout, bucket)"),
         col("_sx"), col("_sy"))
       .groupBy(col("layout"), col("bucket"))
@@ -107,6 +123,32 @@ object LayoutOps {
         expr("cast(cast((max_x - min_x + 1) as decimal(38,0))" +
           " * (max_y - min_y + 1) * 1000000" +
           s" div ${1L << (2 * bits)} as bigint)"))
+  }
+
+  /** The generated DuckDB twin of the [[hilbertAudit]] curve value:
+    * the xy2d walk unrolled as one chained-subquery pipeline over
+    * input columns `sx`/`sy`, producing `hd`. Returns the FROM-able
+    * subquery text; `carry` lists extra columns to thread through. */
+  def hilbertStepsSql(from: String, carry: Seq[String], bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"hilbertStepsSql: bits $bits")
+    val cc = carry.map(c => s"$c, ").mkString
+    val init = s"(SELECT ${cc}sx, sy, sx AS hx, sy AS hy," +
+      s" CAST(0 AS BIGINT) AS hd FROM $from)"
+    (bits - 1 to 0 by -1).foldLeft(init) { (inner, k) =>
+      val s = 1L << k
+      s"""(SELECT ${cc}sx, sy,
+         |  CASE WHEN ry = 0 THEN
+         |    CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END
+         |    ELSE hx END AS hx,
+         |  CASE WHEN ry = 0 THEN
+         |    CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END
+         |    ELSE hy END AS hy,
+         |  hd + ${s * s} * (3 * rx + ry - 2 * rx * ry) AS hd
+         |FROM (SELECT ${cc}sx, sy, hx, hy, hd,
+         |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |  FROM $inner t$k) u$k)""".stripMargin
+    }
   }
 
   /** The generated DuckDB twin of [[zValue2]]: the same shift/mask/add

@@ -53,6 +53,60 @@ class LayoutOpsSpec extends SparkSpec {
     assert(lb.count(b => b._6 <= 0L && 0L <= b._7) == 4)
   }
 
+  test("graft_hilbert: canonical 4x4 curve, unit-step adjacency, " +
+    "SQL twin bit-equal") {
+    import spark.implicits._
+    val grid = (for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val d = grid.select(col("x"), col("y"),
+        call_function("graft_hilbert", col("x"), col("y"), lit(2)).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // the canonical xy2d walk of the 4x4 grid
+    assert(d((0L, 0L)) == 0L && d((1L, 0L)) == 1L && d((1L, 1L)) == 2L &&
+      d((0L, 1L)) == 3L)
+    assert(d((0L, 2L)) == 4L && d((3L, 0L)) == 15L)
+    assert(d.values.toSeq.sorted == (0L to 15L))
+    // continuity: consecutive indices are Manhattan-adjacent cells —
+    // the property Morton lacks (its quadrant seams jump)
+    val byD = d.toSeq.map(_.swap).sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"jump between d cells ($x1,$y1) -> ($x2,$y2)")
+    }
+    // the generated SQL steps replay bit-for-bit (Spark can run them:
+    // same operators) for bits=3 over the 8x8 grid
+    val g8 = (for (x <- 0 to 7; y <- 0 to 7) yield (x.toLong, y.toLong))
+      .toDF("sx", "sy")
+    g8.createOrReplaceTempView("hil_g8")
+    val sqlSteps = graft.ext.LayoutOps
+      .hilbertStepsSql("hil_g8", Seq.empty, 3)
+    val viaSql = spark.sql(s"SELECT sx, sy, hd FROM $sqlSteps q")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val viaExpr = g8.select(col("sx"), col("sy"),
+        call_function("graft_hilbert", col("sx"), col("sy"), lit(3))
+          .as("hd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(viaSql == viaExpr)
+  }
+
+  test("hilbertAudit: uniform grid buckets are connected quadrants " +
+    "bounded in both dims") {
+    import spark.implicits._
+    val grid = (for (x <- 0 to 15; y <- 0 to 15) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val out = graft.ext.LayoutOps
+      .hilbertAudit(grid, "x", "y", bits = 4, nBuckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val hb = out.filter(_._1 == "hilbert")
+    assert(hb.length == 4 && hb.forall(_._3 == 64L))
+    // contiguous quarter-ranges of the Hilbert walk ARE the quadrants
+    assert(hb.forall(b => b._5 - b._4 == 7L && b._7 - b._6 == 7L))
+  }
+
   test("zOrderAudit: degenerate single-value dimension pins cell 0; " +
     "bad nBuckets rejected") {
     import spark.implicits._
