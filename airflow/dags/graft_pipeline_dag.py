@@ -169,11 +169,25 @@ with DAG(
          "2", "64", "16", "0.85"],
     )
 
+    # Physical layout rewrite of the loaded warehouse table: Z-order
+    # cluster on the two hottest filter keys so every parquet file's
+    # footer carries tight min/max on BOTH — the lakehouse
+    # `OPTIMIZE ZORDER BY` step as a stage. Runs after load; readers
+    # see the same rows, only the file boundaries change.
+    layout = spark_task(
+        "layout",
+        "graft.jobs.LayoutJob",
+        [DATA_ROOT + "/warehouse/documents",
+         DATA_ROOT + "/warehouse/documents_clustered",
+         "doc_id", "n_chars", "8", "64", "zorder"],
+    )
+
     # Profile runs informationally in parallel; the data path is gated:
     # nothing downstream starts until the quality rules pass.
     ingest >> [profile, quality_gate]
     crawl >> scrape_ingest >> quality_gate
     quality_gate >> dedupe >> incremental_dedupe >> split >> load
+    load >> layout
     quality_gate >> curate
 
 

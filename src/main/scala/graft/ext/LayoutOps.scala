@@ -125,6 +125,45 @@ object LayoutOps {
           s" div ${1L << (2 * bits)} as bigint)"))
   }
 
+  /** The write side the audits plan for: cluster `df` by a
+    * space-filling-curve value over two key columns and land it as
+    * `nFiles` range files, each internally sorted by the curve — so
+    * every file's parquet footer carries tight min/max on BOTH keys
+    * and readers prune on either. `curve` picks Morton
+    * ([[zValue2]], default) or Hilbert; bounds come from one 4-value
+    * pre-pass (at production scale: catalog stats instead).
+    *
+    * `repartitionByRange` samples to find balanced range cuts —
+    * fine for a WRITE layout (file sizes matter, bit-determinism
+    * doesn't; the oracle-checked audits stay on the equal-width
+    * path). The curve column is dropped before the write: it is
+    * derivable, and the layout benefit lives in the file boundaries,
+    * not the data. */
+  def writeCurveClustered(df: DataFrame, xCol: String, yCol: String,
+                          bits: Int, nFiles: Int, path: String,
+                          hilbert: Boolean = false): Unit = {
+    require(bits >= 1 && bits <= 20 && nFiles >= 1,
+      s"writeCurveClustered: bits=$bits nFiles=$nFiles")
+    val bounds = df.agg(
+      min(col(xCol)).cast("long").as("_xlo"),
+      max(col(xCol)).cast("long").as("_xhi"),
+      min(col(yCol)).cast("long").as("_ylo"),
+      max(col(yCol)).cast("long").as("_yhi"))
+    val keep = df.columns.toSeq
+    val withCurve = df.crossJoin(broadcast(bounds))
+      .withColumn("_sx", gridCell(xCol, "_xlo", "_xhi", bits))
+      .withColumn("_sy", gridCell(yCol, "_ylo", "_yhi", bits))
+      .withColumn("_curve",
+        if (hilbert) call_function("graft_hilbert", col("_sx"),
+          col("_sy"), lit(bits))
+        else zValue2(col("_sx"), col("_sy"), bits))
+    withCurve
+      .repartitionByRange(nFiles, col("_curve"))
+      .sortWithinPartitions(col("_curve"))
+      .select(keep.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** The generated DuckDB twin of the [[hilbertAudit]] curve value:
     * the xy2d walk unrolled as one chained-subquery pipeline over
     * input columns `sx`/`sy`, producing `hd`. Returns the FROM-able

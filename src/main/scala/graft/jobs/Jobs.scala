@@ -317,6 +317,29 @@ object SplitJob {
     Jobs.withSession("graft-split")(run(_, args))
 }
 
+/** Layout: rewrite a parquet table curve-clustered on two key columns
+  * (the write-side step the `x_layout_zorder`/`x_layout_hilbert`
+  * audits plan for — every output file's footer carries tight min/max
+  * on BOTH keys, so downstream scans prune on either). The lakehouse
+  * `OPTIMIZE ZORDER BY` step as a pipeline stage.
+  * args: <inPath> <outPath> <xCol> <yCol> [bits=8] [files=64]
+  * [curve=zorder|hilbert] */
+object LayoutJob {
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(in, out, xCol, yCol, rest @ _*) = args
+    val bits = rest.headOption.map(_.toInt).getOrElse(8)
+    val files = rest.lift(1).map(_.toInt).getOrElse(64)
+    val curve = rest.lift(2).getOrElse("zorder")
+    require(curve == "zorder" || curve == "hilbert",
+      s"LayoutJob: unknown curve $curve")
+    graft.ext.LayoutOps.writeCurveClustered(
+      Sources.readParquet(spark, in), xCol, yCol, bits, files, out,
+      hilbert = curve == "hilbert")
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-layout")(run(_, args))
+}
+
 /** The LLM-ingest pipeline as ONE streaming DAG (SURVEY §2.9 + §2.10
   * composed): quality quarantine → optional history dedup (Bloom
   * projection + stream-static anti-join) → benchmark decontamination →

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
-import graft.jobs.{DedupeJob, IngestJob, LoadJob, ProfileJob,
+import graft.jobs.{DedupeJob, IngestJob, LayoutJob, LoadJob, ProfileJob,
   QualityGateJob, SplitJob}
 
 /** The orchestrated pipeline stages (airflow/dags/graft_pipeline_dag.py)
@@ -705,6 +705,46 @@ class JobsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(labels2.sameElements(labels), "retry must not change labels")
     assert(spark.read.parquet(s"$ws/inc/kept2b").count() == kept2.count())
+  }
+
+  test("LayoutJob: curve-clustered files carry tight footer extents " +
+    "on BOTH keys where a round-robin write spans everything") {
+    import spark.implicits._
+    // correlated keys on the diagonal — the layout-sensitive case
+    val rows = (0L until 4096L).map(i => (i, i % 64L, (i / 64L + i % 7L)
+      % 64L, s"payload$i")).toDF("id", "kx", "ky", "payload")
+    val in = s"$ws/layout_in"
+    rows.write.mode("overwrite").parquet(in)
+    val outZ = s"$ws/layout_z"
+    LayoutJob.run(spark, Array(in, outZ, "kx", "ky", "6", "8", "zorder"))
+    val outBase = s"$ws/layout_rr"
+    spark.read.parquet(in).repartition(8)
+      .write.mode("overwrite").parquet(outBase)
+    def fileExtents(path: String): Seq[(Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("kx")) - min(col("kx"))).as("wx"),
+          (max(col("ky")) - min(col("ky"))).as("wy"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val z = fileExtents(outZ)
+    val rr = fileExtents(outBase)
+    assert(z.length == 8 && rr.length == 8)
+    // round-robin: every file spans ~the full range on both keys
+    assert(rr.forall { case (wx, wy) => wx >= 55L && wy >= 55L })
+    // curve-clustered: materially tighter on average in BOTH dims
+    def mean(s: Seq[Long]) = s.sum.toDouble / s.size
+    assert(mean(z.map(_._1)) < 0.6 * mean(rr.map(_._1)),
+      s"x extents not tighter: $z")
+    assert(mean(z.map(_._2)) < 0.75 * mean(rr.map(_._2)),
+      s"y extents not tighter: $z")
+    // rows survive the rewrite exactly
+    assert(spark.read.parquet(outZ).count() == 4096L)
+    // hilbert path writes too and keeps the schema
+    val outH = s"$ws/layout_h"
+    LayoutJob.run(spark, Array(in, outH, "kx", "ky", "6", "8", "hilbert"))
+    assert(spark.read.parquet(outH).columns.toSeq ==
+      Seq("id", "kx", "ky", "payload"))
+    assert(spark.read.parquet(outH).count() == 4096L)
   }
 
   test("the DAG file is syntactically valid python") {
