@@ -114,7 +114,12 @@ object Split {
   def balancedPack(df: DataFrame, idCol: String, weightCol: String,
                    nBins: Int): DataFrame = {
     require(nBins >= 1, s"balancedPack: nBins must be >= 1: $nBins")
-    val ranked = graft.transform.Ids.assignContiguousIds(df,
+    // materialize-before-rank (the r11 scoreTiles lesson): the range
+    // partitioner SAMPLES its input to pick boundaries, so an expensive
+    // weight expression (tokenize-the-corpus) would evaluate twice —
+    // once for the sample, once for the shuffle write.
+    val mat = graft.engine.Engine.materialize(df)
+    val ranked = graft.transform.Ids.assignContiguousIds(mat,
       struct((-col(weightCol).cast("long")).as("_nw"), col(idCol)),
       "pack_rank", 0L)
     ranked
