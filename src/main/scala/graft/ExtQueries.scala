@@ -2823,6 +2823,50 @@ object ExtQueries {
   val xEmbedAbttSql: String = SimilarityOps.abttProjectSql(64, 8)
 
   // ---------------------------------------------------------------------
+  // Systematic PPS sampling (Split.systematicPps): sample documents
+  // proportional to token count at a fixed per-source budget — seeded
+  // deterministic start, exact-integer mark counting, certainty items
+  // reported at multiplicity > 1, zero-weight rows visible at 0.
+  // ---------------------------------------------------------------------
+  def xSamplePps(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Split.systematicPps(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", n = 20, seed = "pps0")
+      .orderBy(col("doc_id"))
+
+  val xSamplePpsSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |  c AS (SELECT doc_id, source, n_tokens,
+       |      GREATEST(n_tokens, 0) AS w,
+       |      COALESCE(SUM(GREATEST(n_tokens, 0)) OVER (
+       |        PARTITION BY source ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS cum_before,
+       |      SUM(GREATEST(n_tokens, 0)) OVER (PARTITION BY source)
+       |        AS group_total
+       |    FROM t),
+       |  st AS (SELECT *,
+       |      CAST(('0x' || substr(md5('pps0:' || source), 1, 8))::BIGINT
+       |        % GREATEST(group_total, 1) AS BIGINT) AS strt
+       |    FROM c),
+       |  m AS (SELECT doc_id, source, n_tokens,
+       |      CAST(cum_before AS BIGINT) AS cum_before,
+       |      CAST(group_total AS BIGINT) AS group_total,
+       |      CAST(CASE WHEN group_total > 0 THEN
+       |        ((cum_before * 20 + w * 20 - strt - 1 + group_total)
+       |          // group_total)
+       |        - ((cum_before * 20 - strt - 1 + group_total)
+       |          // group_total)
+       |      ELSE 0 END AS BIGINT) AS multiplicity
+       |    FROM st)
+       |SELECT doc_id, source, n_tokens, cum_before, group_total,
+       |  multiplicity, multiplicity >= 1 AS selected
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Balanced truncation-free packing (Split.balancedPack): snake-draft
   // assignment on the (token-count desc, id) global rank — documents
   // stay whole (vs x_text_pack's concat-and-chunk) and bin loads

@@ -132,6 +132,68 @@ object Split {
       .drop("_round", "_pos")
   }
 
+  /** Systematic probability-proportional-to-size sampling (Madow 1949)
+    * — the classic design for "sample documents proportional to token
+    * count at a fixed per-group budget": lay every item's weight as an
+    * interval on a line, walk the line with a fixed stride `T/n` from a
+    * seeded start, select the item under each mark. Items heavier than
+    * the stride are selected with multiplicity > 1 (certainty items —
+    * faithful PPS, reported, not clamped); zero-weight items have empty
+    * intervals and are never selected but stay VISIBLE at multiplicity
+    * 0 (the same report drives the filter and the audit).
+    *
+    * Deterministic: the random start of the textbook design comes from
+    * `md5(seed:group)` (the [[shuffleShards]] recipe — a pure function
+    * of (seed, group), new seed = fresh sample), and ALL arithmetic is
+    * exact integers — intervals scale by `n` so the stride is the
+    * integer `T` and mark-counting is two offset integer divisions
+    * (`(x+T) div T − 1`, operands kept non-negative so truncating and
+    * floor division agree on every engine).
+    *
+    * Scale shape: one per-group exclusive-prefix window (the
+    * [[graft.ext.TextOps.assignPackedBins]] shape — groups parallelize;
+    * a group's items serialize through its window, which is how PPS is
+    * sharded in practice), one per-group total window, no driver
+    * state, no RNG. Negative weights are clamped to 0 up front. */
+  def systematicPps(df: DataFrame, groupCol: String, idCol: String,
+                    weightCol: String, n: Int, seed: String): DataFrame = {
+    require(n >= 1, s"systematicPps: n must be >= 1: $n")
+    require(!seed.contains(":"),
+      s"seed must not contain ':' (the seed:group separator): $seed")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val w = greatest(col(weightCol).cast("long"), lit(0L))
+    // Scale the line by n so the stride is the INTEGER `_tot`: marks
+    // sit at `_start + k*_tot` (k in [0, n)), item i's interval is
+    // [_cum*n, (_cum+_w)*n), and the marks-below-x count is
+    // C(x) = (x - _start - 1 + _tot) div _tot — operand non-negative
+    // for every x >= 0 since _start < _tot, so truncating and floor
+    // division agree. multiplicity = C(hi) - C(lo).
+    df.withColumn("_w", w)
+      .withColumn("_cum", coalesce(sum(col("_w")).over(wOrd), lit(0L)))
+      .withColumn("_tot", sum(col("_w")).over(wAll))
+      .withColumn("_start",
+        pmod(conv(substring(md5(concat(lit(seed), lit(":"),
+          col(groupCol).cast("string"))), 1, 8), 16, 10).cast("long"),
+          greatest(col("_tot"), lit(1L))))
+      .withColumn("_hi", col("_cum") * n + col("_w") * n -
+        col("_start") - 1 + col("_tot"))
+      .withColumn("_lo", col("_cum") * n -
+        col("_start") - 1 + col("_tot"))
+      .withColumn("multiplicity",
+        when(col("_tot") > 0,
+          expr("_hi div _tot") - expr("_lo div _tot"))
+          .otherwise(lit(0L)))
+      .withColumn("selected", col("multiplicity") >= 1)
+      .drop("_w", "_start", "_hi", "_lo")
+      .withColumnRenamed("_cum", "cum_before")
+      .withColumnRenamed("_tot", "group_total")
+  }
+
   /** Keep a deterministic `fraction` of rows by id hash (65536 buckets —
     * resolution 1/65536). Same id set survives on every run/engine. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {

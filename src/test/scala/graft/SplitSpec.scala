@@ -391,6 +391,52 @@ class SplitSpec extends SparkSpec {
     assert(again == got.keySet)
   }
 
+  test("systematicPps: exact budget per group, certainty items, " +
+    "zero-weight rows visible, degenerate group, layout-independent") {
+    import spark.implicits._
+    // group g: stride = T/n = 20/4 = 5 — every weight is a multiple of
+    // the stride, so multiplicities are start-independent and exact
+    val df = Seq(
+      ("g", 1L, 5L), ("g", 2L, 0L), ("g", 3L, 10L), ("g", 4L, 5L),
+      ("z", 8L, 0L), ("z", 9L, 0L),   // all-zero group: nothing selected
+      ("c", 5L, 7L)                    // one item holds ALL the weight
+    ).toDF("src", "id", "w")
+    val out = Split.systematicPps(df, "src", "id", "w", n = 4,
+        seed = "s0")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("multiplicity"), r.getAs[Boolean]("selected"),
+          r.getAs[Long]("cum_before"), r.getAs[Long]("group_total"))))
+      .toMap
+    assert(out(1L) == ((1L, true, 0L, 20L)))
+    assert(out(2L) == ((0L, false, 5L, 20L)))  // zero weight, visible
+    assert(out(3L) == ((2L, true, 5L, 20L)))   // certainty item: 2 marks
+    assert(out(4L) == ((1L, true, 15L, 20L)))
+    assert(out(8L)._1 == 0L && out(9L)._1 == 0L)   // T = 0 group
+    assert(out(5L) == ((4L, true, 0L, 7L)))    // all marks on one item
+    // budget exactness on a seed-dependent split: weights do NOT divide
+    // the stride, so WHO gets selected depends on the seed, but the
+    // group total is always exactly n
+    val frac = Seq(("h", 1L, 3L), ("h", 2L, 5L), ("h", 3L, 2L),
+      ("h", 4L, 6L)).toDF("src", "id", "w")
+    for (seed <- Seq("a", "b", "c")) {
+      val m = Split.systematicPps(frac, "src", "id", "w", 2, seed)
+        .collect().map(_.getAs[Long]("multiplicity")).sum
+      assert(m == 2L, s"seed $seed: budget $m != 2")
+    }
+    // layout independence
+    val again = Split.systematicPps(df.repartition(7), "src", "id", "w",
+        4, "s0")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("multiplicity")).toMap
+    assert(again == out.map { case (k, v) => k -> v._1 })
+    // negative weights clamp to zero (never selected, still visible)
+    val neg = Seq(("n", 1L, -5L), ("n", 2L, 4L)).toDF("src", "id", "w")
+    val nOut = Split.systematicPps(neg, "src", "id", "w", 2, "s0")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("multiplicity")).toMap
+    assert(nOut(1L) == 0L && nOut(2L) == 2L)
+  }
+
   test("balancedPack: snake-draft hand case, every doc whole, loads " +
     "balanced, layout-independent") {
     import spark.implicits._
