@@ -2651,21 +2651,28 @@ object ExtQueries {
         "l_partkey", "l_suppkey", bits = 8, nBuckets = 16)
       .orderBy(col("layout"), col("bucket"))
 
+  /** Shared twin prefix for the two layout audits: min/max bounds +
+    * 255-cell grid scaling of (l_partkey, l_suppkey) — ONE definition
+    * so the scaling contract can't silently desynchronize between the
+    * Morton and Hilbert oracles. */
+  private val layoutScaledCte: String =
+    """b AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS xlo,
+      |    CAST(MAX(l_partkey) AS BIGINT) AS xhi,
+      |    CAST(MIN(l_suppkey) AS BIGINT) AS ylo,
+      |    CAST(MAX(l_suppkey) AS BIGINT) AS yhi
+      |  FROM lineitem),
+      |  s AS (SELECT
+      |    CASE WHEN xhi > xlo THEN
+      |      ((CAST(l_partkey AS BIGINT) - xlo) * 255) // (xhi - xlo)
+      |      ELSE 0 END AS sx,
+      |    CASE WHEN yhi > ylo THEN
+      |      ((CAST(l_suppkey AS BIGINT) - ylo) * 255) // (yhi - ylo)
+      |      ELSE 0 END AS sy
+      |  FROM lineitem, b)""".stripMargin
+
   val xLayoutZorderSql: String = {
     val zv = graft.ext.LayoutOps.zValue2Sql("sx", "sy", 8)
-    s"""WITH b AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS xlo,
-       |    CAST(MAX(l_partkey) AS BIGINT) AS xhi,
-       |    CAST(MIN(l_suppkey) AS BIGINT) AS ylo,
-       |    CAST(MAX(l_suppkey) AS BIGINT) AS yhi
-       |  FROM lineitem),
-       |  s AS (SELECT
-       |    CASE WHEN xhi > xlo THEN
-       |      ((CAST(l_partkey AS BIGINT) - xlo) * 255) // (xhi - xlo)
-       |      ELSE 0 END AS sx,
-       |    CASE WHEN yhi > ylo THEN
-       |      ((CAST(l_suppkey AS BIGINT) - ylo) * 255) // (yhi - ylo)
-       |      ELSE 0 END AS sy
-       |  FROM lineitem, b),
+    s"""WITH $layoutScaledCte,
        |  z AS (SELECT sx, sy, $zv AS zv FROM s),
        |  m AS (SELECT 'zorder' AS layout, zv // 4096 AS bucket, sx, sy
        |      FROM z
@@ -2696,19 +2703,7 @@ object ExtQueries {
 
   val xLayoutHilbertSql: String = {
     val steps = graft.ext.LayoutOps.hilbertStepsSql("s", Seq.empty, 8)
-    s"""WITH b AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS xlo,
-       |    CAST(MAX(l_partkey) AS BIGINT) AS xhi,
-       |    CAST(MIN(l_suppkey) AS BIGINT) AS ylo,
-       |    CAST(MAX(l_suppkey) AS BIGINT) AS yhi
-       |  FROM lineitem),
-       |  s AS (SELECT
-       |    CASE WHEN xhi > xlo THEN
-       |      ((CAST(l_partkey AS BIGINT) - xlo) * 255) // (xhi - xlo)
-       |      ELSE 0 END AS sx,
-       |    CASE WHEN yhi > ylo THEN
-       |      ((CAST(l_suppkey AS BIGINT) - ylo) * 255) // (yhi - ylo)
-       |      ELSE 0 END AS sy
-       |  FROM lineitem, b),
+    s"""WITH $layoutScaledCte,
        |  z AS (SELECT sx, sy, hd FROM $steps zz),
        |  m AS (SELECT 'hilbert' AS layout, hd // 4096 AS bucket, sx, sy
        |      FROM z

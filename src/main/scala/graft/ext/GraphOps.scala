@@ -198,6 +198,10 @@ object GraphOps {
       labels = next
       t += 1
     }
+    // labels is checkpoint-backed (lineage truncated), so the edge
+    // relation is dead here — release it rather than pinning a full
+    // bidirectional copy for the session (the kCore discipline).
+    eng.release(bidir)
     labels.select(col("id"), col("label").as("community"))
   }
 }

@@ -151,8 +151,10 @@ object LayoutOps {
       max(col(yCol)).cast("long").as("_yhi"))
     val keep = df.columns.toSeq
     val withCurve = df.crossJoin(broadcast(bounds))
-      .withColumn("_sx", gridCell(xCol, "_xlo", "_xhi", bits))
-      .withColumn("_sy", gridCell(yCol, "_ylo", "_yhi", bits))
+      .withColumn("_cx", col(xCol).cast("long"))
+      .withColumn("_cy", col(yCol).cast("long"))
+      .withColumn("_sx", gridCell("_cx", "_xlo", "_xhi", bits))
+      .withColumn("_sy", gridCell("_cy", "_ylo", "_yhi", bits))
       .withColumn("_curve",
         if (hilbert) call_function("graft_hilbert", col("_sx"),
           col("_sy"), lit(bits))

@@ -122,6 +122,9 @@ object Split {
     val ranked = graft.transform.Ids.assignContiguousIds(mat,
       struct((-col(weightCol).cast("long")).as("_nw"), col(idCol)),
       "pack_rank", 0L)
+    // ranked is eager + lineage-truncated, so the materialized input is
+    // already dead — free it instead of pinning a corpus copy.
+    graft.engine.Engine.release(mat)
     ranked
       .withColumn("_round", expr(s"pack_rank div $nBins"))
       .withColumn("_pos", pmod(col("pack_rank"), lit(nBins.toLong)))
