@@ -53,9 +53,14 @@ object LabelOps {
     * exact integer), `weight_fx` (smoothed log-odds, fixed-point 2³⁰
     * — negative for an anti-correlated labeler). */
   def labelerReliability(votes: DataFrame, idCol: String,
-                         labelerCol: String, voteCol: String): DataFrame = {
-    val maj = majorityVote(votes, idCol, voteCol)
-      .select(col(idCol), col("maj"))
+                         labelerCol: String, voteCol: String): DataFrame =
+    reliabilityFrom(votes,
+      majorityVote(votes, idCol, voteCol).select(col(idCol), col("maj")),
+      idCol, labelerCol, voteCol)
+
+  private def reliabilityFrom(votes: DataFrame, maj: DataFrame,
+                              idCol: String, labelerCol: String,
+                              voteCol: String): DataFrame =
     votes.filter(col(voteCol) =!= 0)
       .join(maj, Seq(idCol))
       .filter(col("maj") =!= 0)
@@ -71,7 +76,6 @@ object LabelOps {
           (col("n_agree") + lit(1L)).cast("double") /
             (col("n_scored") - col("n_agree") + lit(1L)).cast("double"))
           * lit(Fx)).cast("long"))
-  }
 
   /** The composed aggregation: majority init → reliability weights →
     * weighted re-vote. One row per doc: `id`, `n_votes`, `maj`,
@@ -80,9 +84,16 @@ object LabelOps {
     * visible at maj = label = 0. */
   def aggregateLabels(votes: DataFrame, idCol: String,
                       labelerCol: String, voteCol: String): DataFrame = {
-    val w = labelerReliability(votes, idCol, labelerCol, voteCol)
+    // the doc-grain majority feeds BOTH the reliability estimate and
+    // the output frame — materialize it once instead of re-evaluating
+    // the corpus-sized votes subtree per consumer (plan-shape-pinned:
+    // the whole aggregation reads the corpus three times — majority,
+    // reliability, weighted sum — never four)
+    val maj = graft.engine.Engine.materialize(
+      majorityVote(votes, idCol, voteCol))
+    val w = reliabilityFrom(votes, maj.select(col(idCol), col("maj")),
+        idCol, labelerCol, voteCol)
       .select(col("labeler").as(labelerCol), col("weight_fx"))
-    val maj = majorityVote(votes, idCol, voteCol)
     val scored = votes.join(broadcast(w), Seq(labelerCol))
       .groupBy(col(idCol))
       .agg(sum(col(voteCol).cast("long") * col("weight_fx"))

@@ -551,4 +551,56 @@ class PlanShapeSpec extends SparkSpec {
       .reduce(_ unionAll _).orderBy("key_col").collect().toSeq
     assert(a == b)
   }
+
+  private def initialPlan(df: DataFrame): String =
+    plan(df).split("== Initial Plan ==")(0)
+
+  test("layout audits: ONE corpus FileScan feeds both melted layouts; " +
+    "curve values stay inside a projection") {
+    for (p <- Seq(initialPlan(ExtQueries.xLayoutZorder(spark, fixtureDir)),
+        initialPlan(ExtQueries.xLayoutHilbert(spark, fixtureDir)))) {
+      // bounds pass + melted audit pass read the same table: exactly
+      // two scans total, never one per layout arm
+      val scans = p.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 2, s"expected bounds+audit scans only ($scans):\n$p")
+      // the interleave/walk is a projection, not an exchange: exactly
+      // one keyed exchange (the grouped agg), plus the 1-row broadcast
+      val keyed = p.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(keyed == 1, s"one grouped-agg exchange expected ($keyed):\n$p")
+    }
+  }
+
+  test("systematicPps: windows partition by the group — no global " +
+    "window, one corpus scan") {
+    val df = ExtQueries.xSamplePps(spark, fixtureDir)
+    val p = initialPlan(df)
+    assert(formatted(df).contains("windowspecdefinition(source"),
+      "windows must partition by source")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"one corpus scan expected ($scans):\n$p")
+  }
+
+  test("label aggregation: labeling functions melt from ONE documents " +
+    "scan per consumer; weights join as a broadcast") {
+    val p = initialPlan(ExtQueries.xLabelVote(spark, fixtureDir))
+    // votes feed three consumers (majority, reliability, weighted sum)
+    // but each evaluates the ONE generate-over-scan subtree — no
+    // per-labeler scan blowup (3 labelers x 3 consumers != 9 scans)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 3, s"vote scans exceeded consumer count ($scans):\n$p")
+    assert(p.contains("BroadcastExchange"),
+      "labeler weights must broadcast")
+  }
+
+  test("abttProject: the projection side is a literal-array lookup — " +
+    "no join against anything corpus-sized") {
+    val p = initialPlan(ExtQueries.xEmbedAbtt(spark, fixtureDir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-sized join leaked into the projection:\n$p")
+    // one grouped sum on the vector id is the only keyed exchange
+    val keyed = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(keyed == 1, s"one id-grouped exchange expected ($keyed):\n$p")
+  }
 }
