@@ -428,6 +428,37 @@ class CodegenHealthSpec extends SparkSpec {
     }
   }
 
+  test("graft_hilbert compiles stacked (two walks in one projection + " +
+    "an AND predicate) and matches interpreted eval") {
+    import spark.implicits._
+    val df = (for (x <- 0L to 15L; y <- 0L to 15L) yield (x, y))
+      .toDF("hx", "hy")
+    df.createOrReplaceTempView("cg_hilbert")
+    assertNoCodegenErrors {
+      // two instances fuse into one generated method — the freshName
+      // shadowing shape the suite exists to guard
+      val out = spark.sql(
+        """SELECT graft_hilbert(hx, hy, 4) AS d1,
+          |       graft_hilbert(hy, hx, 4) AS d2
+          |FROM cg_hilbert
+          |WHERE graft_hilbert(hx, hy, 4) >= 0
+          |  AND graft_hilbert(hy, hx, 4) >= 0
+          |""".stripMargin).collect()
+      assert(out.length == 256)
+      // codegen output == interpreted eval (nullSafeEval) on every cell
+      val viaExpr = out.map(_.getLong(0)).toSeq
+      val interpreted = (for (x <- 0L to 15L; y <- 0L to 15L) yield {
+        graft.expressions.HilbertIndex(
+          org.apache.spark.sql.catalyst.expressions.Literal(x),
+          org.apache.spark.sql.catalyst.expressions.Literal(y), 4)
+          .eval(null).asInstanceOf[Long]
+      }).toSeq
+      assert(viaExpr == interpreted)
+      // a bits=4 walk visits every cell exactly once
+      assert(viaExpr.sorted == (0L until 256L))
+    }
+  }
+
   test("codegen results match interpreted eval on the stacked shapes") {
     import spark.implicits._
     val df = Seq((Array(11L, 22L, 33L, 44L, 55L), Array("a", "bb")))
