@@ -97,13 +97,25 @@ object ExtQueries {
     * materializes its fixpoint), so reuse replays no lineage. */
   private val ccCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
-  private def clonedDocsComponents(s: SparkSession,
-                                   dir: String): DataFrame =
-    ccCache.computeIfAbsent((s, dir), _ =>
-      DedupOps.connectedComponents(
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** The near-dup PAIR relation under [[clonedDocsComponents]],
+    * session-cached at its own grain: the LPA community query consumes
+    * pairs (not components), and without this tier it would re-run the
+    * whole LSH pipeline the CC family already paid for. Materialized so
+    * both consumers replay a checkpoint, not lineage. */
+  private def clonedDocPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((s, dir), _ =>
+      graft.engine.Engine.materialize(
         DedupOps.nearDupPairsMinhash(clonedDocs(s, dir), "doc_id",
           "text", shingleN = 2, numPerm = 64, bands = 16,
           threshold = 0.8)))
+
+  private def clonedDocsComponents(s: SparkSession,
+                                   dir: String): DataFrame =
+    ccCache.computeIfAbsent((s, dir), _ =>
+      DedupOps.connectedComponents(clonedDocPairs(s, dir)))
 
   // ---------------------------------------------------------------------
   // Exact dedup: hash-groupBy on the md5 text fingerprint, keep min id.
@@ -1040,10 +1052,7 @@ object ExtQueries {
   // ccCtesSql block, so the cached `edges` relation serves it too.
   // ---------------------------------------------------------------------
   def xGraphLpa(s: SparkSession, dir: String): DataFrame =
-    graft.ext.GraphOps.labelPropagation(
-        DedupOps.nearDupPairsMinhash(clonedDocs(s, dir), "doc_id",
-          "text", shingleN = 2, numPerm = 64, bands = 16,
-          threshold = 0.8),
+    graft.ext.GraphOps.labelPropagation(clonedDocPairs(s, dir),
         "id_a", "id_b", rounds = 4)
       .select(col("id").as("doc_id"), col("community"))
       .orderBy(col("doc_id"))
