@@ -2699,6 +2699,56 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Three-key Morton audit: the practical ceiling of curve clustering
+  // ("your two or three hottest filter keys") — extents on all three
+  // of (l_partkey, l_suppkey, l_orderkey) per curve-range bucket vs
+  // the single-column sort.
+  // ---------------------------------------------------------------------
+  def xLayoutZorder3(s: SparkSession, dir: String): DataFrame =
+    graft.ext.LayoutOps.zOrderAudit3(t(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", "l_orderkey", bits = 6, nBuckets = 16)
+      .orderBy(col("layout"), col("bucket"))
+
+  val xLayoutZorder3Sql: String = {
+    val zv = graft.ext.LayoutOps.zValue3Sql("sx", "sy", "sz", 6)
+    val zDiv = (1L << 18) / 16
+    s"""WITH b AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS xlo,
+       |    CAST(MAX(l_partkey) AS BIGINT) AS xhi,
+       |    CAST(MIN(l_suppkey) AS BIGINT) AS ylo,
+       |    CAST(MAX(l_suppkey) AS BIGINT) AS yhi,
+       |    CAST(MIN(l_orderkey) AS BIGINT) AS zlo,
+       |    CAST(MAX(l_orderkey) AS BIGINT) AS zhi
+       |  FROM lineitem),
+       |  s AS (SELECT
+       |    CASE WHEN xhi > xlo THEN
+       |      ((CAST(l_partkey AS BIGINT) - xlo) * 63) // (xhi - xlo)
+       |      ELSE 0 END AS sx,
+       |    CASE WHEN yhi > ylo THEN
+       |      ((CAST(l_suppkey AS BIGINT) - ylo) * 63) // (yhi - ylo)
+       |      ELSE 0 END AS sy,
+       |    CASE WHEN zhi > zlo THEN
+       |      ((CAST(l_orderkey AS BIGINT) - zlo) * 63) // (zhi - zlo)
+       |      ELSE 0 END AS sz
+       |  FROM lineitem, b),
+       |  z AS (SELECT sx, sy, sz, $zv AS zv FROM s),
+       |  m AS (SELECT 'zorder3' AS layout, zv // $zDiv AS bucket,
+       |      sx, sy, sz FROM z
+       |    UNION ALL
+       |    SELECT 'linear' AS layout, sx // 4 AS bucket, sx, sy, sz
+       |      FROM z)
+       |SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(MIN(sx) AS BIGINT) AS min_x, CAST(MAX(sx) AS BIGINT) AS max_x,
+       |  CAST(MIN(sy) AS BIGINT) AS min_y, CAST(MAX(sy) AS BIGINT) AS max_y,
+       |  CAST(MIN(sz) AS BIGINT) AS min_z, CAST(MAX(sz) AS BIGINT) AS max_z,
+       |  CAST(CAST((MAX(sx) - MIN(sx) + 1) AS HUGEINT)
+       |    * (MAX(sy) - MIN(sy) + 1) * (MAX(sz) - MIN(sz) + 1)
+       |    * 1000000 // ${1L << 18} AS BIGINT) AS volume_ppm
+       |FROM m GROUP BY layout, bucket
+       |ORDER BY layout, bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Hilbert layout audit: the same extents contract as x_layout_zorder
   // but with the xy2d curve (native graft_hilbert) as the multi-column
   // layout — contiguous curve ranges are CONNECTED regions, so bucket

@@ -36,6 +36,71 @@ object LayoutOps {
     }.reduce(_ + _)
   }
 
+  /** Three-dimensional Morton interleave — bit k of `x`/`y`/`z` lands
+    * at 3k / 3k+1 / 3k+2. The practical ceiling of curve clustering
+    * ("cluster on your two or three hottest filter keys"): each added
+    * dimension costs every dimension extent tightness, so past three
+    * the footer stats stop pruning anything. bits ≤ 20 keeps the value
+    * in a long. */
+  def zValue3(x: Column, y: Column, z: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"zValue3: bits out of range: $bits")
+    (0 until bits).map { k =>
+      shiftleft(shiftright(x, k).bitwiseAND(lit(1L)), 3 * k) +
+        shiftleft(shiftright(y, k).bitwiseAND(lit(1L)), 3 * k + 1) +
+        shiftleft(shiftright(z, k).bitwiseAND(lit(1L)), 3 * k + 2)
+    }.reduce(_ + _)
+  }
+
+  /** The generated DuckDB twin of [[zValue3]]. */
+  def zValue3Sql(x: String, y: String, z: String, bits: Int): String =
+    (0 until bits).map { k =>
+      s"((((($x) >> $k) & 1) << ${3 * k})" +
+        s" + (((($y) >> $k) & 1) << ${3 * k + 1})" +
+        s" + (((($z) >> $k) & 1) << ${3 * k + 2}))"
+    }.mkString(" + ")
+
+  /** [[zOrderAudit]] in three dimensions: per (layout, bucket) rows
+    * with grid extents on all three keys and `volume_ppm` (the extent
+    * box as an exact-ppm share of the 2^3bits grid). 'linear' buckets
+    * by the x cell alone. Same shape: one bounds pass, ONE melted
+    * corpus scan, one grouped agg. */
+  def zOrderAudit3(df: DataFrame, xCol: String, yCol: String,
+                   zCol: String, bits: Int, nBuckets: Int): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"zOrderAudit3: bits: $bits")
+    require(nBuckets >= 1 && (1L << bits) % nBuckets == 0,
+      s"zOrderAudit3: nBuckets $nBuckets must divide 2^$bits")
+    val zDiv = (1L << (3 * bits)) / nBuckets
+    val lDiv = (1L << bits) / nBuckets
+    val bounds = df.agg(
+      min(col(xCol)).cast("long").as("_xlo"),
+      max(col(xCol)).cast("long").as("_xhi"),
+      min(col(yCol)).cast("long").as("_ylo"),
+      max(col(yCol)).cast("long").as("_yhi"),
+      min(col(zCol)).cast("long").as("_zlo"),
+      max(col(zCol)).cast("long").as("_zhi"))
+    val cells = df
+      .select(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"), col(zCol).cast("long").as("_z0"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("_sx", gridCell("_x", "_xlo", "_xhi", bits))
+      .withColumn("_sy", gridCell("_y", "_ylo", "_yhi", bits))
+      .withColumn("_sz", gridCell("_z0", "_zlo", "_zhi", bits))
+      .withColumn("_zv", zValue3(col("_sx"), col("_sy"), col("_sz"), bits))
+    cells
+      .select(expr(s"stack(2, 'zorder3', _zv div $zDiv," +
+        s" 'linear', _sx div $lDiv) as (layout, bucket)"),
+        col("_sx"), col("_sy"), col("_sz"))
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_sx")).as("min_x"), max(col("_sx")).as("max_x"),
+        min(col("_sy")).as("min_y"), max(col("_sy")).as("max_y"),
+        min(col("_sz")).as("min_z"), max(col("_sz")).as("max_z"))
+      .withColumn("volume_ppm",
+        expr("cast(cast((max_x - min_x + 1) as decimal(38,0))" +
+          " * (max_y - min_y + 1) * (max_z - min_z + 1) * 1000000" +
+          s" div ${1L << (3 * bits)} as bigint)"))
+  }
+
   /** Scale an integral column onto the [0, 2^bits) grid given explicit
     * bounds columns: `(v - lo) * (2^bits - 1) div (hi - lo)`, with a
     * degenerate single-value range pinned to cell 0. Integral `div`

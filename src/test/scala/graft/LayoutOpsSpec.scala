@@ -107,6 +107,33 @@ class LayoutOpsSpec extends SparkSpec {
     assert(hb.forall(b => b._5 - b._4 == 7L && b._7 - b._6 == 7L))
   }
 
+  test("zValue3: hand-computed 3-D Morton codes; audit buckets bound " +
+    "ALL three dims on the uniform cube") {
+    import spark.implicits._
+    val pts = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (3L, 5L, 2L)).toDF("x", "y", "z")
+    val got = pts.select(graft.ext.LayoutOps
+        .zValue3(col("x"), col("y"), col("z"), 4).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    // x→bits 3k, y→3k+1, z→3k+2: (1,0,0)=1 (0,1,0)=2 (0,0,1)=4
+    // (1,1,1)=7; (3,5,2): x=011→1+8=9; y=101→2+128=130; z=010→32
+    assert(got == Seq(0L, 1L, 2L, 4L, 7L, 9L + 130L + 32L))
+    // uniform 8x8x8 cube, bits=3, nBuckets=8 → octants: every zorder3
+    // bucket bounded to width 3 in ALL dims; linear strips span y,z
+    val cube = (for (x <- 0 to 7; y <- 0 to 7; z <- 0 to 7)
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    val out = graft.ext.LayoutOps
+      .zOrderAudit3(cube, "x", "y", "z", bits = 3, nBuckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        r.getLong(4) - r.getLong(3), r.getLong(6) - r.getLong(5),
+        r.getLong(8) - r.getLong(7)))
+    val zb = out.filter(_._1 == "zorder3")
+    val lb = out.filter(_._1 == "linear")
+    assert(zb.length == 8 && zb.forall(_._2 == 64L))
+    assert(zb.forall(b => b._3 == 3L && b._4 == 3L && b._5 == 3L))
+    assert(lb.forall(b => b._3 == 0L && b._4 == 7L && b._5 == 7L))
+  }
+
   test("zOrderAudit: degenerate single-value dimension pins cell 0; " +
     "bad nBuckets rejected") {
     import spark.implicits._

@@ -20,10 +20,10 @@ class SparkEntrySpec extends SparkSpec {
 
   test("query names are unique and stable in count") {
     // r13 second wave: +x_privacy_ldiv, x_layout_zorder,
-    // x_layout_hilbert, x_label_vote, x_label_reliability,
-    // x_embed_abtt, x_graph_lpa, x_pack_balanced, x_embed_moments,
-    // x_sample_pps
-    assert(SparkEntry.queries.size == 186)
-    assert(SparkEntry.oracleSql.size == 186)
+    // x_layout_hilbert, x_layout_zorder3, x_label_vote,
+    // x_label_reliability, x_embed_abtt, x_graph_lpa, x_pack_balanced,
+    // x_embed_moments, x_sample_pps
+    assert(SparkEntry.queries.size == 187)
+    assert(SparkEntry.oracleSql.size == 187)
   }
 }
