@@ -51,13 +51,16 @@ object LayoutOps {
     }.reduce(_ + _)
   }
 
-  /** The generated DuckDB twin of [[zValue3]]. */
-  def zValue3Sql(x: String, y: String, z: String, bits: Int): String =
+  /** The generated DuckDB twin of [[zValue3]]. Same bits-range
+    * contract as the Column side — shifts past bit 62 would wrap. */
+  def zValue3Sql(x: String, y: String, z: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 20, s"zValue3Sql: bits out of range: $bits")
     (0 until bits).map { k =>
       s"((((($x) >> $k) & 1) << ${3 * k})" +
         s" + (((($y) >> $k) & 1) << ${3 * k + 1})" +
         s" + (((($z) >> $k) & 1) << ${3 * k + 2}))"
     }.mkString(" + ")
+  }
 
   /** [[zOrderAudit]] in three dimensions: per (layout, bucket) rows
     * with grid extents on all three keys and `volume_ppm` (the extent
@@ -103,13 +106,20 @@ object LayoutOps {
 
   /** Scale an integral column onto the [0, 2^bits) grid given explicit
     * bounds columns: `(v - lo) * (2^bits - 1) div (hi - lo)`, with a
-    * degenerate single-value range pinned to cell 0. Integral `div`
-    * keeps it exact at any magnitude. */
+    * degenerate single-value range pinned to cell 0. The scaling
+    * multiply is widened to decimal(38,0) before the divide: on
+    * wide-range domains (hashed ids, nanosecond timestamps) the
+    * BIGINT product `(v - lo) * mask` can exceed 2^63 and — under
+    * non-ANSI Spark — would silently wrap into garbage cells while
+    * the DuckDB twin errors; decimal keeps both sides exact and
+    * identical at any key magnitude. The result is always in
+    * [0, 2^bits), so the cast back to bigint is lossless. */
   private def gridCell(v: String, lo: String, hi: String,
                        bits: Int): Column = {
     val mask = (1L << bits) - 1
     when(col(hi) > col(lo),
-      expr(s"(($v - $lo) * $mask) div ($hi - $lo)"))
+      expr(s"cast(cast(cast($v as decimal(38,0)) - $lo as decimal(38,0))" +
+        s" * $mask div ($hi - $lo) as bigint)"))
       .otherwise(lit(0L))
   }
 
@@ -258,10 +268,13 @@ object LayoutOps {
   }
 
   /** The generated DuckDB twin of [[zValue2]]: the same shift/mask/add
-    * chain rendered as SQL over expressions `x` and `y`. */
-  def zValue2Sql(x: String, y: String, bits: Int): String =
+    * chain rendered as SQL over expressions `x` and `y`. Same
+    * bits-range contract as the Column side. */
+  def zValue2Sql(x: String, y: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"zValue2Sql: bits out of range: $bits")
     (0 until bits).map { k =>
       s"((((($x) >> $k) & 1) << ${2 * k})" +
         s" + (((($y) >> $k) & 1) << ${2 * k + 1}))"
     }.mkString(" + ")
+  }
 }

@@ -326,9 +326,16 @@ object SplitJob {
   * [curve=zorder|hilbert] */
 object LayoutJob {
   def run(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.length >= 4, "usage: LayoutJob <inPath> <outPath>" +
+      " <xCol> <yCol> [bits=8] [files=64] [curve=zorder|hilbert]")
     val Array(in, out, xCol, yCol, rest @ _*) = args
-    val bits = rest.headOption.map(_.toInt).getOrElse(8)
-    val files = rest.lift(1).map(_.toInt).getOrElse(64)
+    def intArg(i: Int, name: String, dflt: Int): Int =
+      rest.lift(i).map { v =>
+        require(v.forall(_.isDigit), s"LayoutJob: $name must be an int: $v")
+        v.toInt
+      }.getOrElse(dflt)
+    val bits = intArg(0, "bits", 8)
+    val files = intArg(1, "files", 64)
     val curve = rest.lift(2).getOrElse("zorder")
     require(curve == "zorder" || curve == "hilbert",
       s"LayoutJob: unknown curve $curve")
