@@ -97,25 +97,32 @@ object ExtQueries {
     * materializes its fixpoint), so reuse replays no lineage. */
   private val ccCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val stagesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DedupOps.RepStages]()
 
-  /** The near-dup PAIR relation under [[clonedDocsComponents]],
-    * session-cached at its own grain: the LPA community query consumes
-    * pairs (not components), and without this tier it would re-run the
-    * whole LSH pipeline the CC family already paid for. Materialized so
-    * both consumers replay a checkpoint, not lineage. */
-  private def clonedDocPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((s, dir), _ =>
-      graft.engine.Engine.materialize(
-        DedupOps.nearDupPairsMinhash(clonedDocs(s, dir), "doc_id",
-          "text", shingleN = 2, numPerm = 64, bands = 16,
-          threshold = 0.8)))
+  /** The rep-grain MinHash stages under the cloned corpus,
+    * session-cached: the CC family consumes the closure, the LPA
+    * community query the weighted supernode vote — both now run at
+    * REPRESENTATIVE grain (r13 verdict ask #1: the clone-expanded pair
+    * set carried ~100× the edges of the rep graph for answers that are
+    * a deterministic function of the rep graph plus class sizes), and
+    * both start from this one shared LSH pipeline. Frames inside are
+    * materialized (checkpoint-backed), so each consumer replays no
+    * lineage. */
+  private def clonedDocStages(s: SparkSession,
+                              dir: String): DedupOps.RepStages =
+    stagesCache.computeIfAbsent((s, dir), _ => {
+      val st = DedupOps.minhashRepStages(clonedDocs(s, dir), "doc_id",
+        "text", shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8)
+      DedupOps.RepStages(st.classes, st.shing,
+        graft.engine.Engine.materialize(st.repPairs))
+    })
 
   private def clonedDocsComponents(s: SparkSession,
                                    dir: String): DataFrame =
     ccCache.computeIfAbsent((s, dir), _ =>
-      DedupOps.connectedComponents(clonedDocPairs(s, dir)))
+      DedupOps.componentsFromStages(clonedDocStages(s, dir),
+        threshold = 0.8))
 
   // ---------------------------------------------------------------------
   // Exact dedup: hash-groupBy on the md5 text fingerprint, keep min id.
@@ -1047,13 +1054,17 @@ object ExtQueries {
   // Label-propagation communities over the same near-dup graph: the
   // community structure CC can't see (a spurious bridge chains two
   // genuine clusters into one component; LPA lets them keep separate
-  // labels). Synchronous, fixed 4 rounds, min-label tie-break — the
-  // twin unrolls the rounds as MATERIALIZED CTEs over the SHARED
-  // ccCtesSql block, so the cached `edges` relation serves it too.
+  // labels). Synchronous, fixed 4 rounds, min-label tie-break. The
+  // engine runs the vote at REPRESENTATIVE grain (class-size-weighted
+  // blow-up LPA over the shared rep stages — edges never clone-expand,
+  // labels do); the twin keeps computing the member-grain sync LPA
+  // over the expanded graph as MATERIALIZED CTEs on the SHARED
+  // ccCtesSql block, so the green row IS the blow-up == member-grain
+  // equivalence proof.
   // ---------------------------------------------------------------------
   def xGraphLpa(s: SparkSession, dir: String): DataFrame =
-    graft.ext.GraphOps.labelPropagation(clonedDocPairs(s, dir),
-        "id_a", "id_b", rounds = 4)
+    DedupOps.communitiesFromStages(clonedDocStages(s, dir),
+        threshold = 0.8, rounds = 4)
       .select(col("id").as("doc_id"), col("community"))
       .orderBy(col("doc_id"))
 
@@ -1093,9 +1104,10 @@ object ExtQueries {
     val day1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val day2 = day1.filter(col("doc_id") < 50)
       .select((col("doc_id") + 10000).as("doc_id"), col("text"))
-    val day1Labels = DedupOps.connectedComponents(
-      DedupOps.nearDupPairsMinhash(day1, "doc_id", "text",
-        shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8))
+    // Day-1 closure at REP grain (componentsNearMinhash): the r13 sf10
+    // long pole was this call paying the clone-expanded pair set.
+    val day1Labels = DedupOps.componentsNearMinhash(day1, "doc_id",
+      "text", shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8)
     val newPairs = DedupOps.incrementalNearDupPairsMinhash(day2, day1,
       "doc_id", "text", shingleN = 2, numPerm = 64, bands = 16,
       threshold = 0.8)
@@ -2671,11 +2683,13 @@ object ExtQueries {
       |    CAST(MAX(l_suppkey) AS BIGINT) AS yhi
       |  FROM lineitem),
       |  s AS (SELECT
-      |    CASE WHEN xhi > xlo THEN
-      |      ((CAST(l_partkey AS BIGINT) - xlo) * 255) // (xhi - xlo)
+      |    CASE WHEN xhi > xlo THEN CAST(
+      |      (CAST(CAST(l_partkey AS BIGINT) - xlo AS HUGEINT) * 255)
+      |        // (xhi - xlo) AS BIGINT)
       |      ELSE 0 END AS sx,
-      |    CASE WHEN yhi > ylo THEN
-      |      ((CAST(l_suppkey AS BIGINT) - ylo) * 255) // (yhi - ylo)
+      |    CASE WHEN yhi > ylo THEN CAST(
+      |      (CAST(CAST(l_suppkey AS BIGINT) - ylo AS HUGEINT) * 255)
+      |        // (yhi - ylo) AS BIGINT)
       |      ELSE 0 END AS sy
       |  FROM lineitem, b)""".stripMargin
 
@@ -2720,14 +2734,17 @@ object ExtQueries {
        |    CAST(MAX(l_orderkey) AS BIGINT) AS zhi
        |  FROM lineitem),
        |  s AS (SELECT
-       |    CASE WHEN xhi > xlo THEN
-       |      ((CAST(l_partkey AS BIGINT) - xlo) * 63) // (xhi - xlo)
+       |    CASE WHEN xhi > xlo THEN CAST(
+       |      (CAST(CAST(l_partkey AS BIGINT) - xlo AS HUGEINT) * 63)
+       |        // (xhi - xlo) AS BIGINT)
        |      ELSE 0 END AS sx,
-       |    CASE WHEN yhi > ylo THEN
-       |      ((CAST(l_suppkey AS BIGINT) - ylo) * 63) // (yhi - ylo)
+       |    CASE WHEN yhi > ylo THEN CAST(
+       |      (CAST(CAST(l_suppkey AS BIGINT) - ylo AS HUGEINT) * 63)
+       |        // (yhi - ylo) AS BIGINT)
        |      ELSE 0 END AS sy,
-       |    CASE WHEN zhi > zlo THEN
-       |      ((CAST(l_orderkey AS BIGINT) - zlo) * 63) // (zhi - zlo)
+       |    CASE WHEN zhi > zlo THEN CAST(
+       |      (CAST(CAST(l_orderkey AS BIGINT) - zlo AS HUGEINT) * 63)
+       |        // (zhi - zlo) AS BIGINT)
        |      ELSE 0 END AS sz
        |  FROM lineitem, b),
        |  z AS (SELECT sx, sy, sz, $zv AS zv FROM s),

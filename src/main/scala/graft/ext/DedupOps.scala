@@ -279,6 +279,64 @@ object DedupOps {
                           shingleN: Int = 2, numPerm: Int = 64,
                           bands: Int = 16,
                           threshold: Double = 0.5): DataFrame = {
+    val st = minhashRepStages(df, idCol, textCol, shingleN, numPerm,
+      bands, threshold)
+    // Expansion back to original ids — id-only joins, the only stages
+    // duplicate mass multiplies.
+    val inter = st.repPairs
+      .join(st.classes.select(col("_rid").as("id_a"), col("_oid").as("_ia")),
+        Seq("id_a"))
+      .join(st.classes.select(col("_rid").as("id_b"), col("_oid").as("_ib")),
+        Seq("id_b"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
+    val intra = st.shing.select(col("_id").as("_rid")) // non-empty sets only
+      .join(st.classes.select(col("_rid"), col("_oid").as("_ia")), Seq("_rid"))
+      .join(st.classes.select(col("_rid"), col("_oid").as("_ib")), Seq("_rid"))
+      .filter(col("_ia") < col("_ib"))
+      .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+        lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= threshold)
+    inter.unionByName(intra)
+  }
+
+  /** The rep-grain relations every MinHash-family operator is built
+    * from — computed ONCE and consumed by the pair expansion
+    * ([[nearDupPairsMinhash]]), the supernode closure
+    * ([[componentsNearMinhash]]), the supernode community pass
+    * ([[communitiesNearMinhash]]), and the expansion-free apply path
+    * ([[dedupeNearMinhash]]):
+    *
+    *  - `classes` — (`_rid`, `_oid`): identity-class membership, rep
+    *    id = the class's MINIMUM original id (the invariant the
+    *    supernode algebra leans on: min over a set of classes' members
+    *    = min over their rep ids).
+    *  - `shing` — (`_id`, `_sh`): hashed shingle sets of the
+    *    representatives with non-empty sets (empty-shingle classes
+    *    never pair, intra or inter).
+    *  - `repPairs` — (`id_a`, `id_b`, `jaccard`): verified qualifying
+    *    pairs at REP grain. Identical texts have identical shingle
+    *    sets, so a rep pair's jaccard is every cross-member pair's
+    *    jaccard — the expanded pair graph is exactly the clique
+    *    blow-up of this graph (each class a clique via jaccard-1.0
+    *    intra edges, each rep edge a complete bipartite bundle).
+    *
+    * `assumeDistinct = true` skips the fingerprint tier when the
+    * CALLER proves texts are pairwise distinct (e.g. directly after
+    * [[exactByText]], which keeps one row per [[graft.ext.TextOps
+    * .fingerprint]] — the same fingerprint this tier groups on):
+    * classes degrade to singletons and the groupBy+join vanish. This
+    * is the adaptive rep-tier skip done by proof rather than probe —
+    * no extra corpus pass, zero behavior risk. */
+  private[graft] case class RepStages(classes: DataFrame, shing: DataFrame,
+                                      repPairs: DataFrame)
+
+  private[graft] def minhashRepStages(df: DataFrame, idCol: String,
+                                      textCol: String, shingleN: Int,
+                                      numPerm: Int, bands: Int,
+                                      threshold: Double,
+                                      assumeDistinct: Boolean = false)
+      : RepStages = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
     val docs = graft.engine.Engine.spread(df)
@@ -287,15 +345,22 @@ object DedupOps {
     // (fp, id, one-text-per-class-per-partition thanks to the min_by
     // map-side partial); `classes` (rep id ↔ original id) is the only
     // relation the expansion joins need.
-    val reps = graft.engine.Engine.materialize(
-      docs.groupBy(graft.ext.TextOps.fingerprint(col("_txt")).as("_fp"))
-        .agg(min(col("_oid")).as("_rid"),
-          min_by(col("_txt"), col("_oid")).as("_txt")))
-    val classes = graft.engine.Engine.materialize(
-      docs.select(col("_oid"),
-          graft.ext.TextOps.fingerprint(col("_txt")).as("_fp"))
-        .join(reps.select(col("_fp"), col("_rid")), Seq("_fp"))
-        .select(col("_rid"), col("_oid")))
+    val (reps, classes) =
+      if (assumeDistinct)
+        (docs.select(col("_oid").as("_rid"), col("_txt")),
+          docs.select(col("_oid").as("_rid"), col("_oid")))
+      else {
+        val rp = graft.engine.Engine.materialize(
+          docs.groupBy(graft.ext.TextOps.fingerprint(col("_txt")).as("_fp"))
+            .agg(min(col("_oid")).as("_rid"),
+              min_by(col("_txt"), col("_oid")).as("_txt")))
+        val cl = graft.engine.Engine.materialize(
+          docs.select(col("_oid"),
+              graft.ext.TextOps.fingerprint(col("_txt")).as("_fp"))
+            .join(rp.select(col("_fp"), col("_rid")), Seq("_fp"))
+            .select(col("_rid"), col("_oid")))
+        (rp, cl)
+      }
     // Shingle/sign the representatives ONLY. Materialized: feeds the
     // signature projection and both sides of the verification join.
     val shing = graft.engine.Engine.materialize(
@@ -323,46 +388,175 @@ object DedupOps {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // Expansion back to original ids — id-only joins, the only stages
-    // duplicate mass multiplies.
-    val inter = repPairs
-      .join(classes.select(col("_rid").as("id_a"), col("_oid").as("_ia")),
-        Seq("id_a"))
-      .join(classes.select(col("_rid").as("id_b"), col("_oid").as("_ib")),
-        Seq("id_b"))
-      .select(least(col("_ia"), col("_ib")).as("id_a"),
-        greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
-    val intra = shing.select(col("_id").as("_rid")) // non-empty sets only
-      .join(classes.select(col("_rid"), col("_oid").as("_ia")), Seq("_rid"))
-      .join(classes.select(col("_rid"), col("_oid").as("_ib")), Seq("_rid"))
-      .filter(col("_ia") < col("_ib"))
-      .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
-        lit(1.0).as("jaccard"))
-      .filter(lit(1.0) >= threshold)
-    inter.unionByName(intra)
+    RepStages(classes, shing, repPairs)
+  }
+
+  /** Identity classes eligible to appear in the EXPANDED pair graph:
+    * classes whose rep is an endpoint of a qualifying rep pair
+    * (covered by the caller through `repPairs`/closure output), plus —
+    * returned here — multi-member classes with a non-empty shingle set
+    * (their jaccard-1.0 intra clique puts every member in the graph
+    * even with no inter pair). Mirrors [[nearDupPairsMinhash]]'s
+    * `intra` branch exactly, including its threshold guard. */
+  private def multiMemberShingled(st: RepStages,
+                                  threshold: Double): DataFrame = {
+    val multi = st.classes.groupBy(col("_rid"))
+      .agg(count(lit(1)).as("_sz"))
+      .filter(col("_sz") >= 2).select(col("_rid"))
+      .join(st.shing.select(col("_id").as("_rid")), Seq("_rid"),
+        "left_semi")
+    if (threshold <= 1.0) multi else multi.limit(0)
+  }
+
+  /** Connected components of the near-dup graph computed at
+    * REPRESENTATIVE grain — bit-equal to
+    * `connectedComponents(nearDupPairsMinhash(...))` without ever
+    * materializing the clone-expanded pair set (the r13 sf10 long
+    * pole: ~25M expanded pairs fed the closure where ~250k rep pairs
+    * carry the same connectivity).
+    *
+    * Why labels expand and edges don't: the expanded graph is the
+    * clique blow-up of the rep graph, so (a) reachability between
+    * classes is decided entirely at rep grain, and (b) a component's
+    * label — its minimum member id — equals the minimum rep id over
+    * its classes, because each rep IS its class minimum. Members of a
+    * multi-member shingled class with no rep pair form their own
+    * clique and label with their rep. One id↔class join per member
+    * replaces the closure over member-grain edges; closure cost
+    * scales with DISTINCT mass.
+    *
+    * Output: (`id` long, `component` long), the
+    * [[connectedComponents]] contract — nodes in no expanded pair are
+    * absent. */
+  def componentsNearMinhash(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 2, numPerm: Int = 64,
+                            bands: Int = 16, threshold: Double = 0.5,
+                            maxIter: Int = 25): DataFrame =
+    componentsFromStages(
+      minhashRepStages(df, idCol, textCol, shingleN, numPerm, bands,
+        threshold),
+      threshold, maxIter)
+
+  private[graft] def componentsFromStages(st: RepStages, threshold: Double,
+                                          maxIter: Int = 25): DataFrame = {
+    val repCC = connectedComponents(st.repPairs, maxIter = maxIter)
+    val eligible = repCC.select(col("id").as("_rid"))
+      .unionByName(multiMemberShingled(st, threshold)
+        .select(col("_rid").cast("long").as("_rid")))
+      .distinct()
+    st.classes
+      .select(col("_rid").cast("long").as("_rid"),
+        col("_oid").cast("long").as("_oid"))
+      .join(eligible, Seq("_rid"), "left_semi")
+      .join(repCC.select(col("id").as("_rid"), col("component")),
+        Seq("_rid"), "left")
+      .select(col("_oid").as("id"),
+        coalesce(col("component"), col("_rid")).as("component"))
+  }
+
+  /** Label-propagation communities of the near-dup graph at
+    * REPRESENTATIVE grain — bit-equal to
+    * `GraphOps.labelPropagation(nearDupPairsMinhash(...))` (see
+    * [[graft.ext.GraphOps.labelPropagationBlowup]] for the round-by-
+    * round exactness argument: the expanded graph is the clique
+    * blow-up of the rep graph with class sizes as weights, so the
+    * sync vote is a weighted vote at rep grain and members inherit
+    * their class's label). Edges never expand; labels do, through one
+    * id↔class join. Output: (`id` long, `community` long). */
+  def communitiesNearMinhash(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 2, numPerm: Int = 64,
+                             bands: Int = 16, threshold: Double = 0.5,
+                             rounds: Int = 4): DataFrame =
+    communitiesFromStages(
+      minhashRepStages(df, idCol, textCol, shingleN, numPerm, bands,
+        threshold),
+      threshold, rounds)
+
+  private[graft] def communitiesFromStages(st: RepStages, threshold: Double,
+                                           rounds: Int): DataFrame = {
+    val sizes = st.classes.groupBy(col("_rid"))
+      .agg(count(lit(1)).as("_sz"))
+    // Same node set as the expanded graph: rep-pair endpoints plus
+    // multi-member shingled classes (self-clique members).
+    val endpoints = st.repPairs.select(col("id_a").as("_rid"))
+      .unionByName(st.repPairs.select(col("id_b").as("_rid")))
+    val eligible = endpoints
+      .unionByName(multiMemberShingled(st, threshold))
+      .distinct()
+    val nodes = sizes.join(eligible, Seq("_rid"), "left_semi")
+      .select(col("_rid").as("node"), col("_sz").as("weight"))
+    val sup = graft.ext.GraphOps.labelPropagationBlowup(
+      st.repPairs, "id_a", "id_b", nodes, rounds)
+    st.classes
+      .select(col("_rid").cast("long").as("_rid"),
+        col("_oid").cast("long").as("_oid"))
+      .join(sup.select(col("id").as("_rid"), col("community")),
+        Seq("_rid"))
+      .select(col("_oid").as("id"), col("community"))
   }
 
   /** Apply MinHash-LSH dedup: drop the higher-id member of every near-dup
     * pair (connected components collapse transitively to the min id via
-    * the anti-join on "appears as id_b"). */
+    * the anti-join on "appears as id_b").
+    *
+    * Computed WITHOUT expanding rep pairs to member pairs — the loser
+    * set has a closed form at class grain. A member `m` of class `A`
+    * appears as some pair's `id_b` iff a smaller id pairs with it:
+    *  - intra (A multi-member, shingled): every member but the class
+    *    minimum — i.e. `m ≠ rid_A`;
+    *  - inter (some class B adjacent to A by a qualifying rep pair):
+    *    iff any member of B is smaller, and B's minimum member IS
+    *    `rid_B` — i.e. `min over adjacent B of rid_B < m`.
+    * Two class-grain joins replace the clone-mass-sized pair
+    * materialization + distinct. */
   def dedupeNearMinhash(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 2, numPerm: Int = 64,
                         bands: Int = 16,
-                        threshold: Double = 0.5): DataFrame = {
-    val losers = nearDupPairsMinhash(df, idCol, textCol, shingleN, numPerm,
-      bands, threshold).select(col("id_b").as("_loser")).distinct()
+                        threshold: Double = 0.5): DataFrame =
+    dedupeFromStages(df, idCol,
+      minhashRepStages(df, idCol, textCol, shingleN, numPerm, bands,
+        threshold),
+      threshold)
+
+  private def dedupeFromStages(df: DataFrame, idCol: String,
+                               st: RepStages,
+                               threshold: Double): DataFrame = {
+    val adjMin = st.repPairs
+      .select(col("id_a").as("_rid"), col("id_b").as("_adj"))
+      .unionByName(st.repPairs
+        .select(col("id_b").as("_rid"), col("id_a").as("_adj")))
+      .groupBy(col("_rid")).agg(min(col("_adj")).as("_madj"))
+    val multi = multiMemberShingled(st, threshold)
+      .withColumn("_intra", lit(1))
+    val losers = st.classes
+      .join(adjMin, Seq("_rid"), "left")
+      .join(multi, Seq("_rid"), "left")
+      .filter((col("_intra").isNotNull && col("_oid") =!= col("_rid")) ||
+        (col("_madj").isNotNull && col("_madj") < col("_oid")))
+      .select(col("_oid").as("_loser"))
     df.join(losers, col(idCol) === col("_loser"), "left_anti")
   }
 
   /** The composed corpus-dedup pipeline a training-data run actually
     * wants: exact dedup first (cheap hash-groupBy removes clones so the
     * LSH stage never wastes candidates on them), then MinHash-LSH
-    * near-dup removal. Keeps the lowest id of every duplicate cluster. */
+    * near-dup removal. Keeps the lowest id of every duplicate cluster.
+    *
+    * The LSH stage runs with `assumeDistinct`: [[exactByText]] keeps
+    * exactly one row per text fingerprint — the SAME fingerprint the
+    * rep tier groups on — so every identity class is a singleton by
+    * construction and the rep tier's groupBy+join would be pure
+    * identity work (the r13 `x_dedup_corpus` overhead, erased by proof
+    * rather than by a count-distinct probe). */
   def dedupeCorpus(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 2, numPerm: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame =
-    dedupeNearMinhash(exactByText(df, idCol, textCol), idCol, textCol,
-      shingleN, numPerm, bands, threshold)
+                   threshold: Double = 0.5): DataFrame = {
+    val ex = exactByText(df, idCol, textCol)
+    dedupeFromStages(ex, idCol,
+      minhashRepStages(ex, idCol, textCol, shingleN, numPerm, bands,
+        threshold, assumeDistinct = true),
+      threshold)
+  }
 
   /** Benchmark decontamination — the eval-leak guard every LLM training
     * pipeline runs before a corpus ships (the n-gram collision rule of

@@ -204,4 +204,77 @@ object GraphOps {
     eng.release(bidir)
     labels.select(col("id"), col("label").as("community"))
   }
+
+  /** [[labelPropagation]] over the CLIQUE BLOW-UP of a weighted
+    * supernode graph, computed at SUPERNODE grain — bit-equal to
+    * running the member-grain sync LPA on the graph where every
+    * supernode is expanded to a `weight`-sized clique (its members,
+    * ids ≥ the supernode id with the supernode id as class minimum)
+    * and every supernode edge to a complete bipartite bundle. The
+    * near-dup use: LPA over clone-expanded pairs pays ~100× the edges
+    * of the rep graph for answers that are a deterministic function of
+    * the rep graph plus class sizes.
+    *
+    * Exactness argument, round by round (members of one class always
+    * see the identical neighbor multiset — own class ∪ adjacent
+    * classes' members):
+    *  - Round 1: every member label is its own DISTINCT id, so all
+    *    counts are 1 and the smallest-label tie-break picks the
+    *    minimum member id over the neighborhood — which is the minimum
+    *    SUPERNODE id over {self} ∪ neighbors (each supernode is its
+    *    class minimum). One grouped `min` over neighbors-with-self.
+    *    All members of a class now share one label, and every label
+    *    value is a supernode id.
+    *  - Rounds ≥ 2: members of class B all carry label L_B, so label
+    *    ℓ's count at any member of A is Σ weight(B) over
+    *    B ∈ {A} ∪ adj(A) with L_B = ℓ — a WEIGHTED majority vote at
+    *    supernode grain, same (count desc, label asc) ordering.
+    *
+    * `nodes` is the supernode set as (`node`, `weight`) — weight = the
+    * member count the blow-up expands to; nodes in no edge still
+    * participate (their members form a self-clique: label = own id,
+    * stable). Output: (`id` = supernode, `community`) — expand to
+    * members with one id↔class join (members inherit their class
+    * label by the argument above). */
+  def labelPropagationBlowup(pairs: DataFrame, aCol: String, bCol: String,
+                             nodes: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1,
+      s"labelPropagationBlowup: rounds must be >= 1: $rounds")
+    val eng = graft.engine.Engine
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val wts = eng.materialize(
+      nodes.select(col("node").cast("long").as("node"),
+        col("weight").cast("long").as("_w")))
+    val bidir = eng.materialize(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .unionAll(wts.select(col("node").as("src"),
+          col("node").as("dst")))
+        .distinct())
+    // Round 1 closed form: min member id over neighbors-with-self.
+    var labels = eng.materialize(
+      bidir.groupBy(col("src")).agg(min(col("dst")).as("label"))
+        .select(col("src").as("id"), col("label")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("_c").desc, col("label").asc)
+    var t = 1
+    while (t < rounds) {
+      val next = eng.materialize(
+        bidir.join(labels.select(col("id").as("dst"), col("label")),
+            Seq("dst"))
+          .join(wts.select(col("node").as("dst"), col("_w")), Seq("dst"))
+          .groupBy(col("src"), col("label"))
+          .agg(sum(col("_w")).as("_c"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("src").as("id"), col("label")))
+      eng.release(labels)
+      labels = next
+      t += 1
+    }
+    eng.release(bidir)
+    eng.release(wts)
+    labels.select(col("id"), col("label").as("community"))
+  }
 }

@@ -694,4 +694,86 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.keys.forall { case (a, b) => a != 4L && b != 4L })
     assert(got.size == 4)
   }
+
+  /** Clone-heavy corpus with INTERLEAVED ids across classes — reps are
+    * not uniformly smaller than adjacent classes' members, singleton
+    * and multi-member classes both occur, and one multi-member class
+    * ("x") has an EMPTY shingle set at shingleN=2 (single token — no
+    * bigrams), so its members must be absent from every pair-graph
+    * consumer. */
+  private def supernodeCorpus() = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while the sly cat watches from the old wooden fence nearby"
+    val near = base.replace("lazy", "sleepy")
+    val other = "completely different content about spark catalyst " +
+      "optimizer rules and whole stage code generation for queries"
+    Seq(
+      (5L, base), (7L, base), (13L, base), // class rep 5
+      (6L, near), // singleton class adjacent to 5's
+      (2L, other), (11L, other), // separate clone class, rep 2
+      (3L, "x"), (4L, "x") // multi-member but shingle-free: absent
+    ).toDF("id", "text")
+  }
+
+  test("componentsNearMinhash == connectedComponents over the expanded " +
+    "pair graph (labels expand, edges don't)") {
+    val df = supernodeCorpus()
+    val sup = DedupOps.componentsNearMinhash(df, "id", "text",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupOps.connectedComponents(
+        DedupOps.nearDupPairsMinhash(df, "id", "text", threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sup == full)
+    // structure sanity: base+near one cluster labeled 5, other-class
+    // labeled 2, shingle-free members absent
+    assert(sup(6L) == 5L && sup(7L) == 5L && sup(13L) == 5L)
+    assert(sup(11L) == 2L && sup(2L) == 2L)
+    assert(!sup.contains(3L) && !sup.contains(4L))
+  }
+
+  test("communitiesNearMinhash == member-grain LPA over the expanded " +
+    "pair graph") {
+    val df = supernodeCorpus()
+    for (rounds <- Seq(1, 3)) {
+      val sup = DedupOps.communitiesNearMinhash(df, "id", "text",
+          threshold = 0.5, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = graft.ext.GraphOps.labelPropagation(
+          DedupOps.nearDupPairsMinhash(df, "id", "text", threshold = 0.5),
+          "id_a", "id_b", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sup == full, s"rounds=$rounds")
+    }
+  }
+
+  test("dedupeNearMinhash class-grain keep set == expanded-pair " +
+    "anti-join; rep survives when smaller than every neighbor") {
+    val df = supernodeCorpus()
+    val kept = DedupOps.dedupeNearMinhash(df, "id", "text",
+        threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // direct expanded-path computation of the same contract
+    val losers = DedupOps.nearDupPairsMinhash(df, "id", "text",
+        threshold = 0.5)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    val expect = Set(5L, 7L, 13L, 6L, 2L, 11L, 3L, 4L) -- losers
+    assert(kept == expect)
+    // hand trace: 5 keeps (rep, min of its cluster), 7/13 intra-drop,
+    // 6 drops (adjacent rep 5 < 6), 2 keeps, 11 intra-drops,
+    // 3/4 keep (shingle-free class never pairs)
+    assert(kept == Set(5L, 2L, 3L, 4L))
+  }
+
+  test("dedupeCorpus (rep-tier skipped by proof) == dedupeNearMinhash " +
+    "after exactByText") {
+    val df = supernodeCorpus()
+    val viaCorpus = DedupOps.dedupeCorpus(df, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaCompose = DedupOps.dedupeNearMinhash(
+        DedupOps.exactByText(df, "id", "text"), "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaCorpus == viaCompose)
+  }
 }

@@ -107,4 +107,49 @@ class GraphOpsSpec extends SparkSpec {
     val plus = edges.unionAll(Seq((9L, 9L)).toDF("id_a", "id_b"))
     assert(run(plus, 3)(9L) == 9L)
   }
+
+  test("labelPropagationBlowup == member-grain LPA on the expanded " +
+    "clique blow-up; weights are load-bearing (unweighted differs)") {
+    import spark.implicits._
+    // Supernode star: hub A=6 (w1) touching heavy B=5 (w4, members
+    // {5,8,9,12}), C=1 (w1), D=2 (w1), E=3 (w1); C–D linked so their
+    // labels agree by round 1. Weighted round 2 at the hub: label 5
+    // carries weight 4 vs label 1's 3 → hub flips to 5. An UNWEIGHTED
+    // supernode vote sees label 1 three times vs label 5 once → 1.
+    // The fixture therefore discriminates: only a correctly-weighted
+    // blow-up can match the member-grain result.
+    val supEdges = Seq((6L, 5L), (6L, 1L), (6L, 2L), (6L, 3L),
+      (1L, 2L)).toDF("id_a", "id_b")
+    val weights = Seq((5L, 4L), (6L, 1L), (1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("node", "weight")
+    // Hand-expanded member grain: B's clique + complete bipartite B×A.
+    val expanded = Seq(
+      (5L, 8L), (5L, 9L), (5L, 12L), (8L, 9L), (8L, 12L), (9L, 12L),
+      (5L, 6L), (8L, 6L), (9L, 6L), (12L, 6L),
+      (1L, 6L), (2L, 6L), (3L, 6L), (1L, 2L)).toDF("id_a", "id_b")
+    for (rounds <- Seq(1, 2, 4)) {
+      val sup = GraphOps.labelPropagationBlowup(supEdges, "id_a", "id_b",
+          weights, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // expand supernode labels to members (class members inherit)
+      val members = Map(5L -> Seq(5L, 8L, 9L, 12L), 6L -> Seq(6L),
+        1L -> Seq(1L), 2L -> Seq(2L), 3L -> Seq(3L))
+      val expandedFromSup = sup.flatMap { case (n, l) =>
+        members(n).map(_ -> l)
+      }
+      val direct = GraphOps.labelPropagation(expanded, "id_a", "id_b",
+          rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(expandedFromSup == direct, s"rounds=$rounds")
+    }
+    // Discriminating power: hub ends at 5 under the weighted vote,
+    // but at 1 under the unweighted supernode LPA.
+    val weighted = GraphOps.labelPropagationBlowup(supEdges, "id_a",
+        "id_b", weights, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unweighted = GraphOps.labelPropagation(supEdges, "id_a", "id_b", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted(6L) == 5L)
+    assert(unweighted(6L) == 1L)
+  }
 }
