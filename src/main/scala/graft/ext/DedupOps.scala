@@ -444,14 +444,19 @@ object DedupOps {
       .unionByName(multiMemberShingled(st, threshold)
         .select(col("_rid").cast("long").as("_rid")))
       .distinct()
-    st.classes
+    // Materialized: [[connectedComponents]]' contract is a
+    // checkpoint-backed, lineage-free label frame, and consumers lean
+    // on it — incrementalComponents scans its history labels twice,
+    // the CC-family cache serves four queries — so the expansion joins
+    // must not replay per downstream action.
+    graft.engine.Engine.materialize(st.classes
       .select(col("_rid").cast("long").as("_rid"),
         col("_oid").cast("long").as("_oid"))
       .join(eligible, Seq("_rid"), "left_semi")
       .join(repCC.select(col("id").as("_rid"), col("component")),
         Seq("_rid"), "left")
       .select(col("_oid").as("id"),
-        coalesce(col("component"), col("_rid")).as("component"))
+        coalesce(col("component"), col("_rid")).as("component")))
   }
 
   /** Label-propagation communities of the near-dup graph at

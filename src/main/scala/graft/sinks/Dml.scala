@@ -8,34 +8,178 @@ import org.apache.spark.sql.functions._
   * the reference's DML passthrough (`core/utils/db_core.py:187-200`, which
   * shipped UPDATE/DELETE strings to BigQuery).
   *
-  * Vanilla parquet has no ACID DML, so this implements copy-on-write at
-  * table-path granularity: plan the mutated frame, write it to a temp
-  * sibling, then atomically swap directories. Same shape a lakehouse
-  * format (Delta/Iceberg) uses, minus per-file-group granularity — at
-  * 100 TB you would adopt one of those formats; the API surface here stays
-  * identical, so callers don't change.
+  * Vanilla parquet has no ACID DML, so this implements copy-on-write —
+  * at FILE-GROUP granularity for flat table layouts (the lakehouse
+  * shape: rewrite only the files that contain matching rows, carry the
+  * rest forward by reference), at table-path granularity as the
+  * fallback for layouts/mutations file granularity can't serve
+  * (schema-changing assignments; Hive-partitioned dirs, which have
+  * their own partition-bounded entry points below).
   *
-  * Each op costs one counting scan (affected rows, computed before the
-  * swap) plus one rewrite pass (scan → project/filter → write).
+  * How the rewrite set is found: the affected-count scan groups matched
+  * rows by `input_file_name()`, so the touched-file set is derived from
+  * the rows THEMSELVES — strictly tighter than footer min/max pruning
+  * ("does contain" vs "may contain") — while parquet footer stats still
+  * accelerate that scan by skipping non-qualifying row groups. This is
+  * where the layout family pays off in DML cost: a curve-clustered
+  * table ([[graft.ext.LayoutOps.writeCurveClustered]]) bounds every
+  * file's key extents, so a selective predicate touches few files and
+  * the rest move by reference (hardlink when the filesystem supports
+  * it, copy otherwise). At 100 TB with a one-row UPDATE this is the
+  * difference between rewriting one file and rewriting the table; a
+  * real deployment would let a table format (Delta/Iceberg) keep the
+  * untouched files by manifest reference instead of link/copy — the
+  * rewrite-set planning is identical.
+  *
+  * Each op costs one counting/planning scan plus one rewrite pass over
+  * the touched files only; the swap stays whole-directory atomic (the
+  * new table materializes fully in a temp sibling before the rename
+  * pair).
   */
 object Dml {
 
+  /** Per-op observability for the file-granular path: how much of the
+    * table moved by reference vs got rewritten. `filesRewritten == -1`
+    * marks a whole-table fallback (schema change / partitioned layout). */
+  case class DmlFileStats(affected: Long, filesTotal: Int,
+                          filesRewritten: Int, filesKept: Int)
+
   /** UPDATE t SET assignments WHERE cond. Returns affected-row count. */
   def update(spark: SparkSession, tablePath: String,
-             assignments: Map[String, Column], cond: Column): Long = {
+             assignments: Map[String, Column], cond: Column): Long =
+    updateWithStats(spark, tablePath, assignments, cond).affected
+
+  /** [[update]] with file-granularity stats. */
+  def updateWithStats(spark: SparkSession, tablePath: String,
+                      assignments: Map[String, Column],
+                      cond: Column): DmlFileStats = {
     val df = spark.read.parquet(tablePath)
-    val updated = assignments.foldLeft(df) { case (acc, (name, value)) =>
-      acc.withColumn(name, when(cond, value).otherwise(col(name)))
+    def mutate(in: DataFrame): DataFrame =
+      assignments.foldLeft(in) { case (acc, (name, value)) =>
+        acc.withColumn(name, when(cond, value).otherwise(col(name)))
+      }
+    // A type-changing assignment (e.g. double into an int column) must
+    // rewrite EVERY file — mixed file schemas under one table path
+    // would poison every later read.
+    val schemaPreserved = mutate(df).schema == df.schema
+    flatTableFiles(spark, tablePath) match {
+      case Some(all) if schemaPreserved =>
+        mutateFiles(spark, tablePath, df, cond, all)(mutate)
+      case _ =>
+        val affected = rewrite(spark, tablePath, mutate(df),
+          affected = df.filter(cond).count())
+        DmlFileStats(affected, -1, -1, -1)
     }
-    rewrite(spark, tablePath, updated,
-      affected = df.filter(cond).count())
   }
 
   /** DELETE FROM t WHERE cond. Returns deleted-row count. */
-  def delete(spark: SparkSession, tablePath: String, cond: Column): Long = {
+  def delete(spark: SparkSession, tablePath: String, cond: Column): Long =
+    deleteWithStats(spark, tablePath, cond).affected
+
+  /** [[delete]] with file-granularity stats. */
+  def deleteWithStats(spark: SparkSession, tablePath: String,
+                      cond: Column): DmlFileStats = {
     val df = spark.read.parquet(tablePath)
-    rewrite(spark, tablePath, df.filter(!coalesce(cond, lit(false))),
-      affected = df.filter(cond).count())
+    flatTableFiles(spark, tablePath) match {
+      case Some(all) =>
+        mutateFiles(spark, tablePath, df, cond, all)(
+          _.filter(!coalesce(cond, lit(false))))
+      case None =>
+        val affected = rewrite(spark, tablePath,
+          df.filter(!coalesce(cond, lit(false))),
+          affected = df.filter(cond).count())
+        DmlFileStats(affected, -1, -1, -1)
+    }
+  }
+
+  /** The table's data files IF the layout is flat (every parquet file a
+    * direct child of the root — no Hive `name=value` subdirs); None
+    * sends the caller down the whole-table path. */
+  private def flatTableFiles(spark: SparkSession,
+                             tablePath: String): Option[Seq[Path]] = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(root).toSeq
+    val hasSubdirs = entries.exists(e => e.isDirectory &&
+      !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+    if (hasSubdirs) None
+    else Some(entries
+      .filter(e => e.isFile && isDataFile(e.getPath.getName))
+      .map(e => fs.makeQualified(e.getPath)))
+  }
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** Canonical, DECODED filesystem path of a file URI — the one form
+    * both `input_file_name()` output ("file:///a%20b/part…") and Hadoop
+    * listing paths ("file:/a b/part…") reduce to, so set operations
+    * between the two sources are exact regardless of slash count or
+    * percent-encoding. */
+  private def canonical(uri: String): String =
+    new java.net.URI(uri).getPath
+
+  private def canonical(p: Path): String = p.toUri.getPath
+
+  /** File-granular copy-on-write: matched rows name their files, ONLY
+    * those files pass through `mutate`, everything else enters the new
+    * table directory by hardlink (copy when linking is unsupported),
+    * then the directory swap is the same atomic rename pair as the
+    * whole-table path. */
+  private def mutateFiles(spark: SparkSession, tablePath: String,
+                          df: DataFrame, cond: Column, all: Seq[Path])
+                         (mutate: DataFrame => DataFrame): DmlFileStats = {
+    val perFile = df.filter(cond)
+      .groupBy(input_file_name().as("_f"))
+      .agg(count(lit(1)).as("_n")).collect()
+    val affected = perFile.map(_.getLong(1)).sum
+    val touchedUris = perFile.map(_.getString(0)).toSeq
+    val touched = touchedUris.map(canonical).toSet
+    if (touched.isEmpty) // no matches: the table is already the answer
+      return DmlFileStats(0L, all.size, 0, all.size)
+    val kept = all.filterNot(p => touched(canonical(p)))
+    val table = new Path(tablePath)
+    val tmp = new Path(tablePath + "._dml_tmp")
+    val old = new Path(tablePath + "._dml_old")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true); fs.delete(old, true)
+    // Rewritten files land in tmp first (their part names carry this
+    // write's job UUID, so they can't collide with kept names).
+    mutate(spark.read.parquet(touchedUris: _*))
+      .write.mode("overwrite").parquet(tmp.toString)
+    kept.foreach { src =>
+      val dst = new Path(tmp, src.getName)
+      linkOrCopy(spark, fs, src, dst)
+    }
+    if (!fs.rename(table, old))
+      throw new java.io.IOException(s"DML swap failed: cannot move $table")
+    if (!fs.rename(tmp, table)) {
+      fs.rename(old, table) // roll back
+      throw new java.io.IOException(s"DML swap failed: cannot move $tmp")
+    }
+    fs.delete(old, true)
+    DmlFileStats(affected, all.size, touched.size, kept.size)
+  }
+
+  /** Hardlink `src` as `dst` when both live on a link-capable local
+    * filesystem; byte-copy otherwise (object stores, cross-device).
+    * Content-addressed-by-reference is what a manifest-based table
+    * format gives for free; this is the closest vanilla-parquet shape. */
+  private def linkOrCopy(spark: SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         src: Path, dst: Path): Unit = {
+    val local = "file" == Option(src.toUri.getScheme).getOrElse("file")
+    val linked = local && {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        true
+      } catch { case _: Exception => false }
+    }
+    if (!linked)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
   }
 
   /** Partition-bounded UPDATE over a Hive-partitioned table: one scan

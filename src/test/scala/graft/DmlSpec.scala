@@ -137,4 +137,79 @@ class DmlSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
     assert(partFiles(dir, "day=d2") == before)
   }
+
+  private def flatFiles(dir: String): Map[String, Long] = {
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.isFile)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("file-granular update on a curve-clustered table rewrites only " +
+    "files containing matches; the rest carry forward by reference") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml").toString + "/t"
+    // 4k rows over a 64x64 key grid, curve-clustered into 16 files —
+    // every file's footer extents are curve-range-bounded, so a
+    // selective 2-D box predicate lands in few files.
+    val rows = (0 until 4096).map { i =>
+      (i.toLong, (i % 64).toLong, (i / 64).toLong, 1.0)
+    }.toDF("id", "x", "y", "amt")
+    graft.ext.LayoutOps.writeCurveClustered(rows, "x", "y",
+      bits = 6, nFiles = 16, path = dir)
+    val before = flatFiles(dir)
+    assert(before.size == 16)
+    val boxCond = col("x") < 8 && col("y") < 8
+    val st = Dml.updateWithStats(spark, dir,
+      Map("amt" -> lit(9.0)), boxCond)
+    assert(st.affected == 64)
+    assert(st.filesTotal == 16)
+    assert(st.filesRewritten < 16 && st.filesRewritten >= 1)
+    assert(st.filesKept == 16 - st.filesRewritten && st.filesKept > 0)
+    // kept files are byte-identical carries (same name, same mtime —
+    // hardlinks of the originals), not rewrites
+    val after = flatFiles(dir)
+    val carried = after.keySet.intersect(before.keySet)
+    assert(carried.size == st.filesKept)
+    carried.foreach(k => assert(after(k) == before(k)))
+    // correctness: exactly the box got the new amount
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("amt") === 9.0).count() == 64)
+    assert(back.filter(boxCond && col("amt") =!= 9.0).count() == 0)
+    assert(back.count() == 4096)
+  }
+
+  test("file-granular delete: no-match is a zero-cost no-op; " +
+    "matches drop with untouched files carried") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml").toString + "/t"
+    val rows = (0 until 1024).map { i =>
+      (i.toLong, (i % 32).toLong, (i / 32).toLong)
+    }.toDF("id", "x", "y")
+    graft.ext.LayoutOps.writeCurveClustered(rows, "x", "y",
+      bits = 5, nFiles = 8, path = dir)
+    val before = flatFiles(dir)
+    val miss = Dml.deleteWithStats(spark, dir, col("x") === 999L)
+    assert(miss == Dml.DmlFileStats(0L, 8, 0, 8))
+    assert(flatFiles(dir) == before) // untouched — no swap at all
+    val st = Dml.deleteWithStats(spark, dir,
+      col("x") < 4 && col("y") < 4)
+    assert(st.affected == 16 && st.filesKept > 0)
+    assert(spark.read.parquet(dir).count() == 1024 - 16)
+    assert(spark.read.parquet(dir)
+      .filter(col("x") < 4 && col("y") < 4).count() == 0)
+  }
+
+  test("schema-changing assignment falls back to whole-table rewrite " +
+    "(mixed file schemas would poison later reads)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml").toString + "/t"
+    Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "v")
+      .repartition(3).write.parquet(dir)
+    val st = Dml.updateWithStats(spark, dir,
+      Map("v" -> lit(2.5)), col("k") === 1L) // int -> double widens
+    assert(st == Dml.DmlFileStats(1L, -1, -1, -1))
+    val back = spark.read.parquet(dir).orderBy("k").collect()
+    assert(back.map(_.getDouble(1)).toSeq == Seq(2.5, 20.0, 30.0))
+  }
 }
