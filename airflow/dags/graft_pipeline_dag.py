@@ -182,12 +182,26 @@ with DAG(
          "doc_id", "n_chars", "8", "64", "zorder"],
     )
 
+    # Load-or-train the persisted ANN index over the loaded embedding
+    # table (AnnIndexJob): sampled IVF centroids + PQ codebooks +
+    # encoded corpus land in durable state keyed by (params,
+    # corpus-version = the run date) — downstream similarity queries
+    # search off the loaded tables instead of re-paying the encode pass
+    # per session. Same durable-state discipline as incremental_dedupe.
+    ann_index = spark_task(
+        "ann_index",
+        "graft.jobs.AnnIndexJob",
+        [DATA_ROOT + "/warehouse/embeddings",
+         DATA_ROOT + "/state/ann_index",
+         "vec_id", "embedding", "64", "16", "4", "16", "{{ ds }}"],
+    )
+
     # Profile runs informationally in parallel; the data path is gated:
     # nothing downstream starts until the quality rules pass.
     ingest >> [profile, quality_gate]
     crawl >> scrape_ingest >> quality_gate
     quality_gate >> dedupe >> incremental_dedupe >> split >> load
-    load >> layout
+    load >> ann_index >> layout
     quality_gate >> curate
 
 

@@ -440,10 +440,36 @@ object ExtQueries {
   // reproduces exactly in DuckDB. Same output shape as the exact
   // baseline, so a user can swap ANN layouts without code changes.
   // ---------------------------------------------------------------------
+  /** Session-cached PERSISTED ANN index over the embeddings fixture:
+    * the first sim-family query trains the sampled-quantizer state and
+    * writes it to a state dir ([[graft.jobs.AnnIndexJob]]); the state
+    * served to every query is then the LOADED one (quantizer + codes
+    * read back from parquet), so the x_sim_ivf / x_sim_pq /
+    * x_sim_ivfadc oracle rows certify search-off-loaded-index
+    * end-to-end — cross-run reuse at daily cadence is the same load
+    * path with a persistent stateDir (JobsSpec pins load == retrain
+    * bit-equality). */
+  private val annCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), SimilarityOps.AnnIndexState]()
+
+  private def annState(s: SparkSession,
+                       dir: String): SimilarityOps.AnnIndexState =
+    annCache.computeIfAbsent((s, dir), _ => {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-ann-state").toString
+      val emb = t(s, dir, "embeddings")
+      graft.jobs.AnnIndexJob.loadOrTrain(s, emb, stateDir,
+        "vec_id", "embedding", dim = 64) // train + persist
+      val (loaded, wasLoaded) = graft.jobs.AnnIndexJob.loadOrTrain(s,
+        emb, stateDir, "vec_id", "embedding", dim = 64)
+      assert(wasLoaded, "ann state must load from the persisted key")
+      loaded
+    })
+
   def xSimIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    SimilarityOps.ivfTopKSampled(emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+    SimilarityOps.ivfTopKSampledWithIndex(emb.filter(col("vec_id") < 10),
+        emb, annState(s, dir), "vec_id", "embedding", k = 5, nProbe = 4)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -495,8 +521,8 @@ object ExtQueries {
   // ---------------------------------------------------------------------
   def xSimPq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    SimilarityOps.pqTopK(emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "embedding", k = 5, dim = 64, m = 4, nCodewords = 16)
+    SimilarityOps.pqTopKWithIndex(emb.filter(col("vec_id") < 10),
+        annState(s, dir), "vec_id", "embedding", k = 5)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -563,9 +589,8 @@ object ExtQueries {
   // ---------------------------------------------------------------------
   def xSimIvfadc(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    SimilarityOps.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "embedding", k = 5, dim = 64, nCentroids = 16,
-        nProbe = 4, m = 4, nCodewords = 16)
+    SimilarityOps.ivfPqTopKWithIndex(emb.filter(col("vec_id") < 10),
+        annState(s, dir), "vec_id", "embedding", k = 5, nProbe = 4)
       .orderBy(col("query_id"), col("rnk"))
   }
 

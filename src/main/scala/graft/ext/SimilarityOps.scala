@@ -410,33 +410,124 @@ object SimilarityOps {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, dim: Int, nCentroids: Int = 16,
                 nProbe: Int = 4, m: Int = 4,
-                nCodewords: Int = 16): DataFrame = {
+                nCodewords: Int = 16): DataFrame =
+    ivfPqTopKWithIndex(queries,
+      buildAnnIndexState(corpus, idCol, vecCol, dim, nCentroids, m,
+        nCodewords),
+      idCol, vecCol, k, nProbe)
+
+  // ---- persistable ANN index state (r13 verdict ask #4) --------------
+  // The sampled quantizer params and the encoded corpus are
+  // deterministic pure functions of (corpus, params), but retraining
+  // them per session re-pays the corpus encode pass at daily cadence.
+  // The near-dup band index (DedupOps.buildNearDupIndex) set the
+  // pattern: materialize the trained state as parquet keyed by
+  // (params, corpus-version), load-or-train in a job
+  // (jobs.AnnIndexJob), search off the loaded tables. The *WithIndex
+  // entry points below are the EXACT search arithmetic of their
+  // train-inline twins — the inline forms now delegate to them, so the
+  // two paths cannot drift.
+
+  /** Trained ANN index state: the sampled coarse centroids and PQ
+    * codebooks (tiny, plan-literal-sized — held driver-side, the same
+    * contract as the LSH hyperplane literals) plus the encoded corpus
+    * (`neighbor_id`, `_cell`, `_cw0..{m-1}` — m small ints per vector,
+    * floats dropped). */
+  case class AnnIndexState(dim: Int, nCentroids: Int, m: Int,
+                           nCodewords: Int,
+                           cents: Seq[IndexedSeq[Double]],
+                           cws: Seq[IndexedSeq[Double]],
+                           codes: DataFrame)
+
+  /** Train the sampled-quantizer index: one bounded driver-side sample
+    * for the quantizer params, ONE corpus pass computing cell + codes
+    * (a narrow shuffle-free projection — floats never shuffle). */
+  def buildAnnIndexState(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, nCentroids: Int = 16, m: Int = 4,
+                         nCodewords: Int = 16): AnnIndexState = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
     val sample = sampleVectors(corpus, idCol, vecCol,
       math.max(nCentroids, nCodewords))
     val cents = sample.take(nCentroids)
     val cws = sample.take(nCodewords)
-    // ONE corpus pass computes the cell and the m codes; floats dropped.
-    val indexed = corpus.select(
+    val codes = corpus.select(
       col(idCol).as("neighbor_id") +:
         element_at(array_sort(cellStructs(col(vecCol), cents)), 1)
           .getField("c").as("_cell") +:
         (0 until m).map(mi =>
           pqCodeCol(col(vecCol), mi, sub, cws).as(s"_cw$mi")): _*)
+    AnnIndexState(dim, nCentroids, m, nCodewords, cents, cws, codes)
+  }
+
+  /** IVFADC search off a trained/loaded index — [[ivfPqTopK]]'s exact
+    * probe join, fixed-order ADC estimate, and ranking. */
+  def ivfPqTopKWithIndex(queries: DataFrame, st: AnnIndexState,
+                         idCol: String, vecCol: String, k: Int,
+                         nProbe: Int = 4): DataFrame = {
+    val sub = st.dim / st.m
     val q = queries.select(
       col(idCol).as("query_id") +:
         explode(transform(
-          slice(array_sort(cellStructs(col(vecCol), cents)), 1, nProbe),
+          slice(array_sort(cellStructs(col(vecCol), st.cents)), 1, nProbe),
           s => s.getField("c"))).as("_cell") +:
-        (0 until m).map(mi =>
-          pqDistTable(col(vecCol), mi, sub, cws).as(s"_dt$mi")): _*)
-    val est = (0 until m).map(mi =>
+        (0 until st.m).map(mi =>
+          pqDistTable(col(vecCol), mi, sub, st.cws).as(s"_dt$mi")): _*)
+    val est = (0 until st.m).map(mi =>
       element_at(col(s"_dt$mi"), col(s"_cw$mi") + lit(1))).reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(asc("est_d2"), asc("neighbor_id"))
-    indexed.join(broadcast(q), Seq("_cell"))
+    st.codes.join(broadcast(q), Seq("_cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(est, 6).as("est_d2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("est_d2"))
+  }
+
+  /** Sampled-IVF search off a loaded index: cell assignments come from
+    * the index (skipping the per-session assignment pass); the exact
+    * cosine rerank joins the corpus floats back by id — identical
+    * arithmetic to [[ivfTopKSampled]]. */
+  def ivfTopKSampledWithIndex(queries: DataFrame, corpus: DataFrame,
+                              st: AnnIndexState, idCol: String,
+                              vecCol: String, k: Int,
+                              nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("_cv"))
+      .join(st.codes.select(col("neighbor_id"), col("_cell")),
+        Seq("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(transform(
+          slice(array_sort(cellStructs(col(vecCol), st.cents)), 1, nProbe),
+          s => s.getField("c"))).as("_cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("neighbor_id"))
+    c.join(broadcast(q), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_qv"), col("_cv")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+  }
+
+  /** PQ/ADC search off a loaded index — [[pqTopK]]'s exact estimate
+    * and ranking over the index's code columns (the `_cell` column
+    * rides along unused). */
+  def pqTopKWithIndex(queries: DataFrame, st: AnnIndexState,
+                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val sub = st.dim / st.m
+    val q = queries.select(col(idCol).as("query_id") +:
+      (0 until st.m).map(mi =>
+        pqDistTable(col(vecCol), mi, sub, st.cws).as(s"_dt$mi")): _*)
+    val est = (0 until st.m).map(mi =>
+      element_at(col(s"_dt$mi"), col(s"_cw$mi") + lit(1))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(asc("est_d2"), asc("neighbor_id"))
+    st.codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(est, 6).as("est_d2"))
       .withColumn("rnk", row_number().over(w))

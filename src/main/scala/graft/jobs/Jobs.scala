@@ -251,6 +251,102 @@ object IncrementalDedupJob {
     Jobs.withSession("graft-dedupe-incremental")(run(_, args))
 }
 
+/** Persist-or-load the ANN index state across runs (r13 verdict ask
+  * #4, the [[IncrementalDedupJob]] pattern applied to similarity): the
+  * sampled IVF centroids, PQ codebooks, and the encoded corpus are
+  * deterministic pure functions of (corpus, params), but retraining
+  * per session re-pays the corpus encode pass every day. This job
+  * materializes the trained state as parquet keyed by the full
+  * parameter tuple + a caller-supplied corpus version, and LOADS it
+  * when the key matches — retraining only on a param or corpus-version
+  * change. Search entry points
+  * ([[graft.ext.SimilarityOps.ivfPqTopKWithIndex]] and friends) are
+  * arithmetically identical to their train-inline twins, so loaded
+  * and retrained states produce bit-equal scores (pinned in JobsSpec).
+  *
+  * State layout: `<stateDir>/quantizer` (role, pos, vec),
+  * `<stateDir>/codes` (neighbor_id, _cell, _cw0..m-1), and
+  * `<stateDir>/meta` (the key) — meta is written LAST, so a crash
+  * mid-persist leaves a keyless (= absent) state that the next run
+  * retrains, never a half-written one that loads.
+  *
+  * args: <corpusIn> <stateDir> <idCol> <vecCol> <dim> [nCentroids=16]
+  *       [m=4] [nCodewords=16] [corpusVersion=v1] */
+object AnnIndexJob {
+  import graft.ext.SimilarityOps
+  import graft.ext.SimilarityOps.AnnIndexState
+
+  /** (state, loaded) — `loaded = true` when the persisted key matched
+    * and no training ran. */
+  def loadOrTrain(spark: SparkSession, corpus: DataFrame,
+                  stateDir: String, idCol: String, vecCol: String,
+                  dim: Int, nCentroids: Int = 16, m: Int = 4,
+                  nCodewords: Int = 16,
+                  corpusVersion: String = "v1")
+      : (AnnIndexState, Boolean) = {
+    import org.apache.spark.sql.functions._
+    val metaPath = s"$stateDir/meta"
+    val qPath = s"$stateDir/quantizer"
+    val cPath = s"$stateDir/codes"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = (dim, nCentroids, m, nCodewords, corpusVersion)
+    val persisted =
+      fs.exists(new org.apache.hadoop.fs.Path(metaPath)) && {
+        val mr = spark.read.parquet(metaPath).collect()
+        mr.length == 1 && {
+          val r = mr(0)
+          (r.getAs[Int]("dim"), r.getAs[Int]("n_centroids"),
+            r.getAs[Int]("m"), r.getAs[Int]("n_codewords"),
+            r.getAs[String]("corpus_version")) == key
+        }
+      }
+    if (persisted) {
+      val quant = spark.read.parquet(qPath)
+        .orderBy(col("role"), col("pos")).collect()
+        .map(r => (r.getAs[String]("role"),
+          r.getSeq[Double](r.fieldIndex("vec")).toIndexedSeq))
+      val cents = quant.filter(_._1 == "centroid").map(_._2).toSeq
+      val cws = quant.filter(_._1 == "codeword").map(_._2).toSeq
+      (AnnIndexState(dim, nCentroids, m, nCodewords, cents, cws,
+        spark.read.parquet(cPath)), true)
+    } else {
+      val st = SimilarityOps.buildAnnIndexState(corpus, idCol, vecCol,
+        dim, nCentroids, m, nCodewords)
+      import spark.implicits._
+      val quant =
+        st.cents.zipWithIndex.map { case (v, i) => ("centroid", i, v) } ++
+          st.cws.zipWithIndex.map { case (v, i) => ("codeword", i, v) }
+      quant.toDF("role", "pos", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(qPath)
+      st.codes.write.mode("overwrite").parquet(cPath)
+      Seq((dim, nCentroids, m, nCodewords, corpusVersion))
+        .toDF("dim", "n_centroids", "m", "n_codewords", "corpus_version")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath)
+      // Return the PERSISTED codes (checkpoint-backed by the write):
+      // searches replay a scan, not the encode projection.
+      (st.copy(codes = spark.read.parquet(cPath)), false)
+    }
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.length >= 5, "usage: AnnIndexJob <corpusIn> <stateDir>" +
+      " <idCol> <vecCol> <dim> [nCentroids=16] [m=4] [nCodewords=16]" +
+      " [corpusVersion=v1]")
+    val Array(in, stateDir, idCol, vecCol, dimS, rest @ _*) = args
+    val (st, loaded) = loadOrTrain(spark, Sources.readParquet(spark, in),
+      stateDir, idCol, vecCol, dimS.toInt,
+      rest.headOption.map(_.toInt).getOrElse(16),
+      rest.lift(1).map(_.toInt).getOrElse(4),
+      rest.lift(2).map(_.toInt).getOrElse(16),
+      rest.lift(3).getOrElse("v1"))
+    System.err.println(s"[ann-index] ${if (loaded) "loaded" else "trained"}" +
+      s" state at $stateDir (${st.nCentroids} cells, m=${st.m})")
+  }
+  def main(args: Array[String]): Unit =
+    Jobs.withSession("graft-ann-index")(run(_, args))
+}
+
 /** Quality gate: run declarative [[graft.transform.Checks]] rules on a
   * parquet table, persist the report, and FAIL THE TASK (exception →
   * non-zero exit → Airflow retry/alert) when any rule is violated — the

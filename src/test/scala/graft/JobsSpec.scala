@@ -754,4 +754,55 @@ class JobsSpec extends SparkSpec {
       .inheritIO().start().waitFor()
     assert(rc == 0, s"py_compile failed for $dag")
   }
+
+  test("AnnIndexJob: first run trains, second loads; loaded state " +
+    "searches bit-equal to retrained AND to the train-inline twins; " +
+    "corpus-version bump retrains") {
+    import spark.implicits._
+    import graft.ext.SimilarityOps
+    val emb = (0 until 40).map { i =>
+      (i.toLong,
+        (0 until 8).map(d => ((i * 7 + d * 3) % 13 - 6).toDouble).toArray)
+    }.toDF("vec_id", "embedding")
+    val stateDir = Files.createTempDirectory("graft-ann").toString
+    val (trained, l1) = graft.jobs.AnnIndexJob.loadOrTrain(spark, emb,
+      stateDir, "vec_id", "embedding", dim = 8, nCentroids = 4, m = 4,
+      nCodewords = 8, corpusVersion = "day1")
+    assert(!l1)
+    // Second call with the same key must LOAD — pass a poisoned corpus
+    // so any accidental retrain is caught by the score comparison.
+    val poisoned = emb.withColumn("embedding",
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        v => v * 100))
+    val (loaded, l2) = graft.jobs.AnnIndexJob.loadOrTrain(spark, poisoned,
+      stateDir, "vec_id", "embedding", dim = 8, nCentroids = 4, m = 4,
+      nCodewords = 8, corpusVersion = "day1")
+    assert(l2)
+    assert(loaded.cents == trained.cents && loaded.cws == trained.cws)
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+    val offLoaded = rows(SimilarityOps.ivfPqTopKWithIndex(q, loaded,
+      "vec_id", "embedding", k = 3, nProbe = 2))
+    val offTrained = rows(SimilarityOps.ivfPqTopKWithIndex(q, trained,
+      "vec_id", "embedding", k = 3, nProbe = 2))
+    val inline = rows(SimilarityOps.ivfPqTopK(q, emb, "vec_id",
+      "embedding", k = 3, dim = 8, nCentroids = 4, nProbe = 2, m = 4,
+      nCodewords = 8))
+    assert(offLoaded == offTrained && offLoaded == inline)
+    // the PQ and sampled-IVF twins agree off the same loaded state
+    assert(rows(SimilarityOps.pqTopKWithIndex(q, loaded, "vec_id",
+        "embedding", k = 3)) ==
+      rows(SimilarityOps.pqTopK(q, emb, "vec_id", "embedding", k = 3,
+        dim = 8, m = 4, nCodewords = 8)))
+    assert(rows(SimilarityOps.ivfTopKSampledWithIndex(q, emb, loaded,
+        "vec_id", "embedding", k = 3, nProbe = 2)) ==
+      rows(SimilarityOps.ivfTopKSampled(q, emb, "vec_id", "embedding",
+        k = 3, nCentroids = 4, nProbe = 2)))
+    // a corpus-version bump invalidates the key and retrains
+    val (_, l3) = graft.jobs.AnnIndexJob.loadOrTrain(spark, emb,
+      stateDir, "vec_id", "embedding", dim = 8, nCentroids = 4, m = 4,
+      nCodewords = 8, corpusVersion = "day2")
+    assert(!l3)
+  }
 }
