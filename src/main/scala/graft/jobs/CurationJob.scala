@@ -144,10 +144,18 @@ object CurationJob {
         // Materialized like the exact keep list: the full LSH band-join
         // pipeline must run once, not once per downstream consumer
         // (curate() reads disposition's plan twice — filter + join).
-        val keep = Engine.materialize(
-          DedupOps.dedupeNearMinhash(pop, cfg.idCol, cfg.textCol,
+        // When the exact stage ran, `pop` is pairwise-distinct by text
+        // (one survivor per fingerprint), so the rep tier is skipped by
+        // proof — the dedupeCorpus discipline.
+        val near =
+          if (cfg.exactDedup)
+            DedupOps.dedupeNearMinhashDistinct(pop, cfg.idCol,
+              cfg.textCol, cfg.shingleN, cfg.numPerm, cfg.bands,
+              cfg.nearDupThreshold)
+          else
+            DedupOps.dedupeNearMinhash(pop, cfg.idCol, cfg.textCol,
               cfg.shingleN, cfg.numPerm, cfg.bands, cfg.nearDupThreshold)
-            .select(id.as("_nkid")))
+        val keep = Engine.materialize(near.select(id.as("_nkid")))
         acc = acc.join(keep, id === col("_nkid"), "left")
         cases ::= (col("_nkid").isNull, "near_dup")
       }
