@@ -728,6 +728,33 @@ object ExtQueries {
   // ---------------------------------------------------------------------
   // Text quality metrics + token/subword counts — one narrow projection.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // Flesch reading-ease readability in exact ppm fixed point: the
+  // comprehension-level quality gate (206.835 − 1.015·ASL − 84.6·ASW),
+  // sentences = [.!?]+ runs clamped ≥1, syllables = vowel groups —
+  // truncating division at each of the three steps, same order both
+  // engines, so scores hash-exact. One codegen'd projection.
+  // ---------------------------------------------------------------------
+  def xTextReadability(s: SparkSession, dir: String): DataFrame =
+    TextOps.readabilityReport(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val xTextReadabilitySql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len($toksSql) AS BIGINT) AS n_words,
+       |    GREATEST(CAST(1 AS BIGINT),
+       |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+       |      AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |      AS BIGINT) AS n_syllables
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  206835000 - (1015 * ((n_words * 1000000) // n_sentences)) // 1000
+       |    - (84600 * ((n_syllables * 1000000)
+       |        // GREATEST(CAST(1 AS BIGINT), n_words))) // 1000
+       |    AS fre_ppm
+       |FROM t ORDER BY doc_id""".stripMargin
+
   def xTextStats(s: SparkSession, dir: String): DataFrame =
     TextOps.qualityMetrics(t(s, dir, "documents"), "text")
       .withColumn("n_subwords", TextOps.subwordCount(col("text")))
@@ -1110,6 +1137,47 @@ object ExtQueries {
        |    FROM bidir),
        |$rounds
        |SELECT id AS doc_id, label AS community FROM l4
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Fixed-point PageRank over the same near-dup graph: the centrality
+  // weighting a curation pipeline uses to rank documents inside a
+  // cluster by how embedded they are (and sources by reputation).
+  // Ranks are longs scaled 2^30, contributions truncate-divide by
+  // degree, the damped update is exact integer percent — so the
+  // ITERATION itself is oracle-checked (the ABTT eigensolve
+  // discipline): the twin unrolls 6 rounds as MATERIALIZED CTEs over
+  // the SHARED ccCtesSql edges (cache-served). Engine side runs
+  // member-grain over the expanded pairs to match the twin's graph.
+  // ---------------------------------------------------------------------
+  def xGraphPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.ext.GraphOps.pageRankFx(
+        DedupOps.expandStages(clonedDocStages(s, dir), threshold = 0.8),
+        "id_a", "id_b", rounds = 6)
+      .select(col("id").as("doc_id"), col("pr_fx"))
+      .orderBy(col("doc_id"))
+
+  val xGraphPagerankSql: String = {
+    val one = 1L << 30
+    val base = 15L * one / 100L
+    val rounds = (1 to 6).map { r =>
+      s"""  p$r AS MATERIALIZED (SELECT b.dst AS id,
+         |      CAST($base + (85 * SUM(p.pr // d.deg)) // 100 AS BIGINT)
+         |        AS pr
+         |    FROM bidir2 b JOIN p${r - 1} p ON p.id = b.src
+         |    JOIN deg d ON d.src = b.src
+         |    GROUP BY b.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ccCtesSql,
+       |  bidir2 AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |    UNION SELECT id_b, id_a FROM edges),
+       |  deg AS MATERIALIZED (SELECT src,
+       |      CAST(COUNT(*) AS BIGINT) AS deg
+       |    FROM bidir2 GROUP BY src),
+       |  p0 AS (SELECT src AS id, CAST($one AS BIGINT) AS pr FROM deg),
+       |$rounds
+       |SELECT id AS doc_id, pr AS pr_fx FROM p6
        |ORDER BY doc_id""".stripMargin
   }
 

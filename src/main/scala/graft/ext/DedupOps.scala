@@ -278,11 +278,18 @@ object DedupOps {
   def nearDupPairsMinhash(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 2, numPerm: Int = 64,
                           bands: Int = 16,
-                          threshold: Double = 0.5): DataFrame = {
-    val st = minhashRepStages(df, idCol, textCol, shingleN, numPerm,
-      bands, threshold)
-    // Expansion back to original ids — id-only joins, the only stages
-    // duplicate mass multiplies.
+                          threshold: Double = 0.5): DataFrame =
+    expandStages(
+      minhashRepStages(df, idCol, textCol, shingleN, numPerm, bands,
+        threshold),
+      threshold)
+
+  /** Expansion back to original ids — id-only joins, the only stages
+    * duplicate mass multiplies. Consumers that can stay at rep grain
+    * (components, communities, the apply path) should; this is for the
+    * contracts that genuinely owe the member-grain pair list. */
+  private[graft] def expandStages(st: RepStages,
+                                  threshold: Double): DataFrame = {
     val inter = st.repPairs
       .join(st.classes.select(col("_rid").as("id_a"), col("_oid").as("_ia")),
         Seq("id_a"))

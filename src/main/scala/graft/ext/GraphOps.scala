@@ -205,6 +205,71 @@ object GraphOps {
     labels.select(col("id"), col("label").as("community"))
   }
 
+  /** Fixed-point PageRank over an UNDIRECTED pair table — the
+    * centrality signal a curation pipeline uses to weight sources
+    * (the CommonCrawl-style "rank the graph, keep the reputable tail"
+    * rule) and to rank documents inside a near-dup cluster by how
+    * embedded they are.
+    *
+    * Engine-exact by construction: ranks are longs scaled 2³⁰,
+    * initialized at ONE per node (the N-scaled formulation — total
+    * mass ≈ N·2³⁰ — so no tiny-fraction underflow); each round every
+    * node's contribution is `pr div degree` (truncating division,
+    * the semantics Spark `div` and DuckDB `//` share), and the update
+    * is `floor((100−d)·2³⁰/100) + floor(d·Σcontrib/100)` in integer
+    * percent — every step reproduces bit-for-bit in SQL, so the
+    * iteration itself is oracle-checkable (the ABTT eigensolve
+    * discipline). Fixed round count for cross-engine parity.
+    * Symmetrized graphs have no dangling nodes (every node has an
+    * out-edge), so no dangling-mass term.
+    *
+    * Scale shape, per round: one src-keyed join of the rank relation
+    * to the edge list (+ the degree relation, edge-count-sized), one
+    * grouped decimal sum with map-side partials. Ranks materialize
+    * per round (iterative lineage must be cut). Output:
+    * (`id`, `pr_fx`) — pr_fx/2³⁰ ≈ the N-scaled rank, ≈1 for
+    * average-embedded nodes. */
+  def pageRankFx(pairs: DataFrame, aCol: String, bCol: String,
+                 rounds: Int, dampPct: Int = 85): DataFrame = {
+    require(rounds >= 1, s"pageRankFx: rounds must be >= 1: $rounds")
+    require(dampPct >= 0 && dampPct <= 100,
+      s"pageRankFx: dampPct out of range: $dampPct")
+    val eng = graft.engine.Engine
+    val ONE = 1L << 30
+    val base = (100L - dampPct) * ONE / 100L
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val bidir = eng.materialize(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val deg = eng.materialize(bidir.groupBy(col("src"))
+      .agg(count(lit(1)).as("_deg")))
+    var pr = eng.materialize(
+      deg.select(col("src").as("id"), lit(ONE).as("pr_fx")))
+    var t = 0
+    while (t < rounds) {
+      val next = eng.materialize(
+        bidir
+          .join(pr.select(col("id").as("src"), col("pr_fx")), Seq("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst").as("id"),
+            expr("pr_fx div _deg").as("_c"))
+          .groupBy(col("id"))
+          .agg(sum(col("_c").cast("decimal(38,0)")).as("_s"))
+          .select(col("id"),
+            (lit(base) +
+              expr(s"cast($dampPct * _s div 100 as bigint)"))
+              .as("pr_fx")))
+      eng.release(pr)
+      pr = next
+      t += 1
+    }
+    eng.release(bidir)
+    eng.release(deg)
+    pr.select(col("id"), col("pr_fx"))
+  }
+
   /** [[labelPropagation]] over the CLIQUE BLOW-UP of a weighted
     * supernode graph, computed at SUPERNODE grain — bit-equal to
     * running the member-grain sync LPA on the graph where every

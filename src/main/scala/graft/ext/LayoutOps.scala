@@ -106,20 +106,34 @@ object LayoutOps {
 
   /** Scale an integral column onto the [0, 2^bits) grid given explicit
     * bounds columns: `(v - lo) * (2^bits - 1) div (hi - lo)`, with a
-    * degenerate single-value range pinned to cell 0. The scaling
-    * multiply is widened to decimal(38,0) before the divide: on
-    * wide-range domains (hashed ids, nanosecond timestamps) the
-    * BIGINT product `(v - lo) * mask` can exceed 2^63 and — under
-    * non-ANSI Spark — would silently wrap into garbage cells while
-    * the DuckDB twin errors; decimal keeps both sides exact and
-    * identical at any key magnitude. The result is always in
-    * [0, 2^bits), so the cast back to bigint is lossless. */
+    * degenerate single-value range pinned to cell 0. On wide-range
+    * domains (hashed ids, nanosecond timestamps) the BIGINT product
+    * `(v - lo) * mask` can exceed 2^63 and — under non-ANSI Spark —
+    * would silently wrap into garbage cells while the DuckDB twin
+    * errors; the scaling multiply therefore widens to decimal(38,0)
+    * WHEN the range width makes overflow possible, and keeps the
+    * cheap BIGINT arithmetic when `(hi − lo) ≤ 2^63/mask` proves it
+    * can't (v ∈ [lo, hi], so `v − lo ≤ hi − lo` bounds the product).
+    * Both branches compute the same value where both are exact, so
+    * the guard is a pure fast path — the DuckDB twins stay
+    * unconditional HUGEINT and hash-identical. Result always in
+    * [0, 2^bits): the cast back to bigint is lossless. */
   private def gridCell(v: String, lo: String, hi: String,
                        bits: Int): Column = {
     val mask = (1L << bits) - 1
+    val safeWidth = Long.MaxValue / mask
+    // Overflow-safe width guard (the naive `hi - lo <= safeWidth`
+    // wraps exactly in the wide-range case it exists to detect):
+    // lo ≥ 0 → hi − lo can't overflow; lo < 0 → compare as
+    // hi ≤ safeWidth + lo, whose right side stays in range.
+    val narrow = when(col(lo) >= 0L,
+      col(hi) - col(lo) <= lit(safeWidth))
+      .otherwise(col(hi) <= lit(safeWidth) + col(lo))
     when(col(hi) > col(lo),
-      expr(s"cast(cast(cast($v as decimal(38,0)) - $lo as decimal(38,0))" +
-        s" * $mask div ($hi - $lo) as bigint)"))
+      when(narrow, expr(s"(($v - $lo) * $mask) div ($hi - $lo)"))
+        .otherwise(expr(
+          s"cast(cast(cast($v as decimal(38,0)) - $lo as decimal(38,0))" +
+            s" * $mask div ($hi - $lo) as bigint)")))
       .otherwise(lit(0L))
   }
 

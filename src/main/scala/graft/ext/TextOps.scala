@@ -54,6 +54,36 @@ object TextOps {
   /** Token count — whitespace/punct-delimited word count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Flesch reading-ease readability report in exact ppm fixed point —
+    * the classic comprehension-level quality gate complementing the
+    * length/stopword ratios (Flesch 1948):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)`,
+    * computed as integers scaled 10⁶ with truncating division at each
+    * of the three steps (same order both engines → hash-exact).
+    * Sentences = runs of `[.!?]` clamped to ≥1; syllables = vowel
+    * groups (`[aeiouy]+` over the lowered text — the standard cheap
+    * proxy, RE2-safe so both engines count identically); the
+    * syllables/word divisor clamps to ≥1 so empty text scores rather
+    * than errors. `fre_ppm` = 206835000 ⇔ score 206.835; negative on
+    * dense jargon — that's the signal. One codegen'd projection,
+    * scan-bound, no shuffle. */
+  def readabilityReport(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    df.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sentences"),
+        size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("n_syllables"))
+      .withColumn("_w", greatest(lit(1L), col("n_words")))
+      .withColumn("_asl_ppm", expr("(n_words * 1000000) div n_sentences"))
+      .withColumn("_asw_ppm", expr("(n_syllables * 1000000) div _w"))
+      .withColumn("fre_ppm",
+        expr("206835000 - (1015 * _asl_ppm) div 1000" +
+          " - (84600 * _asw_ppm) div 1000"))
+      .drop("_w", "_asl_ppm", "_asw_ppm")
+
   /** Feature-hashing document embedding (the hashing trick,
     * Weinberger et al. 2009) — text → dense vector WITHOUT a model,
     * the bridge from the text family into the similarity/dedup family

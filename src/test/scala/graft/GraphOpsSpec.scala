@@ -108,6 +108,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(run(plus, 3)(9L) == 9L)
   }
 
+  test("pageRankFx: hand-computed round on a path; symmetry, center " +
+    "dominance, duplicate/self edges ignored") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 3L))
+      .toDF("id_a", "id_b") // reversed dup + self-loop must not count
+    def run(r: Int) = GraphOps.pageRankFx(edges, "id_a", "id_b", r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // ONE = 2^30; base = floor(15*2^30/100) = 161061273. Round 1 on
+    // the 1-2-3 path (deg 1,2,1): leaf gets 85% of 2^30/2, center 85%
+    // of 2*2^30 (both floor-by-100 after the *85).
+    val r1 = run(1)
+    assert(r1(1L) == 161061273L + 85L * (1073741824L / 2) / 100L)
+    assert(r1(2L) == 161061273L + 85L * 2147483648L / 100L)
+    assert(r1(3L) == r1(1L))
+    val r3 = run(3)
+    assert(r3(1L) == r3(3L)) // symmetric leaves stay equal
+    assert(r3(2L) > r3(1L)) // the center is the most embedded node
+    assert(r3.size == 3)
+  }
+
   test("labelPropagationBlowup == member-grain LPA on the expanded " +
     "clique blow-up; weights are load-bearing (unweighted differs)") {
     import spark.implicits._

@@ -145,4 +145,22 @@ class LayoutOpsSpec extends SparkSpec {
       LayoutOps.zOrderAudit(df, "x", "y", bits = 4, nBuckets = 3)
     }
   }
+
+  test("grid scaling survives wide-range key domains (BIGINT product " +
+    "would wrap; decimal branch keeps cells exact)") {
+    import spark.implicits._
+    // range ≈ 2^62 at bits=8 → (v-lo)*255 overflows a long; the
+    // r13-advice widening must land min at cell 0, max at cell 255,
+    // and keep every cell in range — wrapped arithmetic would throw
+    // the audit's extents wildly out of [0, 255].
+    val lo = Long.MinValue / 2
+    val hi = Long.MaxValue / 2
+    val df = Seq((lo, 0L), (hi, 10L), (0L, 5L), (hi / 3, 7L))
+      .toDF("x", "y")
+    val out = LayoutOps.zOrderAudit(df, "x", "y", bits = 8, nBuckets = 2)
+      .collect()
+    val cells = out.flatMap(r => Seq(r.getLong(3), r.getLong(4))) // min/max x
+    assert(cells.forall(c => c >= 0L && c <= 255L))
+    assert(cells.min == 0L && cells.max == 255L)
+  }
 }

@@ -1148,4 +1148,26 @@ class TextOpsSpec extends SparkSpec {
     // trusted-looking text keeps, junk-looking drops
     assert(got(1L)._3 && !got(3L)._3)
   }
+
+  test("readabilityReport: hand-computed Flesch ppm; empty text and " +
+    "sentence-free text score without errors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat. It ran!"),
+      (2L, ""),
+      (3L, "no terminal punctuation here")).toDF("id", "text")
+    val got = graft.ext.TextOps.readabilityReport(df, "id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: 5 words, 2 sentences ('.' and '!'), 5 vowel groups.
+    // asl_ppm = 5e6/2 = 2_500_000; asw_ppm = 5e6/5 = 1_000_000;
+    // fre = 206_835_000 - 1015*2_500_000/1000 - 84600*1_000_000/1000
+    //     = 206_835_000 - 2_537_500 - 84_600_000 = 119_697_500
+    assert(got(1L) == ((5L, 2L, 5L, 119697500L)))
+    // empty text: 0 words, clamped 1 sentence, 0 syllables -> base score
+    assert(got(2L) == ((0L, 1L, 0L, 206835000L)))
+    // sentence-free: clamps to 1 sentence, doesn't error
+    assert(got(3L)._2 == 1L && got(3L)._1 == 4L)
+  }
 }
