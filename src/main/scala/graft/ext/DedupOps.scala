@@ -669,10 +669,16 @@ object DedupOps {
     * the authority; this is the stream-side guard. */
   def isContaminated(textCol: Column, benchGramHashes: Array[Long],
                      n: Int = 3): Column =
+    isContaminatedFromHashes(
+      call_function("graft_hash_tokens", TextOps.tokens(textCol)),
+      benchGramHashes, n)
+
+  /** [[isContaminated]] over a pre-hashed token column (shared
+    * wide-pass discipline). */
+  def isContaminatedFromHashes(th: Column, benchGramHashes: Array[Long],
+                               n: Int = 3): Column =
     call_function("graft_any_in_set",
-      call_function("graft_shingle_hashes",
-        call_function("graft_hash_tokens", TextOps.tokens(textCol)),
-        lit(n)),
+      call_function("graft_shingle_hashes", th, lit(n)),
       lit(benchGramHashes))
 
   /** SimHash from pre-hashed tokens (`array<long>`): per bit position,

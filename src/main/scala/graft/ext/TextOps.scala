@@ -282,6 +282,33 @@ object TextOps {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** [[languageId]]'s prediction as a single Column over the shared
+    * PRE-HASHED token column — for wide gate passes
+    * ([[graft.jobs.CurationJob]]'s discipline). Each language's score
+    * is one native `graft_dict_sum` probe of the marker-hash set
+    * (codegen'd binary search per token) instead of an interpreted
+    * `filter(toks, isin)` HOF per language — the langid flag was the
+    * single most expensive gate in the sf10 wide pass (27 of 57 s)
+    * because `ArrayFilter` evaluates outside whole-stage codegen.
+    * Same scoring and alphabetical-max tie-break; equal to the
+    * string-exact [[languageId]] absent 64-bit token-hash collisions
+    * (the [[nbScoreFromHashes]] contract). */
+  def predLangFromHashes(th: Column): Column = {
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val keys = markers.map(m =>
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(m), 42L))
+        .distinct.sorted.toArray
+      lang -> call_function("graft_dict_sum", th, lit(keys),
+        lit(Array.fill(keys.length)(1L)), lit(0L)).getField("sum")
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(null).cast("string")) {
+      case ((lang, sc), elseC) =>
+        when(sc === maxScore, lit(lang)).otherwise(elseC)
+    }
+  }
+
   /** Sequence packing (concat-and-chunk form): assign documents to
     * fixed-token-budget bins in a deterministic order — the step that
     * turns a filtered corpus into training-context-sized groups. Bin of a
@@ -513,12 +540,17 @@ object TextOps {
     * fields (callers gate on `n_tokens > 0` / coalesce); single-token
     * documents get bigram fractions 0.0 — exactly the grouped form's
     * absent-row / left-join semantics. */
-  def repetitionFracsCol(text: Column): Column = {
-    val ts = call_function("graft_gram_stats",
+  def repetitionFracsCol(text: Column): Column =
+    repetitionFracsFromHashes(
       call_function("graft_hash_tokens", tokens(text)))
+
+  /** [[repetitionFracsCol]] over a PRE-HASHED token column (shared
+    * wide-pass discipline — one `graft_hash_tokens(tokens(text))` per
+    * row serves every flag family). */
+  def repetitionFracsFromHashes(th: Column): Column = {
+    val ts = call_function("graft_gram_stats", th)
     val bs = call_function("graft_gram_stats",
-      call_function("graft_window_hashes",
-        call_function("graft_hash_tokens", tokens(text)), lit(2)))
+      call_function("graft_window_hashes", th, lit(2)))
     val (tn, td, tmx) =
       (element_at(ts, 1), element_at(ts, 2), element_at(ts, 3))
     val (bn, bd, bmx) =
@@ -1477,8 +1509,12 @@ object TextOps {
   /** The per-document (sfx, n_bigrams) struct of [[streamLmScore]] as a
     * raw column — usable directly in a streaming filter predicate. */
   def lmNllStruct(textCol: Column, model: LmModel): Column =
-    call_function("graft_lm_nll",
-      call_function("graft_hash_tokens", tokens(textCol)),
+    lmNllFromHashes(
+      call_function("graft_hash_tokens", tokens(textCol)), model)
+
+  /** [[lmNllStruct]] over a pre-hashed token column. */
+  def lmNllFromHashes(th: Column, model: LmModel): Column =
+    call_function("graft_lm_nll", th,
       lit(model.uniKeys), lit(model.uniVals),
       lit(model.biKeys), lit(model.biVals), lit(model.v))
 
@@ -1559,8 +1595,12 @@ object TextOps {
     * drift from each other (review catch: the gate had its own copy of
     * this expression). */
   def nbScoreCol(textCol: Column, model: NbModel): Column =
-    call_function("graft_dict_sum",
-      call_function("graft_hash_tokens", tokens(textCol)),
+    nbScoreFromHashes(
+      call_function("graft_hash_tokens", tokens(textCol)), model)
+
+  /** [[nbScoreCol]] over a pre-hashed token column. */
+  def nbScoreFromHashes(th: Column, model: NbModel): Column =
+    call_function("graft_dict_sum", th,
       lit(model.keys), lit(model.vals), lit(model.defaultFx))
 
   /** STREAM-SAFE [[nbQualityScore]]: identical output schema and —

@@ -1,6 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Engine
@@ -73,24 +74,38 @@ object CurationJob {
   private[graft] def gateFrame(df: DataFrame, cfg: Config): DataFrame = {
     val text = col(cfg.textCol)
     // ---- one wide pass: every per-document flag ------------------
+    // The tokenizer and the token-hash array are computed ONCE as real
+    // columns and every flag family consumes the shared attribute:
+    // langid, repetition, contamination, NB and LM each used to carry
+    // their own `graft_hash_tokens(tokens(text))` subtree, and with
+    // higher-order functions outside whole-stage codegen's
+    // subexpression elimination the regex tokenizer ran 6+ times per
+    // row — the dominant cost of the sf10 wide pass (CurProbe: 62 s of
+    // x_curation's 75 s). CollapseProject keeps the layering because
+    // the shared columns are multiply-referenced and non-cheap, so the
+    // pass stays ONE FileScan + stacked projections, zero exchanges
+    // (still pinned in PlanShapeSpec).
     val flagged = Checks.flagRows(df, cfg.rules)
       .withColumn("_quar", size(col("violations")) > 0)
       .drop("violations")
+      .withColumn("_toks", TextOps.tokens(text))
+      .withColumn("_th",
+        call_function("graft_hash_tokens", col("_toks")))
     val withLang =
       if (cfg.allowedLangs.isEmpty) flagged.withColumn("_badlang", lit(false))
-      else TextOps.languageId(flagged, cfg.textCol)
-        .withColumn("_badlang", !col("pred_lang").isin(cfg.allowedLangs: _*))
-        .drop("pred_lang" +: TextOps.LangMarkers.map(l => s"score_${l._1}"): _*)
+      else flagged.withColumn("_badlang",
+        !TextOps.predLangFromHashes(col("_th"))
+          .isin(cfg.allowedLangs: _*))
     val repGateOn = cfg.maxDupTokenFrac < 1.0 || cfg.maxTopBigramFrac < 1.0
     val withRep =
       if (!repGateOn) withLang.withColumn("_rep", lit(false))
       else {
         // Fused into the wide pass (r12 verdict ask #4): the fractions
-        // are a per-row projection (TextOps.repetitionFracsCol), so the
-        // gate costs zero extra scans/joins. Token-less/null docs have
-        // null fractions — coalesce keeps them un-flagged, exactly the
-        // old repetitionStats-join-miss semantics.
-        val rf = TextOps.repetitionFracsCol(text)
+        // are a per-row projection, so the gate costs zero extra
+        // scans/joins. Token-less/null docs have null fractions —
+        // coalesce keeps them un-flagged, exactly the old
+        // repetitionStats-join-miss semantics.
+        val rf = TextOps.repetitionFracsFromHashes(col("_th"))
         withLang.withColumn("_rep", coalesce(
           rf.getField("dup_token_frac") > cfg.maxDupTokenFrac ||
             rf.getField("top_bigram_frac") > cfg.maxTopBigramFrac,
@@ -98,12 +113,14 @@ object CurationJob {
       }
     val contamFlag: Column =
       if (cfg.benchGramHashes.isEmpty) lit(false)
-      else DedupOps.isContaminated(text, cfg.benchGramHashes)
+      else DedupOps.isContaminatedFromHashes(col("_th"),
+        cfg.benchGramHashes)
     val lowqFlag: Column = cfg.nbModel.fold(lit(false)) { m =>
-      (TextOps.nbScoreCol(text, m).getField("sum") + lit(m.priorFx)) <= 0L
+      (TextOps.nbScoreFromHashes(col("_th"), m).getField("sum") +
+        lit(m.priorFx)) <= 0L
     }
     val influentFlag: Column = cfg.lmModel.fold(lit(false)) { m =>
-      val s = TextOps.lmNllStruct(text, m)
+      val s = TextOps.lmNllFromHashes(col("_th"), m)
       s.isNotNull &&
         ((s.getField("sfx").cast("double") /
           s.getField("n_bigrams").cast("double")) /
@@ -113,34 +130,63 @@ object CurationJob {
       .withColumn("_contam", contamFlag)
       .withColumn("_lowq", lowqFlag)
       .withColumn("_influent", influentFlag)
+      .drop("_toks", "_th")
   }
 
   /** Per-document disposition: `(idCol, status)`, one row per input
     * row, status = first failing stage or the split name. */
   def disposition(df: DataFrame, cfg: Config): DataFrame = {
     val id = col(cfg.idCol)
-    // Materialized: feeds the dedup populations AND the final
-    // disposition projection — the NB/LM dictionary folds and the
-    // per-row repetition fractions must run once, not once per
-    // consumer.
-    val pre = Engine.materialize(gateFrame(df, cfg))
+    // Materialized NARROW — id + text FINGERPRINT + the six flags;
+    // never the text: checkpointing the full-width frame serialized
+    // every document's text to local disk, and at sf10 that WRITE was
+    // the pipeline's dominant cost (GateProbe: 57 s I/O vs 12 s flag
+    // compute over 6.05M docs). With the fingerprint riding the
+    // narrow frame, the exact-dedup stage runs entirely at
+    // (id, 16-byte fp) grain — survivor texts never shuffle — and the
+    // near-dup stage fetches text by semi-join for the EXACT
+    // SURVIVORS only (one per distinct fingerprint: on a duplicate-
+    // heavy corpus, the broadcast-sized set the LSH stage actually
+    // needs).
+    val flagCols = Seq("_quar", "_badlang", "_rep", "_contam",
+      "_lowq", "_influent")
+    val pre = Engine.materialize(gateFrame(df, cfg)
+      .select(id +: graft.ext.TextOps.fingerprint(col(cfg.textCol))
+        .as("_fp") +: flagCols.map(col): _*))
     // ---- dedup stages on the surviving population ----------------
-    val s4 = pre.filter(!col("_quar") && !col("_badlang") && !col("_rep"))
+    val s4n = pre.filter(!col("_quar") && !col("_badlang") && !col("_rep"))
     val (withKeeps, dedupCase) = {
       var acc = pre
       var cases = List.empty[(Column, String)]
-      var pop = s4
+      // near-dup population: (id, text) of the rows the near stage
+      // must shingle — exact survivors when the exact stage ran,
+      // every gate survivor otherwise.
+      var popIds = s4n.select(id)
       if (cfg.exactDedup) {
-        // id-only keep list, materialized: it feeds BOTH the next
-        // stage's population filter and the disposition join
+        // exactByText at fingerprint grain: same fingerprint, same
+        // keep-the-lowest-id window — but over the narrow frame, so
+        // the shuffle carries (id, fp), not documents.
+        val w = Window.partitionBy(col("_fp")).orderBy(id)
         val keep = Engine.materialize(
-          DedupOps.exactByText(pop, cfg.idCol, cfg.textCol)
-            .select(id.as("_ekid")))
-        pop = pop.join(keep, id === col("_ekid"), "left_semi")
+          s4n.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).select(id.as("_ekid")))
+        popIds = keep.select(col("_ekid").as(cfg.idCol))
         acc = acc.join(keep, id === col("_ekid"), "left")
         cases ::= (col("_ekid").isNull, "exact_dup")
       }
       if (cfg.nearDupThreshold > 0.0) {
+        // The id list is checkpoint-backed (LogicalRDD), so the
+        // planner sees no size stats and would sort-merge this semi
+        // join — shuffling the full corpus TEXT to meet a list that
+        // is usually broadcast-sized (one id per distinct surviving
+        // text on a dup-heavy corpus). One cheap count on the
+        // materialized list picks the hint; genuinely huge distinct
+        // mass falls back to the shuffle join, where moving the
+        // population's text once is the honest cost of shingling it.
+        val popIdsHinted =
+          if (popIds.count() <= 5000000L) broadcast(popIds) else popIds
+        val pop = df.select(id, col(cfg.textCol))
+          .join(popIdsHinted, Seq(cfg.idCol), "left_semi")
         // Materialized like the exact keep list: the full LSH band-join
         // pipeline must run once, not once per downstream consumer
         // (curate() reads disposition's plan twice — filter + join).
