@@ -1147,14 +1147,15 @@ object ExtQueries {
   // Ranks are longs scaled 2^30, contributions truncate-divide by
   // degree, the damped update is exact integer percent — so the
   // ITERATION itself is oracle-checked (the ABTT eigensolve
-  // discipline): the twin unrolls 6 rounds as MATERIALIZED CTEs over
-  // the SHARED ccCtesSql edges (cache-served). Engine side runs
-  // member-grain over the expanded pairs to match the twin's graph.
+  // discipline). The engine iterates at REPRESENTATIVE grain
+  // (pageRankBlowupFx — class-shared ranks, class-constant degrees;
+  // edges never clone-expand) while the twin unrolls 6 member-grain
+  // rounds as MATERIALIZED CTEs over the SHARED ccCtesSql edges
+  // (cache-served) — the green row is the blow-up equivalence proof.
   // ---------------------------------------------------------------------
   def xGraphPagerank(s: SparkSession, dir: String): DataFrame =
-    graft.ext.GraphOps.pageRankFx(
-        DedupOps.expandStages(clonedDocStages(s, dir), threshold = 0.8),
-        "id_a", "id_b", rounds = 6)
+    DedupOps.pagerankFromStages(clonedDocStages(s, dir),
+        threshold = 0.8, rounds = 6)
       .select(col("id").as("doc_id"), col("pr_fx"))
       .orderBy(col("doc_id"))
 

@@ -484,6 +484,31 @@ object DedupOps {
         threshold),
       threshold, rounds)
 
+  /** Fixed-point PageRank of the near-dup graph at REPRESENTATIVE
+    * grain — bit-equal to `GraphOps.pageRankFx(nearDupPairsMinhash(
+    * ...))` (see [[graft.ext.GraphOps.pageRankBlowupFx]] for the
+    * class-shared-rank argument); members inherit their class's rank
+    * through one id↔class join. Output: (`id` long, `pr_fx` long). */
+  private[graft] def pagerankFromStages(st: RepStages, threshold: Double,
+                                        rounds: Int): DataFrame = {
+    val sizes = st.classes.groupBy(col("_rid"))
+      .agg(count(lit(1)).as("_sz"))
+    val endpoints = st.repPairs.select(col("id_a").as("_rid"))
+      .unionByName(st.repPairs.select(col("id_b").as("_rid")))
+    val eligible = endpoints
+      .unionByName(multiMemberShingled(st, threshold))
+      .distinct()
+    val nodes = sizes.join(eligible, Seq("_rid"), "left_semi")
+      .select(col("_rid").as("node"), col("_sz").as("weight"))
+    val sup = graft.ext.GraphOps.pageRankBlowupFx(
+      st.repPairs, "id_a", "id_b", nodes, rounds)
+    st.classes
+      .select(col("_rid").cast("long").as("_rid"),
+        col("_oid").cast("long").as("_oid"))
+      .join(sup.select(col("id").as("_rid"), col("pr_fx")), Seq("_rid"))
+      .select(col("_oid").as("id"), col("pr_fx"))
+  }
+
   private[graft] def communitiesFromStages(st: RepStages, threshold: Double,
                                            rounds: Int): DataFrame = {
     val sizes = st.classes.groupBy(col("_rid"))

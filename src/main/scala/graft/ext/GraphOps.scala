@@ -270,6 +270,96 @@ object GraphOps {
     pr.select(col("id"), col("pr_fx"))
   }
 
+  /** [[pageRankFx]] over the CLIQUE BLOW-UP of a weighted supernode
+    * graph, computed at SUPERNODE grain — bit-equal to running the
+    * member-grain iteration on the expanded graph (the
+    * [[labelPropagationBlowup]] discipline applied to centrality).
+    *
+    * Exactness: members of one class see identical neighbor multisets
+    * (own clique minus self, plus every adjacent class's members), so
+    * by induction they share one rank P_A every round, and every
+    * member's degree is the class constant
+    * `D_A = (w_A − 1) + Σ_{B ∈ adj(A)} w_B`. The member-grain update
+    * sums equal per-member contributions, so at supernode grain:
+    * `P'_A = base + d·((w_A−1)·(P_A div D_A) + Σ_B w_B·(P_B div D_B))
+    * div 100` — same truncating divisions in the same order, hence
+    * bit-equal (the `x_graph_pagerank` DuckDB twin keeps computing
+    * member grain over the expanded graph; its green row is the
+    * proof). Edges never clone-expand; ranks expand through one
+    * id↔class join (all members inherit P_A).
+    *
+    * `nodes` = (node, weight) for every supernode whose members are in
+    * the expanded graph; nodes with `(w−1) + Σ adj w = 0` (isolated
+    * singletons) are excluded by the same rule that excludes them from
+    * the expanded graph. Output: (`id` = supernode, `pr_fx`). */
+  def pageRankBlowupFx(pairs: DataFrame, aCol: String, bCol: String,
+                       nodes: DataFrame, rounds: Int,
+                       dampPct: Int = 85): DataFrame = {
+    require(rounds >= 1,
+      s"pageRankBlowupFx: rounds must be >= 1: $rounds")
+    require(dampPct >= 0 && dampPct <= 100,
+      s"pageRankBlowupFx: dampPct out of range: $dampPct")
+    val eng = graft.engine.Engine
+    val ONE = 1L << 30
+    val base = (100L - dampPct) * ONE / 100L
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val wts = eng.materialize(
+      nodes.select(col("node").cast("long").as("node"),
+        col("weight").cast("long").as("_w")))
+    val bidir = eng.materialize(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    // Per-class member degree: (w−1) intra neighbors + adjacent mass.
+    val adjMass = bidir
+      .join(wts.select(col("node").as("dst"), col("_w").as("_wd")),
+        Seq("dst"))
+      .groupBy(col("src")).agg(sum(col("_wd")).as("_adj"))
+    val deg = eng.materialize(
+      wts.join(adjMass.select(col("src").as("node"), col("_adj")),
+          Seq("node"), "left")
+        .select(col("node"), col("_w"),
+          (col("_w") - 1L + coalesce(col("_adj"), lit(0L))).as("_deg"))
+        .filter(col("_deg") > 0L))
+    var pr = eng.materialize(
+      deg.select(col("node").as("id"), lit(ONE).as("pr_fx")))
+    var t = 0
+    while (t < rounds) {
+      // Each class's per-member contribution, then the weighted sum a
+      // member of `src` receives: (w_src−1) copies of its own class's
+      // contribution plus w_B copies from each adjacent class B.
+      val contrib = pr
+        .join(deg.select(col("node").as("id"), col("_w"), col("_deg")),
+          Seq("id"))
+        .select(col("id"), col("_w"),
+          expr("pr_fx div _deg").as("_c"))
+      val fromAdj = bidir
+        .join(contrib.select(col("id").as("dst"), col("_w"), col("_c")),
+          Seq("dst"))
+        .select(col("src").as("id"),
+          (col("_w") * col("_c")).cast("decimal(38,0)").as("_part"))
+      val fromSelf = contrib
+        .select(col("id"),
+          ((col("_w") - 1L) * col("_c")).cast("decimal(38,0)")
+            .as("_part"))
+      val next = eng.materialize(
+        fromAdj.unionByName(fromSelf)
+          .groupBy(col("id")).agg(sum(col("_part")).as("_s"))
+          .select(col("id"),
+            (lit(base) +
+              expr(s"cast($dampPct * _s div 100 as bigint)"))
+              .as("pr_fx")))
+      eng.release(pr)
+      pr = next
+      t += 1
+    }
+    eng.release(bidir)
+    eng.release(wts)
+    eng.release(deg)
+    pr.select(col("id"), col("pr_fx"))
+  }
+
   /** [[labelPropagation]] over the CLIQUE BLOW-UP of a weighted
     * supernode graph, computed at SUPERNODE grain — bit-equal to
     * running the member-grain sync LPA on the graph where every

@@ -162,6 +162,25 @@ class GraphOpsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(expandedFromSup == direct, s"rounds=$rounds")
     }
+    // Same fixture, PageRank: the supernode iteration with
+    // class-shared ranks and class-constant degrees must be bit-equal
+    // to the member-grain iteration on the hand-expanded graph.
+    val weights2 = Seq((5L, 4L), (6L, 1L), (1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("node", "weight")
+    val members2 = Map(5L -> Seq(5L, 8L, 9L, 12L), 6L -> Seq(6L),
+      1L -> Seq(1L), 2L -> Seq(2L), 3L -> Seq(3L))
+    for (rounds <- Seq(1, 3)) {
+      val sup = GraphOps.pageRankBlowupFx(supEdges, "id_a", "id_b",
+          weights2, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expandedPr = sup.flatMap { case (n, v) =>
+        members2(n).map(_ -> v)
+      }
+      val direct = GraphOps.pageRankFx(expanded, "id_a", "id_b", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(expandedPr == direct, s"pagerank rounds=$rounds")
+    }
+
     // Discriminating power: hub ends at 5 under the weighted vote,
     // but at 1 under the unweighted supernode LPA.
     val weighted = GraphOps.labelPropagationBlowup(supEdges, "id_a",
