@@ -182,18 +182,21 @@ with DAG(
          "doc_id", "n_chars", "8", "64", "zorder"],
     )
 
-    # Load-or-train the persisted ANN index over the loaded embedding
-    # table (AnnIndexJob): sampled IVF centroids + PQ codebooks +
-    # encoded corpus land in durable state keyed by (params,
-    # corpus-version = the run date) — downstream similarity queries
-    # search off the loaded tables instead of re-paying the encode pass
-    # per session. Same durable-state discipline as incremental_dedupe.
+    # Persisted ANN index over the loaded embedding table
+    # (AnnIndexJob, mode=append): day 1 trains the sampled quantizer
+    # and encodes the corpus; every later day append-encodes only
+    # UNSEEN rows against the frozen quantizer (anti-join — retries
+    # never double-append) — downstream similarity queries search off
+    # the loaded tables instead of re-paying the encode pass per
+    # session, and retraining happens only through an explicit param
+    # change. Same durable-state discipline as incremental_dedupe.
     ann_index = spark_task(
         "ann_index",
         "graft.jobs.AnnIndexJob",
         [DATA_ROOT + "/warehouse/embeddings",
          DATA_ROOT + "/state/ann_index",
-         "vec_id", "embedding", "64", "16", "4", "16", "{{ ds }}"],
+         "vec_id", "embedding", "64", "16", "4", "16", "{{ ds }}",
+         "append"],
     )
 
     # Profile runs informationally in parallel; the data path is gated:

@@ -446,18 +446,28 @@ object SimilarityOps {
                          dim: Int, nCentroids: Int = 16, m: Int = 4,
                          nCodewords: Int = 16): AnnIndexState = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val sub = dim / m
     val sample = sampleVectors(corpus, idCol, vecCol,
       math.max(nCentroids, nCodewords))
-    val cents = sample.take(nCentroids)
-    val cws = sample.take(nCodewords)
-    val codes = corpus.select(
+    val st0 = AnnIndexState(dim, nCentroids, m, nCodewords,
+      sample.take(nCentroids), sample.take(nCodewords), corpus.limit(0))
+    st0.copy(codes = encodeWithState(corpus, idCol, vecCol, st0))
+  }
+
+  /** Encode a corpus (or a new BATCH at daily cadence) against a
+    * trained state's FROZEN quantizer: the same one-pass cell + codes
+    * projection [[buildAnnIndexState]] runs at train time, so appended
+    * rows are bit-identical to what a from-scratch encode with the
+    * same params would produce — the append path of
+    * [[graft.jobs.AnnIndexJob]] leans on exactly this determinism. */
+  def encodeWithState(corpus: DataFrame, idCol: String, vecCol: String,
+                      st: AnnIndexState): DataFrame = {
+    val sub = st.dim / st.m
+    corpus.select(
       col(idCol).as("neighbor_id") +:
-        element_at(array_sort(cellStructs(col(vecCol), cents)), 1)
+        element_at(array_sort(cellStructs(col(vecCol), st.cents)), 1)
           .getField("c").as("_cell") +:
-        (0 until m).map(mi =>
-          pqCodeCol(col(vecCol), mi, sub, cws).as(s"_cw$mi")): _*)
-    AnnIndexState(dim, nCentroids, m, nCodewords, cents, cws, codes)
+        (0 until st.m).map(mi =>
+          pqCodeCol(col(vecCol), mi, sub, st.cws).as(s"_cw$mi")): _*)
   }
 
   /** IVFADC search off a trained/loaded index — [[ivfPqTopK]]'s exact

@@ -329,19 +329,101 @@ object AnnIndexJob {
     }
   }
 
+  /** Daily-cadence APPEND: encode a batch against the persisted
+    * state's FROZEN quantizer and append only the rows the index has
+    * not seen ([[IncrementalDedupJob]]'s append-only index
+    * discipline applied to similarity — retraining is an explicit
+    * param change, never a side effect of ingest). Idempotent by
+    * anti-join: a retry after a partially-complete run never
+    * double-appends. Requires a trained state whose param tuple
+    * matches — a mismatch must retrain deliberately via
+    * [[loadOrTrain]], not silently mix quantizers in one codes table.
+    * Returns (state with the combined codes, rows appended). */
+  def appendBatch(spark: SparkSession, batch: DataFrame,
+                  stateDir: String, idCol: String, vecCol: String,
+                  dim: Int, nCentroids: Int = 16, m: Int = 4,
+                  nCodewords: Int = 16,
+                  corpusVersion: String = "v1")
+      : (AnnIndexState, Long) = {
+    import org.apache.spark.sql.functions._
+    val metaPath = s"$stateDir/meta"
+    val qPath = s"$stateDir/quantizer"
+    val cPath = s"$stateDir/codes"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(metaPath)),
+      s"AnnIndexJob.appendBatch: no trained state at $stateDir — " +
+        "run loadOrTrain first")
+    val mr = spark.read.parquet(metaPath).collect()
+    require(mr.length == 1 &&
+      (mr(0).getAs[Int]("dim"), mr(0).getAs[Int]("n_centroids"),
+        mr(0).getAs[Int]("m"), mr(0).getAs[Int]("n_codewords")) ==
+        ((dim, nCentroids, m, nCodewords)),
+      s"AnnIndexJob.appendBatch: param tuple mismatch at $stateDir — " +
+        "appending would mix quantizers; retrain via loadOrTrain")
+    val quant = spark.read.parquet(qPath)
+      .orderBy(col("role"), col("pos")).collect()
+      .map(r => (r.getAs[String]("role"),
+        r.getSeq[Double](r.fieldIndex("vec")).toIndexedSeq))
+    val st = AnnIndexState(dim, nCentroids, m, nCodewords,
+      quant.filter(_._1 == "centroid").map(_._2).toSeq,
+      quant.filter(_._1 == "codeword").map(_._2).toSeq,
+      spark.read.parquet(cPath))
+    val fresh = Engine.materialize(
+      batch.select(col(idCol), col(vecCol))
+        .join(st.codes.select(col("neighbor_id").as(idCol)),
+          Seq(idCol), "left_anti"))
+    val appended = fresh.count()
+    if (appended > 0) {
+      SimilarityOps.encodeWithState(fresh, idCol, vecCol, st)
+        .write.mode("append").parquet(cPath)
+      import spark.implicits._
+      Seq((dim, nCentroids, m, nCodewords, corpusVersion))
+        .toDF("dim", "n_centroids", "m", "n_codewords", "corpus_version")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath)
+    }
+    Engine.release(fresh)
+    (st.copy(codes = spark.read.parquet(cPath)), appended)
+  }
+
   def run(spark: SparkSession, args: Array[String]): Unit = {
     require(args.length >= 5, "usage: AnnIndexJob <corpusIn> <stateDir>" +
       " <idCol> <vecCol> <dim> [nCentroids=16] [m=4] [nCodewords=16]" +
-      " [corpusVersion=v1]")
+      " [corpusVersion=v1] [mode=load|append]")
     val Array(in, stateDir, idCol, vecCol, dimS, rest @ _*) = args
-    val (st, loaded) = loadOrTrain(spark, Sources.readParquet(spark, in),
-      stateDir, idCol, vecCol, dimS.toInt,
+    val corpus = Sources.readParquet(spark, in)
+    val (dim, nc, mm, ncw) = (dimS.toInt,
       rest.headOption.map(_.toInt).getOrElse(16),
       rest.lift(1).map(_.toInt).getOrElse(4),
-      rest.lift(2).map(_.toInt).getOrElse(16),
-      rest.lift(3).getOrElse("v1"))
-    System.err.println(s"[ann-index] ${if (loaded) "loaded" else "trained"}" +
-      s" state at $stateDir (${st.nCentroids} cells, m=${st.m})")
+      rest.lift(2).map(_.toInt).getOrElse(16))
+    val version = rest.lift(3).getOrElse("v1")
+    rest.lift(4).getOrElse("load") match {
+      case "append" =>
+        // Daily-cadence closed loop: day 1 (no state yet) trains and
+        // persists; every later day append-encodes only unseen rows
+        // against the frozen quantizer. Retraining happens only
+        // through an explicit param change (mode=load + new params).
+        val metaExists = new org.apache.hadoop.fs.Path(s"$stateDir/meta")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(s"$stateDir/meta"))
+        if (!metaExists) {
+          val (st, _) = loadOrTrain(spark, corpus, stateDir, idCol,
+            vecCol, dim, nc, mm, ncw, version)
+          System.err.println(s"[ann-index] bootstrapped state at " +
+            s"$stateDir (${st.nCentroids} cells, m=${st.m})")
+        } else {
+          val (st, n) = appendBatch(spark, corpus, stateDir, idCol,
+            vecCol, dim, nc, mm, ncw, version)
+          System.err.println(s"[ann-index] appended $n rows at " +
+            s"$stateDir (${st.nCentroids} cells, m=${st.m})")
+        }
+      case _ =>
+        val (st, loaded) = loadOrTrain(spark, corpus, stateDir, idCol,
+          vecCol, dim, nc, mm, ncw, version)
+        System.err.println(
+          s"[ann-index] ${if (loaded) "loaded" else "trained"}" +
+            s" state at $stateDir (${st.nCentroids} cells, m=${st.m})")
+    }
   }
   def main(args: Array[String]): Unit =
     Jobs.withSession("graft-ann-index")(run(_, args))

@@ -805,4 +805,50 @@ class JobsSpec extends SparkSpec {
       nCodewords = 8, corpusVersion = "day2")
     assert(!l3)
   }
+
+  test("AnnIndexJob.appendBatch: frozen-quantizer day-2 append == " +
+    "from-scratch retrain on the union; idempotent retry; param " +
+    "mismatch refused") {
+    import spark.implicits._
+    import graft.ext.SimilarityOps
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong,
+        (0 until 8).map(d => ((i * 7 + d * 3) % 13 - 6).toDouble).toArray)
+    }.toDF("vec_id", "embedding")
+    val day1 = mk(0, 40)
+    val day2 = mk(40, 60) // ids strictly above day 1's sample range
+    val stateDir = Files.createTempDirectory("graft-ann-app").toString
+    graft.jobs.AnnIndexJob.loadOrTrain(spark, day1, stateDir,
+      "vec_id", "embedding", dim = 8, nCentroids = 4, m = 4,
+      nCodewords = 8, corpusVersion = "day1")
+    val (st2, n2) = graft.jobs.AnnIndexJob.appendBatch(spark, day2,
+      stateDir, "vec_id", "embedding", dim = 8, nCentroids = 4, m = 4,
+      nCodewords = 8, corpusVersion = "day2")
+    assert(n2 == 20L && st2.codes.count() == 60L)
+    // retry / replay: anti-join keeps the append idempotent
+    val (st3, n3) = graft.jobs.AnnIndexJob.appendBatch(spark, day2,
+      stateDir, "vec_id", "embedding", dim = 8, nCentroids = 4, m = 4,
+      nCodewords = 8, corpusVersion = "day2")
+    assert(n3 == 0L && st3.codes.count() == 60L)
+    // day-2 ids sit above the codebook sample range, so a from-scratch
+    // retrain over the union picks the SAME quantizer — the appended
+    // state must search bit-equal to it.
+    val union = day1.unionByName(day2)
+    val retrain = SimilarityOps.buildAnnIndexState(union, "vec_id",
+      "embedding", dim = 8, nCentroids = 4, m = 4, nCodewords = 8)
+    assert(st2.cents == retrain.cents && st2.cws == retrain.cws)
+    val q = union.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+    assert(rows(SimilarityOps.ivfPqTopKWithIndex(q, st2, "vec_id",
+        "embedding", k = 3, nProbe = 2)) ==
+      rows(SimilarityOps.ivfPqTopKWithIndex(q, retrain, "vec_id",
+        "embedding", k = 3, nProbe = 2)))
+    // appending with a different param tuple must refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.jobs.AnnIndexJob.appendBatch(spark, day2, stateDir,
+        "vec_id", "embedding", dim = 8, nCentroids = 8, m = 4,
+        nCodewords = 8)
+    }
+  }
 }
