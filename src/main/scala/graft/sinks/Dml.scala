@@ -137,6 +137,17 @@ object Dml {
     val touched = touchedUris.map(canonical).toSet
     if (touched.isEmpty) // no matches: the table is already the answer
       return DmlFileStats(0L, all.size, 0, all.size)
+    // Every touched file MUST match a listed file: an unmatched one
+    // (path-form drift between input_file_name() and the listing)
+    // would be rewritten into tmp AND carried by reference — silent
+    // row duplication. Fail loudly instead; correctness over
+    // availability for a mutation primitive.
+    val allCanon = all.map(canonical).toSet
+    val unmatched = touched -- allCanon
+    require(unmatched.isEmpty,
+      s"DML file-set mismatch: matched rows name files not in the " +
+        s"table listing (${unmatched.take(3).mkString(", ")} …) — " +
+        "aborting before any write")
     val kept = all.filterNot(p => touched(canonical(p)))
     val table = new Path(tablePath)
     val tmp = new Path(tablePath + "._dml_tmp")
