@@ -28,8 +28,16 @@ object IncProbe {
       graft.engine.Engine.materialize(
         DedupOps.nearDupPairsMinhash(day1, "doc_id", "text", 2, 64, 16, 0.8))
     }
-    val day1Labels = tm("day1 CC (setup)") {
+    val day1Labels = tm("day1 CC over expanded pairs (r13 shape)") {
       DedupOps.connectedComponents(day1Pairs)
+    }
+    // The shipped r14 shape: closure at REPRESENTATIVE grain, labels
+    // expanded through the id↔class join — includes its own LSH
+    // pipeline (rep stages), so this number is the WHOLE day-1 setup,
+    // comparable to (day1 pairs + day1 CC) above combined.
+    tm("day1 componentsNearMinhash (supernode, r14 shape, end-to-end)") {
+      DedupOps.componentsNearMinhash(day1, "doc_id", "text",
+        2, 64, 16, 0.8).count()
     }
     // Split the convenience form into its two halves: the history
     // index build is DAY-1 SETUP (production persists it, buildNearDup
