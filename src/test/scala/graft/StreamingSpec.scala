@@ -718,4 +718,32 @@ class StreamingSpec extends SparkSpec {
         r.getLong(3)).toMap
     assert(dq == db)
   }
+
+  test("ANN encodeWithState runs unchanged on a stream (frozen " +
+      "quantizer = literal-folded pure projection) and equals batch") {
+    // the streaming face of AnnIndexJob's daily append: new embeddings
+    // can encode in the ingest DAG itself — cells and codes are pure
+    // functions of (vector, frozen quantizer), no state, no shuffle.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val vecs = (0 until 30).map { i =>
+      (i.toLong,
+        (0 until 8).map(d => ((i * 7 + d * 3) % 13 - 6).toDouble).toArray)
+    }
+    val st = graft.ext.SimilarityOps.buildAnnIndexState(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dim = 8, nCentroids = 4, m = 4, nCodewords = 8)
+    val expected = st.codes.collect().map(_.toString).sorted.toSeq
+    val stream = MemoryStream[(Long, Array[Double])]
+    val q = graft.ext.SimilarityOps.encodeWithState(
+        stream.toDF().toDF("vec_id", "embedding"), "vec_id",
+        "embedding", st)
+      .writeStream.format("memory").queryName("s_ann_encode")
+      .outputMode("append").start()
+    stream.addData(vecs.take(15)); q.processAllAvailable()
+    stream.addData(vecs.drop(15)); q.processAllAvailable(); q.stop()
+    val got = spark.table("s_ann_encode").collect()
+      .map(_.toString).sorted.toSeq
+    assert(got == expected)
+  }
 }
