@@ -334,14 +334,23 @@ object GraphOps {
           Seq("id"))
         .select(col("id"), col("_w"),
           expr("pr_fx div _deg").as("_c"))
+      // Both factors widen to decimal BEFORE the multiply: a LongType
+      // product of a large class weight and a concentrated rank can
+      // wrap silently under non-ANSI eval, breaking bit-equality with
+      // the member-grain iteration (which sums per-member contributions
+      // in decimal/HUGEINT). decimal(19,0) holds any long exactly and
+      // the product of two longs always fits decimal(38,0).
       val fromAdj = bidir
         .join(contrib.select(col("id").as("dst"), col("_w"), col("_c")),
           Seq("dst"))
         .select(col("src").as("id"),
-          (col("_w") * col("_c")).cast("decimal(38,0)").as("_part"))
+          (col("_w").cast("decimal(19,0)") *
+            col("_c").cast("decimal(19,0)")).cast("decimal(38,0)")
+            .as("_part"))
       val fromSelf = contrib
         .select(col("id"),
-          ((col("_w") - 1L) * col("_c")).cast("decimal(38,0)")
+          ((col("_w") - 1L).cast("decimal(19,0)") *
+            col("_c").cast("decimal(19,0)")).cast("decimal(38,0)")
             .as("_part"))
       val next = eng.materialize(
         fromAdj.unionByName(fromSelf)

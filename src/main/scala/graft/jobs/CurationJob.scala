@@ -54,7 +54,16 @@ object CurationJob {
     nbModel: Option[TextOps.NbModel] = None,
     lmModel: Option[TextOps.LmModel] = None,
     maxMeanNll: Double = Double.PositiveInfinity,
-    testFrac: Double = 0.05, validFrac: Double = 0.05)
+    testFrac: Double = 0.05, validFrac: Double = 0.05,
+    /** Byte budget for broadcasting the near-dup population id list
+      * (checkpoint-backed, so the planner has no stats and must be
+      * hinted). Sized against what a BroadcastHashJoin relation
+      * actually costs per row — ~16 B for a long key plus hash-table
+      * overhead — NOT a row count: 5M rows looked small as a count but
+      * ran to hundreds of driver/executor MB. 64 MB ≈ 4M ids keeps the
+      * relation comfortably under typical executor broadcast head-room;
+      * bigger distinct mass falls back to the shuffle join. */
+    broadcastIdBudgetBytes: Long = 64L << 20)
 
   /** Disposition statuses in stage order (kept rows carry their split
     * name instead). */
@@ -91,11 +100,20 @@ object CurationJob {
       .withColumn("_toks", TextOps.tokens(text))
       .withColumn("_th",
         call_function("graft_hash_tokens", col("_toks")))
+    // NULL-text rows have a null prediction (null tokens propagate
+    // through the hash probes and the when-chain — same as the
+    // string-exact languageId), so `!pred.isin(...)` is null too: the
+    // row would fall out of the survivor filter WITHOUT ever earning a
+    // "non_target_lang" disposition (null is not true in either the
+    // filter or the status when-chain). Coalesce to true: an
+    // undetermined language is not a target language, and the row gets
+    // a concrete stage instead of silent routing. Pinned in
+    // CurationJobSpec (null-text doc → non_target_lang).
     val withLang =
       if (cfg.allowedLangs.isEmpty) flagged.withColumn("_badlang", lit(false))
       else flagged.withColumn("_badlang",
-        !TextOps.predLangFromHashes(col("_th"))
-          .isin(cfg.allowedLangs: _*))
+        coalesce(!TextOps.predLangFromHashes(col("_th"))
+          .isin(cfg.allowedLangs: _*), lit(true)))
     val repGateOn = cfg.maxDupTokenFrac < 1.0 || cfg.maxTopBigramFrac < 1.0
     val withRep =
       if (!repGateOn) withLang.withColumn("_rep", lit(false))
@@ -180,11 +198,15 @@ object CurationJob {
         // join — shuffling the full corpus TEXT to meet a list that
         // is usually broadcast-sized (one id per distinct surviving
         // text on a dup-heavy corpus). One cheap count on the
-        // materialized list picks the hint; genuinely huge distinct
-        // mass falls back to the shuffle join, where moving the
-        // population's text once is the honest cost of shingling it.
+        // materialized list picks the hint against a BYTE budget
+        // (cfg.broadcastIdBudgetBytes at ~16 B/id: key + hash-relation
+        // overhead — a raw row-count threshold let 5M-row ≈ 100s-of-MB
+        // relations through); genuinely huge distinct mass falls back
+        // to the shuffle join, where moving the population's text once
+        // is the honest cost of shingling it.
         val popIdsHinted =
-          if (popIds.count() <= 5000000L) broadcast(popIds) else popIds
+          if (popIds.count() * 16L <= cfg.broadcastIdBudgetBytes)
+            broadcast(popIds) else popIds
         val pop = df.select(id, col(cfg.textCol))
           .join(popIdsHinted, Seq(cfg.idCol), "left_semi")
         // Materialized like the exact keep list: the full LSH band-join

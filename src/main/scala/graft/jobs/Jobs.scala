@@ -268,7 +268,11 @@ object IncrementalDedupJob {
   * `<stateDir>/codes` (neighbor_id, _cell, _cw0..m-1), and
   * `<stateDir>/meta` (the key) — meta is written LAST, so a crash
   * mid-persist leaves a keyless (= absent) state that the next run
-  * retrains, never a half-written one that loads.
+  * retrains, never a half-written one that loads. That retrain is only
+  * safe when the retraining corpus is the FULL corpus — so append mode
+  * skips the meta rewrite on an unchanged corpus version, swaps by
+  * rename on a version bump, and refuses to bootstrap when codes exist
+  * without meta (a daily batch is NOT the corpus).
   *
   * args: <corpusIn> <stateDir> <idCol> <vecCol> <dim> [nCentroids=16]
   *       [m=4] [nCodewords=16] [corpusVersion=v1] */
@@ -377,10 +381,30 @@ object AnnIndexJob {
     if (appended > 0) {
       SimilarityOps.encodeWithState(fresh, idCol, vecCol, st)
         .write.mode("append").parquet(cPath)
-      import spark.implicits._
-      Seq((dim, nCentroids, m, nCodewords, corpusVersion))
-        .toDF("dim", "n_centroids", "m", "n_codewords", "corpus_version")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath)
+      // Meta carries the CORPUS VERSION forward — but only when it
+      // actually changed: mode-overwrite is delete-then-write, and a
+      // crash inside that window used to leave codes-without-meta,
+      // which the next append-mode run "bootstrapped" from the daily
+      // batch alone, overwriting every previously indexed day. Same
+      // version ⇒ skip the rewrite entirely (the common daily case);
+      // a version bump writes to a temp sibling first and swaps by
+      // rename, shrinking the unprotected window from a full parquet
+      // write to one FS rename pair. run()'s append mode additionally
+      // REFUSES to bootstrap over orphaned codes (below).
+      if (mr(0).getAs[String]("corpus_version") != corpusVersion) {
+        import spark.implicits._
+        val tmpMeta = new org.apache.hadoop.fs.Path(metaPath + "__tmp")
+        fs.delete(tmpMeta, true)
+        Seq((dim, nCentroids, m, nCodewords, corpusVersion))
+          .toDF("dim", "n_centroids", "m", "n_codewords",
+            "corpus_version")
+          .coalesce(1).write.mode("overwrite").parquet(tmpMeta.toString)
+        val metaP = new org.apache.hadoop.fs.Path(metaPath)
+        fs.delete(metaP, true)
+        if (!fs.rename(tmpMeta, metaP))
+          throw new java.io.IOException(
+            s"AnnIndexJob.appendBatch: meta swap failed at $metaPath")
+      }
     }
     Engine.release(fresh)
     (st.copy(codes = spark.read.parquet(cPath)), appended)
@@ -403,9 +427,22 @@ object AnnIndexJob {
         // persists; every later day append-encodes only unseen rows
         // against the frozen quantizer. Retraining happens only
         // through an explicit param change (mode=load + new params).
-        val metaExists = new org.apache.hadoop.fs.Path(s"$stateDir/meta")
+        val fs = new org.apache.hadoop.fs.Path(s"$stateDir/meta")
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(s"$stateDir/meta"))
+        val metaExists =
+          fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/meta"))
+        // Codes WITHOUT meta = a crash between the codes append and the
+        // meta write. Bootstrapping here would retrain from the daily
+        // batch alone and OVERWRITE the accumulated codes table —
+        // silent loss of every previously indexed day. Refuse loudly;
+        // recovery is an explicit full-corpus retrain (mode=load after
+        // clearing the state dir), a human decision.
+        require(metaExists ||
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/codes")),
+          s"AnnIndexJob: $stateDir/codes exists without meta (crashed " +
+            "append?) — refusing to bootstrap from a daily batch over " +
+            "accumulated codes; clear the state dir and retrain from " +
+            "the FULL corpus via mode=load")
         if (!metaExists) {
           val (st, _) = loadOrTrain(spark, corpus, stateDir, idCol,
             vecCol, dim, nc, mm, ncw, version)

@@ -851,4 +851,85 @@ class JobsSpec extends SparkSpec {
         nCodewords = 8)
     }
   }
+
+  test("AnnIndexJob append crash-safety: unchanged corpus version " +
+    "skips the meta rewrite; codes-without-meta refuses to bootstrap") {
+    import spark.implicits._
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong,
+        (0 until 8).map(d => ((i * 7 + d * 3) % 13 - 6).toDouble).toArray)
+    }.toDF("vec_id", "embedding")
+    val stateDir = Files.createTempDirectory("graft-ann-crash").toString
+    graft.jobs.AnnIndexJob.loadOrTrain(spark, mk(0, 40), stateDir,
+      "vec_id", "embedding", dim = 8, nCentroids = 4, m = 4,
+      nCodewords = 8, corpusVersion = "v1")
+    // Same corpus version: the append must NOT touch meta at all —
+    // no delete-then-write window exists if no write happens.
+    def metaListing(): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$stateDir/meta")
+      d.listFiles().toSeq.map(f => (f.getName, f.lastModified()))
+        .sortBy(_._1)
+    }
+    val before = metaListing()
+    val (_, n1) = graft.jobs.AnnIndexJob.appendBatch(spark, mk(40, 50),
+      stateDir, "vec_id", "embedding", dim = 8, nCentroids = 4, m = 4,
+      nCodewords = 8, corpusVersion = "v1")
+    assert(n1 == 10L)
+    assert(metaListing() == before, "meta untouched on same version")
+    // Version bump: meta swaps by rename and carries the new version.
+    graft.jobs.AnnIndexJob.appendBatch(spark, mk(50, 60), stateDir,
+      "vec_id", "embedding", dim = 8, nCentroids = 4, m = 4,
+      nCodewords = 8, corpusVersion = "v2")
+    val meta = spark.read.parquet(s"$stateDir/meta").collect()
+    assert(meta.length == 1 &&
+      meta(0).getAs[String]("corpus_version") == "v2")
+    assert(spark.read.parquet(s"$stateDir/codes").count() == 60L)
+    // Simulated crash: codes appended, meta lost. Append mode must
+    // REFUSE to bootstrap (a retrain from the daily batch alone would
+    // overwrite every previously indexed day), leaving codes intact.
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/meta"), true)
+    val batchPath = s"$ws/ann_crash_batch"
+    mk(60, 70).write.mode("overwrite").parquet(batchPath)
+    intercept[IllegalArgumentException] {
+      graft.jobs.AnnIndexJob.run(spark, Array(batchPath, stateDir,
+        "vec_id", "embedding", "8", "4", "4", "8", "v3", "append"))
+    }
+    assert(spark.read.parquet(s"$stateDir/codes").count() == 60L,
+      "accumulated codes must survive the refusal")
+  }
+
+  test("curation gate: a null-text document gets a CONCRETE " +
+    "non_target_lang disposition (never silent null routing), and " +
+    "predLangFromHashes == languageId on null/empty/normal texts") {
+    import spark.implicits._
+    import graft.jobs.CurationJob
+    val docs = Seq(
+      (1L, "the cat and the dog sat on the mat of the house"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "?!... --- !!!"), // token-less after the alnum tokenizer
+      (4L, "der hund und die katze ist nicht ein haus der die und"))
+      .toDF("doc_id", "text")
+    val cfg = CurationJob.Config(idCol = "doc_id", textCol = "text",
+      allowedLangs = Seq("en"))
+    val disp = CurationJob.disposition(docs, cfg).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(disp(1L) != "non_target_lang") // english survives the gate
+    assert(disp(2L) == "non_target_lang",
+      "null text must earn a concrete disposition")
+    assert(disp(4L) == "non_target_lang")
+    // and the survivor filter + status agree: every row has a status
+    assert(disp.size == 4 && disp.values.forall(_ != null))
+    // hash-path langid == string-exact langid on all three text shapes
+    val th = org.apache.spark.sql.functions.call_function(
+      "graft_hash_tokens", graft.ext.TextOps.tokens(col("text")))
+    val hashPred = docs.select(col("doc_id"),
+        graft.ext.TextOps.predLangFromHashes(th).as("p")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val strPred = graft.ext.TextOps.languageId(docs, "text")
+      .select(col("doc_id"), col("pred_lang")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(hashPred == strPred)
+  }
 }
