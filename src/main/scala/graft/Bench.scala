@@ -90,7 +90,14 @@ object Bench {
     def outlier(n: String, t: Double): Boolean =
       BenchBaseline.local.get(n)
         .fold(t > 2.0)(b => t > 1.2 * b)
-    val retimed = firstPass
+    // ONESHOT: skip the retime pass entirely — for scale-sweep probes
+    // (sf1/sf10) where every query exceeds its sf0.1 baseline by
+    // design and min-of-N would triple a multi-hour run. The artifact
+    // records "oneshot":true so a single-run sweep is never mistaken
+    // for a min-of-N record.
+    val oneshot = sys.env.get("SPARK_GRAFT_BENCH_ONESHOT")
+      .exists(v => v == "1" || v == "true")
+    val retimed = (if (oneshot) Seq.empty else firstPass)
       .filter { case (n, t) => outlier(n, t) && !errors.contains(n) }
       .sortBy(-_._2).take(40)
       .map { case (name, t1) =>
@@ -123,6 +130,19 @@ object Bench {
     val results = firstPass.map { case (name, t1) =>
       name -> retimed.get(name).fold(t1)(_.min)
     }
+    // FROZEN-epoch ratios (r14 verdict ask #2): the rolling
+    // BenchBaseline is regenerated from the record it later judges, so
+    // its per-query ratio is 1.000x by construction in a regen round.
+    // BenchBaselineFrozen only changes with a documented justification,
+    // so vs_frozen is the non-circular cross-round gate; queries newer
+    // than the epoch have no entry and are excluded from the total.
+    val frozen = BenchBaselineFrozen.local
+    val vsFrozen = results
+      .collect { case (n, t) if frozen.contains(n) => n -> t / frozen(n) }
+    val frozenTotal =
+      if (vsFrozen.isEmpty) 0.0
+      else results.collect { case (n, t) if frozen.contains(n) => t }.sum /
+        vsFrozen.map(kv => frozen(kv._1)).sum
     // Artifact contract (r4 judge finding: the full-precision line overflowed
     // the driver's tail capture → BENCH_r04 `parsed: null`): timings rounded
     // to 4 decimals (halves the line at zero timing fidelity lost), all
@@ -147,10 +167,15 @@ object Bench {
     System.err.println(s"[bench] errors=$errJson codegen_failures=$cgJson")
     // stop() failures (shutdown-hook/teardown) must not eat the artifact.
     try spark.stop() catch { case _: Throwable => () }
+    val vfJson = vsFrozen.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + f4(v) }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${f4(total)},"unit":"sec",""" +
         s""""queries":$qs,"errors":$errJson,"codegen_failures":$cgJson,""" +
-        s""""n_errors":${errors.size},"sf":"$sfDir"}"""
+        s""""n_errors":${errors.size},"oneshot":$oneshot,""" +
+        s""""frozen_epoch":${BenchBaselineFrozen.epoch},""" +
+        s""""vs_frozen_total":${f4(frozenTotal)},"vs_frozen":$vfJson,""" +
+        s""""sf":"$sfDir"}"""
     // The driver records only the LAST 2,000 chars of stdout. At 80+
     // queries the full line is ~2.4 KB, so if it is the last thing
     // printed its FRONT (including "value") is truncated — that cost the
@@ -168,7 +193,7 @@ object Bench {
     println(fullLine)
     println(s"""{"metric":"total","value":${f4(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_errors":${errors.size},""" +
-      s""""sf":"$sfDir"}""")
+      s""""vs_frozen_total":${f4(frozenTotal)},"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }
