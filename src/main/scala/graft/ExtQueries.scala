@@ -1198,13 +1198,17 @@ object ExtQueries {
     val day1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val day2 = day1.filter(col("doc_id") < 50)
       .select((col("doc_id") + 10000).as("doc_id"), col("text"))
-    // Day-1 closure at REP grain (componentsNearMinhash): the r13 sf10
-    // long pole was this call paying the clone-expanded pair set.
-    val day1Labels = DedupOps.componentsNearMinhash(day1, "doc_id",
-      "text", shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8)
-    val newPairs = DedupOps.incrementalNearDupPairsMinhash(day2, day1,
-      "doc_id", "text", shingleN = 2, numPerm = 64, bands = 16,
+    // Day-1 closure at REP grain AND the history index from ONE
+    // corpus pass (componentsAndIndexNearMinhash): the r13 sf10 long
+    // pole was the clone-expanded pair set; the r14 residual was
+    // shingling day 1 twice — once for the closure, once for
+    // buildNearDupIndex inside the pair stage.
+    val (day1Labels, day1Index) = DedupOps.componentsAndIndexNearMinhash(
+      day1, "doc_id", "text", shingleN = 2, numPerm = 64, bands = 16,
       threshold = 0.8)
+    val newPairs = DedupOps.incrementalNearDupPairsWithIndex(day2,
+      day1Index, "doc_id", "text", shingleN = 2, numPerm = 64,
+      bands = 16, threshold = 0.8)
     DedupOps.incrementalComponents(day1Labels, newPairs)
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))

@@ -407,6 +407,43 @@ class DedupOpsSpec extends SparkSpec {
         .count())
   }
 
+  test("componentsAndIndexNearMinhash: one corpus pass yields labels " +
+      "== componentsNearMinhash and index == buildNearDupIndex on a " +
+      "clone-heavy corpus") {
+    val base = graft.engine.Engine.table(spark, fixtureDir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 120)
+    val corpus = base
+      .unionAll(base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    val (labels, index) = DedupOps.componentsAndIndexNearMinhash(
+      corpus, "doc_id", "text", shingleN = 2, numPerm = 64,
+      bands = 16, threshold = 0.8)
+    val gotLabels = labels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantLabels = DedupOps.componentsNearMinhash(corpus, "doc_id",
+        "text", shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotLabels == wantLabels && gotLabels.nonEmpty)
+    def ixRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+        r.getSeq[Long](2).toVector)).toSet
+    val gotIx = ixRows(index)
+    val wantIx = ixRows(DedupOps.buildNearDupIndex(corpus, "doc_id",
+      "text", shingleN = 2, numPerm = 64))
+    assert(gotIx == wantIx && gotIx.nonEmpty)
+    // and the combined index drives the incremental pair stage the
+    // same as a from-scratch history build (the day-1 consumer)
+    val batch = base.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+    val viaCombined = DedupOps.incrementalNearDupPairsWithIndex(batch,
+        index, "doc_id", "text", 2, 64, 16, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaScratch = DedupOps.incrementalNearDupPairsMinhash(batch,
+        corpus, "doc_id", "text", 2, 64, 16, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaCombined == viaScratch && viaCombined.nonEmpty)
+  }
+
   test("nearDupPairsMinhash representative tier is bit-equal to the " +
       "naive per-row LSH pipeline on a clone-heavy corpus") {
     val base = graft.engine.Engine.table(spark, fixtureDir, "documents")
