@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   * shipped UPDATE/DELETE strings to BigQuery).
   *
   * Vanilla parquet has no ACID DML, so this implements copy-on-write —
-  * at FILE-GROUP granularity for flat table layouts (the lakehouse
-  * shape: rewrite only the files that contain matching rows, carry the
-  * rest forward by reference), at table-path granularity as the
-  * fallback for layouts/mutations file granularity can't serve
-  * (schema-changing assignments; Hive-partitioned dirs, which have
-  * their own partition-bounded entry points below).
+  * at FILE-GROUP granularity for flat table layouts AND inside each
+  * touched partition of Hive-layout tables (the lakehouse shape:
+  * rewrite only the files that contain matching rows, carry the rest
+  * forward by reference), at directory granularity only as the
+  * fallback for mutations file granularity can't serve
+  * (schema-changing assignments).
   *
   * How the rewrite set is found: the affected-count scan groups matched
   * rows by `input_file_name()`, so the touched-file set is derived from
@@ -148,16 +148,28 @@ object Dml {
       s"DML file-set mismatch: matched rows name files not in the " +
         s"table listing (${unmatched.take(3).mkString(", ")} …) — " +
         "aborting before any write")
-    val kept = all.filterNot(p => touched(canonical(p)))
-    val table = new Path(tablePath)
-    val tmp = new Path(tablePath + "._dml_tmp")
-    val old = new Path(tablePath + "._dml_old")
+    val kept = rewriteSomeSwap(spark, tablePath, all, touched,
+      mutate(spark.read.parquet(touchedUris: _*)))
+    DmlFileStats(affected, all.size, touched.size, kept)
+  }
+
+  /** The rewrite-some-carry-rest core shared by the flat path and the
+    * per-partition path: `mutated` (the touched files, already passed
+    * through the mutation) lands in a temp sibling of `dirPath`, every
+    * untouched data file in `all` enters by hardlink/copy, then the
+    * directory swaps whole via the atomic rename pair. Rewritten part
+    * names carry this write's job UUID, so they can't collide with
+    * kept names. Returns the kept-file count. */
+  private def rewriteSomeSwap(spark: SparkSession, dirPath: String,
+                              all: Seq[Path], touchedCanon: Set[String],
+                              mutated: DataFrame): Int = {
+    val kept = all.filterNot(p => touchedCanon(canonical(p)))
+    val table = new Path(dirPath)
+    val tmp = new Path(dirPath + "._dml_tmp")
+    val old = new Path(dirPath + "._dml_old")
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmp, true); fs.delete(old, true)
-    // Rewritten files land in tmp first (their part names carry this
-    // write's job UUID, so they can't collide with kept names).
-    mutate(spark.read.parquet(touchedUris: _*))
-      .write.mode("overwrite").parquet(tmp.toString)
+    mutated.write.mode("overwrite").parquet(tmp.toString)
     kept.foreach { src =>
       val dst = new Path(tmp, src.getName)
       linkOrCopy(spark, fs, src, dst)
@@ -169,7 +181,7 @@ object Dml {
       throw new java.io.IOException(s"DML swap failed: cannot move $tmp")
     }
     fs.delete(old, true)
-    DmlFileStats(affected, all.size, touched.size, kept.size)
+    kept.size
   }
 
   /** Hardlink `src` as `dst` when both live on a link-capable local
@@ -194,15 +206,30 @@ object Dml {
   }
 
   /** Partition-bounded UPDATE over a Hive-partitioned table: one scan
-    * finds the touched partition values, then ONLY those partition
-    * directories are rewritten and swapped — untouched partitions are
-    * never read again nor written (at 100 TB rewriting the whole table
-    * for a one-day fix is the difference between minutes and a day).
+    * finds the touched partition values, then inside each touched
+    * partition ONLY the files containing matching rows are rewritten —
+    * the rest of the partition carries by hardlink/copy and the
+    * directory swaps atomically (the flat path's file-group planner
+    * composed under the partition layout). Untouched partitions are
+    * never read again nor written, and a selective predicate inside a
+    * 1 TB partition pays one file's rewrite, not the partition's (at
+    * 100 TB the difference between seconds and hours).
     * Returns affected-row count. */
   def updatePartitioned(spark: SparkSession, tablePath: String,
                         partitionCol: String,
                         assignments: Map[String, Column],
-                        cond: Column): Long = {
+                        cond: Column): Long =
+    updatePartitionedWithStats(spark, tablePath, partitionCol,
+      assignments, cond).affected
+
+  /** [[updatePartitioned]] with file-granularity stats over the
+    * TOUCHED partitions (untouched partitions are never listed, so
+    * they appear in no count). `filesRewritten == -1` marks a
+    * schema-changing assignment that forced whole-partition rewrites. */
+  def updatePartitionedWithStats(spark: SparkSession, tablePath: String,
+                                 partitionCol: String,
+                                 assignments: Map[String, Column],
+                                 cond: Column): DmlFileStats = {
     // Assigning the partition column would MOVE rows between directories
     // — out of partition-bounded scope (the row would be dropped with the
     // partition column on rewrite and silently stay put). Refuse loudly;
@@ -221,13 +248,22 @@ object Dml {
   /** Partition-bounded DELETE (see [[updatePartitioned]]). */
   def deletePartitioned(spark: SparkSession, tablePath: String,
                         partitionCol: String, cond: Column): Long =
+    deletePartitionedWithStats(spark, tablePath, partitionCol, cond)
+      .affected
+
+  /** [[deletePartitioned]] with file-granularity stats (see
+    * [[updatePartitionedWithStats]]). */
+  def deletePartitionedWithStats(spark: SparkSession, tablePath: String,
+                                 partitionCol: String,
+                                 cond: Column): DmlFileStats =
     mutatePartitions(spark, tablePath, cond, assignedCols = Set.empty) {
       part => part.filter(!coalesce(cond, lit(false)))
     }
 
   private def mutatePartitions(spark: SparkSession, tablePath: String,
                                cond: Column, assignedCols: Set[String])
-                              (mutate: DataFrame => DataFrame): Long = {
+                              (mutate: DataFrame => DataFrame)
+      : DmlFileStats = {
     val df = spark.read.parquet(tablePath)
     // Qualified table root: input_file_name() yields fully-qualified URIs
     // (file:/...), and partition columns must be parsed from the path
@@ -251,9 +287,12 @@ object Dml {
       .groupBy { r =>
         val f = r.getString(0); f.substring(0, f.lastIndexOf('/'))
       }
-      .view.mapValues(_.map(_.getLong(1)).sum).toMap
+      .view.mapValues(vs => (vs.map(_.getString(0)).toSeq,
+        vs.map(_.getLong(1)).sum)).toMap
     var affected = 0L
-    byDir.foreach { case (partDir, n) =>
+    var (fTotal, fRewritten, fKept) = (0, 0, 0)
+    var wholePartition = false
+    byDir.foreach { case (partDir, (touchedUris, n)) =>
       affected += n
       // basePath keeps partition columns visible to `cond`; the rewritten
       // files drop them again (they live in the directory names). All
@@ -273,10 +312,43 @@ object Dml {
         s"updatePartitioned cannot reassign partition column(s) " +
           s"${clash.mkString(", ")} (rows would change directory); " +
           "use Dml.update")
-      val part = spark.read.option("basePath", tablePath).parquet(partDir)
-      rewrite(spark, partDir, mutate(part).drop(dirCols: _*), 0L)
+      // FILE GROUPS INSIDE THE PARTITION (the flat-path planner under
+      // the partition layout): matched rows already named their files,
+      // so read ONLY those through basePath (partition columns stay
+      // visible to the mutation's `cond`), rewrite them, and carry
+      // every sibling by reference. Falls back to the whole-partition
+      // rewrite when the mutation changes the schema (mixed file
+      // schemas under one directory poison later reads) or on
+      // path-form drift between input_file_name() and the listing
+      // (rewriting AND carrying one file would duplicate rows).
+      val dirP = new Path(partDir)
+      val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val allInDir = fs.listStatus(dirP).toSeq
+        .filter(e => e.isFile && isDataFile(e.getPath.getName))
+        .map(e => fs.makeQualified(e.getPath))
+      val touchedCanon = touchedUris.map(canonical).toSet
+      val part = spark.read.option("basePath", tablePath)
+        .parquet(touchedUris: _*)
+      val out = mutate(part).drop(dirCols: _*)
+      val schemaPreserved =
+        out.schema == part.drop(dirCols: _*).schema
+      val allMatch = touchedCanon.subsetOf(allInDir.map(canonical).toSet)
+      if (schemaPreserved && allMatch) {
+        val kept = rewriteSomeSwap(spark, partDir, allInDir,
+          touchedCanon, out)
+        fTotal += allInDir.size
+        fRewritten += touchedCanon.size
+        fKept += kept
+      } else {
+        val whole = spark.read.option("basePath", tablePath)
+          .parquet(partDir)
+        rewrite(spark, partDir, mutate(whole).drop(dirCols: _*), 0L)
+        wholePartition = true
+        fTotal += allInDir.size
+      }
     }
-    affected
+    if (wholePartition) DmlFileStats(affected, fTotal, -1, -1)
+    else DmlFileStats(affected, fTotal, fRewritten, fKept)
   }
 
   /** Write `out` to a temp sibling of `tablePath`, then swap. The rename

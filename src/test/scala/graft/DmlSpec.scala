@@ -200,6 +200,68 @@ class DmlSpec extends SparkSpec {
       .filter(col("x") < 4 && col("y") < 4).count() == 0)
   }
 
+  test("file groups INSIDE partitions: update matching one file of one " +
+    "partition rewrites exactly that file, siblings carry " +
+    "byte-identical, other partitions untouched; partition-column " +
+    "reassignment still refused") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dml").toString + "/t"
+    // two partitions x 8 id-clustered files each, written one file at
+    // a time so every file's id extent is exact and disjoint: id=100
+    // can live in exactly one file of day=d1
+    val rows = (0 until 1024).map { i =>
+      (if (i < 512) "d1" else "d2", i.toLong, 1.0)
+    }.toDF("day", "id", "v")
+    for (d <- Seq("d1", "d2"); f <- 0 until 8) {
+      val lo = (if (d == "d1") 0 else 512) + f * 64
+      rows.filter(col("id") >= lo && col("id") < lo + 64)
+        .select("id", "v")
+        .coalesce(1).write.mode("append").parquet(s"$dir/day=$d")
+    }
+    // data files only: the append-per-file fixture also leaves .crc
+    // sidecars the DML path neither counts nor carries
+    def dataFiles(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/$part")
+      d.listFiles().filter(_.isFile)
+        .filterNot(f => f.getName.startsWith("_") ||
+          f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val d1Before = dataFiles("day=d1")
+    val d2Before = dataFiles("day=d2")
+    assert(d1Before.size == 8, s"fixture: 8 files, got ${d1Before.size}")
+    val st = Dml.updatePartitionedWithStats(spark, dir, "day",
+      Map("v" -> lit(7.0)), col("id") === 100L)
+    assert(st.affected == 1L)
+    assert(st.filesRewritten == 1,
+      s"exactly one file rewritten, got $st")
+    assert(st.filesTotal == d1Before.size,
+      "only the touched partition is listed/counted")
+    assert(st.filesKept == d1Before.size - 1)
+    // siblings inside day=d1 carry byte-identical (hardlinked: same
+    // name, same mtime); day=d2 is never read nor written
+    val d1After = dataFiles("day=d1")
+    val carried = d1After.keySet.intersect(d1Before.keySet)
+    assert(carried.size == st.filesKept)
+    carried.foreach(k => assert(d1After(k) == d1Before(k)))
+    assert(dataFiles("day=d2") == d2Before)
+    // correctness
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("v") === 7.0).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(100L))
+    assert(back.count() == 1024)
+    // delete: same composition
+    val st2 = Dml.deletePartitionedWithStats(spark, dir, "day",
+      col("id") === 700L)
+    assert(st2.affected == 1L && st2.filesRewritten == 1)
+    assert(spark.read.parquet(dir).count() == 1023)
+    // partition-column reassignment still refused loudly
+    intercept[IllegalArgumentException] {
+      Dml.updatePartitioned(spark, dir, "day",
+        Map("day" -> lit("d9")), col("id") === 1L)
+    }
+  }
+
   test("schema-changing assignment falls back to whole-table rewrite " +
     "(mixed file schemas would poison later reads)") {
     import spark.implicits._
