@@ -5670,17 +5670,7 @@ object ExtQueries {
     val ann = SimilarityOps.annTopK(q, emb,
         "vec_id", "embedding", k = 5, dim = 64, bits = 4, tables = 8)
       .select(col("query_id"), col("neighbor_id"))
-    val nTruth = truth.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_truth"))
-    val nAnn = ann.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_ann"))
-    val nHit = truth.join(ann, Seq("query_id", "neighbor_id"))
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-    nTruth.join(nAnn, Seq("query_id"), "left")
-      .join(nHit, Seq("query_id"), "left")
-      .na.fill(0L, Seq("n_ann", "n_hit"))
-      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_truth"))
-      .orderBy(col("query_id"))
+    SimilarityOps.topKRecall(truth, ann).orderBy(col("query_id"))
   }
 
   val xSimRecallSql: String = {
@@ -5749,13 +5739,7 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id").as("truth_id"))
     val ann = SimilarityOps.annTopK(q, emb,
         "vec_id", "embedding", k = 5, dim = 64, bits = 4, tables = 8)
-      .select(col("query_id"), col("neighbor_id").as("truth_id"),
-        col("rnk").cast("long").as("ann_rank"))
-    truth1.join(ann, Seq("query_id", "truth_id"), "left")
-      .na.fill(0L, Seq("ann_rank"))
-      .withColumn("mrr_ppm", when(col("ann_rank") > 0,
-        expr("1000000 div ann_rank")).otherwise(lit(0L)))
-      .orderBy(col("query_id"))
+    SimilarityOps.topKMrr(truth1, ann).orderBy(col("query_id"))
   }
 
   val xSimMrrSql: String = {
@@ -5801,6 +5785,118 @@ object ExtQueries {
        |  AND ar.neighbor_id = tr.truth_id
        |ORDER BY tr.query_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // ANN ship gates over the PERSISTED index (r14 verdict ask #5): the
+  // recall@5 / MRR audits above measure the LSH tier, but the index a
+  // deployment actually serves is the persisted IVF state
+  // (AnnIndexJob) — loaded from parquet, append-grown daily against a
+  // frozen quantizer. These rows run the SAME audits against the
+  // loaded state's IVF search (annState: trained once per session,
+  // then every search replays the load path), so the green row
+  // certifies "the index we ship clears the gate", not "an index like
+  // it would". Appends can only degrade recall (the quantizer never
+  // re-fits); JobsSpec pins day-2-append recall == union-retrain
+  // recall on the frozen sample.
+  // ---------------------------------------------------------------------
+  def xSimRecallIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val truth = SimilarityOps.bruteForceTopK(q, emb,
+      "vec_id", "embedding", k = 5)
+    val ann = SimilarityOps.ivfTopKSampledWithIndex(q, emb,
+      annState(s, dir), "vec_id", "embedding", k = 5, nProbe = 4)
+    SimilarityOps.topKRecall(truth, ann).orderBy(col("query_id"))
+  }
+
+  /** Shared DuckDB chain: brute-force truth (tr) + the deterministic
+    * sampled-quantizer IVF top-5 (ar) — the xSimIvfSql pipeline with
+    * the truth CTEs of xSimRecallSql, composed once for both gates. */
+  private def ivfGateCtes(k: Int): String = {
+    val (nCent, nProbe) = (16, 4)
+    s"""e AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |  q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |    WHERE vec_id < 10),
+       |  bsc AS (SELECT query_id, vec_id AS neighbor_id,
+       |      round(list_dot_product(qv, v)
+       |        / (sqrt(list_dot_product(qv, qv))
+       |           * sqrt(list_dot_product(v, v))), 6) AS score
+       |    FROM q, e WHERE vec_id <> query_id),
+       |  trr AS (SELECT query_id, neighbor_id, rnk FROM (
+       |      SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rnk FROM bsc)
+       |    WHERE rnk <= $k),
+       |  cent AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, cv FROM (
+       |    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |    FROM e ORDER BY vec_id LIMIT $nCent)),
+       |  ad AS (SELECT e.vec_id, c.cell,
+       |      list_dot_product(e.v, e.v)
+       |        - 2 * list_dot_product(e.v, c.cv)
+       |        + list_dot_product(c.cv, c.cv) AS d2
+       |    FROM e, cent c),
+       |  rk AS MATERIALIZED (SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                         ORDER BY d2, cell) AS rn FROM ad),
+       |  asgn AS (SELECT vec_id AS neighbor_id, cell FROM rk
+       |    WHERE rn = 1),
+       |  pr AS (SELECT vec_id AS query_id, cell FROM rk
+       |    WHERE vec_id < 10 AND rn <= $nProbe),
+       |  sc AS (SELECT p.query_id, a.neighbor_id,
+       |      round(list_dot_product(qv.v, cv.v)
+       |        / (sqrt(list_dot_product(qv.v, qv.v))
+       |           * sqrt(list_dot_product(cv.v, cv.v))), 6) AS score
+       |    FROM pr p JOIN asgn a ON p.cell = a.cell
+       |    JOIN e qv ON qv.vec_id = p.query_id
+       |    JOIN e cv ON cv.vec_id = a.neighbor_id
+       |    WHERE a.neighbor_id <> p.query_id),
+       |  ar AS (SELECT query_id, neighbor_id, rnk FROM (
+       |      SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rnk FROM sc)
+       |    WHERE rnk <= $k)""".stripMargin
+  }
+
+  val xSimRecallIvfSql: String =
+    s"""WITH ${ivfGateCtes(5)},
+       |  t AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+       |    FROM trr GROUP BY query_id),
+       |  a AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann
+       |    FROM ar GROUP BY query_id),
+       |  h AS (SELECT trr.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |    FROM trr JOIN ar USING (query_id, neighbor_id)
+       |    GROUP BY trr.query_id)
+       |SELECT t.query_id, n_truth,
+       |  COALESCE(n_ann, 0) AS n_ann, COALESCE(n_hit, 0) AS n_hit,
+       |  COALESCE(n_hit, 0) * 1000000 // n_truth AS recall_ppm
+       |FROM t LEFT JOIN a ON t.query_id = a.query_id
+       |LEFT JOIN h ON t.query_id = h.query_id
+       |ORDER BY t.query_id""".stripMargin
+
+  def xSimMrrIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val truth1 = SimilarityOps.bruteForceTopK(q, emb,
+        "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id").as("truth_id"))
+    val ann = SimilarityOps.ivfTopKSampledWithIndex(q, emb,
+      annState(s, dir), "vec_id", "embedding", k = 5, nProbe = 4)
+    SimilarityOps.topKMrr(truth1, ann).orderBy(col("query_id"))
+  }
+
+  val xSimMrrIvfSql: String =
+    s"""WITH ${ivfGateCtes(5)},
+       |  tr1 AS (SELECT query_id, neighbor_id AS truth_id FROM trr
+       |    WHERE rnk = 1)
+       |SELECT tr1.query_id, truth_id,
+       |  CAST(COALESCE(ar.rnk, 0) AS BIGINT) AS ann_rank,
+       |  CASE WHEN ar.rnk IS NOT NULL THEN 1000000 // ar.rnk
+       |    ELSE 0 END AS mrr_ppm
+       |FROM tr1 LEFT JOIN ar ON ar.query_id = tr1.query_id
+       |  AND ar.neighbor_id = tr1.truth_id
+       |ORDER BY tr1.query_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // MinHash-estimator accuracy audit (DedupOps.minhashEstimateAudit):

@@ -546,6 +546,44 @@ object SimilarityOps {
         col("est_d2"))
   }
 
+  /** Recall@k ship gate over TWO top-k lists: per query, how much of
+    * `truth` (the exact top-k) the `ann` list recovered — the metric a
+    * deployment checks before swapping the exact scan for an index,
+    * and re-checks after every index append (appends against a frozen
+    * quantizer can only degrade recall). Both inputs carry
+    * (`query_id`, `neighbor_id`); output adds exact-integer
+    * `recall_ppm`. List-sized joins only — the corpus is never
+    * re-touched. */
+  def topKRecall(truth: DataFrame, ann: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val a = ann.select(col("query_id"), col("neighbor_id"))
+    val nTruth = t.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"))
+    val nAnn = a.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ann"))
+    val nHit = t.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    nTruth.join(nAnn, Seq("query_id"), "left")
+      .join(nHit, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_ann", "n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_truth"))
+  }
+
+  /** MRR ship gate: reciprocal rank (ppm, 0 on a miss) of the TRUE
+    * nearest neighbor inside the `ann` top-k — the ranking-quality
+    * half of the gate. `truth1` carries (`query_id`, `truth_id`) =
+    * the exact top-1; `ann` carries (`query_id`, `neighbor_id`,
+    * `rnk`). */
+  def topKMrr(truth1: DataFrame, ann: DataFrame): DataFrame =
+    truth1.select(col("query_id"), col("truth_id"))
+      .join(ann.select(col("query_id"),
+        col("neighbor_id").as("truth_id"),
+        col("rnk").cast("long").as("ann_rank")),
+        Seq("query_id", "truth_id"), "left")
+      .na.fill(0L, Seq("ann_rank"))
+      .withColumn("mrr_ppm", when(col("ann_rank") > 0,
+        expr("1000000 div ann_rank")).otherwise(lit(0L)))
+
   /** LSH-bucketed approximate top-k: `tables` independent hash tables of
     * `bits` hyperplanes each; candidates = corpus vectors sharing a bucket
     * with the query in ANY table; exact cosine re-ranks candidates.

@@ -852,6 +852,58 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("ANN ship gate after append: day-2-append recall (and MRR) == " +
+    "union-retrain recall on the frozen query sample") {
+    import spark.implicits._
+    import graft.ext.SimilarityOps
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong,
+        (0 until 8).map(d => ((i * 7 + d * 3) % 13 - 6).toDouble).toArray)
+    }.toDF("vec_id", "embedding")
+    val day1 = mk(0, 40)
+    val day2 = mk(40, 60)
+    val stateDir = Files.createTempDirectory("graft-ann-gate").toString
+    graft.jobs.AnnIndexJob.loadOrTrain(spark, day1, stateDir,
+      "vec_id", "embedding", dim = 8, nCentroids = 4, m = 4,
+      nCodewords = 8, corpusVersion = "day1")
+    val (appended, _) = graft.jobs.AnnIndexJob.appendBatch(spark, day2,
+      stateDir, "vec_id", "embedding", dim = 8, nCentroids = 4, m = 4,
+      nCodewords = 8, corpusVersion = "day2")
+    val union = day1.unionByName(day2)
+    val retrain = SimilarityOps.buildAnnIndexState(union, "vec_id",
+      "embedding", dim = 8, nCentroids = 4, m = 4, nCodewords = 8)
+    // frozen query sample + exact truth, shared by both gates
+    val q = union.filter(col("vec_id") < 5)
+    val truth = SimilarityOps.bruteForceTopK(q, union, "vec_id",
+      "embedding", k = 3)
+    val truth1 = SimilarityOps.bruteForceTopK(q, union, "vec_id",
+        "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id").as("truth_id"))
+    def recallRows(st: SimilarityOps.AnnIndexState) =
+      SimilarityOps.topKRecall(truth,
+          SimilarityOps.ivfPqTopKWithIndex(q, st, "vec_id", "embedding",
+            k = 3, nProbe = 2))
+        .orderBy("query_id").collect().map(_.toString).toSeq
+    def mrrRows(st: SimilarityOps.AnnIndexState) =
+      SimilarityOps.topKMrr(truth1,
+          SimilarityOps.ivfPqTopKWithIndex(q, st, "vec_id", "embedding",
+            k = 3, nProbe = 2))
+        .orderBy("query_id").collect().map(_.toString).toSeq
+    val rApp = recallRows(appended)
+    assert(rApp == recallRows(retrain),
+      "appended-index recall must equal union-retrain recall")
+    assert(mrrRows(appended) == mrrRows(retrain))
+    // the gate measures something real: 5 queries, recall in [0, 1e6],
+    // at least one hit
+    assert(rApp.size == 5)
+    val recalls = SimilarityOps.topKRecall(truth,
+        SimilarityOps.ivfPqTopKWithIndex(q, appended, "vec_id",
+          "embedding", k = 3, nProbe = 2))
+      .collect().map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.forall(r => r >= 0L && r <= 1000000L))
+    assert(recalls.exists(_ > 0L))
+  }
+
   test("AnnIndexJob append crash-safety: unchanged corpus version " +
     "skips the meta rewrite; codes-without-meta refuses to bootstrap") {
     import spark.implicits._
