@@ -1065,6 +1065,88 @@ object ExtQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // PERCEPTUAL media near-dup (Multimodal.perceptualDedupPairs): docs
+  // < 100 plus RE-ENCODED twins — byte-REVERSED payloads (+20000) that
+  // share not a single 32-byte frame with their original, so the exact
+  // frame tier (x_media_dedup) misses them entirely, while their byte
+  // histograms are permutation-identical (L1 = 0). The sign-projected
+  // signature, Hamming-band blocking, and fixed-order double L1 verify
+  // all reproduce exactly in DuckDB (shared perceptualWeights
+  // literals; left-associated IEEE sums; floor-ppm threshold). tau =
+  // 100 ppm sits an order of magnitude under the closest cross-doc
+  // pair (~500 ppm at sf0.01), so exactly the planted re-encodes pass.
+  // ASCII-fixture assumption shared with x_media_dedup: engine buckets
+  // payload BYTES, twin buckets text CHARS.
+  // ---------------------------------------------------------------------
+  def xMediaNeardup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          reverse(col("text")).as("text")))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.withSyntheticMedia(corpus, "doc_id", "text"), "media")
+    Multimodal.perceptualDedupPairs(feats, "doc_id", "features",
+        bits = 16, bands = 4, seed = 42L, tauL1Ppm = 100L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val xMediaNeardupSql: String = {
+    val (dim, bits, bands, seed, tau) = (16, 16, 4, 42L, 100L)
+    val r = bits / bands
+    val w = Multimodal.perceptualWeights(dim, bits, seed)
+    // 16-bucket byte-class histogram as float32 count/len widened to
+    // double (the decodeStub contract; bucket 0 starts at \x01 — a
+    // VARCHAR cannot hold NUL)
+    val fCols = (0 until dim).map { i =>
+      val lo = if (i == 0) 1 else i * 16
+      val hi = i * 16 + 15
+      f"CAST(CAST(length(regexp_replace(text, '[^\\x$lo%02x-\\x$hi%02x]', '', 'g')) AS FLOAT) / CAST(length(text) AS FLOAT) AS DOUBLE) AS f$i"
+    }.mkString(",\n      ")
+    val bitCols = (0 until bits).map { t =>
+      val sum = (0 until dim).map(i =>
+        s"f$i * ${w(t)(i)}.0").mkString(" + ")
+      s"($sum) >= 0 AS bit$t"
+    }.mkString(",\n      ")
+    val bandCols = (0 until bands).map { b =>
+      val v = (0 until r).map(j =>
+        s"CASE WHEN bit${b * r + j} THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"CAST($v AS BIGINT) AS b$b"
+    }.mkString(",\n      ")
+    val bandStructs = (0 until bands).map(b =>
+      s"struct_pack(band := $b, v := b$b)").mkString(", ")
+    val l1 = (0 until dim).map(i =>
+      s"abs(a.f$i - b.f$i)").mkString(" + ")
+    s"""WITH corpus AS (
+       |    SELECT doc_id, text FROM documents WHERE doc_id < 100
+       |    UNION ALL
+       |    SELECT doc_id + 20000 AS doc_id, reverse(text) AS text
+       |    FROM documents WHERE doc_id < 30),
+       |  h AS MATERIALIZED (SELECT doc_id,
+       |      $fCols
+       |    FROM corpus),
+       |  bt AS (SELECT *,
+       |      $bitCols
+       |    FROM h),
+       |  sg AS MATERIALIZED (SELECT *,
+       |      $bandCols
+       |    FROM bt),
+       |  bd AS (SELECT doc_id, unnest([$bandStructs]) AS s FROM sg),
+       |  bd2 AS (SELECT doc_id, s.band AS band, s.v AS v FROM bd),
+       |  cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |    FROM bd2 x JOIN bd2 y ON x.band = y.band AND x.v = y.v
+       |    WHERE x.doc_id < y.doc_id),
+       |  vf AS (SELECT id_a, id_b,
+       |      CAST(FLOOR(($l1) * 1000000.0) AS BIGINT) AS l1_ppm
+       |    FROM cand JOIN sg a ON a.doc_id = id_a
+       |    JOIN sg b ON b.doc_id = id_b)
+       |SELECT id_a, id_b, l1_ppm FROM vf
+       |WHERE l1_ppm <= $tau ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Connected components over the minhash-0.8 near-dup graph: pairwise
   // edges collapsed into duplicate CLUSTERS (the keep-one-per-cluster
   // prerequisite). Spark runs iterative min-label propagation; the

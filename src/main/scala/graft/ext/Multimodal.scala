@@ -108,10 +108,97 @@ object Multimodal {
       .withColumnsRenamed(Map("pos" -> "frame_no", "col" -> "frame"))
   }
 
+  /** Deterministic ±1 projection weights for the PERCEPTUAL signature
+    * ([[perceptualDedupPairs]]): `w(t)(i)` from the parity of
+    * `XXH64("p:t:i", seed)`. Exposed so the oracle-SQL generator embeds
+    * the SAME literals the engine plans with. */
+  def perceptualWeights(dim: Int, bits: Int,
+                        seed: Long): Array[Array[Int]] =
+    Array.tabulate(bits, dim) { (t, i) =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(org.apache.spark.unsafe.types.UTF8String
+          .fromString(s"p:$t:$i"), seed)
+      if ((h & 1L) == 0L) 1 else -1
+    }
+
+  /** PERCEPTUAL media near-dup pairs over the FEATURE vectors — the
+    * tier [[frameDedupPairs]] cannot serve: exact frame fingerprints
+    * miss a re-encoded / resized / transcoded copy entirely (every
+    * byte changes), but its decoded FEATURES barely move. The standard
+    * crawled-media case is exactly that copy, so the perceptual tier
+    * is the one that matters at corpus scale.
+    *
+    * Pipeline (every step deterministic, so a DuckDB twin reproduces
+    * it bit-for-bit — the SimHash/band machinery re-used at media
+    * grain): sign-quantized projection of the (float32→double-widened)
+    * feature vector under [[perceptualWeights]] (fixed-order
+    * left-associated double sums — reproducible IEEE arithmetic) →
+    * `bits`-bit signature split into `bands` Hamming blocks → block
+    * equi-join candidates → exact L1 verification,
+    * `l1_ppm = floor(10⁶·Σ|fa_i−fb_i|) ≤ tauL1Ppm`.
+    *
+    * Scale shape: signatures and band values are a scan-bound
+    * projection; band rows carry ONLY (band, value, id) — the
+    * [[graft.ext.SimilarityOps.annTopK]] discipline — and feature
+    * vectors re-attach AFTER the pair dedup by two id joins, so the
+    * candidate join shuffles three small columns and the verify cost
+    * is output-bound. */
+  def perceptualDedupPairs(df: DataFrame, idCol: String,
+                           featuresCol: String, bits: Int = 16,
+                           bands: Int = 4, seed: Long = 42L,
+                           tauL1Ppm: Long = 100L): DataFrame = {
+    require(bits % bands == 0, "bits must be divisible by bands")
+    require(bits <= 62, s"bits out of range: $bits")
+    val r = bits / bands
+    val dim = FeatureDim
+    val w = perceptualWeights(dim, bits, seed)
+    def f64(c: org.apache.spark.sql.Column, i: Int) =
+      element_at(c, i + 1).cast("double")
+    val bitCols = (0 until bits).map { t =>
+      (0 until dim).map(i => f64(col("_f"), i) * lit(w(t)(i).toDouble))
+        .reduceLeft(_ + _) >= lit(0.0)
+    }
+    val bandCols = (0 until bands).map { b =>
+      (0 until r).map { j =>
+        when(bitCols(b * r + j), lit(1L << j)).otherwise(lit(0L))
+      }.reduceLeft(_ + _)
+    }
+    // One narrow materialized pass: (id, features, band values) —
+    // consumed by the band explode AND the feature re-attach.
+    val sigs = graft.engine.Engine.materialize(
+      df.select(col(idCol).as("_id"), col(featuresCol).as("_f"))
+        .select(col("_id") +: col("_f") +:
+          bandCols.zipWithIndex.map { case (c, b) => c.as(s"_b$b") }: _*))
+    val banded = sigs.select(col("_id"),
+        posexplode(array((0 until bands).map(b => col(s"_b$b")): _*)))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bv"))
+    val cand = banded.select(col("_band"), col("_bv"),
+        col("_id").as("id_a"))
+      .join(banded.select(col("_band"), col("_bv"),
+        col("_id").as("id_b")), Seq("_band", "_bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val feats = sigs.select(col("_id"), col("_f"))
+    val l1 = (0 until dim).map(i =>
+        abs(f64(col("_fa"), i) - f64(col("_fb"), i)))
+      .reduceLeft(_ + _)
+    cand
+      .join(feats.select(col("_id").as("id_a"), col("_f").as("_fa")),
+        Seq("id_a"))
+      .join(feats.select(col("_id").as("id_b"), col("_f").as("_fb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        floor(l1 * lit(1000000.0)).as("l1_ppm"))
+      .filter(col("l1_ppm") <= tauL1Ppm)
+  }
+
   /** Media near-dup pairs by SHARED FRAME FINGERPRINTS — the video/
-    * audio dedup move (same payload re-encoded, clipped, or trimmed
-    * still shares sampled frames; byte-level hashes of the container
-    * do not): pairs whose overlap coefficient
+    * audio dedup move for clips and trims (byte-level hashes of the
+    * container miss them; shared sampled frames don't). A RE-ENCODED
+    * or resized copy shares no exact frame bytes and evades this tier
+    * entirely — that's [[perceptualDedupPairs]]' job. Pairs whose
+    * overlap coefficient
     * `|fp(A) ∩ fp(B)| / min(|fp(A)|, |fp(B)|)` reaches `tauPpm` —
     * min-normalized so a CLIP of a longer video still scores ~10⁶
     * (the containment argument at media grain). Emits each unordered

@@ -128,4 +128,40 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     assert(all((1L, 5L)) == 1L && all((3L, 5L)) == 1L)
   }
+
+  test("perceptual tier catches re-encoded twins the exact frame tier " +
+    "misses; unrelated payloads stay apart") {
+    import spark.implicits._
+    def body(seed: String, n: Int): String =
+      (0 until n).map(i => s"$seed token$i word$i ").mkString
+    val orig = body("alpha", 64)
+    // re-encode stand-ins: byte permutation (reverse) and a resample
+    // (every byte doubled) — identical byte HISTOGRAMS, zero shared
+    // 32-byte frames with the original
+    val reenc = orig.reverse
+    val resized = orig.flatMap(c => s"$c$c")
+    val other = body("zqxj", 64) // different letter mass
+    val df = Seq((1L, orig), (2L, reenc), (3L, resized), (4L, other))
+      .toDF("id", "t")
+      .withColumn("media", encode(col("t"), "UTF-8"))
+    // exact tier: the re-encodes share NO frame with the original
+    val exact = Multimodal.frameDedupPairs(df, "id", "media",
+        frameBytes = 32, stride = 4, tauPpm = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!exact.contains((1L, 2L)),
+      "reversed payload must evade the exact tier")
+    // perceptual tier over the features: both re-encodes pair with
+    // the original at L1 = 0 (histograms identical up to rounding)
+    val feats = Multimodal.extractFeatures(df, "media")
+    val got = Multimodal.perceptualDedupPairs(feats, "id", "features",
+        bits = 16, bands = 4, seed = 42L, tauL1Ppm = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.contains((1L, 2L)), s"reversed twin must pair: $got")
+    assert(got((1L, 2L)) == 0L)
+    assert(got.contains((1L, 3L)),
+      "byte-doubled (resampled) twin must pair")
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated payload must stay apart: $got")
+  }
 }
