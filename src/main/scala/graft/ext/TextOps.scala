@@ -1491,16 +1491,29 @@ object TextOps {
       }
       (s.map(_._1), s.map(_._2))
     }
-    val uni = ref.select(explode(tokens(col(textCol))).as("_w"))
-      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    // REPRESENTATIVE-GRAIN counting (training corpora are clone-heavy
+    // by default): tokenize/shingle once per DISTINCT text and weight
+    // each n-gram by the class's copy count — n-gram counts are pure
+    // per-text functions, so Σ_docs count_g(doc) = Σ_classes
+    // m·count_g(text), exactly. The explode (the expensive stage)
+    // scales with distinct mass; the model is bit-identical to the
+    // per-row count (pinned in TextOpsSpec).
+    val byText = graft.engine.Engine.materialize(
+      ref.groupBy(fingerprint(col(textCol)).as("_fp"))
+        .agg(count(lit(1)).as("_m"), min(col(textCol)).as("_t")))
+    val uni = byText
+      .select(col("_m"), explode(tokens(col("_t"))).as("_w"))
+      .groupBy(col("_w")).agg(sum(col("_m")).as("_c"))
       .collect().map(r => (hashWord(r.getString(0)), r.getLong(1)))
-    val bi = ref.select(explode(shingles(tokens(col(textCol)), 2)).as("_g"))
-      .groupBy(col("_g")).agg(count(lit(1)).as("_c"))
+    val bi = byText
+      .select(col("_m"), explode(shingles(tokens(col("_t")), 2)).as("_g"))
+      .groupBy(col("_g")).agg(sum(col("_m")).as("_c"))
       .collect().map { r =>
         val ws = r.getString(0).split(' ')
         val hs = Array(hashWord(ws(0)), hashWord(ws(1)))
         (NativeExprs.combineWindow(hs, 0, 2), r.getLong(1))
       }
+    graft.engine.Engine.release(byText)
     val (uk, uv) = sortedCounts(uni, "unigram")
     val (bk, bv) = sortedCounts(bi, "bigram")
     LmModel(uk, uv, bk, bv, uni.length.toDouble + 1.0)
@@ -1556,12 +1569,24 @@ object TextOps {
     def hashWord(w: String): Long =
       org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
         org.apache.spark.unsafe.types.UTF8String.fromString(w), 42L)
-    val cnt = docs
+    // Rep-grain counting per (text, class): identical texts with the
+    // same trusted flag tokenize once and weight by copy count — the
+    // class counts are Σ m·count_w(text), bit-identical to the per-row
+    // explode (the lmTrainHashed discipline; pinned in TextOpsSpec).
+    // A null trusted flag groups (and counts) as negative, exactly the
+    // old when-otherwise routing. Consumed once → no checkpoint
+    // (lmTrainHashed materializes its twin because two explodes read
+    // it).
+    val byText = docs
       .select(trusted.cast("boolean").as("_pos"),
-        explode(tokens(col(textCol))).as("_w"))
+        col(textCol).as("_t"))
+      .groupBy(fingerprint(col("_t")).as("_fp"), col("_pos"))
+      .agg(count(lit(1)).as("_m"), min(col("_t")).as("_t"))
+    val cnt = byText
+      .select(col("_pos"), col("_m"), explode(tokens(col("_t"))).as("_w"))
       .groupBy(col("_w"))
-      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("_cp"),
-        sum(when(col("_pos"), 0L).otherwise(1L)).as("_cn"))
+      .agg(sum(when(col("_pos"), col("_m")).otherwise(0L)).as("_cp"),
+        sum(when(col("_pos"), lit(0L)).otherwise(col("_m"))).as("_cn"))
       .collect()
       .map(r => (hashWord(r.getString(0)), r.getLong(1), r.getLong(2)))
     val nd = docs.agg(

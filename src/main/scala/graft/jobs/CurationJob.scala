@@ -63,7 +63,19 @@ object CurationJob {
       * ran to hundreds of driver/executor MB. 64 MB ≈ 4M ids keeps the
       * relation comfortably under typical executor broadcast head-room;
       * bigger distinct mass falls back to the shuffle join. */
-    broadcastIdBudgetBytes: Long = 64L << 20)
+    broadcastIdBudgetBytes: Long = 64L << 20,
+    /** Where the five TEXT-ONLY gate flags evaluate: "row" = fused
+      * into the single wide scan (best for dup-light corpora — one
+      * corpus pass, zero exchanges); "rep" = once per DISTINCT text
+      * fingerprint, fanned out by a fingerprint join (best for
+      * clone-heavy corpora — the expensive tokenize/model folds scale
+      * with distinct mass); "auto" = measure (one cheap
+      * fingerprint-count pass) and pick rep when distinct mass is
+      * under half the row count. Flags are pure text functions, so
+      * all three produce bit-identical dispositions (pinned in
+      * JobsSpec). Production callers that know their dup profile
+      * should pin "row"/"rep" and skip auto's measuring pass. */
+    gateGrain: String = "auto")
 
   /** Disposition statuses in stage order (kept rows carry their split
     * name instead). */
@@ -100,55 +112,62 @@ object CurationJob {
       .withColumn("_toks", TextOps.tokens(text))
       .withColumn("_th",
         call_function("graft_hash_tokens", col("_toks")))
-    // NULL-text rows have a null prediction (null tokens propagate
-    // through the hash probes and the when-chain — same as the
-    // string-exact languageId), so `!pred.isin(...)` is null too: the
-    // row would fall out of the survivor filter WITHOUT ever earning a
-    // "non_target_lang" disposition (null is not true in either the
-    // filter or the status when-chain). Coalesce to true: an
-    // undetermined language is not a target language, and the row gets
-    // a concrete stage instead of silent routing. Pinned in
-    // CurationJobSpec (null-text doc → non_target_lang).
-    val withLang =
-      if (cfg.allowedLangs.isEmpty) flagged.withColumn("_badlang", lit(false))
-      else flagged.withColumn("_badlang",
-        coalesce(!TextOps.predLangFromHashes(col("_th"))
-          .isin(cfg.allowedLangs: _*), lit(true)))
+    textFlagCols(cfg).foldLeft(flagged: DataFrame) {
+      case (acc, (name, c)) => acc.withColumn(name, c)
+    }.drop("_toks", "_th")
+  }
+
+  /** The five TEXT-ONLY gate flags over a shared pre-hashed token
+    * column named `_th` — pure functions of the text, which is what
+    * lets [[disposition]] evaluate them once per DISTINCT text on a
+    * clone-heavy corpus (the rep-grain gate pass) and fan the values
+    * out by fingerprint, bit-identically to the per-row evaluation.
+    *
+    * NULL-text rows have a null langid prediction (null tokens
+    * propagate through the hash probes and the when-chain — same as
+    * the string-exact languageId), so `!pred.isin(...)` is null too:
+    * the row would fall out of the survivor filter WITHOUT ever
+    * earning a "non_target_lang" disposition (null is not true in
+    * either the filter or the status when-chain). Coalesce to true:
+    * an undetermined language is not a target language. Pinned in
+    * JobsSpec (null-text doc → non_target_lang). */
+  private def textFlagCols(cfg: Config): Seq[(String, Column)] = {
+    val th = col("_th")
+    val badlang: Column =
+      if (cfg.allowedLangs.isEmpty) lit(false)
+      else coalesce(!TextOps.predLangFromHashes(th)
+        .isin(cfg.allowedLangs: _*), lit(true))
     val repGateOn = cfg.maxDupTokenFrac < 1.0 || cfg.maxTopBigramFrac < 1.0
-    val withRep =
-      if (!repGateOn) withLang.withColumn("_rep", lit(false))
+    val rep: Column =
+      if (!repGateOn) lit(false)
       else {
         // Fused into the wide pass (r12 verdict ask #4): the fractions
         // are a per-row projection, so the gate costs zero extra
         // scans/joins. Token-less/null docs have null fractions —
         // coalesce keeps them un-flagged, exactly the old
         // repetitionStats-join-miss semantics.
-        val rf = TextOps.repetitionFracsFromHashes(col("_th"))
-        withLang.withColumn("_rep", coalesce(
+        val rf = TextOps.repetitionFracsFromHashes(th)
+        coalesce(
           rf.getField("dup_token_frac") > cfg.maxDupTokenFrac ||
             rf.getField("top_bigram_frac") > cfg.maxTopBigramFrac,
-          lit(false)))
+          lit(false))
       }
-    val contamFlag: Column =
+    val contam: Column =
       if (cfg.benchGramHashes.isEmpty) lit(false)
-      else DedupOps.isContaminatedFromHashes(col("_th"),
-        cfg.benchGramHashes)
-    val lowqFlag: Column = cfg.nbModel.fold(lit(false)) { m =>
-      (TextOps.nbScoreFromHashes(col("_th"), m).getField("sum") +
+      else DedupOps.isContaminatedFromHashes(th, cfg.benchGramHashes)
+    val lowq: Column = cfg.nbModel.fold(lit(false)) { m =>
+      (TextOps.nbScoreFromHashes(th, m).getField("sum") +
         lit(m.priorFx)) <= 0L
     }
-    val influentFlag: Column = cfg.lmModel.fold(lit(false)) { m =>
-      val s = TextOps.lmNllFromHashes(col("_th"), m)
+    val influent: Column = cfg.lmModel.fold(lit(false)) { m =>
+      val s = TextOps.lmNllFromHashes(th, m)
       s.isNotNull &&
         ((s.getField("sfx").cast("double") /
           s.getField("n_bigrams").cast("double")) /
           lit(1073741824.0)) > cfg.maxMeanNll
     }
-    withRep
-      .withColumn("_contam", contamFlag)
-      .withColumn("_lowq", lowqFlag)
-      .withColumn("_influent", influentFlag)
-      .drop("_toks", "_th")
+    Seq("_badlang" -> badlang, "_rep" -> rep, "_contam" -> contam,
+      "_lowq" -> lowq, "_influent" -> influent)
   }
 
   /** Per-document disposition: `(idCol, status)`, one row per input
@@ -168,9 +187,62 @@ object CurationJob {
     // needs).
     val flagCols = Seq("_quar", "_badlang", "_rep", "_contam",
       "_lowq", "_influent")
-    val pre = Engine.materialize(gateFrame(df, cfg)
-      .select(id +: graft.ext.TextOps.fingerprint(col(cfg.textCol))
-        .as("_fp") +: flagCols.map(col): _*))
+    // ---- gate grain (cfg.gateGrain): the five text flags are pure
+    // functions of the text, so on a clone-heavy corpus they can
+    // evaluate once per DISTINCT fingerprint and fan out by one
+    // fingerprint join — the minhashRepStages discipline applied to
+    // the gate pass (sf10 probe: the wide scan was 30.7 of 52 s, and
+    // >98% of its rows were clones re-running the tokenizer and the
+    // model folds for answers already computed). "auto" measures with
+    // one fingerprint-count scan; "row" keeps the fused single pass.
+    val repGrain = cfg.gateGrain match {
+      case "rep" => true
+      case "row" => false
+      case "auto" =>
+        val r = df.agg(count(lit(1)),
+          countDistinct(graft.ext.TextOps.fingerprint(col(cfg.textCol))))
+          .head()
+        r.getLong(1) * 2 <= r.getLong(0)
+      case other => throw new IllegalArgumentException(
+        s"CurationJob: unknown gateGrain '$other' (row|rep|auto)")
+    }
+    val pre =
+      if (!repGrain)
+        Engine.materialize(gateFrame(df, cfg)
+          .select(id +: graft.ext.TextOps.fingerprint(col(cfg.textCol))
+            .as("_fp") +: flagCols.map(col): _*))
+      else {
+        // Row grain keeps what is genuinely per-row: the rule flag
+        // (rules may reference any column) and the fingerprint.
+        val rowGrain = Engine.materialize(
+          Checks.flagRows(df, cfg.rules)
+            .withColumn("_quar", size(col("violations")) > 0)
+            .select(id,
+              graft.ext.TextOps.fingerprint(col(cfg.textCol)).as("_fp"),
+              col("_quar")))
+        // One rep id per class, its text fetched by a hinted semi join
+        // (ids only — the corpus text never shuffles), flags computed
+        // on ~distinct-mass rows, fanned back by a null-safe
+        // fingerprint join (null-text rows have a null fingerprint and
+        // must not drop out of the disposition).
+        val repIds = rowGrain.groupBy(col("_fp")).agg(min(id).as("_rid"))
+        val nDistinct = repIds.count()
+        def hint(d: DataFrame, bytesPerRow: Long): DataFrame =
+          if (nDistinct * bytesPerRow <= cfg.broadcastIdBudgetBytes)
+            broadcast(d) else d
+        val repRows = df.select(id, col(cfg.textCol))
+          .join(hint(repIds.select(col("_rid").as(cfg.idCol)), 16L),
+            Seq(cfg.idCol), "left_semi")
+        val repFlags = repRows
+          .withColumn("_th", call_function("graft_hash_tokens",
+            TextOps.tokens(col(cfg.textCol))))
+          .select(graft.ext.TextOps.fingerprint(col(cfg.textCol))
+            .as("_fpr") +:
+            textFlagCols(cfg).map { case (n, c) => c.as(n) }: _*)
+        Engine.materialize(rowGrain
+          .join(hint(repFlags, 48L), col("_fp") <=> col("_fpr"))
+          .select(id +: col("_fp") +: flagCols.map(col): _*))
+      }
     // ---- dedup stages on the surviving population ----------------
     val s4n = pre.filter(!col("_quar") && !col("_badlang") && !col("_rep"))
     val (withKeeps, dedupCase) = {

@@ -952,6 +952,48 @@ class JobsSpec extends SparkSpec {
       "accumulated codes must survive the refusal")
   }
 
+  test("curation gate grain: row, rep, and auto produce IDENTICAL " +
+    "dispositions on a clone-heavy corpus with a null-text row") {
+    import spark.implicits._
+    import graft.jobs.CurationJob
+    import graft.transform.Checks
+    val raw = graft.engine.Engine.table(spark, fixtureDir, "documents")
+    val docs = raw.select(col("doc_id"), col("text"), col("n_chars"))
+    // clone-heavy (auto must pick rep: 3x mass) + one null-text row
+    // (the rep path's fingerprint fan-out join must be null-safe)
+    val corpus = docs
+      .unionAll(docs.select((col("doc_id") + 10000).as("doc_id"),
+        col("text"), col("n_chars")))
+      .unionAll(docs.select((col("doc_id") + 20000).as("doc_id"),
+        col("text"), col("n_chars")))
+      .unionAll(Seq((99999L, null.asInstanceOf[String], 80.0))
+        .toDF("doc_id", "text", "n_chars"))
+    def cfg(grain: String) = CurationJob.Config(
+      idCol = "doc_id", textCol = "text",
+      rules = Seq(Checks.inRange("n_chars", 60.0, 100000.0)),
+      allowedLangs = Seq("en"),
+      maxDupTokenFrac = 0.65, maxTopBigramFrac = 0.06,
+      exactDedup = true, nearDupThreshold = 0.8,
+      nbModel = Some(graft.ext.TextOps.nbTrainHashed(raw, "text",
+        col("lang") === "en")),
+      gateGrain = grain)
+    def disp(grain: String): Map[Long, String] =
+      CurationJob.disposition(corpus, cfg(grain)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val row = disp("row")
+    val rep = disp("rep")
+    val auto = disp("auto")
+    assert(row == rep, "rep-grain gate must be bit-identical to row")
+    assert(row == auto)
+    assert(row.size == corpus.count())
+    // the null-text row survived the fingerprint fan-out and earned a
+    // concrete stage
+    assert(row(99999L) == "non_target_lang")
+    intercept[IllegalArgumentException] {
+      CurationJob.disposition(corpus, cfg("row").copy(gateGrain = "bogus"))
+    }
+  }
+
   test("curation gate: a null-text document gets a CONCRETE " +
     "non_target_lang disposition (never silent null routing), and " +
     "predLangFromHashes == languageId on null/empty/normal texts") {

@@ -1170,4 +1170,74 @@ class TextOpsSpec extends SparkSpec {
     // sentence-free: clamps to 1 sentence, doesn't error
     assert(got(3L)._2 == 1L && got(3L)._1 == 4L)
   }
+
+  test("rep-grain nb/lm training is bit-identical to the per-row " +
+    "explode on a clone-heavy corpus (weighted distinct-text counts)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "der hund und die katze", false),
+      (3L, "the dog and the cat ran", true),
+      (4L, null.asInstanceOf[String], false))
+      .toDF("id", "text", "trusted")
+    // uneven clone mass: doc 1 x4, doc 2 x2, doc 3 x1 — and one clone
+    // of doc 1 with the OPPOSITE trusted flag (classes split per
+    // (text, flag), not per text)
+    val cloned = base
+      .unionAll(base.filter(col("id") === 1L).withColumn("id", lit(11L)))
+      .unionAll(base.filter(col("id") === 1L).withColumn("id", lit(12L)))
+      .unionAll(base.filter(col("id") === 1L).withColumn("id", lit(13L))
+        .withColumn("trusted", lit(false)))
+      .unionAll(base.filter(col("id") === 2L).withColumn("id", lit(21L)))
+    val m = TextOps.nbTrainHashed(cloned, "text", col("trusted"))
+    // per-row mirror of the pre-rep-grain counting
+    val perRow = cloned
+      .select(col("trusted").cast("boolean").as("_pos"),
+        explode(TextOps.tokens(col("text"))).as("_w"))
+      .groupBy(col("_w"))
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("_cp"),
+        sum(when(col("_pos"), 0L).otherwise(1L)).as("_cn"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // same vocabulary size and, via the score surface, same lambdas:
+    // score every doc with the trained model and with a model trained
+    // on a row-shuffled copy (order independence), then check the
+    // trained counts against the per-row mirror through the priors
+    assert(m.keys.length == perRow.size)
+    val m2 = TextOps.nbTrainHashed(cloned.orderBy(rand(7)), "text",
+      col("trusted"))
+    assert(m.keys.toSeq == m2.keys.toSeq &&
+      m.vals.toSeq == m2.vals.toSeq && m.priorFx == m2.priorFx)
+    // independent count check: "the" appears 4x in doc1 (x3 trusted
+    // copies = 12 pos) + 1x in doc1-untrusted clone (4 neg)... derive
+    // from the mirror instead of hand-counting and require the model
+    // to reproduce EVERY lambda from those counts
+    def hashWord(w: String): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), 42L)
+    val v = perRow.size.toLong
+    val np = perRow.values.map(_._1).sum
+    val nn = perRow.values.map(_._2).sum
+    def lam(cp: Long, cn: Long): Long = math.floor(
+      (math.log((cp + 1).toDouble / (np + v).toDouble) -
+        math.log((cn + 1).toDouble / (nn + v).toDouble)) *
+        1073741824.0).toLong
+    perRow.foreach { case (w, (cp, cn)) =>
+      val i = java.util.Arrays.binarySearch(m.keys, hashWord(w))
+      assert(i >= 0, s"token '$w' missing from the model")
+      assert(m.vals(i) == lam(cp, cn), s"lambda mismatch for '$w'")
+    }
+    // LM twin: unigram/bigram counts from the rep-grain trainer match
+    // the per-row explode counts exactly
+    val lm = TextOps.lmTrainHashed(cloned, "text")
+    val uniRow = cloned
+      .select(explode(TextOps.tokens(col("text"))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (hashWord(r.getString(0)), r.getLong(1)))
+      .sortBy(_._1)
+    assert(lm.uniKeys.toSeq == uniRow.map(_._1).toSeq)
+    assert(lm.uniVals.toSeq == uniRow.map(_._2).toSeq)
+    assert(lm.biKeys.length > 0 && lm.v == uniRow.length + 1.0)
+  }
 }
