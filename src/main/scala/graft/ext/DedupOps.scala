@@ -1478,12 +1478,22 @@ object DedupOps {
       explode(call_function("graft_del_variants", col("_s"))).as("_v"))
     val l = exploded.select(col("_v"), col("_s").as("_sa"))
     val r = exploded.select(col("_v"), col("_s").as("_sb"))
-    val strPairs = l.join(r, Seq("_v"))
+    val strPairs0 = l.join(r, Seq("_v"))
       .filter(col("_sa") < col("_sb"))
       .select(col("_sa"), col("_sb"))
       .dropDuplicates("_sa", "_sb")
       .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
       .filter(col("dist") <= 1)
+    // The verified pair list is DISTINCT-grain tiny, so AQE coalesces
+    // its shuffle to ~one partition — and the two id-expansion joins
+    // below FUSE into that stage, forcing the (copies_a × copies_b)
+    // fan-out (the true output mass on a clone-heavy corpus; ~10⁴× at
+    // 100 copies/string) through a single core (sf10 sweep: one
+    // 50-CPU-minute task). An explicit-count repartition pins the
+    // expansion's parallelism — AQE never coalesces user-specified
+    // partition counts — so the output-bound stage scales with cores.
+    val strPairs = strPairs0.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, col("_sa"))
     val crossIds = strPairs
       .join(strs.select(col("_s").as("_sa"), col("_id").as("_ia")),
         Seq("_sa"))
