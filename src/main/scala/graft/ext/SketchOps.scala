@@ -140,20 +140,58 @@ object SketchOps {
     * task, only the tiny grid crosses the network, and the sketch
     * never holds the vocabulary. Returns the grid (`j`, `cell`,
     * `cnt`); probe with [[cmsEstimate]]. */
+  /** The corpus as a (copy-weight, text) relation at DISTINCT-text
+    * grain when clone mass dominates, row grain otherwise — the
+    * fingerprint tier for token/gram-INSTANCE counting sketches:
+    * instance counts are pure per-text functions, so
+    * Σ_rows count_g(text) = Σ_classes m·count_g(text), exactly, while
+    * the explode/hash pipeline (the dominant cost — the sf10 sweep
+    * measured cms at 324x and heavy hitters at 238x their sf0.1 time
+    * on a 100x-clone corpus) scales with distinct mass. The decision
+    * is one cheap fingerprint-count scan, and the rep tier only fires
+    * at ≥4x dup factor — shuffling distinct TEXTS must stay small
+    * relative to the explode it saves, and on a dup-light corpus the
+    * row-grain path keeps today's zero-text-shuffle shape. Streaming
+    * frames always take row grain (no extra action per micro-batch;
+    * the monitors' micro-batches are batch-sized anyway). */
+  private def weightedTexts(df: DataFrame, textCol: String): DataFrame = {
+    val asRows = df.select(lit(1L).as("_m"), col(textCol).as("_t"))
+    if (df.isStreaming) asRows
+    else {
+      val fp = graft.ext.TextOps.fingerprint(col(textCol))
+      // approx_count_distinct: the decision only picks a PLAN SHAPE
+      // (results are exact either way), so the fixed-size HLL partial
+      // — no distinct-value shuffle — is the right probe; the exact
+      // countDistinct cost ~0.45 s per sketch query at sf0.1.
+      val r = df.agg(count(lit(1)), approx_count_distinct(fp)).head()
+      if (r.isNullAt(1) || r.getLong(1) * 4 > r.getLong(0)) asRows
+      else df.groupBy(fp.as("_fp"))
+        .agg(count(lit(1)).as("_m"), min(col(textCol)).as("_t"))
+        .select(col("_m"), col("_t"))
+    }
+  }
+
+  /** [[cmsSketch]] over a prepared (copy-weight `_m`, text `_t`)
+    * relation — the shared core of the public sketch and the
+    * heavy-hitter grid build. */
+  private def cmsSketchWeighted(mt: DataFrame, depth: Int, width: Int,
+                                gramN: Int): DataFrame =
+    mt.select(col("_m"), explode(units(col("_t"), gramN)).as("_t"))
+      .select(col("_m"), col("_t"),
+        explode(array((0 until depth).map(lit): _*)).as("j"))
+      .select(col("j"), pmod(
+          h60(concat(col("j").cast("string"), lit(":"), col("_t"))),
+          lit(width.toLong)).as("cell"), col("_m"))
+      .groupBy(col("j"), col("cell"))
+      .agg(sum(col("_m")).as("cnt"))
+
   def cmsSketch(df0: DataFrame, textCol: String,
                 depth: Int = 4, width: Int = 64,
                 gramN: Int = 1): DataFrame = {
     require(depth >= 1 && width >= 2,
       s"cmsSketch: bad depth/width $depth/$width")
     val df = graft.engine.Engine.spread(df0)
-    df.select(explode(units(col(textCol), gramN)).as("_t"))
-      .select(col("_t"),
-        explode(array((0 until depth).map(lit): _*)).as("j"))
-      .select(col("j"), pmod(
-          h60(concat(col("j").cast("string"), lit(":"), col("_t"))),
-          lit(width.toLong)).as("cell"))
-      .groupBy(col("j"), col("cell"))
-      .agg(count(lit(1)).as("cnt"))
+    cmsSketchWeighted(weightedTexts(df, textCol), depth, width, gramN)
   }
 
   /** EXACT heavy hitters (all units with global count ≥ minCount) at
@@ -172,19 +210,24 @@ object SketchOps {
                    depth: Int = 4, width: Int = 64,
                    gramN: Int = 1): DataFrame = {
     require(minCount >= 1, s"heavyHitters: bad minCount $minCount")
-    val grid = Array.fill(depth)(new Array[Long](width))
-    cmsSketch(df0, textCol, depth, width, gramN).collect()
-      .foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
     val df = graft.engine.Engine.spread(df0)
+    // The weighted-distinct relation feeds BOTH the grid build and the
+    // candidate-filtered exact count (heavy hitters used to pay the
+    // member-grain explode twice) — materialized so the fingerprint
+    // group runs once, not per consumer.
+    val mt = graft.engine.Engine.materialize(weightedTexts(df, textCol))
+    val grid = Array.fill(depth)(new Array[Long](width))
+    cmsSketchWeighted(mt, depth, width, gramN).collect()
+      .foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
     val unit = col("_t")
     val est = (0 until depth).map { j =>
       element_at(lit(grid(j)),
         (pmod(h60(concat(lit(s"$j:"), unit)), lit(width.toLong)) +
           lit(1L)).cast("int"))
     }.reduce(least(_, _))
-    df.select(explode(units(col(textCol), gramN)).as("_t"))
+    mt.select(col("_m"), explode(units(col("_t"), gramN)).as("_t"))
       .filter(est >= minCount)
-      .groupBy(col("_t")).agg(count(lit(1)).as("n_exact"))
+      .groupBy(col("_t")).agg(sum(col("_m")).as("n_exact"))
       .filter(col("n_exact") >= minCount)
       .select(col("_t").as("gram"), col("n_exact"))
   }
