@@ -139,6 +139,22 @@ object Bench {
     val frozen = BenchBaselineFrozen.local
     val vsFrozen = results
       .collect { case (n, t) if frozen.contains(n) => n -> t / frozen(n) }
+    // Regression FLAG rule (r15 verdict ask #6): raw vs_frozen ratios
+    // stay in the artifact, but the actionable `flagged` list applies
+    // an absolute-time floor — three sub-1.2 s jitter-class entries sat
+    // over 2× frozen in r15 with no plan change, washing out real
+    // signals on a 32-core warm box. Flag a query only when it is BOTH
+    // >2× its frozen time AND above 2 s wall, or >3× when sub-2 s but
+    // still above 0.5 s (a 0.3 s query at 3× is timer noise, never a
+    // scale regression). Oneshot scale sweeps (sf1/sf10) suppress the
+    // list outright — every query exceeds its sf0.1 baseline by design.
+    val resultByName = results.toMap
+    val flagged =
+      if (oneshot) Seq.empty[String]
+      else vsFrozen.collect {
+        case (n, r) if (r > 2.0 && resultByName(n) > 2.0) ||
+          (r > 3.0 && resultByName(n) > 0.5) => n
+      }.sorted
     val frozenTotal =
       if (vsFrozen.isEmpty) 0.0
       else results.collect { case (n, t) if frozen.contains(n) => t }.sum /
@@ -175,6 +191,7 @@ object Bench {
         s""""n_errors":${errors.size},"oneshot":$oneshot,""" +
         s""""frozen_epoch":${BenchBaselineFrozen.epoch},""" +
         s""""vs_frozen_total":${f4(frozenTotal)},"vs_frozen":$vfJson,""" +
+        s""""flagged":${flagged.map(jstr).mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir"}"""
     // The driver records only the LAST 2,000 chars of stdout. At 80+
     // queries the full line is ~2.4 KB, so if it is the last thing

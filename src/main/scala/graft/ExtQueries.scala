@@ -1365,21 +1365,70 @@ object ExtQueries {
 
   // ---------------------------------------------------------------------
   // Fuzzy matching at edit distance ≤ 1 over customer names, via
-  // deletion-neighborhood blocking + levenshtein verification
-  // (DedupOps.fuzzyPairsEdit1). The oracle is the NAIVE all-pairs
-  // levenshtein join — affordable in DuckDB at sf0.01, and a semantically
-  // independent check that the blocked candidate set loses no pair.
+  // deletion-neighborhood blocking + levenshtein verification — at the
+  // REP-GRAIN contract (r15 sf10's one DNF was the member-grain id-pair
+  // list: output SIZE quadratic in clone copies): one row per verified
+  // DISTINCT-name pair with both sides' member counts. The oracle is
+  // the NAIVE all-pairs levenshtein join over the distinct names —
+  // affordable in DuckDB at sf0.01, and a semantically independent
+  // check that the blocked candidate set loses no pair.
   // ---------------------------------------------------------------------
   def xFuzzyMatch(s: SparkSession, dir: String): DataFrame =
-    DedupOps.fuzzyPairsEdit1(t(s, dir, "customer"), "c_custkey", "c_name")
-      .orderBy(col("id_a"), col("id_b"))
+    DedupOps.fuzzyPairsEdit1Rep(t(s, dir, "customer"), "c_custkey",
+        "c_name")
+      .orderBy(col("str_a"), col("str_b"))
 
   val xFuzzyMatchSql: String =
+    """WITH s AS (SELECT c_name AS str, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY c_name)
+      |SELECT a.str AS str_a, b.str AS str_b,
+      |  levenshtein(a.str, b.str) AS dist, a.n AS n_a, b.n AS n_b
+      |FROM s a JOIN s b ON a.str < b.str
+      |WHERE levenshtein(a.str, b.str) <= 1
+      |ORDER BY str_a, str_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // The id↔string class map completing the rep-grain fuzzy contract:
+  // strings participating in the edit-≤1 graph (pair endpoints or
+  // multi-member clone classes) with member count and minimum id.
+  // ---------------------------------------------------------------------
+  def xFuzzyClasses(s: SparkSession, dir: String): DataFrame =
+    DedupOps.fuzzyClassesEdit1(t(s, dir, "customer"), "c_custkey",
+        "c_name")
+      .orderBy(col("str"))
+
+  val xFuzzyClassesSql: String =
+    """WITH s AS (SELECT c_name AS str, CAST(COUNT(*) AS BIGINT) AS n_ids,
+      |    MIN(c_custkey) AS min_id
+      |  FROM customer GROUP BY c_name),
+      |  p AS (SELECT a.str AS sa, b.str AS sb FROM s a JOIN s b
+      |    ON a.str < b.str WHERE levenshtein(a.str, b.str) <= 1)
+      |SELECT str, n_ids, min_id FROM s
+      |WHERE n_ids >= 2 OR str IN (SELECT sa FROM p)
+      |  OR str IN (SELECT sb FROM p)
+      |ORDER BY str""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Member-grain fuzzy expansion over a BOUNDED id slice — the
+  // equivalence pin for the rep-grain contract: the full id-pair list
+  // (ids, strings, dist) on c_custkey < 1500, where the output stays
+  // small at every scale factor (replica ids live above 10⁸), checked
+  // against the naive all-pairs twin. Proves the classes×pairs
+  // expansion algebra without ever owing the unbounded quadratic list.
+  // ---------------------------------------------------------------------
+  def xFuzzyExpand(s: SparkSession, dir: String): DataFrame =
+    DedupOps.fuzzyPairsEdit1(
+        t(s, dir, "customer").filter(col("c_custkey") < 1500),
+        "c_custkey", "c_name")
+      .orderBy(col("id_a"), col("id_b"))
+
+  val xFuzzyExpandSql: String =
     """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
       |  a.c_name AS str_a, b.c_name AS str_b,
       |  levenshtein(a.c_name, b.c_name) AS dist
       |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |WHERE a.c_custkey < 1500 AND b.c_custkey < 1500
+      |  AND levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -43,6 +43,14 @@ object Engine {
       // managed-table warehouse (bucketed tables) under tmp, not the cwd
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // Reclaim RELIABLE checkpoint files when their RDD is GC'd:
+      // daily-cadence jobs under the spark.graft.checkpointDir posture
+      // materialize per-run relations (sketch grids, pair stages,
+      // closure labels) whose checkpoint files otherwise accumulate
+      // unboundedly — Engine.release covers blocks, but files need the
+      // ContextCleaner. Safe by construction: the cleaner only deletes
+      // a checkpoint once nothing can reference its RDD.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
     // Shuffle-partition count is set ONLY when this code also picks the
     // master (the local harness): a spark-submit deployment must keep its

@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Broadcast byte budget for the incremental near-dup tiers —
+    * configurable like CurationJob's `broadcastIdBudgetBytes`
+    * (`spark.graft.dedup.broadcastBudgetBytes`, default 64 MB) so
+    * operators running next to memory-hungry neighbors can tighten it
+    * without a code change. */
+  private def broadcastBudgetBytes(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.broadcastBudgetBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+
+  /** Measured broadcast payload of a relation carrying an `_sh`
+    * hashed-shingle array: rows·48 B framing + 8 B per hash. One cheap
+    * aggregate — callers pass already-materialized frames. */
+  private def shingleRelationBytes(ix: DataFrame): Long = {
+    val r = ix.agg(count(lit(1)),
+      coalesce(sum(size(col("_sh"))), lit(0L))).head()
+    r.getLong(0) * 48L + r.getLong(1) * 8L
+  }
+
   /** Exact near-layout dedup: keep the lowest-id row per normalized-text
     * fingerprint. One shuffle; deterministic winner (min id), matching the
     * reference's keep-first semantics (`core/utils/sheets_core.py:171-176`
@@ -764,16 +783,45 @@ object DedupOps {
     * Hamming ≤ 3 must agree exactly on at least one block (pigeonhole), so
     * joining per block finds all such pairs while shuffling only
     * (block_id, block_value, id) triples. This keeps the op linear-ish at
-    * 100 TB, vs the all-pairs O(n²) naive form. */
+    * 100 TB, vs the all-pairs O(n²) naive form.
+    *
+    * Runs at REPRESENTATIVE grain (see [[simhashRepStages]]): identical
+    * texts share a SimHash, so hashing, blocking, and Hamming
+    * verification all happen once per DISTINCT text fingerprint and the
+    * member-grain pair list is the clique blow-up of the rep graph —
+    * bit-equal to hashing every row (pinned in DedupOpsSpec), while the
+    * candidate join scales with distinct mass instead of clone mass. */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
-    val hashed = graft.engine.Engine.spread(df)
-      .select(col(idCol).as("_id"),
-        call_function("graft_hash_tokens", TextOps.tokens(col(textCol)))
+                          maxHamming: Int = 3): DataFrame =
+    expandSimhashStages(
+      simhashRepStages(df, idCol, textCol, simhashXxhashOf,
+        nBlocks = 4, blockBits = 16, maxHamming),
+      maxHamming)
+
+  /** Member-grain form of [[nearDupPairsSimhash]] — every row hashed and
+    * block-joined directly. Quadratic in clone copies at every stage
+    * (the r15 sf10 sweep's top pole: 1179 s / 646× on a 100×-clone
+    * corpus); kept as the equivalence proof the rep-tier spec pins
+    * against, not as a production path. */
+  private[graft] def nearDupPairsSimhashMemberGrain(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashBlockPairs(
+      simhashXxhashOf(graft.engine.Engine.spread(df)
+        .select(col(idCol).as("_id"), col(textCol).as("_txt"))),
+      nBlocks = 4, blockBits = 16, maxHamming)
+
+  /** xxhash64 SimHash projection over an (_id, _txt) relation →
+    * (_id, _sh). Null texts hash to null (they never pair — null block
+    * values fail every equi-join); zero-token texts hash to 0L and DO
+    * pair with each other, matching [[graft.expressions.SimHashBits]]'
+    * empty-array vote. The hash-presence contract travels WITH the hash
+    * function so the rep tier inherits each variant's semantics. */
+  private def simhashXxhashOf(docs: DataFrame): DataFrame =
+    docs.select(col("_id"),
+        call_function("graft_hash_tokens", TextOps.tokens(col("_txt")))
           .as("_th"))
       .select(col("_id"), simhashFromTokenHashes(col("_th")).as("_sh"))
-    simhashBlockPairs(hashed, nBlocks = 4, blockBits = 16, maxHamming)
-  }
 
   /** Pigeonhole candidate join shared by the SimHash variants: `hashed`
     * is (_id, _sh); any pair within Hamming < nBlocks must agree exactly
@@ -834,12 +882,106 @@ object DedupOps {
   }
 
   /** [[nearDupPairsSimhash]] over the portable 60-bit hash: 4×15-bit
-    * pigeonhole blocks, same output shape (id_a, id_b, hamming). */
+    * pigeonhole blocks, same output shape (id_a, id_b, hamming). Same
+    * representative-grain execution; the DuckDB twin stays the
+    * member-grain pipeline, so the oracle-green row IS the equivalence
+    * proof of the rep-tier algebra. Presence contract difference vs the
+    * xxhash64 variant, inherited through the hash function: the
+    * explode→groupBy form drops zero-token AND null texts outright, so
+    * neither ever pairs (not even intra-class). */
   def nearDupPairsSimhashPortable(df: DataFrame, idCol: String,
                                   textCol: String,
                                   maxHamming: Int = 3): DataFrame =
+    expandSimhashStages(
+      simhashRepStages(df, idCol, textCol,
+        d => simhashPortable(d, "_id", "_txt"),
+        nBlocks = 4, blockBits = 15, maxHamming),
+      maxHamming)
+
+  /** Member-grain form of [[nearDupPairsSimhashPortable]] — the literal
+    * shape of the DuckDB twin, kept for the rep-tier equivalence spec. */
+  private[graft] def nearDupPairsSimhashPortableMemberGrain(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
     simhashBlockPairs(simhashPortable(df, idCol, textCol),
       nBlocks = 4, blockBits = 15, maxHamming)
+
+  /** The rep-grain relations of the SimHash family, mirroring
+    * [[RepStages]] (the MinHash rep tier):
+    *
+    *  - `classes` — (`_rid`, `_oid`): identity classes keyed on
+    *    [[TextOps.fingerprint]] (md5 ∘ lower ∘ trim), rep = class
+    *    minimum id. Fingerprint equality implies an identical TOKEN
+    *    array ([[TextOps.tokens]] lowercases and the trim delta only
+    *    sheds empty splits), hence an identical SimHash — the algebra's
+    *    whole load-bearing fact.
+    *  - `hashed` — (`_id`, `_sh`): the hash function applied to the
+    *    REPRESENTATIVES only. Which classes appear (zero-token, null
+    *    text) is the hash function's contract, so each variant's
+    *    member-grain presence semantics carry over verbatim.
+    *  - `repPairs` — (`id_a`, `id_b`, `hamming`): block-join candidates
+    *    verified at rep grain. A member pair (a∈A, b∈B) shares a block
+    *    iff its rep pair does (same hashes) and has the same Hamming
+    *    distance, so the expanded pair list is exactly the clique
+    *    blow-up: rep edges as complete bipartite bundles + intra-class
+    *    cliques at Hamming 0. */
+  private[graft] case class SimhashStages(classes: DataFrame,
+                                          hashed: DataFrame,
+                                          repPairs: DataFrame)
+
+  private[graft] def simhashRepStages(df: DataFrame, idCol: String,
+      textCol: String, hashFn: DataFrame => DataFrame, nBlocks: Int,
+      blockBits: Int, maxHamming: Int): SimhashStages = {
+    val docs = graft.engine.Engine.spread(df)
+      .select(col(idCol).as("_oid"), col(textCol).as("_txt"))
+    // One fingerprint shuffle builds reps; classes is the id↔rep map the
+    // expansion joins on. Both materialized: reps feeds the hash
+    // projection and classes is read twice per expansion branch.
+    val reps = graft.engine.Engine.materialize(
+      docs.groupBy(TextOps.fingerprint(col("_txt")).as("_fp"))
+        .agg(min(col("_oid")).as("_rid"),
+          min_by(col("_txt"), col("_oid")).as("_txt")))
+    val classes = graft.engine.Engine.materialize(
+      docs.select(col("_oid"), TextOps.fingerprint(col("_txt")).as("_fp"))
+        .join(reps.select(col("_fp"), col("_rid")), Seq("_fp"))
+        .select(col("_rid"), col("_oid")))
+    val hashed = graft.engine.Engine.materialize(
+      hashFn(reps.select(col("_rid").as("_id"), col("_txt"))))
+    SimhashStages(classes, hashed,
+      simhashBlockPairs(hashed, nBlocks, blockBits, maxHamming))
+  }
+
+  /** Closed-form expansion of [[SimhashStages]] to the member-grain
+    * (id_a, id_b, hamming) contract — id-only joins, the only stage
+    * clone mass multiplies (it is the OUTPUT's own size). Inter pairs
+    * inherit the rep pair's Hamming distance; intra pairs are Hamming 0
+    * by identity, present only for classes the hash function kept
+    * (non-null `_sh` — a null hash never equi-joins at member grain, so
+    * its class must not self-pair here either) and only when the bound
+    * admits 0 (a negative bound returns an empty frame at member grain
+    * too). Each member pair arises exactly once — classes partition the
+    * id space and rep pairs are distinct — so no dedup shuffle. */
+  private[graft] def expandSimhashStages(st: SimhashStages,
+                                         maxHamming: Int): DataFrame = {
+    val inter = st.repPairs
+      .join(st.classes.select(col("_rid").as("id_a"), col("_oid").as("_ia")),
+        Seq("id_a"))
+      .join(st.classes.select(col("_rid").as("id_b"), col("_oid").as("_ib")),
+        Seq("id_b"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("hamming"))
+    val intra0 = st.hashed.filter(col("_sh").isNotNull)
+      .select(col("_id").as("_rid"))
+      .join(st.classes.select(col("_rid"), col("_oid").as("_ia")),
+        Seq("_rid"))
+      .join(st.classes.select(col("_rid"), col("_oid").as("_ib")),
+        Seq("_rid"))
+      .filter(col("_ia") < col("_ib"))
+      .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+        lit(0).as("hamming"))
+    val intra = if (maxHamming >= 0) intra0 else intra0.limit(0)
+    inter.unionByName(intra)
+  }
 
   /** Connected components over a near-duplicate pair graph — the missing
     * last step of dedup-at-scale: pairwise near-dup edges form CLUSTERS
@@ -1280,12 +1422,21 @@ object DedupOps {
     val shAll = histIndex.select(col("_id"), col("_sh"))
       .unionByName(ixNew.select(col("_id"), col("_sh")))
     val nPairs = pairs.count()
-    val small = nPairs * 4096L <= (64L << 20) // ~2 KB/endpoint shingle set
+    val budget = broadcastBudgetBytes(pairs.sparkSession)
+    // ends is id-only (≤ 2 ids per pair, ~16 B each) — its broadcast
+    // gate needs no shingle sizing.
+    val endsSmall = nPairs * 32L <= budget
     val ends = pairs.select(col("id_a").as("_id"))
       .unionByName(pairs.select(col("id_b").as("_id"))).distinct()
     val shTouched = eng.materialize(
-      shAll.join(if (small) broadcast(ends) else ends,
+      shAll.join(if (endsSmall) broadcast(ends) else ends,
         Seq("_id"), "left_semi"))
+    // The shingle side's broadcast gate is MEASURED, not assumed:
+    // shTouched is already materialized, so one cheap scan prices the
+    // actual payload — a long-document corpus whose sets dwarf the old
+    // ~4 KB/row constant can no longer slip an oversized relation past
+    // the budget.
+    val small = shingleRelationBytes(shTouched) <= budget
     def side(a: String, b: String): DataFrame = {
       val s = shTouched.select(col("_id").as(a), col("_sh").as(b))
       if (small) broadcast(s) else s
@@ -1336,12 +1487,18 @@ object DedupOps {
     // shingle table (broadcast semi) — the archive is scanned, never
     // shuffled.
     val nNew = ixNew.count()
+    val budget = broadcastBudgetBytes(batch.sparkSession)
     val probeH =
-      if (nNew * bands * 24L <= (64L << 20)) broadcast(probe) else probe
+      if (nNew * bands * 24L <= budget) broadcast(probe) else probe
     val cand = eng.materialize(probeH.join(index, Seq("_band", "_bh"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b"))
-    val small = cand.count() * 4096L <= (64L << 20)
+    // Shingle sizing SAMPLED from the batch's own (materialized) index
+    // — same corpus, so its measured bytes/row prices the history slice
+    // about to broadcast far better than a fixed ~4 KB constant.
+    val nCand = cand.count()
+    val small = nCand *
+      (shingleRelationBytes(ixNew) / math.max(1L, nNew) + 16L) <= budget
     val bIds = cand.select(col("id_b").as("_id")).distinct()
     val histTouched = histIndex.select(col("_id"), col("_sh"))
       .join(if (small) broadcast(bIds) else bIds, Seq("_id"), "left_semi")
@@ -1470,20 +1627,7 @@ object DedupOps {
   def fuzzyPairsEdit1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val strs = df.filter(col(strCol).isNotNull)
       .select(col(idCol).as("_id"), col(strCol).as("_s"))
-    val dstrs = strs.select(col("_s")).distinct()
-    // Native codegen'd neighborhood (expressions.DeletionVariants) — the
-    // HOF form (transform + substr) pays an interpreted lambda call per
-    // character per row.
-    val exploded = dstrs.select(col("_s"),
-      explode(call_function("graft_del_variants", col("_s"))).as("_v"))
-    val l = exploded.select(col("_v"), col("_s").as("_sa"))
-    val r = exploded.select(col("_v"), col("_s").as("_sb"))
-    val strPairs0 = l.join(r, Seq("_v"))
-      .filter(col("_sa") < col("_sb"))
-      .select(col("_sa"), col("_sb"))
-      .dropDuplicates("_sa", "_sb")
-      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
-      .filter(col("dist") <= 1)
+    val strPairs0 = fuzzyStrPairsEdit1(strs)
     // The verified pair list is DISTINCT-grain tiny, so AQE coalesces
     // its shuffle to ~one partition — and the two id-expansion joins
     // below FUSE into that stage, forcing the (copies_a × copies_b)
@@ -1513,6 +1657,73 @@ object DedupOps {
         col("_s").as("str_a"), col("_s").as("str_b"),
         lit(0).as("dist"))
     crossIds.unionByName(sameIds)
+  }
+
+  /** The distinct-grain core of the fuzzy family: verified edit-1 pairs
+    * (`_sa`, `_sb`, `dist`) over the DISTINCT values of `strs._s`.
+    * Candidates from the deletion-neighborhood equi-join (native
+    * codegen'd [[graft.expressions.DeletionVariants]] — the HOF form,
+    * transform + substr, pays an interpreted lambda call per character
+    * per row), then exact `levenshtein` verification. */
+  private def fuzzyStrPairsEdit1(strs: DataFrame): DataFrame = {
+    val dstrs = strs.select(col("_s")).distinct()
+    val exploded = dstrs.select(col("_s"),
+      explode(call_function("graft_del_variants", col("_s"))).as("_v"))
+    val l = exploded.select(col("_v"), col("_s").as("_sa"))
+    val r = exploded.select(col("_v"), col("_s").as("_sb"))
+    l.join(r, Seq("_v"))
+      .filter(col("_sa") < col("_sb"))
+      .select(col("_sa"), col("_sb"))
+      .dropDuplicates("_sa", "_sb")
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
+      .filter(col("dist") <= 1)
+  }
+
+  /** [[fuzzyPairsEdit1]]'s REP-GRAIN contract — the scale-safe output
+    * shape (r15 sf10's one DNF was the member-grain id-pair list, whose
+    * SIZE is quadratic in clone copies: ~10⁴× the sf0.1 answer at 100
+    * copies/string; no plan fixes an output-bound query whose output
+    * explodes). One row per verified DISTINCT-string pair:
+    * (`str_a`, `str_b`, `dist`, `n_a`, `n_b`), str_a < str_b, with each
+    * side's member count — so `n_a·n_b` is exactly the member-pair mass
+    * the old contract materialized, and joining twice through
+    * [[fuzzyClassesEdit1]] reproduces the full id-pair list on demand
+    * (the expansion algebra itself stays oracle-pinned by the bounded
+    * member-grain query). Output scales with DISTINCT mass only. */
+  def fuzzyPairsEdit1Rep(df: DataFrame, idCol: String,
+                         strCol: String): DataFrame = {
+    val strs = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("_id"), col(strCol).as("_s"))
+    val cls = strs.groupBy(col("_s")).agg(count(lit(1)).as("_n"))
+    fuzzyStrPairsEdit1(strs)
+      .join(cls.select(col("_s").as("_sa"), col("_n").as("n_a")),
+        Seq("_sa"))
+      .join(cls.select(col("_s").as("_sb"), col("_n").as("n_b")),
+        Seq("_sb"))
+      .select(col("_sa").as("str_a"), col("_sb").as("str_b"),
+        col("dist"), col("n_a"), col("n_b"))
+  }
+
+  /** The id↔string class map completing [[fuzzyPairsEdit1Rep]]'s
+    * contract: one row per string PARTICIPATING in the edit-≤1 graph —
+    * an endpoint of a verified distinct pair, or a multi-member clone
+    * class (whose members pair with each other at distance 0) — with
+    * `(str, n_ids, min_id)`. Consumers expand rep pairs through it or
+    * route dedup keep/drop decisions by `min_id` without the engine
+    * ever materializing the quadratic id-pair list. */
+  def fuzzyClassesEdit1(df: DataFrame, idCol: String,
+                        strCol: String): DataFrame = {
+    val strs = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("_id"), col(strCol).as("_s"))
+    val cls = strs.groupBy(col("_s"))
+      .agg(count(lit(1)).as("n_ids"), min(col("_id")).as("min_id"))
+    val pairs = fuzzyStrPairsEdit1(strs)
+    val parts = pairs.select(col("_sa").as("_s"))
+      .unionByName(pairs.select(col("_sb").as("_s")))
+      .distinct()
+    cls.join(parts.withColumn("_in", lit(1)), Seq("_s"), "left")
+      .filter(col("n_ids") >= 2 || col("_in").isNotNull)
+      .select(col("_s").as("str"), col("n_ids"), col("min_id"))
   }
 
   /** All-pairs cosine similarity over sparse TF-IDF n-gram vectors with

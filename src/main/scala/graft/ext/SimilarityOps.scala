@@ -1408,9 +1408,70 @@ object SimilarityOps {
                      dim: Int = 0, bits: Int = 4, tables: Int = 8,
                      seed: Long = 42L): DataFrame = {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")
-    // cell-dependent outputs attach per CORPUS ROW (n evaluations, not
-    // n·k); materialized so the pair stage's self-join reads the
-    // assignment once instead of recomputing the scoring per side.
+    // REPRESENTATIVE tier (r15 sf10: ~105× at 100× clone mass —
+    // identical texts carry identical vectors, so both the n·k scoring
+    // pass and the within-cell pair join were quadratic in copies):
+    // assignment and centroid_sim are pure functions of the VECTOR, so
+    // score one rep per distinct vector; k and the id-ranked centroid
+    // sample stay member-grain (they are functions of the corpus, not
+    // of its distinct support). The survivor rule then collapses in
+    // closed form — bit-equal to member grain, argued kill-case by
+    // kill-case below and pinned in SimilarityOpsSpec; the registered
+    // queries' member-grain DuckDB twins stay unchanged as the
+    // end-to-end proof.
+    val rows = graft.engine.Engine.spread(
+      df.select(col(idCol).cast("long").as("_oid"),
+        col(vecCol).cast("array<double>").as("_ov")))
+    // One vector-keyed shuffle builds the identity classes; each class
+    // keyed by its minimum member id. Exact array equality - no hash
+    // fingerprint, so no collision risk in a correctness-bearing tier.
+    val reps = rows.groupBy(col("_ov")).agg(min(col("_oid")).as("_rid"))
+    val assigned = graft.engine.Engine.materialize(
+      semDedupAssignCore(
+        rows.select(col("_oid").as("_aid"), col("_ov").as("_av")),
+        reps.select(col("_rid").as("_aid"), col("_ov").as("_av")),
+        targetCellSize, minCentroids, assignMode, dim, bits, tables,
+        seed))
+    val b = assigned.select(col("_aid").as("_bid"), col("_av").as("_bv"),
+      col("_an").as("_bn"), col("cell").as("_bcell"),
+      col("centroid_sim").as("_bcsim"))
+    // Rep-grain survivor rule - the member-grain survivor set IS the
+    // rep survivor set. (1) A non-rep member m never survives: its rep
+    // shares cell and csim, has the smaller id, and their cosine is the
+    // round-6 self-cosine of the shared vector - exactly 1.0 > tau,
+    // because every scored vector has nonzero norm (ANSI division
+    // errors the csim attach loudly on a zero vector, at EITHER grain,
+    // before any survivor logic runs) and tau < 1 by the require above.
+    // (2) The rep is killed iff some DISTINCT vector's class B in its
+    // cell has cos > tau and better (csim, id) - the member-grain
+    // "exists any member of B with smaller id" reduces to B's minimum
+    // id, which IS rid_B; members of the rep's OWN class never kill it
+    // (equal csim, larger id). So the anti-join of reps against reps
+    // with rep ids returns the final answer outright - surviving ids
+    // are class minima at either grain. Pinned against
+    // [[semDedupScaledMemberGrain]] in SimilarityOpsSpec.
+    assigned.join(b,
+        col("cell") === col("_bcell") && col("_aid") =!= col("_bid") &&
+          round(dot(col("_av"), col("_bv")) / (col("_an") * col("_bn")),
+            6) > tau &&
+          (col("_bcsim") < col("centroid_sim") ||
+            (col("_bcsim") === col("centroid_sim") &&
+              col("_bid") < col("_aid"))),
+        "left_anti")
+      .select(col("_aid").as(idCol), col("_av").as(vecCol),
+        col("cell"), col("centroid_sim"))
+  }
+
+  /** Member-grain form of [[semDedupScaled]] — every corpus row scored
+    * and self-joined directly; kept as the rep-tier equivalence proof
+    * SimilarityOpsSpec pins against, not as a production path. */
+  private[graft] def semDedupScaledMemberGrain(
+      df: DataFrame, idCol: String, vecCol: String,
+      targetCellSize: Int = 128, minCentroids: Int = 16,
+      tau: Double = 0.99, assignMode: String = "auto",
+      dim: Int = 0, bits: Int = 4, tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")
     val assigned = graft.engine.Engine.materialize(
       semDedupAssignFrame(df, idCol, vecCol, targetCellSize,
         minCentroids, assignMode, dim, bits, tables, seed))
@@ -1470,7 +1531,34 @@ object SimilarityOps {
       s"bad targetCellSize=$targetCellSize minCentroids=$minCentroids")
     require(Set("auto", "broadcast", "bucketed")(assignMode),
       s"assignMode must be auto|broadcast|bucketed: $assignMode")
-    val n = df.count()
+    // spread BEFORE the assignment: a replicated fixture lands as one
+    // ~100 MB parquet split, and the flop-heavy scoring pass would run
+    // on ONE core (the first sf10 probe spent minutes exactly so — 31
+    // of 32 executor threads parked). No-op on real multi-split
+    // corpora, the Engine.spread contract.
+    val proj = graft.engine.Engine.spread(
+      df.select(col(idCol).cast("long").as("_aid"),
+        col(vecCol).cast("array<double>").as("_av")))
+    semDedupAssignCore(proj, proj, targetCellSize, minCentroids,
+      assignMode, dim, bits, tables, seed)
+  }
+
+  /** The assignment engine under both grains: `members` (all `(_aid,
+    * _av)` corpus rows) decides n, k, and the lowest-id-k centroid
+    * sample — corpus-level quantities; `scored` is the row set that
+    * actually pays the nearest-centroid scoring (the whole corpus at
+    * member grain, one rep per distinct vector in [[semDedupScaled]]'s
+    * rep tier). Output: one `(_aid, _av, _an, cell, centroid_sim)` row
+    * per `scored` row. */
+  private def semDedupAssignCore(
+      members: DataFrame, scored: DataFrame, targetCellSize: Int,
+      minCentroids: Int, assignMode: String, dim: Int, bits: Int,
+      tables: Int, seed: Long): DataFrame = {
+    require(targetCellSize >= 1 && minCentroids >= 1,
+      s"bad targetCellSize=$targetCellSize minCentroids=$minCentroids")
+    require(Set("auto", "broadcast", "bucketed")(assignMode),
+      s"assignMode must be auto|broadcast|bucketed: $assignMode")
+    val n = members.count()
     require(n > 0, "semDedupScaled needs a non-empty corpus")
     val k = math.min(
       math.max(minCentroids.toLong,
@@ -1481,30 +1569,24 @@ object SimilarityOps {
     if (bucketed) require(dim >= 1,
       s"bucketed assignment needs the vector dim for its hyperplane " +
       s"literals: dim=$dim")
-    // spread BEFORE the assignment: a replicated fixture lands as one
-    // ~100 MB parquet split, and the flop-heavy scoring pass would run
-    // on ONE core (the first sf10 probe spent minutes exactly so — 31
-    // of 32 executor threads parked). No-op on real multi-split
-    // corpora, the Engine.spread contract.
-    val proj = graft.engine.Engine.spread(
-      df.select(col(idCol).cast("long").as("_aid"),
-        col(vecCol).cast("array<double>").as("_av")))
-    // lowest-id k vectors as the sampled centroids ([[sampleVectors]]'
-    // determinism contract), indexed 0..k−1 by the TWO-PASS contiguous
-    // rank ([[graft.transform.Ids.assignContiguousIds]]) — r10 ran
-    // `row_number` over an unpartitioned window on the k-row set, a
-    // single-task stage whose input GROWS with the corpus (k = n/128);
-    // the two-pass form range-partitions by id, so no stage anywhere
-    // sees more than a partition's rows.
+    // lowest-id k MEMBER vectors as the sampled centroids
+    // ([[sampleVectors]]' determinism contract — the sample is a
+    // corpus-grain quantity, so duplicates stay in), indexed 0..k−1 by
+    // the TWO-PASS contiguous rank ([[graft.transform.Ids
+    // .assignContiguousIds]]) — r10 ran `row_number` over an
+    // unpartitioned window on the k-row set, a single-task stage whose
+    // input GROWS with the corpus (k = n/128); the two-pass form
+    // range-partitions by id, so no stage anywhere sees more than a
+    // partition's rows.
     val cents = graft.transform.Ids
-      .assignContiguousIds(proj, col("_aid"), "_cellL", 0L)
+      .assignContiguousIds(members, col("_aid"), "_cellL", 0L)
       .filter(col("_cellL") < k)
       .select(col("_cellL").cast("int").as("_cell"),
         col("_av").as("_cv"))
-    // self-dots once per SIDE (n + k evaluations, the bruteForceTopK
-    // discipline); the scoring pass computes ONLY the packed argmin
-    // key — no cosine, no rounding, no vectors in flight
-    val proj2 = proj.withColumn("_avv", dot(col("_av"), col("_av")))
+    // self-dots once per SIDE (|scored| + k evaluations, the
+    // bruteForceTopK discipline); the scoring pass computes ONLY the
+    // packed argmin key — no cosine, no rounding, no vectors in flight
+    val proj2 = scored.withColumn("_avv", dot(col("_av"), col("_av")))
     val cents2 = cents.withColumn("_cvv", dot(col("_cv"), col("_cv")))
     val amin =
       if (bucketed)
@@ -1512,7 +1594,7 @@ object SimilarityOps {
       else semDedupAssignExact(proj2, cents2, k)
     val centsSim = cents2.select(col("_cell").as("cell"),
       col("_cv"), col("_cvv"))
-    // csim attach: one k-row join per corpus row — broadcast in the
+    // csim attach: one k-row join per scored row — broadcast in the
     // exact tier, a plain cell equi-join in the bucketed tier (whose
     // premise is that k no longer broadcasts)
     proj2.join(amin, Seq("_aid"))

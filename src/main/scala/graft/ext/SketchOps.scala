@@ -194,6 +194,16 @@ object SketchOps {
     cmsSketchWeighted(weightedTexts(df, textCol), depth, width, gramN)
   }
 
+  /** Member-grain (every row exploded, weight 1) [[cmsSketch]] — the
+    * clone-mass-quadratic form, kept as the equivalence proof
+    * SketchOpsSpec pins the weighted-distinct tier against. */
+  private[graft] def cmsSketchMemberGrain(
+      df0: DataFrame, textCol: String, depth: Int = 4, width: Int = 64,
+      gramN: Int = 1): DataFrame =
+    cmsSketchWeighted(graft.engine.Engine.spread(df0)
+        .select(lit(1L).as("_m"), col(textCol).as("_t")),
+      depth, width, gramN)
+
   /** EXACT heavy hitters (all units with global count ≥ minCount) at
     * sketch cost: the CMS grid — d·w longs, a driver-bounded plan
     * literal like the Bloom/LM/centroid tiers — never undercounts, so

@@ -315,6 +315,20 @@ object AnnIndexJob {
       (AnnIndexState(dim, nCentroids, m, nCodewords, cents, cws,
         spark.read.parquet(cPath)), true)
     } else {
+      // Codes WITHOUT meta = a crash inside a previous append's meta
+      // window. Training here would rebuild from whatever corpus THIS
+      // caller holds and overwrite the accumulated codes table — the
+      // exact loss run()'s append mode refuses; library callers get
+      // the same refusal at the same spot the overwrite would happen
+      // (a guard only on the CLI entry point protects nobody calling
+      // the API). A PRESENT-but-mismatched meta is different: that is
+      // a deliberate param/version change, and retraining is this
+      // function's documented contract for it.
+      require(fs.exists(new org.apache.hadoop.fs.Path(metaPath)) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(cPath)),
+        s"AnnIndexJob: $stateDir/codes exists without meta (crashed " +
+          "append?) — refusing to retrain over accumulated codes; " +
+          "clear the state dir to retrain from the FULL corpus")
       val st = SimilarityOps.buildAnnIndexState(corpus, idCol, vecCol,
         dim, nCentroids, m, nCodewords)
       import spark.implicits._

@@ -165,8 +165,7 @@ object Dml {
                               mutated: DataFrame): Int = {
     val kept = all.filterNot(p => touchedCanon(canonical(p)))
     val table = new Path(dirPath)
-    val tmp = new Path(dirPath + "._dml_tmp")
-    val old = new Path(dirPath + "._dml_old")
+    val (tmp, old) = swapSiblings(table)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmp, true); fs.delete(old, true)
     mutated.write.mode("overwrite").parquet(tmp.toString)
@@ -182,6 +181,21 @@ object Dml {
     }
     fs.delete(old, true)
     kept.size
+  }
+
+  /** Temp/old swap siblings for `dir`, DOT-PREFIXED: when `dir` is a
+    * partition directory (<table>/day=d1), its swap siblings live
+    * INSIDE the table root, and Spark's partition discovery would parse
+    * a crash-leftover `day=d1._dml_old` as partition day='d1._dml_old'
+    * — silently DOUBLING the partition's rows on the next read. A
+    * leading '.' puts both under InMemoryFileIndex's hidden-path filter
+    * (names starting with '.' or '_' are never listed), so a crash
+    * between the rename pair and the final delete leaves garbage that
+    * is invisible to readers instead of data that is counted twice. */
+  private def swapSiblings(dir: Path): (Path, Path) = {
+    val parent = dir.getParent
+    (new Path(parent, "." + dir.getName + "._dml_tmp"),
+      new Path(parent, "." + dir.getName + "._dml_old"))
   }
 
   /** Hardlink `src` as `dst` when both live on a link-capable local
@@ -357,8 +371,7 @@ object Dml {
   private def rewrite(spark: SparkSession, tablePath: String,
                       out: DataFrame, affected: Long): Long = {
     val table = new Path(tablePath)
-    val tmp = new Path(tablePath + "._dml_tmp")
-    val old = new Path(tablePath + "._dml_old")
+    val (tmp, old) = swapSiblings(table)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmp, true); fs.delete(old, true)
     out.write.mode("overwrite").parquet(tmp.toString)

@@ -84,6 +84,53 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((2L, 3L)))
   }
 
+  test("simhash rep tier == member grain on a clone-heavy corpus, both variants") {
+    import spark.implicits._
+    // Edge cases the presence contract must preserve: null texts (never
+    // pair in either variant), zero-token texts (pair with each other in
+    // the xxhash64 variant — graft_simhash([]) = 0 — but are absent from
+    // the portable explode→groupBy form), trim/case clones (same
+    // fingerprint class), and heavy clone mass on one text.
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while the sly cat watches from the old wooden fence nearby"
+    val rows: Seq[(Long, String)] =
+      (0L until 12L).map(i => (i, base)) ++ Seq(
+        (12L, base.replace("lazy", "sleepy")),
+        (13L, "  " + base.toUpperCase + "  "), // trim/case clone of base
+        (14L, "completely different content about spark catalyst " +
+          "optimizer rules and whole stage code generation"),
+        (15L, "!!!"), (16L, "???"), (17L, "!!!"),
+        (18L, null), (19L, null))
+    val df = rows.toDF("id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    for (mh <- Seq(3, 10)) {
+      val repX = DedupOps.nearDupPairsSimhash(df, "id", "text", mh)
+        .collect().map(key).toSet
+      val memX = DedupOps.nearDupPairsSimhashMemberGrain(df, "id", "text", mh)
+        .collect().map(key).toSet
+      assert(repX == memX, s"xxhash64 variant diverged at maxHamming=$mh")
+      val repP = DedupOps.nearDupPairsSimhashPortable(df, "id", "text", mh)
+        .collect().map(key).toSet
+      val memP = DedupOps
+        .nearDupPairsSimhashPortableMemberGrain(df, "id", "text", mh)
+        .collect().map(key).toSet
+      assert(repP == memP, s"portable variant diverged at maxHamming=$mh")
+      // The presence contracts themselves, not just agreement: empty-token
+      // texts pair at hamming 0 in the xxhash64 variant only; null texts
+      // pair in neither; the trim/case clone rides the base clique.
+      assert(repX.contains((15L, 17L, 0)) && repX.contains((15L, 16L, 0)))
+      assert(!repP.exists(p => Set(p._1, p._2).intersect(Set(15L, 16L, 17L))
+        .nonEmpty))
+      assert(!repX.exists(p => Set(p._1, p._2).intersect(Set(18L, 19L))
+        .nonEmpty))
+      assert(repP.contains((0L, 13L, 0)))
+      // Clone clique is complete: 13 members of the base class (ids 0-11
+      // plus 13) → C(13,2) = 78 hamming-0 intra pairs.
+      assert(repP.count(_._3 == 0) >= 78)
+    }
+  }
+
   test("portable simhash stays within 60 bits and is order-insensitive") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
@@ -137,6 +184,42 @@ class DedupOpsSpec extends SparkSpec {
     assert(got((1L, 3L)) == ("aa", "ab", 1))
     assert(got((3L, 5L)) == ("ab", "aa", 1)) // swap keeps str-id pairing
     assert(got((7L, 9L)) == ("ab", "aa", 1))
+  }
+
+  test("fuzzy rep contract: pairs+classes reconstruct the member-grain list") {
+    import spark.implicits._
+    // The rep-grain contract (str pairs with member counts + the class
+    // map) must carry the SAME information as the quadratic id-pair
+    // list: expanding rep pairs through the class map and adding each
+    // multi-member class's intra clique reproduces fuzzyPairsEdit1.
+    val df = Seq((1L, "aa"), (5L, "aa"), (9L, "aa"), (3L, "ab"),
+      (7L, "ab"), (11L, "abc"), (13L, "zz"), (15L, null))
+      .toDF("id", "s")
+    val rep = DedupOps.fuzzyPairsEdit1Rep(df, "id", "s").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    // Distinct-pair face: counts are the member masses.
+    assert(rep == Map(
+      ("aa", "ab") -> (1, 3L, 2L),
+      ("ab", "abc") -> (1, 2L, 1L)))
+    val cls = DedupOps.fuzzyClassesEdit1(df, "id", "s").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Participants only: "zz" has no neighbor and one member → absent;
+    // null strings never participate.
+    assert(cls == Map("aa" -> (3L, 1L), "ab" -> (2L, 3L),
+      "abc" -> (1L, 11L)))
+    // Reconstruction == member grain.
+    val ids = df.filter(col("s").isNotNull)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val rebuilt = scala.collection.mutable.Set[(Long, Long, Int)]()
+    for (((sa, sb), (d, _, _)) <- rep; a <- ids(sa); b <- ids(sb))
+      rebuilt += ((math.min(a, b), math.max(a, b), d))
+    for ((s, (n, _)) <- cls if n >= 2; a <- ids(s); b <- ids(s) if a < b)
+      rebuilt += ((a, b, 0))
+    val member = DedupOps.fuzzyPairsEdit1(df, "id", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(rebuilt.toSet == member)
   }
 
   test("connectedComponents: chains collapse transitively, clusters stay separate") {

@@ -53,6 +53,20 @@ class DmlSpec extends SparkSpec {
       (4L, 40.0)))
     // d3 held no affected rows: its files must be byte-for-byte untouched.
     assert(partFiles(dir, "day=d3") == before, "untouched partition rewritten")
+    // Crash-leftover swap siblings are DOT-PREFIXED so partition
+    // discovery never parses them as a partition value: a leftover
+    // old-dir full of pre-update data must be invisible to readers
+    // (the un-prefixed form read back as day='d1._dml_old' — silent
+    // row duplication).
+    val leftover = new java.io.File(dir, ".day=d1._dml_old")
+    assert(leftover.mkdir())
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "day=d1")
+        .toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .head.toPath,
+      java.nio.file.Paths.get(leftover.toString, "part-junk.parquet"))
+    assert(spark.read.parquet(dir).count() == 4,
+      "hidden swap leftover leaked into the read")
   }
 
   test("partition-bounded DML handles null partition values and rejects partition-column assignment") {

@@ -334,6 +334,44 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(scaled == fixed)
   }
 
+  test("semDedupScaled rep tier == member grain on a clone-heavy corpus, " +
+      "both assignment tiers") {
+    import spark.implicits._
+    // Clone mass the rep tier must collapse WITHOUT changing the
+    // answer: embeddings ∪ 5 exact copies of each of the first 10
+    // vectors (fresh ids above 20000). Zero vectors need no branch of
+    // their own: ANSI division errors the csim attach loudly at EITHER
+    // grain, so "every scored vector has nonzero norm" — the fact the
+    // rep tier's non-rep-never-survives argument leans on — is enforced
+    // by the engine itself.
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val dim = emb.select(size(col("v"))).head().getInt(0)
+    val clones = (1 to 5).map(r =>
+      emb.filter(col("id") < 10)
+        .select((col("id") + lit(20000L * r)).as("id"), col("v")))
+      .reduce(_ unionAll _)
+    val corpus = emb.unionAll(clones)
+    for (mode <- Seq("broadcast", "bucketed")) {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getDouble(2))
+      val rep = SimilarityOps.semDedupScaled(corpus, "id", "v",
+          targetCellSize = 64, minCentroids = 8, tau = 0.95,
+          assignMode = mode, dim = dim, bits = 4, tables = 8)
+        .select("id", "cell", "centroid_sim").collect().map(key).toSet
+      val mem = SimilarityOps.semDedupScaledMemberGrain(corpus, "id", "v",
+          targetCellSize = 64, minCentroids = 8, tau = 0.95,
+          assignMode = mode, dim = dim, bits = 4, tables = 8)
+        .select("id", "cell", "centroid_sim").collect().map(key).toSet
+      assert(rep == mem, s"rep tier diverged under assignMode=$mode")
+      assert(rep.nonEmpty)
+      // Clone semantics: of each identical-vector class only the
+      // minimum id can survive, and it competes like any other vector.
+      assert(!rep.exists(_._1 >= 20000L))
+    }
+  }
+
   test("semDedupScaled derives constant-size cells as the corpus grows") {
     import spark.implicits._
     // k = max(min, ceil(n/target)): pin the derivation and the ~target

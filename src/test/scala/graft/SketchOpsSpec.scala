@@ -93,6 +93,29 @@ class SketchOpsSpec extends SparkSpec {
     rows.values.foreach(s => assert(s == total))
   }
 
+  test("sketch rep tier: weighted-distinct grid == member grain, heavy " +
+      "hitters == naive, on a clone-heavy corpus") {
+    // 6 copies of every document → dup factor 6 ≥ 4 fires the
+    // distinct-text tier (one cheap HLL probe); instance counts are
+    // per-text functions, so Σ_rows = Σ_classes m·count must hold
+    // CELL-FOR-CELL, not just in aggregate.
+    val heavy = (1 to 6).map(_ => docs.select(col("text")))
+      .reduce(_ unionAll _)
+    val grid = SketchOps.cmsSketch(heavy, "text").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val member = SketchOps.cmsSketchMemberGrain(heavy, "text").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(grid == member)
+    val hh = SketchOps.heavyHitters(heavy, "text", minCount = 30L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val naive = heavy
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 30L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == naive && hh.nonEmpty)
+  }
+
   // -------------------------------------------------------- HLL
 
   test("hllSketch: p=8 estimate lands within the theoretical band") {

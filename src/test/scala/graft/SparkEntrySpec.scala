@@ -23,7 +23,7 @@ class SparkEntrySpec extends SparkSpec {
     // x_layout_hilbert, x_layout_zorder3, x_label_vote,
     // x_label_reliability, x_embed_abtt, x_graph_lpa, x_pack_balanced,
     // x_embed_moments, x_sample_pps
-    assert(SparkEntry.queries.size == 192)
-    assert(SparkEntry.oracleSql.size == 192)
+    assert(SparkEntry.queries.size == 194)
+    assert(SparkEntry.oracleSql.size == 194)
   }
 }

@@ -453,6 +453,33 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains(4L))    // no tokens -> absent
   }
 
+  test("bpeEncodeStats distinct-text tier == member grain on clone mass") {
+    import spark.implicits._
+    // 5 copies of each text (dup factor ≥ 4 fires the rep tier) plus
+    // the absence edge cases: empty-token text and null text must stay
+    // absent through the fingerprint fan-out join, and a case/trim
+    // variant shares its class's stats (tokens() lowercases).
+    val base = Seq("low low low", "lower lower", "newest", "", null,
+      "  LOW low LOW  ")
+    val rows = for {
+      (t, i) <- base.zipWithIndex
+      c <- 0 until 5
+    } yield ((c * 100 + i).toLong, t)
+    val df = rows.toDF("id", "text")
+    val merges = Seq("l o", "lo w", "e r")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val rep = TextOps.bpeEncodeStats(df, "id", "text", merges)
+      .collect().map(key).toSet
+    val mem = TextOps.bpeEncodeStatsMemberGrain(df, "id", "text", merges)
+      .collect().map(key).toSet
+    assert(rep == mem)
+    // absence: ids 3 (empty) and 4 (null) mod 100 never appear
+    assert(!rep.exists(r => r._1 % 100 == 3 || r._1 % 100 == 4))
+    // the case/trim variant carries "low low low"'s stats
+    assert(rep.contains((5L, 3L, 3L)))
+  }
+
   test("repeatedSpans finds planted cross-doc windows; unique spans absent") {
     import spark.implicits._
     val shared = "the license text goes here"
