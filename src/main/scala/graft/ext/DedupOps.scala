@@ -674,13 +674,47 @@ object DedupOps {
     * stream; the only shuffle is the final distinct on ids. */
   def contaminatedIds(corpus: DataFrame, bench: DataFrame, idCol: String,
                       textCol: String, n: Int = 3): DataFrame = {
-    val cg = graft.engine.Engine.spread(corpus).select(col(idCol).as("_id"),
-      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
+    val base = graft.engine.Engine.spread(corpus)
     val bg = bench.select(
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
       .distinct()
-    cg.join(broadcast(bg), Seq("_g"), "left_semi")
-      .select(col("_id")).distinct()
+    // Contamination is a pure text predicate, so on clone-heavy corpora
+    // the gram explode + benchmark probe runs once per DISTINCT raw
+    // text ([[TextOps.fanOutPerText]]'s tier rule) and verdicts fan out
+    // through one key semi-join; row grain otherwise.
+    textClassKeyed(base, idCol, textCol) match {
+      case Some((ids, classes)) =>
+        val hitClasses = classes.select(col("_k"),
+            explode(TextOps.shingles(TextOps.tokens(col("_t")), n))
+              .as("_g"))
+          .join(broadcast(bg), Seq("_g"), "left_semi")
+          .select(col("_k")).distinct()
+        ids.join(hitClasses, Seq("_k"), "left_semi")
+          .select(col("_id")).distinct()
+      case None =>
+        val cg = base.select(col(idCol).as("_id"),
+          explode(TextOps.shingles(TextOps.tokens(col(textCol)), n))
+            .as("_g"))
+        cg.join(broadcast(bg), Seq("_g"), "left_semi")
+          .select(col("_id")).distinct()
+    }
+  }
+
+  /** Rep-tier decision + relations shared by the contamination family:
+    * Some((ids (_id, _k), classes (_k, _t))) when the corpus is
+    * clone-heavy enough (≥4× dup factor, the [[TextOps.fanOutPerText]]
+    * probe) for per-class evaluation to win; None → caller stays at
+    * row grain. Key = raw-md5 class with a null sentinel. */
+  private def textClassKeyed(base: DataFrame, idCol: String,
+                             textCol: String)
+      : Option[(DataFrame, DataFrame)] = {
+    if (base.isStreaming) return None
+    val key = coalesce(md5(col(textCol)), lit(" null"))
+    val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
+    if (r.isNullAt(1) || r.getLong(1) * 4 > r.getLong(0)) None
+    else Some((
+      base.select(col(idCol).as("_id"), key.as("_k")),
+      base.groupBy(key.as("_k")).agg(min(col(textCol)).as("_t"))))
   }
 
   /** Drop contaminated rows ([[contaminatedIds]]) from the corpus. */
@@ -702,20 +736,33 @@ object DedupOps {
   def contaminationStats(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 3): DataFrame = {
-    val cg = graft.engine.Engine.spread(corpus)
-      .select(col(idCol).as("_id"),
-        explode(array_distinct(
-          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("_g"))
+    val base = graft.engine.Engine.spread(corpus)
     val bg = bench.select(
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("_g"))
       .distinct().withColumn("_hit", lit(1))
-    cg.join(broadcast(bg), Seq("_g"), "left")
-      .groupBy(col("_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        count(col("_hit")).as("n_overlap"))
-      .select(col("_id").as(idCol), col("n_grams"), col("n_overlap"),
-        (col("n_overlap").cast("double") / col("n_grams"))
-          .as("overlap_frac"))
+    def gramAggs(keyed: DataFrame): DataFrame =
+      keyed.select(col("_k"),
+          explode(array_distinct(
+            TextOps.shingles(TextOps.tokens(col("_t")), n))).as("_g"))
+        .join(broadcast(bg), Seq("_g"), "left")
+        .groupBy(col("_k"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(col("_hit")).as("n_overlap"))
+    // Same rep-tier rule as [[contaminatedIds]]: the counts are pure
+    // text functions — per distinct raw text on clone-heavy corpora,
+    // fanned out through one inner key join (gram-less classes produce
+    // no aggregate row, so their members stay absent, matching the row
+    // grain's explode semantics).
+    val per = textClassKeyed(base, idCol, textCol) match {
+      case Some((ids, classes)) => ids.join(gramAggs(classes), Seq("_k"))
+      case None =>
+        gramAggs(base.select(col(idCol).as("_k"),
+            col(textCol).as("_t")))
+          .withColumn("_id", col("_k"))
+    }
+    per.select(col("_id").as(idCol), col("n_grams"), col("n_overlap"),
+      (col("n_overlap").cast("double") / col("n_grams"))
+        .as("overlap_frac"))
   }
 
   /** The benchmark's distinct hashed n-gram set (native codegen'd
@@ -1665,7 +1712,7 @@ object DedupOps {
     * codegen'd [[graft.expressions.DeletionVariants]] — the HOF form,
     * transform + substr, pays an interpreted lambda call per character
     * per row), then exact `levenshtein` verification. */
-  private def fuzzyStrPairsEdit1(strs: DataFrame): DataFrame = {
+  private[graft] def fuzzyStrPairsEdit1(strs: DataFrame): DataFrame = {
     val dstrs = strs.select(col("_s")).distinct()
     val exploded = dstrs.select(col("_s"),
       explode(call_function("graft_del_variants", col("_s"))).as("_v"))
@@ -1694,8 +1741,17 @@ object DedupOps {
                          strCol: String): DataFrame = {
     val strs = df.filter(col(strCol).isNotNull)
       .select(col(idCol).as("_id"), col(strCol).as("_s"))
+    fuzzyPairsEdit1RepFrom(strs, fuzzyStrPairsEdit1(strs))
+  }
+
+  /** [[fuzzyPairsEdit1Rep]] over an ALREADY-COMPUTED verified pair
+    * stage — callers holding several consumers of the same corpus
+    * (the registered pair + class-map queries) materialize
+    * [[fuzzyStrPairsEdit1]] once and feed both. */
+  private[graft] def fuzzyPairsEdit1RepFrom(strs: DataFrame,
+                                            pairs: DataFrame): DataFrame = {
     val cls = strs.groupBy(col("_s")).agg(count(lit(1)).as("_n"))
-    fuzzyStrPairsEdit1(strs)
+    pairs
       .join(cls.select(col("_s").as("_sa"), col("_n").as("n_a")),
         Seq("_sa"))
       .join(cls.select(col("_s").as("_sb"), col("_n").as("n_b")),
@@ -1715,9 +1771,15 @@ object DedupOps {
                         strCol: String): DataFrame = {
     val strs = df.filter(col(strCol).isNotNull)
       .select(col(idCol).as("_id"), col(strCol).as("_s"))
+    fuzzyClassesEdit1From(strs, fuzzyStrPairsEdit1(strs))
+  }
+
+  /** [[fuzzyClassesEdit1]] over an already-computed pair stage (see
+    * [[fuzzyPairsEdit1RepFrom]]). */
+  private[graft] def fuzzyClassesEdit1From(strs: DataFrame,
+                                           pairs: DataFrame): DataFrame = {
     val cls = strs.groupBy(col("_s"))
       .agg(count(lit(1)).as("n_ids"), min(col("_id")).as("min_id"))
-    val pairs = fuzzyStrPairsEdit1(strs)
     val parts = pairs.select(col("_sa").as("_s"))
       .unionByName(pairs.select(col("_sb").as("_s")))
       .distinct()

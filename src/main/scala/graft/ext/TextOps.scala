@@ -220,6 +220,72 @@ object TextOps {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Append PURE-TEXT derived columns, evaluated once per DISTINCT text
+    * when clone mass dominates — the shared rep-tier combinator of the
+    * per-document projection family (quality metrics, language ID; the
+    * r16 sf10 sweep put their member-grain token/regex chains at
+    * 44–80 s on a 100×-clone corpus for answers already computed for
+    * identical texts).
+    *
+    * Class key = md5 of the RAW text (null → a reserved sentinel, so
+    * null-text rows keep their row-grain derived values — usually
+    * nulls — through the join): unlike [[fingerprint]]'s lower∘trim
+    * key, raw equality keeps length/case-sensitive deriveds
+    * (`length(text)`, case-sensitive regexes) exact. md5-as-identity is
+    * the engine's existing dedup contract ([[fingerprint]],
+    * [[DedupOps.exactByText]]).
+    *
+    * Tier choice mirrors the sketch family's: one cheap HLL probe, rep
+    * tier only at ≥4× dup factor (the fan-out join must stay cheaper
+    * than the projection it saves); streaming frames always take row
+    * grain (no extra action per micro-batch). At rep grain the derive
+    * runs over one row per class and values fan out through ONE
+    * md5-keyed join — ids and 32-char keys shuffle, text never does
+    * (the class side carries it, collapsed by map-side partial min).
+    *
+    * `derive` returns (name, column) pairs evaluated by sequential
+    * `withColumn` fold, so later columns may reference earlier ones by
+    * name — at either grain. Row order is NOT preserved under the rep
+    * tier (the join shuffles); per-document projections carry their
+    * id, so contracts are unaffected. */
+  private[graft] def fanOutPerText(df: DataFrame, textCol: String)
+      (derive: Column => Seq[(String, Column)]): DataFrame = {
+    val key = coalesce(md5(col(textCol)), lit(" null"))
+    val rep = !df.isStreaming && {
+      val r = df.agg(count(lit(1)), approx_count_distinct(key)).head()
+      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
+    }
+    if (!rep)
+      derive(col(textCol)).foldLeft(df) { case (a, (n, c)) =>
+        a.withColumn(n, c)
+      }
+    else {
+      val dist = df.groupBy(key.as("_ftk"))
+        .agg(min(col(textCol)).as("_t"))
+      val derived = derive(col("_t"))
+      val stats = derived.foldLeft(dist) { case (a, (n, c)) =>
+        a.withColumn(n, c)
+      }.drop("_t")
+      // withColumn REPLACES a same-named input column at row grain
+      // (e.g. the fixture's own n_chars); mirror that here by dropping
+      // the originals before the join — the replaced columns land at
+      // the END of the schema under this tier, an order (never
+      // content) difference consumers selecting by name don't see.
+      val cleaned = derived.map(_._1)
+        .foldLeft(df.withColumn("_ftk", key))(_ drop _)
+      cleaned.join(stats, Seq("_ftk")).drop("_ftk")
+    }
+  }
+
+  /** Member-grain mirror of [[fanOutPerText]] — the equivalence proof
+    * TextOpsSpec pins the rep tier against. */
+  private[graft] def fanOutPerTextMemberGrain(
+      df: DataFrame, textCol: String)
+      (derive: Column => Seq[(String, Column)]): DataFrame =
+    derive(col(textCol)).foldLeft(df) { case (a, (n, c)) =>
+      a.withColumn(n, c)
+    }
+
   /** Per-document quality metrics (length / punctuation / stopword ratios
     * — the standard cheap filters of LLM data pipelines). One projection,
     * no shuffle — but SPREAD first: a projection inherits the scan's
@@ -227,28 +293,34 @@ object TextOps {
     * upstream stage) would run the whole regex/token chain on one task
     * (the r11 sf1/sf10 lesson — Engine.spread is a no-op on real
     * multi-split corpora). */
-  def qualityMetrics(df0: DataFrame, textCol: String): DataFrame = {
-    val df = graft.engine.Engine.spread(df0)
-    val text = col(textCol)
+  def qualityMetrics(df0: DataFrame, textCol: String): DataFrame =
+    graft.ext.TextOps.fanOutPerText(
+      graft.engine.Engine.spread(df0), textCol)(qualityMetricsCols)
+
+  /** The pure-text derived columns of [[qualityMetrics]] — shared by
+    * the rep/member grains and the member-grain spec mirror. */
+  private[graft] def qualityMetricsCols(
+      text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nChars = length(text)
     val nAlnum = length(regexp_replace(lower(text), "[^a-z0-9]", ""))
     val nTok = size(toks)
     val stopHits = size(filter(toks, t => t.isin(EnglishStopwords: _*)))
-    df.withColumn("n_chars", nChars.cast("long"))
-      .withColumn("n_tokens", nTok.cast("long"))
-      .withColumn("alnum_ratio",
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "alnum_ratio" ->
         when(nChars > 0, nAlnum.cast("double") / nChars.cast("double"))
-          .otherwise(lit(0.0)))
-      .withColumn("avg_token_len",
+          .otherwise(lit(0.0)),
+      "avg_token_len" ->
         when(nTok > 0, nAlnum.cast("double") / nTok.cast("double"))
-          .otherwise(lit(0.0)))
-      .withColumn("stopword_ratio",
+          .otherwise(lit(0.0)),
+      "stopword_ratio" ->
         when(nTok > 0, stopHits.cast("double") / nTok.cast("double"))
-          .otherwise(lit(0.0)))
-      .withColumn("quality_ok",
-        col("n_tokens") >= 5 && col("alnum_ratio") >= 0.5 &&
-          col("avg_token_len") >= 2 && col("avg_token_len") <= 12)
+          .otherwise(lit(0.0)),
+      "quality_ok" ->
+        (col("n_tokens") >= 5 && col("alnum_ratio") >= 0.5 &&
+          col("avg_token_len") >= 2 && col("avg_token_len") <= 12))
   }
 
   /** Language-marker word lists for the n-gram/stopword language-ID
@@ -265,12 +337,19 @@ object TextOps {
   /** Language ID: score each language by marker-token hits; predict the
     * alphabetically-first language achieving the max score (deterministic
     * tie-break, mirrored exactly in the oracle SQL). */
-  def languageId(df0: DataFrame, textCol: String): DataFrame = {
-    val df = graft.engine.Engine.spread(df0) // narrow-scan guard
-    val toks = tokens(col(textCol))
-    val scored = LangMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
-      acc.withColumn(s"score_$lang",
-        size(filter(toks, t => t.isin(markers: _*))).cast("long"))
+  def languageId(df0: DataFrame, textCol: String): DataFrame =
+    graft.ext.TextOps.fanOutPerText(
+      graft.engine.Engine.spread(df0), textCol)(languageIdCols)
+
+  /** The pure-text derived columns of [[languageId]]. `pred_lang`
+    * references the score columns by name (the [[fanOutPerText]]
+    * sequential-fold contract). */
+  private[graft] def languageIdCols(
+      text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val scoreCols = LangMarkers.map { case (lang, markers) =>
+      s"score_$lang" ->
+        size(filter(toks, t => t.isin(markers: _*))).cast("long")
     }
     val scores = LangMarkers.map { case (l, _) => col(s"score_$l") }
     val maxScore = greatest(scores: _*)
@@ -279,7 +358,7 @@ object TextOps {
       case ((lang, _), elseC) =>
         when(col(s"score_$lang") === maxScore, lit(lang)).otherwise(elseC)
     }
-    scored.withColumn("pred_lang", pred)
+    scoreCols :+ ("pred_lang" -> pred)
   }
 
   /** [[languageId]]'s prediction as a single Column over the shared
@@ -522,8 +601,12 @@ object TextOps {
     * reproduce bit-for-bit across engines. */
   def repetitionStats(df: DataFrame, idCol: String,
                       textCol: String): DataFrame =
-    graft.engine.Engine.spread(df)
-      .select(col(idCol), repetitionFracsCol(col(textCol)).as("_rf"))
+    // fanOutPerText: the struct is a pure text function, so on
+    // clone-heavy corpora the gram-stats machinery runs once per
+    // distinct raw text and fans out (r16 sweep: 23 s member-grain at
+    // sf10 for answers duplicated 100×).
+    fanOutPerText(graft.engine.Engine.spread(df), textCol)(tc =>
+        Seq("_rf" -> repetitionFracsCol(tc)))
       .filter(col("_rf").getField("n_tokens") > 0)
       .select(col(idCol),
         col("_rf").getField("dup_token_frac").as("dup_token_frac"),
@@ -864,19 +947,46 @@ object TextOps {
     * if the 64-bit Horner window combine does. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 10, minDocs: Int = 2): DataFrame = {
-    val agg = graft.engine.Engine.spread(df)
-      .select(col(idCol).as("_id"), posexplode(
-        call_function("graft_window_hashes",
-          call_function("graft_hash_tokens", tokens(col(textCol))),
-          lit(n))))
-      .withColumnsRenamed(Map("pos" -> "_st", "col" -> "_gh"))
-      .groupBy(col("_gh"))
-      .agg(count_distinct(col("_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"),
-        min(struct(col("_id"), col("_st"))).as("_loc"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("n_docs"), col("n_occurrences"),
-        col("_loc._id").as("_rid"), col("_loc._st").as("_rst"))
+    val base = graft.engine.Engine.spread(df)
+    // Class tier (same rule as the rest of the family): per-gram
+    // aggregates collapse exactly — n_docs = Σ class sizes over
+    // distinct classes containing the gram, n_occurrences = Σ size ×
+    // within-class occurrences, and the representative (min (id, st))
+    // is the min over classes of (class-min id, class-min start),
+    // because every member of a class carries the identical window
+    // stream.
+    val agg = tokenClassKeyed(base, idCol, textCol) match {
+      case Some((_, cls)) =>
+        val wx = cls.select(col("_k"), col("_w"), col("_mid"),
+            posexplode(call_function("graft_window_hashes",
+              call_function("graft_hash_tokens", col("_toks")),
+              lit(n))))
+          .withColumnsRenamed(Map("pos" -> "_st", "col" -> "_gh"))
+        val perClass = wx.groupBy(col("_gh"), col("_k"))
+          .agg(first(col("_w")).as("_w"), count(lit(1)).as("_occ"),
+            min(col("_st")).as("_stmin"), first(col("_mid")).as("_mid"))
+        perClass.groupBy(col("_gh"))
+          .agg(sum(col("_w")).as("n_docs"),
+            sum(col("_w") * col("_occ")).as("n_occurrences"),
+            min(struct(col("_mid").as("_id"), col("_stmin").as("_st")))
+              .as("_loc"))
+          .filter(col("n_docs") >= minDocs)
+          .select(col("n_docs"), col("n_occurrences"),
+            col("_loc._id").as("_rid"), col("_loc._st").as("_rst"))
+      case None =>
+        base.select(col(idCol).as("_id"), posexplode(
+            call_function("graft_window_hashes",
+              call_function("graft_hash_tokens", tokens(col(textCol))),
+              lit(n))))
+          .withColumnsRenamed(Map("pos" -> "_st", "col" -> "_gh"))
+          .groupBy(col("_gh"))
+          .agg(count_distinct(col("_id")).as("n_docs"),
+            count(lit(1)).as("n_occurrences"),
+            min(struct(col("_id"), col("_st"))).as("_loc"))
+          .filter(col("n_docs") >= minDocs)
+          .select(col("n_docs"), col("n_occurrences"),
+            col("_loc._id").as("_rid"), col("_loc._st").as("_rst"))
+    }
     // Second pass re-reads raw text only to PRINT the survivors:
     // tokenization happens AFTER the join (AQE broadcasts the tiny
     // survivor side), so the corpus is tokenized once, not twice.
@@ -918,16 +1028,32 @@ object TextOps {
                           n: Int = 10, minDocs: Int = 2,
                           sep: String = " "): DataFrame = {
     require(n >= 1 && minDocs >= 2, s"bad n=$n / minDocs=$minDocs")
-    val toks = graft.engine.Engine.spread(df)
-      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
-    toks.join(dupWindowStarts(toks, n, minDocs), Seq("_id"), "left")
-      .select(col("_id"), call_function("graft_strip_covered",
-        col("_toks"),
-        coalesce(col("_sts"), array().cast("array<int>")), lit(n))
-        .as("_kept"))
-      .filter(size(col("_kept")) > 0)
-      .select(col("_id").as(idCol),
-        array_join(col("_kept"), sep).as(textCol))
+    val base = graft.engine.Engine.spread(df)
+    val stripped = call_function("graft_strip_covered", col("_toks"),
+      coalesce(col("_sts"), array().cast("array<int>")), lit(n))
+    tokenClassKeyed(base, idCol, textCol) match {
+      case Some((ids, cls)) =>
+        // stripping is a pure function of (class tokens, dup set):
+        // strip once per class, fan the kept text out through the
+        // fingerprint join (class-grain text shuffles, never member)
+        val starts = dupWindowStarts(
+          cls.select(col("_k").as("_id"), col("_w"), col("_toks")),
+          n, minDocs).withColumnRenamed("_id", "_k")
+        val per = cls.join(starts, Seq("_k"), "left")
+          .select(col("_k"), stripped.as("_kept"))
+          .filter(size(col("_kept")) > 0)
+        ids.join(per, Seq("_k"))
+          .select(col("_id").as(idCol),
+            array_join(col("_kept"), sep).as(textCol))
+      case None =>
+        val toks = base.select(col(idCol).as("_id"),
+          tokens(col(textCol)).as("_toks"))
+        toks.join(dupWindowStarts(toks, n, minDocs), Seq("_id"), "left")
+          .select(col("_id"), stripped.as("_kept"))
+          .filter(size(col("_kept")) > 0)
+          .select(col("_id").as(idCol),
+            array_join(col("_kept"), sep).as(textCol))
+    }
   }
 
   /** Shared duplicated-window stage behind [[removeRepeatedSpans]] and
@@ -940,16 +1066,50 @@ object TextOps {
     * sorted array per document with map-side partials. */
   private def dupWindowStarts(toks: DataFrame, n: Int,
                               minDocs: Int): DataFrame = {
+    // When a `_w` column rides along, `_id` is a TEXT-CLASS key and _w
+    // its member-doc count: a gram occurs in Σ _w distinct documents
+    // over the distinct classes containing it — exactly the member
+    // count_distinct (every member of a class contains every one of
+    // its grams). The class tier's explode scales with distinct mass.
+    val weighted = toks.columns.contains("_w")
+    val keep = col("_id") +: (if (weighted) Seq(col("_w")) else Nil)
     val w = toks.filter(size(col("_toks")) >= n)
-      .select(col("_id"), posexplode(call_function("graft_window_hashes",
-        call_function("graft_hash_tokens", col("_toks")), lit(n))))
+      .select(keep :+ posexplode(call_function("graft_window_hashes",
+        call_function("graft_hash_tokens", col("_toks")), lit(n))): _*)
       .withColumnsRenamed(Map("pos" -> "_st", "col" -> "_gh"))
-    val dup = w.groupBy(col("_gh"))
-      .agg(count_distinct(col("_id")).as("_nd"))
+    val dup = (if (weighted)
+        w.select(col("_gh"), col("_id"), col("_w"))
+          .dropDuplicates("_gh", "_id")
+          .groupBy(col("_gh")).agg(sum(col("_w")).as("_nd"))
+      else w.groupBy(col("_gh"))
+        .agg(count_distinct(col("_id")).as("_nd")))
       .filter(col("_nd") >= minDocs).select(col("_gh"))
     w.join(dup, Seq("_gh"))
       .groupBy(col("_id"))
       .agg(sort_array(collect_list(col("_st"))).as("_sts"))
+  }
+
+  /** Fingerprint-class relations for the repeated-spans family —
+    * Some((ids (_id, _k), classes (_k, _w, _toks))) when clone mass
+    * fires the tier (the [[fanOutPerText]] probe); None → row grain.
+    * Key = [[fingerprint]] with a null sentinel: `tokens` is
+    * lower∘trim-invariant, so every member of a class produces the
+    * identical window stream, and `_w` (the member count) carries the
+    * distinct-doc mass into the weighted [[dupWindowStarts]]. */
+  private def tokenClassKeyed(base: DataFrame, idCol: String,
+                              textCol: String)
+      : Option[(DataFrame, DataFrame)] = {
+    if (base.isStreaming) return None
+    val key = coalesce(fingerprint(col(textCol)), lit(" null"))
+    val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
+    if (r.isNullAt(1) || r.getLong(1) * 4 > r.getLong(0)) None
+    else Some((
+      base.select(col(idCol).as("_id"), key.as("_k")),
+      base.groupBy(key.as("_k"))
+        .agg(count(lit(1)).as("_w"), min(col(textCol)).as("_t"),
+          min(col(idCol)).as("_mid"))
+        .select(col("_k"), col("_w"), col("_mid"),
+          tokens(col("_t")).as("_toks"))))
   }
 
   /** Per-document duplicated-window fraction — the MEASUREMENT half of
@@ -971,17 +1131,35 @@ object TextOps {
   def dupWindowFraction(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 10, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 2, s"bad n=$n / minDocs=$minDocs")
-    val toks = graft.engine.Engine.spread(df)
-      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
-    toks.join(dupWindowStarts(toks, n, minDocs), Seq("_id"), "left")
-      .select(col("_id").as(idCol),
-        size(col("_toks")).cast("long").as("n_tokens"),
-        (size(col("_toks")) - size(call_function("graft_strip_covered",
-          col("_toks"),
-          coalesce(col("_sts"), array().cast("array<int>")), lit(n))))
-          .cast("long").as("n_dup_tokens"))
-      .withColumn("dup_ppm", when(col("n_tokens") > 0L,
-        expr("n_dup_tokens * 1000000 div n_tokens")).otherwise(lit(0L)))
+    val base = graft.engine.Engine.spread(df)
+    def report(toksC: Column, stsC: Column): Seq[org.apache.spark.sql.Column] = Seq(
+      size(toksC).cast("long").as("n_tokens"),
+      (size(toksC) - size(call_function("graft_strip_covered", toksC,
+        coalesce(stsC, array().cast("array<int>")), lit(n))))
+        .cast("long").as("n_dup_tokens"))
+    tokenClassKeyed(base, idCol, textCol) match {
+      case Some((ids, cls)) =>
+        val starts = dupWindowStarts(
+          cls.select(col("_k").as("_id"), col("_w"), col("_toks")),
+          n, minDocs).withColumnRenamed("_id", "_k")
+        val per = cls.join(starts, Seq("_k"), "left")
+          .select(col("_k") +: report(col("_toks"), col("_sts")): _*)
+        ids.join(per, Seq("_k"))
+          .select(col("_id").as(idCol), col("n_tokens"),
+            col("n_dup_tokens"))
+          .withColumn("dup_ppm", when(col("n_tokens") > 0L,
+            expr("n_dup_tokens * 1000000 div n_tokens"))
+            .otherwise(lit(0L)))
+      case None =>
+        val toks = base.select(col(idCol).as("_id"),
+          tokens(col(textCol)).as("_toks"))
+        toks.join(dupWindowStarts(toks, n, minDocs), Seq("_id"), "left")
+          .select(col("_id").as(idCol) +:
+            report(col("_toks"), col("_sts")): _*)
+          .withColumn("dup_ppm", when(col("n_tokens") > 0L,
+            expr("n_dup_tokens * 1000000 div n_tokens"))
+            .otherwise(lit(0L)))
+    }
   }
 
   /** Cross-document boilerplate removal — the C4 rule (Raffel et al.
@@ -1421,8 +1599,24 @@ object TextOps {
   def collocationsPmi(df: DataFrame, textCol: String, k: Int = 20,
                       minCount: Long = 5L): DataFrame = {
     require(k >= 1 && minCount >= 1, s"bad k=$k / minCount=$minCount")
-    val toks = graft.engine.Engine.spread(df)
-      .select(tokens(col(textCol)).as("_toks"))
+    // Copy-weighted distinct tier (the nbTrainHashed algebra): unigram
+    // and bigram INSTANCE counts per distinct text × copy multiplicity
+    // equal the member-grain counts exactly, while the explode — the
+    // dominant cost at 100× clone mass — runs over distinct texts.
+    // Key = [[fingerprint]] (lower∘trim): tokens() normalizes the same
+    // way, so the counts are invariant across the class.
+    val base = graft.engine.Engine.spread(df)
+    val fp = fingerprint(col(textCol))
+    val rep = !base.isStreaming && {
+      val r = base.agg(count(lit(1)), approx_count_distinct(fp)).head()
+      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
+    }
+    val toks =
+      if (!rep) base.select(lit(1L).as("_m"),
+        tokens(col(textCol)).as("_toks"))
+      else base.groupBy(fp.as("_fp"))
+        .agg(count(lit(1)).as("_m"), min(col(textCol)).as("_t"))
+        .select(col("_m"), tokens(col("_t")).as("_toks"))
     // Materialize the vocabulary-sized count tables: each feeds TWO
     // consumers (the PMI join AND its total), and AQE exchange reuse
     // does not cross the broadcast-stage boundary the totals ride in —
@@ -1430,11 +1624,11 @@ object TextOps {
     // (verified with tools.ExplainFinal). After the cut the corpus is
     // touched exactly twice (unigram pass, bigram pass).
     val uni = graft.engine.Engine.materialize(
-      toks.select(explode(col("_toks")).as("_w"))
-        .groupBy(col("_w")).agg(count(lit(1)).as("_c")))
+      toks.select(col("_m"), explode(col("_toks")).as("_w"))
+        .groupBy(col("_w")).agg(sum(col("_m")).as("_c")))
     val biAll = graft.engine.Engine.materialize(
-      toks.select(explode(shingles(col("_toks"), 2)).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("n_pair")))
+      toks.select(col("_m"), explode(shingles(col("_toks"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("_m")).as("n_pair")))
     val bi = biAll.filter(col("n_pair") >= minCount)
     val totals = uni.agg(sum(col("_c")).as("_t"))
       .crossJoin(biAll.agg(sum(col("n_pair")).as("_b")))
@@ -1936,26 +2130,29 @@ object TextOps {
                       wStop: Long = 3L, wDistinct: Long = 1L,
                       wDigit: Long = -2L, wOverlen: Long = -1L,
                       bias: Long = -40L,
-                      lenCap: Int = 150): DataFrame = {
-    val df = graft.engine.Engine.spread(df0) // narrow-scan guard
-    val toks = tokens(col(textCol))
-    val stopHits = size(filter(toks,
-      t => t.isin(EnglishStopwords: _*))).cast("long")
-    val distinctToks = size(array_distinct(toks)).cast("long")
-    val digitToks = size(filter(toks, t => t.rlike("^[0-9]+$")))
-      .cast("long")
-    val overlen = greatest(lit(0L),
-      size(toks).cast("long") - lit(lenCap.toLong))
-    df.withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("stop_hits", stopHits)
-      .withColumn("distinct_tokens", distinctToks)
-      .withColumn("digit_tokens", digitToks)
-      .withColumn("clf_score",
-        lit(bias) + lit(wStop) * col("stop_hits") +
-          lit(wDistinct) * col("distinct_tokens") +
-          lit(wDigit) * col("digit_tokens") + lit(wOverlen) * overlen)
-      .withColumn("keep", col("clf_score") > 0L)
-  }
+                      lenCap: Int = 150): DataFrame =
+    // fanOutPerText: features and score are pure text functions —
+    // evaluate per distinct raw text on clone-heavy corpora.
+    fanOutPerText(graft.engine.Engine.spread(df0), textCol) { text =>
+      val toks = tokens(text)
+      val stopHits = size(filter(toks,
+        t => t.isin(EnglishStopwords: _*))).cast("long")
+      val distinctToks = size(array_distinct(toks)).cast("long")
+      val digitToks = size(filter(toks, t => t.rlike("^[0-9]+$")))
+        .cast("long")
+      val overlen = greatest(lit(0L),
+        size(toks).cast("long") - lit(lenCap.toLong))
+      Seq(
+        "n_tokens" -> size(toks).cast("long"),
+        "stop_hits" -> stopHits,
+        "distinct_tokens" -> distinctToks,
+        "digit_tokens" -> digitToks,
+        "clf_score" ->
+          (lit(bias) + lit(wStop) * col("stop_hits") +
+            lit(wDistinct) * col("distinct_tokens") +
+            lit(wDigit) * col("digit_tokens") + lit(wOverlen) * overlen),
+        "keep" -> (col("clf_score") > 0L))
+    }
 
   /** Multinomial Naive Bayes quality classifier TRAINED in-engine
     * (McCallum & Nigam 1998) — the train side [[qualityClassify]]
@@ -2153,19 +2350,40 @@ object TextOps {
     * never shuffle); the final visibility join is id-sized. */
   def tokenEntropy(df: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    val tk = graft.engine.Engine.spread(df)
-      .select(col(idCol).as("_id"),
-        explode(call_function("graft_hash_tokens",
-          tokens(col(textCol)))).as("_t"))
-      .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_c"))
-    val per = tk.groupBy(col("_id")).agg(
-      sum(col("_c")).as("_n"),
-      count(lit(1)).as("_d"),
-      sum(floor(col("_c").cast("double") *
-        call_function("graft_ln", col("_c").cast("double")) *
-        lit(1073741824.0)).cast("long")).as("_sfx"))
-    df.select(col(idCol).as("_id"))
-      .join(per, Seq("_id"), "left")
+    val base = graft.engine.Engine.spread(df)
+    // Per-key (token count, distinct, Σ floor(c·ln c·2³⁰)) aggregates —
+    // pure functions of the text, so the key is the document id at row
+    // grain and the raw-md5 text class on clone-heavy corpora (the
+    // fanOutPerText tier decision applied to an aggregate-shaped op:
+    // the (key, hash) explode is the dominant cost and scales with the
+    // chosen grain's mass).
+    def aggs(keyed: DataFrame): DataFrame = {
+      val tk = keyed.select(col("_k"),
+          explode(call_function("graft_hash_tokens",
+            tokens(col("_t")))).as("_h"))
+        .groupBy(col("_k"), col("_h")).agg(count(lit(1)).as("_c"))
+      tk.groupBy(col("_k")).agg(
+        sum(col("_c")).as("_n"),
+        count(lit(1)).as("_d"),
+        sum(floor(col("_c").cast("double") *
+          call_function("graft_ln", col("_c").cast("double")) *
+          lit(1073741824.0)).cast("long")).as("_sfx"))
+    }
+    val key = coalesce(md5(col(textCol)), lit(" null"))
+    val rep = !base.isStreaming && {
+      val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
+      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
+    }
+    val (ids, per) =
+      if (!rep)
+        (base.select(col(idCol).as("_id"), col(idCol).as("_k")),
+          aggs(base.select(col(idCol).as("_k"),
+            col(textCol).as("_t"))))
+      else
+        (base.select(col(idCol).as("_id"), key.as("_k")),
+          aggs(base.groupBy(key.as("_k"))
+            .agg(min(col(textCol)).as("_t"))))
+    ids.join(per, Seq("_k"), "left")
       .select(col("_id").as(idCol),
         coalesce(col("_n"), lit(0L)).as("n_tokens"),
         coalesce(col("_d"), lit(0L)).as("distinct_tokens"),

@@ -186,6 +186,45 @@ class DedupOpsSpec extends SparkSpec {
     assert(got((7L, 9L)) == ("ab", "aa", 1))
   }
 
+  test("contamination family: class tier == row grain per id on clone mass") {
+    import spark.implicits._
+    // Per-id verdicts/counts are pure functions of (text, benchmark),
+    // so adding unrelated filler rows cannot change them — corpus A is
+    // clone-heavy (class tier fires), corpus B = A ∪ distinct filler
+    // (dup factor < 4 → row grain); results restricted to A's ids must
+    // be identical. Null/empty texts ride along as absence cases.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog near the old fence",
+      "completely different content about catalyst optimizer rules",
+      "shared benchmark trigram fragment lives right here verbatim",
+      "", null)
+    val a = (for { (t, i) <- texts.zipWithIndex; c <- 0 until 6 }
+      yield ((c * 10 + i).toLong, t)).toDF("id", "text")
+    val filler = (1000L until 1150L)
+      .map(i => (i, s"filler doc $i with its own token salad ${i * 7}"))
+      .toDF("id", "text")
+    val b = a.unionAll(filler)
+    val bench = Seq((1L,
+      "a benchmark doc containing the shared benchmark trigram " +
+        "fragment lives right here verbatim and nothing else"))
+      .toDF("id", "text")
+    val aIds = (0 until 6).flatMap(c => texts.indices.map(i =>
+      (c * 10 + i).toLong)).toSet
+    val idsA = DedupOps.contaminatedIds(a, bench, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val idsB = DedupOps.contaminatedIds(b, bench, "id", "text")
+      .collect().map(_.getLong(0)).toSet.intersect(aIds)
+    assert(idsA == idsB && idsA.nonEmpty)
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.contaminationStats(df, bench, "id", "text")
+        .collect().filter(r => aIds(r.getLong(0)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9))).toSet
+    assert(stats(a) == stats(b) && stats(a).nonEmpty)
+    // absence: empty/null-text ids never appear
+    assert(!stats(a).exists(s => s._1 % 10 == 3 || s._1 % 10 == 4))
+  }
+
   test("fuzzy rep contract: pairs+classes reconstruct the member-grain list") {
     import spark.implicits._
     // The rep-grain contract (str pairs with member counts + the class

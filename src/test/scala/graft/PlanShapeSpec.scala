@@ -285,7 +285,7 @@ class PlanShapeSpec extends SparkSpec {
       assert(!exchanges.contains("text"),
         s"raw text must never be a shuffle key:\n$exchanges")
     }
-    hashKeyed(ExtQueries.xTextEntropy _, "_t")
+    hashKeyed(ExtQueries.xTextEntropy _, "_h")
     hashKeyed(ExtQueries.xNgramNovelty _, "_gh")
   }
 

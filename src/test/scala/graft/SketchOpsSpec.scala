@@ -116,6 +116,42 @@ class SketchOpsSpec extends SparkSpec {
     assert(hh == naive && hh.nonEmpty)
   }
 
+  test("duplicate-blind sketches: distinct-pair tier == row grain per " +
+      "group on clone mass") {
+    import spark.implicits._
+    // KMV minima, HLL registers, and Bloom words are pure functions of
+    // each group's distinct text SET, so per-group results cannot
+    // change when (a) the group's rows are cloned 6× (fires the
+    // distinct tier) or (b) a filler GROUP is added (dilutes dup
+    // factor below 4 → row grain). Compare group g1/g2 under both.
+    val gtexts = Seq(("g1", "alpha beta gamma delta epsilon"),
+      ("g1", "zeta eta theta iota kappa"),
+      ("g2", "lambda mu nu xi omicron pi rho"))
+    val a = (for { (g, t) <- gtexts; c <- 0 until 6 } yield (g, t))
+      .toDF("g", "text")
+    val filler = (0 until 200)
+      .map(i => ("gf", s"filler row $i carries token ${i * 31}"))
+      .toDF("g", "text")
+    val b = a.unionAll(filler)
+    def kmv(d: org.apache.spark.sql.DataFrame) =
+      SketchOps.kmvSketch(d, "g", "text", k = 64)
+        .filter(col("g").isin("g1", "g2"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    def hll(d: org.apache.spark.sql.DataFrame) =
+      SketchOps.hllSketch(d, "g", "text", p = 6)
+        .filter(col("g").isin("g1", "g2"))
+        .collect().map(_.toSeq).toSet
+    def bloom(d: org.apache.spark.sql.DataFrame) =
+      SketchOps.bloomWords(d, "g", "text", mBits = 126, depth = 2,
+          gramN = 1)
+        .filter(col("g").isin("g1", "g2"))
+        .collect().map(_.toSeq).toSet
+    assert(kmv(a) == kmv(b) && kmv(a).nonEmpty)
+    assert(hll(a) == hll(b) && hll(a).nonEmpty)
+    assert(bloom(a) == bloom(b) && bloom(a).nonEmpty)
+  }
+
   // -------------------------------------------------------- HLL
 
   test("hllSketch: p=8 estimate lands within the theoretical band") {

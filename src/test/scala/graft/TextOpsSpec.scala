@@ -453,6 +453,164 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains(4L))    // no tokens -> absent
   }
 
+  test("fanOutPerText rep tier == member grain for quality metrics and " +
+      "langid on clone mass") {
+    import spark.implicits._
+    // Clone-heavy corpus with the class-key edge cases: null text (keeps
+    // its row-grain nulls through the sentinel key), empty text, and a
+    // CASE variant that is a DIFFERENT raw class (length/case-sensitive
+    // deriveds must not collapse it onto its lowercase sibling).
+    val base = Seq("the quick brown fox and the lazy dog in the yard",
+      "THE QUICK BROWN FOX AND THE LAZY DOG IN THE YARD",
+      "der hund und die katze ist nicht da", "", null)
+    val rows = for { (t, i) <- base.zipWithIndex; c <- 0 until 6 }
+      yield ((c * 10 + i).toLong, t)
+    val df = rows.toDF("id", "text")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map {
+        case dd: Double => math.round(dd * 1e9)
+        case x => x
+      }).toSet
+    for (derive <- Seq(
+        TextOps.qualityMetricsCols _, TextOps.languageIdCols _)) {
+      val rep = TextOps.fanOutPerText(df, "text")(derive)
+      val mem = TextOps.fanOutPerTextMemberGrain(df, "text")(derive)
+      assert(rep.columns.toSeq == mem.columns.toSeq)
+      assert(canon(rep) == canon(mem))
+    }
+    // The case variant keeps its own class: identical lowercase tokens
+    // (same scores/ratios) but its own raw-text class — n_chars equal
+    // here by construction, so pin via the zh/en marker asymmetry
+    // instead: uppercase text still tokenizes lowercased.
+    val q = TextOps.qualityMetrics(df, "text")
+      .filter(col("id") === 1L).head()
+    assert(q.getAs[Boolean]("quality_ok"))
+    // Pre-existing column with a derived NAME (the fixture's documents
+    // table carries its own n_chars): row grain replaces in place, rep
+    // grain must replace too (values equal; only schema position may
+    // differ). Compare by name, not position.
+    val withClash = df.withColumn("n_chars", lit(-7L))
+    def byName(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getValuesMap[Any](d.columns.toIndexedSeq)
+        .view.mapValues {
+          case dd: Double => math.round(dd * 1e9)
+          case x => x
+        }.toMap).toSet
+    val repC = TextOps.fanOutPerText(withClash, "text")(
+      TextOps.qualityMetricsCols)
+    val memC = TextOps.fanOutPerTextMemberGrain(withClash, "text")(
+      TextOps.qualityMetricsCols)
+    assert(repC.columns.sorted.toSeq == memC.columns.sorted.toSeq)
+    assert(byName(repC) == byName(memC))
+    assert(!repC.collect().exists(_.getAs[Long]("n_chars") == -7L),
+      "derived n_chars must replace the input column at either grain")
+  }
+
+  test("repeated-spans family: class tier == row grain per id on clone mass") {
+    import spark.implicits._
+    val shared = "the license header text goes right here unchanged"
+    val texts = Seq(
+      s"alpha one $shared tail a of the first document body",
+      s"beta two $shared tail b of the second document body",
+      "entirely unrelated words that repeat nothing at all today",
+      "tiny doc here", // < n tokens: no windows, passes through
+      "", null)
+    val a = (for { (t, i) <- texts.zipWithIndex; c <- 0 until 6 }
+      yield ((c * 10 + i).toLong, t)).toDF("id", "text")
+    // filler texts are pairwise-unique: they add no duplicated window,
+    // so per-id answers for A's ids are invariant — but they dilute
+    // the dup factor below 4, forcing row grain.
+    val filler = (1000L until 1150L)
+      .map(i => (i, s"singleton filler $i without any repeats ${i * 3}"))
+      .toDF("id", "text")
+    val b = a.unionAll(filler)
+    val aIds = (0 until 6).flatMap(c => texts.indices.map(i =>
+      (c * 10 + i).toLong)).toSet
+    def frac(d: org.apache.spark.sql.DataFrame) =
+      TextOps.dupWindowFraction(d, "id", "text", n = 5, minDocs = 2)
+        .collect().filter(r => aIds(r.getLong(0)))
+        .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(frac(a) == frac(b) && frac(a).nonEmpty)
+    def strip(d: org.apache.spark.sql.DataFrame) =
+      TextOps.removeRepeatedSpans(d, "id", "text", n = 5, minDocs = 2)
+        .collect().filter(r => aIds(r.getLong(0)))
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(strip(a) == strip(b) && strip(a).nonEmpty)
+    def spans(d: org.apache.spark.sql.DataFrame) =
+      TextOps.repeatedSpans(d, "id", "text", n = 5, minDocs = 2)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans(a) == spans(b) && spans(a).nonEmpty)
+    // intra-class duplication counts: the 6 copies of each text are ≥2
+    // distinct docs, so even the "unrelated" text's own windows are
+    // duplicated — its dup_ppm must be 1000000 on the cloned corpus.
+    val ppm = TextOps
+      .dupWindowFraction(a, "id", "text", n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ppm(2L) == 1000000L)
+  }
+
+  test("collocationsPmi copy-weighted tier: 6x clones scale counts, not PMI") {
+    import spark.implicits._
+    // PMI is scale-invariant: cloning every document 6× multiplies
+    // c12, c1, c2, B, T by 6 and leaves every ratio — hence every PMI
+    // and the top-k order — unchanged, while n_pair must read exactly
+    // 6× (the copy-weight algebra, fired by the ≥4× probe on the
+    // cloned corpus and not on the original).
+    val texts = Seq("strong coffee beats weak tea every single morning",
+      "strong coffee and strong opinions fuel the morning standup",
+      "weak tea calms the late evening reading hour")
+    val a1 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val a6 = (for { (t, i) <- texts.zipWithIndex; c <- 0 until 6 }
+      yield ((c * 10 + i).toLong, t)).toDF("id", "text")
+    def res(d: org.apache.spark.sql.DataFrame) =
+      TextOps.collocationsPmi(d, "text", k = 50, minCount = 1)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), math.round(r.getDouble(2) * 1e9))).toMap
+    val (r1, r6) = (res(a1), res(a6))
+    assert(r1.nonEmpty && r1.keySet == r6.keySet)
+    for ((p, (c, pmi)) <- r1) assert(r6(p) == (c * 6, pmi), s"pair $p")
+  }
+
+  test("per-text aggregate ops: class tier == row grain per id on clone mass") {
+    import spark.implicits._
+    // Same dilution trick as the contamination pin: per-id outputs are
+    // pure text functions, so clone-heavy corpus A (class tier) and
+    // A ∪ distinct filler (row grain) must agree on A's ids — covers
+    // tokenEntropy, repetitionStats, and qualityClassify.
+    val texts = Seq(
+      "alpha beta beta gamma gamma gamma repeated tokens here here",
+      "one two three four five six seven eight nine ten",
+      "spam spam spam spam spam spam spam spam",
+      "", null)
+    val a = (for { (t, i) <- texts.zipWithIndex; c <- 0 until 6 }
+      yield ((c * 10 + i).toLong, t)).toDF("id", "text")
+    val filler = (1000L until 1150L)
+      .map(i => (i, s"unique filler number $i token mix ${i % 13}"))
+      .toDF("id", "text")
+    val b = a.unionAll(filler)
+    val aIds = (0 until 6).flatMap(c => texts.indices.map(i =>
+      (c * 10 + i).toLong)).toSet
+    def canon(d: org.apache.spark.sql.DataFrame, idc: String) =
+      d.collect().filter(r => aIds(r.getAs[Long](idc)))
+        .map(_.toSeq.map {
+          case dd: Double => math.round(dd * 1e9)
+          case x => x
+        }).toSet
+    assert(canon(TextOps.tokenEntropy(a, "id", "text"), "id") ==
+      canon(TextOps.tokenEntropy(b, "id", "text"), "id"))
+    assert(canon(TextOps.repetitionStats(a, "id", "text"), "id") ==
+      canon(TextOps.repetitionStats(b, "id", "text"), "id"))
+    assert(canon(TextOps.qualityClassify(a, "text"), "id") ==
+      canon(TextOps.qualityClassify(b, "text"), "id"))
+    // entropy keeps token-less rows visible with zeros at either grain
+    val ent = TextOps.tokenEntropy(a, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ent(3L) == 0L && ent(4L) == 0L)
+  }
+
   test("bpeEncodeStats distinct-text tier == member grain on clone mass") {
     import spark.implicits._
     // 5 copies of each text (dup factor ≥ 4 fires the rep tier) plus
