@@ -152,29 +152,85 @@ object DedupOps {
       .filter(col("n_members") >= 2)
     val member = components.join(multi.select(col("component")),
       Seq("component"))
-    val sh = shingleSets(df, idCol, textCol, n)
-      .join(member.select(col("id").as("_id"), col("component")),
-        Seq("_id"))
-    val a = sh.select(col("component"), col("_id").as("id_a"),
-      col("_sh").as("sh_a"))
-    val b = sh.select(col("component").as("_cb"), col("_id").as("id_b"),
-      col("_sh").as("sh_b"))
-    val jppm = floor(
-      (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double")) *
-        lit(1000000.0)).cast("long")
-    a.join(b, col("component") === col("_cb") &&
-        col("id_a") < col("id_b"))
-      .select(col("component"),
-        when(size(array_union(col("sh_a"), col("sh_b"))) > 0, jppm)
-          .as("j_ppm"))
-      .groupBy(col("component"))
-      .agg(count(lit(1)).as("n_pairs"),
-        min(col("j_ppm")).as("min_jaccard_ppm"),
-        expr("sum(j_ppm) div count(1)").as("avg_jaccard_ppm"))
-      .join(multi, Seq("component"))
-      .select(col("component"), col("n_members"), col("n_pairs"),
-        col("min_jaccard_ppm"), col("avg_jaccard_ppm"))
+    val jppmOf = (sa: Column, sb: Column) => when(
+      size(array_union(sa, sb)) > 0,
+      floor((size(array_intersect(sa, sb)).cast("double") /
+        size(array_union(sa, sb)).cast("double")) *
+        lit(1000000.0)).cast("long"))
+    // Class tier (r16 sweep's worst absolute pole, 90.5 s at sf10):
+    // intra-component pairs decompose into identical-text cliques
+    // (j = 1.0, multiplicity C(m,2)) and cross-class bundles (one
+    // jaccard per class pair, multiplicity m_x·m_y), so the
+    // aggregates collapse exactly — n_pairs = C(M,2) from the member
+    // count, the mean weights each class-pair value by its bundle
+    // size, and the min never cared about multiplicity. The pair
+    // stage's cost drops from Σ|cluster|² to Σ|distinct classes|².
+    val base = graft.engine.Engine.spread(df)
+    val probed = !base.isStreaming && {
+      val key = TextOps.fingerprint(col(textCol))
+      val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
+      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
+    }
+    val perComp =
+      if (!probed) {
+        val sh = shingleSets(base, idCol, textCol, n)
+          .join(member.select(col("id").as("_id"), col("component")),
+            Seq("_id"))
+        val a = sh.select(col("component"), col("_id").as("id_a"),
+          col("_sh").as("sh_a"))
+        val b = sh.select(col("component").as("_cb"),
+          col("_id").as("id_b"), col("_sh").as("sh_b"))
+        a.join(b, col("component") === col("_cb") &&
+            col("id_a") < col("id_b"))
+          .select(col("component"),
+            jppmOf(col("sh_a"), col("sh_b")).as("j_ppm"))
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("j_ppm")).as("min_jaccard_ppm"),
+            expr("sum(j_ppm) div count(1)").as("avg_jaccard_ppm"))
+      } else {
+        val key = coalesce(TextOps.fingerprint(col(textCol)),
+          lit(" null"))
+        val ids = base.select(col(idCol).as("_id"), key.as("_k"))
+        val classes = base.groupBy(key.as("_k"))
+          .agg(min(col(textCol)).as("_t"))
+        val shC = shingleSets(
+          classes.select(col("_k"), col("_t")), "_k", "_t", n)
+          .select(col("_id").as("_k"), col("_sh"))
+        val node = member.select(col("id").as("_id"), col("component"))
+          .join(ids, Seq("_id"))
+          .groupBy(col("component"), col("_k"))
+          .agg(count(lit(1)).as("_m"))
+          .join(shC, Seq("_k"))
+        val aN = node.select(col("component"), col("_k").as("_ka"),
+          col("_m").as("_ma"), col("_sh").as("sh_a"))
+        val bN = node.select(col("component").as("_cb"),
+          col("_k").as("_kb"), col("_m").as("_mb"),
+          col("_sh").as("sh_b"))
+        val cross = aN.join(bN, col("component") === col("_cb") &&
+            col("_ka") < col("_kb"))
+          .select(col("component"), (col("_ma") * col("_mb")).as("_w"),
+            jppmOf(col("sh_a"), col("sh_b")).as("j_ppm"))
+        val intra = node.filter(col("_m") >= 2)
+          .select(col("component"),
+            expr("_m * (_m - 1) div 2").as("_w"),
+            when(size(col("_sh")) > 0, lit(1000000L)).as("j_ppm"))
+        cross.unionByName(intra)
+          .groupBy(col("component"))
+          .agg(min(col("j_ppm")).as("min_jaccard_ppm"),
+            sum(col("_w") * col("j_ppm")).as("_sumj"))
+      }
+    if (!probed)
+      perComp.join(multi, Seq("component"))
+        .select(col("component"), col("n_members"), col("n_pairs"),
+          col("min_jaccard_ppm"), col("avg_jaccard_ppm"))
+    else
+      perComp.join(multi, Seq("component"))
+        .withColumn("n_pairs",
+          expr("n_members * (n_members - 1) div 2"))
+        .withColumn("avg_jaccard_ppm", expr("_sumj div n_pairs"))
+        .select(col("component"), col("n_members"), col("n_pairs"),
+          col("min_jaccard_ppm"), col("avg_jaccard_ppm"))
   }
 
   /** All-pairs n-gram Jaccard similarity (id_a < id_b). Exact — and

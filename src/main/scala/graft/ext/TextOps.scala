@@ -1231,25 +1231,60 @@ object TextOps {
   def keywordsTfidf(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val tf = graft.engine.Engine.spread(df)
-      .select(col(idCol).as("_id"),
-        explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("_id"), col("term")).agg(count(lit(1)).as("_tf"))
-    val dfs = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("_df"))
-    val n = df.agg(count(lit(1)).as("_n"))
+    val base = graft.engine.Engine.spread(df)
+    val n = df.agg(count(lit(1)).as("_n")) // member count either grain
     val idf = call_function("graft_ln",
       (col("_n").cast("double") + lit(1.0)) /
         (col("_df").cast("double") + lit(1.0)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_id"))
-      .orderBy(col("score").desc, col("term").asc)
-    tf.join(dfs, Seq("term"))
-      .crossJoin(broadcast(n))
-      .withColumn("score", col("_tf").cast("double") * idf)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("_id").as(idCol), col("rnk"), col("term"), col("score"))
+    // Class tier: tf and the per-doc rank are pure text functions; df
+    // (documents containing the term) = Σ class sizes over distinct
+    // classes containing it, and N stays the member count — so scores
+    // and ranks are identical per class and fan out through one key
+    // join AFTER the top-k cut (k rows per class, not per doc, cross
+    // the rank window).
+    val key = coalesce(fingerprint(col(textCol)), lit(" null"))
+    val rep = !base.isStreaming && {
+      val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
+      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
+    }
+    if (!rep) {
+      val tf = base
+        .select(col(idCol).as("_id"),
+          explode(tokens(col(textCol))).as("term"))
+        .groupBy(col("_id"), col("term")).agg(count(lit(1)).as("_tf"))
+      val dfs = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("_df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(dfs, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("_tf").cast("double") * idf)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("_id").as(idCol), col("rnk"), col("term"),
+          col("score"))
+    } else {
+      val ids = base.select(col(idCol).as("_id"), key.as("_k"))
+      val tfC = base.groupBy(key.as("_k"))
+        .agg(count(lit(1)).as("_w"), min(col(textCol)).as("_t"))
+        .select(col("_k"), col("_w"),
+          explode(tokens(col("_t"))).as("term"))
+        .groupBy(col("_k"), col("term"))
+        .agg(first(col("_w")).as("_w"), count(lit(1)).as("_tf"))
+      val dfs = tfC.groupBy(col("term")).agg(sum(col("_w")).as("_df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_k"))
+        .orderBy(col("score").desc, col("term").asc)
+      val perClass = tfC.join(dfs, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("_tf").cast("double") * idf)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+      ids.join(perClass, Seq("_k"))
+        .select(col("_id").as(idCol), col("rnk"), col("term"),
+          col("score"))
+    }
   }
 
   /** Bigram-LM fluency scoring — the CCNet quality signal (Wenzek et
@@ -2482,11 +2517,29 @@ object TextOps {
     def bucket(tok: Column): Column =
       pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"),
         lit(m.toLong))
-    graft.engine.Engine.spread(corpus)
-      .select(col(idCol).as("_id"),
-        explode(tokens(col(textCol))).as("_t"))
-      .select(col("_id"), bucket(col("_t")).as("_bkt"))
-      .groupBy(col("_id"), col("_bkt")).agg(count(lit(1)).as("_cnt"))
+    val base = graft.engine.Engine.spread(corpus)
+    def core(keyed: DataFrame): DataFrame =
+      keyed.select(col("_k"), explode(tokens(col("_t"))).as("_tok"))
+        .select(col("_k"), bucket(col("_tok")).as("_bkt"))
+        .groupBy(col("_k"), col("_bkt")).agg(count(lit(1)).as("_cnt"))
+    // Class tier (fanOutPerText's rule): the (doc, bucket, count)
+    // relation is a pure text function, so it computes once per
+    // distinct fingerprint and fans out through the id-sized key join;
+    // token-less/null docs stay absent at either grain (empty explode
+    // / inner join finds nothing).
+    val key = coalesce(fingerprint(col(textCol)), lit(" null"))
+    val rep = !base.isStreaming && {
+      val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
+      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
+    }
+    if (!rep)
+      core(base.select(col(idCol).as("_k"), col(textCol).as("_t")))
+        .select(col("_k").as("_id"), col("_bkt"), col("_cnt"))
+    else
+      base.select(col(idCol).as("_id"), key.as("_k"))
+        .join(core(base.groupBy(key.as("_k"))
+          .agg(min(col(textCol)).as("_t"))), Seq("_k"))
+        .select(col("_id"), col("_bkt"), col("_cnt"))
   }
 
   def dsirSelect(corpus: DataFrame, target: DataFrame,
@@ -2499,15 +2552,29 @@ object TextOps {
       pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"),
         lit(m.toLong))
     val spark = corpus.sparkSession
-    // target distribution: m bucket counts + total
-    val tgtB = target.select(
-      explode(tokens(col(targetTextCol))).as("_t"))
-      .select(bucket(col("_t")).as("_bkt"))
+    // target distribution: m bucket counts + total. INSTANCE counts,
+    // so the clone-heavy tier weights per-distinct-text counts by copy
+    // multiplicity (the nbTrainHashed algebra) — the target is often a
+    // corpus slice carrying the corpus's own clone mass.
+    val tfp = fingerprint(col(targetTextCol))
+    val tgtRep = !target.isStreaming && {
+      val r = target.agg(count(lit(1)), approx_count_distinct(tfp)).head()
+      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
+    }
+    val tgtW =
+      if (!tgtRep) target.select(lit(1L).as("_m"),
+        col(targetTextCol).as("_tt"))
+      else target.groupBy(tfp.as("_fp"))
+        .agg(count(lit(1)).as("_m"), min(col(targetTextCol)).as("_tt"))
+        .select(col("_m"), col("_tt"))
+    val tgtB = tgtW.select(col("_m"),
+        explode(tokens(col("_tt"))).as("_t"))
+      .select(col("_m"), bucket(col("_t")).as("_bkt"))
     // materialized (≤ m rows): the bucket counts feed both the ratio
     // join and the total — unpersisted, the target (often a sizable
     // corpus slice) would tokenize twice
     val tc = graft.engine.Engine.materialize(
-      tgtB.groupBy(col("_bkt")).agg(count(lit(1)).as("_ct")))
+      tgtB.groupBy(col("_bkt")).agg(sum(col("_m")).as("_ct")))
     // totals derive from the m-row bucket tables (every token lands in
     // a bucket), NOT from a second pass over the token stream — without
     // this the unpersisted plan re-explodes the corpus once per use

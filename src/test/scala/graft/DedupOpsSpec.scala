@@ -225,6 +225,40 @@ class DedupOpsSpec extends SparkSpec {
     assert(!stats(a).exists(s => s._1 % 10 == 3 || s._1 % 10 == 4))
   }
 
+  test("clusterCohesion class tier == row grain per component on clone mass") {
+    import spark.implicits._
+    // Components are PASSED IN, so filler rows (absent from them)
+    // cannot change any component's report — corpus A (6× clones,
+    // class tier) vs A ∪ filler (row grain) must agree per component.
+    // Texts chosen so one cluster chains A~B~C with J(A,C) low (the
+    // over-merge alarm the op exists for) and clones inflate member
+    // counts: n_pairs must read C(M,2) with M = member rows, min must
+    // see the cross-class floor, intra cliques contribute j=1.0 mass.
+    val tA = "the quick brown fox jumps over the lazy dog by the fence"
+    val tB = "the quick brown fox jumps over the sleepy dog by the gate"
+    val tC = "a sleepy dog by the gate watches quiet ships sail far away"
+    val rows = (for { (t, i) <- Seq(tA, tB, tC).zipWithIndex
+                      c <- 0 until 6 }
+      yield ((c * 10 + i).toLong, t)) :+ (99L, "unrelated loner text")
+    val a = rows.toDF("id", "text")
+    val filler = (1000L until 1120L)
+      .map(i => (i, s"distinct filler $i with spare tokens ${i % 17}"))
+      .toDF("id", "text")
+    val b = a.unionAll(filler)
+    val comp = rows.collect { case (id, t) if t != "unrelated loner text" =>
+      (id, 0L) }.toDF("id", "component")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      DedupOps.clusterCohesion(d, "id", "text", comp, n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val (ra, rb) = (run(a), run(b))
+    assert(ra == rb && ra.size == 1)
+    val (_, m, p, mn, av) = ra.head
+    assert(m == 18L && p == 153L) // C(18,2)
+    assert(mn < 500000L, s"chained extremes must floor the min: $mn")
+    assert(av > mn && av <= 1000000L)
+  }
+
   test("fuzzy rep contract: pairs+classes reconstruct the member-grain list") {
     import spark.implicits._
     // The rep-grain contract (str pairs with member counts + the class

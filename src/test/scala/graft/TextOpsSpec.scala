@@ -550,6 +550,68 @@ class TextOpsSpec extends SparkSpec {
     assert(ppm(2L) == 1000000L)
   }
 
+  test("keywordsTfidf class tier == member-grain mirror on clone mass") {
+    import spark.implicits._
+    val texts = Seq("coffee coffee beans and morning rituals",
+      "tea leaves and evening rituals of calm",
+      "beans beans beans industrial supply chain")
+    val df = (for { (t, i) <- texts.zipWithIndex; c <- 0 until 6 }
+      yield ((c * 10 + i).toLong, t)).toDF("id", "text")
+    val got = TextOps.keywordsTfidf(df, "id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    // member-grain mirror, built from the raw definition in the test
+    val tf = df.select(col("id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val n = df.count().toDouble
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    val exp = tf.join(dfs, Seq("term"))
+      .withColumn("score", col("tf").cast("double") *
+        call_function("graft_ln",
+          lit(n + 1.0) / (col("dfc").cast("double") + lit(1.0))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("id"), col("rnk"), col("term"), col("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("dsir doc buckets: class tier == row grain per id on clone mass") {
+    import spark.implicits._
+    val texts = Seq("alpha beta gamma alpha", "delta epsilon zeta",
+      "", null)
+    val a = (for { (t, i) <- texts.zipWithIndex; c <- 0 until 6 }
+      yield ((c * 10 + i).toLong, t)).toDF("id", "text")
+    val filler = (1000L until 1150L)
+      .map(i => (i, s"fill $i unique ${i % 11} mix")).toDF("id", "text")
+    val b = a.unionAll(filler)
+    val aIds = (0 until 6).flatMap(c => texts.indices.map(i =>
+      (c * 10 + i).toLong)).toSet
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.dsirDocBuckets(d, "id", "text", 16)
+        .collect().filter(r => aIds(r.getLong(0)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(a) == run(b) && run(a).nonEmpty)
+    // clone members score identically through the full dsirSelect, and
+    // token-less/null docs surface with zero evidence, not dropped
+    val sel = TextOps.dsirSelect(a, a.filter(col("id") % 10 === 0),
+        "id", "text", "text", numBuckets = 16, budget = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sel.length == 24)
+    val byClass = sel.groupBy(_._1 % 10).view
+      .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byClass.values.forall(_.size == 1),
+      "clone members must carry identical (n_tokens, logw_fx)")
+    assert(byClass(2L) == Set((0L, 0L)) && byClass(3L) == Set((0L, 0L)))
+  }
+
   test("collocationsPmi copy-weighted tier: 6x clones scale counts, not PMI") {
     import spark.implicits._
     // PMI is scale-invariant: cloning every document 6× multiplies
