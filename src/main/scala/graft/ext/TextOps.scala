@@ -2322,27 +2322,10 @@ object TextOps {
                k: Int = 10, k1: Double = 1.25,
                b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val toks = graft.engine.Engine.spread(docs)
-      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
-      .select(col("_id"), col("_toks"), size(col("_toks")).as("_dl"))
-    // Corpus stats: one 1-row aggregate, broadcast by the literal join.
-    val stats = toks.agg(count(lit(1)).as("_n"),
-      sum(col("_dl")).as("_sumdl"))
+    val base = graft.engine.Engine.spread(docs)
     val qterms = queries.select(col(qidCol).as("_qid"),
         explode(array_distinct(tokens(col(qtextCol)))).as("_term"))
     val qvocab = qterms.select(col("_term")).distinct()
-    // Postings restricted to query terms BEFORE the tf aggregation.
-    val postings = toks
-      .select(col("_id"), col("_dl"), explode(col("_toks")).as("_term"))
-      .join(broadcast(qvocab), Seq("_term"))
-      .groupBy(col("_id"), col("_term"), col("_dl"))
-      .agg(count(lit(1)).as("_tf"))
-    val dfs = postings.groupBy(col("_term"))
-      .agg(count(lit(1)).as("_df"))
-    val scored = postings
-      .join(broadcast(dfs), Seq("_term"))
-      .join(broadcast(qterms), Seq("_term"))
-      .crossJoin(broadcast(stats))
     val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
     val idf = call_function("graft_ln",
       lit(1.0) + (col("_n").cast("double") - col("_df").cast("double") +
@@ -2351,18 +2334,93 @@ object TextOps {
       (col("_tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / avgdl))
     val fixed = floor(idf * tfNorm * lit(1073741824.0)).cast("long")
-    val agg = scored.select(col("_qid"), col("_id"), fixed.as("_fx"))
-      .groupBy(col("_qid"), col("_id"))
-      .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("_nterms"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_qid"))
-      .orderBy(col("_sfx").desc, col("_id").asc)
-    agg.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("_qid").as(qidCol), col("rnk"),
-        col("_id").as(idCol),
-        (col("_sfx").cast("double") / lit(1073741824.0)).as("score"),
-        col("_nterms").as("n_terms"))
+    // Class tier: tf/dl are per-text, N and Σdl weight classes by
+    // member count, df = Σ class sizes over classes containing the
+    // term — so per-(query, class) scores are exact, and the final
+    // per-query doc top-k expands only the top-k CLASSES by
+    // (score desc, min-member-id asc): any class below k such classes
+    // can contribute no final doc (each better class's min-id member
+    // beats every member of the worse class — strictly on score, or on
+    // the id tie-break via its smaller min id), so the expansion is
+    // k·⌈clone factor⌉ rows per query, never the corpus.
+    val key = coalesce(fingerprint(col(textCol)), lit(" null"))
+    val rep = !base.isStreaming && {
+      val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
+      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
+    }
+    if (!rep) {
+      val toks = base
+        .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
+        .select(col("_id"), col("_toks"), size(col("_toks")).as("_dl"))
+      // Corpus stats: one 1-row aggregate, broadcast by the literal join.
+      val stats = toks.agg(count(lit(1)).as("_n"),
+        sum(col("_dl")).as("_sumdl"))
+      // Postings restricted to query terms BEFORE the tf aggregation.
+      val postings = toks
+        .select(col("_id"), col("_dl"), explode(col("_toks")).as("_term"))
+        .join(broadcast(qvocab), Seq("_term"))
+        .groupBy(col("_id"), col("_term"), col("_dl"))
+        .agg(count(lit(1)).as("_tf"))
+      val dfs = postings.groupBy(col("_term"))
+        .agg(count(lit(1)).as("_df"))
+      val agg = postings
+        .join(broadcast(dfs), Seq("_term"))
+        .join(broadcast(qterms), Seq("_term"))
+        .crossJoin(broadcast(stats))
+        .select(col("_qid"), col("_id"), fixed.as("_fx"))
+        .groupBy(col("_qid"), col("_id"))
+        .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("_nterms"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_qid"))
+        .orderBy(col("_sfx").desc, col("_id").asc)
+      agg.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("_qid").as(qidCol), col("rnk"),
+          col("_id").as(idCol),
+          (col("_sfx").cast("double") / lit(1073741824.0)).as("score"),
+          col("_nterms").as("n_terms"))
+    } else {
+      val ids = base.select(col(idCol).as("_id"), key.as("_k"))
+      val cls = base.groupBy(key.as("_k"))
+        .agg(count(lit(1)).as("_w"), min(col(textCol)).as("_t"),
+          min(col(idCol)).as("_mid"))
+      val toksC = cls.select(col("_k"), col("_w"), col("_mid"),
+          tokens(col("_t")).as("_toks"))
+        .withColumn("_dl", size(col("_toks")))
+      val stats = toksC.agg(sum(col("_w")).as("_n"),
+        sum(col("_w") * col("_dl")).as("_sumdl"))
+      val postings = toksC
+        .select(col("_k"), col("_w"), col("_dl"),
+          explode(col("_toks")).as("_term"))
+        .join(broadcast(qvocab), Seq("_term"))
+        .groupBy(col("_k"), col("_term"), col("_dl"))
+        .agg(first(col("_w")).as("_w"), count(lit(1)).as("_tf"))
+      val dfs = postings.groupBy(col("_term"))
+        .agg(sum(col("_w")).as("_df"))
+      val aggC = postings
+        .join(broadcast(dfs), Seq("_term"))
+        .join(broadcast(qterms), Seq("_term"))
+        .crossJoin(broadcast(stats))
+        .select(col("_qid"), col("_k"), fixed.as("_fx"))
+        .groupBy(col("_qid"), col("_k"))
+        .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("_nterms"))
+        .join(cls.select(col("_k"), col("_mid")), Seq("_k"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_qid"))
+        .orderBy(col("_sfx").desc, col("_mid").asc)
+      val topClasses = aggC.withColumn("_crk", row_number().over(wc))
+        .filter(col("_crk") <= k)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_qid"))
+        .orderBy(col("_sfx").desc, col("_id").asc)
+      topClasses.join(ids, Seq("_k"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("_qid").as(qidCol), col("rnk"),
+          col("_id").as(idCol),
+          (col("_sfx").cast("double") / lit(1073741824.0)).as("score"),
+          col("_nterms").as("n_terms"))
+    }
   }
 
   /** Per-document Shannon entropy of the token distribution —

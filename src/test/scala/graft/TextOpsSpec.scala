@@ -583,6 +583,62 @@ class TextOpsSpec extends SparkSpec {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("bm25TopK class tier == member-grain mirror on clone mass") {
+    import spark.implicits._
+    // Clone-heavy corpus with cross-class score TIES (identical texts
+    // under different fingerprint classes is impossible, so ties come
+    // from clones of the same text vs the id tie-break) and k SMALLER
+    // than a clone group, so a single class can fill the whole top-k —
+    // the case the top-k-classes cut must survive.
+    val texts = Seq("spark catalyst optimizer rules engine",
+      "spark catalyst optimizer rules engine extra tokens here",
+      "completely different topic about sailing ships")
+    val docs = (for { (t, i) <- texts.zipWithIndex; c <- 0 until 8 }
+      yield ((c * 10 + i).toLong, t)).toDF("id", "text")
+    val qs = Seq((1L, "spark catalyst rules"),
+      (2L, "sailing ships topic")).toDF("qid", "qtext")
+    val got = TextOps.bm25TopK(docs, qs, "id", "text", "qid", "qtext",
+        k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6), r.getLong(4))).toSet
+    // member-grain mirror from the raw definition
+    val toks = docs.select(col("id"),
+      TextOps.tokens(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val n = docs.count().toDouble
+    val sumdl = toks.agg(sum("dl")).head().getLong(0).toDouble
+    val qt = qs.select(col("qid"),
+      explode(array_distinct(TextOps.tokens(col("qtext")))).as("term"))
+    val post = toks.select(col("id"), col("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val dfs = post.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val avgdl = sumdl / n
+    val sc = post.join(dfs, Seq("term")).join(qt, Seq("term"))
+      .withColumn("fx", floor(
+        call_function("graft_ln", lit(1.0) +
+          (lit(n) - col("dfc").cast("double") + lit(0.5)) /
+            (col("dfc").cast("double") + lit(0.5))) *
+        (col("tf").cast("double") * lit(2.25)) /
+          (col("tf").cast("double") + lit(1.25) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+              lit(avgdl))) * lit(1073741824.0)).cast("long"))
+      .groupBy("qid", "id")
+      .agg(sum("fx").as("sfx"), count(lit(1)).as("nt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sfx").desc, col("id").asc)
+    val exp = sc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getLong(1),
+        math.round(r.getLong(2) / 1073741824.0 * 1e6), r.getLong(3)))
+      .toSet
+    assert(got == exp && got.nonEmpty)
+    // the clone-filled case: query 2's top-5 must be the 5 lowest ids
+    // of the sailing class (one class fills k)
+    assert(got.filter(_._1 == 2L).map(_._3) == Set(2L, 12L, 22L, 32L,
+      42L))
+  }
+
   test("dsir doc buckets: class tier == row grain per id on clone mass") {
     import spark.implicits._
     val texts = Seq("alpha beta gamma alpha", "delta epsilon zeta",
