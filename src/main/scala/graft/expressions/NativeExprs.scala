@@ -145,6 +145,110 @@ object NativeExprs {
       case other => throw new IllegalArgumentException(
         s"graft_gram_stats(arr), got $other")
     })
+    reg("graft_nearest", {
+      case Seq(c, Literal(m: ArrayData, ArrayType(ArrayType(DoubleType, _), _)),
+               Literal(off: Int, IntegerType)) =>
+        NearestIndexLit(c, NativeExprs.litMatrix(m), off)
+      case other => throw new IllegalArgumentException(
+        s"graft_nearest(arr, matrixLit, offsetLit), got $other")
+    })
+    reg("graft_kmeans_top2", {
+      case Seq(c, Literal(ids: ArrayData, ArrayType(IntegerType, _)),
+               Literal(m: ArrayData, ArrayType(ArrayType(DoubleType, _), _))) =>
+        KmeansTop2Fx(c, ids.toIntArray(), NativeExprs.litMatrix(m))
+      case other => throw new IllegalArgumentException(
+        s"graft_kmeans_top2(arr, idsLit, matrixLit), got $other")
+    })
+  }
+
+  /** Materialize a literal `array<array<double>>` into a JVM matrix
+    * (registration-time only — never per row). */
+  def litMatrix(m: ArrayData): Array[Array[Double]] =
+    Array.tabulate(m.numElements())(i => m.getArray(i).toDoubleArray())
+
+  /** dot(c, c) per candidate row, sequential accumulation — matches the
+    * compositional `dot(cl, cl)` on a literal array bit-for-bit. */
+  def selfDots(cands: Array[Array[Double]]): Array[Double] =
+    cands.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+
+  /** [[NearestIndexLit]]'s compiled kernel (shared by both eval paths):
+    * argmin over candidates of `(vv − 2·vc) + cc(j)` on the window
+    * `[offset, offset + len)`, ties to the lowest index via
+    * `SQLOrderingUtil.compareDoubles` (array_sort's double ordering).
+    * Returns −1 for null (null element / window past array end). */
+  def nearestIdx(a: ArrayData, isFloat: Boolean, offset: Int,
+                 cands: Array[Array[Double]], cc: Array[Double]): Int = {
+    val len = cands(0).length
+    if (offset + len > a.numElements()) return -1
+    val v = new Array[Double](len)
+    var i = 0
+    while (i < len) {
+      if (a.isNullAt(offset + i)) return -1
+      v(i) = if (isFloat) a.getFloat(offset + i).toDouble
+             else a.getDouble(offset + i)
+      i += 1
+    }
+    var vv = 0.0
+    i = 0
+    while (i < len) { vv += v(i) * v(i); i += 1 }
+    var best = 0.0
+    var bi = -1
+    var j = 0
+    while (j < cands.length) {
+      val c = cands(j)
+      var vc = 0.0
+      i = 0
+      while (i < len) { vc += v(i) * c(i); i += 1 }
+      val d = vv - 2.0 * vc + cc(j)
+      if (bi < 0 || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+            .compareDoubles(d, best) < 0) { best = d; bi = j }
+      j += 1
+    }
+    bi
+  }
+
+  /** [[KmeansTop2Fx]]'s compiled kernel: exact fixed-point distance
+    * `Σ_i ⌊(v_i − c_i)²·2³⁰⌋` per centroid, top-2 by `(d, id)`.
+    * Returns null on a null element or a short vector. */
+  def kmeansTop2(a: ArrayData, isFloat: Boolean, ids: Array[Int],
+                 cents: Array[Array[Double]]): InternalRow = {
+    val dim = cents(0).length
+    if (dim > a.numElements()) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return null
+      v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    var d1 = Long.MaxValue; var c1 = -1
+    var d2 = Long.MaxValue; var c2 = -1
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var s = 0L
+      i = 0
+      while (i < dim) {
+        val df = v(i) - c(i)
+        s += Math.floor(df * df * 1073741824.0).toLong
+        i += 1
+      }
+      val id = ids(j)
+      // ids are strictly increasing (kmeansCentroidsFx sorts), so a tie
+      // on d never displaces an earlier id — plain < matches (d, id).
+      if (c1 < 0 || s < d1) {
+        d2 = d1; c2 = c1; d1 = s; c1 = id
+      } else if (c2 < 0 || s < d2) {
+        d2 = s; c2 = id
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](c1, d1, c2, d2))
   }
 
   /** Multiplicity stats of a hashed-gram MULTISET in one compiled pass:
@@ -1533,6 +1637,146 @@ object StripCovered {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, kept))
   }
+}
+
+/** Nearest-candidate index against a literal matrix: the argmin over
+  * `j` of `d²(v[offset..offset+len), cands(j))` with the exact
+  * `dot(v,v) − 2·dot(v,c) + dot(c,c)` left-to-right accumulation of
+  * [[graft.ext.SimilarityOps]]'s compositional `d2ToLit` form, ties to
+  * the lowest `j` — the IVF cell / PQ codeword assignment hot loop.
+  *
+  * Why native: the `element_at(array_sort(structs...), 1)` formulation
+  * builds and sorts an nCands-struct array per row through expression
+  * trees so large the generated method never JITs — measured 225 µs/row
+  * at the sf10 encode (45 s for 200k vectors); this kernel is ~1 µs/row.
+  * Doubles compare via `SQLOrderingUtil.compareDoubles` — the exact
+  * ordering `array_sort` used (NaN greatest, ±0.0 equal), so results are
+  * bit-identical to the compositional form (pinned in NativeExprsSpec).
+  *
+  * `offset` selects a subspace (PQ: subspace `mi` starts at `mi·sub`);
+  * candidate length fixes the window. Null array → null (nullSafeEval);
+  * null element in the window or a window extending past the array end →
+  * null (the compositional form's null-`d` sort order was unspecified
+  * there; callers contract non-null fixed-dim vectors). */
+case class NearestIndexLit(child: Expression, cands: Array[Array[Double]],
+                           offset: Int)
+    extends UnaryExpression {
+
+  require(cands.nonEmpty && cands.forall(_.length == cands(0).length),
+    "graft_nearest: need >= 1 equal-length candidate vectors")
+  require(offset >= 0, s"graft_nearest: offset must be >= 0: $offset")
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest expects array<float|double>, got $dt")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest"
+
+  /** dot(c, c) per candidate, the same sequential accumulation as the
+    * plan-literal `dot(cl, cl)` — computed once per (de)serialized
+    * expression, never per row. */
+  @transient private lazy val cc: Array[Double] = NativeExprs.selfDots(cands)
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = NativeExprs.nearestIdx(input.asInstanceOf[ArrayData],
+      isFloat, offset, cands, cc)
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.addReferenceObj("graftNearCands", cands, "double[][]")
+      val cs = ctx.addReferenceObj("graftNearCc", cc, "double[]")
+      val r = ctx.freshName("nearIdx")
+      s"""
+         |int $r = graft.expressions.NativeExprs.nearestIdx(
+         |  $c, $isFloat, $offset, $m, $cs);
+         |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Top-2 fixed-point kmeans cells against a literal centroid table in
+  * one compiled pass: per centroid `d = Σ_i ⌊(v_i − c_i)²·2³⁰⌋` as
+  * BIGINT (the order-free exact distance of
+  * [[graft.ext.SimilarityOps.kmeansLloydFx]]'s contract), ranked by
+  * `(d, centroid id)`; returns `(c1, d1, c2, d2)` — assignment uses
+  * the first pair, the centroid-form silhouette both. Replaces the
+  * k·dim-node `array_sort(struct...)` expression tree for the same
+  * generated-method-too-large-to-JIT reason as [[NearestIndexLit]];
+  * values bit-identical (pinned in NativeExprsSpec).
+  *
+  * With a single surviving centroid the second pair is the sentinel
+  * `(-1, Long.MaxValue)` — [[graft.ext.SimilarityOps.silhouetteFx]]
+  * requires >= 2 survivors before building the plan. Null array → null;
+  * null element or a vector shorter than the centroid dim → null. */
+case class KmeansTop2Fx(child: Expression, ids: Array[Int],
+                        cents: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(cents.nonEmpty && cents.forall(_.length == cents(0).length),
+    "graft_kmeans_top2: need >= 1 equal-length centroids")
+  require(ids.length == cents.length,
+    "graft_kmeans_top2: ids and centroids must align")
+  // the kernel's strict-< tie-break is only (d, id)-correct when ids
+  // arrive in increasing order — kmeansCentroidsFx sorts them
+  require(ids.length < 2 ||
+    ids.sliding(2).forall(p => p(0) < p(1)),
+    "graft_kmeans_top2: ids must be strictly increasing")
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_kmeans_top2 expects array<float|double>, got $dt")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("c1", IntegerType, nullable = false),
+    StructField("d1", LongType, nullable = false),
+    StructField("c2", IntegerType, nullable = false),
+    StructField("d2", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kmeans_top2"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.kmeansTop2(input.asInstanceOf[ArrayData], isFloat,
+      ids, cents)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val is = ctx.addReferenceObj("graftKmIds", ids, "int[]")
+      val m = ctx.addReferenceObj("graftKmCents", cents, "double[][]")
+      val r = ctx.freshName("kmRow")
+      s"""
+         |InternalRow $r = graft.expressions.NativeExprs.kmeansTop2(
+         |  $c, $isFloat, $is, $m);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
 }
 
 /** SparkSessionExtensions installer for all graft native functions —

@@ -286,25 +286,40 @@ object SimilarityOps {
   }
 
   /** (distance², cell) structs for every centroid; array_sort orders
-    * lexicographically — nearest cell first, ties to the lowest cell. */
-  private def cellStructs(v: Column,
-                          cents: Seq[IndexedSeq[Double]]): Column =
+    * lexicographically — nearest cell first, ties to the lowest cell.
+    * QUERY-side only (top-nProbe needs the partial sort of a bounded
+    * input); corpus-grain argmin goes through [[nearestLit]] — the
+    * struct-sort tree is too large to JIT at millions of rows
+    * (measured 225 µs/row vs ~1 µs for the compiled kernel).
+    * Package-private as the reference formulation NativeExprsSpec pins
+    * the kernel against. */
+  private[graft] def cellStructs(v: Column,
+                                 cents: Seq[IndexedSeq[Double]]): Column =
     array(cents.zipWithIndex.map { case (cvec, i) =>
       struct(d2ToLit(v, cvec).as("d"), lit(i).as("c"))
     }: _*)
+
+  /** Argmin index against literal candidate vectors — the compiled
+    * [[graft.expressions.NearestIndexLit]] kernel; bit-identical to
+    * `element_at(array_sort(cellStructs(v, cands)), 1).getField("c")`
+    * including the double ordering and lowest-index tie-break (pinned
+    * in NativeExprsSpec). `offset` selects a subspace window for the
+    * PQ per-subspace codeword argmin. */
+  private def nearestLit(v: Column, cands: Seq[IndexedSeq[Double]],
+                         offset: Int): Column =
+    call_function("graft_nearest", v,
+      typedlit(cands.map(_.toSeq)), lit(offset))
 
   /** Subspace `mi` of a PQ codeword-source vector. */
   private def pqCodeword(src: IndexedSeq[Double], mi: Int,
                          sub: Int): IndexedSeq[Double] =
     src.slice(mi * sub, (mi + 1) * sub)
 
-  /** Nearest-codeword id for subspace `mi` (tie → lowest codeword). */
+  /** Nearest-codeword id for subspace `mi` (tie → lowest codeword) —
+    * the [[nearestLit]] kernel on the `[mi·sub, (mi+1)·sub)` window. */
   private def pqCodeCol(v: Column, mi: Int, sub: Int,
                         cws: Seq[IndexedSeq[Double]]): Column =
-    element_at(array_sort(array(cws.zipWithIndex.map { case (cw, i) =>
-      struct(d2ToLit(slice(v, mi * sub + 1, sub),
-        pqCodeword(cw, mi, sub)).as("d"), lit(i).as("c"))
-    }: _*)), 1).getField("c")
+    nearestLit(v, cws.map(cw => pqCodeword(cw, mi, sub)), mi * sub)
 
   /** ADC lookup table for subspace `mi`: distance to every codeword. */
   private def pqDistTable(v: Column, mi: Int, sub: Int,
@@ -334,8 +349,7 @@ object SimilarityOps {
     val cents = sampleVectors(corpus, idCol, vecCol, nCentroids)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"),
-      element_at(array_sort(cellStructs(col(vecCol), cents)), 1)
-        .getField("c").as("_cell"))
+      nearestLit(col(vecCol), cents, 0).as("_cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         explode(transform(
           slice(array_sort(cellStructs(col(vecCol), cents)), 1, nProbe),
@@ -464,8 +478,7 @@ object SimilarityOps {
     val sub = st.dim / st.m
     corpus.select(
       col(idCol).as("neighbor_id") +:
-        element_at(array_sort(cellStructs(col(vecCol), st.cents)), 1)
-          .getField("c").as("_cell") +:
+        nearestLit(col(vecCol), st.cents, 0).as("_cell") +:
         (0 until st.m).map(mi =>
           pqCodeCol(col(vecCol), mi, sub, st.cws).as(s"_cw$mi")): _*)
   }
@@ -834,10 +847,9 @@ object SimilarityOps {
     val vecs = df.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
     val cents = kmeansCentroidsFx(df, idCol, vecCol, k, dim, iters)
-    vecs.withColumn("_best",
-        element_at(array_sort(kmeansCellsFx(col("_v"), cents, dim)), 1))
-      .select(col("_id").as(idCol), col("_best").getField("c")
-        .as("cluster"), col("_best").getField("d").as("dist_fx"))
+    vecs.withColumn("_best", kmeansTop2Col(col("_v"), cents))
+      .select(col("_id").as(idCol), col("_best").getField("c1")
+        .as("cluster"), col("_best").getField("d1").as("dist_fx"))
   }
 
   /** The trained centroid table of [[kmeansLloydFx]]'s rounds (driver-
@@ -897,12 +909,11 @@ object SimilarityOps {
         "Lloyd rounds — no second centroid to measure separation against")
     df.select(col(idCol).as("_id"),
         col(vecCol).cast("array<double>").as("_v"))
-      .withColumn("_c",
-        array_sort(kmeansCellsFx(col("_v"), cents, dim)))
+      .withColumn("_c", kmeansTop2Col(col("_v"), cents))
       .select(col("_id").as(idCol),
-        element_at(col("_c"), 1).getField("c").as("cluster"),
-        element_at(col("_c"), 1).getField("d").as("a_fx"),
-        element_at(col("_c"), 2).getField("d").as("b_fx"))
+        col("_c").getField("c1").as("cluster"),
+        col("_c").getField("d1").as("a_fx"),
+        col("_c").getField("d2").as("b_fx"))
       .withColumn("silhouette_ppm",
         when(greatest(col("a_fx"), col("b_fx")) > 0L,
           expr("cast(cast(b_fx - a_fx as decimal(38,0)) * 1000000" +
@@ -910,11 +921,23 @@ object SimilarityOps {
           .otherwise(lit(0L)))
   }
 
+  /** Top-2 fixed-point cells against literal centroids — the compiled
+    * [[graft.expressions.KmeansTop2Fx]] kernel shared by the assignment
+    * and update rounds of [[kmeansLloydFx]] and by [[silhouetteFx]];
+    * bit-identical to sorting [[kmeansCellsFx]] (pinned in
+    * NativeExprsSpec). */
+  private def kmeansTop2Col(v: Column,
+                            cents: Seq[(Int, Array[Double])]): Column =
+    call_function("graft_kmeans_top2", v,
+      typedlit(cents.map(_._1)),
+      typedlit(cents.map(_._2.toSeq)))
+
   /** (fixed-point distance, cluster) structs against literal centroids —
-    * the argmin cell array shared by the assignment and update rounds of
-    * [[kmeansLloydFx]]. */
-  private def kmeansCellsFx(v: Column, cents: Seq[(Int, Array[Double])],
-                            dim: Int): Column =
+    * the compositional reference formulation [[kmeansTop2Col]] is pinned
+    * against in NativeExprsSpec. */
+  private[graft] def kmeansCellsFx(v: Column,
+                                   cents: Seq[(Int, Array[Double])],
+                                   dim: Int): Column =
     array(cents.map { case (c, cv) =>
       struct((0 until dim).map { i =>
         val d = element_at(v, i + 1) - lit(cv(i))
@@ -936,8 +959,8 @@ object SimilarityOps {
   private[graft] def kmeansUpdateFrame(vecs: DataFrame,
       cents: Seq[(Int, Array[Double])], dim: Int): DataFrame = {
     val assigned = vecs.select(
-      element_at(array_sort(kmeansCellsFx(col("_v"), cents, dim)), 1)
-        .getField("c").as("cluster"), col("_v"))
+      kmeansTop2Col(col("_v"), cents).getField("c1").as("cluster"),
+      col("_v"))
     val sums = (0 until dim).map(i =>
       sum(floor(element_at(col("_v"), i + 1) * lit(1073741824.0))
         .cast("long")).as(s"_s$i"))
@@ -1439,9 +1462,13 @@ object SimilarityOps {
     // rep survivor set. (1) A non-rep member m never survives: its rep
     // shares cell and csim, has the smaller id, and their cosine is the
     // round-6 self-cosine of the shared vector - exactly 1.0 > tau,
-    // because every scored vector has nonzero norm (ANSI division
-    // errors the csim attach loudly on a zero vector, at EITHER grain,
-    // before any survivor logic runs) and tau < 1 by the require above.
+    // because every scored vector has nonzero norm: Spark 4's ANSI
+    // DIVIDE_BY_ZERO covers DOUBLE division too (verified - `cast(0.0
+    // as double)/cast(0.0 as double)` raises, it does NOT yield NaN as
+    // it did pre-ANSI), so a zero vector errors the csim attach loudly
+    // at EITHER grain before any survivor logic runs; tau < 1 by the
+    // require above. The loud-error path is spec-pinned in
+    // SimilarityOpsSpec.
     // (2) The rep is killed iff some DISTINCT vector's class B in its
     // cell has cos > tau and better (csim, id) - the member-grain
     // "exists any member of B with smaller id" reduces to B's minimum
@@ -1703,9 +1730,7 @@ object SimilarityOps {
     // Original columns ride along; `cell`/`centroid_sim` are appended
     // output columns (callers must not already use those names).
     val assigned = df
-      .withColumn("cell",
-        element_at(array_sort(cellStructs(col(vecCol), cents)), 1)
-          .getField("c"))
+      .withColumn("cell", nearestLit(col(vecCol), cents, 0))
       .withColumn("centroid_sim", element_at(
         array(cents.map(c => round(cosine(col(vecCol),
           array(c.map(lit): _*)), 6)): _*),

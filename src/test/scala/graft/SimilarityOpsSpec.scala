@@ -340,10 +340,11 @@ class SimilarityOpsSpec extends SparkSpec {
     // Clone mass the rep tier must collapse WITHOUT changing the
     // answer: embeddings ∪ 5 exact copies of each of the first 10
     // vectors (fresh ids above 20000). Zero vectors need no branch of
-    // their own: ANSI division errors the csim attach loudly at EITHER
-    // grain, so "every scored vector has nonzero norm" — the fact the
-    // rep tier's non-rep-never-survives argument leans on — is enforced
-    // by the engine itself.
+    // their own: Spark 4's ANSI DIVIDE_BY_ZERO covers DOUBLE division,
+    // so a zero vector errors the csim attach loudly at EITHER grain —
+    // "every scored vector has nonzero norm", the fact the rep tier's
+    // non-rep-never-survives argument leans on, is enforced by the
+    // engine itself (pinned by the zero-vector test below).
     val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
       .select(col("vec_id").cast("long").as("id"),
         col("embedding").cast("array<double>").as("v"))
@@ -369,6 +370,35 @@ class SimilarityOpsSpec extends SparkSpec {
       // Clone semantics: of each identical-vector class only the
       // minimum id can survive, and it competes like any other vector.
       assert(!rep.exists(_._1 >= 20000L))
+    }
+  }
+
+  test("semDedupScaled: a zero vector errors LOUDLY at either grain — " +
+    "ANSI DIVIDE_BY_ZERO covers double division in Spark 4, so the " +
+    "nonzero-norm premise of the rep==member argument is engine-enforced") {
+    import spark.implicits._
+    val emb = graft.engine.Engine.table(spark, fixtureDir, "embeddings")
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val dim = emb.select(size(col("v"))).head().getInt(0)
+    val zeros = Seq(30000L).toDF("id")
+      .select(col("id"), array_repeat(lit(0.0), dim).as("v"))
+    val corpus = emb.unionAll(zeros)
+    val eRep = intercept[Exception] {
+      SimilarityOps.semDedupScaled(corpus, "id", "v",
+        targetCellSize = 64, minCentroids = 8, tau = 0.95).count()
+    }
+    val eMem = intercept[Exception] {
+      SimilarityOps.semDedupScaledMemberGrain(corpus, "id", "v",
+        targetCellSize = 64, minCentroids = 8, tau = 0.95).count()
+    }
+    for (e <- Seq(eRep, eMem)) {
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).flatMap(t => Option(t.getMessage)).mkString
+          .contains("DIVIDE_BY_ZERO"),
+        s"expected DIVIDE_BY_ZERO, got: ${e.getMessage}")
     }
   }
 
