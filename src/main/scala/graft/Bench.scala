@@ -97,13 +97,33 @@ object Bench {
     // for a min-of-N record.
     val oneshot = sys.env.get("SPARK_GRAFT_BENCH_ONESHOT")
       .exists(v => v == "1" || v == "true")
-    val retimed = (if (oneshot) Seq.empty else firstPass)
-      .filter { case (n, t) => outlier(n, t) && !errors.contains(n) }
-      .sortBy(-_._2).take(40)
+    // Retime SELECTION (r16 driver-flag root cause, fixed r17): the cap
+    // used to keep only the 40 slowest outliers BY ABSOLUTE TIME, so a
+    // sub-2 s query sitting at 7× its frozen time — exactly what the
+    // flag rule below catches — could miss the cut and publish a single
+    // cold measurement (r16 driver artifact: t_derive_flags flagged at
+    // 1.40 s on a 0.25 s frozen base, never retimed). Would-be-flagged
+    // queries (per the same frozen-ratio rule the artifact applies) now
+    // take retime slots FIRST; remaining slots go to the slowest rest.
+    val frozenForRetime = BenchBaselineFrozen.local
+    def flagWorthy(n: String, t: Double): Boolean =
+      frozenForRetime.get(n).exists(b =>
+        (t > 2.0 * b && t > 2.0) || (t > 3.0 * b && t > 0.5))
+    // flagWorthy also qualifies a query as a candidate outright: the
+    // rolling baseline can drift above frozen, leaving a would-be-
+    // flagged query under the 1.2× rolling-outlier bar.
+    val retimeCandidates = (if (oneshot) Seq.empty else firstPass)
+      .filter { case (n, t) =>
+        (outlier(n, t) || flagWorthy(n, t)) && !errors.contains(n) }
+    val (mustRetime, mayRetime) = retimeCandidates
+      .partition { case (n, t) => flagWorthy(n, t) }
+    val retimed =
+      (mustRetime.sortBy(-_._2) ++ mayRetime.sortBy(-_._2)).take(48)
       .map { case (name, t1) =>
         var times = List(t1)
         var reruns = 0
-        while (reruns < 2 && outlier(name, times.min)) {
+        while (reruns < 2 &&
+            (outlier(name, times.min) || flagWorthy(name, times.min))) {
           val cg0 = CodegenErrorCounter.count.get()
           val t0 = System.nanoTime()
           // A transient rerun failure must NOT publish its (short)

@@ -2643,10 +2643,29 @@ object ExtQueries {
   // it), no partition-less window anywhere (PlanShapeSpec pins this).
   // The threshold form (x_text_ppl_thresh) is the other 100 TB cut.
   // ---------------------------------------------------------------------
+  /** Materialized DOC-grain LM sums `(_id, _sfx, n_bigrams)` (train on
+    * src0, score all — the x_text_lmscore framing), session-cached:
+    * FOUR registered queries consume the identical train/join/score
+    * chain (`x_text_lmscore`, `x_text_ppl_buckets`, `x_text_ppl_thresh`
+    * at doc grain; `x_mix_weights`/`x_mix_allocate` regroup the exact
+    * integer sums to source grain), and within a session the corpus is
+    * immutable — the ccCache/bpeCache argument applied to the
+    * third-most-expensive subtree (the r16 sf10 sweep priced the chain
+    * at ~23 s per consumer). Checkpoint-backed, so reuse replays no
+    * lineage. */
+  private val lmSumsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def lmDocSums(s: SparkSession, dir: String): DataFrame =
+    lmSumsCache.computeIfAbsent((s, dir), _ => {
+      val d = t(s, dir, "documents")
+      graft.engine.Engine.materialize(TextOps.lmKeySums(
+        d, d.filter(col("source") === "src0"), "doc_id", "text"))
+    })
+  private def lmScoredDocs(s: SparkSession, dir: String): DataFrame =
+    TextOps.lmScoreFromSums(lmDocSums(s, dir), "doc_id")
+
   def xTextPplBuckets(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val scored = TextOps.lmScore(d, d.filter(col("source") === "src0"),
-      "doc_id", "text")
+    val scored = lmScoredDocs(s, dir)
     TextOps.scoreTiles(scored, "doc_id", "mean_nll", k = 3)
       .withColumn("bucket",
         when(col("tile") === 1, "head")
@@ -2668,9 +2687,7 @@ object ExtQueries {
   // bucket); the oracle certifies exactly this form.
   // ---------------------------------------------------------------------
   def xTextPplThresh(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val scored = TextOps.lmScore(d, d.filter(col("source") === "src0"),
-      "doc_id", "text")
+    val scored = lmScoredDocs(s, dir)
     TextOps.nllBucketsByThreshold(scored, "mean_nll")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
@@ -3380,12 +3397,8 @@ object ExtQueries {
   // score every document. The oracle retrains the identical counts and
   // reproduces each mean-NLL bit-for-bit (graft_ln + fixed-point sums).
   // ---------------------------------------------------------------------
-  def xTextLmscore(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    TextOps.lmScore(d, d.filter(col("source") === "src0"),
-        "doc_id", "text")
-      .orderBy(col("doc_id"))
-  }
+  def xTextLmscore(s: SparkSession, dir: String): DataFrame =
+    lmScoredDocs(s, dir).orderBy(col("doc_id"))
 
   val xTextLmscoreSql: String =
     s"""WITH tok AS (SELECT doc_id, source, $toksSql AS toks
@@ -3482,9 +3495,20 @@ object ExtQueries {
   // identical chain between the two queries by construction).
   // ---------------------------------------------------------------------
   def xMixWeights(s: SparkSession, dir: String): DataFrame = {
+    // Regroup the cached DOC-grain sums to source grain: bigrams map
+    // 1:1 to (doc → source), and the fixed-point sums are exact longs,
+    // so Σ_docs-of-source equals the direct source-grain aggregation
+    // bit-for-bit (the lmKeySums contract).
     val d = t(s, dir, "documents")
-    TextOps.mixtureWeights(d, d.filter(col("source") === "src0"),
-        "source", "text")
+    val per = lmDocSums(s, dir)
+      .join(d.select(col("doc_id").as("_id"),
+        col("source").as("_src")), Seq("_id"))
+      .groupBy(col("_src").as("_id"))
+      .agg(sum(col("_sfx")).as("_sfx"),
+        sum(col("n_bigrams")).as("n_bigrams"))
+    val nd = d.groupBy(col("source").as("_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    TextOps.mixtureWeightsFromSums(per, nd, "source")
       .orderBy(col("source"))
   }
 

@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+
+/** Memoized dup-mass probe behind every rep-tier decision (the
+  * `fanOutPerText` rule: class grain at ≥4× duplication factor).
+  *
+  * The probe itself is one count + fixed-size-HLL aggregate over the
+  * key expression — cheap per call, but it is an EXTRA eager corpus
+  * pass and an extra Spark job fired at DataFrame-construction time,
+  * once per op invocation. A bench/driver loop calls ~40 per-text ops
+  * against the same immutable fixture dir, so the identical probe plan
+  * re-executes ~40+ times per session (r16 verdict "what's wrong" #2:
+  * one whole extra corpus read per query). The verdict is therefore
+  * memoized per (session, canonicalized probe plan).
+  *
+  * Why memoizing is sound and NOT result caching:
+  *   - The probed value only picks a PLAN SHAPE — the row-grain and
+  *     class-grain tiers are result-identical by construction (pinned
+  *     rep==member in TextOpsSpec/SketchOpsSpec/DedupOpsSpec), so even
+  *     a stale verdict can never change any query's output.
+  *   - The key is the canonicalized logical plan of the probe
+  *     aggregate itself: two ops probe the same cache entry only when
+  *     their input plan AND key expression are semantically identical.
+  *   - Same in-session staleness caveat as ExtQueries' stagesCache: if
+  *     the underlying table is rewritten mid-session (Dml sinks), the
+  *     tier choice may lag the data until session close. Acceptable
+  *     under the bench's immutable-input discipline; library users
+  *     doing in-session rewrites get a suboptimal-but-correct plan.
+  *
+  * Streaming inputs never reach this (callers keep their
+  * `!df.isStreaming` guard — tier probes are batch-only by contract).
+  */
+object GrainProbe {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, LogicalPlan), java.lang.Boolean]
+
+  /** True when `key`'s distinct mass is ≤ 1/4 of the row count over
+    * `df` — fire the class/rep tier. Empty input (null HLL cell) is
+    * row grain. */
+  def dupTier(df: DataFrame, key: Column): Boolean = {
+    val probe = df.agg(count(lit(1)), approx_count_distinct(key))
+    val plan = probe.queryExecution.analyzed.canonicalized
+    // Unbounded growth guard: a long-lived session probing ever-new
+    // plans (not the bench shape) would otherwise pin plans forever.
+    if (cache.size > 4096) cache.clear()
+    cache.computeIfAbsent((df.sparkSession, plan), _ => {
+      val r = probe.head()
+      java.lang.Boolean.valueOf(
+        !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0))
+    }).booleanValue()
+  }
+}

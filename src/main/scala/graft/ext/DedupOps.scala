@@ -166,11 +166,9 @@ object DedupOps {
     // size, and the min never cared about multiplicity. The pair
     // stage's cost drops from Σ|cluster|² to Σ|distinct classes|².
     val base = graft.engine.Engine.spread(df)
-    val probed = !base.isStreaming && {
-      val key = TextOps.fingerprint(col(textCol))
-      val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
-      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
-    }
+    val probed = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(
+        base, TextOps.fingerprint(col(textCol)))
     val perComp =
       if (!probed) {
         val sh = shingleSets(base, idCol, textCol, n)
@@ -766,8 +764,7 @@ object DedupOps {
       : Option[(DataFrame, DataFrame)] = {
     if (base.isStreaming) return None
     val key = coalesce(md5(col(textCol)), lit(" null"))
-    val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
-    if (r.isNullAt(1) || r.getLong(1) * 4 > r.getLong(0)) None
+    if (!graft.engine.GrainProbe.dupTier(base, key)) None
     else Some((
       base.select(col(idCol).as("_id"), key.as("_k")),
       base.groupBy(key.as("_k")).agg(min(col(textCol)).as("_t"))))

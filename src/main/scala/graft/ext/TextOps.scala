@@ -238,7 +238,12 @@ object TextOps {
     * Tier choice mirrors the sketch family's: one cheap HLL probe, rep
     * tier only at ≥4× dup factor (the fan-out join must stay cheaper
     * than the projection it saves); streaming frames always take row
-    * grain (no extra action per micro-batch). At rep grain the derive
+    * grain (no extra action per micro-batch). The probe is EAGER — an
+    * extra count+HLL Spark job fires at DataFrame-construction time —
+    * but memoized per (session, probe plan) in
+    * [[graft.engine.GrainProbe]], so repeated ops over the same input
+    * pay it once per session, and a derived input's upstream plan
+    * executes once for the probe rather than once per op. At rep grain the derive
     * runs over one row per class and values fan out through ONE
     * md5-keyed join — ids and 32-char keys shuffle, text never does
     * (the class side carries it, collapsed by map-side partial min).
@@ -250,11 +255,9 @@ object TextOps {
     * id, so contracts are unaffected. */
   private[graft] def fanOutPerText(df: DataFrame, textCol: String)
       (derive: Column => Seq[(String, Column)]): DataFrame = {
-    val key = coalesce(md5(col(textCol)), lit(" null"))
-    val rep = !df.isStreaming && {
-      val r = df.agg(count(lit(1)), approx_count_distinct(key)).head()
-      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
-    }
+    val key = coalesce(md5(col(textCol)), lit("\u0000null"))
+    val rep = !df.isStreaming &&
+      graft.engine.GrainProbe.dupTier(df, key)
     if (!rep)
       derive(col(textCol)).foldLeft(df) { case (a, (n, c)) =>
         a.withColumn(n, c)
@@ -880,10 +883,8 @@ object TextOps {
                      merges: Seq[String]): DataFrame = {
     val base = graft.engine.Engine.spread(df)
     val fp = fingerprint(col(textCol))
-    val rep = !base.isStreaming && {
-      val r = base.agg(count(lit(1)), approx_count_distinct(fp)).head()
-      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
-    }
+    val rep = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(base, fp)
     if (!rep)
       bpeEncodeCore(
         base.select(col(idCol).as("_k"), col(textCol).as("_t")), merges)
@@ -1101,8 +1102,7 @@ object TextOps {
       : Option[(DataFrame, DataFrame)] = {
     if (base.isStreaming) return None
     val key = coalesce(fingerprint(col(textCol)), lit(" null"))
-    val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
-    if (r.isNullAt(1) || r.getLong(1) * 4 > r.getLong(0)) None
+    if (!graft.engine.GrainProbe.dupTier(base, key)) None
     else Some((
       base.select(col(idCol).as("_id"), key.as("_k")),
       base.groupBy(key.as("_k"))
@@ -1243,10 +1243,8 @@ object TextOps {
     // join AFTER the top-k cut (k rows per class, not per doc, cross
     // the rank window).
     val key = coalesce(fingerprint(col(textCol)), lit(" null"))
-    val rep = !base.isStreaming && {
-      val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
-      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
-    }
+    val rep = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(base, key)
     if (!rep) {
       val tf = base
         .select(col(idCol).as("_id"),
@@ -1315,12 +1313,29 @@ object TextOps {
     * aggregation via AQE exchange reuse. */
   def lmScore(docs: DataFrame, ref: DataFrame, idCol: String,
               textCol: String): DataFrame =
-    lmFixedStream(docs, ref, idCol, textCol)
+    lmScoreFromSums(lmKeySums(docs, ref, idCol, textCol), idCol)
+
+  /** `(_id, _sfx, n_bigrams)` — exact fixed-point NLL sums of
+    * [[lmFixedStream]] aggregated to `keyCol` grain: the SHARED
+    * intermediate of the whole LM-scoring family (per-doc scores,
+    * perplexity buckets/thresholds, domain mixture weights). Integer
+    * sums are order-free, so any consumer regrouping these to a
+    * coarser grain (doc → domain) reproduces the direct coarse-grain
+    * aggregation bit-for-bit — which is what lets one materialized
+    * doc-grain pass feed every consumer instead of each re-running
+    * the train/join/score chain. */
+  private[graft] def lmKeySums(docs: DataFrame, ref: DataFrame,
+                               keyCol: String, textCol: String): DataFrame =
+    lmFixedStream(docs, ref, keyCol, textCol)
       .groupBy(col("_id"))
       .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("n_bigrams"))
-      .select(col("_id").as(idCol), col("n_bigrams"),
-        ((col("_sfx").cast("double") / col("n_bigrams").cast("double")) /
-          lit(1073741824.0)).as("mean_nll"))
+
+  /** [[lmScore]]'s output projection over precomputed [[lmKeySums]]. */
+  private[graft] def lmScoreFromSums(per: DataFrame,
+                                     idCol: String): DataFrame =
+    per.select(col("_id").as(idCol), col("n_bigrams"),
+      ((col("_sfx").cast("double") / col("n_bigrams").cast("double")) /
+        lit(1073741824.0)).as("mean_nll"))
 
   /** The per-bigram-occurrence fixed-point NLL stream `(_id, _fx)`
     * behind [[lmScore]] and [[mixtureWeights]] — one row per scored
@@ -1395,12 +1410,20 @@ object TextOps {
     * thousands at most — the weight table is a driver-scale artifact
     * computed from one corpus pass. */
   def mixtureWeights(docs: DataFrame, ref: DataFrame, groupCol: String,
-                     textCol: String): DataFrame = {
-    val per = lmFixedStream(docs, ref, groupCol, textCol)
-      .groupBy(col("_id"))
-      .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("n_bigrams"))
-    val nd = docs.groupBy(col(groupCol).as("_id"))
-      .agg(count(lit(1)).as("n_docs"))
+                     textCol: String): DataFrame =
+    mixtureWeightsFromSums(
+      lmKeySums(docs, ref, groupCol, textCol),
+      docs.groupBy(col(groupCol).as("_id"))
+        .agg(count(lit(1)).as("n_docs")),
+      groupCol)
+
+  /** [[mixtureWeights]]' arithmetic over precomputed GROUP-grain
+    * [[lmKeySums]] (`per`) and per-group doc counts (`nd`) — the entry
+    * point for callers that already hold a materialized doc-grain sums
+    * relation and regroup it to domains (exact: integer sums are
+    * order-free). */
+  private[graft] def mixtureWeightsFromSums(per: DataFrame, nd: DataFrame,
+                                            groupCol: String): DataFrame = {
     val tot = per.agg(sum(col("_sfx")).as("_tsfx"),
       sum(col("n_bigrams")).as("_tnb"))
     val td = nd.agg(sum(col("n_docs")).as("_td"))
@@ -1642,10 +1665,8 @@ object TextOps {
     // way, so the counts are invariant across the class.
     val base = graft.engine.Engine.spread(df)
     val fp = fingerprint(col(textCol))
-    val rep = !base.isStreaming && {
-      val r = base.agg(count(lit(1)), approx_count_distinct(fp)).head()
-      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
-    }
+    val rep = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(base, fp)
     val toks =
       if (!rep) base.select(lit(1L).as("_m"),
         tokens(col(textCol)).as("_toks"))
@@ -1975,14 +1996,23 @@ object TextOps {
   def curriculumStages(docs: DataFrame, idCol: String, textCol: String,
                        stages: Int = 5): DataFrame = {
     require(stages >= 1, s"stages must be >= 1: $stages")
-    val tok = graft.engine.Engine.spread(docs)
+    // (id, term) tf grain BEFORE the vocabulary join: the raw token
+    // stream collapses map-side in the tf aggregation (partial
+    // aggregation fires on groupBy, never on a join input), so the
+    // term join carries one row per distinct (doc, term) instead of
+    // one per token INSTANCE, and the corpus-count relation derives
+    // from the SAME aggregated pass (no second tokenize+explode scan).
+    // Σ_instances floor(2³⁰/c) = Σ_terms tf·floor(2³⁰/c) exactly —
+    // integer multiply of the shared floored value.
+    val tf = graft.engine.Engine.spread(docs)
       .select(col(idCol).as("_id"), explode(tokens(col(textCol)))
         .as("_term"))
-    val cnt = tok.groupBy(col("_term")).agg(count(lit(1)).as("_c"))
-    val dfx = tok.join(cnt, Seq("_term"))
+      .groupBy(col("_id"), col("_term")).agg(count(lit(1)).as("_tf"))
+    val cnt = tf.groupBy(col("_term")).agg(sum(col("_tf")).as("_c"))
+    val dfx = tf.join(cnt, Seq("_term"))
       .groupBy(col("_id"))
-      .agg(sum(floor(lit(1073741824.0) / col("_c").cast("double"))
-        .cast("long")).as("_fx"))
+      .agg(sum(col("_tf") * floor(lit(1073741824.0) /
+        col("_c").cast("double")).cast("long")).as("_fx"))
     val alld = docs.select(col(idCol))
       .join(dfx, col(idCol) === col("_id"), "left")
       .select(col(idCol), coalesce(col("_fx"), lit(0L))
@@ -2344,10 +2374,8 @@ object TextOps {
     // the id tie-break via its smaller min id), so the expansion is
     // k·⌈clone factor⌉ rows per query, never the corpus.
     val key = coalesce(fingerprint(col(textCol)), lit(" null"))
-    val rep = !base.isStreaming && {
-      val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
-      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
-    }
+    val rep = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(base, key)
     if (!rep) {
       val toks = base
         .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
@@ -2463,10 +2491,8 @@ object TextOps {
           lit(1073741824.0)).cast("long")).as("_sfx"))
     }
     val key = coalesce(md5(col(textCol)), lit(" null"))
-    val rep = !base.isStreaming && {
-      val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
-      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
-    }
+    val rep = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(base, key)
     val (ids, per) =
       if (!rep)
         (base.select(col(idCol).as("_id"), col(idCol).as("_k")),
@@ -2586,10 +2612,8 @@ object TextOps {
     // token-less/null docs stay absent at either grain (empty explode
     // / inner join finds nothing).
     val key = coalesce(fingerprint(col(textCol)), lit(" null"))
-    val rep = !base.isStreaming && {
-      val r = base.agg(count(lit(1)), approx_count_distinct(key)).head()
-      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
-    }
+    val rep = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(base, key)
     if (!rep)
       core(base.select(col(idCol).as("_k"), col(textCol).as("_t")))
         .select(col("_k").as("_id"), col("_bkt"), col("_cnt"))
@@ -2615,10 +2639,8 @@ object TextOps {
     // multiplicity (the nbTrainHashed algebra) — the target is often a
     // corpus slice carrying the corpus's own clone mass.
     val tfp = fingerprint(col(targetTextCol))
-    val tgtRep = !target.isStreaming && {
-      val r = target.agg(count(lit(1)), approx_count_distinct(tfp)).head()
-      !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0)
-    }
+    val tgtRep = !target.isStreaming &&
+      graft.engine.GrainProbe.dupTier(target, tfp)
     val tgtW =
       if (!tgtRep) target.select(lit(1L).as("_m"),
         col(targetTextCol).as("_tt"))
