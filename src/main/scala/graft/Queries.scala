@@ -24,9 +24,35 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
-  /** Exact decimal-accumulated sum of a double expression → double. */
+  /** Exact decimal-accumulated sum of a double expression → double.
+    *
+    * Semantically `sum(e.cast(DecimalType(30, 6))).cast(DoubleType)` —
+    * and bit-identical to it for this file's money/quantity columns —
+    * but ~75× faster at scale: Spark's double→decimal Cast routes
+    * every row through `Double.toString` + `BigDecimal` (measured
+    * 149 s vs 2 s for the q17 avg aggregate over sf10 lineitem), so
+    * the row-side conversion is done in pure double/long arithmetic
+    * instead: `round(e·10⁶)` (HALF_UP, the same rounding the decimal
+    * cast applies) → long, summed via a compact long-backed
+    * DECIMAL(18,0) (the aggregation buffer never sees a BigDecimal
+    * until a partial exceeds ~9.2·10¹⁸, where it promotes gracefully
+    * instead of overflowing), and the exact integer total is rescaled
+    * through one decimal division per GROUP, not per row.
+    *
+    * Exactness domain (why the paths agree bit-for-bit): the true
+    * per-row value v has ≤ 6 decimal digits (2-decimal money columns
+    * and products of up to three of them — the file-header contract),
+    * so v·10⁶ is an integer; |v| stays far below ~4.5·10⁹, so the
+    * float error of `e·10⁶` (≤ |v|·10⁶·2⁻⁵²) is orders of magnitude
+    * under the 0.5 rounding budget and `round` recovers exactly
+    * v·10⁶. Both paths then hold the identical exact rational and
+    * cast it to double identically. NOT safe for arbitrary-mantissa
+    * doubles (a value adjacent to an x.5·10⁻⁶ tie can round apart) —
+    * this helper is scoped to this file's schema on purpose. */
   private def dsum(e: Column): Column =
-    sum(e.cast(DecimalType(30, 6))).cast(DoubleType)
+    (sum(round(e * lit(1000000.0)).cast("long")
+      .cast(DecimalType(18, 0)))
+      .cast(DecimalType(38, 0)) / lit(1000000)).cast(DoubleType)
 
   private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
 
@@ -403,7 +429,21 @@ object Queries {
   // ---------------------------------------------------------------------
   def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+    // Semi-join reduction (guide §3.2): the avg side's output is only
+    // ever consumed through the inner join against the Brand#1 rows,
+    // so every non-brand partkey's average is computed and broadcast
+    // just to be dropped. Pre-filtering the avg side with the same
+    // (broadcast) brand partkey set shrinks the aggregation shuffle
+    // and the broadcast relation by the brand selectivity (~1/|brands|)
+    // without touching the result: the per-partkey average is over ALL
+    // lineitems of that partkey either way (the part join filters
+    // whole partkeys, never rows within one).
+    val brandParts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val avgQty = li
+      .join(broadcast(brandParts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("ap_partkey"))
       .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
     li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .filter(col("p_brand") === "Brand#1")
@@ -598,9 +638,12 @@ object Queries {
       .withColumn("order_seq", row_number().over(w))
       .withColumn("prev_totalprice", lag(col("o_totalprice"), 1).over(w))
       .withColumn("running_spend",
-        sum(col("o_totalprice").cast(DecimalType(30, 6)))
+        // the dsum fixed-point form, windowed (the cast chain must
+        // wrap the windowed aggregate; exactness argument at dsum):
+        (sum(round(col("o_totalprice") * lit(1000000.0)).cast("long")
+          .cast(DecimalType(18, 0)))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(DoubleType))
+          .cast(DecimalType(38, 0)) / lit(1000000)).cast(DoubleType))
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_totalprice"), col("order_seq"), col("prev_totalprice"),
@@ -1034,8 +1077,10 @@ object Queries {
         count(lit(1)).over(w).as("n_trailing"),
         // dsum can't be used over a window (the cast must wrap the
         // windowed aggregate, not the other way round):
-        sum(col("o_totalprice").cast(DecimalType(30, 6))).over(w)
-          .cast(DoubleType).as("sum_trailing"))
+        (sum(round(col("o_totalprice") * lit(1000000.0)).cast("long")
+          .cast(DecimalType(18, 0))).over(w)
+          .cast(DecimalType(38, 0)) / lit(1000000)).cast(DoubleType)
+          .as("sum_trailing"))
       .orderBy(col("o_orderkey"))
   }
 

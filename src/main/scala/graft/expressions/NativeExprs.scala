@@ -159,6 +159,64 @@ object NativeExprs {
       case other => throw new IllegalArgumentException(
         s"graft_kmeans_top2(arr, idsLit, matrixLit), got $other")
     })
+    reg("graft_maxcos", {
+      case Seq(c, Literal(ids: ArrayData, ArrayType(LongType, _)),
+               Literal(m: ArrayData, ArrayType(ArrayType(DoubleType, _), _))) =>
+        MaxCosLit(c, ids.toLongArray(), NativeExprs.litMatrix(m))
+      case other => throw new IllegalArgumentException(
+        s"graft_maxcos(arr, idsLit, matrixLit), got $other")
+    })
+  }
+
+  /** Spark `round(_, 6)` on a double, replicated exactly (RoundBase's
+    * DoubleType branch): NaN/Infinity pass through, everything else via
+    * the shortest-decimal BigDecimal at HALF_UP. */
+  @inline final def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** [[MaxCosLit]]'s compiled kernel: per candidate j (ids ascending),
+    * `s_j = round6(dot(v, cand_j) / (norm(v) * norm(cand_j)))` with the
+    * identical sequential double accumulation as `graft_dot`/`sqrt`,
+    * ranked by `(s, -id)` under SQLOrderingUtil double ordering (NaN
+    * greatest, ties keep the smallest id — the strict `>` against
+    * ascending ids). Returns `(s, id)` of the max, or null on a null
+    * element or a vector whose length differs from the candidate dim. */
+  def maxCos(a: ArrayData, isFloat: Boolean, ids: Array[Long],
+             cands: Array[Array[Double]],
+             cnorms: Array[Double]): InternalRow = {
+    val dim = cands(0).length
+    if (a.numElements() != dim) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return null
+      v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    var vv = 0.0
+    i = 0
+    while (i < dim) { vv += v(i) * v(i); i += 1 }
+    val na = Math.sqrt(vv)
+    var bestS = 0.0
+    var bestId = 0L
+    var first = true
+    var j = 0
+    while (j < cands.length) {
+      val c = cands(j)
+      var vc = 0.0
+      i = 0
+      while (i < dim) { vc += v(i) * c(i); i += 1 }
+      val sj = round6(vc / (na * cnorms(j)))
+      if (first || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+            .compareDoubles(sj, bestS) > 0) {
+        bestS = sj; bestId = ids(j); first = false
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestS, bestId))
   }
 
   /** Materialize a literal `array<array<double>>` into a JVM matrix
@@ -1771,6 +1829,76 @@ case class KmeansTop2Fx(child: Expression, ids: Array[Int],
       s"""
          |InternalRow $r = graft.expressions.NativeExprs.kmeansTop2(
          |  $c, $isFloat, $is, $m);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Max-cosine against a LITERAL candidate table in one compiled pass —
+  * the screening shape of
+  * [[graft.ext.SimilarityOps.semanticDecontaminateLit]]: benchmark/eval
+  * sets are small by contract, so the candidates fold into the plan and
+  * the corpus streams through a pure projection instead of a
+  * BroadcastNestedLoopJoin materializing a corpus-by-B pair row per
+  * candidate (the array copies in those joined rows, not the flops,
+  * dominated the join form — measured ~20 s vs ~2 s at sf10). Semantics
+  * pinned bit-identical to the compositional
+  * `max(struct(round(cosine, 6), -bid))` aggregate in NativeExprsSpec:
+  * per-candidate rounding BEFORE comparison, SQLOrderingUtil double
+  * ordering, ties to the smallest id. Candidate ids must arrive
+  * strictly increasing (the strict `>` tie-break depends on it). */
+case class MaxCosLit(child: Expression, ids: Array[Long],
+                     cands: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(cands.nonEmpty && cands.forall(_.length == cands(0).length),
+    "graft_maxcos: need >= 1 equal-length candidate vectors")
+  require(ids.length == cands.length,
+    "graft_maxcos: ids and candidates must align")
+  require(ids.length < 2 || ids.sliding(2).forall(p => p(0) < p(1)),
+    "graft_maxcos: ids must be strictly increasing")
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_maxcos expects array<float|double>, got $dt")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("s", DoubleType, nullable = false),
+    StructField("bid", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_maxcos"
+
+  /** norm(c) per candidate: sqrt of the same sequential self-dot the
+    * plan-literal `norm(cl)` evaluates; once per (de)serialized
+    * expression, never per row. */
+  @transient private lazy val cnorms: Array[Double] =
+    NativeExprs.selfDots(cands).map(Math.sqrt)
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.maxCos(input.asInstanceOf[ArrayData], isFloat, ids,
+      cands, cnorms)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val is = ctx.addReferenceObj("graftMcIds", ids, "long[]")
+      val m = ctx.addReferenceObj("graftMcCands", cands, "double[][]")
+      val ns = ctx.addReferenceObj("graftMcNorms", cnorms, "double[]")
+      val r = ctx.freshName("mcRow")
+      s"""
+         |InternalRow $r = graft.expressions.NativeExprs.maxCos(
+         |  $c, $isFloat, $is, $m, $ns);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })

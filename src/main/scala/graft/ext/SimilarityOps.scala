@@ -1805,10 +1805,20 @@ object SimilarityOps {
                             benchIdCol: String, benchVecCol: String,
                             tau: Double): DataFrame = {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")
+    // Norms hoisted out of the pair stream: cosine(a,b) evaluates
+    // three graft_dot kernels per (corpus, bench) pair, but ‖a‖ is
+    // constant across a corpus row's B pairs and ‖b‖ across the whole
+    // scan — precomputing both sides cuts the pair-stage flops 3×
+    // (identical doubles: the same sqrt(dot(x,x)) expression evaluates
+    // once instead of B (resp. N) times, and IEEE ops are
+    // deterministic).
     val bench = benchmark.select(col(benchIdCol).as("_bid"),
       col(benchVecCol).as("_bv"))
-    val sim = round(cosine(col(vecCol), col("_bv")), 6)
-    corpus.crossJoin(broadcast(bench))
+      .withColumn("_bn", norm(col("_bv")))
+    val sim = round(
+      dot(col(vecCol), col("_bv")) / (col("_an") * col("_bn")), 6)
+    corpus.withColumn("_an", norm(col(vecCol)))
+      .crossJoin(broadcast(bench))
       .select(col(idCol),
         struct(sim.as("s"), (-col("_bid")).as("nb")).as("_sb"))
       .groupBy(col(idCol))
@@ -1816,6 +1826,40 @@ object SimilarityOps {
       .select(col(idCol),
         col("_m.s").as("max_sim"),
         (-col("_m.nb")).as("bench_id"),
+        (col("_m.s") > tau).as("contaminated"))
+  }
+
+  /** [[semanticDecontaminate]] against a DRIVER-HELD benchmark — the
+    * registered-query / production-screen form: eval suites are small
+    * and fixed-size by contract (the x_decontam_semantic framing), so
+    * the (id, vector) rows fold into the plan as literals and the
+    * corpus streams through ONE compiled projection
+    * ([[graft.expressions.MaxCosLit]]) — no join materializing a
+    * corpus×B pair row (whose per-pair array copies, not the flops,
+    * dominate the join form), no aggregation, no shuffle at all.
+    * Output schema and every value bit-identical to the DataFrame
+    * form (kernel semantics pinned in NativeExprsSpec); the empty
+    * benchmark refuses loudly rather than pass everything, matching
+    * the join form's empty-result contract in spirit and failing
+    * closed. Benchmark vectors must share one dimension; corpus
+    * vectors of any other length yield null sim/verdict (the join
+    * form's null-dot behavior). */
+  def semanticDecontaminateLit(corpus: DataFrame, idCol: String,
+                               vecCol: String,
+                               bench: Seq[(Long, Seq[Double])],
+                               tau: Double): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1): $tau")
+    require(bench.nonEmpty,
+      "semanticDecontaminateLit: empty benchmark (a vacuous screen)")
+    val sorted = bench.sortBy(_._1)
+    require(sorted.map(_._1).distinct.size == sorted.size,
+      "semanticDecontaminateLit: duplicate benchmark ids")
+    val m = call_function("graft_maxcos", col(vecCol),
+      typedlit(sorted.map(_._1)), typedlit(sorted.map(_._2)))
+    corpus.select(col(idCol), m.as("_m"))
+      .select(col(idCol),
+        col("_m.s").as("max_sim"),
+        col("_m.bid").as("bench_id"),
         (col("_m.s") > tau).as("contaminated"))
   }
 

@@ -392,9 +392,16 @@ object SketchOps {
                     ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"vocabCoverage: bad ks $ks")
     val df = graft.engine.Engine.spread(df0)
-    val vocab = df
-      .select(explode(TextOps.tokens(col(textCol))).as("_t"))
-      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    // Instance counts via the weighted distinct-text tier (the CMS
+    // discipline): on a clone-heavy corpus the tokenize+explode — the
+    // dominant cost — runs once per DISTINCT text and each class row
+    // carries its copy multiplicity `_m`; sum(_m) over the class's
+    // exploded instances = Σ m·tf = the exact member-grain instance
+    // count. Row grain (weightedTexts' fallback) is the identity
+    // `_m = 1` case.
+    val vocab = weightedTexts(df, textCol)
+      .select(col("_m"), explode(TextOps.tokens(col("_t"))).as("_t2"))
+      .groupBy(col("_t2").as("_t")).agg(sum(col("_m")).as("_c"))
     val ranked = graft.transform.Ids.assignContiguousIds(
       vocab, struct((-col("_c")).as("_nc"), col("_t")), "_rk0")
       .withColumn("_rk", col("_rk0") + lit(1L))

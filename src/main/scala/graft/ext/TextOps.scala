@@ -497,12 +497,35 @@ object TextOps {
                          k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowFingerprints: bad k/w $k/$w")
     val df = graft.engine.Engine.spread(df0) // narrow-scan guard
-    val toks = tokens(col(textCol))
-    df.filter(size(toks) >= k)
-      .select(col(idCol),
-        explode(array_distinct(call_function("graft_min_windows",
-          call_function("graft_shingle_h60", toks, lit(k)),
-          lit(w)))).as("fp"))
+    def fps(text: Column): Column =
+      array_distinct(call_function("graft_min_windows",
+        call_function("graft_shingle_h60", tokens(text), lit(k)),
+        lit(w)))
+    // Class tier (fanOutPerText's rule): the fingerprint list is a pure
+    // function of tokens(text) — lower∘trim-invariant — so on a
+    // clone-heavy corpus the shingle/sliding-min kernels run once per
+    // DISTINCT fingerprint class and the per-doc rows fan out through
+    // one key join (the join carries (id, 32-char key) and the
+    // class-side fp ARRAY — one row per class — never per-doc text).
+    // Docs with < k tokens yield no shingles at either grain (the class
+    // filter sees the same token stream every member has); null texts
+    // have a null class key and drop in the inner join, matching the
+    // row-grain size(null) filter.
+    val key = fingerprint(col(textCol))
+    val rep = !df.isStreaming &&
+      graft.engine.GrainProbe.dupTier(df, key)
+    if (!rep)
+      df.filter(size(tokens(col(textCol))) >= k)
+        .select(col(idCol), explode(fps(col(textCol))).as("fp"))
+    else {
+      val classes = df.groupBy(key.as("_k"))
+        .agg(min(col(textCol)).as("_t"))
+        .filter(size(tokens(col("_t"))) >= k)
+        .select(col("_k"), explode(fps(col("_t"))).as("fp"))
+      df.select(col(idCol), key.as("_k"))
+        .join(classes, Seq("_k"))
+        .select(col(idCol), col("fp"))
+    }
   }
 
   /** Tiny built-in polarity lexicon (hand-written, integer-weighted so
@@ -1624,20 +1647,43 @@ object TextOps {
       overlapTokens < chunkTokens,
       s"bad chunk=$chunkTokens overlap=$overlapTokens")
     val stride = chunkTokens - overlapTokens
-    val toks = tokens(col(textCol))
-    val n = size(toks)
-    // ceil_div(max(n - chunk, 0), stride) + 1 chunks for n >= 1
-    val nChunks = ((greatest(n - lit(chunkTokens), lit(0)) +
-      lit(stride - 1)) / lit(stride)).cast("int") + lit(1)
-    graft.engine.Engine.spread(df).filter(n >= 1)
-      .select(col(idCol), toks.as("_toks"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
-      .select(col(idCol), col("chunk_id"),
-        slice(col("_toks"), col("chunk_id") * lit(stride) + 1,
-          lit(chunkTokens)).as("_ct"))
-      .select(col(idCol), col("chunk_id"),
-        size(col("_ct")).as("n_chunk_tokens"),
-        array_join(col("_ct"), " ").as("chunk_text"))
+    def core(in: DataFrame, keyCol: String): DataFrame = {
+      val toks = tokens(col(textCol))
+      val n = size(toks)
+      // ceil_div(max(n - chunk, 0), stride) + 1 chunks for n >= 1
+      val nChunks = ((greatest(n - lit(chunkTokens), lit(0)) +
+        lit(stride - 1)) / lit(stride)).cast("int") + lit(1)
+      in.filter(n >= 1)
+        .select(col(keyCol), toks.as("_toks"),
+          explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+        .select(col(keyCol), col("chunk_id"),
+          slice(col("_toks"), col("chunk_id") * lit(stride) + 1,
+            lit(chunkTokens)).as("_ct"))
+        .select(col(keyCol), col("chunk_id"),
+          size(col("_ct")).as("n_chunk_tokens"),
+          array_join(col("_ct"), " ").as("chunk_text"))
+    }
+    val base = graft.engine.Engine.spread(df)
+    // Class tier (fanOutPerText's rule): chunk boundaries and chunk
+    // text are pure functions of tokens(text) — lower∘trim-invariant —
+    // so on a clone-heavy corpus the tokenize/slice/concat machinery
+    // runs once per DISTINCT fingerprint class and per-doc chunk rows
+    // fan out through one key join (output rows are identical; the
+    // join shuffles class-grain chunk text — the distinct mass — plus
+    // (id, key) pairs, never per-member text). Null texts have a null
+    // class key and drop in the inner join, matching the row-grain
+    // n >= 1 filter; empty-token docs drop at either grain.
+    val key = fingerprint(col(textCol))
+    val rep = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(base, key)
+    if (!rep)
+      core(base.select(col(idCol), col(textCol)), idCol)
+    else
+      base.select(col(idCol), key.as("_k"))
+        .join(core(base.groupBy(key.as("_k"))
+          .agg(min(col(textCol)).as(textCol)), "_k"), Seq("_k"))
+        .select(col(idCol), col("chunk_id"), col("n_chunk_tokens"),
+          col("chunk_text"))
   }
 
   /** Top-k collocations by pointwise mutual information (Church &

@@ -132,4 +132,59 @@ class NativeExprsSpec extends SparkSpec {
     assert(r.getInt(2) == 1 &&
       r.getLong(3) == fx(Seq(0.5, -0.25), cents(1)))
   }
+
+  test("graft_maxcos == max(struct(round(cosine,6), -bid)) join form " +
+    "on the embeddings fixture") {
+    val bench = emb.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("_v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val fast = SimilarityOps.semanticDecontaminateLit(
+      emb, "vec_id", "embedding", bench, tau = 0.95)
+    val ref = SimilarityOps.semanticDecontaminate(emb,
+      emb.filter(col("vec_id") % 29 === 0),
+      "vec_id", "embedding", "vec_id", "embedding", tau = 0.95)
+    val joined = fast.select(col("vec_id"), col("max_sim").as("fs"),
+        col("bench_id").as("fb"), col("contaminated").as("fc"))
+      .join(ref.select(col("vec_id"), col("max_sim").as("rs"),
+        col("bench_id").as("rb"), col("contaminated").as("rc")),
+        Seq("vec_id"), "full")
+    assert(joined.filter(col("fs") =!= col("rs") ||
+      col("fb") =!= col("rb") || col("fc") =!= col("rc") ||
+      col("fs").isNull || col("rs").isNull).count() == 0)
+    assert(fast.count() == emb.count())
+  }
+
+  test("graft_maxcos: rounded-sim ties break to the smallest id, " +
+    "scaled copies tie exactly, short vectors -> null") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(1.0, 1.0)), (1L, Seq(3.0, 4.0)))
+      .toDF("id", "v")
+    // candidates 7 and 9 are positive scalings of each other ->
+    // identical cosine to anything -> id 7 must win; candidate 20 is
+    // the self-direction of row 0.
+    val bench = Seq(
+      (7L, Seq(2.0, 1.0)), (9L, Seq(4.0, 2.0)), (20L, Seq(5.0, 5.0)))
+    val out = SimilarityOps.semanticDecontaminateLit(
+        df, "id", "v", bench, tau = 0.95)
+      .orderBy(col("id")).collect()
+    assert(out(0).getLong(2) == 20L && out(0).getDouble(1) == 1.0 &&
+      out(0).getBoolean(3))
+    // row 1 vs scaled twins: cos identical -> smallest id 7
+    val tie = SimilarityOps.semanticDecontaminateLit(
+        df.filter(col("id") === 1L), "id", "v",
+        Seq((7L, Seq(2.0, 1.0)), (9L, Seq(4.0, 2.0))), tau = 0.5)
+      .collect()(0)
+    assert(tie.getLong(2) == 7L)
+    val short = SimilarityOps.semanticDecontaminateLit(
+        Seq((5L, Seq(1.0, 2.0, 3.0))).toDF("id", "v"), "id", "v",
+        bench, tau = 0.5).collect()(0)
+    assert(short.isNullAt(1) && short.isNullAt(2) && short.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      SimilarityOps.semanticDecontaminateLit(df, "id", "v",
+        Seq.empty, tau = 0.5)
+    }
+  }
+
 }
