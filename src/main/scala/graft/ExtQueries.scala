@@ -1384,6 +1384,12 @@ object ExtQueries {
     * expensive subtree both fuzzy queries consume, and within a
     * session its input is immutable — the clonedDocStages discipline
     * applied to the fuzzy family. */
+  /** Like stagesCache: keyed on (session, dir) with NO invalidation —
+    * sound under the bench's immutable-input discipline, but a
+    * mid-session rewrite of the customer table (this engine ships Dml
+    * rewrite sinks) would serve stale pairs, and entries live until
+    * session close. Library use outside the bench should clear on
+    * table rewrite (r16 advice note). */
   private val fuzzyCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 
@@ -5622,9 +5628,11 @@ object ExtQueries {
   // a per-group window.
   // ---------------------------------------------------------------------
   def xSampleGroupWeighted(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-      .withColumn("weight",
-        TextOps.tokenCount(col("text")).cast("long") + 1)
+    // weight = tokenCount(text) is a pure text function — ride the
+    // fanOutPerText class tier so the tokenizer runs once per distinct
+    // text on clone-heavy corpora (values identical either way).
+    val d = TextOps.fanOutPerText(t(s, dir, "documents"), "text")(tc =>
+        Seq("weight" -> (TextOps.tokenCount(tc).cast("long") + 1)))
       .select(col("doc_id"), col("source"), col("weight"))
     graft.transform.Split.weightedSamplePerGroup(d, "source", "doc_id",
         "weight", 5)

@@ -144,7 +144,15 @@ object DedupOps {
     * clusters tokenize; the pair stage joins within components, so its
     * cost is Σ |cluster|², bounded by the same band discipline that
     * built the edges (a pathological mega-cluster is itself the
-    * finding). Integer ppm floors keep the aggregate engine-exact. */
+    * finding). Integer ppm floors keep the aggregate engine-exact.
+    *
+    * Contract: every member id in `components` must exist in `df`
+    * (components are derived FROM df by construction everywhere in
+    * this engine). The clone-mass class tier derives n_pairs =
+    * C(n_members, 2) from the components frame alone, while the
+    * row-grain tier counts only pairs whose ids joined back to df —
+    * the two tiers agree exactly under the contract and would diverge
+    * on inputs that violate it (r16 advice note). */
   def clusterCohesion(df: DataFrame, idCol: String, textCol: String,
                       components: DataFrame, n: Int = 2): DataFrame = {
     val multi = components.groupBy(col("component"))

@@ -69,20 +69,25 @@ object TextOps {
     * scan-bound, no shuffle. */
   def readabilityReport(df: DataFrame, idCol: String,
                         textCol: String): DataFrame =
-    df.select(col(idCol),
-        tokenCount(col(textCol)).cast("long").as("n_words"),
-        greatest(lit(1L),
-          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
-            .cast("long")).as("n_sentences"),
-        size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"),
-          lit(0))).cast("long").as("n_syllables"))
-      .withColumn("_w", greatest(lit(1L), col("n_words")))
-      .withColumn("_asl_ppm", expr("(n_words * 1000000) div n_sentences"))
-      .withColumn("_asw_ppm", expr("(n_syllables * 1000000) div _w"))
-      .withColumn("fre_ppm",
-        expr("206835000 - (1015 * _asl_ppm) div 1000" +
-          " - (84600 * _asw_ppm) div 1000"))
-      .drop("_w", "_asl_ppm", "_asw_ppm")
+    // Every column is a pure function of the RAW text (case-sensitive
+    // regexes), so the whole report rides [[fanOutPerText]]'s class
+    // tier on clone-heavy corpora — the three regex scans (the sf10
+    // cost) evaluate once per distinct text. The ppm chain is inlined
+    // into each derived column (identical integer arithmetic, no temp
+    // columns to drop).
+    fanOutPerText(graft.engine.Engine.spread(df), textCol)(tc => Seq(
+      "n_words" -> tokenCount(tc).cast("long"),
+      "n_sentences" -> greatest(lit(1L),
+        size(regexp_extract_all(tc, lit("[.!?]+"), lit(0)))
+          .cast("long")),
+      "n_syllables" -> size(regexp_extract_all(lower(tc),
+        lit("[aeiouy]+"), lit(0))).cast("long"),
+      "fre_ppm" -> expr(
+        "206835000 - (1015 * ((n_words * 1000000) div n_sentences))" +
+          " div 1000 - (84600 * ((n_syllables * 1000000)" +
+          " div greatest(cast(1 as bigint), n_words))) div 1000")))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("fre_ppm"))
 
   /** Feature-hashing document embedding (the hashing trick,
     * Weinberger et al. 2009) — text → dense vector WITHOUT a model,
@@ -1348,10 +1353,35 @@ object TextOps {
     * doc-grain pass feed every consumer instead of each re-running
     * the train/join/score chain. */
   private[graft] def lmKeySums(docs: DataFrame, ref: DataFrame,
-                               keyCol: String, textCol: String): DataFrame =
-    lmFixedStream(docs, ref, keyCol, textCol)
-      .groupBy(col("_id"))
-      .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("n_bigrams"))
+                               keyCol: String, textCol: String): DataFrame = {
+    // Class tier for the SCORED side (GrainProbe-gated): the per-text
+    // (Σfx, n_bigrams) pair is a pure function of tokens(text) given
+    // the trained counts, so it evaluates once per distinct class and
+    // per-key sums regroup the exact longs through one key join —
+    // bit-identical at any clone mass (order-free integer sums).
+    val base = graft.engine.Engine.spread(docs)
+    val key = coalesce(fingerprint(col(textCol)), lit(" null"))
+    val rep = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(base, key)
+    if (!rep)
+      lmFixedStream(base, ref, keyCol, textCol)
+        .groupBy(col("_id"))
+        .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("n_bigrams"))
+    else {
+      // the class text keeps textCol's NAME: lmFixedStream derives
+      // its ref-side expressions from the same textCol
+      val classes = base.groupBy(key.as("_lck"))
+        .agg(min(col(textCol)).as(textCol))
+      val classSums = lmFixedStream(classes, ref, "_lck", textCol)
+        .groupBy(col("_id"))
+        .agg(sum(col("_fx")).as("_cs"), count(lit(1)).as("_cn"))
+        .withColumnRenamed("_id", "_lck")
+      base.select(col(keyCol).as("_id"), key.as("_lck"))
+        .join(classSums, Seq("_lck"))
+        .groupBy(col("_id"))
+        .agg(sum(col("_cs")).as("_sfx"), sum(col("_cn")).as("n_bigrams"))
+    }
+  }
 
   /** [[lmScore]]'s output projection over precomputed [[lmKeySums]]. */
   private[graft] def lmScoreFromSums(per: DataFrame,
@@ -1379,12 +1409,26 @@ object TextOps {
     // refuses lossy models driver-side, and vocabularies are ~2³²
     // types away from birthday range).
     val hts = call_function("graft_hash_tokens", tokens(col(textCol)))
-    val uni = ref.select(explode(hts).as("_h1"))
-      .groupBy(col("_h1")).agg(count(lit(1)).as("_c1"))
-    val bi = ref
-      .select(explode(call_function("graft_window_hashes", hts,
-        lit(2))).as("_hg"))
-      .groupBy(col("_hg")).agg(count(lit(1)).as("_c12"))
+    // Reference counts at the weighted distinct-text tier (the
+    // nbTrainHashed algebra, GrainProbe-gated): unigram/bigram INSTANCE
+    // counts are Σ_class m·tf — exact integer sums — while the
+    // tokenize+explode runs once per distinct reference text. tokens()
+    // is lower∘trim-invariant, so the fingerprint class key is sound.
+    val refKey = coalesce(fingerprint(col(textCol)), lit(" null"))
+    val refRep = !ref.isStreaming &&
+      graft.engine.GrainProbe.dupTier(ref, refKey)
+    val refW =
+      if (!refRep) ref.select(lit(1L).as("_m"), col(textCol).as("_rt"))
+      else ref.groupBy(refKey.as("_rk"))
+        .agg(count(lit(1)).as("_m"), min(col(textCol)).as("_rt"))
+        .select(col("_m"), col("_rt"))
+    val rhts = call_function("graft_hash_tokens", tokens(col("_rt")))
+    val uni = refW.select(col("_m"), explode(rhts).as("_h1"))
+      .groupBy(col("_h1")).agg(sum(col("_m")).as("_c1"))
+    val bi = refW
+      .select(col("_m"), explode(call_function("graft_window_hashes",
+        rhts, lit(2))).as("_hg"))
+      .groupBy(col("_hg")).agg(sum(col("_m")).as("_c12"))
     val vdf = uni.agg((count(lit(1)) + lit(1)).cast("double").as("_v"))
     val dg = graft.engine.Engine.spread(docs)
       .select(col(keyCol).as("_id"), hts.as("_ht"))
@@ -1504,15 +1548,31 @@ object TextOps {
   def knScore(docs: DataFrame, ref: DataFrame, idCol: String,
               textCol: String): DataFrame = {
     val hts = call_function("graft_hash_tokens", tokens(col(textCol)))
-    val uni = ref.select(explode(hts).as("_h1"))
-      .groupBy(col("_h1")).agg(count(lit(1)).as("_c1"))
-    val rb = ref.select(hts.as("_ht"))
-      .select(col("_ht"), posexplode(call_function(
+    // Weighted distinct-text tier for the reference counts (the
+    // lmFixedStream discipline): c1/c12 are INSTANCE counts — Σ_class
+    // m·tf, exact integer sums — while the tokenize+explode runs once
+    // per distinct reference text; the continuation-type relations
+    // (n1f/n1b) derive from the bi TYPE table, which clone mass never
+    // grows.
+    val refKey = coalesce(fingerprint(col(textCol)), lit(" null"))
+    val refRep = !ref.isStreaming &&
+      graft.engine.GrainProbe.dupTier(ref, refKey)
+    val refW =
+      if (!refRep) ref.select(lit(1L).as("_m"), col(textCol).as("_rt"))
+      else ref.groupBy(refKey.as("_rk"))
+        .agg(count(lit(1)).as("_m"), min(col(textCol)).as("_rt"))
+        .select(col("_m"), col("_rt"))
+    val rhts = call_function("graft_hash_tokens", tokens(col("_rt")))
+    val uni = refW.select(col("_m"), explode(rhts).as("_h1"))
+      .groupBy(col("_h1")).agg(sum(col("_m")).as("_c1"))
+    val rb = refW.select(col("_m"), rhts.as("_ht"))
+      .select(col("_m"), col("_ht"), posexplode(call_function(
         "graft_window_hashes", col("_ht"), lit(2))))
       .withColumnsRenamed(Map("pos" -> "_p", "col" -> "_hg"))
-      .select(element_at(col("_ht"), col("_p") + 1).as("_b1"),
+      .select(col("_m"),
+        element_at(col("_ht"), col("_p") + 1).as("_b1"),
         element_at(col("_ht"), col("_p") + 2).as("_b2"), col("_hg"))
-    val bi = rb.groupBy(col("_hg")).agg(count(lit(1)).as("_c12"),
+    val bi = rb.groupBy(col("_hg")).agg(sum(col("_m")).as("_c12"),
       min(col("_b1")).as("_b1"), min(col("_b2")).as("_b2"))
     val n1f = bi.groupBy(col("_b1").as("_h1"))
       .agg(count(lit(1)).as("_n1f"))
@@ -1521,8 +1581,23 @@ object TextOps {
     val hist = uni.join(n1f, Seq("_h1"), "left") // (w1: c1, N1+(w1·))
     val tv = bi.agg(count(lit(1)).as("_t"))
       .crossJoin(uni.agg((count(lit(1)) + lit(1)).as("_v")))
-    val dg = graft.engine.Engine.spread(docs)
-      .select(col(idCol).as("_id"), hts.as("_ht"))
+    // Scored side at class grain (the lmKeySums discipline): the
+    // per-text (Σfx, n_bigrams) pair is a pure function of
+    // tokens(text), so it evaluates once per distinct class and fans
+    // out through one key join; docs with < 2 tokens stay absent at
+    // either grain.
+    val base = graft.engine.Engine.spread(docs)
+    val docKey = coalesce(fingerprint(col(textCol)), lit(" null"))
+    val docRep = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(base, docKey)
+    val (scoreSrc, scoreKey, scoreText) =
+      if (!docRep) (base, idCol, textCol)
+      else (base.groupBy(docKey.as("_dck"))
+        .agg(min(col(textCol)).as("_dct")), "_dck", "_dct")
+    val shts = call_function("graft_hash_tokens",
+      tokens(col(scoreText)))
+    val dg = scoreSrc
+      .select(col(scoreKey).as("_id"), shts.as("_ht"))
       .select(col("_id"), col("_ht"), posexplode(call_function(
         "graft_window_hashes", col("_ht"), lit(2))))
       .withColumnsRenamed(Map("pos" -> "_p", "col" -> "_hg"))
@@ -1544,9 +1619,15 @@ object TextOps {
       .otherwise(pc)
     val fx = floor((lit(0.0) - call_function("graft_ln", p)) *
       lit(1073741824.0)).cast("long")
-    dg.select(col("_id"), fx.as("_fx"))
+    val perKey = dg.select(col("_id"), fx.as("_fx"))
       .groupBy(col("_id"))
       .agg(sum(col("_fx")).as("_sfx"), count(lit(1)).as("n_bigrams"))
+    val perDoc =
+      if (!docRep) perKey
+      else base.select(col(idCol).as("_oid"), docKey.as("_id"))
+        .join(perKey, Seq("_id"))
+        .select(col("_oid").as("_id"), col("_sfx"), col("n_bigrams"))
+    perDoc
       .select(col("_id").as(idCol), col("n_bigrams"),
         ((col("_sfx").cast("double") / col("n_bigrams").cast("double")) /
           lit(1073741824.0)).as("kn_nll"))
@@ -2050,15 +2131,49 @@ object TextOps {
     // from the SAME aggregated pass (no second tokenize+explode scan).
     // Σ_instances floor(2³⁰/c) = Σ_terms tf·floor(2³⁰/c) exactly —
     // integer multiply of the shared floored value.
-    val tf = graft.engine.Engine.spread(docs)
-      .select(col(idCol).as("_id"), explode(tokens(col(textCol)))
-        .as("_term"))
-      .groupBy(col("_id"), col("_term")).agg(count(lit(1)).as("_tf"))
-    val cnt = tf.groupBy(col("_term")).agg(sum(col("_tf")).as("_c"))
-    val dfx = tf.join(cnt, Seq("_term"))
-      .groupBy(col("_id"))
-      .agg(sum(col("_tf") * floor(lit(1073741824.0) /
-        col("_c").cast("double")).cast("long")).as("_fx"))
+    //
+    // Class tier (fanOutPerText's rule, GrainProbe-gated): difficulty
+    // is a pure function of tokens(text) given the corpus counts, and
+    // the counts themselves are Σ_class m·tf (the weighted
+    // distinct-text algebra — exact integer sums), so on a clone-heavy
+    // corpus the tokenize+explode pass — measured 28 s of the 46 s
+    // sf10 total — runs once per DISTINCT fingerprint class and
+    // per-doc difficulties fan out through one key join. The ranking
+    // below stays member-grain either way (every document needs its
+    // own rank).
+    val base = graft.engine.Engine.spread(docs)
+    val key = fingerprint(col(textCol))
+    val rep = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(base, key)
+    val dfx =
+      if (!rep) {
+        val tf = base
+          .select(col(idCol).as("_id"), explode(tokens(col(textCol)))
+            .as("_term"))
+          .groupBy(col("_id"), col("_term"))
+          .agg(count(lit(1)).as("_tf"))
+        val cnt = tf.groupBy(col("_term")).agg(sum(col("_tf")).as("_c"))
+        tf.join(cnt, Seq("_term"))
+          .groupBy(col("_id"))
+          .agg(sum(col("_tf") * floor(lit(1073741824.0) /
+            col("_c").cast("double")).cast("long")).as("_fx"))
+      } else {
+        val ctf = base.groupBy(key.as("_k"))
+          .agg(count(lit(1)).as("_m"), min(col(textCol)).as("_t"))
+          .select(col("_k"), col("_m"),
+            explode(tokens(col("_t"))).as("_term"))
+          .groupBy(col("_k"), col("_m"), col("_term"))
+          .agg(count(lit(1)).as("_tf"))
+        val cnt = ctf.groupBy(col("_term"))
+          .agg(sum(col("_m") * col("_tf")).as("_c"))
+        val cfx = ctf.join(cnt, Seq("_term"))
+          .groupBy(col("_k"))
+          .agg(sum(col("_tf") * floor(lit(1073741824.0) /
+            col("_c").cast("double")).cast("long")).as("_fx"))
+        base.select(col(idCol), key.as("_k"))
+          .join(cfx, Seq("_k"))
+          .select(col(idCol).as("_id"), col("_fx"))
+      }
     val alld = docs.select(col(idCol))
       .join(dfx, col(idCol) === col("_id"), "left")
       .select(col(idCol), coalesce(col("_fx"), lit(0L))
@@ -2143,7 +2258,12 @@ object TextOps {
     val g =
       if (n == 1) explode(hs)
       else explode(call_function("graft_window_hashes", hs, lit(n)))
-    val spread = graft.engine.Engine.spread(df)
+    // distinct-(group, gram) is duplicate-blind, so the explode — the
+    // dominant cost — runs over DISTINCT (group, text) pairs on
+    // clone-heavy corpora (SketchOps.distinctGroupTexts, the KMV/bloom
+    // tier): identical gram sets, 1/clone-factor of the tokenize work.
+    val spread = graft.engine.Engine.spread(
+      graft.ext.SketchOps.distinctGroupTexts(df, groupCol, textCol))
     val refG = spread.filter(col(groupCol) === refValue)
       .select(g.as("_gh")).distinct()
     val newG = spread.filter(col(groupCol) =!= refValue)
@@ -2299,12 +2419,32 @@ object TextOps {
     val base = graft.engine.Engine.spread(docs)
       .select(col(idCol).as("_id"), col(textCol).as("_tx"),
         trusted.cast("boolean").as("_pos"))
-    val tk = base.select(col("_id"), col("_pos"),
-      explode(call_function("graft_hash_tokens",
-        tokens(col("_tx")))).as("_h"))
-    val cnt = tk.groupBy(col("_h")).agg(
-      sum(when(col("_pos"), 1L).otherwise(0L)).as("_cp"),
-      sum(when(col("_pos"), 0L).otherwise(1L)).as("_cn"))
+    // Class tier (the nbTrainHashed weighted algebra, GrainProbe-
+    // gated): token instance counts are Σ_class m·tf — training counts
+    // key on (text class, label) since the label can vary across docs
+    // sharing a text, and the per-doc score/token-count is a pure
+    // function of the text so it evaluates once per class and fans out
+    // through the id join. All integer sums — bit-identical to the
+    // member-grain stream at any clone mass.
+    val key = coalesce(md5(col("_tx")), lit(" null"))
+    val rep = !base.isStreaming &&
+      graft.engine.GrainProbe.dupTier(base, key)
+    def hashed(t: Column): Column =
+      call_function("graft_hash_tokens", tokens(t))
+    val cnt =
+      if (!rep)
+        base.select(col("_pos"), explode(hashed(col("_tx"))).as("_h"))
+          .groupBy(col("_h")).agg(
+            sum(when(col("_pos"), 1L).otherwise(0L)).as("_cp"),
+            sum(when(col("_pos"), 0L).otherwise(1L)).as("_cn"))
+      else
+        base.groupBy(key.as("_k"), col("_pos"))
+          .agg(count(lit(1)).as("_m"), min(col("_tx")).as("_t"))
+          .select(col("_pos"), col("_m"),
+            explode(hashed(col("_t"))).as("_h"))
+          .groupBy(col("_h")).agg(
+            sum(when(col("_pos"), col("_m")).otherwise(0L)).as("_cp"),
+            sum(when(col("_pos"), 0L).otherwise(col("_m"))).as("_cn"))
     val tot = cnt.agg(count(lit(1)).as("_v"),
       sum(col("_cp")).as("_np"), sum(col("_cn")).as("_nn"))
     val nd = base.agg(
@@ -2318,9 +2458,23 @@ object TextOps {
           ln((col("_cn") + 1).cast("double") /
             (col("_nn") + col("_v")).cast("double"))) *
           lit(1073741824.0)).cast("long").as("_lam"))
-    val perDoc = tk.join(lam, Seq("_h"))
-      .groupBy(col("_id"))
-      .agg(sum(col("_lam")).as("_s"), count(lit(1)).as("_nt"))
+    val perDoc =
+      if (!rep)
+        base.select(col("_id"), explode(hashed(col("_tx"))).as("_h"))
+          .join(lam, Seq("_h"))
+          .groupBy(col("_id"))
+          .agg(sum(col("_lam")).as("_s"), count(lit(1)).as("_nt"))
+      else
+        base.select(col("_id"), key.as("_k"))
+          .join(
+            base.groupBy(key.as("_k")).agg(min(col("_tx")).as("_t"))
+              .select(col("_k"), explode(hashed(col("_t"))).as("_h"))
+              .join(lam, Seq("_h"))
+              .groupBy(col("_k"))
+              .agg(sum(col("_lam")).as("_s"),
+                count(lit(1)).as("_nt")),
+            Seq("_k"))
+          .select(col("_id"), col("_s"), col("_nt"))
     val prior = nd.select(
       floor((ln(col("_dp").cast("double")) -
         ln(col("_dn").cast("double"))) *

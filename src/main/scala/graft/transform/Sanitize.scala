@@ -63,6 +63,65 @@ object Sanitize {
   /** W6 — stringify every cell for export: timestamps → ISO, null → "",
     * everything else → `cast(string)` (`core/utils/sheets_core.py:194-209`).
     */
+  /** Exact percentiles of a double column as ONE 1-row frame
+    * `(_p0, _p1, ...)` — value-identical to
+    * `percentile(col, array(ps...))` (the q_percentiles-proven DuckDB
+    * `quantile_cont` pairing) but DISTRIBUTED: Spark's exact
+    * `percentile` accumulates a boxed value→count OpenHashMap per
+    * aggregation buffer and merges the maps on one task — ~30 s for
+    * 60M rows at sf10 where a codegen'd value-count aggregate does the
+    * same reduction in ~2 s. Rows reduce through a plain
+    * `groupBy(value).count()` (distributed, compiled, map-side
+    * partials); the cumulative rank runs over the DISTINCT values (a
+    * single-partition window, but over distinct-value rows — bounded
+    * for the repeated-value columns this engine winsorizes; truly
+    * unbounded domains belong to the approx variant, as before); the
+    * interpolation replays Percentile.getPercentile's exact branch
+    * structure — `pos = p·(n−1)`,
+    * `(ceil(pos)−pos)·v_lo + (pos−floor(pos))·v_hi`, integral-position
+    * and equal-keys branches returning v_lo — the identical IEEE
+    * expression tree, so edges match bit-for-bit (selfcheck-pinned via
+    * t_winsorize / t_mad_outliers). Nulls are skipped, like
+    * `percentile`; an empty/all-null column yields one row of null
+    * edges (so caller cross-joins stay non-annihilating). */
+  private[graft] def exactPercentiles(
+      df: DataFrame, value: org.apache.spark.sql.Column,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"bad percentiles $ps")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = df.select(value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(w))
+    val nRow = cum.agg(sum(col("_c")).as("_n"))
+    val withN = cum.crossJoin(broadcast(nRow))
+    def pos(i: Int) = lit(ps(i)) * (col("_n") - 1).cast("double")
+    val rawAggs = ps.indices.flatMap { i =>
+      Seq(
+        min(when(col("_cum") >= floor(pos(i)).cast("long") + 1,
+          col("_v"))).as(s"_vlo$i"),
+        min(when(col("_cum") >= ceil(pos(i)).cast("long") + 1,
+          col("_v"))).as(s"_vhi$i"))
+    } :+ max(col("_n")).as("_n2")
+    val agged = withN.agg(rawAggs.head, rawAggs.tail: _*)
+      .withColumnRenamed("_n2", "_n")
+    ps.indices.foldLeft(agged) { case (a, i) =>
+      val p = pos(i)
+      val lo = floor(p)
+      val hi = ceil(p)
+      a.withColumn(s"_p$i",
+        when(col("_n").isNull, lit(null).cast("double"))
+          .when(hi === lo || col(s"_vhi$i") === col(s"_vlo$i"),
+            col(s"_vlo$i"))
+          .otherwise((hi - p) * col(s"_vlo$i") +
+            (p - lo) * col(s"_vhi$i")))
+    }.select(ps.indices.map(i => col(s"_p$i")): _*)
+  }
+
   /** Winsorize a numeric column: clip values outside the [lo, hi]
     * exact-percentile band to the band edges (Tukey's outlier-taming
     * transform — the numeric-cleaning analog of the text quality
@@ -85,11 +144,8 @@ object Sanitize {
     // build+merge+sort twice for the same column. Column reference is
     // built from the Column API (no string splice — a backtick in the
     // name can't break out of the quoted identifier).
-    val bounds = df.agg(
-        percentile(col(valueCol).cast("double"), array(lit(lo), lit(hi)))
-          .as("_pband"))
-      .select(element_at(col("_pband"), 1).as("_plo"),
-        element_at(col("_pband"), 2).as("_phi"))
+    val bounds = exactPercentiles(df, col(valueCol), Seq(lo, hi))
+      .select(col("_p0").as("_plo"), col("_p1").as("_phi"))
     df.crossJoin(broadcast(bounds))
       .withColumn(s"${valueCol}_wins",
         least(greatest(col(valueCol).cast("double"), col("_plo")),
@@ -114,11 +170,12 @@ object Sanitize {
                   k: Double = 3.0): DataFrame = {
     require(k > 0.0, s"k must be > 0: $k")
     val v = col(valueCol).cast("double")
-    val med = df.agg(
-      percentile(v, lit(0.5)).as("_med"))
+    val med = exactPercentiles(df, v, Seq(0.5))
+      .select(col("_p0").as("_med"))
     val dev = df.crossJoin(broadcast(med))
       .withColumn("_absdev", abs(v - col("_med")))
-    val mad = dev.agg(percentile(col("_absdev"), lit(0.5)).as("_mad"))
+    val mad = exactPercentiles(dev, col("_absdev"), Seq(0.5))
+      .select(col("_p0").as("_mad"))
     dev.crossJoin(broadcast(mad))
       .withColumn("is_outlier",
         col("_absdev") > lit(k) * lit(1.4826) * col("_mad"))
