@@ -58,8 +58,19 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries
       .filter(kv => only.forall(_.contains(kv._1)))
+    // Session-cache accounting (r17 verdict ask #10): the first
+    // consumer of a shared subtree (lm chain, fuzzy/bpe/cc stages…)
+    // pays its materialization inside its timed region; later
+    // consumers read it ~free. Mark both so per-query times stay
+    // interpretable: `cache_fill` = this query's run built ≥1 shared
+    // entry (time includes shared work), `cache_warm` = the published
+    // time read a warm entry (understates standalone cost).
+    var cacheFill = Set.empty[String]
+    var cacheWarm = Set.empty[String]
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cg0 = CodegenErrorCounter.count.get()
+      val h0 = graft.engine.SessionCaches.hits
+      val f0 = graft.engine.SessionCaches.fills
       val t0 = System.nanoTime()
       try { force(fn(spark, sfDir)) } catch {
         case e: Throwable =>
@@ -67,6 +78,8 @@ object Bench {
             String.valueOf(e.getMessage).take(200))
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      if (graft.engine.SessionCaches.fills > f0) cacheFill += name
+      if (graft.engine.SessionCaches.hits > h0) cacheWarm += name
       val cg = CodegenErrorCounter.count.get() - cg0
       if (cg > 0) codegenFails += name -> cg
       name -> sec
@@ -145,6 +158,9 @@ object Bench {
           reruns += 1
           if (!ok) reruns = 2 // don't keep hammering a failing query
         }
+        // A retimed query that filled a shared cache on its first run
+        // republishes a warm min — mark it (ask #10).
+        if (cacheFill.contains(name)) cacheWarm += name
         name -> times.reverse
       }.toMap
     val results = firstPass.map { case (name, t1) =>
@@ -212,6 +228,10 @@ object Bench {
         s""""frozen_epoch":${BenchBaselineFrozen.epoch},""" +
         s""""vs_frozen_total":${f4(frozenTotal)},"vs_frozen":$vfJson,""" +
         s""""flagged":${flagged.map(jstr).mkString("[", ",", "]")},""" +
+        s""""cache_fill":${cacheFill.toSeq.sorted.map(jstr)
+          .mkString("[", ",", "]")},""" +
+        s""""cache_warm":${cacheWarm.toSeq.sorted.map(jstr)
+          .mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir"}"""
     // The driver records only the LAST 2,000 chars of stdout. At 80+
     // queries the full line is ~2.4 KB, so if it is the last thing

@@ -95,10 +95,12 @@ object ExtQueries {
     * difference between one and four full near-dup passes. The
     * returned frame is checkpoint-backed (connectedComponents
     * materializes its fixpoint), so reuse replays no lineage. */
-  private val ccCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-  private val stagesCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DedupOps.RepStages]()
+  private val ccCache = graft.engine.SessionCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]())
+  private val stagesCache = graft.engine.SessionCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DedupOps.RepStages]())
 
   /** The rep-grain MinHash stages under the cloned corpus,
     * session-cached: the CC family consumes the closure, the LPA
@@ -111,7 +113,7 @@ object ExtQueries {
     * lineage. */
   private def clonedDocStages(s: SparkSession,
                               dir: String): DedupOps.RepStages =
-    stagesCache.computeIfAbsent((s, dir), _ => {
+    graft.engine.SessionCaches.memo(stagesCache, (s, dir))( {
       val st = DedupOps.minhashRepStages(clonedDocs(s, dir), "doc_id",
         "text", shingleN = 2, numPerm = 64, bands = 16, threshold = 0.8)
       DedupOps.RepStages(st.classes, st.shing,
@@ -120,7 +122,7 @@ object ExtQueries {
 
   private def clonedDocsComponents(s: SparkSession,
                                    dir: String): DataFrame =
-    ccCache.computeIfAbsent((s, dir), _ =>
+    graft.engine.SessionCaches.memo(ccCache, (s, dir))(
       DedupOps.componentsFromStages(clonedDocStages(s, dir),
         threshold = 0.8))
 
@@ -449,12 +451,13 @@ object ExtQueries {
     * end-to-end — cross-run reuse at daily cadence is the same load
     * path with a persistent stateDir (JobsSpec pins load == retrain
     * bit-equality). */
-  private val annCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), SimilarityOps.AnnIndexState]()
+  private val annCache = graft.engine.SessionCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), SimilarityOps.AnnIndexState]())
 
   private def annState(s: SparkSession,
                        dir: String): SimilarityOps.AnnIndexState =
-    annCache.computeIfAbsent((s, dir), _ => {
+    graft.engine.SessionCaches.memo(annCache, (s, dir))( {
       val stateDir = java.nio.file.Files
         .createTempDirectory("graft-ann-state").toString
       val emb = t(s, dir, "embeddings")
@@ -1390,12 +1393,13 @@ object ExtQueries {
     * rewrite sinks) would serve stale pairs, and entries live until
     * session close. Library use outside the bench should clear on
     * table rewrite (r16 advice note). */
-  private val fuzzyCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val fuzzyCache = graft.engine.SessionCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, DataFrame)]())
 
   private def fuzzyStages(s: SparkSession,
                           dir: String): (DataFrame, DataFrame) =
-    fuzzyCache.computeIfAbsent((s, dir), _ => {
+    graft.engine.SessionCaches.memo(fuzzyCache, (s, dir))( {
       val strs = t(s, dir, "customer")
         .filter(col("c_name").isNotNull)
         .select(col("c_custkey").as("_id"), col("c_name").as("_s"))
@@ -2196,10 +2200,11 @@ object ExtQueries {
     * by the three tokenizer-chain queries (`x_text_bpe_encode` /
     * `x_text_fertility` both re-applied the full driver-loop trainer —
     * the ccCache argument, for the second-most-expensive subtree). */
-  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[String]]()
+  private val bpeCache = graft.engine.SessionCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Seq[String]]())
   private def trainedMerges(s: SparkSession, dir: String): Seq[String] =
-    bpeCache.computeIfAbsent((s, dir), _ =>
+    graft.engine.SessionCaches.memo(bpeCache, (s, dir))(
       TextOps.bpeMergesBatched(t(s, dir, "documents"), "text",
           rounds = bpeRounds, window = bpeWindow)
         .orderBy(col("merge_rank"))
@@ -2659,10 +2664,11 @@ object ExtQueries {
     * third-most-expensive subtree (the r16 sf10 sweep priced the chain
     * at ~23 s per consumer). Checkpoint-backed, so reuse replays no
     * lineage. */
-  private val lmSumsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val lmSumsCache = graft.engine.SessionCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]())
   private def lmDocSums(s: SparkSession, dir: String): DataFrame =
-    lmSumsCache.computeIfAbsent((s, dir), _ => {
+    graft.engine.SessionCaches.memo(lmSumsCache, (s, dir))( {
       val d = t(s, dir, "documents")
       graft.engine.Engine.materialize(TextOps.lmKeySums(
         d, d.filter(col("source") === "src0"), "doc_id", "text"))
@@ -3570,8 +3576,9 @@ object ExtQueries {
   // twin re-derives the weights (the x_mix_weights chain verbatim as a
   // CTE) and replays the quota/remainder integer algebra in HUGEINT.
   // ---------------------------------------------------------------------
-  private val mixCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(String, Long)]]()
+  private val mixCache = graft.engine.SessionCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Seq[(String, Long)]]())
   /** Collected (source, weight_ppm) rows of [[xMixWeights]], cached
     * per (session, dir) — the weight table is driver-scale by the
     * mixtureWeights contract, so the allocator rides one collection
@@ -3579,7 +3586,7 @@ object ExtQueries {
     * applied to the chain's second consumer). */
   private def mixWeightRows(s: SparkSession,
                             dir: String): Seq[(String, Long)] =
-    mixCache.computeIfAbsent((s, dir), _ =>
+    graft.engine.SessionCaches.memo(mixCache, (s, dir))(
       xMixWeights(s, dir).select(col("source"), col("weight_ppm"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
 
@@ -4344,10 +4351,11 @@ object ExtQueries {
     * argument: the scoring chain is the expensive subtree and its
     * input is immutable within a session). Checkpoint-backed, so
     * reuse replays no lineage. */
-  private val nbCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val nbCache = graft.engine.SessionCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]())
   private def nbScored(s: SparkSession, dir: String): DataFrame =
-    nbCache.computeIfAbsent((s, dir), _ =>
+    graft.engine.SessionCaches.memo(nbCache, (s, dir))(
       graft.engine.Engine.materialize(
         TextOps.nbQualityScore(t(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en")))
@@ -5210,6 +5218,14 @@ object ExtQueries {
   // corpus, the shape the operator has at any scale (the bounded-tier
   // convention of x_embed_mutual).
   // ---------------------------------------------------------------------
+  /** Collected benchmark vectors, cached per (session, dir) — the
+    * lmSumsCache discipline applied to xDecontamSemantic's driver
+    * collect (r17 advice: the collect was eager and uncached, so every
+    * invocation re-ran the benchmark scan). */
+  private val decontamBenchCache = graft.engine.SessionCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Seq[(Long, Seq[Double])]]())
+
   def xDecontamSemantic(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // The benchmark is fixed-size by contract (~69 vectors) — collect
@@ -5218,15 +5234,29 @@ object ExtQueries {
     // a BroadcastNestedLoopJoin materializing a corpus×B pair row per
     // candidate (r17: 20 s → ~2 s at sf10, bit-identical output; the
     // kernel == join-form equivalence is pinned in NativeExprsSpec).
-    val bench = emb
+    val benchSel = emb
       .filter(col("vec_id") % 29 === 0 && col("vec_id") < 2000)
-      .select(col("vec_id"),
-        col("embedding").cast("array<double>").as("_v"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-    SimilarityOps.semanticDecontaminateLit(emb, "vec_id", "embedding",
-        bench, tau = 0.95)
-      .orderBy(col("vec_id"))
+    val bench = graft.engine.SessionCaches.memo(
+      decontamBenchCache, (s, dir))(
+      benchSel.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("_v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq)
+    // An empty benchmark selection (possible on an exotic fixture
+    // scale) takes the general join form, which returns the empty
+    // screen instead of the literal form's loud refusal (r17 advice).
+    val screened =
+      if (bench.isEmpty)
+        SimilarityOps.semanticDecontaminate(
+          emb.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("_cv2")),
+          benchSel.select(col("vec_id").as("_bid2"),
+            col("embedding").cast("array<double>").as("_bv2")),
+          "vec_id", "_cv2", "_bid2", "_bv2", tau = 0.95)
+      else
+        SimilarityOps.semanticDecontaminateLit(emb, "vec_id", "embedding",
+          bench, tau = 0.95)
+    screened.orderBy(col("vec_id"))
   }
 
   val xDecontamSemanticSql: String =

@@ -50,9 +50,21 @@ object Queries {
     * doubles (a value adjacent to an x.5·10⁻⁶ tie can round apart) —
     * this helper is scoped to this file's schema on purpose. */
   private def dsum(e: Column): Column =
-    (sum(round(e * lit(1000000.0)).cast("long")
-      .cast(DecimalType(18, 0)))
-      .cast(DecimalType(38, 0)) / lit(1000000)).cast(DoubleType)
+    dsumDecode(sum(dsumEncode(e)))
+
+  /** [[dsum]] over a window frame — the cast chain must wrap the
+    * WINDOWED aggregate, so the two faces share the per-row encode and
+    * the per-group decode instead of hand-duplicating the fixed-point
+    * contract (r17 advice: the exactness argument lives once, above). */
+  private def dsumOver(e: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    dsumDecode(sum(dsumEncode(e)).over(w))
+
+  private def dsumEncode(e: Column): Column =
+    round(e * lit(1000000.0)).cast("long").cast(DecimalType(18, 0))
+
+  private def dsumDecode(sumCol: Column): Column =
+    (sumCol.cast(DecimalType(38, 0)) / lit(1000000)).cast(DoubleType)
 
   private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
 
@@ -638,12 +650,8 @@ object Queries {
       .withColumn("order_seq", row_number().over(w))
       .withColumn("prev_totalprice", lag(col("o_totalprice"), 1).over(w))
       .withColumn("running_spend",
-        // the dsum fixed-point form, windowed (the cast chain must
-        // wrap the windowed aggregate; exactness argument at dsum):
-        (sum(round(col("o_totalprice") * lit(1000000.0)).cast("long")
-          .cast(DecimalType(18, 0)))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(DecimalType(38, 0)) / lit(1000000)).cast(DoubleType))
+        dsumOver(col("o_totalprice"),
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_totalprice"), col("order_seq"), col("prev_totalprice"),
@@ -1075,12 +1083,7 @@ object Queries {
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         count(lit(1)).over(w).as("n_trailing"),
-        // dsum can't be used over a window (the cast must wrap the
-        // windowed aggregate, not the other way round):
-        (sum(round(col("o_totalprice") * lit(1000000.0)).cast("long")
-          .cast(DecimalType(18, 0))).over(w)
-          .cast(DecimalType(38, 0)) / lit(1000000)).cast(DoubleType)
-          .as("sum_trailing"))
+        dsumOver(col("o_totalprice"), w).as("sum_trailing"))
       .orderBy(col("o_orderkey"))
   }
 

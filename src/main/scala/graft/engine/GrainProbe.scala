@@ -47,10 +47,27 @@ object GrainProbe {
     // Unbounded growth guard: a long-lived session probing ever-new
     // plans (not the bench shape) would otherwise pin plans forever.
     if (cache.size > 4096) cache.clear()
-    cache.computeIfAbsent((df.sparkSession, plan), _ => {
+    val k = (df.sparkSession, plan)
+    // Probe OUTSIDE the map lock (r17 advice): computeIfAbsent would
+    // hold the bin lock for the probe job's whole duration, blocking
+    // concurrent probes that hash to the same bin. Duplicate probes
+    // under a race are idempotent (same verdict either way).
+    val hit = cache.get(k)
+    if (hit != null) hit.booleanValue()
+    else {
       val r = probe.head()
-      java.lang.Boolean.valueOf(
+      val v = java.lang.Boolean.valueOf(
         !r.isNullAt(1) && r.getLong(1) * 4 <= r.getLong(0))
-    }).booleanValue()
+      val prev = cache.putIfAbsent(k, v)
+      (if (prev != null) prev else v).booleanValue()
+    }
+  }
+
+  /** Drop every verdict of one session — the
+    * [[SessionCaches.invalidate]] hook (plan-keyed entries cannot be
+    * mapped to a table dir, so a DML rewrite clears the session). */
+  private[engine] def clearSession(spark: SparkSession): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
   }
 }

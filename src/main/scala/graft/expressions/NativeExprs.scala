@@ -159,6 +159,20 @@ object NativeExprs {
       case other => throw new IllegalArgumentException(
         s"graft_kmeans_top2(arr, idsLit, matrixLit), got $other")
     })
+    reg("graft_bloom_positions", {
+      case Seq(c, Literal(m: Long, LongType), Literal(d: Int, IntegerType)) =>
+        BloomPositionsExpr(c, m, d)
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_positions(arr, mLongLit, depthIntLit), got $other")
+    })
+    reg("graft_h60", { case Seq(c) => GraftH60(c) })
+    reg("graft_merge_dot", { case Seq(a, b) => MergeDotFixed(a, b) })
+    reg("graft_bloom_pos", {
+      case Seq(c, Literal(m: Long, LongType), Literal(j: Int, IntegerType)) =>
+        BloomPosExpr(c, m, j)
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_pos(str, mLongLit, saltIntLit), got $other")
+    })
     reg("graft_maxcos", {
       case Seq(c, Literal(ids: ArrayData, ArrayType(LongType, _)),
                Literal(m: ArrayData, ArrayType(ArrayType(DoubleType, _), _))) =>
@@ -506,6 +520,98 @@ object NativeExprs {
     new GenericArrayData(out)
   }
 
+  /** Shared eval core for [[BloomPositionsExpr]] — the Bloom build's
+    * hot loop: for every non-null unit string, the `depth` salted bit
+    * positions `pmod(h60(md5("<j>:" ‖ unit)), m)`, flattened
+    * unit-major (all depths of unit 0, then unit 1, …). Bit-identical
+    * to the per-hash Column chain
+    * `pmod(conv(substring(md5(concat(lit("j:"), u)), 1, 15), 16, 10)
+    * .cast(long), m)` — the [[graft.ext.SketchOps.h60]] convention —
+    * but one compiled loop over raw digest bytes instead of
+    * depth × (concat → md5 → hex string → substring → conv parse)
+    * interpreted expression chains per unit. */
+  def bloomPositions(arr: ArrayData, m: Long,
+                     depth: Int): ArrayData = {
+    val n = arr.numElements()
+    val md = md5Local.get()
+    val out = new Array[Long](n * depth)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val ub = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < depth) {
+          out(k) = bloomPosOf(md, ub, m, j)
+          k += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (k == out.length) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  /** One salted Bloom position — the single-unit face ([[BloomPosExpr]],
+    * probe side): same bytes, same salt anatomy as [[bloomPositions]]. */
+  def bloomPos(u: org.apache.spark.unsafe.types.UTF8String, m: Long,
+               j: Int): Long =
+    bloomPosOf(md5Local.get(), u.getBytes, m, j)
+
+  /** Shared eval core for [[MergeDotFixed]] — exact integer dot of two
+    * sparse fixed-point vectors held as (term, weight) struct arrays
+    * SORTED by term: one merge walk, Σ wa·wb over shared terms. Value-
+    * identical to the exploded `sum(_wa * _wb)` grouped aggregate it
+    * replaces (exact integer sums are order-free). */
+  def mergeDot(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var s = 0L
+    while (i < na && j < nb) {
+      val ta = a.getStruct(i, 2).getLong(0)
+      val tb = b.getStruct(j, 2).getLong(0)
+      if (ta < tb) i += 1
+      else if (ta > tb) j += 1
+      else {
+        s += a.getStruct(i, 2).getLong(1) * b.getStruct(j, 2).getLong(1)
+        i += 1
+        j += 1
+      }
+    }
+    s
+  }
+
+  /** Portable 60-bit md5 hash of one string ([[GraftH60]]) — EXACTLY
+    * `conv(substring(md5(s), 1, 15), 16, 10).cast(long)` (the
+    * [[graft.ext.SketchOps.h60]] convention) over raw digest bytes. */
+  def h60(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(u.getBytes)
+    val d = md.digest()
+    var v = 0L
+    var b = 0
+    while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  private def bloomPosOf(md: java.security.MessageDigest,
+                         unitBytes: Array[Byte], m: Long, j: Int): Long = {
+    md.reset()
+    md.update(String.valueOf(j).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    md.update(':'.toByte)
+    md.update(unitBytes)
+    val d = md.digest()
+    var v = 0L
+    var b = 0
+    while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    (((v << 4) | ((d(7) & 0xf0L) >>> 4)) % m + m) % m
+  }
+
   /** Shared eval core for [[SpanCorruptExpr]] — the span-corruption
     * fold ([[graft.ext.TextOps.spanCorrupt]] contract), compiled: one
     * pass over the token array building encoder input / decoder target
@@ -665,6 +771,134 @@ case class ShingleH60(child: Expression, n: Int)
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.expressions.NativeExprs.shingleH60($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Flattened salted Bloom bit positions of every unit in an array
+  * (`array<string>` → `array<long>`, unit-major): the build side of
+  * [[graft.ext.SketchOps.bloomWords]], compiled — replaces the
+  * per-unit string explode followed by a depth-way
+  * concat/md5/hex/substring/conv Column chain with ONE loop over
+  * digest bytes ([[NativeExprs.bloomPositions]] for the exact value
+  * contract). Null units contribute nothing. */
+case class BloomPositionsExpr(child: Expression, m: Long, depth: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_positions expects array<string>, got $dt")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bloom_positions"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.bloomPositions(input.asInstanceOf[ArrayData], m, depth)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.NativeExprs.bloomPositions($c, ${m}L, $depth)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Exact integer dot product of two SORTED sparse fixed-point vectors
+  * (`array<struct<t:long, w:long>>` ×2 → `long`) — the APSS
+  * verification kernel ([[NativeExprs.mergeDot]]): one compiled merge
+  * walk per candidate pair instead of exploding both posting lists
+  * through a (pair, term)-keyed join and re-aggregating. */
+case class MergeDotFixed(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(fs), _) =>
+      fs.length == 2 && fs.forall(_.dataType == LongType)
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_merge_dot expects two array<struct<long, long>>, got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_merge_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeExprs.mergeDot(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.NativeExprs.mergeDot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Portable 60-bit md5 hash (`string` → `long`) — the compiled
+  * [[graft.ext.SketchOps.h60]]: identical values to the interpreted
+  * `conv(substring(md5(s), 1, 15), 16, 10).cast(long)` chain, one
+  * digest-byte loop instead of four expression nodes and two string
+  * materializations per row. */
+case class GraftH60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_h60 expects string, got $dt")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_h60"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.h60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.NativeExprs.h60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** One salted Bloom position of one unit (`string` → `long`): the
+  * probe side's per-salt hash ([[graft.ext.SketchOps
+  * .bloomPositionsFor]]), same value contract as
+  * [[BloomPositionsExpr]]. */
+case class BloomPosExpr(child: Expression, m: Long, salt: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_pos expects string, got $dt")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bloom_pos"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprs.bloomPos(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      m, salt)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.NativeExprs.bloomPos($c, ${m}L, $salt)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

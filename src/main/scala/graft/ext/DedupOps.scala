@@ -977,7 +977,7 @@ object DedupOps {
     val th = graft.engine.Engine.spread(df).select(col(idCol).as("_id"),
         explode(TextOps.tokens(col(textCol))).as("_t"))
       .select(col("_id"),
-        conv(substring(md5(col("_t")), 1, 15), 16, 10).cast("long").as("_h"))
+        SketchOps.h60(col("_t")).as("_h"))
     val votes = (0 until bits).map { b =>
       sum(shiftright(col("_h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
         .as(s"_s$b")
@@ -1885,21 +1885,47 @@ object DedupOps {
                      idfScale: Long = 1000L): DataFrame = {
     val (w, norms, prefix, classes) =
       apssPostings(df0, idCol, textCol, tNum, tDen, gramN, idfScale)
+    // Join POSTURE (r18; the incremental-pair lesson applied to the
+    // miner): every relation in the quadratic core is REPRESENTATIVE-
+    // sized — clone mass collapsed before it — and the rep tier stays
+    // small under replication by construction, so under a measured
+    // byte budget the prefix postings broadcast (candidate join =
+    // map-side BHJ over the streamed full postings), the per-rep
+    // (term, weight) vectors broadcast twice into one compiled
+    // merge-dot projection per candidate (graft_merge_dot — the
+    // exploded (pair, term) verification join shuffled |cand|·|terms|
+    // rows for the identical integer dots), and the norms attach by
+    // broadcast. A corpus whose rep relations outgrow the budget falls
+    // back to the shuffle joins, never an oversized broadcast.
+    val budget = broadcastBudgetBytes(w.sparkSession)
+    val wCnt = w.count()
+    val nReps = norms.count()
+    def gated(df: DataFrame, bytes: Long): DataFrame =
+      if (bytes <= budget) broadcast(df) else df
     val full = w.select(col("_t"), col("_id").as("_fid"))
-    val cand = prefix.join(full, Seq("_t"))
+    val cand = gated(prefix, wCnt * 24L).join(full, Seq("_t"))
       .filter(col("_pid") =!= col("_fid"))
       .select(least(col("_pid"), col("_fid")).as("_a"),
         greatest(col("_pid"), col("_fid")).as("_b"))
       .distinct()
+    val vec = graft.engine.Engine.materialize(
+      w.groupBy(col("_id"))
+        .agg(sort_array(collect_list(struct(col("_t"), col("_w"))))
+          .as("_vec")))
+    val vecBytes = nReps * 48L + wCnt * 16L
     val dots = cand
-      .join(w.select(col("_id").as("_a"), col("_t"), col("_w").as("_wa")),
-        Seq("_a"))
-      .join(w.select(col("_id").as("_b"), col("_t"), col("_w").as("_wb")),
-        Seq("_b", "_t"))
-      .groupBy(col("_a"), col("_b")).agg(sum(col("_wa") * col("_wb")).as("dot"))
+      .join(gated(vec.select(col("_id").as("_a"), col("_vec").as("_va")),
+        vecBytes), Seq("_a"))
+      .join(gated(vec.select(col("_id").as("_b"), col("_vec").as("_vb")),
+        vecBytes), Seq("_b"))
+      .select(col("_a"), col("_b"),
+        call_function("graft_merge_dot", col("_va"), col("_vb"))
+          .as("dot"))
     val repPairs = dots
-      .join(norms.select(col("_id").as("_a"), col("_nsq").as("_na")), Seq("_a"))
-      .join(norms.select(col("_id").as("_b"), col("_nsq").as("_nb")), Seq("_b"))
+      .join(gated(norms.select(col("_id").as("_a"), col("_nsq").as("_na")),
+        nReps * 24L), Seq("_a"))
+      .join(gated(norms.select(col("_id").as("_b"), col("_nsq").as("_nb")),
+        nReps * 24L), Seq("_b"))
       .withColumn("score", round(col("dot").cast("double") /
         (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))), 6))
       .filter(col("score") >= lit(tNum.toDouble / tDen.toDouble))

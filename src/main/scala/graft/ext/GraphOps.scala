@@ -186,23 +186,31 @@ object GraphOps {
       .orderBy(col("_c").desc, col("label").asc)
     var t = 0
     while (t < rounds) {
-      val next = eng.materialize(
+      // Rounds chain LAZILY (r18): a FIXED small round count needs no
+      // per-round lineage cut — the materialize-per-round form paid one
+      // checkpoint job per round where the whole iteration is one
+      // linear-depth plan evaluated in a single job (the edge relation
+      // is checkpoint-backed, so each round's join reuses its blocks).
+      // Convergence-probed loops (kCore, connectedComponents) keep
+      // their per-round materialize: the driver probe forces a job per
+      // round anyway.
+      labels =
         bidir.join(labels.select(col("id").as("dst"), col("label")),
             Seq("dst"))
           .groupBy(col("src"), col("label"))
           .agg(count(lit(1)).as("_c"))
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1)
-          .select(col("src").as("id"), col("label")))
-      eng.release(labels)
-      labels = next
+          .select(col("src").as("id"), col("label"))
       t += 1
     }
-    // labels is checkpoint-backed (lineage truncated), so the edge
-    // relation is dead here — release it rather than pinning a full
-    // bidirectional copy for the session (the kCore discipline).
+    // One final materialize keeps the contract (a checkpoint-backed,
+    // lineage-free label frame) and lets the edge relation be released
+    // rather than pinning a full bidirectional copy for the session.
+    val out = eng.materialize(
+      labels.select(col("id"), col("label").as("community")))
     eng.release(bidir)
-    labels.select(col("id"), col("label").as("community"))
+    out
   }
 
   /** Fixed-point PageRank over an UNDIRECTED pair table — the
@@ -245,29 +253,30 @@ object GraphOps {
         .distinct())
     val deg = eng.materialize(bidir.groupBy(col("src"))
       .agg(count(lit(1)).as("_deg")))
-    var pr = eng.materialize(
-      deg.select(col("src").as("id"), lit(ONE).as("pr_fx")))
+    var pr: DataFrame =
+      deg.select(col("src").as("id"), lit(ONE).as("pr_fx"))
     var t = 0
     while (t < rounds) {
-      val next = eng.materialize(
-        bidir
-          .join(pr.select(col("id").as("src"), col("pr_fx")), Seq("src"))
-          .join(deg, Seq("src"))
-          .select(col("dst").as("id"),
-            expr("pr_fx div _deg").as("_c"))
-          .groupBy(col("id"))
-          .agg(sum(col("_c").cast("decimal(38,0)")).as("_s"))
-          .select(col("id"),
-            (lit(base) +
-              expr(s"cast($dampPct * _s div 100 as bigint)"))
-              .as("pr_fx")))
-      eng.release(pr)
-      pr = next
+      // Lazy round chaining — the labelPropagation argument: a fixed
+      // round count is one linear plan / one job; only the edge and
+      // degree relations (consumed every round) stay checkpoint-backed.
+      pr = bidir
+        .join(pr.select(col("id").as("src"), col("pr_fx")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"),
+          expr("pr_fx div _deg").as("_c"))
+        .groupBy(col("id"))
+        .agg(sum(col("_c").cast("decimal(38,0)")).as("_s"))
+        .select(col("id"),
+          (lit(base) +
+            expr(s"cast($dampPct * _s div 100 as bigint)"))
+            .as("pr_fx"))
       t += 1
     }
+    val out = eng.materialize(pr.select(col("id"), col("pr_fx")))
     eng.release(bidir)
     eng.release(deg)
-    pr.select(col("id"), col("pr_fx"))
+    out
   }
 
   /** [[pageRankFx]] over the CLIQUE BLOW-UP of a weighted supernode
@@ -322,10 +331,22 @@ object GraphOps {
         .select(col("node"), col("_w"),
           (col("_w") - 1L + coalesce(col("_adj"), lit(0L))).as("_deg"))
         .filter(col("_deg") > 0L))
-    var pr = eng.materialize(
-      deg.select(col("node").as("id"), lit(ONE).as("pr_fx")))
+    var pr: DataFrame =
+      deg.select(col("node").as("id"), lit(ONE).as("pr_fx"))
+    // Edges plus explicit self-loops: folding the self-clique term
+    // into the SAME join keeps the lazily-chained `pr` referenced ONCE
+    // per round (a second reference would double the plan every round
+    // — the exponential-lineage hazard lazy chaining must avoid). The
+    // self row multiplies by (w−1), an edge row by w_dst — summed in
+    // decimal, order-free, so the per-round totals are bit-identical
+    // to the old fromAdj ∪ fromSelf union.
+    val bidirPlus = eng.materialize(
+      bidir.withColumn("_self", lit(false))
+        .unionByName(deg.select(col("node").as("src"),
+          col("node").as("dst"), lit(true).as("_self"))))
     var t = 0
     while (t < rounds) {
+      // Lazy round chaining (see pageRankFx) — fixed rounds, one job.
       // Each class's per-member contribution, then the weighted sum a
       // member of `src` receives: (w_src−1) copies of its own class's
       // contribution plus w_B copies from each adjacent class B.
@@ -340,33 +361,27 @@ object GraphOps {
       // the member-grain iteration (which sums per-member contributions
       // in decimal/HUGEINT). decimal(19,0) holds any long exactly and
       // the product of two longs always fits decimal(38,0).
-      val fromAdj = bidir
+      pr = bidirPlus
         .join(contrib.select(col("id").as("dst"), col("_w"), col("_c")),
           Seq("dst"))
         .select(col("src").as("id"),
-          (col("_w").cast("decimal(19,0)") *
+          (when(col("_self"), col("_w") - 1L).otherwise(col("_w"))
+            .cast("decimal(19,0)") *
             col("_c").cast("decimal(19,0)")).cast("decimal(38,0)")
             .as("_part"))
-      val fromSelf = contrib
+        .groupBy(col("id")).agg(sum(col("_part")).as("_s"))
         .select(col("id"),
-          ((col("_w") - 1L).cast("decimal(19,0)") *
-            col("_c").cast("decimal(19,0)")).cast("decimal(38,0)")
-            .as("_part"))
-      val next = eng.materialize(
-        fromAdj.unionByName(fromSelf)
-          .groupBy(col("id")).agg(sum(col("_part")).as("_s"))
-          .select(col("id"),
-            (lit(base) +
-              expr(s"cast($dampPct * _s div 100 as bigint)"))
-              .as("pr_fx")))
-      eng.release(pr)
-      pr = next
+          (lit(base) +
+            expr(s"cast($dampPct * _s div 100 as bigint)"))
+            .as("pr_fx"))
       t += 1
     }
+    val out = eng.materialize(pr.select(col("id"), col("pr_fx")))
+    eng.release(bidirPlus)
     eng.release(bidir)
     eng.release(wts)
     eng.release(deg)
-    pr.select(col("id"), col("pr_fx"))
+    out
   }
 
   /** [[labelPropagation]] over the CLIQUE BLOW-UP of a weighted
@@ -416,15 +431,16 @@ object GraphOps {
           col("node").as("dst")))
         .distinct())
     // Round 1 closed form: min member id over neighbors-with-self.
-    var labels = eng.materialize(
+    var labels: DataFrame =
       bidir.groupBy(col("src")).agg(min(col("dst")).as("label"))
-        .select(col("src").as("id"), col("label")))
+        .select(col("src").as("id"), col("label"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src"))
       .orderBy(col("_c").desc, col("label").asc)
     var t = 1
     while (t < rounds) {
-      val next = eng.materialize(
+      // Lazy round chaining (see labelPropagation) — fixed rounds.
+      labels =
         bidir.join(labels.select(col("id").as("dst"), col("label")),
             Seq("dst"))
           .join(wts.select(col("node").as("dst"), col("_w")), Seq("dst"))
@@ -432,13 +448,13 @@ object GraphOps {
           .agg(sum(col("_w")).as("_c"))
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1)
-          .select(col("src").as("id"), col("label")))
-      eng.release(labels)
-      labels = next
+          .select(col("src").as("id"), col("label"))
       t += 1
     }
+    val out = eng.materialize(
+      labels.select(col("id"), col("label").as("community")))
     eng.release(bidir)
     eng.release(wts)
-    labels.select(col("id"), col("label").as("community"))
+    out
   }
 }

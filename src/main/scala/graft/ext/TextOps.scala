@@ -114,8 +114,7 @@ object TextOps {
   def hashEmbed(df: DataFrame, idCol: String, textCol: String,
                 dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"hashEmbed: bad dim $dim")
-    val h = (c: Column) =>
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val h = (c: Column) => graft.ext.SketchOps.h60(c)
     val sgn = (t: Column) =>
       when(pmod(h(concat(lit("s:"), t)), lit(2L)) === 0L, lit(1L))
         .otherwise(lit(-1L))
@@ -180,8 +179,8 @@ object TextOps {
       val idx = when(size(toks) > 0, sequence(lit(0), size(toks) - 1))
         .otherwise(array().cast("array<int>"))
       bindOnce(transform(idx, i =>
-          pmod(conv(substring(md5(concat(id.cast("string"), lit(":"),
-            i.cast("string"))), 1, 15), 16, 10).cast("long"),
+          pmod(graft.ext.SketchOps.h60(concat(id.cast("string"),
+            lit(":"), i.cast("string"))),
             lit(1000L)) < lit(ratePermille))) { flags =>
         val init = struct(lit("").as("inp"), lit("").as("tgt"),
           lit(0).as("k"), lit(false).as("prev"), lit(0).as("nm"))
@@ -2799,8 +2798,7 @@ object TextOps {
   private[graft] def dsirDocBuckets(corpus: DataFrame, idCol: String,
                                     textCol: String, m: Int): DataFrame = {
     def bucket(tok: Column): Column =
-      pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"),
-        lit(m.toLong))
+      pmod(graft.ext.SketchOps.h60(tok), lit(m.toLong))
     val base = graft.engine.Engine.spread(corpus)
     def core(keyed: DataFrame): DataFrame =
       keyed.select(col("_k"), explode(tokens(col("_t"))).as("_tok"))
@@ -2831,8 +2829,7 @@ object TextOps {
     require(budget >= 1, s"budget must be >= 1: $budget")
     val m = numBuckets
     def bucket(tok: Column): Column =
-      pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"),
-        lit(m.toLong))
+      pmod(graft.ext.SketchOps.h60(tok), lit(m.toLong))
     val spark = corpus.sparkSession
     // target distribution: m bucket counts + total. INSTANCE counts,
     // so the clone-heavy tier weights per-distinct-text counts by copy

@@ -62,7 +62,7 @@ object Dml {
     // rewrite EVERY file — mixed file schemas under one table path
     // would poison every later read.
     val schemaPreserved = mutate(df).schema == df.schema
-    flatTableFiles(spark, tablePath) match {
+    val stats = flatTableFiles(spark, tablePath) match {
       case Some(all) if schemaPreserved =>
         mutateFiles(spark, tablePath, df, cond, all)(mutate)
       case _ =>
@@ -70,6 +70,10 @@ object Dml {
           affected = df.filter(cond).count())
         DmlFileStats(affected, -1, -1, -1)
     }
+    // The table changed on disk: drop every session memo derived from
+    // it (r17 verdict ask #9 — the caches were documented-stale before).
+    graft.engine.SessionCaches.invalidate(spark, tablePath)
+    stats
   }
 
   /** DELETE FROM t WHERE cond. Returns deleted-row count. */
@@ -80,7 +84,7 @@ object Dml {
   def deleteWithStats(spark: SparkSession, tablePath: String,
                       cond: Column): DmlFileStats = {
     val df = spark.read.parquet(tablePath)
-    flatTableFiles(spark, tablePath) match {
+    val stats = flatTableFiles(spark, tablePath) match {
       case Some(all) =>
         mutateFiles(spark, tablePath, df, cond, all)(
           _.filter(!coalesce(cond, lit(false))))
@@ -90,6 +94,8 @@ object Dml {
           affected = df.filter(cond).count())
         DmlFileStats(affected, -1, -1, -1)
     }
+    graft.engine.SessionCaches.invalidate(spark, tablePath)
+    stats
   }
 
   /** The table's data files IF the layout is flat (every parquet file a
@@ -361,6 +367,7 @@ object Dml {
         fTotal += allInDir.size
       }
     }
+    graft.engine.SessionCaches.invalidate(spark, tablePath)
     if (wholePartition) DmlFileStats(affected, fTotal, -1, -1)
     else DmlFileStats(affected, fTotal, fRewritten, fKept)
   }

@@ -89,16 +89,72 @@ object Sanitize {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"bad percentiles $ps")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val cum = df.select(value.cast("double").as("_v"))
+    // SIZE-GATED plan tier (the GrainProbe discipline, r17 verdict ask
+    // #6): the two paths below are value-identical (this module's
+    // original contract — the distributed interpolation replays
+    // Percentile.getPercentile's exact IEEE branches), so the gate only
+    // picks a plan shape. Small inputs take Spark's exact `percentile`:
+    // ONE aggregate pass, no join, no window — the per-buffer
+    // value→count map and its single-task merge are the RIGHT shape
+    // when the domain is small (the distributed form costs ~4 extra
+    // stages and a second evaluation of the grouped relation, which is
+    // what regressed t_mad_outliers at sf0.1 in r17). Large inputs take
+    // the distributed two-level rank: on a continuous column the boxed
+    // map grows with the distinct count and its merge funnels through
+    // one reducer (~30 s/60M rows at sf10). The threshold is a conf
+    // (bytes of the PLAN-side size estimate — no extra job) with a
+    // local default; production tunes it to executor memory.
+    val smallBytes = BigInt(df.sparkSession.conf
+      .get("spark.graft.percentile.smallBytes", (64L << 20).toString)
+      .toLong)
+    val smallInput =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes
+      catch { case _: Throwable => false }
+    if (smallInput) {
+      val arr = df.agg(
+        percentile(value.cast("double"),
+          array(ps.map(lit): _*)).as("_ps"))
+      return arr.select(ps.indices.map(i =>
+        element_at(col("_ps"), i + 1).as(s"_p$i")): _*)
+    }
+    // Two-level cumulative rank over the DISTINCT values — the r17
+    // verdict's scale hazard was a `Window.orderBy(_v)` with no
+    // partitioning here: on a continuous double column distinct ≈ n
+    // and the whole domain sorted on ONE task. Values bin by the top
+    // 16 bits of their order-preserving IEEE long (graft_dbits — a
+    // PURE function of the value: no min/max pre-pass, no
+    // range-partitioner sampling, deterministic under plan re-use);
+    // the prefix sum then runs per-bin in parallel, per-bin offsets
+    // and the row total come from the ≤2¹⁶-row bin relation. `_cum`
+    // is the identical exact integer either way, so the interpolation
+    // (and the t_winsorize / t_mad_outliers oracle hashes) are
+    // unchanged. Arithmetic shiftright keeps the signed order, so the
+    // bin is monotone nondecreasing in _v under Spark's total
+    // ordering (NaN greatest) — all the offsets arithmetic needs.
+    val cnt = df.select(value.cast("double").as("_v"))
       .filter(col("_v").isNotNull)
       .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
-      .withColumn("_cum", sum(col("_c")).over(w))
-    val nRow = cum.agg(sum(col("_c")).as("_n"))
-    val withN = cum.crossJoin(broadcast(nRow))
+    val binned = cnt.withColumn("_bin",
+      shiftright(call_function("graft_dbits", col("_v")), 48))
+    val wOffCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_bin"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val offs = binned.groupBy(col("_bin")).agg(sum(col("_c")).as("_bc"))
+      .select(col("_bin"),
+        (sum(col("_bc")).over(wOffCum) - col("_bc")).as("_off"),
+        sum(col("_bc")).over(wAll).as("_n"))
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bin")).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val withN = binned.join(broadcast(offs), Seq("_bin"))
+      .withColumn("_cum", sum(col("_c")).over(wLoc) + col("_off"))
     def pos(i: Int) = lit(ps(i)) * (col("_n") - 1).cast("double")
     val rawAggs = ps.indices.flatMap { i =>
       Seq(

@@ -389,8 +389,7 @@ object Split {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      n: Int): DataFrame = {
     require(n >= 1, s"weightedSample: n must be >= 1: $n")
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.ext.SketchOps.h60(col(idCol).cast("string"))
     val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
     val scoreFx = floor(call_function("graft_ln", u) *
       lit(1073741824.0) / col(weightCol).cast("double")).cast("long")
@@ -421,8 +420,7 @@ object Split {
                              idCol: String, weightCol: String,
                              k: Int): DataFrame = {
     require(k >= 1, s"weightedSamplePerGroup: k must be >= 1: $k")
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.ext.SketchOps.h60(col(idCol).cast("string"))
     val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
     val scoreFx = floor(call_function("graft_ln", u) *
       lit(1073741824.0) / col(weightCol).cast("double")).cast("long")
