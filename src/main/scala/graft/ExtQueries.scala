@@ -1615,21 +1615,42 @@ object ExtQueries {
   // routing disposition: quarantined rows keep status 'quarantined',
   // survivors carry their split; rows dropped mid-pipeline are absent.
   // ---------------------------------------------------------------------
+  /** The src0-trained bigram LM and the docs-10..19 benchmark gram
+    * hashes, session-cached: x_stream_ingest and x_curation train the
+    * IDENTICAL literal structures (same slice, same params), and each
+    * training is a full corpus-slice pass collected to the driver —
+    * the lmSumsCache discipline (r17 verdict ask #2: "share the
+    * Bloom/LM literal structures already built for the batch ops").
+    * Warm hits surface in the bench artifact via SessionCaches. */
+  private val lmSrc0Cache = graft.engine.SessionCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), TextOps.LmModel]())
+  private def lmSrc0(s: SparkSession, dir: String): TextOps.LmModel =
+    graft.engine.SessionCaches.memo(lmSrc0Cache, (s, dir))(
+      TextOps.lmTrainHashed(
+        t(s, dir, "documents").filter(col("source") === "src0"), "text"))
+
+  private val benchGramsCache = graft.engine.SessionCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Array[Long]]())
+  private def benchGrams(s: SparkSession, dir: String): Array[Long] =
+    graft.engine.SessionCaches.memo(benchGramsCache, (s, dir))(
+      DedupOps.benchmarkGramHashes(
+        t(s, dir, "documents")
+          .filter(col("doc_id") >= 10 && col("doc_id") < 20), "text"))
+
   def xStreamIngest(s: SparkSession, dir: String): DataFrame = {
     import graft.jobs.StreamIngestJob
     import graft.transform.Checks
     val docs = t(s, dir, "documents")
     val hist = docs.filter(col("doc_id") < 10)
-    val bench = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
-    val lm = TextOps.lmTrainHashed(
-      docs.filter(col("source") === "src0"), "text")
     val (bad, kept) = StreamIngestJob.routedTransform(docs, "doc_id",
       "text",
       rules = Seq(Checks.inRange("n_chars", 60.0, 100000.0)),
-      benchGramHashes = DedupOps.benchmarkGramHashes(bench, "text"),
+      benchGramHashes = benchGrams(s, dir),
       blockedPhrases = Seq("slow fast"),
       testFrac = 0.05, validFrac = 0.05,
-      lmModel = Some(lm), maxMeanNll = 3.65,
+      lmModel = Some(lmSrc0(s, dir)), maxMeanNll = 3.65,
       dedupIndex = Some(DedupOps.buildDedupIndex(hist, "text")))
     bad.select(col("doc_id"), lit("quarantined").as("status"))
       .unionByName(kept.select(col("doc_id"), col("split").as("status")))
@@ -1719,12 +1740,10 @@ object ExtQueries {
       maxDupTokenFrac = 0.65, maxTopBigramFrac = 0.06,
       exactDedup = true,
       nearDupThreshold = 0.8,
-      benchGramHashes = DedupOps.benchmarkGramHashes(
-        d.filter(col("doc_id") >= 10 && col("doc_id") < 20), "text"),
+      benchGramHashes = benchGrams(s, dir),
       nbModel = Some(TextOps.nbTrainHashed(d, "text",
         col("lang") === "en")),
-      lmModel = Some(TextOps.lmTrainHashed(
-        d.filter(col("source") === "src0"), "text")),
+      lmModel = Some(lmSrc0(s, dir)),
       maxMeanNll = 3.65)
     CurationJob.disposition(corpus, cfg).orderBy(col("doc_id"))
   }

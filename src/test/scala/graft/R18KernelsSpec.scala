@@ -88,6 +88,33 @@ class R18KernelsSpec extends SparkSpec {
     assert(fast.count() > 0)
   }
 
+  test("connectedComponents: driver union-find tier == iterative " +
+    "closure on adversarial layouts (bit-reversed path, stars, self " +
+    "loops, isolated pairs)") {
+    import spark.implicits._
+    // bit-reversed long path (the DedupOpsSpec adversarial case) plus
+    // a star, a self loop, and disjoint pairs
+    val n = 64
+    val path = (0 until n - 1).map { i =>
+      def rev(x: Int) = Integer.reverse(x) >>> (32 - 6)
+      (rev(i).toLong + 100, rev(i + 1).toLong + 100)
+    }
+    val star = (1 to 5).map(i => (1000L, 1000L + i))
+    val extra = Seq((5000L, 5000L), (7000L, 7001L), (7002L, 7003L))
+    val pairs = (path ++ star ++ extra).toDF("id_a", "id_b")
+    def run(cap: Long) = {
+      spark.conf.set("spark.graft.cc.localEdgeCap", cap.toString)
+      try ext.DedupOps.connectedComponents(pairs)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+      finally spark.conf.unset("spark.graft.cc.localEdgeCap")
+    }
+    val local = run(1000000L)
+    val iterative = run(0L)
+    assert(local == iterative)
+    assert(local.nonEmpty)
+  }
+
   test("exactPercentiles: small one-aggregate path == distributed " +
     "dbits-binned path on a continuous column (every edge)") {
     val events = spark.read.parquet(s"$fixtureDir/events.parquet")
