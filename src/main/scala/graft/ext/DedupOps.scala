@@ -1957,12 +1957,26 @@ object DedupOps {
     val nReps = norms.count()
     def gated(df: DataFrame, bytes: Long): DataFrame =
       if (bytes <= budget) broadcast(df) else df
+    // DUAL-WITNESS pruning (r18; Bayardo's bound applied on BOTH
+    // sides): the one-sided theorem — if every shared term sits in
+    // x's below-threshold tail, dot ≤ ‖x_tail‖·‖y‖ < t·‖x‖·‖y‖ —
+    // holds independently for x AND y, so a qualifying pair must have
+    // a shared term inside EACH side's prefix (possibly different
+    // terms). The candidate groupBy therefore keeps a pair only when
+    // prefix rows from both endpoints witnessed it, replacing the
+    // plain distinct at the same shuffle cost (sf0.1: 626k → see
+    // ApssProbe — the DuckDB twin computes the unpruned definition,
+    // so the green oracle row proves the filter drops nothing).
     val full = w.select(col("_t"), col("_id").as("_fid"))
     val cand = gated(prefix, wCnt * 24L).join(full, Seq("_t"))
       .filter(col("_pid") =!= col("_fid"))
       .select(least(col("_pid"), col("_fid")).as("_a"),
-        greatest(col("_pid"), col("_fid")).as("_b"))
-      .distinct()
+        greatest(col("_pid"), col("_fid")).as("_b"),
+        (col("_pid") < col("_fid")).as("_wlo"))
+      .groupBy(col("_a"), col("_b"))
+      .agg(max(col("_wlo")).as("_hasLo"), min(col("_wlo")).as("_notHi"))
+      .filter(col("_hasLo") && !col("_notHi"))
+      .select(col("_a"), col("_b"))
     val vec = graft.engine.Engine.materialize(
       w.groupBy(col("_id"))
         .agg(sort_array(collect_list(struct(col("_t"), col("_w"))))
@@ -2068,10 +2082,16 @@ object DedupOps {
     val toks = TextOps.tokens(col("_txt"))
     val grams = call_function("graft_window_hashes",
       call_function("graft_hash_tokens", toks), lit(math.max(gramN, 1)))
-    val tf = repDocs.select(col("_rid").as("_id"), col("_sz"),
-        explode(grams).as("_t"))
-      .groupBy(col("_id"), col("_sz"), col("_t"))
-      .agg(count(lit(1)).as("_tf"))
+    // Materialized (r18): tf feeds BOTH the document-frequency
+    // aggregate and the weight join — without the cut the whole
+    // tokenize → window-hash explode → grouped-count pipeline ran
+    // twice per construction (aliased consumers defeat exchange
+    // reuse, the same argument as w/norms below).
+    val tf = graft.engine.Engine.materialize(
+      repDocs.select(col("_rid").as("_id"), col("_sz"),
+          explode(grams).as("_t"))
+        .groupBy(col("_id"), col("_sz"), col("_t"))
+        .agg(count(lit(1)).as("_tf")))
     // FULL-corpus document frequency: every duplicate counts, via the
     // class sizes — keeps idf identical to the unpruned definition
     val dfRel = tf.groupBy(col("_t")).agg(sum(col("_sz")).as("_df"))

@@ -844,7 +844,6 @@ object TextOps {
           array_join(transform(sequence(lit(1), length(col("w"))),
             i => col("w").substr(i, lit(1))), " "),
           lit(" ")).as("s"), col("f")))
-    val pairs = shingles(split(trim(col("s")), " "), 2)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     def syms(p: String): Set[String] = {
       val i = p.indexOf(' ')
@@ -853,6 +852,72 @@ object TextOps {
     var rank = 0
     var r = 0
     var dry = false
+    // DRIVER-LOCAL tier (r18; the connectedComponents discipline): the
+    // merge rounds run over the WORD-FREQUENCY relation — vocabulary-
+    // sized by construction, and invariant under clone replication —
+    // while each distributed round costs an explode+groupBy+collect
+    // job plus a checkpoint of the replaced vocabulary. Under a
+    // measured row budget the whole round loop runs on the driver over
+    // the collected (symbols, freq) list with the IDENTICAL selection
+    // and application semantics: same pair counting (every adjacent
+    // occurrence weighted by word freq), same (freq desc, pair asc)
+    // order under UTF-8 BINARY comparison (Spark/DuckDB string order —
+    // Java's UTF-16 compareTo would diverge on supplementary chars),
+    // same window-independence rule, same padded two-pass replace.
+    // TextOpsSpec/R18KernelsSpec pin driver == distributed; corpora
+    // whose vocabulary outgrows the budget take the distributed rounds.
+    val localCap = spark.conf.getOption("spark.graft.bpe.localVocabCap")
+      .map(_.toLong).getOrElse(1000000L)
+    val nWords = words.count()
+    if (nWords <= localCap) {
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      implicit val byteOrder: Ordering[String] = (a: String, b: String) =>
+        java.util.Arrays.compareUnsigned(a.getBytes(utf8), b.getBytes(utf8))
+      var local = words.collect()
+        .map(row => (row.getString(0), row.getLong(1)))
+      graft.engine.Engine.release(words)
+      while (r < rounds && !dry) {
+        val counts = new java.util.HashMap[String, Long]()
+        local.foreach { case (s, f) =>
+          val a = s.trim.split(" ")
+          var i = 0
+          while (i < a.length - 1) {
+            val p = a(i) + " " + a(i + 1)
+            counts.put(p, counts.getOrDefault(p, 0L) + f)
+            i += 1
+          }
+        }
+        if (counts.isEmpty) dry = true
+        else {
+          val top = counts.entrySet().iterator()
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long)]
+          while (top.hasNext) {
+            val e = top.next(); buf += ((e.getKey, e.getValue))
+          }
+          val sorted = buf.sortBy { case (p, ff) => (-ff, p) }
+            .take(window).toArray
+          val sel = sorted.zipWithIndex.collect {
+            case ((p, ff), i) if sorted.take(i).forall { case (q, _) =>
+              syms(q).intersect(syms(p)).isEmpty } => (p, ff)
+          }
+          sel.foreach { case (p, ff) =>
+            merges += ((rank, p, ff)); rank += 1
+          }
+          local = local.map { case (s, f) =>
+            val out = sel.foldLeft(s) { case (c, (p, _)) =>
+              val pat = " " + p + " "
+              val rep = " " + p.replace(" ", "") + " "
+              c.replace(pat, rep).replace(pat, rep)
+            }
+            (out, f)
+          }
+          r += 1
+        }
+      }
+      return merges.toSeq.toDF("merge_rank", "pair", "freq")
+    }
+    val pairs = shingles(split(trim(col("s")), " "), 2)
     while (r < rounds && !dry) {
       // window-sized driver collect by contract (window ≪ vocabulary)
       val top = words.select(col("f"), explode(pairs).as("p"))

@@ -33,9 +33,11 @@ object ApssProbe {
     }
     val docs = graft.engine.Engine.table(spark, dir, "documents")
     println("[apss] corpus rows: " + docs.count())
-    val (w, _, prefix, classes) = graft.ext.DedupOps.apssPostings(
-      docs, "doc_id", "text", tNum = 3, tDen = 5, gramN = 3,
-      idfScale = 1000L)
+    val (w, _, prefix, classes) = tm("apssPostings (setup)") {
+      graft.ext.DedupOps.apssPostings(
+        docs, "doc_id", "text", tNum = 3, tDen = 5, gramN = 3,
+        idfScale = 1000L)
+    }
     println("[apss] representatives: " +
       classes.select(col("_rid")).distinct().count())
     val wN = w.count()
@@ -50,7 +52,21 @@ object ApssProbe {
           greatest(col("_pid"), col("_fid")).as("_b"))
         .distinct().count()
     }
-    println("[apss] PRUNED candidate pairs: " + cand)
+    println("[apss] PRUNED candidate pairs (one-sided witness): " + cand)
+    val cand2 = tm("candidate join (dual witness)") {
+      val full = w.select(col("_t"), col("_id").as("_fid"))
+      prefix.join(full, Seq("_t"))
+        .filter(col("_pid") =!= col("_fid"))
+        .select(least(col("_pid"), col("_fid")).as("_a"),
+          greatest(col("_pid"), col("_fid")).as("_b"),
+          (col("_pid") < col("_fid")).as("_wlo"))
+        .groupBy(col("_a"), col("_b"))
+        .agg(max(col("_wlo")).as("_hasLo"),
+          min(col("_wlo")).as("_notHi"))
+        .filter(col("_hasLo") && !col("_notHi"))
+        .count()
+    }
+    println("[apss] PRUNED candidate pairs (dual witness): " + cand2)
     val unpruned = w.groupBy(col("_t")).agg(count(lit(1)).as("n"))
       .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
     println("[apss] unpruned bound Sigma C(df_rep,2): " + unpruned)

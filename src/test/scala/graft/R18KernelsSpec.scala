@@ -88,6 +88,35 @@ class R18KernelsSpec extends SparkSpec {
     assert(fast.count() > 0)
   }
 
+  test("DML rewrite invalidates (session, dir) caches: a memo filled " +
+    "before Dml.update/delete is dropped, unrelated dirs survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dml_inv").toString
+    val table = s"$dir/documents.parquet"
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(table)
+    val cache = graft.engine.SessionCaches.register(
+      new java.util.concurrent.ConcurrentHashMap[
+        (org.apache.spark.sql.SparkSession, String), Long]())
+    // the fill reads the table; a stale entry would keep serving 2
+    def rowsMemo(): Long =
+      graft.engine.SessionCaches.memo(cache, (spark, dir))(
+        spark.read.parquet(table).count())
+    assert(rowsMemo() == 2L)
+    cache.put((spark, "/somewhere/else"), 99L)
+    sinks.Dml.delete(spark, table, col("doc_id") === 2L)
+    assert(!cache.containsKey((spark, dir)),
+      "delete must drop the memo keyed on the mutated table's dir")
+    assert(cache.containsKey((spark, "/somewhere/else")),
+      "unrelated dirs must survive invalidation")
+    assert(rowsMemo() == 1L, "refilled memo must see the rewrite")
+    sinks.Dml.update(spark, table,
+      Map("text" -> lit("z")), col("doc_id") === 1L)
+    assert(!cache.containsKey((spark, dir)),
+      "update must drop the memo too")
+  }
+
   test("connectedComponents: driver union-find tier == iterative " +
     "closure on adversarial layouts (bit-reversed path, stars, self " +
     "loops, isolated pairs)") {
@@ -112,6 +141,22 @@ class R18KernelsSpec extends SparkSpec {
     val local = run(1000000L)
     val iterative = run(0L)
     assert(local == iterative)
+    assert(local.nonEmpty)
+  }
+
+  test("bpeMergesBatched: driver-local vocabulary tier == distributed " +
+    "rounds (same merges, ranks, freqs) on the fixture corpus") {
+    def run(cap: Long) = {
+      spark.conf.set("spark.graft.bpe.localVocabCap", cap.toString)
+      try ext.TextOps.bpeMergesBatched(docs, "text",
+          rounds = 3, window = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      finally spark.conf.unset("spark.graft.bpe.localVocabCap")
+    }
+    val local = run(1000000L)
+    val dist = run(0L)
+    assert(local == dist)
     assert(local.nonEmpty)
   }
 
