@@ -390,9 +390,13 @@ object TransformQueries {
     * only, with the shared robust band. */
   def tMadOutliers(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // No spread: the percentile tiers shuffle (large) or reduce to a
+    // driver-merged map (small) regardless, so the round-robin
+    // exchange + its sort-before-repartition only added cost per
+    // subtree evaluation at fixture scale; block-sized files
+    // parallelize the scan natively at corpus scale.
     graft.transform.Sanitize.madOutliers(
-        graft.engine.Engine.spread(
-          graft.engine.Engine.table(s, dir, "events")),
+        graft.engine.Engine.table(s, dir, "events"),
         "value", k = 3.0)
       .filter(col("is_outlier"))
       .select(col("event_id"), col("value").cast("double").as("value"),
@@ -414,9 +418,12 @@ object TransformQueries {
 
   def tWinsorize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // spread: the single-row-group fixture would otherwise run the
-    // percentile aggregate's map side as one task (block-sized files
-    // parallelize natively at scale).
+    // spread kept (r18 measured): the small-tier exact percentile
+    // builds a value->count map per scan task, and 600k lineitem rows
+    // over ~3 natural splits is map-build bound — spreading to the
+    // core count is a 1.5x win here (3.4 -> 2.2 s solo min), the
+    // OPPOSITE of t_mad_outliers' cheaper aggregate where dropping
+    // the round-robin exchange won.
     val w = graft.transform.Sanitize.winsorize(
       graft.engine.Engine.spread(
         graft.engine.Engine.table(s, dir, "lineitem")),
